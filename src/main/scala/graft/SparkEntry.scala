@@ -1,13 +1,163 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.JsonPathFunctions.json_path_exists
+import graft.operators.EventsTx
+import graft.rules.TxDispatchRules.{ERROR, UNFILTERED}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — flagship entry + per-operator verifiable queries.
+  * See SURVEY.md §2 (operator inventory) and §7.2 (build order).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's entire core semantics end-to-end — decode,
+    * multi-rule JsonPath evaluation, multicast explode, three-way
+    * disposition — over the events table at sf0.001 (SURVEY.md §7.2 M1).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    EventsTx.routed(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  // helpers
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    EventsTx.load(s, dir)
+
+  private def routed(s: SparkSession, dir: String): DataFrame =
+    EventsTx.routed(s, dir)
+
+  /** UNION-ALL oracle twin of the routing core: one SELECT per disposition.
+    * Mirrors json_path_routes + explode exactly (route = rule index in
+    * declaration order; ERROR/UNFILTERED sentinels).
+    */
+  private val routesOracle: String = {
+    import EventsTx.oracle._
+    s"""SELECT event_id, 0 AS route, 'topic-1' AS topic FROM events WHERE $r1Sql
+       |UNION ALL SELECT event_id, 1 AS route, 'topic-2' AS topic FROM events WHERE $r2Sql
+       |UNION ALL SELECT event_id, $ERROR AS route, 'error' AS topic FROM events WHERE NOT $decodableSql
+       |UNION ALL SELECT event_id, $UNFILTERED AS route, 'dlq' AS topic FROM events
+       |  WHERE $decodableSql AND NOT (event_type = 'purchase') AND NOT COALESCE($kSql > 50, FALSE)
+       |""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // queries: one per implemented operator (SURVEY.md §2.1)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1 — source scan with projection + filter pushdown
+    "q_source_scan" -> ((s, dir) =>
+      events(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))),
+
+    // P1 — decode with error capture: disposition of every record
+    "q_decode_errors" -> ((s, dir) =>
+      EventsTx.withTxJson(events(s, dir))
+        .select(col("event_id"), col("txJson").isNull.as("decode_error"))
+        .orderBy(col("event_id"))),
+
+    // P2 — canonical JSON document construction
+    "q_tx_json" -> ((s, dir) =>
+      EventsTx.withTxJson(events(s, dir))
+        .select(col("event_id"), col("txJson"))
+        .orderBy(col("event_id"))),
+
+    // P3 — single-rule JsonPath predicates (type discriminator / deep scan +
+    // numeric filter / never-matching definite path)
+    "q_rule_match_r1" -> ((s, dir) =>
+      EventsTx.withTxJson(events(s, dir))
+        .filter(json_path_exists(col("txJson"), EventsTx.rules.rules(0).predicate))
+        .select(col("event_id"))
+        .orderBy(col("event_id"))),
+    "q_rule_match_r2" -> ((s, dir) =>
+      EventsTx.withTxJson(events(s, dir))
+        .filter(json_path_exists(col("txJson"), EventsTx.rules.rules(1).predicate))
+        .select(col("event_id"))
+        .orderBy(col("event_id"))),
+    "q_rule_match_nop" -> ((s, dir) =>
+      EventsTx.withTxJson(events(s, dir))
+        .filter(json_path_exists(col("txJson"), EventsTx.rules.rules(2).predicate))
+        .select(col("event_id"))
+        .orderBy(col("event_id"))),
+
+    // P3+P4 — multicast explode + F1/F2/F3 disposition (the flagship, as a
+    // verifiable projection)
+    "q_route_dispatch" -> ((s, dir) =>
+      routed(s, dir)
+        .select(col("event_id"), col("route"), col("topic"))
+        .orderBy(col("event_id"), col("route"))),
+
+    // F3 + X4 — DLQ rows with the exact JSON envelope string
+    "q_dlq_envelope" -> ((s, dir) =>
+      routed(s, dir)
+        .filter(col("route") === UNFILTERED)
+        .select(col("event_id"), decode(col("value"), "UTF-8").as("dlq_json"))
+        .orderBy(col("event_id"))),
+
+    // X1 — error path passes through the ORIGINAL bytes
+    "q_error_passthrough" -> ((s, dir) =>
+      routed(s, dir)
+        .filter(col("route") === ERROR)
+        .select(col("event_id"), decode(col("value"), "UTF-8").as("original"))
+        .orderBy(col("event_id"))),
+
+    // L1 — observed metrics: per-destination record counts
+    "q_observe_metrics" -> ((s, dir) =>
+      routed(s, dir)
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("topic"))),
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL (column names MUST match the Spark results)
+
+  /** A single backslash — interpolated into oracle SQL because the `s`
+    * interpolator would otherwise eat backslash escapes in triple quotes.
+    */
+  private val BS = "\\"
+
+  def oracleSql: Map[String, String] = {
+    import EventsTx.oracle._
+    Map(
+      "q_source_scan" ->
+        """SELECT event_id, user_id, event_type FROM events
+          | WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+      "q_decode_errors" ->
+        s"SELECT event_id, NOT $decodableSql AS decode_error FROM events ORDER BY event_id",
+
+      "q_tx_json" ->
+        s"SELECT event_id, CASE WHEN $decodableSql THEN $txJsonSql END AS txJson FROM events ORDER BY event_id",
+
+      "q_rule_match_r1" ->
+        s"SELECT event_id FROM events WHERE $r1Sql ORDER BY event_id",
+      "q_rule_match_r2" ->
+        s"SELECT event_id FROM events WHERE $r2Sql ORDER BY event_id",
+      "q_rule_match_nop" ->
+        "SELECT event_id FROM events WHERE 1 = 0 ORDER BY event_id",
+
+      "q_route_dispatch" ->
+        s"SELECT * FROM ($routesOracle) ORDER BY event_id, route",
+
+      "q_dlq_envelope" ->
+        s"""SELECT event_id,
+           | ('{"txJson":' ||
+           |  CASE WHEN $decodableSql THEN ('"' || replace(replace($txJsonSql, '$BS', '$BS$BS'), '"', '$BS"') || '"') ELSE 'null' END ||
+           |  ',"txBytes":' ||
+           |  CASE WHEN props IS NULL THEN 'null' ELSE ('"' || to_base64(encode(props)) || '"') END ||
+           |  ',"message":null}') AS dlq_json
+           |FROM events
+           |WHERE $decodableSql AND NOT (event_type = 'purchase') AND NOT COALESCE($kSql > 50, FALSE)
+           |ORDER BY event_id""".stripMargin,
+
+      "q_error_passthrough" ->
+        s"SELECT event_id, props AS original FROM events WHERE NOT $decodableSql ORDER BY event_id",
+
+      "q_observe_metrics" ->
+        s"""SELECT topic, count(*) AS n FROM ($routesOracle) GROUP BY topic ORDER BY topic""",
+    )
+  }
 }

@@ -1,0 +1,135 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType}
+
+import scala.util.Try
+import scala.util.control.NonFatal
+
+/** Shared Jackson mapper + parse helper for the JsonPath expressions.
+  * Returns null on any malformed document (decode failure is data, never an
+  * exception — reference: runCatching at TopologyProducer.kt:90–93).
+  */
+private[functions] object JsonDocs {
+  @transient lazy val mapper = new ObjectMapper()
+  def parse(s: String): JsonNode =
+    try {
+      val n = mapper.readTree(s)
+      if (n == null || n.isMissingNode) null else n
+    } catch { case NonFatal(_) => null }
+}
+
+/** `json_path_exists(json, path)` — true iff `path` (Jayway-subset JsonPath,
+  * [[JsonPathLite]]) selects ≥1 node of `json`; false on any evaluation
+  * error; null only when `json` is null.
+  *
+  * This is the semantic predicate of the reference's rule engine
+  * (reference: TopologyProducer.kt:216–218 — Jayway parse + read +
+  * isNotEmpty with SUPPRESS_EXCEPTIONS). A path that fails to compile never
+  * matches (per-rule error isolation, TopologyProducer.kt:221–223).
+  *
+  * The path is a Scala-level constant of the plan (rules are loaded on the
+  * driver before plan construction), so it is compiled exactly once per
+  * executor, not per row.
+  */
+case class JsonPathExists(child: Expression, path: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "json_path_exists"
+
+  @transient private lazy val compiled: Option[JsonPathLite.Compiled] =
+    Try(JsonPathLite.compile(path)).toOption
+
+  override protected def nullSafeEval(json: Any): Any = {
+    compiled match {
+      case None => false
+      case Some(p) =>
+        val doc = JsonDocs.parse(json.toString)
+        if (doc == null) false
+        else
+          try JsonPathLite.exists(doc, p)
+          catch { case NonFatal(_) => false }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `json_path_routes(json, paths)` — evaluate EVERY rule predicate against
+  * one parse of the document and return the array of matching rule indices
+  * (possibly empty), in declaration order. Null when the document is null or
+  * unparseable (the decode-error disposition).
+  *
+  * This collapses the reference's per-transaction rule loop
+  * (TopologyProducer.kt:214–224: forEachIndexed { evaluate; catch-per-rule })
+  * into one expression so the JSON document is parsed once per row — the
+  * same common-subexpression economy the reference gets by printing the JSON
+  * once (TopologyProducer.kt:213) — and feeds `explode` for the multicast
+  * (TopologyProducer.kt:97–105).
+  */
+case class JsonPathRoutes(child: Expression, paths: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_path_routes"
+
+  @transient private lazy val compiled: Array[Option[JsonPathLite.Compiled]] =
+    paths.map(p => Try(JsonPathLite.compile(p)).toOption).toArray
+
+  override def eval(input: InternalRow): Any = {
+    val json = child.eval(input)
+    if (json == null) return null
+    val doc = JsonDocs.parse(json.toString)
+    if (doc == null) return null
+    val matched = new scala.collection.mutable.ArrayBuffer[Int](compiled.length)
+    var i = 0
+    while (i < compiled.length) {
+      compiled(i) match {
+        case Some(p) =>
+          val hit =
+            try JsonPathLite.exists(doc, p)
+            catch { case NonFatal(_) => false } // rule isolation
+          if (hit) matched += i
+        case None => // uncompilable rule: logged-and-skipped in the reference
+      }
+      i += 1
+    }
+    new GenericArrayData(matched.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-level API + SQL registration for the JsonPath expressions. */
+object JsonPathFunctions {
+  def json_path_exists(json: Column, path: String): Column =
+    toColumn(JsonPathExists(toExpression(json), path))
+
+  def json_path_routes(json: Column, paths: Seq[String]): Column =
+    toColumn(JsonPathRoutes(toExpression(json), paths))
+
+  /** Register `json_path_exists` for SQL use on this session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "json_path_exists",
+      { exprs =>
+        require(exprs.length == 2, "json_path_exists(json, 'path')")
+        val path = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString
+          case other => throw new IllegalArgumentException(s"path must be a literal, got $other")
+        }
+        JsonPathExists(exprs.head, path)
+      },
+      "built-in")
+}

@@ -1,0 +1,384 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.JsonNode
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+/** A small, dependency-free JsonPath evaluator implementing the Jayway
+  * JsonPath subset the dispatch rules need (reference:
+  * TopologyProducer.kt:56–59,216–218 configures Jayway 2.8 with
+  * SUPPRESS_EXCEPTIONS + AS_PATH_LIST and asks "does the path select ≥1
+  * node"; example predicates in rules_example.yaml).
+  *
+  * Supported grammar:
+  * {{{
+  *   path     := '$' step*
+  *   step     := '.' NAME | '.' '*' | '..' NAME | bracket
+  *   bracket  := '[' INT ']' | '[*]' | '[' QUOTED ']' | '[?(' filter ')]'
+  *   filter   := clause ( '||' clause )*           // || lowest precedence
+  *   clause   := term ( '&&' term )*
+  *   term     := relpath op literal | relpath      // bare path = existence
+  *   relpath  := '@' ( '.' NAME | '[' QUOTED ']' )*
+  *   op       := '==' | '!=' | '<' | '<=' | '>' | '>='
+  *   literal  := 'sq-string' | "dq-string" | number | true | false | null
+  * }}}
+  *
+  * Semantics matched to Jayway (as exercised by the reference):
+  *  - a match = the expression selects at least one node;
+  *  - a definite path that does not exist selects nothing (the reference
+  *    surfaces this as a suppressed-exception NPE caught per rule,
+  *    TopologyProducer.kt:221–223 — net effect identical: no match);
+  *  - filters applied to an array keep matching elements; applied to an
+  *    object they test the object itself;
+  *  - missing filter operand ⇒ the comparison is false (never throws);
+  *  - numeric comparison is exact decimal; strings compare with the given
+  *    operator lexicographically; cross-type comparison is false
+  *    (except `!=` which is true when both sides exist with different type);
+  *  - deep scan `..name` walks the document depth-first, pre-order, through
+  *    both objects and arrays.
+  *
+  * Evaluation never throws on well-formed compiled paths; `compile` throws
+  * `JsonPathSyntaxException` on malformed input (callers isolate per rule,
+  * mirroring the reference's per-rule runCatching).
+  */
+object JsonPathLite {
+
+  final class JsonPathSyntaxException(msg: String) extends RuntimeException(msg)
+
+  sealed trait Step
+  final case class Field(name: String) extends Step
+  final case class DeepScan(name: String) extends Step
+  final case class Index(i: Int) extends Step
+  case object Wildcard extends Step
+  final case class FilterStep(pred: Pred) extends Step
+
+  sealed trait Pred
+  final case class Or(clauses: Seq[Pred]) extends Pred
+  final case class And(terms: Seq[Pred]) extends Pred
+  final case class Cmp(path: Seq[String], op: String, lit: Lit) extends Pred
+  final case class Exists(path: Seq[String]) extends Pred
+
+  sealed trait Lit
+  final case class SLit(s: String) extends Lit
+  final case class NLit(n: BigDecimal) extends Lit
+  final case class BLit(b: Boolean) extends Lit
+  case object NullLit extends Lit
+
+  final case class Compiled(steps: Seq[Step])
+
+  // ---------------------------------------------------------------- compile
+
+  def compile(path: String): Compiled = {
+    val s = path.trim
+    if (s.isEmpty || s.charAt(0) != '$')
+      throw new JsonPathSyntaxException(s"path must start with '$$': $path")
+    var i = 1
+    val steps = ArrayBuffer.empty[Step]
+
+    def isNameChar(c: Char): Boolean =
+      !(c == '.' || c == '[' || c == ']' || c == '(' || c == ')' ||
+        c == ' ' || c == '\'' || c == '"')
+
+    def readName(): String = {
+      val start = i
+      while (i < s.length && isNameChar(s.charAt(i))) i += 1
+      if (i == start) throw new JsonPathSyntaxException(s"expected name at $start in $path")
+      s.substring(start, i)
+    }
+
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '.' if i + 1 < s.length && s.charAt(i + 1) == '.' =>
+          i += 2
+          if (i < s.length && s.charAt(i) == '[')
+            throw new JsonPathSyntaxException(s"'..[' unsupported in $path")
+          if (i < s.length && s.charAt(i) == '*') { i += 1; steps += DeepScan("*") }
+          else steps += DeepScan(readName())
+        case '.' =>
+          i += 1
+          if (i < s.length && s.charAt(i) == '*') { i += 1; steps += Wildcard }
+          else steps += Field(readName())
+        case '[' =>
+          i += 1
+          skipWs()
+          if (i >= s.length) throw new JsonPathSyntaxException(s"unterminated '[' in $path")
+          s.charAt(i) match {
+            case '*' =>
+              i += 1; skipWs(); expect(']'); steps += Wildcard
+            case '\'' | '"' =>
+              val q = s.charAt(i)
+              val name = readQuoted(q)
+              skipWs(); expect(']'); steps += Field(name)
+            case '?' =>
+              i += 1; expect('(')
+              val depth0 = 1
+              val start = i
+              var depth = depth0
+              while (i < s.length && depth > 0) {
+                val c = s.charAt(i)
+                if (c == '(') depth += 1
+                else if (c == ')') depth -= 1
+                else if (c == '\'' || c == '"') { val q = c; i += 1; while (i < s.length && s.charAt(i) != q) { if (s.charAt(i) == '\\') i += 1; i += 1 } }
+                if (depth > 0) i += 1
+              }
+              if (depth != 0) throw new JsonPathSyntaxException(s"unterminated filter in $path")
+              val inner = s.substring(start, i)
+              i += 1 // consume ')'
+              skipWs(); expect(']')
+              steps += FilterStep(parseFilter(inner, path))
+            case c if c == '-' || c.isDigit =>
+              val start = i
+              i += 1
+              while (i < s.length && s.charAt(i).isDigit) i += 1
+              val idx = s.substring(start, i).toInt
+              skipWs(); expect(']'); steps += Index(idx)
+            case other =>
+              throw new JsonPathSyntaxException(s"unexpected '$other' after '[' in $path")
+          }
+        case other =>
+          throw new JsonPathSyntaxException(s"unexpected '$other' at $i in $path")
+      }
+    }
+
+    def skipWs(): Unit = while (i < s.length && s.charAt(i) == ' ') i += 1
+    def expect(c: Char): Unit = {
+      if (i >= s.length || s.charAt(i) != c)
+        throw new JsonPathSyntaxException(s"expected '$c' at $i in $path")
+      i += 1
+    }
+    def readQuoted(q: Char): String = {
+      i += 1 // opening quote
+      val sb = new StringBuilder
+      while (i < s.length && s.charAt(i) != q) {
+        if (s.charAt(i) == '\\' && i + 1 < s.length) { sb += s.charAt(i + 1); i += 2 }
+        else { sb += s.charAt(i); i += 1 }
+      }
+      if (i >= s.length) throw new JsonPathSyntaxException(s"unterminated string in $path")
+      i += 1 // closing quote
+      sb.result()
+    }
+
+    Compiled(steps.toSeq)
+  }
+
+  /** Parse the inside of `[?( ... )]`. */
+  private def parseFilter(f: String, whole: String): Pred = {
+    def splitTop(input: String, sep: String): Seq[String] = {
+      val parts = ArrayBuffer.empty[String]
+      var depth = 0; var j = 0; var last = 0
+      while (j < input.length) {
+        val c = input.charAt(j)
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (c == '\'' || c == '"') { val q = c; j += 1; while (j < input.length && input.charAt(j) != q) { if (input.charAt(j) == '\\') j += 1; j += 1 } }
+        else if (depth == 0 && input.startsWith(sep, j)) { parts += input.substring(last, j); j += sep.length - 1; last = j + 1 }
+        j += 1
+      }
+      parts += input.substring(last)
+      parts.toSeq
+    }
+
+    def parseTerm(t0: String): Pred = {
+      var t = t0.trim
+      if (t.startsWith("(") && t.endsWith(")")) {
+        // parenthesised sub-filter
+        return parseFilter(t.substring(1, t.length - 1), whole)
+      }
+      // find a top-level comparison operator
+      val ops = Seq("==", "!=", "<=", ">=", "<", ">")
+      var opIdx = -1; var op = ""
+      var j = 0; var inStr = false; var q = ' '
+      while (j < t.length && opIdx < 0) {
+        val c = t.charAt(j)
+        if (inStr) { if (c == q) inStr = false else if (c == '\\') j += 1 }
+        else if (c == '\'' || c == '"') { inStr = true; q = c }
+        else ops.find(o => t.startsWith(o, j)) match {
+          case Some(o) => opIdx = j; op = o
+          case None    =>
+        }
+        j += 1
+      }
+      if (opIdx < 0) Exists(parseRelPath(t))
+      else {
+        val lhs = t.substring(0, opIdx).trim
+        val rhs = t.substring(opIdx + op.length).trim
+        Cmp(parseRelPath(lhs), op, parseLiteral(rhs))
+      }
+    }
+
+    def parseRelPath(p0: String): Seq[String] = {
+      val p = p0.trim
+      if (!p.startsWith("@"))
+        throw new JsonPathSyntaxException(s"filter path must start with '@': '$p' in $whole")
+      val rest = p.substring(1)
+      if (rest.isEmpty) return Seq.empty
+      val segs = ArrayBuffer.empty[String]
+      var j = 0
+      while (j < rest.length) {
+        rest.charAt(j) match {
+          case '.' =>
+            j += 1
+            val start = j
+            while (j < rest.length && rest.charAt(j) != '.' && rest.charAt(j) != '[') j += 1
+            if (j == start) throw new JsonPathSyntaxException(s"bad filter path '$p' in $whole")
+            segs += rest.substring(start, j)
+          case '[' =>
+            j += 1
+            while (j < rest.length && rest.charAt(j) == ' ') j += 1
+            val quote = rest.charAt(j)
+            if (quote != '\'' && quote != '"')
+              throw new JsonPathSyntaxException(s"only ['name'] brackets in filter paths: '$p'")
+            j += 1
+            val sb = new StringBuilder
+            while (j < rest.length && rest.charAt(j) != quote) { sb += rest.charAt(j); j += 1 }
+            j += 1 // quote
+            while (j < rest.length && rest.charAt(j) == ' ') j += 1
+            if (j >= rest.length || rest.charAt(j) != ']')
+              throw new JsonPathSyntaxException(s"unterminated bracket in filter path '$p'")
+            j += 1
+            segs += sb.result()
+          case other =>
+            throw new JsonPathSyntaxException(s"unexpected '$other' in filter path '$p'")
+        }
+      }
+      segs.toSeq
+    }
+
+    def parseLiteral(l0: String): Lit = {
+      val l = l0.trim
+      if (l.isEmpty) throw new JsonPathSyntaxException(s"empty literal in $whole")
+      if (l.charAt(0) == '\'' || l.charAt(0) == '"') {
+        val q = l.charAt(0)
+        if (l.length < 2 || l.last != q)
+          throw new JsonPathSyntaxException(s"unterminated string literal '$l'")
+        val sb = new StringBuilder
+        var j = 1
+        while (j < l.length - 1) {
+          if (l.charAt(j) == '\\' && j + 1 < l.length - 1) { sb += l.charAt(j + 1); j += 2 }
+          else { sb += l.charAt(j); j += 1 }
+        }
+        SLit(sb.result())
+      } else l match {
+        case "true"  => BLit(true)
+        case "false" => BLit(false)
+        case "null"  => NullLit
+        case n =>
+          try NLit(BigDecimal(n))
+          catch { case _: NumberFormatException => throw new JsonPathSyntaxException(s"bad literal '$l' in $whole") }
+      }
+    }
+
+    val orParts = splitTop(f, "||")
+    val orPreds = orParts.map { part =>
+      val andParts = splitTop(part, "&&")
+      if (andParts.length == 1) parseTerm(andParts.head)
+      else And(andParts.map(parseTerm))
+    }
+    if (orPreds.length == 1) orPreds.head else Or(orPreds)
+  }
+
+  // ------------------------------------------------------------------- eval
+
+  /** All nodes the path selects, document order. Never throws. */
+  def select(root: JsonNode, path: Compiled): Seq[JsonNode] = {
+    if (root == null || root.isMissingNode) return Seq.empty
+    var current: Seq[JsonNode] = Seq(root)
+    path.steps.foreach { step =>
+      if (current.isEmpty) return Seq.empty
+      current = current.flatMap(applyStep(_, step))
+    }
+    current
+  }
+
+  /** Does the path select at least one node? (The reference's match test —
+    * TopologyProducer.kt:216–218.)
+    */
+  def exists(root: JsonNode, path: Compiled): Boolean = {
+    if (root == null || root.isMissingNode) return false
+    var current: Seq[JsonNode] = Seq(root)
+    path.steps.foreach { step =>
+      if (current.isEmpty) return false
+      current = current.flatMap(applyStep(_, step))
+    }
+    current.nonEmpty
+  }
+
+  private def applyStep(node: JsonNode, step: Step): Seq[JsonNode] = step match {
+    case Field(name) =>
+      if (node.isObject && node.has(name)) Seq(node.get(name)) else Seq.empty
+    case Index(i) =>
+      if (node.isArray) {
+        val n = node.size
+        val idx = if (i < 0) n + i else i
+        if (idx >= 0 && idx < n) Seq(node.get(idx)) else Seq.empty
+      } else Seq.empty
+    case Wildcard =>
+      if (node.isArray) node.elements().asScala.toSeq
+      else if (node.isObject) node.elements().asScala.toSeq
+      else Seq.empty
+    case DeepScan(name) =>
+      val out = ArrayBuffer.empty[JsonNode]
+      def walk(n: JsonNode): Unit = {
+        if (n.isObject) {
+          if (name == "*") out ++= n.elements().asScala
+          else if (n.has(name)) out += n.get(name)
+          n.elements().asScala.foreach(walk)
+        } else if (n.isArray) {
+          if (name == "*") out ++= n.elements().asScala
+          n.elements().asScala.foreach(walk)
+        }
+      }
+      walk(node)
+      out.toSeq
+    case FilterStep(pred) =>
+      if (node.isArray) node.elements().asScala.filter(evalPred(_, pred)).toSeq
+      else if (node.isObject) { if (evalPred(node, pred)) Seq(node) else Seq.empty }
+      else Seq.empty
+  }
+
+  private def resolve(node: JsonNode, path: Seq[String]): Option[JsonNode] = {
+    var cur = node
+    path.foreach { seg =>
+      if (cur == null || !cur.isObject || !cur.has(seg)) return None
+      cur = cur.get(seg)
+    }
+    Option(cur)
+  }
+
+  private def evalPred(node: JsonNode, pred: Pred): Boolean = pred match {
+    case Or(cs)  => cs.exists(evalPred(node, _))
+    case And(ts) => ts.forall(evalPred(node, _))
+    case Exists(p) => resolve(node, p).isDefined
+    case Cmp(p, op, lit) =>
+      resolve(node, p) match {
+        case None => false
+        case Some(v) => compare(v, op, lit)
+      }
+  }
+
+  private def compare(v: JsonNode, op: String, lit: Lit): Boolean = (lit, op) match {
+    case (SLit(s), _) if v.isTextual =>
+      val c = v.asText.compareTo(s)
+      opHolds(op, c)
+    case (NLit(n), _) if v.isNumber =>
+      val c = BigDecimal(v.decimalValue()).compare(n)
+      opHolds(op, c)
+    case (BLit(b), "==") => v.isBoolean && v.asBoolean == b
+    case (BLit(b), "!=") => !(v.isBoolean && v.asBoolean == b)
+    case (NullLit, "==") => v.isNull
+    case (NullLit, "!=") => !v.isNull
+    case (_, "!=")       => true // both exist, different types
+    case _               => false
+  }
+
+  private def opHolds(op: String, cmp: Int): Boolean = op match {
+    case "==" => cmp == 0
+    case "!=" => cmp != 0
+    case "<"  => cmp < 0
+    case "<=" => cmp <= 0
+    case ">"  => cmp > 0
+    case ">=" => cmp >= 0
+    case _    => false
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.functions.JsonPathFunctions.json_path_routes
+import graft.rules.{TxDispatchRules}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The routing core: one narrow Catalyst plan implementing the reference's
+  * whole topology (reference: TopologyProducer.kt:84–202).
+  *
+  * Input contract: a DataFrame with
+  *   - `txJson: String`  — the transaction's canonical JSON document (null
+  *                         or unparseable ⇒ decode failure);
+  *   - `raw: Binary`     — the original input bytes (error-topic payload,
+  *                         reference: TopologyProducer.kt:122);
+  *   - any passthrough columns (key, ids, …) — untouched, like the
+  *     reference's key pass-through.
+  *
+  * Output: input columns plus
+  *   - `route: Int`   — matched rule index, or ERROR(-1) / UNFILTERED(-2)
+  *                      (reference sentinels: TopologyProducer.kt:26–29);
+  *     a row matching k rules appears k times (multicast explode —
+  *     TopologyProducer.kt:97–105, TopologyTest.kt:91);
+  *   - `topic: String` — destination topic (per-row dynamic routing replaces
+  *                       the reference's N physical branches,
+  *                       TopologyProducer.kt:106–199);
+  *   - `value: Binary` — the disposition payload (reference §2.6):
+  *       ERROR      → original `raw` bytes         (TopologyProducer.kt:122)
+  *       rule match → re-encoded transaction bytes (TopologyProducer.kt:155–159)
+  *       UNFILTERED → DLQ JSON envelope as UTF-8   (TopologyProducer.kt:186–195)
+  *
+  * The plan is entirely narrow (project + generate + filter): no shuffle, no
+  * state — parity with the reference's stateless, repartition-free topology.
+  * At 100 TB this runs as a pure map-side pipeline: throughput scales
+  * linearly with executors and the only data movement is source → sink.
+  */
+object TxDispatchPipeline {
+
+  import TxDispatchRules.{ERROR, UNFILTERED}
+
+  /** @param rules       declaration-ordered dispatch rules
+    * @param dlqTopic    destination for transactions matching no rule
+    * @param errorTopic  destination for undecodable inputs; None ⇒ errored
+    *                    rows are dropped (reference: branch without `to()`
+    *                    when `topic.error` is unset, TopologyProducer.kt:123–131)
+    * @param reEncoded   optional column producing the rule-topic payload
+    *                    (re-encoded tx bytes, reference X3); defaults to the
+    *                    UTF-8 bytes of `txJson` for JSON-native inputs
+    */
+  def apply(
+      df: DataFrame,
+      rules: TxDispatchRules,
+      dlqTopic: String = "dlq",
+      errorTopic: Option[String] = Some("error"),
+      reEncoded: Option[Column] = None): DataFrame = {
+
+    val routed = withRoutes(df, rules)
+
+    val topicFor: Column = {
+      // rule-index → topic lookup as a literal map: plan-shape-from-config,
+      // exactly as the reference builds one branch per configured rule
+      // (TopologyProducer.kt:134–139).
+      val pairs = rules.rules.zipWithIndex.flatMap { case (r, i) => Seq(lit(i), lit(r.topic)) }
+      val ruleTopic = element_at(map(pairs: _*), col("route"))
+      when(col("route") === ERROR, errorTopic.map(lit(_)).getOrElse(lit(null)))
+        .when(col("route") === UNFILTERED, lit(dlqTopic))
+        .otherwise(ruleTopic)
+    }
+
+    val ruleValue = reEncoded.getOrElse(encode(col("txJson"), "UTF-8"))
+
+    val valueFor: Column =
+      when(col("route") === ERROR, col("raw"))
+        .when(col("route") === UNFILTERED, encode(dlqEnvelope(col("txJson"), col("raw")), "UTF-8"))
+        .otherwise(ruleValue)
+
+    val out = routed
+      .withColumn("topic", topicFor)
+      .withColumn("value", valueFor)
+
+    // Optional error topic: when unset, errored records are dropped
+    // (consumed-but-not-produced branch in the reference).
+    if (errorTopic.isDefined) out else out.filter(col("route") =!= ERROR)
+  }
+
+  /** Just the route derivation + multicast explode (reference P3+P4):
+    * adds `route: Int`, duplicating each row once per matching rule.
+    */
+  def withRoutes(df: DataFrame, rules: TxDispatchRules): DataFrame = {
+    val matches = json_path_routes(col("txJson"), rules.rules.map(_.predicate))
+    // null ⇒ undecodable ⇒ ERROR; empty ⇒ no rule matched ⇒ UNFILTERED
+    val routes =
+      when(matches.isNull, array(lit(ERROR)))
+        .otherwise(
+          when(size(matches) === 0, array(lit(UNFILTERED)))
+            .otherwise(matches))
+    df.withColumn("route", explode(routes))
+  }
+
+  /** The DLQ envelope JSON string:
+    * `{"txJson":<json-or-null>,"txBytes":<base64-or-null>,"message":null}`
+    * (reference: DLQ data class + Jackson rendering,
+    * TopologyProducer.kt:32–41,186–195; golden TopologyTest.kt:147–154 —
+    * Jackson writes all three fields, null included, and renders ByteArray
+    * as base64).
+    *
+    * Built by explicit concatenation (not `to_json`) because Jackson keeps
+    * null fields while Spark's `to_json` drops them; concatenation also
+    * gives the oracle-side SQL an exact character-for-character twin.
+    */
+  def dlqEnvelope(txJson: Column, raw: Column): Column =
+    concat(
+      lit("{\"txJson\":"),
+      when(txJson.isNull, lit("null")).otherwise(jsonQuote(txJson)),
+      lit(",\"txBytes\":"),
+      when(raw.isNull, lit("null")).otherwise(concat(lit("\""), base64(raw), lit("\""))),
+      lit(",\"message\":null}"))
+
+  /** Quote a string as a JSON string literal. The payload here is itself a
+    * canonical JSON document (no control characters), so escaping backslash
+    * and quote suffices.
+    */
+  private def jsonQuote(c: Column): Column =
+    concat(
+      lit("\""),
+      regexp_replace(regexp_replace(c, lit("\\\\"), lit("\\\\\\\\")), lit("\""), lit("\\\\\"")),
+      lit("\""))
+}
