@@ -1,7 +1,9 @@
 package graft
 
 import graft.functions.JsonPathFunctions.json_path_exists
-import graft.operators.EventsTx
+import graft.functions.ProtoFunctions.{decode_tx, encode_msg_send_tx}
+import graft.operators.{EventsTx, ProtoTx}
+import graft.rules.{DispatchRule, TxDispatchRules}
 import graft.rules.TxDispatchRules.{ERROR, UNFILTERED}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -109,7 +111,53 @@ object SparkEntry {
         .groupBy(col("topic"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("topic"))),
+
+    // M4 — protobuf wire codec: encode∘decode round-trip is identity on
+    // fields, projected back out via the canonical JSON (P1+P2+X3)
+    "q_proto_roundtrip" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      events(s, dir)
+        .withColumn("raw", encode_msg_send_tx(
+          concat(lit("user"), col("user_id")),
+          concat(lit("dest"), col("event_id")),
+          lit("tok"),
+          k.cast("string")))
+        .withColumn("dec", decode_tx(col("raw")))
+        .select(
+          col("event_id"),
+          get_json_object(col("dec.txJson"), "$.body.messages[0].fromAddress").as("from_address"),
+          get_json_object(col("dec.txJson"), "$.body.messages[0].amount[0].amount").as("amount"),
+          col("dec.msgCount").as("msg_count"))
+        .orderBy(col("event_id"))
+    }),
+
+    // M4 — full dispatch over REAL protobuf bytes synthesized from events:
+    // purchase→MsgSend tx, error→undecodable bytes, else→empty tx
+    "q_proto_dispatch" -> ((s, dir) => {
+      val msgTx = encode_msg_send_tx(
+        concat(lit("user"), col("user_id")), lit("dest"), lit("tok"), lit("1"))
+      val emptyTx = lit(graft.proto.CosmosTx.encode(graft.proto.CosmosTx.Tx(
+        graft.proto.CosmosTx.TxBody(Nil, "", 0L),
+        graft.proto.CosmosTx.AuthInfo(Nil, None), Nil)))
+      val raw = when(col("event_type") === "error", lit("test".getBytes("UTF-8")))
+        .when(col("event_type") === "purchase", msgTx)
+        .otherwise(emptyTx)
+      ProtoTx.routed(events(s, dir).withColumn("raw", raw), protoRules)
+        .select(col("event_id"), col("route"), col("topic"))
+        .orderBy(col("event_id"), col("route"))
+    }),
   )
+
+  /** Rules for q_proto_dispatch: type-discriminator, pinned from-address
+    * (multicast with rule 0 for user_id=7 purchases), never-matching path —
+    * the rules_example.yaml shape over synthesized transactions.
+    */
+  private val protoRules = TxDispatchRules(Seq(
+    DispatchRule("message-type-MsgSend", "topic-1",
+      "$.body.messages[?(@.@type == 'type.googleapis.com/cosmos.bank.v1beta1.MsgSend')]"),
+    DispatchRule("from-user7", "topic-2",
+      "$..messages[?(@.fromAddress == 'user7')]"),
+    DispatchRule("nop-rule", "topic-3", "$.nop")))
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL (column names MUST match the Spark results)
@@ -158,6 +206,22 @@ object SparkEntry {
 
       "q_observe_metrics" ->
         s"""SELECT topic, count(*) AS n FROM ($routesOracle) GROUP BY topic ORDER BY topic""",
+
+      "q_proto_roundtrip" ->
+        s"""SELECT event_id,
+           | CASE WHEN $kSql IS NOT NULL THEN 'user' || user_id END AS from_address,
+           | CASE WHEN $kSql IS NOT NULL THEN CAST($kSql AS VARCHAR) END AS amount,
+           | CASE WHEN $kSql IS NOT NULL THEN 1 END AS msg_count
+           |FROM events ORDER BY event_id""".stripMargin,
+
+      "q_proto_dispatch" ->
+        s"""SELECT * FROM (
+           | SELECT event_id, 0 AS route, 'topic-1' AS topic FROM events WHERE event_type = 'purchase'
+           | UNION ALL SELECT event_id, 1, 'topic-2' FROM events WHERE event_type = 'purchase' AND user_id = 7
+           | UNION ALL SELECT event_id, $ERROR, 'error' FROM events WHERE event_type = 'error'
+           | UNION ALL SELECT event_id, $UNFILTERED, 'dlq' FROM events
+           |   WHERE event_type NOT IN ('purchase', 'error')
+           |) ORDER BY event_id, route""".stripMargin,
     )
   }
 }
