@@ -1,0 +1,434 @@
+package graft
+
+import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** M5 operator surface (SURVEY.md §7.2): relational extended set +
+  * LLM-training-data-pipeline operators (dedup, similarity search, text
+  * analysis, multimodal plumbing), each as a verifiable query with an
+  * exact DuckDB oracle. All hashing/fp arithmetic is engine-reproducible
+  * (see [[graft.functions.TextFunctions]]).
+  */
+object M5Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // =============================================================== spark
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational: aggregation (TPC-H Q1 shape; decimal-exact sums)
+    "q_agg_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(38,10)")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // ---- relational: broadcast + shuffle join pipeline
+    "q_join_revenue" -> ((s, dir) => {
+      val c = broadcast(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(38,10)").as("rev"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("rev")).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- relational: window ranking
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    }),
+
+    // ---- relational: global sort + top-k
+    "q_sort_topk" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .limit(100)),
+
+    // ---- relational: set operations
+    "q_set_ops" -> ((s, dir) => {
+      val building = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val withOrders = t(s, dir, "orders").select(col("o_custkey").as("c_custkey")).distinct()
+      building.intersect(withOrders).withColumn("op", lit("intersect"))
+        .union(building.except(withOrders).withColumn("op", lit("except")))
+        .select(col("op"), col("c_custkey"))
+        .orderBy(col("op"), col("c_custkey"))
+    }),
+
+    // ---- relational: semi/anti joins
+    "q_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .withColumn("kind", lit("semi"))
+        .union(c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .withColumn("kind", lit("anti")))
+        .select(col("kind"), col("c_custkey"))
+        .orderBy(col("kind"), col("c_custkey"))
+    }),
+
+    // ---- relational: rollup grouping sets over the star schema
+    "q_grouping_sets" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey"), col("c_acctbal"))
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      c.join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(38,2)")).as("acctbal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_cust"), col("acctbal"))
+        .orderBy(col("region"), col("nation"))
+    }),
+
+    // ---- dedup: exact (hash-group keep-first)
+    "q_dedup_exact" -> ((s, dir) =>
+      TextDedup.exactDuplicates(TextDedup.documents(s, dir))
+        .orderBy(col("keep_id"))),
+
+    "q_dedup_keep_first" -> ((s, dir) =>
+      TextDedup.dedupKeepFirst(TextDedup.documents(s, dir))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // ---- dedup: document fingerprint (rolling hash of normalized text)
+    "q_fingerprint" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      TextDedup.documents(s, dir)
+        .select(col("doc_id"),
+          when(size(toks) === 0, 0L)
+            .otherwise(TextFunctions.rollingHash(concat_ws(" ", toks))).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- dedup: MinHash signatures (16 perms over word-3-gram shingles)
+    "q_minhash_sigs" -> ((s, dir) =>
+      TextDedup.minhashSignatures(TextDedup.documents(s, dir), perms = 16)
+        .orderBy(col("doc_id"), col("perm"))),
+
+    // ---- dedup: LSH banding candidates (4 bands × 4 rows)
+    "q_lsh_candidates" -> ((s, dir) =>
+      TextDedup.lshCandidatePairs(TextDedup.documents(s, dir), perms = 16, bands = 4)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ---- dedup: full MinHash-LSH near-dup pipeline (LSH → exact verify)
+    "q_dedup_minhash" -> ((s, dir) =>
+      TextDedup.minhashNearDups(TextDedup.documents(s, dir), threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ---- dedup: exact shingle-Jaccard near-dup pairs (blocked by lang)
+    "q_dedup_jaccard" -> ((s, dir) =>
+      TextDedup.jaccardPairs(TextDedup.documents(s, dir), threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ---- dedup: 62-bit SimHash per doc
+    "q_simhash" -> ((s, dir) =>
+      TextDedup.simhashes(TextDedup.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // ---- dedup: SimHash near-dups (Hamming ≤ 16 within lang)
+    "q_simhash_dups" -> ((s, dir) =>
+      TextDedup.simhashNearDups(TextDedup.documents(s, dir), maxDist = 16)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ---- text analysis: quality metrics + language ID + token counts
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityMetrics(TextDedup.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // ---- similarity: brute-force cosine top-10 for 10 query vectors
+    "q_embed_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Similarity.embeddings(s, dir), 0L to 9L, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))),
+
+    // ---- similarity: embedding near-dup pairs (cosine ≥ 0.35, label-blocked)
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Similarity.embeddings(s, dir), threshold = 0.35)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    // ---- similarity: sign-LSH bucketed ANN (the 100 TB path)
+    "q_embed_ann_lsh" -> ((s, dir) =>
+      Similarity.annLshTopK(Similarity.embeddings(s, dir), 0L to 9L, k = 5, planes = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))),
+
+    // ---- multimodal: binary media columns → typed metadata (stub decode)
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(
+        t(s, dir, "events")
+          .select(col("event_id").as("media_id"), encode(col("props"), "UTF-8").as("media")))
+        .orderBy(col("media_id"))),
+
+    // ---- multimodal: frame/patch chunk sampling plumbing
+    "q_multimodal_chunks" -> ((s, dir) =>
+      Multimodal.sampleChunks(
+        t(s, dir, "events")
+          .select(col("event_id").as("media_id"), encode(col("props"), "UTF-8").as("media")),
+        chunkSize = 16)
+        .select(col("media_id"), col("chunk_idx"), decode(col("chunk"), "UTF-8").as("chunk_str"))
+        .orderBy(col("media_id"), col("chunk_idx"))),
+  )
+
+  // =============================================================== oracle
+
+  /** DuckDB fragments reproducing TextFunctions bit-for-bit. Plain (non-
+    * interpolated) strings so backslashes survive.
+    */
+  private object frag {
+    val toks = """list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)"""
+    // rolling hash of a string expression %s
+    def rolling(expr: String): String =
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(string_split_regex($expr, ''), c -> unicode(c)::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007)"""
+    // word-3-gram shingle strings from a token-list expression
+    def shingles(w: String): String =
+      s"""CASE WHEN len($w) < 3 THEN [] ELSE list_transform(generate_series(1, len($w)-2), i -> ($w)[i] || ' ' || ($w)[i+1] || ' ' || ($w)[i+2]) END"""
+    // distinct shingle hashes CTE body over documents
+    val shingleHashes: String =
+      s"""SELECT doc_id, lang, list_distinct(list_transform(${shingles("w")}, s -> ${rolling("s")})) h
+         | FROM (SELECT doc_id, lang, $toks w FROM documents)""".stripMargin.replace("\n", " ")
+    // minhash signature list (16 perms) from hash-list column h
+    val minhashSig: String =
+      """list_transform(generate_series(0, 15), i -> COALESCE(list_min(list_transform(h, x -> ((2*i+1)*x + 7919*i + 13) % 1000000007)), 1000000007))"""
+    // band keys (4 bands × 4 rows) from signature list column sig
+    val bandKeys: String =
+      """list_transform(generate_series(0, 3), b -> list_reduce(list_prepend(b::BIGINT, list_transform(generate_series(b*4+1, b*4+4), r -> sig[r])), (acc, x) -> (acc * 131 + x) % 1000000007))"""
+    // jaccard between two shingle-hash list columns
+    def jac(a: String, b: String): String =
+      s"""(CASE WHEN len($a)+len($b) = 0 THEN 0.0 ELSE len(list_filter($a, x -> list_contains($b, x)))::DOUBLE / (len($a) + len($b) - len(list_filter($a, x -> list_contains($b, x)))) END)"""
+    // mixed token hashes (simhash input) from token-list column w
+    val mixedHashes: String =
+      s"""list_transform(list_transform(w, s -> ${rolling("s")}), x -> (x * 2654435761) % 4611686018427387904)"""
+    // 62-bit simhash from mixed-hash list column mh
+    val simhash: String =
+      """list_sum(list_transform(generate_series(0, 61), b -> CASE WHEN 2 * len(list_filter(mh, h -> ((h >> b) & 1) = 1)) > len(mh) THEN (1::BIGINT << b) ELSE 0::BIGINT END))"""
+    // double-fold dot product of two double-list columns a/b (64 dims)
+    def dot(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64), i -> ($a)[i] * ($b)[i])), (acc, x) -> acc + x)"""
+    def norm(a: String): String =
+      s"""sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform($a, x -> x * x)), (acc, x) -> acc + x))"""
+    def cosine(a: String, b: String): String =
+      s"""(${dot(a, b)} / (${norm(a)} * ${norm(b)}))"""
+    // embeddings cast to double-list
+    val vecs = """SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings"""
+    // disc price as exact decimal
+    val discPrice = """CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))"""
+  }
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_agg_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+         | sum(${frag.discPrice}) AS sum_disc_price, count(*) AS count_order
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_join_revenue" ->
+      s"""SELECT c_mktsegment, sum(${frag.discPrice}) AS revenue,
+         | count(DISTINCT o_orderkey) AS n_orders
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rnk
+        | FROM orders) WHERE rnk <= 2 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q_sort_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        | w AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+        |SELECT 'intersect' AS op, c_custkey FROM (FROM b INTERSECT FROM w)
+        |UNION ALL SELECT 'except', c_custkey FROM (FROM b EXCEPT FROM w)
+        |ORDER BY op, c_custkey""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT 'semi' AS kind, c_custkey FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'anti', c_custkey FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY kind, c_custkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        | count(*) AS n_cust, sum(CAST(c_acctbal AS DECIMAL(38,2))) AS acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_keep_first" ->
+      """SELECT doc_id FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id, CASE WHEN len(w) = 0 THEN 0
+         | ELSE ${frag.rolling("array_to_string(w, ' ')")} END AS fp
+         |FROM (SELECT doc_id, ${frag.toks} w FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "q_minhash_sigs" ->
+      s"""WITH sh AS (${frag.shingleHashes})
+         |SELECT doc_id, (perm - 1)::INT AS perm, sig[perm] AS minhash
+         |FROM (SELECT doc_id, ${frag.minhashSig} sig FROM sh),
+         |  generate_series(1, 16) g(perm)
+         |ORDER BY doc_id, perm""".stripMargin,
+
+    "q_lsh_candidates" ->
+      s"""WITH sh AS (${frag.shingleHashes}),
+         | sig AS (SELECT doc_id, ${frag.minhashSig} sig FROM sh),
+         | banded AS (SELECT doc_id, unnest(${frag.bandKeys}) band_key FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH sh AS (${frag.shingleHashes}),
+         | sig AS (SELECT doc_id, ${frag.minhashSig} sig FROM sh),
+         | banded AS (SELECT doc_id, unnest(${frag.bandKeys}) band_key FROM sig),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |   FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, ${frag.jac("ha.h", "hb.h")} AS jac
+         |FROM cand JOIN sh ha ON ha.doc_id = doc_a JOIN sh hb ON hb.doc_id = doc_b
+         |WHERE ${frag.jac("ha.h", "hb.h")} >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""WITH sh AS (${frag.shingleHashes})
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${frag.jac("a.h", "b.h")} AS jac
+         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE ${frag.jac("a.h", "b.h")} >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_simhash" ->
+      s"""SELECT doc_id, ${frag.simhash} AS simhash
+         |FROM (SELECT doc_id, ${frag.mixedHashes} mh
+         |      FROM (SELECT doc_id, ${frag.toks} w FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_dups" ->
+      s"""WITH s AS (
+         | SELECT doc_id, lang, ${frag.simhash} AS sh
+         | FROM (SELECT doc_id, lang, ${frag.mixedHashes} mh
+         |       FROM (SELECT doc_id, lang, ${frag.toks} w FROM documents)))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, bit_count(xor(a.sh, b.sh)) AS hamming
+         |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 16
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_text_quality" -> textQualityOracle,
+
+    "q_embed_topk" ->
+      s"""WITH v AS (${frag.vecs}),
+         | q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id BETWEEN 0 AND 9)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         | SELECT query_id, vec_id AS neighbor_id, ${frag.cosine("qv", "v.v")} AS cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY ${frag.cosine("qv", "v.v")} DESC, vec_id) AS rank
+         | FROM v CROSS JOIN q WHERE vec_id <> query_id)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""WITH v AS (${frag.vecs})
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${frag.cosine("a.v", "b.v")} AS cos
+         |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${frag.cosine("a.v", "b.v")} >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_embed_ann_lsh" -> annLshOracle,
+
+    "q_multimodal_meta" ->
+      s"""SELECT event_id AS media_id, strlen(props)::INT AS n_bytes,
+         | CASE WHEN props IS NULL OR strlen(props) = 0 THEN 'empty'
+         |      WHEN unicode(substr(props, 1, 1)) = 123 THEN 'json-ish'
+         |      WHEN unicode(substr(props, 1, 1)) < 128 THEN 'ascii'
+         |      ELSE 'binary' END AS format,
+         | CASE WHEN props IS NULL OR strlen(props) = 0 THEN 0
+         |      ELSE 1 + (unicode(substr(props, 1, 1)) % 16) END AS width,
+         | CASE WHEN props IS NULL OR strlen(props) = 0 THEN 0
+         |      ELSE 1 + (strlen(props) % 16) END AS height,
+         | CASE WHEN props IS NULL OR strlen(props) = 0 THEN 0
+         |      ELSE ${frag.rolling("props")} END AS content_hash
+         |FROM events ORDER BY media_id""".stripMargin,
+
+    "q_multimodal_chunks" ->
+      """SELECT media_id, (i - 1)::INT AS chunk_idx,
+        | substr(props, (i - 1) * 16 + 1, 16) AS chunk_str
+        |FROM (SELECT event_id AS media_id, props,
+        |       unnest(generate_series(1, CAST(ceil(strlen(props) / 16.0) AS BIGINT))) AS i
+        |      FROM events)
+        |ORDER BY media_id, chunk_idx""".stripMargin,
+  )
+
+  private lazy val textQualityOracle: String = {
+    val stop = TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val markerList = langs.map(l =>
+      TextFunctions.langMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]"))
+    val scores = langs.zip(markerList).map { case (l, m) =>
+      s"len(list_filter(w, t -> list_contains($m, t))) s_$l"
+    }.mkString(", ")
+    val best = langs.map(l => s"s_$l").reduce((a, b) => s"greatest($a, $b)")
+    val pick = langs.foldRight("'und'") { case (l, acc) =>
+      s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+    }
+    s"""SELECT doc_id, strlen(text)::INT AS n_chars_obs, len(w) AS n_tokens,
+       | list_sum(list_transform(w, t -> greatest(1::BIGINT, floor((strlen(t) + 3) / 4.0)::BIGINT))) AS n_bpeish_tokens,
+       | CASE WHEN len(w) = 0 THEN 0.0 ELSE len(list_filter(w, t -> list_contains($stop, t)))::DOUBLE / len(w) END AS stopword_ratio,
+       | CASE WHEN strlen(text) = 0 THEN 0.0 ELSE (strlen(lower(text)) - strlen(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE / strlen(lower(text)) END AS punct_ratio,
+       | $pick AS lang_pred
+       |FROM (SELECT doc_id, text, w, $scores, $best best
+       |      FROM (SELECT doc_id, text, ${frag.toks} w FROM documents)) ORDER BY doc_id""".stripMargin
+  }
+
+  /** Sign-LSH ANN oracle: reproduce the deterministic hyperplanes, buckets,
+    * and per-bucket ranking in SQL.
+    */
+  private lazy val annLshOracle: String = {
+    // hyperplane(j, d) for d in 1..64 (SQL 1-based): (((j*64 + d) * 2654435761) % P) / P - 0.5
+    def proj(v: String, j: String): String =
+      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64),
+         | d -> ($v)[d] * (((($j * 64 + d) * 2654435761) % 1000000007)::DOUBLE / 1000000007 - 0.5))), (acc, x) -> acc + x)""".stripMargin.replace("\n", " ")
+    val bucket =
+      s"""list_sum(list_transform(generate_series(0, 7), j -> CASE WHEN ${proj("v", "j")} > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END))"""
+    s"""WITH v AS (${frag.vecs}),
+       | bv AS (SELECT vec_id, v, $bucket AS bucket FROM v),
+       | q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bv WHERE vec_id BETWEEN 0 AND 9)
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       | SELECT query_id, vec_id AS neighbor_id, ${frag.cosine("qv", "bv.v")} AS cos,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY ${frag.cosine("qv", "bv.v")} DESC, vec_id) AS rank
+       | FROM bv JOIN q USING (bucket) WHERE vec_id <> query_id)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+}

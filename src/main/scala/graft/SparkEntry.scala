@@ -46,7 +46,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // queries: one per implemented operator (SURVEY.md §2.1)
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = M5Queries.queries ++ Map(
     // S1 — source scan with projection + filter pushdown
     "q_source_scan" -> ((s, dir) =>
       events(s, dir)
@@ -169,7 +169,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     import EventsTx.oracle._
-    Map(
+    M5Queries.oracleSql ++ Map(
       "q_source_scan" ->
         """SELECT event_id, user_id, event_type FROM events
           | WHERE event_type = 'click' ORDER BY event_id""".stripMargin,

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label).
+  *
+  * Scale design (100 TB):
+  *  - brute-force top-k is a BROADCAST of the (small) query set against a
+  *    narrow scan of the corpus — no shuffle of the big side, ranking by
+  *    window over query id;
+  *  - the scale path buckets vectors by random-hyperplane LSH signs: the
+  *    candidate join is keyed on the bucket, turning all-pairs into
+  *    per-bucket joins (IVF-style coarse quantization would slot in the
+  *    same shape: bucket = nearest centroid id);
+  *  - all arithmetic is double-precision sequential folds, exactly
+  *    reproducible in the SQL oracle.
+  */
+object Similarity {
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.load(spark, sfDir, "embeddings")
+
+  /** Embedding cast float→double once (exact), for fold determinism. */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential left-fold dot product — same order as the oracle's
+    * list_reduce, so results are bit-identical.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id ∈ queryIds),
+    * the k nearest corpus vectors (excluding itself). The query side is
+    * broadcast; the corpus side is a single narrow scan.
+    */
+  def bruteForceTopK(embs: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val v = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = v.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** All near-duplicate vector pairs with cosine ≥ threshold, blocked by
+    * label (the oracle-verifiable small-scale form; at scale the blocking
+    * key becomes an LSH bucket, below).
+    */
+  def cosineNearDupPairs(embs: DataFrame, threshold: Double): DataFrame = {
+    val v = embs.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val a = v.as("a")
+    val b = v.as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for plane j,
+    * dimension d: an integer-hash value scaled to (−0.5, 0.5). Exactly
+    * reproducible in SQL — no RNG state.
+    */
+  private val P = 1000000007L
+  def hyperplane(j: Int, d: Column): Column =
+    (pmod((lit(j.toLong * 64L) + d + 1L) * 2654435761L, lit(P)).cast("double") / P) - 0.5
+
+  /** Sign-LSH bucket id from `planes` hyperplanes: bit j = sign of
+    * ⟨v, h_j⟩. Vectors in the same bucket are ANN candidates.
+    */
+  def lshBucket(v: Column, planes: Int): Column =
+    (0 until planes).map { j =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), lit(63)), (x, d) => x * hyperplane(j, d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates share a sign-LSH bucket; exact cosine
+    * verifies. The 100 TB path — shuffle keyed by bucket only.
+    */
+  def annLshTopK(embs: DataFrame, queryIds: Seq[Long], k: Int, planes: Int = 8): DataFrame = {
+    val v = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val q = v.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+    v.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All narrow
+  * per-row column work (built-in HOFs) — linear scaling, no shuffle.
+  */
+object TextAnalysis {
+
+  /** Marker-based language ID: count marker-stopword hits per language,
+    * pick the argmax (declaration order wins ties, 'und' = undetermined
+    * when nothing hits). Deterministic and SQL-reproducible.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    // langs in fixed order; fold keeps the first maximum
+    val ordered = Seq("en", "de", "fr", "es", "zh")
+    val scores = ordered.map(l => markerHits(toks, langMarkers(l)))
+    val best = scores.reduce((a, b) => greatest(a, b))
+    ordered.zip(scores).foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality metrics per document. `quality_score` is a simple bounded
+    * combination: length prior + stopword signal − punctuation penalty.
+    */
+  def qualityMetrics(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_obs"),
+      size(toks).as("n_tokens"),
+      bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
+      stopwordRatio(toks).as("stopword_ratio"),
+      punctRatio(lower(col("text"))).as("punct_ratio"),
+      langId(col("text")).as("lang_pred"))
+  }
+
+  /** Document fingerprint: rolling hash of the normalized text
+    * (lowercased, whitespace-collapsed) — the cheap exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    rollingHash(concat_ws(" ", tokens(text)))
+}

