@@ -20,8 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Embeddings spread across all cores (single-row-group parquet would
+    * otherwise pin every downstream fold to one task — see
+    * [[TextDedup.documents]]).
+    */
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
 
   /** Embedding cast float→double once (exact), for fold determinism. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))

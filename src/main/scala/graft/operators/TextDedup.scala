@@ -23,8 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** Documents, spread across all cores: the table is small on disk (one
+    * parquet row group ⇒ one scan partition) but every downstream operator
+    * is compute-heavy per row, so an explicit round-robin repartition is
+    * the difference between 1-core and n-core execution. At cluster scale
+    * the input arrives in many splits and this becomes a no-op-ish
+    * rebalance of the same shape.
+    */
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     graft.sources.Tables.load(spark, sfDir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
 
   /** Exact dedup: group by content fingerprint, keep the smallest doc_id
     * (deterministic keep-first). Output one row per distinct text with its
@@ -51,9 +59,17 @@ object TextDedup {
     * permutations), exploded to (doc_id, perm, minhash) rows.
     */
   def minhashSignatures(docs: DataFrame, perms: Int = 16): DataFrame =
-    docs
-      .withColumn("sig", minhashSignature(shingleHashes(col("text")), perms))
+    withSignature(docs, perms)
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("perm", "minhash")))
+
+  /** Signature column via the single-traversal [[graft.functions.MinHashSig]]
+    * expression (the HOF formulation re-tokenizes the doc once per
+    * permutation after CollapseProject inlining — ~300× slower at sf0.1).
+    */
+  private def withSignature(docs: DataFrame, perms: Int): DataFrame =
+    docs.withColumn("sig",
+      graft.functions.MinHashSig.minhash_sig(
+        graft.functions.ShingleHashes.shingle_hashes(col("text"), 3), perms))
 
   /** MinHash-LSH candidate pairs: docs sharing at least one of `bands`
     * band keys. Returns distinct (doc_a, doc_b) with doc_a < doc_b.
@@ -62,8 +78,7 @@ object TextDedup {
     */
   def lshCandidatePairs(docs: DataFrame, perms: Int = 16, bands: Int = 4): DataFrame = {
     val rows = perms / bands
-    val banded = docs
-      .withColumn("sig", minhashSignature(shingleHashes(col("text")), perms))
+    val banded = withSignature(docs, perms)
       .select(col("doc_id"), explode(lshBandKeys(col("sig"), bands, rows)).as("band_key"))
     val a = banded.as("a")
     val b = banded.as("b")
@@ -79,14 +94,14 @@ object TextDedup {
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val t = docs.select(
       col("doc_id"), col("lang"),
-      shingleHashes(col("text")).as("tok"))
+      graft.functions.ShingleHashes.shingle_hashes(col("text"), 3).as("tok"))
     val a = t.as("a")
     val b = t.as("b")
     a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
-        jaccard(col("a.tok"), col("b.tok")).as("jac"))
+        graft.functions.JaccardSim.jaccard_sim(col("a.tok"), col("b.tok")).as("jac"))
       .filter(col("jac") >= threshold)
   }
 
@@ -98,11 +113,11 @@ object TextDedup {
       perms: Int = 16, bands: Int = 4): DataFrame = {
     // Verification compares the same shingle-HASH sets the signatures are
     // built from (cheap long equality at scale; oracle-identical).
-    val toks = docs.select(col("doc_id"), shingleHashes(col("text")).as("tok"))
+    val toks = docs.select(col("doc_id"), graft.functions.ShingleHashes.shingle_hashes(col("text"), 3).as("tok"))
     lshCandidatePairs(docs, perms, bands)
       .join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tok", "tok_a"), "doc_a")
       .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("tok", "tok_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"), jaccard(col("tok_a"), col("tok_b")).as("jac"))
+      .select(col("doc_a"), col("doc_b"), graft.functions.JaccardSim.jaccard_sim(col("tok_a"), col("tok_b")).as("jac"))
       .filter(col("jac") >= threshold)
   }
 
