@@ -105,6 +105,11 @@ object M5Queries {
         .orderBy(col("region"), col("nation"))
     }),
 
+    // ---- relational/streaming: sessionization (gap-based, two windows)
+    "q_sessionize" -> ((s, dir) =>
+      operators.Sessionize(s, dir)
+        .orderBy(col("user_id"), col("session_id"))),
+
     // ---- dedup: exact (hash-group keep-first)
     "q_dedup_exact" -> ((s, dir) =>
       TextDedup.exactDuplicates(TextDedup.documents(s, dir))
@@ -284,6 +289,20 @@ object M5Queries {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) tus FROM events),
+        | s AS (SELECT user_id, event_id, tus,
+        |   CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000
+        |        THEN 1::BIGINT ELSE 0::BIGINT END AS new_session
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        | g AS (SELECT user_id, tus,
+        |   sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS session_id
+        |   FROM s)
+        |SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
+        | min(tus) AS start_us, max(tus) AS end_us
+        |FROM g GROUP BY user_id, g.session_id ORDER BY user_id, session_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
