@@ -150,6 +150,11 @@ object M5Queries {
       TextDedup.jaccardPairs(TextDedup.documents(s, dir), threshold = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // ---- dedup: corpus-level MinHash sketch per source (Aggregator/UDAF)
+    "q_minhash_by_source" -> ((s, dir) =>
+      TextDedup.corpusSketches(TextDedup.documents(s, dir), perms = 16)
+        .orderBy(col("source"), col("perm"))),
+
     // ---- dedup: 62-bit SimHash per doc
     "q_simhash" -> ((s, dir) =>
       TextDedup.simhashes(TextDedup.documents(s, dir))
@@ -214,8 +219,8 @@ object M5Queries {
       s"""CASE WHEN len($w) < 3 THEN [] ELSE list_transform(generate_series(1, len($w)-2), i -> ($w)[i] || ' ' || ($w)[i+1] || ' ' || ($w)[i+2]) END"""
     // distinct shingle hashes CTE body over documents
     val shingleHashes: String =
-      s"""SELECT doc_id, lang, list_distinct(list_transform(${shingles("w")}, s -> ${rolling("s")})) h
-         | FROM (SELECT doc_id, lang, $toks w FROM documents)""".stripMargin.replace("\n", " ")
+      s"""SELECT doc_id, lang, source, list_distinct(list_transform(${shingles("w")}, s -> ${rolling("s")})) h
+         | FROM (SELECT doc_id, lang, source, $toks w FROM documents)""".stripMargin.replace("\n", " ")
     // minhash signature list (16 perms) from hash-list column h
     val minhashSig: String =
       """list_transform(generate_series(0, 15), i -> COALESCE(list_min(list_transform(h, x -> ((2*i+1)*x + 7919*i + 13) % 1000000007)), 1000000007))"""
@@ -350,6 +355,13 @@ object M5Queries {
          |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE ${frag.jac("a.h", "b.h")} >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_minhash_by_source" ->
+      s"""WITH sh AS (${frag.shingleHashes}),
+         | sig AS (SELECT doc_id, source, ${frag.minhashSig} sig FROM sh)
+         |SELECT source, (perm - 1)::INT AS perm, min(sig[perm]) AS minhash
+         |FROM sig, generate_series(1, 16) g(perm)
+         |GROUP BY source, perm ORDER BY source, perm""".stripMargin,
 
     "q_simhash" ->
       s"""SELECT doc_id, ${frag.simhash} AS simhash

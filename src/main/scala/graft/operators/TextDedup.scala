@@ -121,6 +121,17 @@ object TextDedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Corpus-level MinHash sketches: one signature per group (here:
+    * `source`) via the [[graft.functions.MinHashUnion]] Aggregator —
+    * elementwise-min merge ≡ signature of the union of the group's
+    * shingle sets. Constant-size state per group; map-side combinable.
+    */
+  def corpusSketches(docs: DataFrame, perms: Int = 16): DataFrame =
+    withSignature(docs, perms)
+      .groupBy(col("source"))
+      .agg(graft.functions.MinHashUnion.minhash_union(col("sig"), perms).as("csig"))
+      .select(col("source"), posexplode(col("csig")).as(Seq("perm", "minhash")))
+
   /** Per-doc 62-bit SimHash. */
   def simhashes(docs: DataFrame): DataFrame =
     docs

@@ -36,6 +36,18 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(exact.subsetOf(viaLsh))
   }
 
+  test("corpus MinHash sketch: group signature = elementwise min; merge order irrelevant") {
+    val sk = TextDedup.corpusSketches(docs, perms = 16)
+    // 20 sources × 16 perms
+    assert(sk.count() == 20 * 16)
+    // the sketch of a group is <= every member signature, elementwise
+    val oneSource = docs.filter($"source" === "src0")
+    val member = TextDedup.minhashSignatures(oneSource, 16)
+      .groupBy($"perm").agg(min($"minhash").as("want"))
+    val got = sk.filter($"source" === "src0").select($"perm", $"minhash")
+    assert(got.join(member, "perm").filter($"minhash" =!= $"want").count() == 0)
+  }
+
   test("identical texts have identical simhash (hamming 0)") {
     val sh = TextDedup.simhashes(docs)
     val joined = docs.select($"doc_id", $"text")
