@@ -92,16 +92,28 @@ object TextDedup {
     * its verification stage.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // Pair ENUMERATION carries only ids (the lang-blocked self-join would
+    // otherwise materialize two ~300-element arrays per candidate pair —
+    // gigabytes of shuffle at sf0.1, and only #langs-way parallelism).
+    // The id pairs are then spread round-robin and the shingle sets
+    // attached via two broadcast hash joins, so the expensive merge runs
+    // on every core with a tiny shuffle. At true scale the broadcast
+    // becomes a shuffle hash join keyed by doc id — same plan shape.
+    val spark = docs.sparkSession
     val t = docs.select(
       col("doc_id"), col("lang"),
       graft.functions.ShingleHashes.shingle_hashes(col("text"), 3).as("tok"))
-    val a = t.as("a")
-    val b = t.as("b")
-    a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
-        graft.functions.JaccardSim.jaccard_sim(col("a.tok"), col("b.tok")).as("jac"))
+    val ids = t.select(col("doc_id"), col("lang"))
+    val pairs = ids.as("a")
+      .join(ids.as("b"), col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val toks = t.select(col("doc_id"), col("tok"))
+    pairs
+      .join(broadcast(toks.select(col("doc_id").as("doc_a"), col("tok").as("tok_a"))), "doc_a")
+      .join(broadcast(toks.select(col("doc_id").as("doc_b"), col("tok").as("tok_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.JaccardSim.jaccard_sim(col("tok_a"), col("tok_b")).as("jac"))
       .filter(col("jac") >= threshold)
   }
 
