@@ -119,17 +119,48 @@ object JsonPathFunctions {
   def json_path_routes(json: Column, paths: Seq[String]): Column =
     toColumn(JsonPathRoutes(toExpression(json), paths))
 
-  /** Register `json_path_exists` for SQL use on this session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  /** Register the engine's custom scalar functions for SQL use on this
+    * session: `json_path_exists(json, 'path')`, `shingle_hashes(text, n)`,
+    * `minhash_sig(hashes, perms)`, `jaccard_sim(a, b)`.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val reg = spark.sessionState.functionRegistry
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+    }
+    reg.createOrReplaceTempFunction(
       "json_path_exists",
       { exprs =>
         require(exprs.length == 2, "json_path_exists(json, 'path')")
         val path = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString
+          case Literal(v, _) => v.toString
           case other => throw new IllegalArgumentException(s"path must be a literal, got $other")
         }
         JsonPathExists(exprs.head, path)
       },
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_hashes",
+      { exprs =>
+        require(exprs.length == 2, "shingle_hashes(text, n)")
+        ShingleHashes(exprs.head, intLit(exprs(1), "n"))
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig",
+      { exprs =>
+        require(exprs.length == 2, "minhash_sig(hashes, perms)")
+        MinHashSig(exprs.head, intLit(exprs(1), "perms"))
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "jaccard_sim",
+      { exprs =>
+        require(exprs.length == 2, "jaccard_sim(a, b)")
+        JaccardSim(exprs.head, exprs(1))
+      },
+      "built-in")
+  }
 }

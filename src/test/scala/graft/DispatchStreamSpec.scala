@@ -129,6 +129,47 @@ class DispatchStreamSpec extends AnyFunSuite {
     assert(!plan.toString.toLowerCase.contains("statefuloperator"))
   }
 
+  test("stateful streaming sessionization via flatMapGroupsWithState") {
+    import graft.streaming.StreamingSessionize
+    import StreamingSessionize.{ClosedSession, Evt}
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Evt]
+    val out = StreamingSessionize.sessionize(input.toDS(), gapMicros = 1000L)
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // batch 1: user 1 has two close events (one open session)
+    input.addData(Evt(1L, 100L), Evt(1L, 200L))
+    q.processAllAvailable()
+    assert(s.table("sess_out").count() == 0) // still open, nothing emitted
+    // batch 2: a far event closes the first session and opens another;
+    // user 2 opens a fresh one
+    input.addData(Evt(1L, 10000L), Evt(2L, 50L))
+    q.processAllAvailable()
+    val closed = s.table("sess_out").as[ClosedSession].collect().toSet
+    q.stop()
+    assert(closed == Set(ClosedSession(1L, 100L, 200L, 2L)))
+  }
+
+  test("stream-static broadcast enrichment join") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = Seq((13L, "GOLD"), (12L, "SILVER")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, String)]
+    val enriched = input.toDF().toDF("user_id", "event_type")
+      .join(broadcast(dim), Seq("user_id"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    input.addData((13L, "click"), (99L, "view"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.table("enrich_out")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(rows == Set((13L, "click", Some("GOLD")), (99L, "view", None)))
+  }
+
   test("event-time windowed aggregation with watermark (capability beyond the reference)") {
     val s = spark
     import s.implicits._

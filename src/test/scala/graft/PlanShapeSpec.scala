@@ -54,13 +54,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan != null)
   }
 
-  test("json_path_exists is SQL-registered and usable from spark.sql") {
+  test("custom functions are SQL-registered and usable from spark.sql") {
     JsonPathFunctions.register(spark)
     val got = spark.sql(
       """SELECT json_path_exists('{"a":[{"k":5}]}', '$.a[?(@.k > 1)]') AS hit,
         |       json_path_exists('{"a":[{"k":5}]}', '$.nop') AS miss""".stripMargin)
       .collect().head
     assert(got.getBoolean(0) && !got.getBoolean(1))
+    val sk = spark.sql(
+      """SELECT jaccard_sim(minhash_sig(shingle_hashes('a b c d', 3), 4),
+        |                   minhash_sig(shingle_hashes('a b c d', 3), 4)) AS self_sim""".stripMargin)
+      .collect().head
+    assert(sk.getDouble(0) == 1.0)
   }
 
   test("rules load from a YAML file path (reference: rules.path config)") {
