@@ -187,6 +187,25 @@ object M5Queries {
         .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
         .orderBy(col("query_id"), col("rank"))),
 
+    // ---- similarity: IVF coarse-quantization ANN (bucket = nearest centroid)
+    "q_embed_ivf" -> ((s, dir) =>
+      Similarity.annIvfTopK(Similarity.embeddings(s, dir), 0L to 9L, k = 5,
+        centroids = 8, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))),
+
+    // ---- skew discipline: two-stage salted aggregation ≡ plain aggregation
+    "q_salted_agg" -> ((s, dir) => {
+      val salted = t(s, dir, "events")
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(sum(col("value").cast("decimal(38,10)")).as("partial"),
+          count(lit(1)).as("pn"))
+      salted.groupBy(col("event_type"))
+        .agg(sum(col("partial")).as("total_value"), sum(col("pn")).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- multimodal: binary media columns → typed metadata (stub decode)
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(
@@ -243,6 +262,8 @@ object M5Queries {
       s"""sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform($a, x -> x * x)), (acc, x) -> acc + x))"""
     def cosine(a: String, b: String): String =
       s"""(${dot(a, b)} / (${norm(a)} * ${norm(b)}))"""
+    def l2sq(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]))), (acc, x) -> acc + x)"""
     // embeddings cast to double-list
     val vecs = """SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings"""
     // disc price as exact decimal
@@ -398,6 +419,27 @@ object M5Queries {
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q_embed_ann_lsh" -> annLshOracle,
+
+    "q_embed_ivf" ->
+      s"""WITH v AS (${frag.vecs}),
+         | cents AS (SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id < 8),
+         | assigned AS (SELECT vec_id, v, centroid_id AS bucket FROM (
+         |   SELECT a.vec_id, a.v, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${frag.l2sq("a.v", "c.cv")}, c.centroid_id) rn
+         |   FROM v a CROSS JOIN cents c) WHERE rn = 1),
+         | probes AS (SELECT query_id, qv, centroid_id AS bucket FROM (
+         |   SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${frag.l2sq("q.v", "c.cv")}, c.centroid_id) rn
+         |   FROM v q CROSS JOIN cents c WHERE q.vec_id BETWEEN 0 AND 9) WHERE rn <= 2)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         | SELECT p.query_id, t.vec_id AS neighbor_id, ${frag.cosine("p.qv", "t.v")} AS cos,
+         |  row_number() OVER (PARTITION BY p.query_id ORDER BY ${frag.cosine("p.qv", "t.v")} DESC, t.vec_id) AS rank
+         | FROM assigned t JOIN probes p USING (bucket) WHERE t.vec_id <> p.query_id)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type, sum(CAST(value AS DECIMAL(38,10))) AS total_value,
+        | count(*) AS n FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_multimodal_meta" ->
       s"""SELECT event_id AS media_id, strlen(props)::INT AS n_bytes,

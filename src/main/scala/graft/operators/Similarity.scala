@@ -94,6 +94,57 @@ object Similarity {
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Squared L2 distance, same sequential fold discipline as [[dot]]. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** IVF-style coarse quantization: assign each vector to its nearest of
+    * `k` centroids (deterministic "codebook" = the first k vectors by id —
+    * a stand-in for a k-means codebook; the bucketing/probing shape is
+    * the real thing). Ties break on the smaller centroid id.
+    */
+  def ivfAssign(embs: DataFrame, k: Int): DataFrame = {
+    val v = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("centroid_id"))
+    v.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("centroid_id"), l2sq(col("v"), col("cv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("centroid_id").as("bucket"))
+  }
+
+  /** IVF ANN: each query probes its `nprobe` nearest centroid buckets and
+    * ranks candidates by exact cosine. At scale the corpus is partitioned
+    * by bucket (one shuffle at index build), so a query touches only
+    * nprobe/k of the data.
+    */
+  def annIvfTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
+      centroids: Int = 8, nprobe: Int = 2): DataFrame = {
+    val assigned = ivfAssign(embs, centroids)
+    val v = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = v.filter(col("vec_id") < centroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    // per query: nprobe nearest centroids
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("centroid_id"))
+    val probes = v.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .join(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        l2sq(col("qv"), col("cv")).as("dist"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+    val rankW = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: candidates share a sign-LSH bucket; exact cosine
     * verifies. The 100 TB path — shuffle keyed by bucket only.
     */

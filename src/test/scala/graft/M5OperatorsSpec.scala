@@ -78,6 +78,16 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(ann.subsetOf(bf)) // every ANN hit is a real corpus vector ≠ query
   }
 
+  test("IVF: every vector lands in exactly one bucket; probes find real neighbors") {
+    val embs = Similarity.embeddings(spark, sf)
+    val assigned = Similarity.ivfAssign(embs, k = 8)
+    assert(assigned.count() == embs.count())
+    assert(assigned.groupBy($"vec_id").count().filter($"count" > 1).count() == 0)
+    val ivf = Similarity.annIvfTopK(embs, Seq(0L, 1L), k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(ivf.nonEmpty && ivf.forall { case (q, n) => q != n })
+  }
+
   test("multimodal chunks reassemble to the original bytes") {
     val media = spark.createDataFrame(Seq(
       (1L, "0123456789abcdefXYZ"), (2L, ""), (3L, "short"))).toDF("media_id", "s")
