@@ -23,6 +23,20 @@ private[functions] object JsonDocs {
       val n = mapper.readTree(s)
       if (n == null || n.isMissingNode) null else n
     } catch { case NonFatal(_) => null }
+
+  /** Parse straight from Spark's UTF8String bytes — skips the UTF-16
+    * String materialization per row (Jackson reads UTF-8 natively); this
+    * is the per-record hot path of the router.
+    */
+  def parseAny(u: Any): JsonNode = u match {
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      try {
+        val n = mapper.readTree(s.getBytes)
+        if (n == null || n.isMissingNode) null else n
+      } catch { case NonFatal(_) => null }
+    case other if other != null => parse(other.toString)
+    case _ => null
+  }
 }
 
 /** `json_path_exists(json, path)` — true iff `path` (Jayway-subset JsonPath,
@@ -52,7 +66,7 @@ case class JsonPathExists(child: Expression, path: String)
     compiled match {
       case None => false
       case Some(p) =>
-        val doc = JsonDocs.parse(json.toString)
+        val doc = JsonDocs.parseAny(json)
         if (doc == null) false
         else
           try JsonPathLite.exists(doc, p)
@@ -76,21 +90,33 @@ case class JsonPathExists(child: Expression, path: String)
   * once (TopologyProducer.kt:213) — and feeds `explode` for the multicast
   * (TopologyProducer.kt:97–105).
   */
-case class JsonPathRoutes(child: Expression, paths: Seq[String])
+case class JsonPathRoutes(
+    child: Expression,
+    paths: Seq[String],
+    errorRoute: Option[Int] = None,
+    unfilteredRoute: Option[Int] = None)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullable: Boolean = true
+  override def nullable: Boolean = errorRoute.isEmpty
   override def prettyName: String = "json_path_routes"
 
   @transient private lazy val compiled: Array[Option[JsonPathLite.Compiled]] =
     paths.map(p => Try(JsonPathLite.compile(p)).toOption).toArray
+  @transient private lazy val errorResult =
+    errorRoute.map(e => new GenericArrayData(Array(e))).orNull
+  @transient private lazy val unfilteredResult =
+    unfilteredRoute.map(u => new GenericArrayData(Array(u)))
 
   override def eval(input: InternalRow): Any = {
     val json = child.eval(input)
-    if (json == null) return null
-    val doc = JsonDocs.parse(json.toString)
-    if (doc == null) return null
+    // With sentinels set, this ONE expression yields the complete route
+    // array — decode failure ⇒ [errorRoute], no match ⇒ [unfilteredRoute] —
+    // so the explode's CASE never repeats the JSON parse (an interpreted
+    // Generate evaluates each textual occurrence of the expression).
+    if (json == null) return errorResult
+    val doc = JsonDocs.parseAny(json)
+    if (doc == null) return errorResult
     val matched = new scala.collection.mutable.ArrayBuffer[Int](compiled.length)
     var i = 0
     while (i < compiled.length) {
@@ -104,7 +130,8 @@ case class JsonPathRoutes(child: Expression, paths: Seq[String])
       }
       i += 1
     }
-    new GenericArrayData(matched.toArray)
+    if (matched.isEmpty && unfilteredResult.isDefined) unfilteredResult.get
+    else new GenericArrayData(matched.toArray)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -118,6 +145,14 @@ object JsonPathFunctions {
 
   def json_path_routes(json: Column, paths: Seq[String]): Column =
     toColumn(JsonPathRoutes(toExpression(json), paths))
+
+  /** Route derivation with the reference's sentinel disposition folded in
+    * (ERROR on undecodable, UNFILTERED on no match) — one evaluation per
+    * row feeds `explode` directly.
+    */
+  def json_path_routes_dispositioned(
+      json: Column, paths: Seq[String], errorRoute: Int, unfilteredRoute: Int): Column =
+    toColumn(JsonPathRoutes(toExpression(json), paths, Some(errorRoute), Some(unfilteredRoute)))
 
   /** Register the engine's custom scalar functions for SQL use on this
     * session: `json_path_exists(json, 'path')`, `shingle_hashes(text, n)`,

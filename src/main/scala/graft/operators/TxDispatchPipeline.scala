@@ -87,13 +87,12 @@ object TxDispatchPipeline {
     * adds `route: Int`, duplicating each row once per matching rule.
     */
   def withRoutes(df: DataFrame, rules: TxDispatchRules): DataFrame = {
-    val matches = json_path_routes(col("txJson"), rules.rules.map(_.predicate))
-    // null ⇒ undecodable ⇒ ERROR; empty ⇒ no rule matched ⇒ UNFILTERED
-    val routes =
-      when(matches.isNull, array(lit(ERROR)))
-        .otherwise(
-          when(size(matches) === 0, array(lit(UNFILTERED)))
-            .otherwise(matches))
+    // Sentinels are folded INTO the expression (undecodable ⇒ [ERROR], no
+    // match ⇒ [UNFILTERED]) so the per-row JSON parse + rule evaluation
+    // happens exactly once — a CASE around the expression would be
+    // re-evaluated per textual occurrence by the interpreted Generate.
+    val routes = graft.functions.JsonPathFunctions.json_path_routes_dispositioned(
+      col("txJson"), rules.rules.map(_.predicate), ERROR, UNFILTERED)
     df.withColumn("route", explode(routes))
   }
 
