@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{EventsTx, TxDispatchPipeline}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The single-topic-consumer optimization: Filter(route = i) over the
+  * multicast explode collapses to one predicate filter (no Generate).
+  */
+class RouteFilterPruningSpec extends AnyFunSuite {
+
+  // `withExtensions` is ignored by getOrCreate when a session already
+  // exists (the shared test session), so enable the rule through the
+  // public runtime hook instead — semantics-preserving, safe to leave on.
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    if (!s.experimental.extraOptimizations.contains(graft.plans.RouteFilterPruning))
+      s.experimental.extraOptimizations ++= Seq(graft.plans.RouteFilterPruning)
+    s
+  }
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def routes = TxDispatchPipeline.withRoutes(
+    EventsTx.withTxJson(EventsTx.load(spark, sf)), EventsTx.rules)
+
+  test("Filter(route = i) over the explode optimizes away the Generate") {
+    val q = routes.filter(col("route") === 0)
+    val optimized = q.queryExecution.optimizedPlan
+    assert(!optimized.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Generate]),
+      s"Generate survived:\n$optimized")
+    assert(optimized.toString.contains("json_path_exists"),
+      "expected the single-rule predicate filter")
+  }
+
+  test("optimized single-topic read returns exactly the multicast's route-i rows") {
+    import spark.implicits._
+    val viaRule = routes.filter(col("route") === 0)
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    // ground truth without the optimizer shortcut: filter AFTER collecting routes
+    val all = routes.select($"event_id", $"route").as[(Long, Int)].collect()
+    val expected = all.filter(_._2 == 0).map(_._1).sorted.toSeq
+    assert(viaRule == expected && viaRule.nonEmpty)
+  }
+
+  test("sentinel filters (error/DLQ) are left untouched") {
+    val q = routes.filter(col("route") === graft.rules.TxDispatchRules.UNFILTERED)
+    val optimized = q.queryExecution.optimizedPlan
+    assert(optimized.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Generate]))
+    assert(q.count() > 0)
+  }
+
+  test("full dispatch results are unchanged with extensions active") {
+    import spark.implicits._
+    val got = TxDispatchPipeline(
+      EventsTx.withTxJson(EventsTx.load(spark, sf)), EventsTx.rules)
+      .groupBy($"topic").count()
+      .as[(String, Long)].collect().toMap
+    assert(got.values.sum > 1000 && got.contains("dlq"))
+  }
+}
