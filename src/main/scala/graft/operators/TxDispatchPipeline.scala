@@ -83,6 +83,19 @@ object TxDispatchPipeline {
     if (errorTopic.isDefined) out else out.filter(col("route") =!= ERROR)
   }
 
+  /** Batch sink twin of the dynamic-topic Kafka writer (§2.7): routed
+    * records land as parquet partitioned by destination topic — one
+    * directory per topic, consumable independently, with partition pruning
+    * on read. The natural shape for replaying a routed corpus at rest.
+    */
+  def writePartitionedByTopic(routed: DataFrame, path: String): Unit =
+    routed
+      .filter(col("topic").isNotNull)
+      .write
+      .partitionBy("topic")
+      .mode("overwrite")
+      .parquet(path)
+
   /** Just the route derivation + multicast explode (reference P3+P4):
     * adds `route: Int`, duplicating each row once per matching rule.
     */

@@ -115,6 +115,18 @@ class DispatchPipelineSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("partitioned-by-topic parquet sink: one dir per destination, prunable") {
+    val dir = java.nio.file.Files.createTempDirectory("routed").toString
+    TxDispatchPipeline.writePartitionedByTopic(TxDispatchPipeline(input, rules), dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("topic=topic-1", "topic=topic-2", "topic=dlq", "topic=error"))
+    // partition pruning: reading one topic scans only its directory
+    val one = spark.read.parquet(dir).filter($"topic" === "topic-1")
+    assert(one.count() == 2) // k1 and k2 match rule 0
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("topic-1"))
+  }
+
   test("events routing matches per-rule boolean cross-check (HOF rewrite)") {
     // Cross-check json_path_routes against independently computed predicates
     val df = EventsTx.withTxJson(EventsTx.load(spark, "/root/testdata/sf0.001"))
