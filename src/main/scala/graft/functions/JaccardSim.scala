@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -17,14 +17,30 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * volume inner loop of a near-dup pass at scale.
   */
 case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sim"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    JaccardSim.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  /** Whole-stage codegen: a static call on the children's generated
+    * values — no InternalRow re-materialization, no boxing (preference
+    * (b) of the build brief, with real `doGenCode`).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaccardSim.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardSim {
+  /** Linear merge over sorted distinct long arrays (static for codegen). */
+  def compute(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
     if (na + nb == 0) return 0.0
@@ -41,12 +57,6 @@ case class JaccardSim(left: Expression, right: Expression)
     inter.toDouble / (na + nb - inter).toDouble
   }
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
-}
-
-object JaccardSim {
   def jaccard_sim(a: Column, b: Column): Column =
     toColumn(JaccardSim(toExpression(a), toExpression(b)))
 }

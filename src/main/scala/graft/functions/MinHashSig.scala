@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -21,15 +21,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * efficiently.
   */
 case class MinHashSig(child: Expression, perms: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  private val P = 1000000007L
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val hashes = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], perms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSig.compute($c, $perms);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  private val P = 1000000007L
+
+  /** One traversal computes all permutation minima (static for codegen). */
+  def compute(hashes: ArrayData, perms: Int): ArrayData = {
     val n = hashes.numElements()
     val mins = Array.fill(perms)(P)
     var k = 0
@@ -46,11 +58,6 @@ case class MinHashSig(child: Expression, perms: Int)
     new GenericArrayData(mins)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object MinHashSig {
   def minhash_sig(hashes: Column, perms: Int): Column =
     toColumn(MinHashSig(toExpression(hashes), perms))
 }

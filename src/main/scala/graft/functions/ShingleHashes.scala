@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -23,15 +23,28 @@ import scala.collection.mutable
   * between a dedup pass being compute-bound or GC-bound at 100 TB.
   */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  private val P = 1000000007L
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val text = input.toString.toLowerCase
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($c.toString(), $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private val P = 1000000007L
+
+  /** One-pass tokenize+shingle+hash (static for codegen). */
+  def compute(input: String, n: Int): GenericArrayData = {
+    val text = input.toLowerCase
     // tokenize: spans of non-whitespace (— matches split(lower, "\s+") with
     // empty tokens filtered)
     val tokens = mutable.ArrayBuffer.empty[(Int, Int)] // (start, end) spans
@@ -76,11 +89,6 @@ case class ShingleHashes(child: Expression, n: Int)
     new GenericArrayData(java.util.Arrays.copyOf(hs, w))
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object ShingleHashes {
   def shingle_hashes(text: Column, n: Int = 3): Column =
     toColumn(ShingleHashes(toExpression(text), n))
 }
