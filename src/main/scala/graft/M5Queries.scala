@@ -155,6 +155,13 @@ object M5Queries {
       TextDedup.corpusSketches(TextDedup.documents(s, dir), perms = 16)
         .orderBy(col("source"), col("perm"))),
 
+    // ---- dedup: near-dup clusters (connected components, canonical doc)
+    "q_dedup_clusters" -> ((s, dir) =>
+      TextDedup.dupClusters(
+        TextDedup.minhashNearDups(TextDedup.documents(s, dir), threshold = 0.5)
+          .select(col("doc_a"), col("doc_b")))
+        .orderBy(col("doc_id"))),
+
     // ---- dedup: 62-bit SimHash per doc
     "q_simhash" -> ((s, dir) =>
       TextDedup.simhashes(TextDedup.documents(s, dir))
@@ -383,6 +390,24 @@ object M5Queries {
          |SELECT source, (perm - 1)::INT AS perm, min(sig[perm]) AS minhash
          |FROM sig, generate_series(1, 16) g(perm)
          |GROUP BY source, perm ORDER BY source, perm""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (${frag.shingleHashes}),
+         | sig AS (SELECT doc_id, ${frag.minhashSig} sig FROM sh),
+         | banded AS (SELECT doc_id, unnest(${frag.bandKeys}) band_key FROM sig),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |   FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         | pairs AS (SELECT doc_a, doc_b FROM cand
+         |   JOIN sh ha ON ha.doc_id = doc_a JOIN sh hb ON hb.doc_id = doc_b
+         |   WHERE ${frag.jac("ha.h", "hb.h")} >= 0.5),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         | reach(node, label) AS (
+         |   SELECT src, src FROM edges
+         |   UNION
+         |   SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
+         |SELECT node AS doc_id, min(label) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "q_simhash" ->
       s"""SELECT doc_id, ${frag.simhash} AS simhash

@@ -144,6 +144,43 @@ object TextDedup {
       .agg(graft.functions.MinHashUnion.minhash_union(col("sig"), perms).as("csig"))
       .select(col("source"), posexplode(col("csig")).as(Seq("perm", "minhash")))
 
+  /** Connected components over a near-dup pair graph → duplicate
+    * clusters, labeled by the smallest member doc_id (the canonical
+    * document). Iterative min-label propagation: each round every node
+    * adopts the minimum label in its neighborhood; dup clusters are tiny
+    * (diameter ≪ 10), so this converges in a few rounds — each round is
+    * one self-contained join + aggregate, the standard Pregel-less
+    * connected-components shape at scale.
+    *
+    * Input: (doc_a, doc_b) with doc_a < doc_b. Output: (doc_id, cluster_id)
+    * for every doc that appears in at least one pair.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      val updated = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .cache()
+      val changed = updated.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Per-doc 62-bit SimHash. */
   def simhashes(docs: DataFrame): DataFrame =
     docs
