@@ -517,7 +517,7 @@ object M5Queries {
     // hyperplane(j, d) for d in 1..64 (SQL 1-based): (((j*64 + d) * 2654435761) % P) / P - 0.5
     def proj(v: String, j: String): String =
       s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64),
-         | d -> ($v)[d] * (((($j * 64 + d) * 2654435761) % 1000000007)::DOUBLE / 1000000007 - 0.5))), (acc, x) -> acc + x)""".stripMargin.replace("\n", " ")
+         | d -> ($v)[d] * (((($j * 1024 + d) * 2654435761) % 1000000007)::DOUBLE / 1000000007 - 0.5))), (acc, x) -> acc + x)""".stripMargin.replace("\n", " ")
     val bucket =
       s"""list_sum(list_transform(generate_series(0, 7), j -> CASE WHEN ${proj("v", "j")} > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END))"""
     s"""WITH v AS (${frag.vecs}),

@@ -193,7 +193,8 @@ object JsonPathFunctions {
     reg.createOrReplaceTempFunction(
       "jaccard_sim",
       { exprs =>
-        require(exprs.length == 2, "jaccard_sim(a, b)")
+        require(exprs.length == 2,
+          "jaccard_sim(a, b) - a/b must be SORTED distinct bigint arrays (shingle_hashes output, or sort_array(...))")
         JaccardSim(exprs.head, exprs(1))
       },
       "built-in")

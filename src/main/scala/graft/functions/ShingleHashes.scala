@@ -44,7 +44,7 @@ object ShingleHashes {
 
   /** One-pass tokenize+shingle+hash (static for codegen). */
   def compute(input: String, n: Int): GenericArrayData = {
-    val text = input.toLowerCase
+    val text = input.toLowerCase(java.util.Locale.ROOT) // locale-stable, = SQL lower()
     // tokenize: spans of non-whitespace (— matches split(lower, "\s+") with
     // empty tokens filtered)
     val tokens = mutable.ArrayBuffer.empty[(Int, Int)] // (start, end) spans

@@ -29,10 +29,12 @@ object TextFunctions {
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   /** Polynomial rolling hash of a string: fold(acc·31 + codepoint) mod P.
-    * The document-fingerprint primitive.
+    * The document-fingerprint primitive. Delegates to the
+    * [[RollingHash]] expression — true code points; the HOF spelling
+    * (`aggregate(split(s,""), ... ascii(c) ...)`) maps every non-ASCII
+    * char to U+FFFD and would collapse CJK text onto one hash.
     */
-  def rollingHash(s: Column): Column =
-    aggregate(split(s, ""), lit(0L), (acc, c) => (acc * 31 + ascii(c)) % P)
+  def rollingHash(s: Column): Column = RollingHash.rolling_hash(s)
 
   /** Hash each token. */
   def tokenHashes(toks: Column): Column = transform(toks, h => rollingHash(h))

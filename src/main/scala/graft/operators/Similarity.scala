@@ -80,16 +80,22 @@ object Similarity {
     * reproducible in SQL — no RNG state.
     */
   private val P = 1000000007L
+  /** Dimension stride for the hyperplane index space (supports vectors up
+    * to 1024 dims without plane overlap).
+    */
+  val DIM_STRIDE = 1024L
   def hyperplane(j: Int, d: Column): Column =
-    (pmod((lit(j.toLong * 64L) + d + 1L) * 2654435761L, lit(P)).cast("double") / P) - 0.5
+    (pmod((lit(j.toLong * DIM_STRIDE) + d + 1L) * 2654435761L, lit(P)).cast("double") / P) - 0.5
 
   /** Sign-LSH bucket id from `planes` hyperplanes: bit j = sign of
     * ⟨v, h_j⟩. Vectors in the same bucket are ANN candidates.
     */
   def lshBucket(v: Column, planes: Int): Column =
     (0 until planes).map { j =>
+      // dimension count derived from the vector itself: a width mismatch
+      // must never silently null-pad into a degenerate single bucket
       val proj = aggregate(
-        zip_with(v, sequence(lit(0), lit(63)), (x, d) => x * hyperplane(j, d)),
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, d) => x * hyperplane(j, d)),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)

@@ -34,10 +34,12 @@ object TextDedup {
     graft.sources.Tables.load(spark, sfDir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
 
-  /** Exact dedup: group by content fingerprint, keep the smallest doc_id
+  /** Exact dedup: group by the full text, keep the smallest doc_id
     * (deterministic keep-first). Output one row per distinct text with its
-    * duplicate count. Grouping on the 64-bit rolling hash + min/max guards
-    * the shuffle width; text kept only for output.
+    * duplicate count. This is the exact small-scale form; at corpus scale
+    * pre-bucket on [[TextAnalysis.fingerprint]] (64-bit) and verify the
+    * text equality within buckets so the wide shuffle carries hashes, not
+    * document bodies.
     */
   def exactDuplicates(docs: DataFrame): DataFrame =
     docs
@@ -155,7 +157,7 @@ object TextDedup {
     * Input: (doc_a, doc_b) with doc_a < doc_b. Output: (doc_id, cluster_id)
     * for every doc that appears in at least one pair.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
     var labels = edges.select(col("src").as("doc_id")).distinct()
@@ -173,11 +175,15 @@ object TextDedup {
         .cache()
       val changed = updated.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist() // drop the previous round's cache
       labels = updated
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIters rounds - component diameter exceeds the bound; raise maxIters")
     labels
   }
 

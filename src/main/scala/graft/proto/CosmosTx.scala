@@ -15,7 +15,7 @@ import scala.collection.mutable.ArrayBuffer
   *   Tx       { 1: body(TxBody), 2: auth_info(AuthInfo), 3: repeated signatures }
   *   TxBody   { 1: repeated messages(Any), 2: memo, 3: timeout_height }
   *   AuthInfo { 1: repeated signer_infos(SignerInfo), 2: fee(Fee) }
-  *   SignerInfo { 1: public_key(Any), 3: sequence }        // mode_info kept opaque
+  *   SignerInfo { 1: public_key(Any), 3: sequence }        // mode_info carried via unknown passthrough
   *   Fee      { 1: repeated amount(Coin), 2: gas_limit, 3: payer, 4: granter }
   *   Coin     { 1: denom, 2: amount }
   *   Any      { 1: type_url, 2: value }
@@ -29,16 +29,31 @@ import scala.collection.mutable.ArrayBuffer
 object CosmosTx {
 
   final case class AnyMsg(typeUrl: String, value: Array[Byte])
-  final case class Coin(denom: String, amount: String)
-  final case class TxBody(messages: Seq[AnyMsg], memo: String, timeoutHeight: Long)
-  final case class SignerInfo(publicKey: Option[AnyMsg], sequence: Long)
-  final case class Fee(amount: Seq[Coin], gasLimit: Long, payer: String, granter: String)
-  final case class AuthInfo(signerInfos: Seq[SignerInfo], fee: Option[Fee])
+  final case class Coin(denom: String, amount: String,
+      unknown: Array[Byte] = Array.emptyByteArray)
+  final case class TxBody(messages: Seq[AnyMsg], memo: String, timeoutHeight: Long,
+      unknown: Array[Byte] = Array.emptyByteArray)
+  final case class SignerInfo(publicKey: Option[AnyMsg], sequence: Long,
+      unknown: Array[Byte] = Array.emptyByteArray)
+  final case class Fee(amount: Seq[Coin], gasLimit: Long, payer: String, granter: String,
+      unknown: Array[Byte] = Array.emptyByteArray)
+  final case class AuthInfo(signerInfos: Seq[SignerInfo], fee: Option[Fee],
+      unknown: Array[Byte] = Array.emptyByteArray)
   final case class Tx(body: TxBody, authInfo: AuthInfo, signatures: Seq[Array[Byte]])
   final case class TxRaw(bodyBytes: Array[Byte], authInfoBytes: Array[Byte], signatures: Seq[Array[Byte]])
   final case class MsgSend(fromAddress: String, toAddress: String, amount: Seq[Coin])
 
   // ------------------------------------------------------------- decode
+
+  /** Empty unknown-capture normalizes to the shared empty instance so
+    * case-class equality (reference-based for arrays) keeps working for
+    * the common no-unknown-fields case.
+    */
+  private def unkBytes(w: Writer): Array[Byte] = {
+    val b = w.toBytes
+    if (b.isEmpty) Array.emptyByteArray else b
+  }
+
 
   def parseTxRaw(bytes: Array[Byte]): TxRaw = {
     val r = new Reader(bytes)
@@ -75,29 +90,31 @@ object CosmosTx {
     val msgs = ArrayBuffer.empty[AnyMsg]
     var memo = ""
     var timeout = 0L
+    val unk = new Writer()
     while (r.hasMore) {
       r.readTag() match {
         case (1, 2) => msgs += parseAny(r.readBytes())
         case (2, 2) => memo = r.readString()
         case (3, 0) => timeout = r.readVarint()
-        case (_, wt) => r.skip(wt)
+        case (f, wt) => unk.raw(r.readFieldRaw(f, wt))
       }
     }
-    TxBody(msgs.toSeq, memo, timeout)
+    TxBody(msgs.toSeq, memo, timeout, unkBytes(unk))
   }
 
   def parseCoin(bytes: Array[Byte]): Coin = {
     val r = new Reader(bytes)
     var denom = ""
     var amount = ""
+    val unk = new Writer()
     while (r.hasMore) {
       r.readTag() match {
         case (1, 2) => denom = r.readString()
         case (2, 2) => amount = r.readString()
-        case (_, wt) => r.skip(wt)
+        case (f, wt) => unk.raw(r.readFieldRaw(f, wt))
       }
     }
-    Coin(denom, amount)
+    Coin(denom, amount, unkBytes(unk))
   }
 
   def parseFee(bytes: Array[Byte]): Fee = {
@@ -106,44 +123,47 @@ object CosmosTx {
     var gas = 0L
     var payer = ""
     var granter = ""
+    val unk = new Writer()
     while (r.hasMore) {
       r.readTag() match {
         case (1, 2) => coins += parseCoin(r.readBytes())
         case (2, 0) => gas = r.readVarint()
         case (3, 2) => payer = r.readString()
         case (4, 2) => granter = r.readString()
-        case (_, wt) => r.skip(wt)
+        case (f, wt) => unk.raw(r.readFieldRaw(f, wt))
       }
     }
-    Fee(coins.toSeq, gas, payer, granter)
+    Fee(coins.toSeq, gas, payer, granter, unkBytes(unk))
   }
 
   def parseSignerInfo(bytes: Array[Byte]): SignerInfo = {
     val r = new Reader(bytes)
     var pk: Option[AnyMsg] = None
     var seq = 0L
+    val unk = new Writer()
     while (r.hasMore) {
       r.readTag() match {
         case (1, 2) => pk = Some(parseAny(r.readBytes()))
         case (3, 0) => seq = r.readVarint()
-        case (_, wt) => r.skip(wt)
+        case (f, wt) => unk.raw(r.readFieldRaw(f, wt)) // e.g. mode_info (field 2)
       }
     }
-    SignerInfo(pk, seq)
+    SignerInfo(pk, seq, unkBytes(unk))
   }
 
   def parseAuthInfo(bytes: Array[Byte]): AuthInfo = {
     val r = new Reader(bytes)
     val signers = ArrayBuffer.empty[SignerInfo]
     var fee: Option[Fee] = None
+    val unk = new Writer()
     while (r.hasMore) {
       r.readTag() match {
         case (1, 2) => signers += parseSignerInfo(r.readBytes())
         case (2, 2) => fee = Some(parseFee(r.readBytes()))
-        case (_, wt) => r.skip(wt)
+        case (f, wt) => unk.raw(r.readFieldRaw(f, wt))
       }
     }
-    AuthInfo(signers.toSeq, fee)
+    AuthInfo(signers.toSeq, fee, unkBytes(unk))
   }
 
   def parseMsgSend(bytes: Array[Byte]): MsgSend = {
@@ -178,31 +198,31 @@ object CosmosTx {
     new Writer().string(1, a.typeUrl).bytes(2, a.value).toBytes
 
   def encodeCoin(c: Coin): Array[Byte] =
-    new Writer().string(1, c.denom).string(2, c.amount).toBytes
+    new Writer().string(1, c.denom).string(2, c.amount).raw(c.unknown).toBytes
 
   def encodeTxBody(b: TxBody): Array[Byte] = {
     val w = new Writer()
     b.messages.foreach(m => w.bytesAlways(1, encodeAny(m)))
-    w.string(2, b.memo).int64(3, b.timeoutHeight).toBytes
+    w.string(2, b.memo).int64(3, b.timeoutHeight).raw(b.unknown).toBytes
   }
 
   def encodeFee(f: Fee): Array[Byte] = {
     val w = new Writer()
     f.amount.foreach(c => w.bytesAlways(1, encodeCoin(c)))
-    w.int64(2, f.gasLimit).string(3, f.payer).string(4, f.granter).toBytes
+    w.int64(2, f.gasLimit).string(3, f.payer).string(4, f.granter).raw(f.unknown).toBytes
   }
 
   def encodeSignerInfo(s: SignerInfo): Array[Byte] = {
     val w = new Writer()
     s.publicKey.foreach(pk => w.bytesAlways(1, encodeAny(pk)))
-    w.int64(3, s.sequence).toBytes
+    w.int64(3, s.sequence).raw(s.unknown).toBytes
   }
 
   def encodeAuthInfo(a: AuthInfo): Array[Byte] = {
     val w = new Writer()
     a.signerInfos.foreach(s => w.bytesAlways(1, encodeSignerInfo(s)))
     a.fee.foreach(f => w.messageAlways(2, encodeFee(f)))
-    w.toBytes
+    w.raw(a.unknown).toBytes
   }
 
   /** Canonical `Tx` re-encoding — the rule-topic payload (reference X3:

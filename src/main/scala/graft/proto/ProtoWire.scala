@@ -59,6 +59,12 @@ object ProtoWire {
     /** A nested message written even when empty (presence-tracked field). */
     def messageAlways(field: Int, body: Array[Byte]): Writer = bytesAlways(field, body)
 
+    /** Append pre-encoded wire bytes verbatim (unknown-field passthrough). */
+    def raw(bytes: Array[Byte]): Writer = {
+      if (bytes != null && bytes.nonEmpty) out.write(bytes, 0, bytes.length)
+      this
+    }
+
     def toBytes: Array[Byte] = out.toByteArray
   }
 
@@ -113,6 +119,30 @@ object ProtoWire {
       case 2 => readBytes()
       case 5 => if (end - pos < 4) throw new ProtoParseException("truncated fixed32") else pos += 4
       case other => throw new ProtoParseException(s"unsupported wire type $other")
+    }
+
+    /** Consume one field and return its full wire encoding (key +
+      * payload) — unknown fields are preserved as data, never dropped,
+      * so decode∘encode round-trips messages with schema fields this
+      * model doesn't know (generated protobuf does the same).
+      */
+    def readFieldRaw(field: Int, wireType: Int): Array[Byte] = {
+      val w = new Writer()
+      w.writeVarint((field.toLong << 3) | wireType)
+      wireType match {
+        case 0 => w.writeVarint(readVarint())
+        case 1 =>
+          if (end - pos < 8) throw new ProtoParseException("truncated fixed64")
+          w.raw(java.util.Arrays.copyOfRange(buf, pos, pos + 8)); pos += 8
+        case 2 =>
+          val b = readBytes()
+          w.writeVarint(b.length); w.raw(b)
+        case 5 =>
+          if (end - pos < 4) throw new ProtoParseException("truncated fixed32")
+          w.raw(java.util.Arrays.copyOfRange(buf, pos, pos + 4)); pos += 4
+        case other => throw new ProtoParseException(s"unsupported wire type $other")
+      }
+      w.toBytes
     }
   }
 }

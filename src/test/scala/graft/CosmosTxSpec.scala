@@ -97,6 +97,41 @@ class CosmosTxSpec extends AnyFunSuite {
       java.util.Base64.getEncoder.encodeToString(Array[Byte](8, 1)))
   }
 
+  test("unknown fields survive decode -> encode (mode_info and friends)") {
+    // SignerInfo with field 2 (mode_info in the real schema, unmodeled
+    // here) and field 9 varint: both must survive the round trip
+    val modeInfo = new ProtoWire.Writer().bytes(1, Array[Byte](8, 1)).toBytes
+    val siBytes = new ProtoWire.Writer()
+      .bytesAlways(1, encodeAny(AnyMsg("type.googleapis.com/cosmos.crypto.secp256k1.PubKey", Array[Byte](1, 2))))
+      .bytesAlways(2, modeInfo) // unknown to our model
+      .int64(3, 42L)
+      .int64(9, 7L) // unknown varint field
+      .toBytes
+    val si = parseSignerInfo(siBytes)
+    assert(si.sequence == 42L && si.unknown.nonEmpty)
+    val reencoded = encodeSignerInfo(si)
+    // parse the re-encoding generically: every original field number present
+    val fields = scala.collection.mutable.Set.empty[Int]
+    val r = new ProtoWire.Reader(reencoded)
+    while (r.hasMore) { val (f, wt) = r.readTag(); r.skip(wt); fields += f }
+    assert(fields == Set(1, 2, 3, 9), s"fields lost: got $fields")
+    // and the unknown payload bytes are verbatim
+    val si2 = parseSignerInfo(reencoded)
+    assert(si2.unknown.toSeq == si.unknown.toSeq)
+
+    // same through the full Tx envelope (auth_info with unknown field 7)
+    val authBytes = new ProtoWire.Writer()
+      .bytesAlways(1, siBytes).string(7, "granter-ext").toBytes
+    val bodyBytes = encodeTxBody(TxBody(Nil, "memo!", 5L))
+    val txBytes = new ProtoWire.Writer()
+      .messageAlways(1, bodyBytes).messageAlways(2, authBytes).toBytes
+    val rt = CosmosTx.encode(decode(txBytes))
+    val rt2 = decode(rt)
+    assert(rt2.authInfo.unknown.nonEmpty)
+    assert(rt2.authInfo.signerInfos.head.unknown.toSeq == si.unknown.toSeq)
+    assert(rt2.body.memo == "memo!" && rt2.body.timeoutHeight == 5L)
+  }
+
   test("property: round-trip through wire format for arbitrary MsgSend fields") {
     val rnd = new scala.util.Random(42)
     def str(): String = rnd.alphanumeric.take(rnd.nextInt(50)).mkString

@@ -113,6 +113,32 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(m(3L) == ("empty", 0))
   }
 
+  test("rolling hash uses true code points (CJK does not collapse)") {
+    import graft.functions.RollingHash
+    // distinct CJK strings must hash differently (ascii() would map all
+    // non-ASCII chars to U+FFFD and collapse them)
+    assert(RollingHash.compute("的是") != RollingHash.compute("在和"))
+    // exact oracle arithmetic: fold(acc*31 + codepoint) mod P
+    def expected(s: String): Long =
+      s.codePoints.toArray.foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+    for (s <- Seq("abc", "héllo", "的是了", "mixed 文本 text"))
+      assert(RollingHash.compute(s) == expected(s), s)
+    // and the Column API agrees end-to-end
+    val got = spark.range(1).select(
+      RollingHash.rolling_hash(lit("的是")).as("h")).head().getLong(0)
+    assert(got == expected("的是"))
+  }
+
+  test("LSH buckets adapt to the embedding width (no null-collapse on non-64-dim)") {
+    val df = spark.createDataFrame(Seq(
+      (1L, Array.fill(32)(0.5f)), (2L, Array.fill(32)(-0.5f)))).toDF("vec_id", "embedding")
+    val b = df.select(Similarity.asDouble($"embedding").as("v"))
+      .select(graft.operators.Similarity.lshBucket($"v", 8).as("bucket"))
+      .as[Long].collect()
+    assert(b.forall(_ >= 0))
+    assert(b(0) != b(1), "opposite 32-dim vectors must land in different buckets")
+  }
+
   test("text pipeline plans stay narrow until the first aggregation/join") {
     val plan = graft.operators.TextAnalysis.qualityMetrics(docs).queryExecution.executedPlan
     assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]))
