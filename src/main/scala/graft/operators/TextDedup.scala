@@ -156,8 +156,42 @@ object TextDedup {
     *
     * Input: (doc_a, doc_b) with doc_a < doc_b. Output: (doc_id, cluster_id)
     * for every doc that appears in at least one pair.
+    *
+    * The pair graph after LSH + exact verification is typically MINUTE
+    * relative to the corpus (it holds only near-duplicates), so below
+    * `driverThreshold` edges the components are solved with a driver-side
+    * union-find — one collect instead of an iteration of distributed
+    * joins. Above it, the distributed min-label loop takes over.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50,
+      driverThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val cached = pairs.select(col("doc_a"), col("doc_b")).cache()
+    val nPairs = cached.count()
+    if (nPairs <= driverThreshold) {
+      val edges = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
+      cached.unpersist()
+      // union-find, root = smallest member id
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      import spark.implicits._
+      nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
+    } else distributedClusters(cached, maxIters)
+  }
+
+  /** Distributed min-label propagation (the > driverThreshold path). */
+  private def distributedClusters(pairs: DataFrame, maxIters: Int): DataFrame = {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
     var labels = edges.select(col("src").as("doc_id")).distinct()
@@ -181,6 +215,7 @@ object TextDedup {
       iter += 1
     }
     edges.unpersist()
+    pairs.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxIters rounds - component diameter exceeds the bound; raise maxIters")

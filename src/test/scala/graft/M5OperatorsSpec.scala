@@ -78,6 +78,19 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(ann.subsetOf(bf)) // every ANN hit is a real corpus vector ≠ query
   }
 
+  test("dup clusters: driver union-find and distributed propagation agree") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 9L), (9L, 12L), (3L, 7L))
+      .toDF("doc_a", "doc_b")
+    val viaDriver = TextDedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    val viaDistributed = TextDedup.dupClusters(pairs, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L, 5L -> 5L, 9L -> 5L, 12L -> 5L)
+    assert(viaDriver == expected)
+    assert(viaDistributed == expected)
+  }
+
   test("IVF: every vector lands in exactly one bucket; probes find real neighbors") {
     val embs = Similarity.embeddings(spark, sf)
     val assigned = Similarity.ivfAssign(embs, k = 8)
