@@ -298,15 +298,19 @@ object CosmosTx {
 
   private def anyJson(a: AnyMsg, registry: Map[String, PayloadPrinter]): String = {
     val urlSuffix = a.typeUrl.dropWhile(_ != '/') // "type.googleapis.com/x.Y" → "/x.Y"
+    // Unregistered payloads — and registered ones whose bytes don't parse —
+    // render open-schema as {@type, value:base64}: a malformed PAYLOAD must
+    // not turn a decodable ENVELOPE into a decode error (payload isolation,
+    // same spirit as per-rule isolation). The reference's classpath scan
+    // makes every compiled type printable; this is the offline equivalent.
+    def fallback: String =
+      "{\"@type\":" + jsonStr(a.typeUrl) +
+        (if (a.value.isEmpty) "" else ",\"value\":" + jsonStr(Base64.getEncoder.encodeToString(a.value))) + "}"
     registry.get(urlSuffix) match {
       case Some(printer) =>
-        "{\"@type\":" + jsonStr(a.typeUrl) + printer(a.value) + "}"
-      case None =>
-        // Unregistered payload: keep it open-schema as {@type, value:base64}.
-        // (The reference's classpath scan makes every compiled type printable;
-        // this is the offline fallback for unknown types.)
-        "{\"@type\":" + jsonStr(a.typeUrl) +
-          (if (a.value.isEmpty) "" else ",\"value\":" + jsonStr(Base64.getEncoder.encodeToString(a.value))) + "}"
+        try "{\"@type\":" + jsonStr(a.typeUrl) + printer(a.value) + "}"
+        catch { case scala.util.control.NonFatal(_) => fallback }
+      case None => fallback
     }
   }
 
