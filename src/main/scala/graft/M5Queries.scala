@@ -220,14 +220,20 @@ object M5Queries {
           .select(col("event_id").as("media_id"), encode(col("props"), "UTF-8").as("media")))
         .orderBy(col("media_id"))),
 
-    // ---- multimodal: frame/patch chunk sampling plumbing
-    "q_multimodal_chunks" -> ((s, dir) =>
-      Multimodal.sampleChunks(
-        t(s, dir, "events")
-          .select(col("event_id").as("media_id"), encode(col("props"), "UTF-8").as("media")),
-        chunkSize = 16)
-        .select(col("media_id"), col("chunk_idx"), decode(col("chunk"), "UTF-8").as("chunk_str"))
-        .orderBy(col("media_id"), col("chunk_idx"))),
+    // ---- multimodal: frame/patch chunk sampling plumbing. The query
+    // chunks the payload by CHARACTERS so both engines slice identically
+    // on non-ASCII; the byte-level Multimodal.sampleChunks operator is
+    // spec-covered (chunk reassembly).
+    "q_multimodal_chunks" -> ((s, dir) => {
+      val n = ceil(length(col("props")).cast("double") / 16).cast("int")
+      val idx = when(n.isNull || n <= 0, array().cast("array<int>"))
+        .otherwise(sequence(lit(0), n - 1))
+      t(s, dir, "events")
+        .select(col("event_id").as("media_id"),
+          posexplode(transform(idx, i => substring(col("props"), i * 16 + 1, lit(16))))
+            .as(Seq("chunk_idx", "chunk_str")))
+        .orderBy(col("media_id"), col("chunk_idx"))
+    }),
   )
 
   // =============================================================== oracle
@@ -236,7 +242,7 @@ object M5Queries {
     * interpolated) strings so backslashes survive.
     */
   private object frag {
-    val toks = """list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)"""
+    val toks = """list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), t -> len(t) > 0)"""
     // rolling hash of a string expression %s
     def rolling(expr: String): String =
       s"""list_reduce(list_prepend(0::BIGINT, list_transform(string_split_regex($expr, ''), c -> unicode(c)::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007)"""
@@ -467,7 +473,7 @@ object M5Queries {
         | count(*) AS n FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_multimodal_meta" ->
-      s"""SELECT event_id AS media_id, strlen(props)::INT AS n_bytes,
+      s"""SELECT event_id AS media_id, COALESCE(strlen(props), 0)::INT AS n_bytes,
          | CASE WHEN props IS NULL OR strlen(props) = 0 THEN 'empty'
          |      WHEN unicode(substr(props, 1, 1)) = 123 THEN 'json-ish'
          |      WHEN unicode(substr(props, 1, 1)) < 128 THEN 'ascii'
@@ -501,10 +507,10 @@ object M5Queries {
     val pick = langs.foldRight("'und'") { case (l, acc) =>
       s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $acc END"
     }
-    s"""SELECT doc_id, strlen(text)::INT AS n_chars_obs, len(w) AS n_tokens,
-       | list_sum(list_transform(w, t -> greatest(1::BIGINT, floor((strlen(t) + 3) / 4.0)::BIGINT))) AS n_bpeish_tokens,
+    s"""SELECT doc_id, length(text)::INT AS n_chars_obs, len(w) AS n_tokens,
+       | list_sum(list_transform(w, t -> greatest(1::BIGINT, floor((length(t) + 3) / 4.0)::BIGINT))) AS n_bpeish_tokens,
        | CASE WHEN len(w) = 0 THEN 0.0 ELSE len(list_filter(w, t -> list_contains($stop, t)))::DOUBLE / len(w) END AS stopword_ratio,
-       | CASE WHEN strlen(text) = 0 THEN 0.0 ELSE (strlen(lower(text)) - strlen(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE / strlen(lower(text)) END AS punct_ratio,
+       | CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(lower(text)) END AS punct_ratio,
        | $pick AS lang_pred
        |FROM (SELECT doc_id, text, w, $scores, $best best
        |      FROM (SELECT doc_id, text, ${frag.toks} w FROM documents)) ORDER BY doc_id""".stripMargin
@@ -514,7 +520,7 @@ object M5Queries {
     * and per-bucket ranking in SQL.
     */
   private lazy val annLshOracle: String = {
-    // hyperplane(j, d) for d in 1..64 (SQL 1-based): (((j*64 + d) * 2654435761) % P) / P - 0.5
+    // hyperplane(j, d) for d in 1..64 (SQL 1-based): (((j*1024 + d) * 2654435761) % P) / P - 0.5 (stride = Similarity.DIM_STRIDE)
     def proj(v: String, j: String): String =
       s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64),
          | d -> ($v)[d] * (((($j * 1024 + d) * 2654435761) % 1000000007)::DOUBLE / 1000000007 - 0.5))), (acc, x) -> acc + x)""".stripMargin.replace("\n", " ")

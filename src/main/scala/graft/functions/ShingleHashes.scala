@@ -47,13 +47,18 @@ object ShingleHashes {
     val text = input.toLowerCase(java.util.Locale.ROOT) // locale-stable, = SQL lower()
     // tokenize: spans of non-whitespace (— matches split(lower, "\s+") with
     // empty tokens filtered)
+    // whitespace = the explicit class [ \t\n\f\r]: the exact common
+    // semantics of the HOF twin's regex and the DuckDB oracle's RE2 —
+    // Character.isWhitespace would also split on U+3000 etc. and diverge
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
     val tokens = mutable.ArrayBuffer.empty[(Int, Int)] // (start, end) spans
     var i = 0
     val len = text.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < len && isWs(text.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < len && !isWs(text.charAt(i))) i += 1
       if (i > start) tokens += ((start, i))
     }
     val m = tokens.length

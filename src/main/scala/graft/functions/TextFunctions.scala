@@ -24,9 +24,13 @@ object TextFunctions {
   /** Modulus for all polynomial/affine hashes (fits products in a Long). */
   val P = 1000000007L
 
-  /** Whitespace tokenization with empty-token removal, lowercased. */
+  /** Whitespace tokenization with empty-token removal, lowercased.
+    * Split class is the explicit [ \t\n\f\r] so Java regex, the
+    * ShingleHashes fast path, and the oracle's RE2 all agree (\s differs
+    * between engines on \x0B and Unicode spaces).
+    */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    filter(split(lower(text), "[ \t\n\f\r]+"), t => length(t) > 0)
 
   /** Polynomial rolling hash of a string: fold(acc·31 + codepoint) mod P.
     * The document-fingerprint primitive. Delegates to the
@@ -135,9 +139,11 @@ object TextFunctions {
     * punctuation singletons, approximating a tokenizer's piece count
     * without a vocab (public heuristic: ~chars/4 floor for long words).
     */
-  def bpeishTokenCount(text: Column): Column =
+  def bpeishTokenCount(text: Column): Column = bpeishFromTokens(tokens(text))
+
+  def bpeishFromTokens(toks: Column): Column =
     aggregate(
-      tokens(text),
+      toks,
       lit(0L),
       (acc, t) => acc + greatest(lit(1L), floor((length(t) + 3) / lit(4.0)).cast("bigint")))
 }

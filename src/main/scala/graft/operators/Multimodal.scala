@@ -31,13 +31,16 @@ object Multimodal {
     def decode(bytes: Array[Byte]): (String, Int, Int, Long) = {
       if (bytes == null || bytes.isEmpty) ("empty", 0, 0, 0L)
       else {
-        val magic = bytes(0) & 0xff
+        // the stub treats media as UTF-8 text: magic/content-hash derive
+        // from CODE POINTS so the SQL oracle (unicode()/codepoint fold)
+        // computes the identical values on any input; height keeps the
+        // raw BYTE length (the binary-side metadata)
+        val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        val magic = if (text.isEmpty) 0 else text.codePointAt(0)
         val format = if (magic == '{') "json-ish" else if (magic < 0x80) "ascii" else "binary"
         val w = 1 + (magic % 16)
         val h = 1 + (bytes.length % 16)
-        var hash = 0L
-        var i = 0
-        while (i < bytes.length) { hash = (hash * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+        val hash = graft.functions.RollingHash.compute(text)
         (format, w, h, hash)
       }
     }

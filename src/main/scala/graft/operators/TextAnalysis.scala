@@ -14,8 +14,7 @@ object TextAnalysis {
     * pick the argmax (declaration order wins ties, 'und' = undetermined
     * when nothing hits). Deterministic and SQL-reproducible.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(toks: Column): Column = {
     // langs in fixed order; fold keeps the first maximum
     val ordered = Seq("en", "de", "fr", "es", "zh")
     val scores = ordered.map(l => markerHits(toks, langMarkers(l)))
@@ -28,17 +27,21 @@ object TextAnalysis {
   /** Quality metrics per document. `quality_score` is a simple bounded
     * combination: length prior + stopword signal − punctuation penalty.
     */
-  def qualityMetrics(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    docs.select(
-      col("doc_id"),
-      length(col("text")).as("n_chars_obs"),
-      size(toks).as("n_tokens"),
-      bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
-      stopwordRatio(toks).as("stopword_ratio"),
-      punctRatio(lower(col("text"))).as("punct_ratio"),
-      langId(col("text")).as("lang_pred"))
-  }
+  def qualityMetrics(docs: DataFrame): DataFrame =
+    // tokens materialized ONCE: the metric expressions reference the
+    // projected column instead of re-tokenizing per metric (lambda-bearing
+    // HOFs are excluded from subexpression elimination — same trap as the
+    // MinHash signature hot loop)
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_obs"),
+        size(col("toks")).as("n_tokens"),
+        bpeishFromTokens(col("toks")).as("n_bpeish_tokens"),
+        stopwordRatio(col("toks")).as("stopword_ratio"),
+        punctRatio(lower(col("text"))).as("punct_ratio"),
+        langId(col("toks")).as("lang_pred"))
 
   /** Document fingerprint: rolling hash of the normalized text
     * (lowercased, whitespace-collapsed) — the cheap exact-dedup key.

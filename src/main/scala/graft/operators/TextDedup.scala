@@ -166,7 +166,9 @@ object TextDedup {
   def dupClusters(pairs: DataFrame, maxIters: Int = 50,
       driverThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
-    val cached = pairs.select(col("doc_a"), col("doc_b")).cache()
+    val cached = pairs
+      .select(col("doc_a").cast("long").as("doc_a"), col("doc_b").cast("long").as("doc_b"))
+      .cache()
     val nPairs = cached.count()
     if (nPairs <= driverThreshold) {
       val edges = cached.collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -74,13 +74,13 @@ object TxDispatchPipeline {
         .when(col("route") === UNFILTERED, encode(dlqEnvelope(col("txJson"), col("raw")), "UTF-8"))
         .otherwise(ruleValue)
 
-    val out = routed
+    // Unset error topic ⇒ topic stays NULL on error rows; the SINKS drop
+    // null-topic rows (DispatchStream.toKafka / writePartitionedByTopic),
+    // so observability (observe metrics) still sees the consumed errors —
+    // the reference's consumed-but-not-produced branch with its peek log.
+    routed
       .withColumn("topic", topicFor)
       .withColumn("value", valueFor)
-
-    // Optional error topic: when unset, errored records are dropped
-    // (consumed-but-not-produced branch in the reference).
-    if (errorTopic.isDefined) out else out.filter(col("route") =!= ERROR)
   }
 
   /** Batch sink twin of the dynamic-topic Kafka writer (§2.7): routed

@@ -38,7 +38,10 @@ object StreamingSessionize {
                 closed += ClosedSession(userId, s.start, s.last, s.n)
                 open = Some(OpenSession(e.tsUs, e.tsUs, 1))
               case Some(s) =>
-                open = Some(OpenSession(s.start, e.tsUs, s.n + 1))
+                // late cross-batch events fold INTO the open session:
+                // start/last stay monotone (a regressed `last` would split
+                // the next session and emit end < start)
+                open = Some(OpenSession(math.min(s.start, e.tsUs), math.max(s.last, e.tsUs), s.n + 1))
               case None =>
                 open = Some(OpenSession(e.tsUs, e.tsUs, 1))
             }

@@ -83,11 +83,19 @@ class DispatchPipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(expected))
   }
 
-  test("unset error topic drops errored records (reference: branch without to())") {
+  test("unset error topic: errored records keep NULL topic and are dropped at the sink") {
+    // reference: branch without to() — consumed, observed, not produced.
+    // The pipeline keeps the rows (so observe metrics still count them);
+    // every sink drops null-topic rows.
     val out = TxDispatchPipeline(input, rules, errorTopic = None)
-      .select($"key", $"route").as[(String, Int)].collect().toSet
-    assert(!out.exists(_._2 == ERROR))
-    assert(out.map(_._1) == Set("k1", "k2", "k3"))
+    val errRows = out.filter($"route" === ERROR)
+      .select($"key", $"topic").collect()
+    assert(errRows.map(_.getString(0)).toSet == Set("k4"))
+    assert(errRows.forall(_.isNullAt(1)))
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString
+    TxDispatchPipeline.writePartitionedByTopic(out, dir)
+    val sunk = spark.read.parquet(dir).select($"key").as[String].collect().toSet
+    assert(sunk == Set("k1", "k2", "k3"), "error rows must not reach the sink")
   }
 
   test("keys pass through unmodified on every path") {
