@@ -188,6 +188,11 @@ object M5Queries {
       Similarity.cosineNearDupPairs(Similarity.embeddings(s, dir), threshold = 0.35)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    // ---- similarity: LSH-bucketed embedding near-dup pairs (scale path)
+    "q_embed_neardup_lsh" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(Similarity.embeddings(s, dir), threshold = 0.3)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
     // ---- similarity: sign-LSH bucketed ANN (the 100 TB path)
     "q_embed_ann_lsh" -> ((s, dir) =>
       Similarity.annLshTopK(Similarity.embeddings(s, dir), 0L to 9L, k = 5, planes = 8)
@@ -450,6 +455,7 @@ object M5Queries {
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q_embed_ann_lsh" -> annLshOracle,
+    "q_embed_neardup_lsh" -> embedNearDupLshOracle,
 
     "q_embed_ivf" ->
       s"""WITH v AS (${frag.vecs}),
@@ -519,13 +525,24 @@ object M5Queries {
   /** Sign-LSH ANN oracle: reproduce the deterministic hyperplanes, buckets,
     * and per-bucket ranking in SQL.
     */
+  // hyperplane(j, d) for d in 1..len(v) (SQL 1-based):
+  // (((j*1024 + d) * 2654435761) % P) / P - 0.5 (stride = Similarity.DIM_STRIDE)
+  private def lshProj(v: String, j: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($v)),
+       | d -> ($v)[d] * (((($j * 1024 + d) * 2654435761) % 1000000007)::DOUBLE / 1000000007 - 0.5))), (acc, x) -> acc + x)""".stripMargin.replace("\n", " ")
+  private def lshBucketSql(v: String, planes: Int): String =
+    s"""list_sum(list_transform(generate_series(0, ${planes - 1}), j -> CASE WHEN ${lshProj(v, "j")} > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END))"""
+
+  private lazy val embedNearDupLshOracle: String =
+    s"""WITH v AS (${frag.vecs}),
+       | bv AS (SELECT vec_id, v, ${lshBucketSql("v", 8)} AS bucket FROM v)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${frag.cosine("a.v", "b.v")} AS cos
+       |FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${frag.cosine("a.v", "b.v")} >= 0.3
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   private lazy val annLshOracle: String = {
-    // hyperplane(j, d) for d in 1..64 (SQL 1-based): (((j*1024 + d) * 2654435761) % P) / P - 0.5 (stride = Similarity.DIM_STRIDE)
-    def proj(v: String, j: String): String =
-      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64),
-         | d -> ($v)[d] * (((($j * 1024 + d) * 2654435761) % 1000000007)::DOUBLE / 1000000007 - 0.5))), (acc, x) -> acc + x)""".stripMargin.replace("\n", " ")
-    val bucket =
-      s"""list_sum(list_transform(generate_series(0, 7), j -> CASE WHEN ${proj("v", "j")} > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END))"""
+    val bucket = lshBucketSql("v", 8)
     s"""WITH v AS (${frag.vecs}),
        | bv AS (SELECT vec_id, v, $bucket AS bucket FROM v),
        | q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bv WHERE vec_id BETWEEN 0 AND 9)

@@ -151,6 +151,23 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** LSH-bucketed near-dup pairs: the scale path for embedding dedup —
+    * candidate pairs share a sign-LSH bucket (shuffle keyed by bucket,
+    * never all-pairs), exact cosine verifies.
+    */
+  def lshNearDupPairs(embs: DataFrame, threshold: Double, planes: Int = 8): DataFrame = {
+    val v = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val a = v.as("a")
+    val b = v.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** LSH-bucketed ANN: candidates share a sign-LSH bucket; exact cosine
     * verifies. The 100 TB path — shuffle keyed by bucket only.
     */

@@ -112,4 +112,64 @@ class JsonPathLiteSpec extends AnyFunSuite {
     val got = JsonPathLite.select(j, JsonPathLite.compile("$.a[?(@.k > 1)]"))
     assert(got.map(_.get("k").asInt) == Seq(2, 3))
   }
+
+  test("differential fuzz: definite paths agree with Jackson's JSON Pointer") {
+    // Independent second implementation for the definite-path subset:
+    // $.a.b[2].c  ≡  pointer /a/b/2/c; existence must agree on random docs
+    val rnd = new scala.util.Random(424242L)
+    val names = Seq("a", "b", "k", "x", "deep", "v2")
+    def randomDoc(depth: Int): String =
+      if (depth == 0) rnd.nextInt(3) match {
+        case 0 => rnd.nextInt(100).toString
+        case 1 => s""""s${rnd.nextInt(10)}""""
+        case _ => if (rnd.nextBoolean()) "true" else "null"
+      } else rnd.nextInt(3) match {
+        case 0 => // object
+          val ks = rnd.shuffle(names).take(1 + rnd.nextInt(3))
+          ks.map(k => s""""$k":${randomDoc(depth - 1)}""").mkString("{", ",", "}")
+        case 1 => // array
+          Seq.fill(rnd.nextInt(3))(randomDoc(depth - 1)).mkString("[", ",", "]")
+        case _ => randomDoc(0)
+      }
+    def randomPath(): Seq[Either[String, Int]] =
+      Seq.fill(1 + rnd.nextInt(4))(
+        if (rnd.nextBoolean()) Left(names(rnd.nextInt(names.length)))
+        else Right(rnd.nextInt(3)))
+    var checked = 0
+    for (_ <- 1 to 500) {
+      val doc = mapper.readTree(randomDoc(3))
+      val segs = randomPath()
+      val jsonPath = "$" + segs.map {
+        case Left(n) => s".$n"
+        case Right(i) => s"[$i]"
+      }.mkString
+      val pointer = "/" + segs.map {
+        case Left(n) => n
+        case Right(i) => i.toString
+      }.mkString("/")
+      val viaLite = JsonPathLite.exists(doc, JsonPathLite.compile(jsonPath))
+      val viaPointer = !doc.at(pointer).isMissingNode
+      // known, intended divergence: JSON Pointer `/0` treats an OBJECT's
+      // key "0" as a hit while JsonPath `[0]` only indexes arrays — walk
+      // the prefix and skip exactly the paths that hit an int segment on
+      // an object node; everything else must agree bidirectionally
+      var node = doc
+      var comparable = true
+      segs.foreach { seg =>
+        if (node != null && !node.isMissingNode) {
+          seg match {
+            case Right(_) if node.isObject => comparable = false
+            case Right(i) => node = if (node.isArray) node.get(i) else null
+            case Left(n) => node = if (node.isObject) node.get(n) else null
+          }
+          if (node == null) node = mapper.missingNode()
+        }
+      }
+      if (comparable) {
+        assert(viaLite == viaPointer, s"doc=$doc path=$jsonPath pointer=$pointer")
+        checked += 1
+      }
+    }
+    assert(checked > 300, s"too few comparable cases: $checked")
+  }
 }
