@@ -112,6 +112,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("topic"))),
 
+    // scalar-function surface (SURVEY §2.2): base64/unbase64 round-trip,
+    // to_json/from_json, size — the reference's full scalar inventory
+    "q_scalar_functions" -> ((s, dir) =>
+      events(s, dir)
+        .select(
+          col("event_id"),
+          base64(encode(col("props"), "UTF-8")).as("b64"),
+          decode(unbase64(base64(encode(col("props"), "UTF-8"))), "UTF-8").as("roundtrip"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k_parsed"),
+          to_json(struct(col("event_type").as("t"))).as("as_json"),
+          size(split(col("event_type"), "")).as("type_len"))
+        .orderBy(col("event_id"))),
+
     // M4 — protobuf wire codec: encode∘decode round-trip is identity on
     // fields, projected back out via the canonical JSON (P1+P2+X3)
     "q_proto_roundtrip" -> ((s, dir) => {
@@ -206,6 +219,13 @@ object SparkEntry {
 
       "q_observe_metrics" ->
         s"""SELECT topic, count(*) AS n FROM ($routesOracle) GROUP BY topic ORDER BY topic""",
+
+      "q_scalar_functions" ->
+        s"""SELECT event_id, to_base64(encode(props)) AS b64, props AS roundtrip,
+           | TRY_CAST(json_extract_string(props, '$$.k') AS INT) AS k_parsed,
+           | ('{"t":"' || event_type || '"}') AS as_json,
+           | length(event_type)::INT AS type_len
+           |FROM events ORDER BY event_id""".stripMargin,
 
       "q_proto_roundtrip" ->
         s"""SELECT event_id,
