@@ -22,14 +22,22 @@ object M5Queries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // ---- relational: aggregation (TPC-H Q1 shape; decimal-exact sums)
+    // ---- relational: aggregation (TPC-H Q1 shape; decimal-exact sums).
+    // Exactness discipline (round-1 lesson): cast the 2-dp double INPUTS to
+    // decimal BEFORE any arithmetic — decimal×decimal is exact and decimal
+    // sums are order-independent, so Spark and the oracle agree bit-for-bit
+    // regardless of aggregation order. Casting a double PRODUCT to decimal
+    // is not reproducible (Spark rounds the shortest-repr string, DuckDB the
+    // exact binary value).
     "q_agg_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity")).as("sum_qty"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(38,10)")).as("sum_disc_price"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(38,4)").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
@@ -38,12 +46,12 @@ object M5Queries {
       val c = broadcast(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")))
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val l = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), (col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(38,10)").as("rev"))
+        .select(col("l_orderkey"), (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))).as("rev"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(sum(col("rev")).as("revenue"),
+        .agg(sum(col("rev")).cast("decimal(38,4)").as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"))
         .orderBy(col("c_mktsegment"))
     }),
@@ -98,7 +106,7 @@ object M5Queries {
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"),
-          sum(col("c_acctbal").cast("decimal(38,2)")).as("acctbal"))
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)").as("acctbal"))
         .select(coalesce(col("r_name"), lit("ALL")).as("region"),
           coalesce(col("n_name"), lit("ALL")).as("nation"),
           col("n_cust"), col("acctbal"))
@@ -211,10 +219,10 @@ object M5Queries {
       val salted = t(s, dir, "events")
         .withColumn("salt", pmod(col("event_id"), lit(16)))
         .groupBy(col("event_type"), col("salt"))
-        .agg(sum(col("value").cast("decimal(38,10)")).as("partial"),
+        .agg(sum(col("value").cast("decimal(18,2)")).as("partial"),
           count(lit(1)).as("pn"))
       salted.groupBy(col("event_type"))
-        .agg(sum(col("partial")).as("total_value"), sum(col("pn")).as("n"))
+        .agg(sum(col("partial")).cast("decimal(38,2)").as("total_value"), sum(col("pn")).as("n"))
         .orderBy(col("event_type"))
     }),
 
@@ -284,26 +292,30 @@ object M5Queries {
       s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]))), (acc, x) -> acc + x)"""
     // embeddings cast to double-list
     val vecs = """SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings"""
-    // disc price as exact decimal
-    val discPrice = """CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))"""
+    // disc price as exact decimal: cast the 2-dp double INPUTS to decimal
+    // before multiplying ((18,2)×(19,2) → (37,4), exact in both engines);
+    // casting the double product would round differently in Spark vs DuckDB
+    val discPrice =
+      """(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))"""
   }
 
   val oracleSql: Map[String, String] = Map(
 
     "q_agg_pricing" ->
-      s"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-         | sum(${frag.discPrice}) AS sum_disc_price, count(*) AS count_order
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+         | CAST(sum(${frag.discPrice}) AS DECIMAL(38,4)) AS sum_disc_price, count(*) AS count_order
          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_join_revenue" ->
-      s"""SELECT c_mktsegment, sum(${frag.discPrice}) AS revenue,
+      s"""SELECT c_mktsegment, CAST(sum(${frag.discPrice}) AS DECIMAL(38,4)) AS revenue,
          | count(DISTINCT o_orderkey) AS n_orders
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          | JOIN customer ON o_custkey = c_custkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_window_rank" ->
-      """SELECT o_custkey, o_orderkey, rnk FROM (
+      """SELECT o_custkey, o_orderkey, rnk::INT AS rnk FROM (
         | SELECT o_custkey, o_orderkey,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rnk
         | FROM orders) WHERE rnk <= 2 ORDER BY o_custkey, rnk""".stripMargin,
@@ -329,7 +341,7 @@ object M5Queries {
 
     "q_grouping_sets" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
-        | count(*) AS n_cust, sum(CAST(c_acctbal AS DECIMAL(38,2))) AS acctbal
+        | count(*) AS n_cust, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
@@ -420,18 +432,20 @@ object M5Queries {
          |SELECT node AS doc_id, min(label) AS cluster_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
+    // list_sum returns HUGEINT in DuckDB — ::BIGINT so the oracle's type
+    // (and the driver hasher's rendering) matches Spark's LongType
     "q_simhash" ->
-      s"""SELECT doc_id, ${frag.simhash} AS simhash
+      s"""SELECT doc_id, (${frag.simhash})::BIGINT AS simhash
          |FROM (SELECT doc_id, ${frag.mixedHashes} mh
          |      FROM (SELECT doc_id, ${frag.toks} w FROM documents))
          |ORDER BY doc_id""".stripMargin,
 
     "q_simhash_dups" ->
       s"""WITH s AS (
-         | SELECT doc_id, lang, ${frag.simhash} AS sh
+         | SELECT doc_id, lang, (${frag.simhash})::BIGINT AS sh
          | FROM (SELECT doc_id, lang, ${frag.mixedHashes} mh
          |       FROM (SELECT doc_id, lang, ${frag.toks} w FROM documents)))
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, bit_count(xor(a.sh, b.sh)) AS hamming
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, bit_count(xor(a.sh, b.sh))::INT AS hamming
          |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sh, b.sh)) <= 16
          |ORDER BY doc_a, doc_b""".stripMargin,
@@ -441,7 +455,7 @@ object M5Queries {
     "q_embed_topk" ->
       s"""WITH v AS (${frag.vecs}),
          | q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id BETWEEN 0 AND 9)
-         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |SELECT query_id, neighbor_id, rank::INT AS rank, cos FROM (
          | SELECT query_id, vec_id AS neighbor_id, ${frag.cosine("qv", "v.v")} AS cos,
          |  row_number() OVER (PARTITION BY query_id ORDER BY ${frag.cosine("qv", "v.v")} DESC, vec_id) AS rank
          | FROM v CROSS JOIN q WHERE vec_id <> query_id)
@@ -468,14 +482,14 @@ object M5Queries {
          |   SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${frag.l2sq("q.v", "c.cv")}, c.centroid_id) rn
          |   FROM v q CROSS JOIN cents c WHERE q.vec_id BETWEEN 0 AND 9) WHERE rn <= 2)
-         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |SELECT query_id, neighbor_id, rank::INT AS rank, cos FROM (
          | SELECT p.query_id, t.vec_id AS neighbor_id, ${frag.cosine("p.qv", "t.v")} AS cos,
          |  row_number() OVER (PARTITION BY p.query_id ORDER BY ${frag.cosine("p.qv", "t.v")} DESC, t.vec_id) AS rank
          | FROM assigned t JOIN probes p USING (bucket) WHERE t.vec_id <> p.query_id)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_salted_agg" ->
-      """SELECT event_type, sum(CAST(value AS DECIMAL(38,10))) AS total_value,
+      """SELECT event_type, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
         | count(*) AS n FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_multimodal_meta" ->
@@ -486,8 +500,8 @@ object M5Queries {
          |      ELSE 'binary' END AS format,
          | CASE WHEN props IS NULL OR strlen(props) = 0 THEN 0
          |      ELSE 1 + (unicode(substr(props, 1, 1)) % 16) END AS width,
-         | CASE WHEN props IS NULL OR strlen(props) = 0 THEN 0
-         |      ELSE 1 + (strlen(props) % 16) END AS height,
+         | (CASE WHEN props IS NULL OR strlen(props) = 0 THEN 0
+         |      ELSE 1 + (strlen(props) % 16) END)::INT AS height,
          | CASE WHEN props IS NULL OR strlen(props) = 0 THEN 0
          |      ELSE ${frag.rolling("props")} END AS content_hash
          |FROM events ORDER BY media_id""".stripMargin,
@@ -513,8 +527,8 @@ object M5Queries {
     val pick = langs.foldRight("'und'") { case (l, acc) =>
       s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $acc END"
     }
-    s"""SELECT doc_id, length(text)::INT AS n_chars_obs, len(w) AS n_tokens,
-       | list_sum(list_transform(w, t -> greatest(1::BIGINT, floor((length(t) + 3) / 4.0)::BIGINT))) AS n_bpeish_tokens,
+    s"""SELECT doc_id, length(text)::INT AS n_chars_obs, len(w)::INT AS n_tokens,
+       | list_sum(list_transform(w, t -> greatest(1::BIGINT, floor((length(t) + 3) / 4.0)::BIGINT)))::BIGINT AS n_bpeish_tokens,
        | CASE WHEN len(w) = 0 THEN 0.0 ELSE len(list_filter(w, t -> list_contains($stop, t)))::DOUBLE / len(w) END AS stopword_ratio,
        | CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(lower(text)) END AS punct_ratio,
        | $pick AS lang_pred
@@ -546,7 +560,7 @@ object M5Queries {
     s"""WITH v AS (${frag.vecs}),
        | bv AS (SELECT vec_id, v, $bucket AS bucket FROM v),
        | q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bv WHERE vec_id BETWEEN 0 AND 9)
-       |SELECT query_id, neighbor_id, rank, cos FROM (
+       |SELECT query_id, neighbor_id, rank::INT AS rank, cos FROM (
        | SELECT query_id, vec_id AS neighbor_id, ${frag.cosine("qv", "bv.v")} AS cos,
        |  row_number() OVER (PARTITION BY query_id ORDER BY ${frag.cosine("qv", "bv.v")} DESC, vec_id) AS rank
        | FROM bv JOIN q USING (bucket) WHERE vec_id <> query_id)
