@@ -131,7 +131,14 @@ object JsonPathLite {
               val start = i
               i += 1
               while (i < s.length && s.charAt(i).isDigit) i += 1
-              val idx = s.substring(start, i).toInt
+              val digits = s.substring(start, i)
+              // contract: malformed input ⇒ JsonPathSyntaxException, never a
+              // raw NumberFormatException ('$[-]', '$[99999999999]')
+              val idx =
+                try digits.toInt
+                catch { case _: NumberFormatException =>
+                  throw new JsonPathSyntaxException(s"bad array index '$digits' in $path")
+                }
               skipWs(); expect(']'); steps += Index(idx)
             case other =>
               throw new JsonPathSyntaxException(s"unexpected '$other' after '[' in $path")

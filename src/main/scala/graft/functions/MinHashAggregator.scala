@@ -23,7 +23,11 @@ class MinHashUnion(val perms: Int) extends Aggregator[Seq[Long], Array[Long], Se
   override def zero: Array[Long] = Array.fill(perms)(SENTINEL)
 
   override def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
-    if (sig != null && sig.length == perms) {
+    if (sig != null) {
+      // a perms mismatch between minhash_sig and minhash_union would
+      // silently yield sentinel-only (empty-set) sketches if skipped
+      require(sig.length == perms,
+        s"minhash_union(perms=$perms) fed a signature of length ${sig.length}")
       var i = 0
       while (i < perms) {
         val v = sig(i)

@@ -98,9 +98,10 @@ object TextDedup {
     // otherwise materialize two ~300-element arrays per candidate pair —
     // gigabytes of shuffle at sf0.1, and only #langs-way parallelism).
     // The id pairs are then spread round-robin and the shingle sets
-    // attached via two broadcast hash joins, so the expensive merge runs
-    // on every core with a tiny shuffle. At true scale the broadcast
-    // becomes a shuffle hash join keyed by doc id — same plan shape.
+    // attached via two equi-joins keyed by doc id. No broadcast hint: the
+    // shingle table is O(corpus), so a hardcoded broadcast would OOM the
+    // driver at scale — AQE picks broadcast when the side is actually
+    // small, a shuffle hash join otherwise (same narrow verify stage).
     val spark = docs.sparkSession
     val t = docs.select(
       col("doc_id"), col("lang"),
@@ -112,8 +113,8 @@ object TextDedup {
       .repartition(spark.sparkContext.defaultParallelism)
     val toks = t.select(col("doc_id"), col("tok"))
     pairs
-      .join(broadcast(toks.select(col("doc_id").as("doc_a"), col("tok").as("tok_a"))), "doc_a")
-      .join(broadcast(toks.select(col("doc_id").as("doc_b"), col("tok").as("tok_b"))), "doc_b")
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok").as("tok_a")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok").as("tok_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.functions.JaccardSim.jaccard_sim(col("tok_a"), col("tok_b")).as("jac"))
       .filter(col("jac") >= threshold)

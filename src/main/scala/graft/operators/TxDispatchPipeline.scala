@@ -69,9 +69,15 @@ object TxDispatchPipeline {
 
     val ruleValue = reEncoded.getOrElse(encode(col("txJson"), "UTF-8"))
 
+    // DLQ envelope txBytes: the reference serializes the DECODED canonical
+    // transaction (DLQ(txBytes = tx.toByteArray()), TopologyProducer.kt:186–195),
+    // so the proto path passes the re-encoded bytes; the JSON-twin path has
+    // no re-encoding and keeps the original bytes.
+    val dlqBytes = reEncoded.getOrElse(col("raw"))
+
     val valueFor: Column =
       when(col("route") === ERROR, col("raw"))
-        .when(col("route") === UNFILTERED, encode(dlqEnvelope(col("txJson"), col("raw")), "UTF-8"))
+        .when(col("route") === UNFILTERED, encode(dlqEnvelope(col("txJson"), dlqBytes), "UTF-8"))
         .otherwise(ruleValue)
 
     // Unset error topic ⇒ topic stays NULL on error rows; the SINKS drop

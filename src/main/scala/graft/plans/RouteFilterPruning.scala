@@ -33,6 +33,10 @@ object RouteFilterPruning extends Rule[LogicalPlan] {
 
   private def rewrite(cond: org.apache.spark.sql.catalyst.expressions.Expression,
       g: Generate): Option[LogicalPlan] = {
+    // only the non-outer join=either shapes: an outer Generate would keep a
+    // null-route row for an empty array (routes is never empty, but stay
+    // semantics-preserving by construction)
+    if (g.outer) return None
     val routeAttr: Option[Attribute] = g.generatorOutput match {
       case Seq(a) => Some(a)
       case _ => None
@@ -53,10 +57,16 @@ object RouteFilterPruning extends Rule[LogicalPlan] {
   private def pruned(g: Generate, jr: JsonPathRoutes, i: Int): LogicalPlan = {
     val route = g.generatorOutput.head
     val filtered = Filter(JsonPathExists(jr.child, jr.paths(i)), g.child)
-    // keep the original output schema: child columns + route as literal i,
-    // under the ORIGINAL attribute id so parents resolve unchanged
+    // Reproduce Generate's EXACT output (requiredChildOutput ++ generator
+    // output — child columns may have been pruned via unrequiredChildIndex),
+    // swapping only the route attribute for literal i under its original
+    // exprId so parents resolve unchanged.
     Project(
-      g.child.output :+ Alias(Literal(i, IntegerType), route.name)(exprId = route.exprId),
+      g.output.map {
+        case a if a.exprId == route.exprId =>
+          Alias(Literal(i, IntegerType), route.name)(exprId = route.exprId)
+        case a => a
+      },
       filtered)
   }
 }

@@ -107,6 +107,12 @@ class JsonPathLiteSpec extends AnyFunSuite {
     intercept[JsonPathLite.JsonPathSyntaxException](JsonPathLite.compile("$.a["))
   }
 
+  test("malformed bracket indices throw JsonPathSyntaxException, not NumberFormatException") {
+    intercept[JsonPathLite.JsonPathSyntaxException](JsonPathLite.compile("$[-]"))
+    intercept[JsonPathLite.JsonPathSyntaxException](JsonPathLite.compile("$[99999999999]"))
+    intercept[JsonPathLite.JsonPathSyntaxException](JsonPathLite.compile("$.a[-]"))
+  }
+
   test("select returns matched nodes in document order") {
     val j = mapper.readTree("""{"a":[{"k":1},{"k":2},{"k":3}]}""")
     val got = JsonPathLite.select(j, JsonPathLite.compile("$.a[?(@.k > 1)]"))

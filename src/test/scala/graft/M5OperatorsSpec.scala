@@ -48,6 +48,19 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(got.join(member, "perm").filter($"minhash" =!= $"want").count() == 0)
   }
 
+  test("minhash_union rejects signatures of the wrong length instead of skipping them") {
+    // A perms mismatch silently skipped would yield sentinel-only sketches
+    val bad = Seq((1L, Seq(1L, 2L, 3L))).toDF("id", "sig")
+    val ex = intercept[Exception] {
+      bad.groupBy($"id")
+        .agg(graft.functions.MinHashUnion.minhash_union($"sig", perms = 16))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("minhash_union")), ex.toString)
+  }
+
   test("identical texts have identical simhash (hamming 0)") {
     val sh = TextDedup.simhashes(docs)
     val joined = docs.select($"doc_id", $"text")

@@ -71,6 +71,26 @@ class ProtoPipelineSpec extends AnyFunSuite {
     assert(dlq == s"""{"txJson":"{\\"body\\":{},\\"authInfo\\":{}}","txBytes":"$b64","message":null}""")
   }
 
+  test("DLQ txBytes is the re-encoded CANONICAL tx, not the original wire bytes") {
+    // Legal-but-non-canonical wire input: TxRaw fields in reverse order
+    // (field 2 auth_info before field 1 body). Decodes to the same empty tx;
+    // the reference serializes the DECODED tx into the DLQ envelope
+    // (DLQ(txBytes = tx.toByteArray()), TopologyProducer.kt:186–195), so
+    // the envelope must carry the canonical re-encoding, not the input.
+    val body = CosmosTx.encodeTxBody(TxBody(Nil, "", 0L))
+    val auth = CosmosTx.encodeAuthInfo(AuthInfo(Nil, None))
+    def lenDelim(tag: Int, payload: Array[Byte]): Array[Byte] =
+      Array((tag << 3 | 2).toByte, payload.length.toByte) ++ payload
+    val nonCanonical = lenDelim(2, auth) ++ lenDelim(1, body)
+    assume(nonCanonical.toSeq != tx3.toSeq) // actually a different wire form
+    val out = ProtoTx.routed(Seq(("nc", nonCanonical)).toDF("key", "raw"), rules)
+      .filter($"route" === UNFILTERED)
+      .select($"value").as[Array[Byte]].collect()
+    val dlq = new String(out.head, "UTF-8")
+    val b64canon = java.util.Base64.getEncoder.encodeToString(tx3)
+    assert(dlq.contains(s""""txBytes":"$b64canon""""), dlq)
+  }
+
   test("msgCount matches the reference's logged messages.count()") {
     val got = ProtoTx.decoded(input)
       .select($"key", $"msgCount").as[(String, Option[Int])].collect().toMap
