@@ -61,6 +61,22 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("minhash_union")), ex.toString)
   }
 
+  test("banded simhash near-dups ≡ all-pairs (exact recall via pigeonhole), several thresholds") {
+    val s = TextDedup.simhashes(docs).join(docs.select($"doc_id", $"lang"), "doc_id")
+    for (maxDist <- Seq(0, 3, 16)) {
+      val allPairs = s.as("a").join(s.as("b"),
+          $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id", $"b.doc_id",
+          bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("h"))
+        .filter($"h" <= maxDist)
+        .as[(Long, Long, Int)].collect().toSet
+      val banded = TextDedup.simhashNearDups(docs, maxDist)
+        .as[(Long, Long, Int)].collect()
+      assert(banded.length == banded.toSet.size, s"duplicate pairs at maxDist=$maxDist")
+      assert(banded.toSet == allPairs, s"mismatch at maxDist=$maxDist")
+    }
+  }
+
   test("identical texts have identical simhash (hamming 0)") {
     val sh = TextDedup.simhashes(docs)
     val joined = docs.select($"doc_id", $"text")
