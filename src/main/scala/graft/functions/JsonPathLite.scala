@@ -2,6 +2,7 @@ package graft.functions
 
 import com.fasterxml.jackson.databind.JsonNode
 
+import java.util.regex.Pattern
 import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
@@ -14,14 +15,19 @@ import scala.jdk.CollectionConverters._
   * Supported grammar:
   * {{{
   *   path     := '$' step*
-  *   step     := '.' NAME | '.' '*' | '..' NAME | bracket
-  *   bracket  := '[' INT ']' | '[*]' | '[' QUOTED ']' | '[?(' filter ')]'
+  *   step     := '.' NAME | '.' '*' | '..' NAME | '..' '*' | '..' bracket | bracket
+  *   bracket  := '[' INT ']' | '[' INT? ':' INT? ']'          // slice
+  *             | '[' INT (',' INT)+ ']'                       // index union
+  *             | '[' QUOTED (',' QUOTED)* ']'                 // name union
+  *             | '[*]' | '[?(' filter ')]'
   *   filter   := clause ( '||' clause )*           // || lowest precedence
   *   clause   := term ( '&&' term )*
   *   term     := relpath op literal | relpath      // bare path = existence
-  *   relpath  := '@' ( '.' NAME | '[' QUOTED ']' )*
-  *   op       := '==' | '!=' | '<' | '<=' | '>' | '>='
+  *   relpath  := '@' ( '.' NAME | '..' NAME | '[' QUOTED ']' | '[' INT ']' )*
+  *   op       := '==' | '!=' | '<' | '<=' | '>' | '>=' | '=~' | 'in' | 'nin'
   *   literal  := 'sq-string' | "dq-string" | number | true | false | null
+  *             | '/regex/flags'                    // =~ only; flags ⊆ {i,m,s}
+  *             | '[' literal (',' literal)* ']'    // in/nin only
   * }}}
   *
   * Semantics matched to Jayway (as exercised by the reference):
@@ -29,14 +35,22 @@ import scala.jdk.CollectionConverters._
   *  - a definite path that does not exist selects nothing (the reference
   *    surfaces this as a suppressed-exception NPE caught per rule,
   *    TopologyProducer.kt:221–223 — net effect identical: no match);
+  *  - slices are python-style [start:end) with negative indices relative to
+  *    the array end (step is not supported — Jayway has none either);
+  *  - `..X` deep scan applies X at every node of the subtree, pre-order,
+  *    walking through both objects and arrays; `..[0]`/`..['k']`/`..[*]`/
+  *    `..[?(...)]` apply the bracket step the same way;
   *  - filters applied to an array keep matching elements; applied to an
   *    object they test the object itself;
   *  - missing filter operand ⇒ the comparison is false (never throws);
+  *  - comparison operands must be definite relpaths (fields + indices);
+  *    existence terms may also use `@..name` deep scan;
   *  - numeric comparison is exact decimal; strings compare with the given
   *    operator lexicographically; cross-type comparison is false
   *    (except `!=` which is true when both sides exist with different type);
-  *  - deep scan `..name` walks the document depth-first, pre-order, through
-  *    both objects and arrays.
+  *  - `=~ /re/` is a FULL match on string values (Jayway's RegexpEvaluator
+  *    calls `matcher.matches()`); non-strings never match;
+  *  - `in [..]` / `nin [..]` test membership against literal lists.
   *
   * Evaluation never throws on well-formed compiled paths; `compile` throws
   * `JsonPathSyntaxException` on malformed input (callers isolate per rule,
@@ -48,22 +62,30 @@ object JsonPathLite {
 
   sealed trait Step
   final case class Field(name: String) extends Step
-  final case class DeepScan(name: String) extends Step
   final case class Index(i: Int) extends Step
+  final case class Slice(start: Option[Int], end: Option[Int]) extends Step
+  final case class UnionIdx(is: Seq[Int]) extends Step
+  final case class UnionFields(names: Seq[String]) extends Step
   case object Wildcard extends Step
   final case class FilterStep(pred: Pred) extends Step
+  /** Deep scan: apply `inner` at every node of the subtree (pre-order). */
+  final case class Deep(inner: Step) extends Step
 
   sealed trait Pred
   final case class Or(clauses: Seq[Pred]) extends Pred
   final case class And(terms: Seq[Pred]) extends Pred
-  final case class Cmp(path: Seq[String], op: String, lit: Lit) extends Pred
-  final case class Exists(path: Seq[String]) extends Pred
+  final case class Cmp(path: Seq[Step], op: String, lit: Lit) extends Pred
+  final case class Exists(path: Seq[Step]) extends Pred
 
   sealed trait Lit
   final case class SLit(s: String) extends Lit
   final case class NLit(n: BigDecimal) extends Lit
   final case class BLit(b: Boolean) extends Lit
   case object NullLit extends Lit
+  final case class RLit(regex: String, flags: Int) extends Lit {
+    @transient lazy val pattern: Pattern = Pattern.compile(regex, flags)
+  }
+  final case class LLit(items: Seq[Lit]) extends Lit
 
   final case class Compiled(steps: Seq[Step])
 
@@ -87,73 +109,14 @@ object JsonPathLite {
       s.substring(start, i)
     }
 
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '.' if i + 1 < s.length && s.charAt(i + 1) == '.' =>
-          i += 2
-          if (i < s.length && s.charAt(i) == '[')
-            throw new JsonPathSyntaxException(s"'..[' unsupported in $path")
-          if (i < s.length && s.charAt(i) == '*') { i += 1; steps += DeepScan("*") }
-          else steps += DeepScan(readName())
-        case '.' =>
-          i += 1
-          if (i < s.length && s.charAt(i) == '*') { i += 1; steps += Wildcard }
-          else steps += Field(readName())
-        case '[' =>
-          i += 1
-          skipWs()
-          if (i >= s.length) throw new JsonPathSyntaxException(s"unterminated '[' in $path")
-          s.charAt(i) match {
-            case '*' =>
-              i += 1; skipWs(); expect(']'); steps += Wildcard
-            case '\'' | '"' =>
-              val q = s.charAt(i)
-              val name = readQuoted(q)
-              skipWs(); expect(']'); steps += Field(name)
-            case '?' =>
-              i += 1; expect('(')
-              val depth0 = 1
-              val start = i
-              var depth = depth0
-              while (i < s.length && depth > 0) {
-                val c = s.charAt(i)
-                if (c == '(') depth += 1
-                else if (c == ')') depth -= 1
-                else if (c == '\'' || c == '"') { val q = c; i += 1; while (i < s.length && s.charAt(i) != q) { if (s.charAt(i) == '\\') i += 1; i += 1 } }
-                if (depth > 0) i += 1
-              }
-              if (depth != 0) throw new JsonPathSyntaxException(s"unterminated filter in $path")
-              val inner = s.substring(start, i)
-              i += 1 // consume ')'
-              skipWs(); expect(']')
-              steps += FilterStep(parseFilter(inner, path))
-            case c if c == '-' || c.isDigit =>
-              val start = i
-              i += 1
-              while (i < s.length && s.charAt(i).isDigit) i += 1
-              val digits = s.substring(start, i)
-              // contract: malformed input ⇒ JsonPathSyntaxException, never a
-              // raw NumberFormatException ('$[-]', '$[99999999999]')
-              val idx =
-                try digits.toInt
-                catch { case _: NumberFormatException =>
-                  throw new JsonPathSyntaxException(s"bad array index '$digits' in $path")
-                }
-              skipWs(); expect(']'); steps += Index(idx)
-            case other =>
-              throw new JsonPathSyntaxException(s"unexpected '$other' after '[' in $path")
-          }
-        case other =>
-          throw new JsonPathSyntaxException(s"unexpected '$other' at $i in $path")
-      }
-    }
-
     def skipWs(): Unit = while (i < s.length && s.charAt(i) == ' ') i += 1
+
     def expect(c: Char): Unit = {
       if (i >= s.length || s.charAt(i) != c)
         throw new JsonPathSyntaxException(s"expected '$c' at $i in $path")
       i += 1
     }
+
     def readQuoted(q: Char): String = {
       i += 1 // opening quote
       val sb = new StringBuilder
@@ -166,6 +129,94 @@ object JsonPathLite {
       sb.result()
     }
 
+    def readInt(): Int = {
+      val start = i
+      if (i < s.length && s.charAt(i) == '-') i += 1
+      while (i < s.length && s.charAt(i).isDigit) i += 1
+      val digits = s.substring(start, i)
+      // contract: malformed input ⇒ JsonPathSyntaxException, never a raw
+      // NumberFormatException ('$[-]', '$[99999999999]')
+      try digits.toInt
+      catch { case _: NumberFormatException =>
+        throw new JsonPathSyntaxException(s"bad array index '$digits' in $path")
+      }
+    }
+
+    /** Parse one bracket step; `i` is positioned just after '['. */
+    def parseBracket(): Step = {
+      skipWs()
+      if (i >= s.length) throw new JsonPathSyntaxException(s"unterminated '[' in $path")
+      s.charAt(i) match {
+        case '*' =>
+          i += 1; skipWs(); expect(']'); Wildcard
+        case q @ ('\'' | '"') =>
+          val names = ArrayBuffer(readQuoted(q))
+          skipWs()
+          while (i < s.length && s.charAt(i) == ',') {
+            i += 1; skipWs()
+            if (i >= s.length || (s.charAt(i) != '\'' && s.charAt(i) != '"'))
+              throw new JsonPathSyntaxException(s"expected quoted name after ',' in $path")
+            names += readQuoted(s.charAt(i))
+            skipWs()
+          }
+          expect(']')
+          if (names.length == 1) Field(names.head) else UnionFields(names.toSeq)
+        case '?' =>
+          i += 1; expect('(')
+          val start = i
+          var depth = 1
+          while (i < s.length && depth > 0) {
+            val c = s.charAt(i)
+            if (c == '(') depth += 1
+            else if (c == ')') depth -= 1
+            else if (c == '\'' || c == '"') { val q = c; i += 1; while (i < s.length && s.charAt(i) != q) { if (s.charAt(i) == '\\') i += 1; i += 1 } }
+            if (depth > 0) i += 1
+          }
+          if (depth != 0) throw new JsonPathSyntaxException(s"unterminated filter in $path")
+          val inner = s.substring(start, i)
+          i += 1 // consume ')'
+          skipWs(); expect(']')
+          FilterStep(parseFilter(inner, path))
+        case ':' => // [:end]
+          i += 1; skipWs()
+          val end = if (i < s.length && (s.charAt(i) == '-' || s.charAt(i).isDigit)) Some(readInt()) else None
+          skipWs(); expect(']'); Slice(None, end)
+        case c if c == '-' || c.isDigit =>
+          val first = readInt()
+          skipWs()
+          if (i < s.length && s.charAt(i) == ':') { // [start:] or [start:end]
+            i += 1; skipWs()
+            val end = if (i < s.length && (s.charAt(i) == '-' || s.charAt(i).isDigit)) Some(readInt()) else None
+            skipWs(); expect(']'); Slice(Some(first), end)
+          } else if (i < s.length && s.charAt(i) == ',') { // index union
+            val is = ArrayBuffer(first)
+            while (i < s.length && s.charAt(i) == ',') { i += 1; skipWs(); is += readInt(); skipWs() }
+            expect(']'); UnionIdx(is.toSeq)
+          } else { skipWs(); expect(']'); Index(first) }
+        case other =>
+          throw new JsonPathSyntaxException(s"unexpected '$other' after '[' in $path")
+      }
+    }
+
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '.' if i + 1 < s.length && s.charAt(i + 1) == '.' =>
+          i += 2
+          if (i < s.length && s.charAt(i) == '[') { i += 1; steps += Deep(parseBracket()) }
+          else if (i < s.length && s.charAt(i) == '*') { i += 1; steps += Deep(Wildcard) }
+          else steps += Deep(Field(readName()))
+        case '.' =>
+          i += 1
+          if (i < s.length && s.charAt(i) == '*') { i += 1; steps += Wildcard }
+          else steps += Field(readName())
+        case '[' =>
+          i += 1
+          steps += parseBracket()
+        case other =>
+          throw new JsonPathSyntaxException(s"unexpected '$other' at $i in $path")
+      }
+    }
+
     Compiled(steps.toSeq)
   }
 
@@ -176,8 +227,8 @@ object JsonPathLite {
       var depth = 0; var j = 0; var last = 0
       while (j < input.length) {
         val c = input.charAt(j)
-        if (c == '(') depth += 1
-        else if (c == ')') depth -= 1
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
         else if (c == '\'' || c == '"') { val q = c; j += 1; while (j < input.length && input.charAt(j) != q) { if (input.charAt(j) == '\\') j += 1; j += 1 } }
         else if (depth == 0 && input.startsWith(sep, j)) { parts += input.substring(last, j); j += sep.length - 1; last = j + 1 }
         j += 1
@@ -192,59 +243,106 @@ object JsonPathLite {
         // parenthesised sub-filter
         return parseFilter(t.substring(1, t.length - 1), whole)
       }
-      // find a top-level comparison operator
-      val ops = Seq("==", "!=", "<=", ">=", "<", ">")
+      // find a top-level operator: symbol ops at any position, word ops
+      // (in / nin) only at whitespace boundaries so they can't fire inside
+      // a field name like '@.inner'
+      val symOps = Seq("==", "!=", "<=", ">=", "=~", "<", ">")
       var opIdx = -1; var op = ""
       var j = 0; var inStr = false; var q = ' '
+      var bracketDepth = 0
       while (j < t.length && opIdx < 0) {
         val c = t.charAt(j)
         if (inStr) { if (c == q) inStr = false else if (c == '\\') j += 1 }
         else if (c == '\'' || c == '"') { inStr = true; q = c }
-        else ops.find(o => t.startsWith(o, j)) match {
-          case Some(o) => opIdx = j; op = o
-          case None    =>
+        else if (c == '[') bracketDepth += 1
+        else if (c == ']') bracketDepth -= 1
+        else if (bracketDepth == 0) {
+          symOps.find(o => t.startsWith(o, j)) match {
+            case Some(o) => opIdx = j; op = o
+            case None =>
+              def wordAt(w: String): Boolean =
+                t.startsWith(w, j) && j > 0 && t.charAt(j - 1).isWhitespace &&
+                  (j + w.length >= t.length || !isWordChar(t.charAt(j + w.length)))
+              if (wordAt("nin")) { opIdx = j; op = "nin" }
+              else if (wordAt("in")) { opIdx = j; op = "in" }
+          }
         }
         j += 1
       }
-      if (opIdx < 0) Exists(parseRelPath(t))
+      if (opIdx < 0) Exists(parseRelPath(t, existsOk = true))
       else {
         val lhs = t.substring(0, opIdx).trim
         val rhs = t.substring(opIdx + op.length).trim
-        Cmp(parseRelPath(lhs), op, parseLiteral(rhs))
+        Cmp(parseRelPath(lhs, existsOk = false), op, parseLiteral(rhs, op))
       }
     }
 
-    def parseRelPath(p0: String): Seq[String] = {
+    def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+    /** Relpath inside a filter: `@` then field / index / quoted-field steps;
+      * `@..name` deep scan is allowed only for existence terms (Jayway
+      * rejects indefinite paths as comparison operands).
+      */
+    def parseRelPath(p0: String, existsOk: Boolean): Seq[Step] = {
       val p = p0.trim
       if (!p.startsWith("@"))
         throw new JsonPathSyntaxException(s"filter path must start with '@': '$p' in $whole")
       val rest = p.substring(1)
       if (rest.isEmpty) return Seq.empty
-      val segs = ArrayBuffer.empty[String]
+      val segs = ArrayBuffer.empty[Step]
       var j = 0
       while (j < rest.length) {
         rest.charAt(j) match {
+          case '.' if j + 1 < rest.length && rest.charAt(j + 1) == '.' =>
+            if (!existsOk)
+              throw new JsonPathSyntaxException(
+                s"deep scan not allowed in comparison operand '$p' in $whole")
+            j += 2
+            val start = j
+            while (j < rest.length && rest.charAt(j) != '.' && rest.charAt(j) != '[') j += 1
+            if (j == start) throw new JsonPathSyntaxException(s"bad filter path '$p' in $whole")
+            segs += Deep(Field(rest.substring(start, j)))
           case '.' =>
             j += 1
             val start = j
             while (j < rest.length && rest.charAt(j) != '.' && rest.charAt(j) != '[') j += 1
             if (j == start) throw new JsonPathSyntaxException(s"bad filter path '$p' in $whole")
-            segs += rest.substring(start, j)
+            segs += Field(rest.substring(start, j))
           case '[' =>
             j += 1
             while (j < rest.length && rest.charAt(j) == ' ') j += 1
-            val quote = rest.charAt(j)
-            if (quote != '\'' && quote != '"')
-              throw new JsonPathSyntaxException(s"only ['name'] brackets in filter paths: '$p'")
-            j += 1
-            val sb = new StringBuilder
-            while (j < rest.length && rest.charAt(j) != quote) { sb += rest.charAt(j); j += 1 }
-            j += 1 // quote
-            while (j < rest.length && rest.charAt(j) == ' ') j += 1
-            if (j >= rest.length || rest.charAt(j) != ']')
+            if (j >= rest.length)
               throw new JsonPathSyntaxException(s"unterminated bracket in filter path '$p'")
-            j += 1
-            segs += sb.result()
+            val c = rest.charAt(j)
+            if (c == '\'' || c == '"') {
+              val quote = c
+              j += 1
+              val sb = new StringBuilder
+              while (j < rest.length && rest.charAt(j) != quote) { sb += rest.charAt(j); j += 1 }
+              j += 1 // quote
+              while (j < rest.length && rest.charAt(j) == ' ') j += 1
+              if (j >= rest.length || rest.charAt(j) != ']')
+                throw new JsonPathSyntaxException(s"unterminated bracket in filter path '$p'")
+              j += 1
+              segs += Field(sb.result())
+            } else if (c == '-' || c.isDigit) {
+              val start = j
+              if (rest.charAt(j) == '-') j += 1
+              while (j < rest.length && rest.charAt(j).isDigit) j += 1
+              val digits = rest.substring(start, j)
+              val idx =
+                try digits.toInt
+                catch { case _: NumberFormatException =>
+                  throw new JsonPathSyntaxException(s"bad index '$digits' in filter path '$p'")
+                }
+              while (j < rest.length && rest.charAt(j) == ' ') j += 1
+              if (j >= rest.length || rest.charAt(j) != ']')
+                throw new JsonPathSyntaxException(s"unterminated bracket in filter path '$p'")
+              j += 1
+              segs += Index(idx)
+            } else
+              throw new JsonPathSyntaxException(
+                s"only ['name'] or [int] brackets in filter paths: '$p'")
           case other =>
             throw new JsonPathSyntaxException(s"unexpected '$other' in filter path '$p'")
         }
@@ -252,10 +350,37 @@ object JsonPathLite {
       segs.toSeq
     }
 
-    def parseLiteral(l0: String): Lit = {
+    def parseLiteral(l0: String, op: String): Lit = {
       val l = l0.trim
       if (l.isEmpty) throw new JsonPathSyntaxException(s"empty literal in $whole")
-      if (l.charAt(0) == '\'' || l.charAt(0) == '"') {
+      if (l.charAt(0) == '/') {
+        if (op != "=~")
+          throw new JsonPathSyntaxException(s"regex literal only valid with '=~' in $whole")
+        val close = l.lastIndexOf('/')
+        if (close <= 0)
+          throw new JsonPathSyntaxException(s"unterminated regex literal '$l' in $whole")
+        val body = l.substring(1, close).replace("\\/", "/")
+        val flagChars = l.substring(close + 1)
+        var flags = 0
+        flagChars.foreach {
+          case 'i' => flags |= Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
+          case 'm' => flags |= Pattern.MULTILINE
+          case 's' => flags |= Pattern.DOTALL
+          case c   => throw new JsonPathSyntaxException(s"unsupported regex flag '$c' in $whole")
+        }
+        try { Pattern.compile(body, flags); RLit(body, flags) }
+        catch { case e: Exception =>
+          throw new JsonPathSyntaxException(s"bad regex '$body' in $whole: ${e.getMessage}")
+        }
+      } else if (l.charAt(0) == '[') {
+        if (op != "in" && op != "nin")
+          throw new JsonPathSyntaxException(s"list literal only valid with in/nin in $whole")
+        if (l.last != ']')
+          throw new JsonPathSyntaxException(s"unterminated list literal '$l' in $whole")
+        val inner = l.substring(1, l.length - 1).trim
+        if (inner.isEmpty) LLit(Nil)
+        else LLit(splitTop(inner, ",").map(e => parseLiteral(e, "==")))
+      } else if (l.charAt(0) == '\'' || l.charAt(0) == '"') {
         val q = l.charAt(0)
         if (l.length < 2 || l.last != q)
           throw new JsonPathSyntaxException(s"unterminated string literal '$l'")
@@ -311,6 +436,9 @@ object JsonPathLite {
     current.nonEmpty
   }
 
+  private def normSlice(i: Int, n: Int): Int =
+    math.max(0, math.min(n, if (i < 0) n + i else i))
+
   private def applyStep(node: JsonNode, step: Step): Seq[JsonNode] = step match {
     case Field(name) =>
       if (node.isObject && node.has(name)) Seq(node.get(name)) else Seq.empty
@@ -320,21 +448,35 @@ object JsonPathLite {
         val idx = if (i < 0) n + i else i
         if (idx >= 0 && idx < n) Seq(node.get(idx)) else Seq.empty
       } else Seq.empty
+    case Slice(start, end) =>
+      if (node.isArray) {
+        val n = node.size
+        val s0 = normSlice(start.getOrElse(0), n)
+        val e0 = normSlice(end.getOrElse(n), n)
+        (s0 until e0).map(node.get)
+      } else Seq.empty
+    case UnionIdx(is) =>
+      if (node.isArray) {
+        val n = node.size
+        is.flatMap { i =>
+          val idx = if (i < 0) n + i else i
+          if (idx >= 0 && idx < n) Some(node.get(idx)) else None
+        }
+      } else Seq.empty
+    case UnionFields(names) =>
+      if (node.isObject) names.flatMap(nm => if (node.has(nm)) Some(node.get(nm)) else None)
+      else Seq.empty
     case Wildcard =>
       if (node.isArray) node.elements().asScala.toSeq
       else if (node.isObject) node.elements().asScala.toSeq
       else Seq.empty
-    case DeepScan(name) =>
+    case Deep(inner) =>
+      // pre-order: apply `inner` at this node, then recurse into children
+      // of objects AND arrays
       val out = ArrayBuffer.empty[JsonNode]
       def walk(n: JsonNode): Unit = {
-        if (n.isObject) {
-          if (name == "*") out ++= n.elements().asScala
-          else if (n.has(name)) out += n.get(name)
-          n.elements().asScala.foreach(walk)
-        } else if (n.isArray) {
-          if (name == "*") out ++= n.elements().asScala
-          n.elements().asScala.foreach(walk)
-        }
+        out ++= applyStep(n, inner)
+        if (n.isObject || n.isArray) n.elements().asScala.foreach(walk)
       }
       walk(node)
       out.toSeq
@@ -344,27 +486,35 @@ object JsonPathLite {
       else Seq.empty
   }
 
-  private def resolve(node: JsonNode, path: Seq[String]): Option[JsonNode] = {
-    var cur = node
-    path.foreach { seg =>
-      if (cur == null || !cur.isObject || !cur.has(seg)) return None
-      cur = cur.get(seg)
+  private def selectRel(node: JsonNode, path: Seq[Step]): Seq[JsonNode] = {
+    var current: Seq[JsonNode] = Seq(node)
+    path.foreach { step =>
+      if (current.isEmpty) return Seq.empty
+      current = current.flatMap(applyStep(_, step))
     }
-    Option(cur)
+    current
   }
 
   private def evalPred(node: JsonNode, pred: Pred): Boolean = pred match {
     case Or(cs)  => cs.exists(evalPred(node, _))
     case And(ts) => ts.forall(evalPred(node, _))
-    case Exists(p) => resolve(node, p).isDefined
+    case Exists(p) => selectRel(node, p).nonEmpty
     case Cmp(p, op, lit) =>
-      resolve(node, p) match {
-        case None => false
-        case Some(v) => compare(v, op, lit)
-      }
+      selectRel(node, p).headOption.exists(compare(_, op, lit))
+  }
+
+  private def litEquals(v: JsonNode, lit: Lit): Boolean = lit match {
+    case SLit(s)  => v.isTextual && v.asText == s
+    case NLit(n)  => v.isNumber && BigDecimal(v.decimalValue()).compare(n) == 0
+    case BLit(b)  => v.isBoolean && v.asBoolean == b
+    case NullLit  => v.isNull
+    case _        => false
   }
 
   private def compare(v: JsonNode, op: String, lit: Lit): Boolean = (lit, op) match {
+    case (r: RLit, "=~") => v.isTextual && r.pattern.matcher(v.asText).matches()
+    case (LLit(items), "in")  => items.exists(litEquals(v, _))
+    case (LLit(items), "nin") => !items.exists(litEquals(v, _))
     case (SLit(s), _) if v.isTextual =>
       val c = v.asText.compareTo(s)
       opHolds(op, c)

@@ -72,7 +72,19 @@ object TxDispatchRules {
           throw new RuleParseException(s"rule #$i: missing or empty '$k'")
         v.asText
       }
-      DispatchRule(field("name"), field("topic"), field("predicate"))
+      val r = DispatchRule(field("name"), field("topic"), field("predicate"))
+      // Validate the predicate EAGERLY: a rule whose JsonPath cannot be
+      // compiled would otherwise silently never match (the runtime
+      // expressions isolate per-rule failures) — the worst failure mode a
+      // routing engine can have. The reference fails fast on bad config
+      // too (ParseException, TxsDispatch.kt:48-50).
+      try graft.functions.JsonPathLite.compile(r.predicate)
+      catch {
+        case e: graft.functions.JsonPathLite.JsonPathSyntaxException =>
+          throw new RuleParseException(
+            s"rule #$i '${r.name}': unsupported or malformed predicate '${r.predicate}': ${e.getMessage}", e)
+      }
+      r
     }.toSeq
     if (rules.isEmpty) throw new RuleParseException("'rules' is empty")
     TxDispatchRules(rules)

@@ -107,6 +107,139 @@ class JsonPathLiteSpec extends AnyFunSuite {
     intercept[JsonPathLite.JsonPathSyntaxException](JsonPathLite.compile("$.a["))
   }
 
+  // ---- widened Jayway grammar (round-2: slices, unions, ..[], =~, in) ----
+
+  private val store =
+    """{"store":{"book":[
+      |  {"category":"reference","author":"Nigel Rees","title":"Sayings of the Century","price":8.95},
+      |  {"category":"fiction","author":"Evelyn Waugh","title":"Sword of Honour","price":12.99},
+      |  {"category":"fiction","author":"Herman Melville","title":"Moby Dick","isbn":"0-553-21311-3","price":8.99},
+      |  {"category":"fiction","author":"J. R. R. Tolkien","title":"The Lord of the Rings","isbn":"0-395-19395-8","price":22.99}
+      |],"bicycle":{"color":"red","price":19.95}},"expensive":10}""".stripMargin
+
+  private def sel(json: String, path: String): Seq[String] =
+    JsonPathLite.select(mapper.readTree(json), JsonPathLite.compile(path)).map(_.toString)
+
+  test("array slices (Jayway examples: $..book[:2], [1:2], [-2:], [2:])") {
+    def titles(p: String) =
+      JsonPathLite.select(mapper.readTree(store), JsonPathLite.compile(p))
+        .map(_.get("title").asText)
+    assert(titles("$..book[:2]") == Seq("Sayings of the Century", "Sword of Honour"))
+    assert(titles("$.store.book[1:2]") == Seq("Sword of Honour"))
+    assert(titles("$..book[-2:]") == Seq("Moby Dick", "The Lord of the Rings"))
+    assert(titles("$..book[2:]") == Seq("Moby Dick", "The Lord of the Rings"))
+    assert(titles("$.store.book[1:-1]") == Seq("Sword of Honour", "Moby Dick"))
+    assert(titles("$.store.book[9:]") == Nil)
+  }
+
+  test("union indices and union names (Jayway: $..book[0,1], $['a','b'])") {
+    def titles(p: String) =
+      JsonPathLite.select(mapper.readTree(store), JsonPathLite.compile(p))
+        .map(_.get("title").asText)
+    assert(titles("$..book[0,1]") == Seq("Sayings of the Century", "Sword of Honour"))
+    assert(titles("$..book[1,0]") == Seq("Sword of Honour", "Sayings of the Century"))
+    assert(titles("$..book[0,-1]") == Seq("Sayings of the Century", "The Lord of the Rings"))
+    val j = """{"a":1,"b":2,"c":3}"""
+    assert(sel(j, "$['a','c']") == Seq("1", "3"))
+    assert(sel(j, "$['a','missing']") == Seq("1"))
+  }
+
+  test("deep-scan brackets: ..[0], ..['k'], ..[*], ..[?()]") {
+    assert(ex(store, "$..[0]"))
+    assert(sel("""{"a":[[10,20],[30]]}""", "$..[0]") == Seq("[10,20]", "10", "30"))
+    assert(sel("""{"x":{"k":1},"y":[{"k":2}]}""", "$..['k']") == Seq("1", "2"))
+    assert(ex(store, "$..[*]"))
+    assert(ex(store, "$..[?(@.price > 20)]"))
+    assert(!ex(store, "$..[?(@.price > 100)]"))
+  }
+
+  test("regex =~ is a full match on strings, with i flag") {
+    assert(ex(store, "$..book[?(@.author =~ /.*Rees/)]"))
+    assert(!ex(store, "$..book[?(@.author =~ /Rees/)]")) // full match, not find
+    assert(ex(store, "$..book[?(@.author =~ /.*rees/i)]"))
+    assert(!ex(store, "$..book[?(@.price =~ /8.*/)]")) // numbers never regex-match
+  }
+
+  test("in / nin membership over literal lists") {
+    assert(ex(store, "$..book[?(@.category in ['fiction', 'poetry'])]"))
+    assert(!ex(store, "$..book[?(@.category in ['poetry'])]"))
+    assert(ex(store, "$..book[?(@.category nin ['poetry'])]"))
+    assert(ex(store, "$..book[?(@.price in [8.95, 100])]"))
+    // 'in' inside a field name must not parse as the operator
+    assert(ex("""{"arr":[{"inner":1}]}""", "$.arr[?(@.inner == 1)]"))
+  }
+
+  test("array indices in filter relpaths; deep scan allowed in existence terms only") {
+    assert(ex(store, "$.store.book[?(@['author'] == 'Nigel Rees')]"))
+    val j = """{"arr":[{"tags":["a","b"]},{"tags":["c"]}]}"""
+    assert(ex(j, "$.arr[?(@.tags[0] == 'c')]"))
+    assert(!ex(j, "$.arr[?(@.tags[5] == 'c')]"))
+    assert(ex(j, "$.arr[?(@.tags[-1] == 'b')]"))
+    // deep-scan existence
+    assert(ex("""{"arr":[{"x":{"deep":1}}]}""", "$.arr[?(@..deep)]"))
+    assert(!ex("""{"arr":[{"x":{"nope":1}}]}""", "$.arr[?(@..deep)]"))
+    // deep scan as a comparison operand is rejected at compile
+    intercept[JsonPathLite.JsonPathSyntaxException](
+      JsonPathLite.compile("$.arr[?(@..deep == 1)]"))
+  }
+
+  test("slice/union differential fuzz vs an independent list model") {
+    val rnd = new scala.util.Random(77L)
+    for (_ <- 1 to 500) {
+      val n = rnd.nextInt(7)
+      val arr = (0 until n).toList
+      val json = arr.mkString("""{"a":[""", ",", "]}")
+      def expectIdx(i: Int): Seq[Int] = {
+        val idx = if (i < 0) n + i else i
+        if (idx >= 0 && idx < n) Seq(arr(idx)) else Nil
+      }
+      val doc = mapper.readTree(json)
+      rnd.nextInt(3) match {
+        case 0 => // slice
+          val s = if (rnd.nextBoolean()) Some(rnd.nextInt(11) - 5) else None
+          val e = if (rnd.nextBoolean()) Some(rnd.nextInt(11) - 5) else None
+          val p = s"$$.a[${s.getOrElse("")}:${e.getOrElse("")}]"
+          def norm(x: Int) = math.max(0, math.min(n, if (x < 0) n + x else x))
+          val want = arr.slice(norm(s.getOrElse(0)), norm(e.getOrElse(n)))
+          val got = JsonPathLite.select(doc, JsonPathLite.compile(p)).map(_.asInt)
+          assert(got == want, s"$json $p")
+        case 1 => // union
+          val is = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(11) - 5)
+          val p = s"$$.a[${is.mkString(",")}]"
+          val want = is.flatMap(expectIdx)
+          val got = JsonPathLite.select(doc, JsonPathLite.compile(p)).map(_.asInt)
+          assert(got == want, s"$json $p")
+        case 2 => // single index
+          val i = rnd.nextInt(11) - 5
+          val got = JsonPathLite.select(doc, JsonPathLite.compile(s"$$.a[$i]")).map(_.asInt)
+          assert(got == expectIdx(i), s"$json [$i]")
+      }
+    }
+  }
+
+  test("rule load fails fast on malformed predicates (silent-never-match prevention)") {
+    import graft.rules.TxDispatchRules
+    val bad =
+      """rules:
+        |  - name: bad-rule
+        |    topic: t
+        |    predicate: "$.a[?(@.b =="
+        |""".stripMargin
+    val e = intercept[TxDispatchRules.RuleParseException](TxDispatchRules.fromYamlString(bad))
+    assert(e.getMessage.contains("bad-rule"))
+    // previously-unsupported grammar now loads fine
+    val nowOk =
+      """rules:
+        |  - name: slice-rule
+        |    topic: t
+        |    predicate: "$..messages[0:2]"
+        |  - name: regex-rule
+        |    topic: t
+        |    predicate: "$..book[?(@.author =~ /.*Rees/)]"
+        |""".stripMargin
+    assert(TxDispatchRules.fromYamlString(nowOk).rules.length == 2)
+  }
+
   test("malformed bracket indices throw JsonPathSyntaxException, not NumberFormatException") {
     intercept[JsonPathLite.JsonPathSyntaxException](JsonPathLite.compile("$[-]"))
     intercept[JsonPathLite.JsonPathSyntaxException](JsonPathLite.compile("$[99999999999]"))
