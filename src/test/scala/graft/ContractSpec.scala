@@ -31,4 +31,61 @@ class ContractSpec extends AnyFunSuite {
       assert(n.matches("q_[a-z0-9_]+"), s"bad query name: $n")
     }
   }
+
+  // ---- exactness invariant (round-1 lesson: 6 hash failures came from
+  // fp-aggregation / type drift the old checks couldn't see) ----
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("no Sum/Average over floating-point columns anywhere in any query plan") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, AggregateExpression, Sum}
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.analyzed
+      plan.foreach { node =>
+        node.expressions.foreach { root =>
+          root.foreach {
+            case ae: AggregateExpression =>
+              val fp = ae.aggregateFunction match {
+                case s: Sum     => s.child.dataType == DoubleType || s.child.dataType == FloatType
+                case a: Average => a.child.dataType == DoubleType || a.child.dataType == FloatType
+                case _          => false
+              }
+              assert(!fp,
+                s"$name: ${ae.aggregateFunction.prettyName} over a floating-point column — " +
+                  "order-dependent, can never hash-match the oracle; cast the input to decimal first")
+            case _ =>
+          }
+        }
+      }
+    }
+  }
+
+  test("double output columns are pinned to the per-row-deterministic allowlist") {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    // Doubles are allowed ONLY where both engines compute an identical
+    // per-row fold (cosine folds, jaccard ratios) — never from aggregation.
+    // Adding a new double column forces a conscious entry here.
+    val allowed: Map[String, Set[String]] = Map(
+      "q_embed_topk"        -> Set("cos"),
+      "q_embed_neardup"     -> Set("cos"),
+      "q_embed_neardup_lsh" -> Set("cos"),
+      "q_embed_ann_lsh"     -> Set("cos"),
+      "q_embed_ivf"         -> Set("cos"),
+      "q_dedup_minhash"     -> Set("jac"),
+      "q_dedup_jaccard"     -> Set("jac"),
+      "q_text_quality"      -> Set("stopword_ratio", "punct_ratio"),
+      // raw source column passed through unchanged — both engines read the
+      // identical parquet value, no arithmetic happens
+      "q_sort_topk"         -> Set("l_extendedprice"))
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val fpCols = fn(spark, dir).schema.fields
+        .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
+        .map(_.name).toSet
+      val rogue = fpCols -- allowed.getOrElse(name, Set.empty)
+      assert(rogue.isEmpty,
+        s"$name: floating-point output columns $rogue not in the exactness allowlist")
+    }
+  }
 }
