@@ -4,8 +4,9 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType}
 
@@ -53,7 +54,7 @@ private[functions] object JsonDocs {
   * executor, not per row.
   */
 case class JsonPathExists(child: Expression, path: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = child.nullable
@@ -62,16 +63,28 @@ case class JsonPathExists(child: Expression, path: String)
   @transient private lazy val compiled: Option[JsonPathLite.Compiled] =
     Try(JsonPathLite.compile(path)).toOption
 
-  override protected def nullSafeEval(json: Any): Any = {
-    compiled match {
-      case None => false
-      case Some(p) =>
-        val doc = JsonDocs.parseAny(json)
-        if (doc == null) false
-        else
-          try JsonPathLite.exists(doc, p)
-          catch { case NonFatal(_) => false }
-    }
+  /** Row-level predicate, also the codegen target (the expression instance
+    * rides the generated class's references array, so the compiled path is
+    * reused across rows).
+    */
+  def matchJson(json: Any): Boolean = compiled match {
+    case None => false
+    case Some(p) =>
+      val doc = JsonDocs.parseAny(json)
+      if (doc == null) false
+      else
+        try JsonPathLite.exists(doc, p)
+        catch { case NonFatal(_) => false }
+  }
+
+  override protected def nullSafeEval(json: Any): Any = matchJson(json)
+
+  // no CodegenFallback: a fallback expression forces the surrounding
+  // stage out of whole-stage codegen — this is the router's per-record
+  // hot path
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonPathExists", this, classOf[JsonPathExists].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.matchJson($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -95,7 +108,7 @@ case class JsonPathRoutes(
     paths: Seq[String],
     errorRoute: Option[Int] = None,
     unfilteredRoute: Option[Int] = None)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = errorRoute.isEmpty
@@ -108,12 +121,13 @@ case class JsonPathRoutes(
   @transient private lazy val unfilteredResult =
     unfilteredRoute.map(u => new GenericArrayData(Array(u)))
 
-  override def eval(input: InternalRow): Any = {
-    val json = child.eval(input)
-    // With sentinels set, this ONE expression yields the complete route
-    // array — decode failure ⇒ [errorRoute], no match ⇒ [unfilteredRoute] —
-    // so the explode's CASE never repeats the JSON parse (an interpreted
-    // Generate evaluates each textual occurrence of the expression).
+  /** The complete route derivation for one document; codegen target.
+    * With sentinels set, this ONE call yields the complete route array —
+    * decode failure ⇒ [errorRoute], no match ⇒ [unfilteredRoute] — so the
+    * explode's CASE never repeats the JSON parse (an interpreted Generate
+    * evaluates each textual occurrence of the expression).
+    */
+  def routesFor(json: Any): ArrayData = {
     if (json == null) return errorResult
     val doc = JsonDocs.parseAny(json)
     if (doc == null) return errorResult
@@ -132,6 +146,20 @@ case class JsonPathRoutes(
     }
     if (matched.isEmpty && unfilteredResult.isDefined) unfilteredResult.get
     else new GenericArrayData(matched.toArray)
+  }
+
+  override def eval(input: InternalRow): Any = routesFor(child.eval(input))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonPathRoutes", this, classOf[JsonPathRoutes].getName)
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        $javaType ${ev.value} =
+          $ref.routesFor(${childGen.isNull} ? null : ${childGen.value});
+        boolean ${ev.isNull} = ${ev.value} == null;""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
