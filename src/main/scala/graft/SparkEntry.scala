@@ -84,6 +84,28 @@ object SparkEntry {
         .select(col("event_id"))
         .orderBy(col("event_id"))),
 
+    // P3 (widened grammar) — every round-2 JsonPath construct as a boolean
+    // column, each with an exact relational twin in the oracle: slices,
+    // index/name unions, regex =~, in/nin, filter-relpath indices
+    // (positive and negative), deep-scan filters and deep-scan existence
+    "q_rule_match_ext" -> ((s, dir) => {
+      val j = col("txJson")
+      EventsTx.withTxJson(events(s, dir))
+        .select(
+          col("event_id"),
+          json_path_exists(j, "$.body.messages[0:2][?(@.userId > 500)]").as("m_slice"),
+          json_path_exists(j, "$.body.messages[0,1][?(@.k <= 10)]").as("m_union_idx"),
+          json_path_exists(j, "$.body['messages','absent'][0].k").as("m_union_names"),
+          json_path_exists(j, "$..messages[?(@.@type =~ /p.+e/)]").as("m_regex"),
+          json_path_exists(j, "$..messages[?(@.@type in ['purchase', 'click'])]").as("m_in"),
+          json_path_exists(j, "$..messages[?(@.@type nin ['error'])]").as("m_nin"),
+          json_path_exists(j, "$.body[?(@.messages[0].k > 50)]").as("m_rel_idx"),
+          json_path_exists(j, "$.body[?(@.messages[-1].userId > 500)]").as("m_rel_neg"),
+          json_path_exists(j, "$..[?(@.k > 90)]").as("m_deep_filter"),
+          json_path_exists(j, "$.body[?(@..k)]").as("m_deep_exists"))
+        .orderBy(col("event_id"))
+    }),
+
     // P3+P4 — multicast explode + F1/F2/F3 disposition (the flagship, as a
     // verifiable projection)
     "q_route_dispatch" -> ((s, dir) =>
@@ -199,6 +221,23 @@ object SparkEntry {
         s"SELECT event_id FROM events WHERE $r2Sql ORDER BY event_id",
       "q_rule_match_nop" ->
         "SELECT event_id FROM events WHERE 1 = 0 ORDER BY event_id",
+
+      "q_rule_match_ext" -> {
+        // json_path_exists is NULL only when txJson is NULL (non-decodable)
+        def m(cond: String) = s"CASE WHEN $decodableSql THEN ($cond) ELSE NULL END"
+        s"""SELECT event_id,
+           | ${m("user_id > 500")} AS m_slice,
+           | ${m(s"COALESCE($kSql <= 10, FALSE)")} AS m_union_idx,
+           | ${m(s"$kSql IS NOT NULL")} AS m_union_names,
+           | ${m("regexp_full_match(event_type, 'p.+e')")} AS m_regex,
+           | ${m("event_type IN ('purchase', 'click')")} AS m_in,
+           | ${m("event_type NOT IN ('error')")} AS m_nin,
+           | ${m(s"COALESCE($kSql > 50, FALSE)")} AS m_rel_idx,
+           | ${m("user_id > 500")} AS m_rel_neg,
+           | ${m(s"COALESCE($kSql > 90, FALSE)")} AS m_deep_filter,
+           | ${m(s"$kSql IS NOT NULL")} AS m_deep_exists
+           |FROM events ORDER BY event_id""".stripMargin
+      },
 
       "q_route_dispatch" ->
         s"SELECT * FROM ($routesOracle) ORDER BY event_id, route",
