@@ -248,10 +248,26 @@ object CosmosTx {
 
   /** Payload type registry: typeUrl → JSON-field renderer. The reference
     * builds this by scanning the classpath for every generated protobuf
-    * class (ProtoTypeRegistry.kt:16–30); offline we register the exercised
-    * types explicitly and keep the same extension point.
+    * class (ProtoTypeRegistry.kt:16–30); here the same drop-a-jar-on-the-
+    * classpath contract is [[PayloadTypePrinters]]: a ServiceLoader SPI
+    * merged into [[registry]], so new Cosmos message types are added
+    * without editing the engine. [[defaultRegistry]] holds the built-in
+    * exercised types.
     */
   type PayloadPrinter = Array[Byte] => String
+
+  /** defaultRegistry ++ every [[PayloadTypePrinters]] service on the
+    * classpath (user-provided printers win on typeUrl collision). Lazy and
+    * per-JVM: executors resolve from their own classpath, exactly like the
+    * reference's scan.
+    */
+  lazy val registry: Map[String, PayloadPrinter] = {
+    import scala.jdk.CollectionConverters._
+    val loaded = java.util.ServiceLoader.load(classOf[PayloadTypePrinters])
+      .iterator().asScala.flatMap(_.printers).toMap
+    defaultRegistry ++ loaded
+  }
+
   val defaultRegistry: Map[String, PayloadPrinter] = Map(
     "/cosmos.bank.v1beta1.MsgSend" -> { bytes =>
       val m = parseMsgSend(bytes)
@@ -321,7 +337,7 @@ object CosmosTx {
     * base64, uint64 as JSON string. Subset: the envelope messages modeled
     * above; `mode_info` is not printed.
     */
-  def toJson(tx: Tx, registry: Map[String, PayloadPrinter] = defaultRegistry): String = {
+  def toJson(tx: Tx, registry: Map[String, PayloadPrinter] = CosmosTx.registry): String = {
     val sb = new StringBuilder(256)
     sb.append("{\"body\":{")
     val bodyFields = ArrayBuffer.empty[String]
