@@ -214,6 +214,23 @@ object M5Queries {
         .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
         .orderBy(col("query_id"), col("rank"))),
 
+    // ---- similarity: ANN quality measured, not guessed — recall@5 of the
+    // IVF path against the exact brute-force top-5, per query
+    "q_embed_ivf_recall" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      val ivf = Similarity.annIvfTopK(emb, 0L to 9L, k = 5, centroids = 8, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"))
+      val bf = Similarity.bruteForceTopK(emb, 0L to 9L, k = 5)
+        .select(col("query_id").as("bq"), col("neighbor_id").as("bn"))
+      bf.join(ivf,
+          col("bq") === col("query_id") && col("bn") === col("neighbor_id"), "left")
+        .groupBy(col("bq"))
+        .agg(count(col("neighbor_id")).as("n_hits"))
+        .select(col("bq").as("query_id"), col("n_hits"),
+          (col("n_hits") / lit(5.0)).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- skew discipline: two-stage salted aggregation ≡ plain aggregation
     "q_salted_agg" -> ((s, dir) => {
       val salted = t(s, dir, "events")
@@ -487,6 +504,34 @@ object M5Queries {
          |  row_number() OVER (PARTITION BY p.query_id ORDER BY ${frag.cosine("p.qv", "t.v")} DESC, t.vec_id) AS rank
          | FROM assigned t JOIN probes p USING (bucket) WHERE t.vec_id <> p.query_id)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_ivf_recall" ->
+      s"""WITH v AS (${frag.vecs}),
+         | cents AS (SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id < 8),
+         | assigned AS (SELECT vec_id, v, centroid_id AS bucket FROM (
+         |   SELECT a.vec_id, a.v, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${frag.l2sq("a.v", "c.cv")}, c.centroid_id) rn
+         |   FROM v a CROSS JOIN cents c) WHERE rn = 1),
+         | probes AS (SELECT query_id, qv, centroid_id AS bucket FROM (
+         |   SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${frag.l2sq("q.v", "c.cv")}, c.centroid_id) rn
+         |   FROM v q CROSS JOIN cents c WHERE q.vec_id BETWEEN 0 AND 9) WHERE rn <= 2),
+         | ivf AS (SELECT query_id, neighbor_id FROM (
+         |   SELECT p.query_id, t.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY p.query_id ORDER BY ${frag.cosine("p.qv", "t.v")} DESC, t.vec_id) AS rank
+         |   FROM assigned t JOIN probes p USING (bucket) WHERE t.vec_id <> p.query_id)
+         |  WHERE rank <= 5),
+         | q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id BETWEEN 0 AND 9),
+         | bf AS (SELECT query_id, neighbor_id FROM (
+         |   SELECT query_id, vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY ${frag.cosine("qv", "v.v")} DESC, vec_id) AS rank
+         |   FROM v CROSS JOIN q WHERE vec_id <> query_id)
+         |  WHERE rank <= 5)
+         |SELECT b.query_id, count(i.neighbor_id) AS n_hits,
+         | count(i.neighbor_id) / 5.0 AS recall
+         |FROM bf b LEFT JOIN ivf i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,

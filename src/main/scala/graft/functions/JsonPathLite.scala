@@ -16,6 +16,7 @@ import scala.jdk.CollectionConverters._
   * {{{
   *   path     := '$' step*
   *   step     := '.' NAME | '.' '*' | '..' NAME | '..' '*' | '..' bracket | bracket
+  *             | '.length()' | '.size()'         // array/object size, string length
   *   bracket  := '[' INT ']' | '[' INT? ':' INT? ']'          // slice
   *             | '[' INT (',' INT)+ ']'                       // index union
   *             | '[' QUOTED (',' QUOTED)* ']'                 // name union
@@ -23,7 +24,8 @@ import scala.jdk.CollectionConverters._
   *   filter   := clause ( '||' clause )*           // || lowest precedence
   *   clause   := term ( '&&' term )*
   *   term     := relpath op literal | relpath      // bare path = existence
-  *   relpath  := '@' ( '.' NAME | '..' NAME | '[' QUOTED ']' | '[' INT ']' )*
+  *   relpath  := '@' ( '.' NAME | '..' NAME | '[' QUOTED ']' | '[' INT ']'
+  *                   | '.length()' | '.size()' )*
   *   op       := '==' | '!=' | '<' | '<=' | '>' | '>=' | '=~' | 'in' | 'nin'
   *   literal  := 'sq-string' | "dq-string" | number | true | false | null
   *             | '/regex/flags'                    // =~ only; flags ⊆ {i,m,s}
@@ -70,6 +72,8 @@ object JsonPathLite {
   final case class FilterStep(pred: Pred) extends Step
   /** Deep scan: apply `inner` at every node of the subtree (pre-order). */
   final case class Deep(inner: Step) extends Step
+  /** Jayway `length()` path function: array/object size, string length. */
+  case object FnLength extends Step
 
   sealed trait Pred
   final case class Or(clauses: Seq[Pred]) extends Pred
@@ -208,6 +212,8 @@ object JsonPathLite {
         case '.' =>
           i += 1
           if (i < s.length && s.charAt(i) == '*') { i += 1; steps += Wildcard }
+          else if (s.startsWith("length()", i)) { i += 8; steps += FnLength }
+          else if (s.startsWith("size()", i)) { i += 6; steps += FnLength }
           else steps += Field(readName())
         case '[' =>
           i += 1
@@ -302,6 +308,9 @@ object JsonPathLite {
             while (j < rest.length && rest.charAt(j) != '.' && rest.charAt(j) != '[') j += 1
             if (j == start) throw new JsonPathSyntaxException(s"bad filter path '$p' in $whole")
             segs += Deep(Field(rest.substring(start, j)))
+          case '.' if rest.startsWith(".length()", j) || rest.startsWith(".size()", j) =>
+            j += (if (rest.charAt(j + 1) == 'l') 9 else 7)
+            segs += FnLength
           case '.' =>
             j += 1
             val start = j
@@ -483,6 +492,14 @@ object JsonPathLite {
     case FilterStep(pred) =>
       if (node.isArray) node.elements().asScala.filter(evalPred(_, pred)).toSeq
       else if (node.isObject) { if (evalPred(node, pred)) Seq(node) else Seq.empty }
+      else Seq.empty
+    case FnLength =>
+      // Jayway length()/size(): array size, object size, string length;
+      // other node types have no length
+      if (node.isArray || node.isObject)
+        Seq(com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.numberNode(node.size))
+      else if (node.isTextual)
+        Seq(com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.numberNode(node.asText.length))
       else Seq.empty
   }
 

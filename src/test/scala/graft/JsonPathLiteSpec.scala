@@ -183,6 +183,17 @@ class JsonPathLiteSpec extends AnyFunSuite {
       JsonPathLite.compile("$.arr[?(@..deep == 1)]"))
   }
 
+  test("length()/size() path function: arrays, objects, strings; filter usage") {
+    assert(sel(store, "$.store.book.length()") == Seq("4"))
+    assert(sel("""{"a":{"x":1,"y":2}}""", "$.a.length()") == Seq("2"))
+    assert(sel("""{"a":"hello"}""", "$.a.size()") == Seq("5"))
+    assert(sel("""{"a":7}""", "$.a.length()") == Nil) // numbers have no length
+    val j = """{"arr":[{"tags":["a","b","c"]},{"tags":["d"]}]}"""
+    assert(ex(j, "$.arr[?(@.tags.length() > 2)]"))
+    assert(!ex(j, "$.arr[?(@.tags.length() > 3)]"))
+    assert(ex(j, "$.arr[?(@.tags.size() == 1)]"))
+  }
+
   test("slice/union differential fuzz vs an independent list model") {
     val rnd = new scala.util.Random(77L)
     for (_ <- 1 to 500) {
