@@ -64,14 +64,23 @@ object Similarity {
     * key becomes an LSH bucket, below).
     */
   def cosineNearDupPairs(embs: DataFrame, threshold: Double): DataFrame = {
+    // Pair ENUMERATION carries only ids: the label-blocked self-join has
+    // #labels-way parallelism (a handful of keys), so the expensive 64-dim
+    // cosine fold must NOT run there. Ids are spread round-robin and the
+    // vectors attached by vec_id equi-joins (AQE broadcasts while small,
+    // shuffle-hash at scale), so the fold runs on every core.
+    val spark = embs.sparkSession
     val v = embs.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    val a = v.as("a")
-    val b = v.as("b")
-    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("vec_a"),
-        col("b.vec_id").as("vec_b"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+    val ids = v.select(col("vec_id"), col("label"))
+    val pairs = ids.as("a")
+      .join(ids.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val vecs = v.select(col("vec_id"), col("v"))
+    pairs
+      .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
