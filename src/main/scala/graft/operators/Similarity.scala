@@ -40,8 +40,12 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
+  /** Fused single-pass cosine ([[graft.functions.CosineSim]]) — identical
+    * fold order to `dot/(norm*norm)` and the oracle, 3× fewer traversals,
+    * native codegen. The HOF forms above document the reference fold.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.functions.CosineSim.cosine_sim(a, b)
 
   /** Brute-force cosine top-k: for each query vector (vec_id ∈ queryIds),
     * the k nearest corpus vectors (excluding itself). The query side is
