@@ -87,12 +87,12 @@ object TextFunctions {
   /** 62-bit SimHash over pre-mixed token hashes ([[mixedTokenHashes]]):
     * bit b is set iff Σ_tokens (bit b of token hash ? +1 : −1) > 0.
     */
+  /** Fused one-pass form ([[graft.functions.SimHash62]]); the per-bit HOF
+    * fold (62 `aggregate` traversals of the same array) is what it
+    * replaces, with identical integer results.
+    */
   def simhash62(mixed: Column): Column =
-    (0 until 62).map { b =>
-      val weight = aggregate(mixed, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
-      when(weight > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.SimHash62.simhash62(mixed)
 
   /** Exact word-set Jaccard similarity between two token-set columns.
     * Integer intersection/union sizes; one double division at the end
