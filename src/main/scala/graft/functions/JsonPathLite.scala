@@ -16,7 +16,8 @@ import scala.jdk.CollectionConverters._
   * {{{
   *   path     := '$' step*
   *   step     := '.' NAME | '.' '*' | '..' NAME | '..' '*' | '..' bracket | bracket
-  *             | '.length()' | '.size()'         // array/object size, string length
+  *             | '.' FN '()'    // length/size, min/max/avg/sum/stddev,
+  *                              // first/last, keys
   *   bracket  := '[' INT ']' | '[' INT? ':' INT? ']'          // slice
   *             | '[' INT (',' INT)+ ']'                       // index union
   *             | '[' QUOTED (',' QUOTED)* ']'                 // name union
@@ -74,6 +75,20 @@ object JsonPathLite {
   final case class Deep(inner: Step) extends Step
   /** Jayway `length()` path function: array/object size, string length. */
   case object FnLength extends Step
+  /** Jayway aggregate/accessor path functions: min, max, avg, sum, stddev
+    * (numeric arrays → double), first, last (array element), keys
+    * (object property names).
+    */
+  final case class FnAgg(kind: String) extends Step
+
+  /** Path-function spellings accepted after '.' (checked in order). */
+  private val pathFns: Seq[(String, Step)] = Seq(
+    "length()" -> FnLength, "size()" -> FnLength,
+    "min()" -> FnAgg("min"), "max()" -> FnAgg("max"),
+    "avg()" -> FnAgg("avg"), "sum()" -> FnAgg("sum"),
+    "stddev()" -> FnAgg("stddev"),
+    "first()" -> FnAgg("first"), "last()" -> FnAgg("last"),
+    "keys()" -> FnAgg("keys"))
 
   sealed trait Pred
   final case class Or(clauses: Seq[Pred]) extends Pred
@@ -212,9 +227,10 @@ object JsonPathLite {
         case '.' =>
           i += 1
           if (i < s.length && s.charAt(i) == '*') { i += 1; steps += Wildcard }
-          else if (s.startsWith("length()", i)) { i += 8; steps += FnLength }
-          else if (s.startsWith("size()", i)) { i += 6; steps += FnLength }
-          else steps += Field(readName())
+          else pathFns.find { case (fn, _) => s.startsWith(fn, i) } match {
+            case Some((fn, step)) => i += fn.length; steps += step
+            case None             => steps += Field(readName())
+          }
         case '[' =>
           i += 1
           steps += parseBracket()
@@ -308,9 +324,10 @@ object JsonPathLite {
             while (j < rest.length && rest.charAt(j) != '.' && rest.charAt(j) != '[') j += 1
             if (j == start) throw new JsonPathSyntaxException(s"bad filter path '$p' in $whole")
             segs += Deep(Field(rest.substring(start, j)))
-          case '.' if rest.startsWith(".length()", j) || rest.startsWith(".size()", j) =>
-            j += (if (rest.charAt(j + 1) == 'l') 9 else 7)
-            segs += FnLength
+          case '.' if pathFns.exists { case (fn, _) => rest.startsWith("." + fn, j) } =>
+            val (fn, step) = pathFns.find { case (f, _) => rest.startsWith("." + f, j) }.get
+            j += fn.length + 1
+            segs += step
           case '.' =>
             j += 1
             val start = j
@@ -501,6 +518,41 @@ object JsonPathLite {
       else if (node.isTextual)
         Seq(com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.numberNode(node.asText.length))
       else Seq.empty
+    case FnAgg(kind) =>
+      val fac = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+      kind match {
+        case "first" =>
+          if (node.isArray && node.size > 0) Seq(node.get(0)) else Seq.empty
+        case "last" =>
+          if (node.isArray && node.size > 0) Seq(node.get(node.size - 1)) else Seq.empty
+        case "keys" =>
+          if (node.isObject) {
+            val arr = fac.arrayNode()
+            node.fieldNames().asScala.foreach(arr.add)
+            Seq(arr)
+          } else Seq.empty
+        case _ =>
+          // numeric aggregates: defined only on non-empty all-number arrays
+          // (Jayway throws on anything else; suppressed ⇒ no node)
+          if (!node.isArray || node.size == 0) Seq.empty
+          else {
+            val elems = node.elements().asScala.toSeq
+            if (!elems.forall(_.isNumber)) Seq.empty
+            else {
+              val xs = elems.map(_.doubleValue())
+              val v = kind match {
+                case "min" => xs.min
+                case "max" => xs.max
+                case "sum" => xs.sum
+                case "avg" => xs.sum / xs.length
+                case "stddev" =>
+                  val mean = xs.sum / xs.length
+                  math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / xs.length)
+              }
+              Seq(fac.numberNode(v))
+            }
+          }
+      }
   }
 
   private def selectRel(node: JsonNode, path: Seq[Step]): Seq[JsonNode] = {

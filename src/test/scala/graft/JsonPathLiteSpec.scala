@@ -194,6 +194,26 @@ class JsonPathLiteSpec extends AnyFunSuite {
     assert(ex(j, "$.arr[?(@.tags.size() == 1)]"))
   }
 
+  test("aggregate/accessor path functions: min, max, avg, sum, first, last, keys") {
+    val j = """{"scores":[4.0, 1.0, 7.0, 2.0], "o":{"a":1,"b":2}}"""
+    assert(sel(j, "$.scores.min()") == Seq("1.0"))
+    assert(sel(j, "$.scores.max()") == Seq("7.0"))
+    assert(sel(j, "$.scores.sum()") == Seq("14.0"))
+    assert(sel(j, "$.scores.avg()") == Seq("3.5"))
+    assert(sel(j, "$.scores.first()") == Seq("4.0"))
+    assert(sel(j, "$.scores.last()") == Seq("2.0"))
+    assert(sel(j, "$.o.keys()") == Seq("""["a","b"]"""))
+    assert(sel(j, "$.o.min()") == Nil)            // not a numeric array
+    assert(sel("""{"scores":[]}""", "$.scores.min()") == Nil)
+    assert(sel("""{"scores":[1,"x"]}""", "$.scores.sum()") == Nil)
+    // filter usage
+    val arr = """{"arr":[{"scores":[1,2,3]},{"scores":[10,20]}]}"""
+    assert(ex(arr, "$.arr[?(@.scores.avg() > 5)]"))
+    assert(!ex(arr, "$.arr[?(@.scores.avg() > 15)]"))
+    assert(ex(arr, "$.arr[?(@.scores.max() == 3)]"))
+    assert(ex(arr, "$.arr[?(@.scores.first() == 10)]"))
+  }
+
   test("slice/union differential fuzz vs an independent list model") {
     val rnd = new scala.util.Random(77L)
     for (_ <- 1 to 500) {
