@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Multimodal, Sampling, Similarity, TextAnalysis, TextDedup}
 import graft.functions.TextFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -184,6 +184,27 @@ object M5Queries {
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.qualityMetrics(TextDedup.documents(s, dir))
         .orderBy(col("doc_id"))),
+
+    // ---- curation: deterministic stratified sampling (hash-of-id buckets,
+    // per-language per-mille rates — reproducible, shuffle-free)
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+        TextDedup.documents(s, dir), col("doc_id"), col("lang"),
+        ratesPerMille = Map("en" -> 800, "zh" -> 500), defaultPerMille = 250)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // ---- curation: corpus statistics per language (exact integer totals)
+    "q_corpus_stats" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      TextDedup.documents(s, dir)
+        .select(col("lang"), length(col("text")).as("nc"), size(toks).as("nt"),
+          TextFunctions.bpeishFromTokens(toks).as("nb"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("total_chars"),
+          sum(col("nt")).as("total_tokens"), sum(col("nb")).as("total_bpeish"))
+        .orderBy(col("lang"))
+    }),
 
     // ---- similarity: brute-force cosine top-10 for 10 query vectors
     "q_embed_topk" -> ((s, dir) =>
@@ -468,6 +489,20 @@ object M5Queries {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_text_quality" -> textQualityOracle,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((doc_id * 48271 + 11) % 1000003) % 1000 <
+        |  CASE lang WHEN 'en' THEN 800 WHEN 'zh' THEN 500 ELSE 250 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         | sum(length(text))::BIGINT AS total_chars,
+         | sum(len(w))::BIGINT AS total_tokens,
+         | sum(list_sum(list_transform(w, t -> greatest(1::BIGINT, floor((length(t) + 3) / 4.0)::BIGINT))))::BIGINT AS total_bpeish
+         |FROM (SELECT lang, text, ${frag.toks} w FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_embed_topk" ->
       s"""WITH v AS (${frag.vecs}),
