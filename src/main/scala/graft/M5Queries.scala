@@ -170,6 +170,26 @@ object M5Queries {
           .select(col("doc_a"), col("doc_b")))
         .orderBy(col("doc_id"))),
 
+    // ---- dedup: cluster canonicalization — keep the BEST doc per near-dup
+    // cluster (most BPE-ish tokens, ties to smallest doc_id): the terminal
+    // step of a real dedup pipeline (LSH → verify → components → keep-best)
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val clusters = TextDedup.dupClusters(
+        TextDedup.minhashNearDups(docs, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b")))
+      val quality = docs.select(col("doc_id"),
+        TextFunctions.bpeishFromTokens(TextFunctions.tokens(col("text"))).as("nb"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("nb").desc, col("doc_id"))
+      clusters.join(quality, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(min(when(col("rn") === 1, col("doc_id"))).as("keep_id"),
+          count(lit(1)).as("n_members"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // ---- dedup: 62-bit SimHash per doc
     "q_simhash" -> ((s, dir) =>
       TextDedup.simhashes(TextDedup.documents(s, dir))
@@ -469,6 +489,33 @@ object M5Queries {
          |   SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
          |SELECT node AS doc_id, min(label) AS cluster_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE sh AS (${frag.shingleHashes}),
+         | sig AS (SELECT doc_id, ${frag.minhashSig} sig FROM sh),
+         | banded AS (SELECT doc_id, unnest(${frag.bandKeys}) band_key FROM sig),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |   FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         | pairs AS (SELECT doc_a, doc_b FROM cand
+         |   JOIN sh ha ON ha.doc_id = doc_a JOIN sh hb ON hb.doc_id = doc_b
+         |   WHERE ${frag.jac("ha.h", "hb.h")} >= 0.5),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         | reach(node, label) AS (
+         |   SELECT src, src FROM edges
+         |   UNION
+         |   SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+         | clusters AS (SELECT node AS doc_id, min(label) AS cluster_id
+         |   FROM reach GROUP BY node),
+         | quality AS (SELECT doc_id,
+         |   list_sum(list_transform(w, t -> greatest(1::BIGINT, floor((length(t) + 3) / 4.0)::BIGINT)))::BIGINT AS nb
+         |   FROM (SELECT doc_id, ${frag.toks} w FROM documents)),
+         | ranked AS (SELECT c.cluster_id, c.doc_id, row_number() OVER (
+         |     PARTITION BY c.cluster_id ORDER BY q.nb DESC, c.doc_id) AS rn
+         |   FROM clusters c JOIN quality q USING (doc_id))
+         |SELECT cluster_id, min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+         | count(*) AS n_members
+         |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     // list_sum returns HUGEINT in DuckDB — ::BIGINT so the oracle's type
     // (and the driver hasher's rendering) matches Spark's LongType
