@@ -2,10 +2,11 @@ package graft.plans
 
 import graft.functions.{JsonPathExists, JsonPathRoutes}
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, Explode, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, CaseWhen, CreateMap, ElementAt, EqualTo, Explode, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Optimizer rule: a consumer of ONE routed topic should not pay for the
   * multicast.
@@ -50,6 +51,53 @@ object RouteFilterPruning extends Rule[LogicalPlan] {
             Explode(jr: JsonPathRoutes))
           if routeAttr.exists(_.exprId == a.exprId) && i >= 0 && i < jr.paths.length =>
         Some(pruned(g, jr, i))
+      // Filter(topic = 'x'): the engine's per-row topic is
+      // CASE WHEN route=-1 … WHEN route=-2 … ELSE element_at(map(i→topic), route);
+      // after predicate pushdown Catalyst folds `= 'x'` into the branches:
+      //   CASE WHEN route=-1 THEN false WHEN route=-2 THEN false
+      //        ELSE element_at(map(…), route) = 'x'
+      // When every sentinel branch folded to false and exactly ONE rule
+      // index maps to 'x', the filter is rule i's predicate.
+      case (CaseWhen(branches, Some(elseV)), Explode(jr: JsonPathRoutes))
+          if routeAttr.isDefined =>
+        val ra = routeAttr.get
+        val sentinelsAllFalse = branches.nonEmpty && branches.forall {
+          case (EqualTo(a: Attribute, Literal(_, IntegerType)), Literal(false, BooleanType)) =>
+            a.exprId == ra.exprId
+          case _ => false
+        }
+        // the i→topic map is authored as CreateMap of literals, which
+        // ConstantFolding usually collapses into one map Literal — accept both
+        def mapPairs(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Seq[(Int, UTF8String)]] =
+          e match {
+            case CreateMap(entries, _) =>
+              val ps = entries.grouped(2).collect {
+                case Seq(Literal(i: Int, IntegerType), Literal(v: UTF8String, _)) => (i, v)
+              }.toSeq
+              if (ps.length * 2 == entries.length) Some(ps) else None
+            case Literal(m: org.apache.spark.sql.catalyst.util.MapData,
+                org.apache.spark.sql.types.MapType(IntegerType, _: StringType, _)) =>
+              Some((0 until m.numElements()).map(k =>
+                (m.keyArray().getInt(k), m.valueArray().getUTF8String(k))))
+            case _ => None
+          }
+        val target = elseV match {
+          case EqualTo(ElementAt(mapExpr, a: Attribute, _, _),
+              Literal(t: UTF8String, _: StringType)) if a.exprId == ra.exprId =>
+            mapPairs(mapExpr).map((_, t))
+          case EqualTo(Literal(t: UTF8String, _: StringType),
+              ElementAt(mapExpr, a: Attribute, _, _)) if a.exprId == ra.exprId =>
+            mapPairs(mapExpr).map((_, t))
+          case _ => None
+        }
+        target match {
+          case Some((pairs, t)) if sentinelsAllFalse =>
+            pairs.filter(_._2 == t).map(_._1) match {
+              case Seq(i) if i >= 0 && i < jr.paths.length => Some(pruned(g, jr, i))
+              case _ => None // zero or several rules share the topic
+            }
+          case _ => None
+        }
       case _ => None
     }
   }

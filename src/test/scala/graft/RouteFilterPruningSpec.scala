@@ -44,6 +44,36 @@ class RouteFilterPruningSpec extends AnyFunSuite {
     assert(viaRule == expected && viaRule.nonEmpty)
   }
 
+  private def routedFull = TxDispatchPipeline(
+    EventsTx.withTxJson(EventsTx.load(spark, sf)), EventsTx.rules)
+
+  test("Filter(topic = 'x') — the user-facing column — also prunes the Generate") {
+    val q = routedFull.filter(col("topic") === "topic-1").select(col("event_id"))
+    val optimized = q.queryExecution.optimizedPlan
+    assert(!optimized.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Generate]),
+      s"Generate survived:\n$optimized")
+    assert(optimized.toString.contains("json_path_exists"))
+    // results identical to the unpruned multicast
+    import spark.implicits._
+    val viaRule = q.as[Long].collect().sorted.toSeq
+    val expected = routedFull.select($"event_id", $"route").as[(Long, Int)]
+      .collect().filter(_._2 == 0).map(_._1).sorted.toSeq
+    assert(viaRule == expected && viaRule.nonEmpty)
+  }
+
+  test("topic filters that cannot name one rule are left untouched") {
+    // sentinel topic: 'dlq' rows need decode state, not one rule
+    val dlq = routedFull.filter(col("topic") === "dlq")
+    assert(dlq.queryExecution.optimizedPlan
+      .exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Generate]))
+    assert(dlq.count() > 0)
+    // unknown topic: no rule matches — plan untouched, result empty
+    val unknown = routedFull.filter(col("topic") === "no-such-topic")
+    assert(unknown.queryExecution.optimizedPlan
+      .exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Generate]))
+    assert(unknown.count() == 0)
+  }
+
   test("sentinel filters (error/DLQ) are left untouched") {
     val q = routes.filter(col("route") === graft.rules.TxDispatchRules.UNFILTERED)
     val optimized = q.queryExecution.optimizedPlan
