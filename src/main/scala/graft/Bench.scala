@@ -12,7 +12,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // ad-hoc experiment hook: SPARK_GRAFT_CONF="k=v;k=v" runtime confs
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty).foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => sys.error(s"SPARK_GRAFT_CONF entry '$kv' is not key=value")
+      }
     })
     // pin input tables in memory once: 40+ sequential queries would
     // otherwise each pay parquet footer reads + stats derivation

@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** `cosine_sim(a, b)` — cosine similarity of two double arrays in ONE
   * traversal: dot product and both norms accumulate in the same pass.
@@ -23,8 +23,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * when lengths differ, or when any element is null (zip_with pads /
   * null-propagates into the fold).
   */
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  // implicit cast: array<float> (the embeddings storage type) is coerced
+  // to array<double> at analysis instead of getDouble reading garbage
+  // from 4-byte slots (result type inferred — AbstractDataType is
+  // private[sql])
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"

@@ -295,7 +295,23 @@ object JsonPathLite {
       else {
         val lhs = t.substring(0, opIdx).trim
         val rhs = t.substring(opIdx + op.length).trim
-        Cmp(parseRelPath(lhs, existsOk = false), op, parseLiteral(rhs, op))
+        val lit = parseLiteral(rhs, op)
+        // operator/literal agreement BOTH ways: '=~' with a quoted string
+        // (or 'in' with a scalar) would otherwise compile cleanly and
+        // evaluate to constant false — the silent-never-match failure mode
+        // eager rule validation exists to prevent
+        (op, lit) match {
+          case ("=~", _: RLit) => ()
+          case ("=~", _) =>
+            throw new JsonPathSyntaxException(s"'=~' needs a /regex/ literal in $whole")
+          case ("in" | "nin", _: LLit) => ()
+          case ("in" | "nin", _) =>
+            throw new JsonPathSyntaxException(s"'$op' needs a [list] literal in $whole")
+          case (_, _: RLit | _: LLit) =>
+            throw new JsonPathSyntaxException(s"literal not valid with '$op' in $whole")
+          case _ => ()
+        }
+        Cmp(parseRelPath(lhs, existsOk = false), op, lit)
       }
     }
 

@@ -19,10 +19,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * exact vs both the HOF form and the DuckDB oracle
   * (`2*len(list_filter(ones)) > len(mh)` per bit).
   *
-  * Null semantics mirror the HOF form exactly: a null array — and an
-  * array containing a null element, which nulls every per-bit fold — both
-  * yield simhash 0 (each `when(weight > 0, …)` falls to its otherwise-0
-  * branch), so the expression is never null.
+  * Null semantics mirror the HOF form exactly: a null ARRAY yields 0
+  * (each `when(weight > 0, …)` falls to its otherwise-0 branch), and a
+  * null ELEMENT contributes −1 to every bit counter (the HOF's
+  * `when(shiftright(null,b)%2 === 1, 1).otherwise(-1)` takes the
+  * otherwise branch) — i.e. a null element behaves like the hash 0L.
+  * The expression is never null.
   */
 case class SimHash62(child: Expression) extends UnaryExpression {
 
@@ -57,8 +59,8 @@ object SimHash62 {
     val counts = new Array[Int](62)
     var k = 0
     while (k < n) {
-      if (mh.isNullAt(k)) return 0L // HOF null-propagation equivalence
-      val h = mh.getLong(k)
+      // null element ≡ hash 0L: −1 on every counter, as the HOF fold
+      val h = if (mh.isNullAt(k)) 0L else mh.getLong(k)
       var b = 0
       while (b < 62) {
         if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

@@ -61,9 +61,13 @@ object RouteFilterPruning extends Rule[LogicalPlan] {
       case (CaseWhen(branches, Some(elseV)), Explode(jr: JsonPathRoutes))
           if routeAttr.isDefined =>
         val ra = routeAttr.get
+        // branches must be SENTINEL exclusions only (route < 0): a branch
+        // excluding a non-negative rule index would be silently dropped by
+        // the rewrite, and an optimizer rule must preserve semantics for
+        // arbitrary plans, not just the engine's own shape
         val sentinelsAllFalse = branches.nonEmpty && branches.forall {
-          case (EqualTo(a: Attribute, Literal(_, IntegerType)), Literal(false, BooleanType)) =>
-            a.exprId == ra.exprId
+          case (EqualTo(a: Attribute, Literal(i: Int, IntegerType)), Literal(false, BooleanType)) =>
+            a.exprId == ra.exprId && i < 0
           case _ => false
         }
         // the i→topic map is authored as CreateMap of literals, which

@@ -262,9 +262,23 @@ object CosmosTx {
     * reference's scan.
     */
   lazy val registry: Map[String, PayloadPrinter] = {
-    import scala.jdk.CollectionConverters._
-    val loaded = java.util.ServiceLoader.load(classOf[PayloadTypePrinters])
-      .iterator().asScala.flatMap(_.printers).toMap
+    // per-provider error isolation: one broken SPI jar (missing dep, bad
+    // services entry) must not take down rendering for every payload type
+    // — the same isolation contract the printers themselves get
+    val loaded = scala.collection.mutable.Map.empty[String, PayloadPrinter]
+    val it = java.util.ServiceLoader.load(classOf[PayloadTypePrinters]).iterator()
+    var more = true
+    while (more) {
+      try {
+        more = it.hasNext
+        if (more) loaded ++= it.next().printers
+      } catch {
+        case e: java.util.ServiceConfigurationError =>
+          System.err.println(s"[graft] skipping broken PayloadTypePrinters provider: ${e.getMessage}")
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] skipping failing PayloadTypePrinters provider: ${e.getMessage}")
+      }
+    }
     defaultRegistry ++ loaded
   }
 

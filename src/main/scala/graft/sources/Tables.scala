@@ -16,10 +16,16 @@ object Tables {
   val names: Seq[String] =
     "region nation customer supplier part orders lineitem events documents embeddings".split(" ").toSeq
 
-  private val cached = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  // keyed by session identity too: a cached DataFrame is bound to the session
+  // that built it, and must never be served to a different (or stopped)
+  // session in the same JVM
+  private val cached = scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
+  private def sessionKey(spark: SparkSession): String =
+    System.identityHashCode(spark).toString
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cached.getOrElse((sfDir, name), {
+    cached.getOrElse((sessionKey(spark), sfDir, name), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
     })
@@ -34,10 +40,10 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     names.foreach { n =>
       val p = new java.io.File(s"$sfDir/$n.parquet")
-      if (p.exists() && !cached.contains((sfDir, n))) {
+      if (p.exists() && !cached.contains((sessionKey(spark), sfDir, n))) {
         val df = spark.read.parquet(p.getPath).persist()
         df.count() // materialize now so no query pays the first-touch cost
-        cached((sfDir, n)) = df
+        cached((sessionKey(spark), sfDir, n)) = df
       }
     }
   }

@@ -271,6 +271,21 @@ class JsonPathLiteSpec extends AnyFunSuite {
     assert(TxDispatchRules.fromYamlString(nowOk).rules.length == 2)
   }
 
+  test("operator/literal type mismatches throw at compile (no silent constant-false)") {
+    // '=~' with a quoted string — the easy authoring mistake — must not
+    // compile into a predicate that evaluates false forever
+    intercept[JsonPathLite.JsonPathSyntaxException](
+      JsonPathLite.compile("$..messages[?(@.t =~ 'p.+e')]"))
+    intercept[JsonPathLite.JsonPathSyntaxException](
+      JsonPathLite.compile("$.a[?(@.x in 'fiction')]"))
+    intercept[JsonPathLite.JsonPathSyntaxException](
+      JsonPathLite.compile("$.a[?(@.x nin 5)]"))
+    intercept[JsonPathLite.JsonPathSyntaxException](
+      JsonPathLite.compile("$.a[?(@.x == /re/)]"))
+    intercept[JsonPathLite.JsonPathSyntaxException](
+      JsonPathLite.compile("$.a[?(@.x > [1,2])]"))
+  }
+
   test("malformed bracket indices throw JsonPathSyntaxException, not NumberFormatException") {
     intercept[JsonPathLite.JsonPathSyntaxException](JsonPathLite.compile("$[-]"))
     intercept[JsonPathLite.JsonPathSyntaxException](JsonPathLite.compile("$[99999999999]"))

@@ -77,6 +77,28 @@ class M5OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine_sim implicitly casts float arrays (no garbage from 4-byte slots)") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f))).toDF("a", "b")
+    val viaFloat = df.select(graft.functions.CosineSim.cosine_sim($"a", $"b"))
+      .as[Double].head()
+    val viaDouble = df.select(graft.functions.CosineSim.cosine_sim(
+      Similarity.asDouble($"a"), Similarity.asDouble($"b"))).as[Double].head()
+    assert(viaFloat == viaDouble)
+    assert(math.abs(viaFloat - 10.0 / 14.0) < 1e-15)
+  }
+
+  test("simhash62 null-element semantics match the per-bit HOF fold (null ≡ hash 0)") {
+    val df = Seq(1).toDF("x").select(
+      array(lit(5L), lit(null).cast("long"), lit(5L)).as("mh"),
+      array(lit(5L), lit(0L), lit(5L)).as("mh0"))
+    val got = df.select(
+      graft.functions.SimHash62.simhash62($"mh"),
+      graft.functions.SimHash62.simhash62($"mh0")).as[(Long, Long)].head()
+    assert(got._1 == got._2) // null element behaves exactly like 0L
+    // and a 2-of-3 majority on bits 0 and 2 (value 5) sets exactly those bits
+    assert(got._2 == 5L)
+  }
+
   test("identical texts have identical simhash (hamming 0)") {
     val sh = TextDedup.simhashes(docs)
     val joined = docs.select($"doc_id", $"text")
