@@ -214,6 +214,16 @@ object M5Queries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // ---- curation: proportional mixture schedule (weight-4 sources appear
+    // 4x as often as weight-1 in any prefix of the read order)
+    "q_mixture_schedule" -> ((s, dir) =>
+      Sampling.mixtureSchedule(
+        TextDedup.documents(s, dir), col("doc_id"), col("source"),
+        weights = Map("src0" -> 4, "src1" -> 4, "src2" -> 2), defaultWeight = 1,
+        take = 200)
+        .select(col("seq"), col("doc_id"), col("source"), col("position"))
+        .orderBy(col("seq"))),
+
     // ---- curation: corpus statistics per language (exact integer totals)
     "q_corpus_stats" -> ((s, dir) => {
       val toks = TextFunctions.tokens(col("text"))
@@ -542,6 +552,19 @@ object M5Queries {
         |WHERE ((doc_id * 48271 + 11) % 1000003) % 1000 <
         |  CASE lang WHEN 'en' THEN 800 WHEN 'zh' THEN 500 ELSE 250 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_mixture_schedule" ->
+      """WITH positioned AS (
+        | SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |    * CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 250 WHEN 'src2' THEN 500 ELSE 1000 END
+        |    AS position
+        | FROM documents)
+        |SELECT seq::INT AS seq, doc_id, source, position::BIGINT AS position FROM (
+        | SELECT doc_id, source, position,
+        |  row_number() OVER (ORDER BY position, source, doc_id) AS seq
+        | FROM positioned)
+        |WHERE seq <= 200 ORDER BY seq""".stripMargin,
 
     "q_corpus_stats" ->
       s"""SELECT lang, count(*) AS n_docs,

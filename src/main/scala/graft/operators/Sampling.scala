@@ -33,4 +33,36 @@ object Sampling {
     }
     df.filter(bucket(id) < rate)
   }
+
+  /** Deterministic corpus-mixture schedule: interleave strata
+    * proportionally to integer weights. Row k of stratum s is placed at
+    * integer position k·1000/weight(s) (ties broken by stratum, id), so a
+    * weight-4 source appears 4× as often as a weight-1 source in any
+    * schedule prefix — the standard way a training mixture is material-
+    * ized as a single read order.
+    *
+    * The per-stratum rank is a partitioned window (parallel); the final
+    * global sequence is inherently a total order — at corpus scale emit
+    * `position` and range-partition by it instead of materializing `seq`.
+    */
+  def mixtureSchedule(df: DataFrame, id: Column, stratum: Column,
+      weights: Map[String, Int], defaultWeight: Int, take: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // position = rank × (1000/weight): pure INTEGER multiplication — '/'
+    // is float division in both engines and integer-division semantics
+    // would have to match to the last row; weights must divide 1000
+    (weights.values.toSeq :+ defaultWeight).foreach(v =>
+      require(v > 0 && 1000 % v == 0, s"mixture weight $v must divide 1000"))
+    val stride = weights.foldRight(lit(1000 / defaultWeight): Column) {
+      case ((k, v), acc) => when(stratum === k, lit(1000 / v)).otherwise(acc)
+    }
+    val perStratum = Window.partitionBy(stratum).orderBy(id)
+    val positioned = df
+      .withColumn("rn", row_number().over(perStratum))
+      .withColumn("position", col("rn").cast("long") * stride)
+    val global = Window.orderBy(col("position"), stratum, id)
+    positioned
+      .withColumn("seq", row_number().over(global))
+      .filter(col("seq") <= take)
+  }
 }
