@@ -72,7 +72,11 @@ object CosineSim {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm (incl. empty) arrays: the HOF form divides by 0.0, which
+    // is NULL under Spark's non-ANSI Divide — NOT NaN (NaN sorts above
+    // every value and passes >= filters, corrupting top-k)
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
   }
 
   def cosine_sim(a: Column, b: Column): Column =

@@ -300,6 +300,8 @@ object JsonPathLite {
         // (or 'in' with a scalar) would otherwise compile cleanly and
         // evaluate to constant false — the silent-never-match failure mode
         // eager rule validation exists to prevent
+        // (the converse directions — regex with a non-'=~' op, list with a
+        // non-in/nin op — are rejected inside parseLiteral itself)
         (op, lit) match {
           case ("=~", _: RLit) => ()
           case ("=~", _) =>
@@ -307,8 +309,6 @@ object JsonPathLite {
           case ("in" | "nin", _: LLit) => ()
           case ("in" | "nin", _) =>
             throw new JsonPathSyntaxException(s"'$op' needs a [list] literal in $whole")
-          case (_, _: RLit | _: LLit) =>
-            throw new JsonPathSyntaxException(s"literal not valid with '$op' in $whole")
           case _ => ()
         }
         Cmp(parseRelPath(lhs, existsOk = false), op, lit)

@@ -59,11 +59,15 @@ object SimHash62 {
     val counts = new Array[Int](62)
     var k = 0
     while (k < n) {
-      // null element ≡ hash 0L: −1 on every counter, as the HOF fold
+      // null element ≡ hash 0L: −1 on every counter, as the HOF fold.
+      // NEGATIVE hashes likewise contribute −1 on every bit: the HOF
+      // tested `(h >> b) % 2 === 1`, and an arithmetic-shifted negative
+      // long's remainder is 0 or −1, never 1 (mixedTokenHashes stays in
+      // [0, 2^62), but the function must match the fold on any input).
       val h = if (mh.isNullAt(k)) 0L else mh.getLong(k)
       var b = 0
       while (b < 62) {
-        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        if (h >= 0 && ((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
         b += 1
       }
       k += 1

@@ -86,17 +86,24 @@ object RouteFilterPruning extends Rule[LogicalPlan] {
             case _ => None
           }
         val target = elseV match {
-          case EqualTo(ElementAt(mapExpr, a: Attribute, _, _),
+          case EqualTo(ElementAt(mapExpr, a: Attribute, _, failOnError),
               Literal(t: UTF8String, _: StringType)) if a.exprId == ra.exprId =>
-            mapPairs(mapExpr).map((_, t))
+            mapPairs(mapExpr).map((_, t, failOnError))
           case EqualTo(Literal(t: UTF8String, _: StringType),
-              ElementAt(mapExpr, a: Attribute, _, _)) if a.exprId == ra.exprId =>
-            mapPairs(mapExpr).map((_, t))
+              ElementAt(mapExpr, a: Attribute, _, failOnError)) if a.exprId == ra.exprId =>
+            mapPairs(mapExpr).map((_, t, failOnError))
           case _ => None
         }
         target match {
-          case Some((pairs, t)) if sentinelsAllFalse =>
-            pairs.filter(_._2 == t).map(_._1) match {
+          case Some((pairs, t, failOnError)) if sentinelsAllFalse =>
+            // under ANSI (failOnError=true, Spark 4's default) element_at
+            // THROWS on a missing key; the rewrite may only erase that
+            // possibility when the map provably covers every rule index
+            // the generator can emit
+            val covered = !failOnError ||
+              jr.paths.indices.forall(i => pairs.exists(_._1 == i))
+            if (!covered) None
+            else pairs.filter(_._2 == t).map(_._1) match {
               case Seq(i) if i >= 0 && i < jr.paths.length => Some(pruned(g, jr, i))
               case _ => None // zero or several rules share the topic
             }

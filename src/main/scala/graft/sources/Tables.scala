@@ -16,16 +16,24 @@ object Tables {
   val names: Seq[String] =
     "region nation customer supplier part orders lineitem events documents embeddings".split(" ").toSeq
 
-  // keyed by session identity too: a cached DataFrame is bound to the session
-  // that built it, and must never be served to a different (or stopped)
-  // session in the same JVM
-  private val cached = scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+  // Weak-keyed BY SESSION: a cached DataFrame is bound to the session that
+  // built it and must never be served to another one; weak identity keys
+  // also let a stopped session's entries (and their persisted tables) be
+  // collected instead of pinning SessionState for the JVM lifetime.
+  private val cached =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
-  private def sessionKey(spark: SparkSession): String =
-    System.identityHashCode(spark).toString
+  private def sessionCache(spark: SparkSession) = cached.synchronized {
+    var m = cached.get(spark)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+      cached.put(spark, m)
+    }
+    m
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cached.getOrElse((sessionKey(spark), sfDir, name), {
+    sessionCache(spark).getOrElse((sfDir, name), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
     })
@@ -38,12 +46,13 @@ object Tables {
     */
   def preload(spark: SparkSession, sfDir: String): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val m = sessionCache(spark)
     names.foreach { n =>
       val p = new java.io.File(s"$sfDir/$n.parquet")
-      if (p.exists() && !cached.contains((sessionKey(spark), sfDir, n))) {
+      if (p.exists() && !m.contains((sfDir, n))) {
         val df = spark.read.parquet(p.getPath).persist()
         df.count() // materialize now so no query pays the first-touch cost
-        cached((sessionKey(spark), sfDir, n)) = df
+        m((sfDir, n)) = df
       }
     }
   }

@@ -87,6 +87,27 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(math.abs(viaFloat - 10.0 / 14.0) < 1e-15)
   }
 
+  test("cosine_sim returns NULL (not NaN) on zero-norm and empty arrays, like the HOF divide") {
+    val df = Seq((Array(0.0, 0.0), Array(1.0, 2.0), Array.empty[Double])).toDF("z", "v", "e")
+    val got = df.select(
+      graft.functions.CosineSim.cosine_sim($"z", $"v"),
+      graft.functions.CosineSim.cosine_sim($"e", $"e"))
+      .as[(Option[Double], Option[Double])].head()
+    assert(got == ((None, None)))
+  }
+
+  test("simhash62 treats negative hashes as the HOF fold did: -1 on every bit") {
+    // HOF tested (h >> b) % 2 === 1; a negative long's remainder is 0/-1,
+    // never 1, so every bit counted -1 — equal to hash 0
+    val df = Seq(1).toDF("x").select(
+      array(lit(-7L), lit(5L)).as("neg"),
+      array(lit(0L), lit(5L)).as("zero"))
+    val got = df.select(
+      graft.functions.SimHash62.simhash62($"neg"),
+      graft.functions.SimHash62.simhash62($"zero")).as[(Long, Long)].head()
+    assert(got._1 == got._2)
+  }
+
   test("simhash62 null-element semantics match the per-bit HOF fold (null ≡ hash 0)") {
     val df = Seq(1).toDF("x").select(
       array(lit(5L), lit(null).cast("long"), lit(5L)).as("mh"),
