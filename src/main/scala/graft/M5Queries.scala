@@ -200,6 +200,14 @@ object M5Queries {
       TextDedup.simhashNearDups(TextDedup.documents(s, dir), maxDist = 16)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // ---- dedup: SimHash near-dups at a production threshold (maxDist 6 ⇒
+    // 7 bands × ~9 bits ⇒ 2^9 bucket values per band: the banding actually
+    // PRUNES here, unlike the loose maxDist-16 twin where it mostly buys
+    // parallelism)
+    "q_simhash_dups_tight" -> ((s, dir) =>
+      TextDedup.simhashNearDups(TextDedup.documents(s, dir), maxDist = 6)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // ---- text analysis: quality metrics + language ID + token counts
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.qualityMetrics(TextDedup.documents(s, dir))
@@ -543,6 +551,16 @@ object M5Queries {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, bit_count(xor(a.sh, b.sh))::INT AS hamming
          |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sh, b.sh)) <= 16
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_simhash_dups_tight" ->
+      s"""WITH s AS (
+         | SELECT doc_id, lang, (${frag.simhash})::BIGINT AS sh
+         | FROM (SELECT doc_id, lang, ${frag.mixedHashes} mh
+         |       FROM (SELECT doc_id, lang, ${frag.toks} w FROM documents)))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, bit_count(xor(a.sh, b.sh))::INT AS hamming
+         |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 6
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_text_quality" -> textQualityOracle,
