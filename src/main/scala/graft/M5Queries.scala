@@ -3,7 +3,7 @@ package graft
 import graft.operators.{Multimodal, Sampling, Similarity, TextAnalysis, TextDedup}
 import graft.functions.TextFunctions
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,26 +18,35 @@ object M5Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Exact integer scaling of a 2-dp money column: cast the double INPUT to
+    * decimal(18,2) first (exact — the testdata money columns carry ≤2
+    * fractional digits by construction), scale by 100, cast to BIGINT. All
+    * downstream arithmetic is then pure integer: order-independent AND
+    * hash-stable through the driver. (Round-2 lesson: DECIMAL output columns
+    * hash differently between engines even when the values are proven
+    * bit-identical, so money leaves every query as scaled-integer BIGINT.)
+    */
+  private def cents(c: Column): Column =
+    (c.cast("decimal(18,2)") * lit(100)).cast("long")
+
   // =============================================================== spark
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // ---- relational: aggregation (TPC-H Q1 shape; decimal-exact sums).
-    // Exactness discipline (round-1 lesson): cast the 2-dp double INPUTS to
-    // decimal BEFORE any arithmetic — decimal×decimal is exact and decimal
-    // sums are order-independent, so Spark and the oracle agree bit-for-bit
-    // regardless of aggregation order. Casting a double PRODUCT to decimal
-    // is not reproducible (Spark rounds the shortest-repr string, DuckDB the
-    // exact binary value).
+    // ---- relational: aggregation (TPC-H Q1 shape; exact scaled-integer sums).
+    // Exactness discipline (round-1/2 lessons): scale the 2-dp money INPUTS
+    // to integer units per row via [[cents]] — every sum is then BIGINT,
+    // order-independent, and renders identically through the driver's hasher
+    // (DECIMAL outputs don't, even when the values are bit-identical).
+    // sum_qty_x100 is in centi-units; sum_disc_price_x10k in 10⁻⁴ units
+    // (cents × (100 − discount-cents)).
     "q_agg_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)") *
-              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(38,4)").as("sum_disc_price"),
+          sum(cents(col("l_quantity"))).as("sum_qty_x100"),
+          sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("sum_disc_price_x10k"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
@@ -46,12 +55,12 @@ object M5Queries {
       val c = broadcast(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")))
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val l = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), (col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+        .select(col("l_orderkey"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(sum(col("rev")).cast("decimal(38,4)").as("revenue"),
+        .agg(sum(col("rev")).as("revenue_x10k"),
           countDistinct(col("o_orderkey")).as("n_orders"))
         .orderBy(col("c_mktsegment"))
     }),
@@ -106,10 +115,10 @@ object M5Queries {
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"),
-          sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)").as("acctbal"))
+          sum(cents(col("c_acctbal"))).as("acctbal_x100"))
         .select(coalesce(col("r_name"), lit("ALL")).as("region"),
           coalesce(col("n_name"), lit("ALL")).as("nation"),
-          col("n_cust"), col("acctbal"))
+          col("n_cust"), col("acctbal_x100"))
         .orderBy(col("region"), col("nation"))
     }),
 
@@ -295,10 +304,10 @@ object M5Queries {
       val salted = t(s, dir, "events")
         .withColumn("salt", pmod(col("event_id"), lit(16)))
         .groupBy(col("event_type"), col("salt"))
-        .agg(sum(col("value").cast("decimal(18,2)")).as("partial"),
+        .agg(sum(cents(col("value"))).as("partial"),
           count(lit(1)).as("pn"))
       salted.groupBy(col("event_type"))
-        .agg(sum(col("partial")).cast("decimal(38,2)").as("total_value"), sum(col("pn")).as("n"))
+        .agg(sum(col("partial")).as("total_value_x100"), sum(col("pn")).as("n"))
         .orderBy(col("event_type"))
     }),
 
@@ -368,23 +377,27 @@ object M5Queries {
       s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]))), (acc, x) -> acc + x)"""
     // embeddings cast to double-list
     val vecs = """SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings"""
-    // disc price as exact decimal: cast the 2-dp double INPUTS to decimal
-    // before multiplying ((18,2)×(19,2) → (37,4), exact in both engines);
-    // casting the double product would round differently in Spark vs DuckDB
-    val discPrice =
-      """(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))"""
+    // exact scaled-integer money: cast the 2-dp double INPUT to decimal
+    // before scaling (casting a computed double would round differently in
+    // Spark vs DuckDB), ×100 (exact, fractional part zero), then BIGINT.
+    // Mirrors the Spark-side `cents` helper; DECIMAL never reaches output.
+    def cents(c: String): String =
+      s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    // discounted price in 10⁻⁴ currency units: cents × (100 − discount-cents)
+    val discPrice4 =
+      s"(${cents("l_extendedprice")} * (100 - ${cents("l_discount")}))"
   }
 
   val oracleSql: Map[String, String] = Map(
 
     "q_agg_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
-         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-         | CAST(sum(${frag.discPrice}) AS DECIMAL(38,4)) AS sum_disc_price, count(*) AS count_order
+         | CAST(sum(${frag.cents("l_quantity")}) AS BIGINT) AS sum_qty_x100,
+         | CAST(sum(${frag.discPrice4}) AS BIGINT) AS sum_disc_price_x10k, count(*) AS count_order
          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_join_revenue" ->
-      s"""SELECT c_mktsegment, CAST(sum(${frag.discPrice}) AS DECIMAL(38,4)) AS revenue,
+      s"""SELECT c_mktsegment, CAST(sum(${frag.discPrice4}) AS BIGINT) AS revenue_x10k,
          | count(DISTINCT o_orderkey) AS n_orders
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          | JOIN customer ON o_custkey = c_custkey
@@ -416,11 +429,11 @@ object M5Queries {
         |ORDER BY kind, c_custkey""".stripMargin,
 
     "q_grouping_sets" ->
-      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
-        | count(*) AS n_cust, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS acctbal
-        |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        | JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
+      s"""SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+         | count(*) AS n_cust, CAST(sum(${frag.cents("c_acctbal")}) AS BIGINT) AS acctbal_x100
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) tus FROM events),
@@ -657,8 +670,8 @@ object M5Queries {
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
 
     "q_salted_agg" ->
-      """SELECT event_type, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
-        | count(*) AS n FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      s"""SELECT event_type, CAST(sum(${frag.cents("value")}) AS BIGINT) AS total_value_x100,
+         | count(*) AS n FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_multimodal_meta" ->
       s"""SELECT event_id AS media_id, COALESCE(strlen(props), 0)::INT AS n_bytes,

@@ -62,6 +62,22 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("no query output schema contains a DECIMAL column") {
+    // Round-2 lesson: the driver's hasher renders DECIMAL differently across
+    // engines even when the values are proven bit-identical (strict EXCEPT
+    // ALL inside DuckDB). Decimal is fine as an internal exact-arithmetic
+    // type, but money must LEAVE every query as scaled-integer BIGINT
+    // (×100 / ×10⁴ units) or string — never DecimalType.
+    import org.apache.spark.sql.types.DecimalType
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val dec = fn(spark, dir).schema.fields
+        .collect { case f if f.dataType.isInstanceOf[DecimalType] => f.name }
+      assert(dec.isEmpty,
+        s"$name: DECIMAL output columns ${dec.toList} — hash-unstable through the driver; " +
+          "emit scaled-integer BIGINT (cents / 10⁻⁴ units) or string instead")
+    }
+  }
+
   test("double output columns are pinned to the per-row-deterministic allowlist") {
     import org.apache.spark.sql.types.{DoubleType, FloatType}
     // Doubles are allowed ONLY where both engines compute an identical
