@@ -591,7 +591,7 @@ object M5Queries {
         |    * CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 250 WHEN 'src2' THEN 500 ELSE 1000 END
         |    AS position
         | FROM documents)
-        |SELECT seq::INT AS seq, doc_id, source, position::BIGINT AS position FROM (
+        |SELECT seq::BIGINT AS seq, doc_id, source, position::BIGINT AS position FROM (
         | SELECT doc_id, source, position,
         |  row_number() OVER (ORDER BY position, source, doc_id) AS seq
         | FROM positioned)

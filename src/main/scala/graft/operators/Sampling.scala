@@ -41,9 +41,14 @@ object Sampling {
     * schedule prefix — the standard way a training mixture is material-
     * ized as a single read order.
     *
-    * The per-stratum rank is a partitioned window (parallel); the final
-    * global sequence is inherently a total order — at corpus scale emit
-    * `position` and range-partition by it instead of materializing `seq`.
+    * The global sequence is materialized DISTRIBUTIVELY (zipWithIndex
+    * shape, no single-partition window): range-partition on the total
+    * order (position, stratum, id), rank within each partition in
+    * parallel, then add per-partition offsets — a prefix sum over the
+    * tiny (one row per partition) count table, broadcast-joined back.
+    * Range boundaries don't affect the result: (position, stratum, id)
+    * is a total order, and offsets are computed from the same
+    * partitioning that ranks the rows.
     */
   def mixtureSchedule(df: DataFrame, id: Column, stratum: Column,
       weights: Map[String, Int], defaultWeight: Int, take: Int): DataFrame = {
@@ -60,9 +65,31 @@ object Sampling {
     val positioned = df
       .withColumn("rn", row_number().over(perStratum))
       .withColumn("position", col("rn").cast("long") * stride)
-    val global = Window.orderBy(col("position"), stratum, id)
-    positioned
-      .withColumn("seq", row_number().over(global))
+      .withColumn("_stratum", stratum)
+      .withColumn("_id", id)
+    // zipWithIndex, declaratively: contiguous global ranges per partition
+    // via range partitioning, parallel local ranks, tiny offset join.
+    // explicit partition count: AQE preserves user-specified numPartitions,
+    // so the ranks branch and the counts branch see the SAME partitioning
+    // even if the exchange isn't reused (deterministic boundary sampling)
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = positioned
+      .repartitionByRange(nPart, col("position"), col("_stratum"), col("_id"))
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("_pid"))
+      .orderBy(col("position"), col("_stratum"), col("_id"))
+    val local = ranged.withColumn("_rn_local", row_number().over(wLocal))
+    // prefix sum over the one-row-per-partition count table via a triangle
+    // self-join — O(numPartitions²) on a tiny broadcast-able table, and no
+    // unpartitioned window anywhere in the plan
+    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(coalesce(sum(col("b._cnt")), lit(0L)).as("_offset"))
+    local.join(broadcast(offsets), "_pid")
+      .withColumn("seq", col("_offset") + col("_rn_local"))
       .filter(col("seq") <= take)
+      .drop("_pid", "_rn_local", "_offset", "_stratum", "_id")
   }
 }

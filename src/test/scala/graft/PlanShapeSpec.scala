@@ -32,6 +32,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
   }
 
+  test("no query plan contains an unpartitioned (single-partition) window") {
+    // Round-2 verdict item: q_mixture_schedule funneled the corpus through
+    // one WindowExec task. Every window in every query must now declare a
+    // partitionSpec — the global mixture sequence is materialized via the
+    // distributed zipWithIndex shape instead.
+    // logical-plan check: AQE hides physical subtrees until execution
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val rogue = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: Window if w.partitionSpec.isEmpty => w
+      }
+      assert(rogue.isEmpty, s"$name: unpartitioned window — all rows on one task")
+    }
+  }
+
   test("q_sort_topk: limit+sort fuses to TakeOrderedAndProject (no global sort)") {
     val p = explained("q_sort_topk")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
