@@ -377,6 +377,33 @@ object M5Queries {
       s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]))), (acc, x) -> acc + x)"""
     // embeddings cast to double-list
     val vecs = """SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings"""
+    // integer squared L2 over quantized BIGINT lists (codebook metric)
+    def l2q(a: String, b: String): String =
+      s"""list_sum(list_transform(generate_series(1, 64), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])))"""
+    /** CTE chain mirroring [[graft.operators.Similarity.kmeansCodebook]]:
+      * quantize (×2²⁰, floor), init = first k by id, 2 Lloyd iterations in
+      * exact integer arithmetic (floor-mean per dim; empty clusters keep
+      * their centroid; ties → smaller centroid id). Ends with
+      * `cents_q(centroid_id, cqv)` and `qvt(vec_id, v, qv)`.
+      */
+    def kmeansCtes(k: Int): String = {
+      def iter(i: Int, prev: String): String =
+        s""" a$i AS (SELECT vec_id, qv, centroid_id FROM (
+           |   SELECT t.vec_id, t.qv, c.centroid_id,
+           |    row_number() OVER (PARTITION BY t.vec_id ORDER BY ${l2q("t.qv", "c.cqv")}, c.centroid_id) rn
+           |   FROM qvt t CROSS JOIN $prev c) WHERE rn = 1),
+           | s$i AS (SELECT centroid_id, d, CAST(floor(sum(qv[d]) / count(*)) AS BIGINT) AS cd
+           |   FROM a$i, (SELECT unnest(generate_series(1, 64)) AS d) dims
+           |   GROUP BY centroid_id, d),
+           | m$i AS (SELECT centroid_id, list(cd ORDER BY d) AS cqv FROM s$i GROUP BY centroid_id),
+           | c$i AS (SELECT p.centroid_id, coalesce(m$i.cqv, p.cqv) AS cqv
+           |   FROM $prev p LEFT JOIN m$i ON p.centroid_id = m$i.centroid_id)""".stripMargin
+      s""" qvt AS (SELECT vec_id, v, list_transform(v, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv FROM v),
+         | c0 AS (SELECT vec_id AS centroid_id, qv AS cqv FROM qvt WHERE vec_id < $k),
+         |${iter(1, "c0")},
+         |${iter(2, "c1")},
+         | cents_q AS (SELECT centroid_id, cqv FROM c2)""".stripMargin
+    }
     // exact scaled-integer money: cast the 2-dp double INPUT to decimal
     // before scaling (casting a computed double would round differently in
     // Spark vs DuckDB), ×100 (exact, fractional part zero), then BIGINT.
@@ -626,35 +653,35 @@ object M5Queries {
 
     "q_embed_ivf" ->
       s"""WITH v AS (${frag.vecs}),
-         | cents AS (SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id < 8),
+         |${frag.kmeansCtes(8)},
          | assigned AS (SELECT vec_id, v, centroid_id AS bucket FROM (
          |   SELECT a.vec_id, a.v, c.centroid_id,
-         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${frag.l2sq("a.v", "c.cv")}, c.centroid_id) rn
-         |   FROM v a CROSS JOIN cents c) WHERE rn = 1),
-         | probes AS (SELECT query_id, qv, centroid_id AS bucket FROM (
-         |   SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
-         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${frag.l2sq("q.v", "c.cv")}, c.centroid_id) rn
-         |   FROM v q CROSS JOIN cents c WHERE q.vec_id BETWEEN 0 AND 9) WHERE rn <= 2)
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${frag.l2q("a.qv", "c.cqv")}, c.centroid_id) rn
+         |   FROM qvt a CROSS JOIN cents_q c) WHERE rn = 1),
+         | probes AS (SELECT query_id, qvec, centroid_id AS bucket FROM (
+         |   SELECT q.vec_id AS query_id, q.v AS qvec, c.centroid_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${frag.l2q("q.qv", "c.cqv")}, c.centroid_id) rn
+         |   FROM qvt q CROSS JOIN cents_q c WHERE q.vec_id BETWEEN 0 AND 9) WHERE rn <= 2)
          |SELECT query_id, neighbor_id, rank::INT AS rank, cos FROM (
-         | SELECT p.query_id, t.vec_id AS neighbor_id, ${frag.cosine("p.qv", "t.v")} AS cos,
-         |  row_number() OVER (PARTITION BY p.query_id ORDER BY ${frag.cosine("p.qv", "t.v")} DESC, t.vec_id) AS rank
+         | SELECT p.query_id, t.vec_id AS neighbor_id, ${frag.cosine("p.qvec", "t.v")} AS cos,
+         |  row_number() OVER (PARTITION BY p.query_id ORDER BY ${frag.cosine("p.qvec", "t.v")} DESC, t.vec_id) AS rank
          | FROM assigned t JOIN probes p USING (bucket) WHERE t.vec_id <> p.query_id)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_embed_ivf_recall" ->
       s"""WITH v AS (${frag.vecs}),
-         | cents AS (SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id < 8),
+         |${frag.kmeansCtes(8)},
          | assigned AS (SELECT vec_id, v, centroid_id AS bucket FROM (
          |   SELECT a.vec_id, a.v, c.centroid_id,
-         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${frag.l2sq("a.v", "c.cv")}, c.centroid_id) rn
-         |   FROM v a CROSS JOIN cents c) WHERE rn = 1),
-         | probes AS (SELECT query_id, qv, centroid_id AS bucket FROM (
-         |   SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
-         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${frag.l2sq("q.v", "c.cv")}, c.centroid_id) rn
-         |   FROM v q CROSS JOIN cents c WHERE q.vec_id BETWEEN 0 AND 9) WHERE rn <= 2),
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${frag.l2q("a.qv", "c.cqv")}, c.centroid_id) rn
+         |   FROM qvt a CROSS JOIN cents_q c) WHERE rn = 1),
+         | probes AS (SELECT query_id, qvec, centroid_id AS bucket FROM (
+         |   SELECT q.vec_id AS query_id, q.v AS qvec, c.centroid_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${frag.l2q("q.qv", "c.cqv")}, c.centroid_id) rn
+         |   FROM qvt q CROSS JOIN cents_q c WHERE q.vec_id BETWEEN 0 AND 9) WHERE rn <= 2),
          | ivf AS (SELECT query_id, neighbor_id FROM (
          |   SELECT p.query_id, t.vec_id AS neighbor_id,
-         |    row_number() OVER (PARTITION BY p.query_id ORDER BY ${frag.cosine("p.qv", "t.v")} DESC, t.vec_id) AS rank
+         |    row_number() OVER (PARTITION BY p.query_id ORDER BY ${frag.cosine("p.qvec", "t.v")} DESC, t.vec_id) AS rank
          |   FROM assigned t JOIN probes p USING (bucket) WHERE t.vec_id <> p.query_id)
          |  WHERE rank <= 5),
          | q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id BETWEEN 0 AND 9),

@@ -117,22 +117,82 @@ object Similarity {
   def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
-  /** IVF-style coarse quantization: assign each vector to its nearest of
-    * `k` centroids (deterministic "codebook" = the first k vectors by id —
-    * a stand-in for a k-means codebook; the bucketing/probing shape is
-    * the real thing). Ties break on the smaller centroid id.
+  // ---- IVF codebook: deterministic seeded integer k-means ----
+
+  /** Quantization unit for codebook arithmetic: ×2²⁰ is an exact binary
+    * exponent shift on doubles, and floor is deterministic — the quantized
+    * integer domain is exactly reproducible in ANSI SQL.
     */
-  def ivfAssign(embs: DataFrame, k: Int): DataFrame = {
-    val v = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val cents = v.filter(col("vec_id") < k)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+  val QUANT = 1048576.0
+
+  /** Double vector → exact integer vector (codebook domain). */
+  def quantize(v: Column): Column = transform(v, x => floor(x * lit(QUANT)).cast("long"))
+
+  /** Integer squared L2 distance — exact, order-independent BIGINT fold. */
+  def l2sqQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  /** Deterministic seeded k-means codebook over the quantized vectors:
+    * fixed init (first k vectors by id), `iters` Lloyd iterations,
+    * assignment ties to the smaller centroid id, empty clusters keep their
+    * previous centroid, centroid update = per-dimension floor-mean. All
+    * arithmetic is exact integer except the one mean division per
+    * dimension, whose operands are exact integers ≪ 2⁵³ — IEEE division +
+    * floor is then bit-identical across engines, so the whole codebook is
+    * oracle-reproducible. Scale shape per iteration: one broadcast of the
+    * k-row codebook against the corpus (no shuffle of the big side) + one
+    * (centroid, dim)-keyed partial aggregation — k·dims rows.
+    *
+    * Returns (centroid_id, cqv: array<long>).
+    */
+  def kmeansCodebook(embs: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    val qv = embs.select(col("vec_id"), quantize(asDouble(col("embedding"))).as("qv"))
+    var cents = qv.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("qv").as("cqv"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("centroid_id"))
+      val assigned = qv.join(broadcast(cents))
+        .select(col("vec_id"), col("qv"), col("centroid_id"),
+          l2sqQ(col("qv"), col("cqv")).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("qv")).as(Seq("d", "x")))
+        .groupBy(col("centroid_id"), col("d"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("cd", floor(col("sx").cast("double") / col("n")).cast("long"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("cd")))),
+          s => s.getField("cd")).as("newcqv"))
+      cents = cents.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("newcqv"), col("cqv")).as("cqv"))
+    }
+    cents
+  }
+
+  /** Corpus side with both the exact double vector (for final cosine) and
+    * its quantized form (for codebook distances).
+    */
+  private def withQuantized(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("qv", quantize(col("v")))
+
+  private def assignToCodebook(vq: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("centroid_id"))
-    v.join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("centroid_id"), l2sq(col("v"), col("cv")).as("dist"))
+    vq.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("qv"), col("centroid_id"),
+        l2sqQ(col("qv"), col("cqv")).as("dist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("centroid_id").as("bucket"))
   }
+
+  /** IVF coarse quantization: assign each vector to its nearest centroid
+    * of the seeded k-means codebook ([[kmeansCodebook]]). Ties break on
+    * the smaller centroid id.
+    */
+  def ivfAssign(embs: DataFrame, k: Int): DataFrame =
+    assignToCodebook(withQuantized(embs), kmeansCodebook(embs, k))
 
   /** IVF ANN: each query probes its `nprobe` nearest centroid buckets and
     * ranks candidates by exact cosine. At scale the corpus is partitioned
@@ -141,25 +201,24 @@ object Similarity {
     */
   def annIvfTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
       centroids: Int = 8, nprobe: Int = 2): DataFrame = {
-    val assigned = ivfAssign(embs, centroids)
-    val v = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val cents = v.filter(col("vec_id") < centroids)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
-    // per query: nprobe nearest centroids
+    val cents = kmeansCodebook(embs, centroids)
+    val vq = withQuantized(embs)
+    val assigned = assignToCodebook(vq, cents)
+    // per query: nprobe nearest centroids, by the same quantized metric
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("centroid_id"))
-    val probes = v.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = vq.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("v").as("qvec"), col("qv"))
       .join(broadcast(cents))
-      .select(col("query_id"), col("qv"), col("centroid_id"),
-        l2sq(col("qv"), col("cv")).as("dist"))
+      .select(col("query_id"), col("qvec"), col("centroid_id"),
+        l2sqQ(col("qv"), col("cqv")).as("dist"))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+      .select(col("query_id"), col("qvec"), col("centroid_id").as("bucket"))
     val rankW = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     assigned.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("v")).as("cos"))
+        cosine(col("qvec"), col("v")).as("cos"))
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
   }
