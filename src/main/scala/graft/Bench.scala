@@ -31,12 +31,15 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
       }
     }
-    // best-of-2 timed passes per query: a single pass measures whatever GC
-    // pause / JIT deopt / host-load spike it collides with (observed 2×
-    // run-to-run swings); the minimum is the standard noise-robust
-    // steady-state estimator
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // best-of-N timed passes per query (default 3): a single pass measures
+    // whatever GC pause / JIT deopt / host-load spike it collides with
+    // (observed 2× run-to-run swings); the minimum is the standard
+    // noise-robust steady-state estimator. Queries run in SORTED NAME
+    // ORDER so per-query numbers are comparable across rounds — hash-map
+    // iteration order would shuffle run-order effects between rounds.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
@@ -48,7 +51,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -146,12 +146,23 @@ object Similarity {
     * Returns (centroid_id, cqv: array<long>).
     */
   def kmeansCodebook(embs: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    val spark = embs.sparkSession
     val qv = embs.select(col("vec_id"), quantize(asDouble(col("embedding"))).as("qv"))
-    var cents = qv.filter(col("vec_id") < k)
-      .select(col("vec_id").as("centroid_id"), col("qv").as("cqv"))
+    // The codebook is k rows of index METADATA (this is what an IVF index
+    // header is), so each Lloyd iteration is materialized driver-side and
+    // the next iteration joins against a literal k-row DataFrame. Kept
+    // lazy, iteration i's full corpus-scan chain would re-run once per
+    // downstream branch (assignment + probing + the next iteration) —
+    // observed 8× blowup at sf0.1. The collect is bounded by k·dims.
+    def toDf(cb: Seq[(Long, Seq[Long])]): DataFrame =
+      broadcast(spark.createDataFrame(cb).toDF("centroid_id", "cqv"))
+    var cents: Seq[(Long, Seq[Long])] = qv.filter(col("vec_id") < k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .toSeq.sortBy(_._1)
     for (_ <- 1 to iters) {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("centroid_id"))
-      val assigned = qv.join(broadcast(cents))
+      val assigned = qv.join(toDf(cents))
         .select(col("vec_id"), col("qv"), col("centroid_id"),
           l2sqQ(col("qv"), col("cqv")).as("dist"))
         .withColumn("rn", row_number().over(w))
@@ -164,10 +175,13 @@ object Similarity {
         .groupBy(col("centroid_id"))
         .agg(transform(array_sort(collect_list(struct(col("d"), col("cd")))),
           s => s.getField("cd")).as("newcqv"))
-      cents = cents.join(means, Seq("centroid_id"), "left")
-        .select(col("centroid_id"), coalesce(col("newcqv"), col("cqv")).as("cqv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+        .toMap
+      // empty clusters keep their previous centroid
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
-    cents
+    toDf(cents)
   }
 
   /** Corpus side with both the exact double vector (for final cosine) and
