@@ -206,7 +206,8 @@ object M5Queries {
 
     // ---- dedup: SimHash near-dups (Hamming ≤ 16 within lang)
     "q_simhash_dups" -> ((s, dir) =>
-      TextDedup.simhashNearDups(TextDedup.documents(s, dir), maxDist = 16)
+      TextDedup.simhashNearDups(TextDedup.documents(s, dir), maxDist = 16,
+        allowLooseBands = true)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // ---- dedup: SimHash near-dups at a production threshold (maxDist 6 ⇒

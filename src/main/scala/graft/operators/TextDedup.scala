@@ -250,9 +250,19 @@ object TextDedup {
     * loose as 16/62 bits keeps exact recall here but bounds bucket keys at
     * 2^3..2^4 per band, which is parallelism, not pruning.
     */
-  def simhashNearDups(docs: DataFrame, maxDist: Int): DataFrame = {
+  def simhashNearDups(docs: DataFrame, maxDist: Int,
+      allowLooseBands: Boolean = false): DataFrame = {
     val bands = maxDist + 1
     require(bands >= 1 && bands <= 62, s"maxDist must be in [0, 61], got $maxDist")
+    // Loose-knob footgun guard: bands narrower than 6 bits give ≤ 2⁵ bucket
+    // values per band — at corpus scale the banding then buys parallelism
+    // but barely prunes the candidate space (the join degenerates toward
+    // per-language all-pairs). Recall stays exact either way; the guard
+    // forces the cost to be acknowledged at the call site.
+    val minWidth = 62 / bands
+    require(allowLooseBands || minWidth >= 6,
+      s"maxDist=$maxDist gives $minWidth-bit bands (< 6): candidate pruning is weak at scale — " +
+        "tighten maxDist or pass allowLooseBands=true to accept the cost")
     // band b covers `width(b)` bits starting at bit offset(b); first
     // (62 % bands) bands take the extra bit
     val base = 62 / bands

@@ -61,20 +61,37 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("minhash_union")), ex.toString)
   }
 
-  test("banded simhash near-dups ≡ all-pairs (exact recall via pigeonhole), several thresholds") {
+  test("banded simhash near-dups ≡ all-pairs (exact recall via pigeonhole), fixed + seeded random thresholds") {
+    // property-style sweep: the pinned thresholds plus seeded ScalaCheck
+    // draws over the full domain [0, 16] — insurance that the pigeonhole
+    // band-split logic holds at every width mix, not just the curated ones
+    import org.scalacheck.{Gen, rng}
+    val drawn = Gen.listOfN(5, Gen.choose(0, 16))
+      .pureApply(Gen.Parameters.default, rng.Seed(42L))
     val s = TextDedup.simhashes(docs).join(docs.select($"doc_id", $"lang"), "doc_id")
-    for (maxDist <- Seq(0, 3, 16)) {
+    for (maxDist <- (Seq(0, 3, 16) ++ drawn).distinct) {
       val allPairs = s.as("a").join(s.as("b"),
           $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id", $"b.doc_id",
           bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("h"))
         .filter($"h" <= maxDist)
         .as[(Long, Long, Int)].collect().toSet
-      val banded = TextDedup.simhashNearDups(docs, maxDist)
+      val banded = TextDedup.simhashNearDups(docs, maxDist, allowLooseBands = true)
         .as[(Long, Long, Int)].collect()
       assert(banded.length == banded.toSet.size, s"duplicate pairs at maxDist=$maxDist")
       assert(banded.toSet == allPairs, s"mismatch at maxDist=$maxDist")
     }
+  }
+
+  test("simhashNearDups guards loose bands (< 6 bits) behind an explicit opt-in") {
+    val ex = intercept[IllegalArgumentException] {
+      TextDedup.simhashNearDups(docs, maxDist = 16)
+    }
+    assert(ex.getMessage.contains("allowLooseBands"), ex.getMessage)
+    // tight knob needs no opt-in: 6 → 8-bit bands
+    TextDedup.simhashNearDups(docs, maxDist = 6)
+    // opt-in accepted
+    TextDedup.simhashNearDups(docs, maxDist = 16, allowLooseBands = true)
   }
 
   test("cosine_sim implicitly casts float arrays (no garbage from 4-byte slots)") {
