@@ -90,6 +90,14 @@ object JsonPathLite {
     "first()" -> FnAgg("first"), "last()" -> FnAgg("last"),
     "keys()" -> FnAgg("keys"))
 
+  /** Path functions allowed inside a filter RELPATH (`@.a.length()`):
+    * Jayway's filter-operand surface stops at length/size — accepting the
+    * aggregate functions here would compile predicates the reference
+    * rejects at runtime (silent grammar superset).
+    */
+  private val relpathFns: Seq[(String, Step)] =
+    pathFns.filter { case (_, step) => step == FnLength }
+
   sealed trait Pred
   final case class Or(clauses: Seq[Pred]) extends Pred
   final case class And(terms: Seq[Pred]) extends Pred
@@ -342,6 +350,9 @@ object JsonPathLite {
             segs += Deep(Field(rest.substring(start, j)))
           case '.' if pathFns.exists { case (fn, _) => rest.startsWith("." + fn, j) } =>
             val (fn, step) = pathFns.find { case (f, _) => rest.startsWith("." + f, j) }.get
+            if (!relpathFns.exists(_._1 == fn))
+              throw new JsonPathSyntaxException(
+                s"path function '$fn' not allowed in a filter path (only length()/size()): '$p' in $whole")
             j += fn.length + 1
             segs += step
           case '.' =>
@@ -514,10 +525,18 @@ object JsonPathLite {
       else Seq.empty
     case Deep(inner) =>
       // pre-order: apply `inner` at this node, then recurse into children
-      // of objects AND arrays
+      // of objects AND arrays. A deep FILTER can surface the same node
+      // twice — once as a kept element of its parent array's FilterStep and
+      // once when the walk visits the node itself — so those matches are
+      // deduped by node identity (Jayway returns each match once).
       val out = ArrayBuffer.empty[JsonNode]
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[JsonNode, java.lang.Boolean]())
+      val dedupe = inner.isInstanceOf[FilterStep]
       def walk(n: JsonNode): Unit = {
-        out ++= applyStep(n, inner)
+        val hits = applyStep(n, inner)
+        if (dedupe) hits.foreach(h => if (seen.add(h)) out += h)
+        else out ++= hits
         if (n.isObject || n.isArray) n.elements().asScala.foreach(walk)
       }
       walk(node)

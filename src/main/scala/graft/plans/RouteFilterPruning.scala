@@ -98,10 +98,19 @@ object RouteFilterPruning extends Rule[LogicalPlan] {
           case Some((pairs, t, failOnError)) if sentinelsAllFalse =>
             // under ANSI (failOnError=true, Spark 4's default) element_at
             // THROWS on a missing key; the rewrite may only erase that
-            // possibility when the map provably covers every rule index
-            // the generator can emit
+            // possibility when every route value the generator can emit —
+            // rule indices AND sentinels (errorRoute / unfilteredRoute) —
+            // is either excluded by a false branch before the ELSE or
+            // present as a map key. Otherwise the original plan throws
+            // where the rewritten one would silently filter.
+            val excluded: Set[Int] = branches.collect {
+              case (EqualTo(a: Attribute, Literal(i: Int, IntegerType)), _) => i
+            }.toSet
+            def safe(route: Int): Boolean =
+              excluded.contains(route) || pairs.exists(_._1 == route)
             val covered = !failOnError ||
-              jr.paths.indices.forall(i => pairs.exists(_._1 == i))
+              (jr.paths.indices.forall(safe) &&
+                (jr.errorRoute.toSeq ++ jr.unfilteredRoute.toSeq).forall(safe))
             if (!covered) None
             else pairs.filter(_._2 == t).map(_._1) match {
               case Seq(i) if i >= 0 && i < jr.paths.length => Some(pruned(g, jr, i))

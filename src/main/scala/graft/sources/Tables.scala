@@ -16,10 +16,13 @@ object Tables {
   val names: Seq[String] =
     "region nation customer supplier part orders lineitem events documents embeddings".split(" ").toSeq
 
-  // Weak-keyed BY SESSION: a cached DataFrame is bound to the session that
-  // built it and must never be served to another one; weak identity keys
-  // also let a stopped session's entries (and their persisted tables) be
-  // collected instead of pinning SessionState for the JVM lifetime.
+  // Keyed BY SESSION: a cached DataFrame is bound to the session that
+  // built it and must never be served to another one. The keys are weak,
+  // but the cached DataFrames strongly reference their session
+  // (df.sparkSession) — a value→key path that would defeat the weakness
+  // and pin stopped sessions for the JVM lifetime. The stop listener below
+  // breaks that cycle: when the session's context ends, its entry is
+  // dropped, letting both the DataFrames and the session be collected.
   private val cached =
     new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
@@ -28,6 +31,11 @@ object Tables {
     if (m == null) {
       m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
       cached.put(spark, m)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          cached.synchronized { cached.remove(spark) }
+      })
     }
     m
   }

@@ -206,12 +206,25 @@ class JsonPathLiteSpec extends AnyFunSuite {
     assert(sel(j, "$.o.min()") == Nil)            // not a numeric array
     assert(sel("""{"scores":[]}""", "$.scores.min()") == Nil)
     assert(sel("""{"scores":[1,"x"]}""", "$.scores.sum()") == Nil)
-    // filter usage
+    // filter RELPATHS stop at length()/size() (Jayway's filter-operand
+    // surface) — aggregate functions there must fail loudly at compile,
+    // not silently parse as field lookups
     val arr = """{"arr":[{"scores":[1,2,3]},{"scores":[10,20]}]}"""
-    assert(ex(arr, "$.arr[?(@.scores.avg() > 5)]"))
-    assert(!ex(arr, "$.arr[?(@.scores.avg() > 15)]"))
-    assert(ex(arr, "$.arr[?(@.scores.max() == 3)]"))
-    assert(ex(arr, "$.arr[?(@.scores.first() == 10)]"))
+    assert(ex(arr, "$.arr[?(@.scores.length() == 3)]"))
+    for (bad <- Seq("$.arr[?(@.scores.avg() > 5)]", "$.arr[?(@.scores.max() == 3)]",
+        "$.arr[?(@.scores.first() == 10)]", "$.arr[?(@.o.keys())]"))
+      intercept[JsonPathLite.JsonPathSyntaxException] {
+        JsonPathLite.compile(bad)
+      }
+  }
+
+  test("deep-scan filter returns each matching node once (no array-element double count)") {
+    // {"a":[{"k":99},{"k":1}]}: the k=99 object is reachable both as a kept
+    // element of the array's FilterStep and as a walked node — one result
+    val j = """{"a":[{"k":99},{"k":1}],"b":{"k":95}}"""
+    assert(sel(j, "$..[?(@.k > 90)]").sorted == Seq("""{"k":95}""", """{"k":99}""").sorted)
+    // scalar-element filters still work through the array path
+    assert(sel("""{"a":[1,7,9]}""", "$..[?(@ > 5)]") == Seq("7", "9"))
   }
 
   test("slice/union differential fuzz vs an independent list model") {

@@ -81,6 +81,32 @@ class RouteFilterPruningSpec extends AnyFunSuite {
     assert(q.count() > 0)
   }
 
+  test("ANSI guard: a sentinel with no false-branch and no map key blocks the rewrite") {
+    // Author a topic CaseWhen that FORGETS the UNFILTERED branch: the
+    // generator can emit route=-2, the ELSE's element_at(map, -2) would
+    // throw under ANSI — the rewrite must not replace that throw with a
+    // silent filter, so the Generate has to survive. (Don't execute: the
+    // original plan is genuinely throw-y on this data, which is the point.)
+    import graft.rules.TxDispatchRules.{ERROR, UNFILTERED}
+    val topics = EventsTx.rules.rules.zipWithIndex
+      .flatMap { case (r, i) => Seq(lit(i), lit(r.topic)) }
+    val forgetful = routes.withColumn("topic",
+      when(col("route") === ERROR, lit("error"))
+        .otherwise(element_at(map(topics: _*), col("route"))))
+    val q = forgetful.filter(col("topic") === EventsTx.rules.rules.head.topic)
+    assert(q.queryExecution.optimizedPlan
+      .exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Generate]),
+      "rewrite erased an ANSI error path: sentinel -2 is neither branched false nor a map key")
+    // with BOTH sentinels excluded the same shape rewrites (control)
+    val covered = routes.withColumn("topic",
+      when(col("route") === ERROR, lit("error"))
+        .when(col("route") === UNFILTERED, lit("dlq"))
+        .otherwise(element_at(map(topics: _*), col("route"))))
+      .filter(col("topic") === EventsTx.rules.rules.head.topic)
+    assert(!covered.queryExecution.optimizedPlan
+      .exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Generate]))
+  }
+
   test("full dispatch results are unchanged with extensions active") {
     import spark.implicits._
     val got = TxDispatchPipeline(
