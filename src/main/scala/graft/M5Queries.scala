@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Multimodal, Sampling, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Curation, Multimodal, Sampling, Similarity, TextAnalysis, TextDedup}
 import graft.functions.TextFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -299,6 +299,40 @@ object M5Queries {
           (col("n_hits") / lit(5.0)).as("recall"))
         .orderBy(col("query_id"))
     }),
+
+    // ---- curation: PII redaction. The corpus is synthetic word salad with
+    // no natural PII, so the query INJECTS deterministic doc_id-derived
+    // contact lines first (documented oracle-twin input construction), then
+    // proves detection + redaction agree byte-for-byte across engines.
+    "q_pii_redact" -> ((s, dir) => {
+      val injected = TextDedup.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string"),
+          lit(" tel +1415555"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      Curation.redactPii(injected, col("text"))
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          col("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- curation: eval-split decontamination (3-gram shingle overlap)
+    "q_decontaminate" -> ((s, dir) =>
+      Curation.decontaminate(TextDedup.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // ---- curation: concat-then-chunk context-window packing over a
+    // distributed prefix sum (no single-task window)
+    "q_pack_windows" -> ((s, dir) =>
+      Curation.packContextWindows(TextDedup.documents(s, dir), windowTokens = 256)
+        .orderBy(col("doc_id"))),
+
+    // ---- curation: repetition statistics (exact integer counts)
+    "q_repetition" -> ((s, dir) =>
+      Curation.repetitionMetrics(TextDedup.documents(s, dir))
+        .orderBy(col("doc_id"))),
 
     // ---- skew discipline: two-stage salted aggregation ≡ plain aggregation
     "q_salted_agg" -> ((s, dir) => {
@@ -700,6 +734,62 @@ object M5Queries {
     "q_salted_agg" ->
       s"""SELECT event_type, CAST(sum(${frag.cents("value")}) AS BIGINT) AS total_value_x100,
          | count(*) AS n FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // deliberately backslash-free regexes (see Curation) so the identical
+    // pattern text is valid in Java regex and RE2; 'g' flag = replace-all,
+    // matching Spark's regexp_replace semantics
+    "q_pii_redact" ->
+      s"""WITH injected AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+         |       || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
+         |       || ' tel +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+         | FROM documents)
+         |SELECT doc_id,
+         | len(regexp_extract_all(text, '${Curation.EmailRe}'))::INT AS n_emails,
+         | len(regexp_extract_all(text, '${Curation.Ipv4Re}'))::INT AS n_ips,
+         | len(regexp_extract_all(text, '${Curation.PhoneRe}'))::INT AS n_phones,
+         | regexp_replace(regexp_replace(regexp_replace(text,
+         |   '${Curation.EmailRe}', '<EMAIL>', 'g'),
+         |   '${Curation.Ipv4Re}', '<IP>', 'g'),
+         |   '${Curation.PhoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM injected ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH sh AS (${frag.shingleHashes}),
+         | ex AS (SELECT doc_id, unnest(h) AS s FROM sh),
+         | ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0),
+         | ov AS (SELECT t.doc_id, count(DISTINCT t.s) AS n
+         |   FROM ex t JOIN ev ON t.s = ev.s WHERE t.doc_id % 97 <> 0
+         |   GROUP BY t.doc_id)
+         |SELECT d.doc_id, COALESCE(ov.n, 0)::BIGINT AS n_shared,
+         | COALESCE(ov.n, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+         | LEFT JOIN ov ON d.doc_id = ov.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_pack_windows" ->
+      s"""WITH c AS (SELECT doc_id, len(${frag.toks})::BIGINT AS n_tokens FROM documents),
+         | s AS (SELECT doc_id, n_tokens,
+         |   (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+         |  FROM c),
+         | b AS (SELECT doc_id, n_tokens, cum - n_tokens AS start_tok,
+         |   CASE WHEN n_tokens > 0 THEN CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) END AS bin_first,
+         |   CASE WHEN n_tokens > 0 THEN CAST(floor((cum - 1) / 256.0) AS BIGINT) END AS bin_last
+         |  FROM s)
+         |SELECT doc_id, n_tokens, start_tok, bin_first, bin_last,
+         | COALESCE(bin_last - bin_first + 1, 0)::BIGINT AS n_bins
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH t AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),
+         | b AS (SELECT doc_id, tk,
+         |   CASE WHEN len(tk) < 2 THEN []
+         |        ELSE list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1])
+         |   END AS bi
+         |  FROM t)
+         |SELECT doc_id, len(tk)::INT AS n_tokens, len(list_distinct(tk))::INT AS n_distinct_tokens,
+         | len(bi)::INT AS n_bigrams, len(list_distinct(bi))::INT AS n_distinct_bigrams
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       s"""SELECT event_id AS media_id, COALESCE(strlen(props), 0)::INT AS n_bytes,

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw ingest and tokenization: PII redaction, eval-set
+  * decontamination, context-window packing, repetition statistics. All
+  * per-row work is built-in codegen'd expressions; every cross-row step is
+  * an explicitly keyed join/aggregation or a distributed prefix sum — no
+  * all-pairs, no unpartitioned windows, no driver loops.
+  */
+object Curation {
+
+  // ---- PII redaction -------------------------------------------------
+
+  /** Detection patterns, deliberately backslash-free (character classes
+    * only) so the identical source text works in Java regex (Spark) and
+    * RE2 (DuckDB oracle) — `[.]` instead of `\.`, `[0-9]` instead of `\d`.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+  val PhoneRe = "[+][0-9]{7,15}"
+
+  /** Count + redact PII spans. Redaction order is fixed (email, ip,
+    * phone); counts are taken on the ORIGINAL text so they are independent
+    * of replacement side effects. Purely narrow per-row work.
+    */
+  def redactPii(df: DataFrame, text: Column): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>")
+    df.withColumn("n_emails", size(regexp_extract_all(text, lit(EmailRe), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(text, lit(Ipv4Re), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(text, lit(PhoneRe), lit(0))))
+      .withColumn("redacted", redacted)
+  }
+
+  // ---- eval-set decontamination --------------------------------------
+
+  /** Flag training documents sharing any word-3-gram shingle with the
+    * held-out eval split (doc_id ≡ 0 mod `evalModulus`). The industry-
+    * standard n-gram-overlap decontamination check, shaped for scale:
+    * shingle hashes explode to (doc, hash) rows, the eval hash set is
+    * DISTINCT + broadcast (eval sets are small by construction), and the
+    * join is keyed on the hash — never all-pairs. Zero-overlap docs are
+    * kept with n_shared = 0 via the left join so the output enumerates the
+    * whole training split.
+    */
+  def decontaminate(docs: DataFrame, evalModulus: Long = 97L): DataFrame = {
+    val hashes = docs.select(col("doc_id"),
+      explode(TextFunctions.shingleHashes(col("text"), 3)).as("sh"))
+    val evalHashes = hashes.filter(pmod(col("doc_id"), lit(evalModulus)) === 0)
+      .select(col("sh")).distinct()
+    val overlaps = hashes.filter(pmod(col("doc_id"), lit(evalModulus)) =!= 0)
+      .join(broadcast(evalHashes), "sh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n"))
+    docs.filter(pmod(col("doc_id"), lit(evalModulus)) =!= 0)
+      .select(col("doc_id"))
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_shared"),
+        (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  // ---- context-window packing ----------------------------------------
+
+  /** Concat-then-chunk packing (the standard pretraining layout): token
+    * streams are concatenated in doc_id order and cut every
+    * `windowTokens`; each document spans bins
+    * floor(start/W) .. floor((start+n−1)/W). The global token offset is a
+    * distributed prefix sum ([[PrefixSum]]) — no single-task window, no
+    * driver loop; empty documents span no bin (NULL bounds, 0 bins).
+    */
+  def packContextWindows(docs: DataFrame, windowTokens: Int): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    val w = lit(windowTokens.toLong)
+    val counted = docs.select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+    val summed = PrefixSum.inclusive(counted, Seq(col("doc_id")), col("n_tokens"), "cum")
+    summed
+      .withColumn("start_tok", col("cum") - col("n_tokens"))
+      .withColumn("bin_first",
+        when(col("n_tokens") > 0, floor(col("start_tok") / w)))
+      .withColumn("bin_last",
+        when(col("n_tokens") > 0, floor((col("cum") - 1) / w)))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        col("bin_first"), col("bin_last"),
+        coalesce(col("bin_last") - col("bin_first") + 1, lit(0L)).as("n_bins"))
+  }
+
+  // ---- repetition statistics -----------------------------------------
+
+  /** Token/bigram repetition counts (the Gopher-style repetition signals,
+    * kept as exact integers — ratios are the caller's division). Narrow
+    * per-row HOF work; tokens materialized once.
+    */
+  def repetitionMetrics(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("bi", TextFunctions.shingles(col("toks"), 2))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        size(col("bi")).as("n_bigrams"),
+        size(array_distinct(col("bi"))).as("n_distinct_bigrams"))
+}

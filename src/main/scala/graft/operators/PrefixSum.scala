@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed running sums over a total order — the zipWithIndex shape,
+  * generalized. A naive `sum().over(Window.orderBy(...))` funnels the whole
+  * dataset through ONE task; this materializes the same result with no
+  * unpartitioned window anywhere:
+  *
+  *  1. range-partition on the order (contiguous global ranges per
+  *     partition; explicit partition count so every branch sees the same
+  *     partitioning under AQE),
+  *  2. per-partition running sums in parallel windows keyed by partition
+  *     id,
+  *  3. per-partition totals — one row per partition — prefix-summed via a
+  *     tiny triangle self-join and broadcast back as offsets.
+  *
+  * `orderCols` must be a total order (no ties), otherwise running sums
+  * within a tie group are nondeterministic.
+  */
+object PrefixSum {
+
+  /** Append `outCol` = inclusive running sum of `value` (cast to long)
+    * over the total order `orderCols`. Row count and all other columns are
+    * preserved.
+    */
+  def inclusive(df: DataFrame, orderCols: Seq[Column], value: Column,
+      outCol: String): DataFrame = {
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val tagged = df.withColumn("_psum_v", value.cast("long"))
+    val ranged = tagged.repartitionByRange(nPart, orderCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("_run", sum(col("_psum_v")).over(wLocal))
+    val totals = ranged.groupBy(col("_pid")).agg(sum(col("_psum_v")).as("_cnt"))
+    val offsets = totals.as("a")
+      .join(broadcast(totals.as("b")), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(coalesce(sum(col("b._cnt")), lit(0L)).as("_offset"))
+    local.join(broadcast(offsets), "_pid")
+      .withColumn(outCol, col("_offset") + col("_run"))
+      .drop("_pid", "_run", "_offset", "_psum_v")
+  }
+}

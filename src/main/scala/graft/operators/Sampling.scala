@@ -67,29 +67,11 @@ object Sampling {
       .withColumn("position", col("rn").cast("long") * stride)
       .withColumn("_stratum", stratum)
       .withColumn("_id", id)
-    // zipWithIndex, declaratively: contiguous global ranges per partition
-    // via range partitioning, parallel local ranks, tiny offset join.
-    // explicit partition count: AQE preserves user-specified numPartitions,
-    // so the ranks branch and the counts branch see the SAME partitioning
-    // even if the exchange isn't reused (deterministic boundary sampling)
-    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = positioned
-      .repartitionByRange(nPart, col("position"), col("_stratum"), col("_id"))
-      .withColumn("_pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("_pid"))
-      .orderBy(col("position"), col("_stratum"), col("_id"))
-    val local = ranged.withColumn("_rn_local", row_number().over(wLocal))
-    // prefix sum over the one-row-per-partition count table via a triangle
-    // self-join — O(numPartitions²) on a tiny broadcast-able table, and no
-    // unpartitioned window anywhere in the plan
-    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
-    val offsets = counts.as("a")
-      .join(broadcast(counts.as("b")), col("b._pid") < col("a._pid"), "left")
-      .groupBy(col("a._pid").as("_pid"))
-      .agg(coalesce(sum(col("b._cnt")), lit(0L)).as("_offset"))
-    local.join(broadcast(offsets), "_pid")
-      .withColumn("seq", col("_offset") + col("_rn_local"))
+    // the global sequence is a running COUNT over the schedule's total
+    // order — materialized distributively (no single-task window)
+    PrefixSum.inclusive(positioned,
+        Seq(col("position"), col("_stratum"), col("_id")), lit(1L), "seq")
       .filter(col("seq") <= take)
-      .drop("_pid", "_rn_local", "_offset", "_stratum", "_id")
+      .drop("_stratum", "_id")
   }
 }
