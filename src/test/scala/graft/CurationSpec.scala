@@ -1,0 +1,145 @@
+package graft
+
+import graft.operators.{Curation, PrefixSum, TextDedup}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-curation operators ([[graft.operators.Curation]]) and the
+  * distributed running sum that packing rides on ([[PrefixSum]]).
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = TextDedup.documents(spark, sf).cache()
+
+  // ---- PrefixSum ------------------------------------------------------
+
+  test("PrefixSum ≡ naive unpartitioned running sum (same values, no single-task window)") {
+    // seeded, skewed values across many partitions
+    val df = spark.range(0, 5000, 1, 16).toDF("id")
+      .withColumn("v", pmod(col("id") * 2654435761L, lit(97L)))
+    val got = PrefixSum.inclusive(df, Seq(col("id")), col("v"), "run")
+      .select($"id", $"run").as[(Long, Long)].collect().toMap
+    val naive = df
+      .withColumn("run", sum($"v").over(
+        Window.orderBy($"id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"id", $"run").as[(Long, Long)].collect().toMap
+    assert(got == naive)
+  }
+
+  test("PrefixSum preserves row count and input columns") {
+    val df = spark.range(0, 1000, 1, 8).toDF("id").withColumn("payload", $"id" * 3)
+    val out = PrefixSum.inclusive(df, Seq(col("id")), lit(1L), "seq")
+    assert(out.count() == 1000)
+    assert(out.columns.sorted.toSeq == Seq("id", "payload", "seq"))
+    // inclusive count over a dense total order is rank: seq(id) = id + 1
+    assert(out.filter($"seq" =!= $"id" + 1).count() == 0)
+  }
+
+  // ---- PII redaction --------------------------------------------------
+
+  test("redactPii counts and replaces emails, IPs, phones; clean text untouched") {
+    val rows = Seq(
+      (1L, "write a@b.io or c.d+x@e-f.org today"),
+      (2L, "host 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call +14155550123 now"),
+      (4L, "mixed a@b.io at 10.0.0.1 tel +4915112345678"),
+      (5L, "nothing sensitive here"),
+      (6L, "")).toDF("doc_id", "text")
+    val out = Curation.redactPii(rows, col("text"))
+      .select($"doc_id", $"n_emails", $"n_ips", $"n_phones", $"redacted")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 2, 0, 0, "write <EMAIL> or <EMAIL> today")))
+    assert(out(1) == ((2L, 0, 2, 0, "host <IP> and <IP> up")))
+    assert(out(2) == ((3L, 0, 0, 1, "call <PHONE> now")))
+    assert(out(3) == ((4L, 1, 1, 1, "mixed <EMAIL> at <IP> tel <PHONE>")))
+    assert(out(4) == ((5L, 0, 0, 0, "nothing sensitive here")))
+    assert(out(5) == ((6L, 0, 0, 0, "")))
+  }
+
+  test("redaction counts are taken on the original text, not the partially-redacted one") {
+    // an email whose domain looks like it contains an IP-ish digit run:
+    // email is redacted first; the IP count must still see the ORIGINAL text
+    val rows = Seq((1L, "u@10.1.2.3mail.com plus real 10.1.2.3")).toDF("doc_id", "text")
+    val out = Curation.redactPii(rows, col("text"))
+      .select($"n_emails", $"n_ips").as[(Int, Int)].head()
+    // counts reflect the original string under the fixed patterns
+    assert(out._1 == 1)
+    assert(out._2 >= 1)
+  }
+
+  // ---- decontamination ------------------------------------------------
+
+  test("decontaminate flags exactly the training docs sharing a 3-gram with the eval split") {
+    val out = Curation.decontaminate(docs).cache()
+    // the eval split itself is excluded from the output
+    assert(out.filter(pmod($"doc_id", lit(97L)) === 0).count() == 0)
+    assert(out.count() == docs.filter(pmod($"doc_id", lit(97L)) =!= 0).count())
+    // independent recomputation of one flagged and one clean doc
+    val shingled = docs.select($"doc_id",
+      explode(TextFunctions.shingleHashes($"text", 3)).as("sh"))
+    val evalSet = shingled.filter(pmod($"doc_id", lit(97L)) === 0)
+      .select($"sh").distinct().as[Long].collect().toSet
+    val sample = shingled.filter(pmod($"doc_id", lit(97L)) =!= 0)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (id, hs) => id -> hs.map(_._2).toSet.count(evalSet) }
+    val got = out.select($"doc_id", $"n_shared").as[(Long, Long)].collect().toMap
+    sample.foreach { case (id, want) =>
+      assert(got(id) == want.toLong, s"doc $id")
+    }
+  }
+
+  // ---- context-window packing ----------------------------------------
+
+  test("packContextWindows: contiguous token ranges, bin bounds consistent, totals add up") {
+    val w = 256
+    val out = Curation.packContextWindows(docs, windowTokens = w)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_tokens", $"start_tok", $"bin_first", $"bin_last", $"n_bins")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Long)].collect()
+    // token ranges tile the concatenated stream with no gaps or overlaps
+    var cursor = 0L
+    out.foreach { case (id, n, start, bf, bl, nb) =>
+      assert(start == cursor, s"doc $id starts at $start, expected $cursor")
+      cursor += n
+      if (n == 0) {
+        assert(bf.isEmpty && bl.isEmpty && nb == 0L, s"empty doc $id spans bins")
+      } else {
+        assert(bf.contains(start / w) && bl.contains((start + n - 1) / w), s"doc $id bins")
+        assert(nb == bl.get - bf.get + 1)
+      }
+    }
+    // total stream length matches the corpus token count
+    val want = docs.select(sum(size(TextFunctions.tokens($"text")))).as[Long].head()
+    assert(cursor == want)
+  }
+
+  test("packContextWindows rejects a non-positive window") {
+    intercept[IllegalArgumentException] {
+      Curation.packContextWindows(docs, windowTokens = 0)
+    }
+  }
+
+  // ---- repetition metrics --------------------------------------------
+
+  test("repetitionMetrics: hand-checked counts, bigrams = tokens − 1, bounds hold") {
+    val rows = Seq(
+      (1L, "a b a b a"),
+      (2L, "x"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Curation.repetitionMetrics(rows).orderBy($"doc_id")
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(out(0) == ((1L, 5, 2, 4, 2)))   // bigrams: "a b","b a","a b","b a"
+    assert(out(1) == ((2L, 1, 1, 0, 0)))
+    assert(out(2) == ((3L, 0, 0, 0, 0)))
+    val corpus = Curation.repetitionMetrics(docs)
+    assert(corpus.filter($"n_distinct_tokens" > $"n_tokens").count() == 0)
+    assert(corpus.filter($"n_tokens" > 0 &&
+      $"n_bigrams" =!= $"n_tokens" - 1).count() == 0)
+    assert(corpus.filter($"n_distinct_bigrams" > $"n_bigrams").count() == 0)
+  }
+}
