@@ -127,6 +127,40 @@ object M5Queries {
       operators.Sessionize(s, dir)
         .orderBy(col("user_id"), col("session_id"))),
 
+    // ---- relational: backward as-of join (purchase ← most recent click
+    // at or before it, per user; ties on time broken by larger event_id)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tus"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tus"), col("event_id"),
+          col("event_id").as("click_event_id"), col("tus").as("click_tus"))
+      operators.Temporal.asofJoinBackward(purchases, clicks,
+          keys = Seq("user_id"), timeCol = "tus", tieCol = "event_id",
+          rightCols = Seq("click_event_id", "click_tus"))
+        .withColumn("wait_us", col("tus") - col("click_tus"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- relational: interval (range) join — events falling inside any
+    // 10-minute window opened by an error event of the same user, counted
+    // per window. Bucketed equi-join, never a cross product.
+    "q_range_join" -> ((s, dir) => {
+      val tenMinUs = 600000000L
+      val ev = t(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+      val intervals = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_event_id"),
+          col("tus").as("start_us"), (col("tus") + tenMinUs).as("end_us"))
+      val points = ev.select(col("user_id"), col("event_id"), col("tus"))
+      operators.Temporal.rangeJoin(points, intervals,
+          keys = Seq("user_id"), timeCol = "tus",
+          startCol = "start_us", endCol = "end_us", bucketWidth = tenMinUs)
+        .groupBy(col("error_event_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_event_ids"))
+        .orderBy(col("error_event_id"))
+    }),
+
     // ---- dedup: exact (hash-group keep-first)
     "q_dedup_exact" -> ((s, dir) =>
       TextDedup.exactDuplicates(TextDedup.documents(s, dir))
@@ -510,6 +544,34 @@ object M5Queries {
         |SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
         | min(tus) AS start_us, max(tus) AS end_us
         |FROM g GROUP BY user_id, g.session_id ORDER BY user_id, session_id""".stripMargin,
+
+    // as-of: LATERAL top-1 is the declarative twin of the sorted-union
+    // window the engine runs; tie-break (tus DESC, event_id DESC) matches
+    // the engine's larger-event_id-wins-at-equal-time rule
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
+        | p AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'purchase'),
+        | c AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.tus,
+        | m.event_id AS click_event_id, m.tus AS click_tus,
+        | p.tus - m.tus AS wait_us
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT c.event_id, c.tus FROM c
+        |  WHERE c.user_id = p.user_id AND c.tus <= p.tus
+        |  ORDER BY c.tus DESC, c.event_id DESC LIMIT 1) m ON true
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
+        | iv AS (SELECT event_id AS error_event_id, user_id, tus AS start_us,
+        |     tus + 600000000 AS end_us
+        |   FROM e WHERE event_type = 'error')
+        |SELECT iv.error_event_id, iv.user_id, count(*) AS n_events,
+        | CAST(sum(e.event_id) AS BIGINT) AS sum_event_ids
+        |FROM iv JOIN e ON e.user_id = iv.user_id
+        |  AND e.tus >= iv.start_us AND e.tus < iv.end_us
+        |GROUP BY iv.error_event_id, iv.user_id
+        |ORDER BY error_event_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins the relational surface lacks as built-ins: backward
+  * as-of join and interval (range) join. Both are shaped for scale — a
+  * single shuffle keyed on the join keys (as-of) or on (key, time-bucket)
+  * (range); neither ever enumerates a cross product, and no window in
+  * either plan is unpartitioned.
+  */
+object Temporal {
+
+  /** Backward as-of join: for every left row, attach the right row with
+    * the greatest `(timeCol, tieCol)` such that `right.timeCol <=
+    * left.timeCol`, matching on `keys`. Left rows with no prior right row
+    * keep NULLs (left-outer semantics).
+    *
+    * Implemented as the sorted-union trick — one shuffle on `keys`, no
+    * per-row probe join: tag each side, union by name, and take the last
+    * non-null right-payload STRUCT over a running window ordered by
+    * `(time, side, tie)`. Right rows sort before left rows at equal time,
+    * so "at or before" includes exact ties; packing the right payload in
+    * one struct keeps all its columns from the SAME matched row (per-
+    * column `last(ignoreNulls)` could mix rows when payload columns are
+    * legitimately NULL).
+    *
+    * `rightCols` are the right-side payload columns to carry (they must
+    * not collide with left column names — alias on the way in).
+    * `(keys, timeCol, tieCol)` must be unique on the right side for a
+    * deterministic result.
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, tieCol: String, rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(rightCols.intersect(leftCols).isEmpty,
+      s"right payload columns ${rightCols.intersect(leftCols)} collide with the left schema")
+    val payload = struct((rightCols :+ tieCol).map(col): _*)
+    val l = left.select(leftCols.map(col) :+ lit(1).as("_side")
+      :+ lit(null).cast(right.select(payload).schema.head.dataType).as("_pay")
+      :+ col(tieCol).as("_tie"): _*)
+    val r = right.select(
+      keys.map(col) ++ leftCols.filterNot(keys.contains).filterNot(_ == timeCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))
+        :+ col(timeCol) :+ lit(0).as("_side") :+ payload.as("_pay")
+        :+ col(tieCol).as("_tie"): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r.select(l.columns.map(col): _*))
+      .withColumn("_match", last(col("_pay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"_match.$c").as(c)): _*)
+  }
+
+  /** Interval (range) join: pair every point with every interval of the
+    * same `keys` whose `[startCol, endCol)` half-open range contains
+    * `timeCol`. Never a cross product: each interval explodes to the
+    * fixed-width time buckets it covers, points map to their single
+    * bucket, and the join is an equi-join on `(keys, bucket)` plus the
+    * residual containment filter. A (point, interval) match shares
+    * exactly one bucket — the point's own — so no post-join dedup is
+    * needed. `bucketWidth` trades bucket-row inflation (long intervals →
+    * many buckets) against candidate-pair selectivity; set it near the
+    * typical interval length.
+    *
+    * Bucket indices use integer `div` (exact at any epoch magnitude —
+    * `floor(x / w)` on doubles loses ulps past 2⁵³); time values must be
+    * non-negative, where truncating `div` coincides with floor.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+      timeCol: String, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // an empty half-open interval contains nothing; dropping it early also
+    // keeps `sequence(startBucket, endBucket)` ascending (Spark's sequence
+    // runs DESCENDING when stop < start, which a boundary-aligned empty
+    // interval would trigger)
+    val iv = intervals.filter(col(endCol) > col(startCol)).withColumn("_bucket",
+      explode(sequence(expr(s"`$startCol` div $bucketWidth"),
+        expr(s"(`$endCol` - 1) div $bucketWidth"))))
+    val pt = points.withColumn("_bucket", expr(s"`$timeCol` div $bucketWidth"))
+    pt.join(iv, keys :+ "_bucket")
+      .filter(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
+      .drop("_bucket")
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of and interval joins ([[graft.operators.Temporal]]) against naive
+  * reference implementations on seeded edge-case data.
+  */
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // left: (event_id, key, t)
+  val leftRows = Seq(
+    (100L, 1L, 50L),   // after two right rows
+    (101L, 1L, 10L),   // exact tie with right t=10 → tie included
+    (102L, 1L, 5L),    // before every right row → no match
+    (103L, 2L, 99L),   // key with a single right row
+    (104L, 3L, 7L),    // key with no right rows at all
+    (105L, 1L, 10L))   // second left row at the same (key, t)
+  // right: (key, t, rid, payload) — two rows tie at (1, 10); rid 12 wins.
+  // payload NULL on rid=20 exercises whole-struct matching (a per-column
+  // last(ignoreNulls) would leak rid 20's t-40 payload from rid=11).
+  val rightRows = Seq(
+    (1L, 10L, 11L, Some("p11")),
+    (1L, 10L, 12L, Some("p12")),
+    (1L, 40L, 20L, None: Option[String]),
+    (2L, 99L, 30L, Some("p30")))
+
+  test("asofJoinBackward ≡ naive latest-at-or-before lookup (ties, no-match, null payload)") {
+    val left = leftRows.toDF("event_id", "key", "t")
+    val right = rightRows.toDF("key", "t", "event_id", "payload")
+      .select($"key", $"t", $"event_id",
+        $"event_id".as("r_id"), $"t".as("r_t"), $"payload".as("r_payload"))
+    val got = Temporal.asofJoinBackward(left, right,
+        keys = Seq("key"), timeCol = "t", tieCol = "event_id",
+        rightCols = Seq("r_id", "r_t", "r_payload"))
+      .select($"event_id", $"r_id", $"r_t", $"r_payload")
+      .as[(Long, Option[Long], Option[Long], Option[String])]
+      .collect().sortBy(_._1)
+    val naive = leftRows.sortBy(_._1).map { case (id, k, t) =>
+      val m = rightRows.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption
+      (id, m.map(_._3), m.map(_._2), m.flatMap(_._4))
+    }
+    assert(got.toSeq == naive)
+    // spot-checks of the deliberate edge cases
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(100L)._2.contains(20L) && byId(100L)._4.isEmpty,
+      "latest match wins even when its payload column is NULL")
+    assert(byId(101L)._2.contains(12L), "equal-time tie included, larger tie id wins")
+    assert(byId(102L)._2.isEmpty && byId(104L)._2.isEmpty, "left-outer semantics")
+  }
+
+  test("asofJoinBackward rejects right payload names colliding with the left schema") {
+    val left = leftRows.toDF("event_id", "key", "t")
+    val right = rightRows.toDF("key", "t", "event_id", "payload")
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoinBackward(left, right, Seq("key"), "t", "event_id",
+        rightCols = Seq("event_id"))
+    }
+  }
+
+  test("rangeJoin ≡ naive inequality join; boundaries half-open; multi-bucket intervals") {
+    val w = 10L
+    // intervals: single-bucket, exactly-one-bucket-aligned, 3-bucket span,
+    // empty (start == end), boundary-aligned empty
+    val intervals = Seq(
+      (1L, 900L, 3L, 9L),
+      (1L, 901L, 10L, 20L),
+      (1L, 902L, 5L, 35L),
+      (2L, 903L, 50L, 50L),
+      (2L, 904L, 60L, 60L)).toDF("key", "iv_id", "s", "e")
+    val points = (0L to 70L).map(t => (if (t % 2 == 0) 1L else 2L, t * 7919 % 1000, t))
+      .toDF("key", "pid", "t")
+    val got = Temporal.rangeJoin(points, intervals, Seq("key"), "t", "s", "e", w)
+      .select($"iv_id", $"pid").as[(Long, Long)].collect().toSet
+    val naive = points.as("p").join(intervals.as(
+        "i"), $"p.key" === $"i.key" && $"p.t" >= $"i.s" && $"p.t" < $"i.e")
+      .select($"iv_id", $"pid").as[(Long, Long)].collect().toSet
+    assert(got == naive)
+    assert(naive.nonEmpty)
+    // half-open on iv 901 [10, 20) key 1: t = 10 included, t = 20 excluded
+    val iv901 = got.collect { case (901L, pid) => pid }
+    def pidAt(t: Long) = points.filter($"t" === t).select($"pid").as[Long].head()
+    assert(iv901.contains(pidAt(10L)) && !iv901.contains(pidAt(20L)))
+    assert(!got.exists { case (id, _) => id == 903L || id == 904L },
+      "empty intervals match nothing")
+  }
+
+  test("rangeJoin plan contains no cartesian or nested-loop join") {
+    val intervals = Seq((1L, 1L, 0L, 100L)).toDF("key", "iv_id", "s", "e")
+    val points = Seq((1L, 1L, 5L)).toDF("key", "pid", "t")
+    val plan = Temporal.rangeJoin(points, intervals, Seq("key"), "t", "s", "e", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+  }
+}
