@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, Multimodal, Sampling, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Curation, Multimodal, Relevance, Sampling, Similarity, TextAnalysis, TextDedup}
 import graft.functions.TextFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -367,6 +367,19 @@ object M5Queries {
     "q_repetition" -> ((s, dir) =>
       Curation.repetitionMetrics(TextDedup.documents(s, dir))
         .orderBy(col("doc_id"))),
+
+    // ---- relevance: quantized BM25 top-50 for a fixed 5-term query
+    // ("quantum" is absent from the corpus — exercises the no-match path)
+    "q_bm25" -> ((s, dir) =>
+      Relevance.bm25Quantized(TextDedup.documents(s, dir),
+          query = Seq("scan", "merge", "window", "vector", "quantum"))
+        .orderBy(col("score_q").desc, col("doc_id"))
+        .limit(50)),
+
+    // ---- relevance: per-document top-3 terms by quantized TF-IDF
+    "q_tfidf_topterms" -> ((s, dir) =>
+      Relevance.tfidfTopTerms(TextDedup.documents(s, dir), perDoc = 3)
+        .orderBy(col("doc_id"), col("rnk"))),
 
     // ---- skew discipline: two-stage salted aggregation ≡ plain aggregation
     "q_salted_agg" -> ((s, dir) => {
@@ -841,6 +854,39 @@ object M5Queries {
          |SELECT doc_id, n_tokens, start_tok, bin_first, bin_last,
          | COALESCE(bin_last - bin_first + 1, 0)::BIGINT AS n_bins
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // quantized BM25/TF-IDF: integer div/mul only — `//` (DuckDB) and
+    // `div` (Spark) agree on positive operands; k1=1.2, b=0.75 folded to
+    // the 22/10/3/9 constants (see Relevance scaladoc)
+    "q_bm25" ->
+      s"""WITH d AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),
+         | tf AS (SELECT doc_id, t AS term, count(*) AS tf
+         |   FROM (SELECT doc_id, unnest(tk) AS t FROM d) GROUP BY 1, 2),
+         | q AS (SELECT unnest(['scan','merge','window','vector','quantum']) AS term),
+         | tfq AS (SELECT tf.* FROM tf JOIN q USING (term)),
+         | dfq AS (SELECT term, count(*) AS dfd FROM tfq GROUP BY 1),
+         | dl AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM d),
+         | tot AS (SELECT count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS tt FROM d),
+         | c AS (SELECT tfq.doc_id,
+         |    ((10000 * (2*tot.n_docs - 2*dfq.dfd + 1)) // (2*dfq.dfd + 1))
+         |      * (22 * tot.tt * tfq.tf)
+         |      // (10*tot.tt*tfq.tf + 3*tot.tt + 9*dl.dl*tot.n_docs) AS contrib
+         |   FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN tot)
+         |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_q, count(*) AS n_terms
+         |FROM c GROUP BY doc_id ORDER BY score_q DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q_tfidf_topterms" ->
+      s"""WITH d AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),
+         | tf AS (SELECT doc_id, t AS term, count(*) AS tf
+         |   FROM (SELECT doc_id, unnest(tk) AS t FROM d) GROUP BY 1, 2),
+         | dft AS (SELECT term, count(*) AS dfd FROM tf GROUP BY 1),
+         | tot AS (SELECT count(*) AS n_docs FROM d),
+         | s AS (SELECT doc_id, term, tf * ((10000 * tot.n_docs) // dfd) AS tfidf_q
+         |   FROM tf JOIN dft USING (term) CROSS JOIN tot),
+         | r AS (SELECT doc_id, term, tfidf_q, row_number() OVER (
+         |     PARTITION BY doc_id ORDER BY tfidf_q DESC, term) AS rnk FROM s)
+         |SELECT doc_id, term, CAST(tfidf_q AS BIGINT) AS tfidf_q, rnk::INT AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "q_repetition" ->
       s"""WITH t AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus relevance scoring: BM25 and TF-IDF. Two arithmetic modes:
+  *
+  *  - `bm25` — the standard double-precision formula (Robertson/Spärck
+  *    Jones log-IDF), the production scoring path. Not oracle-checkable:
+  *    `ln` is not correctly-rounded IEEE and differs across math
+  *    libraries, and a double score sum is order-dependent.
+  *  - `bm25Quantized` / `tfidfTopTerms` — integer-exact twins: the
+  *    rational no-log IDF `(2N − 2df + 1)/(2df + 1)` (the argument of
+  *    BM25's log) scaled to integer by truncating division, and the
+  *    per-term factor kept as an exact integer fraction. Every operation
+  *    is int64 `div`/`*`/`+`, bit-identical in any engine. Exact while
+  *    `scale · 2N · 22 · totalTokens · tf` fits in int64 — comfortable
+  *    through ~10⁹-token corpora at scale 10⁴; beyond that, partition the
+  *    corpus or drop to the double path.
+  *
+  * Join shape (both modes): per-(doc, term) frequencies from an explode +
+  * hash aggregation; document frequencies for the (small) query term set
+  * broadcast back; corpus totals as a one-row broadcast cross join. The
+  * only data-sized shuffles are keyed on `term` and `doc_id` — nothing
+  * quadratic, no unpartitioned window.
+  */
+object Relevance {
+
+  /** (doc_id, term, tf) — one row per distinct term per document. */
+  def termFrequencies(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  private def docLengths(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("dl"))
+
+  private def totals(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(TextFunctions.tokens(col("text")))).cast("long").as("tt"))
+
+  /** Integer-exact BM25 at the standard defaults k1 = 1.2, b = 0.75,
+    * folded to integer constants: with avgdl = tt/n_docs,
+    *
+    *   factor = tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+    *          = 22·tt·tf / (10·tt·tf + 3·tt + 9·dl·n_docs)
+    *
+    * (both sides multiplied by 10·tt). Per-term contribution =
+    * `(idf_q · 22·tt·tf) div (10·tt·tf + 3·tt + 9·dl·n_docs)` with
+    * `idf_q = (scale·(2·n_docs − 2·df + 1)) div (2·df + 1)`; the score is
+    * the BIGINT sum of contributions. Query terms absent from the corpus
+    * contribute no rows. Output: (doc_id, score_q, n_terms), one row per
+    * document matching ≥ 1 query term.
+    */
+  def bm25Quantized(docs: DataFrame, query: Seq[String],
+      scale: Long = 10000L): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    val tf = termFrequencies(docs).filter(col("term").isin(query: _*))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfd"))
+    tf.join(broadcast(dfq), "term")
+      .join(docLengths(docs), "doc_id")
+      .crossJoin(broadcast(totals(docs)))
+      .withColumn("idf_q",
+        expr(s"($scale * (2*n_docs - 2*dfd + 1)) div (2*dfd + 1)"))
+      .withColumn("contrib",
+        expr("(idf_q * 22 * tt * tf) div (10*tt*tf + 3*tt + 9*dl*n_docs)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score_q"), count(lit(1)).as("n_terms"))
+  }
+
+  /** Production BM25: double scores, true log-IDF
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))`, arbitrary k1/b. Same join
+    * shape as the quantized twin; scores are NOT cross-engine
+    * reproducible (see class doc), so no oracle rides on this path.
+    */
+  def bm25(docs: DataFrame, query: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    val tf = termFrequencies(docs).filter(col("term").isin(query: _*))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfd"))
+    tf.join(broadcast(dfq), "term")
+      .join(docLengths(docs), "doc_id")
+      .crossJoin(broadcast(totals(docs)))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("dfd") + lit(0.5)) / (col("dfd") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl") * col("n_docs") / col("tt"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+  }
+
+  /** Top `perDoc` terms of every document by quantized TF-IDF
+    * `tf · ((scale·N) div df)`, ties to the lexicographically smaller
+    * term. The document-frequency join is keyed on `term` and left to
+    * AQE (the vocabulary need not fit in a broadcast at corpus scale);
+    * the ranking window is partitioned by `doc_id`.
+    */
+  def tfidfTopTerms(docs: DataFrame, perDoc: Int,
+      scale: Long = 10000L): DataFrame = {
+    require(perDoc > 0, s"perDoc must be positive, got $perDoc")
+    val tf = termFrequencies(docs)
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("dfd"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_q").desc, col("term"))
+    tf.join(dft, "term")
+      .crossJoin(broadcast(totals(docs).select(col("n_docs"))))
+      .withColumn("tfidf_q", expr(s"tf * (($scale * n_docs) div dfd)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= perDoc)
+      .select(col("doc_id"), col("term"), col("tfidf_q"), col("rnk"))
+  }
+}

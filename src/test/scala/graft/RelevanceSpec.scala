@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Relevance, TextDedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RelevanceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = TextDedup.documents(spark, sf).cache()
+
+  test("bm25Quantized matches a hand-rolled reference on a tiny corpus") {
+    val tiny = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c d")).toDF("doc_id", "text")
+    val got = Relevance.bm25Quantized(tiny, query = Seq("a", "d"))
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+
+    // reference: same integer formulas, computed independently
+    val corpus = Map(1L -> Seq("a", "a", "b"), 2L -> Seq("a", "c"), 3L -> Seq("c", "c", "c", "d"))
+    val n = corpus.size.toLong
+    val tt = corpus.values.map(_.size.toLong).sum
+    def dfOf(t: String) = corpus.values.count(_.contains(t)).toLong
+    def contrib(term: String, doc: Long): Option[Long] = {
+      val tf = corpus(doc).count(_ == term).toLong
+      if (tf == 0) None else {
+        val dl = corpus(doc).size.toLong
+        val dfd = dfOf(term)
+        val idfQ = (10000L * (2 * n - 2 * dfd + 1)) / (2 * dfd + 1)
+        Some((idfQ * 22 * tt * tf) / (10 * tt * tf + 3 * tt + 9 * dl * n))
+      }
+    }
+    val want = corpus.keys.toSeq.sorted.flatMap { d =>
+      val cs = Seq("a", "d").flatMap(contrib(_, d))
+      if (cs.isEmpty) None else Some((d, cs.sum, cs.size.toLong))
+    }
+    assert(got == want)
+    // doc 2 matches only 'a'; doc 3 matches only 'd' (rare → bigger idf)
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+  }
+
+  test("query terms absent from the corpus contribute nothing and match no rows") {
+    val tiny = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    assert(Relevance.bm25Quantized(tiny, query = Seq("zzz")).count() == 0)
+    val withAbsent = Relevance.bm25Quantized(tiny, query = Seq("a", "zzz"))
+      .as[(Long, Long, Long)].collect().toSet
+    val without = Relevance.bm25Quantized(tiny, query = Seq("a"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(withAbsent == without)
+  }
+
+  test("double-precision bm25 agrees with the quantized twin on the corpus top document") {
+    val query = Seq("scan", "merge", "window", "vector")
+    val qTop = Relevance.bm25Quantized(docs, query)
+      .orderBy($"score_q".desc, $"doc_id").select($"doc_id").as[Long].head()
+    val dTop = Relevance.bm25(docs, query)
+      .orderBy($"score".desc, $"doc_id").select($"doc_id").as[Long].head()
+    assert(qTop == dTop)
+  }
+
+  test("tfidfTopTerms: at most perDoc rows per doc, rank dense from 1, rare beats common at equal tf") {
+    val out = Relevance.tfidfTopTerms(docs, perDoc = 3).cache()
+    val per = out.groupBy($"doc_id").agg(count(lit(1)).as("c"),
+      min($"rnk").as("lo"), max($"rnk").as("hi"))
+    assert(per.filter($"c" > 3 || $"lo" =!= 1 || $"hi" =!= $"c").count() == 0)
+    // scores are non-increasing with rank within a doc
+    assert(out.as("a").join(out.as("b"),
+        $"a.doc_id" === $"b.doc_id" && $"a.rnk" < $"b.rnk" &&
+        $"a.tfidf_q" < $"b.tfidf_q").count() == 0)
+    // rare-vs-common: term with smaller df gets the larger quantized idf
+    val tiny = Seq((1L, "rare common"), (2L, "common")).toDF("doc_id", "text")
+    val top = Relevance.tfidfTopTerms(tiny, perDoc = 1)
+      .filter($"doc_id" === 1).select($"term").as[String].head()
+    assert(top == "rare")
+  }
+}
