@@ -35,6 +35,16 @@ object PrefixSum {
     val wLocal = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("_run", sum(col("_psum_v")).over(wLocal))
+    // Branch cost, measured not guessed: the totals branch re-derives from
+    // `ranged` rather than `local` — partial aggregation combines map-side,
+    // so its exchange carries ~one row per task instead of re-sorting the
+    // full rows a second time. Exchange reuse does NOT fire across the two
+    // branches (column pruning specializes each subtree), so the source is
+    // read twice — but both reads are pruned to (orderCols, value) and the
+    // second shuffle moves only the 32-ish partial rows. The driver-loop
+    // alternative (collect per-partition totals) would be cheaper still but
+    // puts an eager job inside plan construction; two pruned scans is the
+    // declarative price.
     val totals = ranged.groupBy(col("_pid")).agg(sum(col("_psum_v")).as("_cnt"))
     val offsets = totals.as("a")
       .join(broadcast(totals.as("b")), col("b._pid") < col("a._pid"), "left")

@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   * broadcast back; corpus totals as a one-row broadcast cross join. The
   * only data-sized shuffles are keyed on `term` and `doc_id` — nothing
   * quadratic, no unpartitioned window.
+  *
+  * Deliberate scale tradeoff: the document-frequency and corpus-total
+  * branches re-tokenize the corpus (2–3 map-only, column-pruned passes;
+  * Catalyst's exchange reuse can't merge the branches once pruning
+  * specializes them). The alternatives are worse at scale: a window
+  * `count` per term puts every posting of a hot term in ONE window group
+  * (skew bomb), and a non-broadcast self-join re-shuffles the full
+  * posting list by term. Extra narrow passes are the cheapest currency.
   */
 object Relevance {
 
