@@ -87,7 +87,8 @@ object SparkEntry {
     // P3 (widened grammar) — every round-2 JsonPath construct as a boolean
     // column, each with an exact relational twin in the oracle: slices,
     // index/name unions, regex =~, in/nin, filter-relpath indices
-    // (positive and negative), deep-scan filters and deep-scan existence
+    // (positive and negative), deep-scan filters and deep-scan existence,
+    // script subscripts [(@.length-1)] (in-range and out-of-bounds)
     "q_rule_match_ext" -> ((s, dir) => {
       val j = col("txJson")
       EventsTx.withTxJson(events(s, dir))
@@ -102,7 +103,9 @@ object SparkEntry {
           json_path_exists(j, "$.body[?(@.messages[0].k > 50)]").as("m_rel_idx"),
           json_path_exists(j, "$.body[?(@.messages[-1].userId > 500)]").as("m_rel_neg"),
           json_path_exists(j, "$..[?(@.k > 90)]").as("m_deep_filter"),
-          json_path_exists(j, "$.body[?(@..k)]").as("m_deep_exists"))
+          json_path_exists(j, "$.body[?(@..k)]").as("m_deep_exists"),
+          json_path_exists(j, "$.body.messages[(@.length-1)].k").as("m_script_last"),
+          json_path_exists(j, "$.body.messages[(@.length-2)]").as("m_script_oob"))
         .orderBy(col("event_id"))
     }),
 
@@ -235,7 +238,9 @@ object SparkEntry {
            | ${m(s"COALESCE($kSql > 50, FALSE)")} AS m_rel_idx,
            | ${m("user_id > 500")} AS m_rel_neg,
            | ${m(s"COALESCE($kSql > 90, FALSE)")} AS m_deep_filter,
-           | ${m(s"$kSql IS NOT NULL")} AS m_deep_exists
+           | ${m(s"$kSql IS NOT NULL")} AS m_deep_exists,
+           | ${m(s"$kSql IS NOT NULL")} AS m_script_last,
+           | ${m("FALSE")} AS m_script_oob
            |FROM events ORDER BY event_id""".stripMargin
       },
 

@@ -22,6 +22,7 @@ import scala.jdk.CollectionConverters._
   *             | '[' INT (',' INT)+ ']'                       // index union
   *             | '[' QUOTED (',' QUOTED)* ']'                 // name union
   *             | '[*]' | '[?(' filter ')]'
+  *             | '[(' '@.length' (('+'|'-') INT)? ')]'         // script subscript
   *   filter   := clause ( '||' clause )*           // || lowest precedence
   *   clause   := term ( '&&' term )*
   *   term     := relpath op literal | relpath      // bare path = existence
@@ -75,6 +76,12 @@ object JsonPathLite {
   final case class Deep(inner: Step) extends Step
   /** Jayway `length()` path function: array/object size, string length. */
   case object FnLength extends Step
+  /** Jayway script-expression subscript `[(@.length + offset)]`: selects
+    * the array element at `size + offset` (so `[(@.length-1)]` is the last
+    * element). Arrays only; out-of-range selects nothing — mirroring
+    * Jayway under SUPPRESS_EXCEPTIONS.
+    */
+  final case class ScriptIndex(offset: Int) extends Step
   /** Jayway aggregate/accessor path functions: min, max, avg, sum, stddev
     * (numeric arrays → double), first, last (array element), keys
     * (object property names).
@@ -188,6 +195,25 @@ object JsonPathLite {
           }
           expect(']')
           if (names.length == 1) Field(names.head) else UnionFields(names.toSeq)
+        case '(' => // script subscript: [(@.length)] or [(@.length ± INT)]
+          i += 1; skipWs()
+          val lenForms = Seq("@.length()", "@.length", "@.size()", "@.size")
+          val form = lenForms.find(f => s.regionMatches(i, f, 0, f.length))
+            .getOrElse(throw new JsonPathSyntaxException(
+              s"script subscript must start with '@.length' in $path"))
+          i += form.length; skipWs()
+          val off =
+            if (i < s.length && (s.charAt(i) == '-' || s.charAt(i) == '+')) {
+              val neg = s.charAt(i) == '-'
+              i += 1; skipWs()
+              if (i >= s.length || !s.charAt(i).isDigit)
+                throw new JsonPathSyntaxException(
+                  s"expected integer after '${if (neg) "-" else "+"}' in script subscript in $path")
+              val n = readInt()
+              if (neg) -n else n
+            } else 0
+          skipWs(); expect(')'); skipWs(); expect(']')
+          ScriptIndex(off)
         case '?' =>
           i += 1; expect('(')
           val start = i
@@ -500,6 +526,11 @@ object JsonPathLite {
         val n = node.size
         val idx = if (i < 0) n + i else i
         if (idx >= 0 && idx < n) Seq(node.get(idx)) else Seq.empty
+      } else Seq.empty
+    case ScriptIndex(off) =>
+      if (node.isArray) {
+        val idx = node.size + off
+        if (idx >= 0 && idx < node.size) Seq(node.get(idx)) else Seq.empty
       } else Seq.empty
     case Slice(start, end) =>
       if (node.isArray) {

@@ -132,6 +132,28 @@ class JsonPathLiteSpec extends AnyFunSuite {
     assert(titles("$.store.book[9:]") == Nil)
   }
 
+  test("script subscript (Jayway doc example: $..book[(@.length-1)])") {
+    def titles(p: String) =
+      JsonPathLite.select(mapper.readTree(store), JsonPathLite.compile(p))
+        .map(_.get("title").asText)
+    assert(titles("$..book[(@.length-1)]") == Seq("The Lord of the Rings"))
+    assert(titles("$.store.book[(@.length-4)]") == Seq("Sayings of the Century"))
+    assert(titles("$.store.book[( @.length - 2 )]") == Seq("Moby Dick"))
+    // out of range (too negative, past the end, exactly length) → nothing
+    assert(sel(store, "$.store.book[(@.length-9)]") == Nil)
+    assert(sel(store, "$.store.book[(@.length)]") == Nil)
+    assert(sel(store, "$.store.book[(@.length+1)]") == Nil)
+    // script subscripts apply to arrays only
+    assert(sel(store, "$.store.bicycle[(@.length-1)]") == Nil)
+    // unsupported script expressions fail loudly at compile
+    intercept[JsonPathLite.JsonPathSyntaxException] {
+      JsonPathLite.compile("$.store.book[(1+1)]")
+    }
+    intercept[JsonPathLite.JsonPathSyntaxException] {
+      JsonPathLite.compile("$.store.book[(@.length-)]")
+    }
+  }
+
   test("union indices and union names (Jayway: $..book[0,1], $['a','b'])") {
     def titles(p: String) =
       JsonPathLite.select(mapper.readTree(store), JsonPathLite.compile(p))
