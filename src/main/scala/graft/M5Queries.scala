@@ -368,6 +368,12 @@ object M5Queries {
       Curation.repetitionMetrics(TextDedup.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // ---- curation: Gopher-style composite quality gate (integer-exact
+    // cross-multiplied thresholds, per-row reasons)
+    "q_quality_filter" -> ((s, dir) =>
+      Curation.qualityFilter(TextDedup.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     // ---- relevance: quantized BM25 top-50 for a fixed 5-term query
     // ("quantum" is absent from the corpus — exercises the no-match path)
     "q_bm25" -> ((s, dir) =>
@@ -854,6 +860,27 @@ object M5Queries {
          |SELECT doc_id, n_tokens, start_tok, bin_first, bin_last,
          | COALESCE(bin_last - bin_first + 1, 0)::BIGINT AS n_bins
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),
+         | m AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+         |   len(list_distinct(tk))::BIGINT AS nd_tok,
+         |   CASE WHEN len(tk) < 2 THEN 0
+         |        ELSE len(tk) - 1 END::BIGINT AS n_bi,
+         |   CASE WHEN len(tk) < 2 THEN 0
+         |        ELSE len(list_distinct(list_transform(generate_series(1, len(tk) - 1),
+         |          i -> tk[i] || ' ' || tk[i + 1]))) END::BIGINT AS nd_bi,
+         |   COALESCE(CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT), 0) AS n_wchars
+         |  FROM t),
+         | r AS (SELECT doc_id, n_tokens, list_filter([
+         |   CASE WHEN n_bi > 0 AND nd_bi * 2 < n_bi THEN 'bigram_repetition' END,
+         |   CASE WHEN nd_tok * 5 < n_tokens * 2 THEN 'high_repetition' END,
+         |   CASE WHEN n_tokens > 0 AND n_wchars * 10 < n_tokens * 40 THEN 'short_words' END,
+         |   CASE WHEN n_tokens > 10000 THEN 'too_long' END,
+         |   CASE WHEN n_tokens < 30 THEN 'too_short' END], x -> x IS NOT NULL) AS reasons
+         |  FROM m)
+         |SELECT doc_id, n_tokens, len(reasons) = 0 AS keep, reasons
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // quantized BM25/TF-IDF: integer div/mul only — `//` (DuckDB) and
     // `div` (Spark) agree on positive operands; k1=1.2, b=0.75 folded to

@@ -94,6 +94,46 @@ object Curation {
         coalesce(col("bin_last") - col("bin_first") + 1, lit(0L)).as("n_bins"))
   }
 
+  // ---- composite quality filter --------------------------------------
+
+  /** Gopher-style composite quality gate: a document is kept iff NO rule
+    * fires; `reasons` lists the fired rules (alphabetical). Every
+    * threshold is an exact integer cross-multiplication (`5·distinct <
+    * 2·total` instead of `distinct/total < 0.4`) so the verdict is
+    * bit-identical in any engine — no floating-point ratios anywhere.
+    * Narrow per-row work; the thresholds are tuned for discrimination on
+    * the synthetic corpus and are parameters, not constants, in spirit —
+    * production would expose them all.
+    *
+    * Rules: `too_short` (< minTokens), `too_long` (> maxTokens),
+    * `high_repetition` (distinct-token ratio < 0.4), `bigram_repetition`
+    * (distinct-bigram ratio < 0.5), `short_words` (mean word length < 4).
+    */
+  def qualityFilter(docs: DataFrame, minTokens: Int = 30,
+      maxTokens: Int = 10000): DataFrame = {
+    val annotated = docs
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("bi", TextFunctions.shingles(col("toks"), 2))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("nd_tok"),
+        size(col("bi")).cast("long").as("n_bi"),
+        size(array_distinct(col("bi"))).cast("long").as("nd_bi"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("n_wchars"))
+    val fired = array(
+      when(col("n_bi") > 0 && col("nd_bi") * 2 < col("n_bi"), lit("bigram_repetition")),
+      when(col("nd_tok") * 5 < col("n_tokens") * 2, lit("high_repetition")),
+      when(col("n_tokens") > 0 && col("n_wchars") * 10 < col("n_tokens") * 40,
+        lit("short_words")),
+      when(col("n_tokens") > maxTokens, lit("too_long")),
+      when(col("n_tokens") < minTokens, lit("too_short")))
+    annotated
+      .withColumn("reasons", filter(fired, r => r.isNotNull))
+      .select(col("doc_id"), col("n_tokens"),
+        (size(col("reasons")) === 0).as("keep"), col("reasons"))
+  }
+
   // ---- repetition statistics -----------------------------------------
 
   /** Token/bigram repetition counts (the Gopher-style repetition signals,

@@ -124,6 +124,30 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  // ---- composite quality filter --------------------------------------
+
+  test("qualityFilter: every rule fires on a crafted doc; clean doc passes; reasons sorted") {
+    val clean = (1 to 40).map(i => s"word$i").mkString(" ")
+    val rows = Seq(
+      (1L, clean),                                        // keep
+      (2L, "small document"),                             // too_short (mean wl ok)
+      (3L, (1 to 20001).map(i => s"w$i").mkString(" ")),  // too_long
+      (4L, Seq.fill(50)("aaaa bbbb").mkString(" ")),      // high_repetition + bigram_repetition
+      (5L, (1 to 40).map(i => s"w$i").mkString(" ")),     // short_words (mean length < 4)
+      (6L, "")).toDF("doc_id", "text")                    // too_short (0 tokens)
+    val out = Curation.qualityFilter(rows).orderBy($"doc_id")
+      .as[(Long, Long, Boolean, Seq[String])].collect()
+    assert(out(0)._3 && out(0)._4.isEmpty)
+    assert(out(1)._4 == Seq("too_short"))
+    assert(out(2)._4 == Seq("too_long"))
+    assert(out(3)._4 == Seq("bigram_repetition", "high_repetition"))
+    assert(out(4)._4 == Seq("short_words"))
+    assert(out(5)._4 == Seq("too_short"))
+    assert(out.forall(r => r._3 == r._4.isEmpty))
+    // reasons arrays come out alphabetical (construction order)
+    assert(out.forall(r => r._4 == r._4.sorted))
+  }
+
   // ---- repetition metrics --------------------------------------------
 
   test("repetitionMetrics: hand-checked counts, bigrams = tokens − 1, bounds hold") {
