@@ -152,6 +152,30 @@ class DispatchStreamSpec extends AnyFunSuite {
     assert(closed == Set(ClosedSession(1L, 100L, 200L, 2L)))
   }
 
+  test("streaming dedup keeps the first arrival per fingerprint, watermark-bounded state") {
+    import graft.streaming.StreamingDedup
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val out = StreamingDedup.dedupKeepFirst(docs, "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append").start()
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    // batch 1: two distinct texts plus an in-batch duplicate
+    input.addData((1L, t(1000), "alpha beta"), (2L, t(2000), "gamma"),
+      (3L, t(3000), "alpha beta"))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate within the watermark + one new text
+    input.addData((4L, t(4000), "gamma"), (5L, t(5000), "delta"))
+    q.processAllAvailable()
+    q.stop()
+    val survivors = s.table("sdedup_out")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+    assert(survivors == Set((1L, "alpha beta"), (2L, "gamma"), (5L, "delta")))
+  }
+
   test("stream-static broadcast enrichment join") {
     val s = spark
     import s.implicits._
