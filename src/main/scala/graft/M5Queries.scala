@@ -854,8 +854,8 @@ object M5Queries {
          |   (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
          |  FROM c),
          | b AS (SELECT doc_id, n_tokens, cum - n_tokens AS start_tok,
-         |   CASE WHEN n_tokens > 0 THEN CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) END AS bin_first,
-         |   CASE WHEN n_tokens > 0 THEN CAST(floor((cum - 1) / 256.0) AS BIGINT) END AS bin_last
+         |   CASE WHEN n_tokens > 0 THEN (cum - n_tokens) // 256 END AS bin_first,
+         |   CASE WHEN n_tokens > 0 THEN (cum - 1) // 256 END AS bin_last
          |  FROM s)
          |SELECT doc_id, n_tokens, start_tok, bin_first, bin_last,
          | COALESCE(bin_last - bin_first + 1, 0)::BIGINT AS n_bins

@@ -79,16 +79,18 @@ object Curation {
     */
   def packContextWindows(docs: DataFrame, windowTokens: Int): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
-    val w = lit(windowTokens.toLong)
     val counted = docs.select(col("doc_id"),
       size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
     val summed = PrefixSum.inclusive(counted, Seq(col("doc_id")), col("n_tokens"), "cum")
     summed
       .withColumn("start_tok", col("cum") - col("n_tokens"))
+      // integer `div`, never fp floor: token offsets are non-negative and
+      // the cumulative stream can pass 2⁵³ (same house rule as
+      // Temporal.rangeJoin's buckets)
       .withColumn("bin_first",
-        when(col("n_tokens") > 0, floor(col("start_tok") / w)))
+        when(col("n_tokens") > 0, expr(s"start_tok div ${windowTokens.toLong}")))
       .withColumn("bin_last",
-        when(col("n_tokens") > 0, floor((col("cum") - 1) / w)))
+        when(col("n_tokens") > 0, expr(s"(cum - 1) div ${windowTokens.toLong}")))
       .select(col("doc_id"), col("n_tokens"), col("start_tok"),
         col("bin_first"), col("bin_last"),
         coalesce(col("bin_last") - col("bin_first") + 1, lit(0L)).as("n_bins"))
@@ -111,36 +113,32 @@ object Curation {
     */
   def qualityFilter(docs: DataFrame, minTokens: Int = 30,
       maxTokens: Int = 10000): DataFrame = {
-    val annotated = docs
-      .withColumn("toks", TextFunctions.tokens(col("text")))
-      .withColumn("bi", TextFunctions.shingles(col("toks"), 2))
-      .select(
-        col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("toks"))).cast("long").as("nd_tok"),
-        size(col("bi")).cast("long").as("n_bi"),
-        size(array_distinct(col("bi"))).cast("long").as("nd_bi"),
-        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("n_wchars"))
+    // one metric definition for the gate AND the reported statistics
+    // (repetitionMetrics) — long casts keep the cross-multiplications
+    // overflow-safe under ANSI for arbitrarily long documents
+    val nTok = col("n_tokens").cast("long")
     val fired = array(
-      when(col("n_bi") > 0 && col("nd_bi") * 2 < col("n_bi"), lit("bigram_repetition")),
-      when(col("nd_tok") * 5 < col("n_tokens") * 2, lit("high_repetition")),
-      when(col("n_tokens") > 0 && col("n_wchars") * 10 < col("n_tokens") * 40,
-        lit("short_words")),
-      when(col("n_tokens") > maxTokens, lit("too_long")),
-      when(col("n_tokens") < minTokens, lit("too_short")))
-    annotated
+      when(col("n_bigrams") > 0 &&
+        col("n_distinct_bigrams").cast("long") * 2 < col("n_bigrams").cast("long"),
+        lit("bigram_repetition")),
+      when(col("n_distinct_tokens").cast("long") * 5 < nTok * 2,
+        lit("high_repetition")),
+      when(nTok > 0 && col("n_wchars") * 10 < nTok * 40, lit("short_words")),
+      when(nTok > maxTokens, lit("too_long")),
+      when(nTok < minTokens, lit("too_short")))
+    tokenStats(docs)
       .withColumn("reasons", filter(fired, r => r.isNotNull))
-      .select(col("doc_id"), col("n_tokens"),
+      .select(col("doc_id"), nTok.as("n_tokens"),
         (size(col("reasons")) === 0).as("keep"), col("reasons"))
   }
 
   // ---- repetition statistics -----------------------------------------
 
-  /** Token/bigram repetition counts (the Gopher-style repetition signals,
-    * kept as exact integers — ratios are the caller's division). Narrow
-    * per-row HOF work; tokens materialized once.
+  /** The per-document token/bigram statistics both the quality gate and
+    * the reported metrics derive from — a single definition so the two
+    * can never drift. Narrow per-row HOF work; tokens materialized once.
     */
-  def repetitionMetrics(docs: DataFrame): DataFrame =
+  private def tokenStats(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .withColumn("bi", TextFunctions.shingles(col("toks"), 2))
@@ -149,5 +147,12 @@ object Curation {
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct_tokens"),
         size(col("bi")).as("n_bigrams"),
-        size(array_distinct(col("bi"))).as("n_distinct_bigrams"))
+        size(array_distinct(col("bi"))).as("n_distinct_bigrams"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("n_wchars"))
+
+  /** Token/bigram repetition counts (the Gopher-style repetition signals,
+    * kept as exact integers — ratios are the caller's division).
+    */
+  def repetitionMetrics(docs: DataFrame): DataFrame =
+    tokenStats(docs).drop("n_wchars")
 }

@@ -28,6 +28,12 @@ object PrefixSum {
     */
   def inclusive(df: DataFrame, orderCols: Seq[Column], value: Column,
       outCol: String): DataFrame = {
+    val internal = Seq("_psum_v", "_pid", "_run", "_cnt", "_offset")
+    val clashes = df.columns.toSeq.intersect(internal) ++
+      (if (internal.contains(outCol)) Seq(outCol) else Nil)
+    require(clashes.isEmpty,
+      s"input/output column(s) ${clashes.distinct.mkString(", ")} collide with " +
+        s"PrefixSum's internal names (${internal.mkString(", ")})")
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val tagged = df.withColumn("_psum_v", value.cast("long"))
     val ranged = tagged.repartitionByRange(nPart, orderCols: _*)

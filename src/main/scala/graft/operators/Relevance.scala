@@ -63,14 +63,22 @@ object Relevance {
     * contribute no rows. Output: (doc_id, score_q, n_terms), one row per
     * document matching ≥ 1 query term.
     */
-  def bm25Quantized(docs: DataFrame, query: Seq[String],
-      scale: Long = 10000L): DataFrame = {
+  /** Shared scoring scaffold: per-(doc, term) frequencies for the query
+    * terms, annotated with document frequency (`dfd`, broadcast back),
+    * document length (`dl`), and corpus totals (`n_docs`, `tt`).
+    */
+  private def queryTermStats(docs: DataFrame, query: Seq[String]): DataFrame = {
     require(query.nonEmpty, "empty query")
     val tf = termFrequencies(docs).filter(col("term").isin(query: _*))
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfd"))
     tf.join(broadcast(dfq), "term")
       .join(docLengths(docs), "doc_id")
       .crossJoin(broadcast(totals(docs)))
+  }
+
+  def bm25Quantized(docs: DataFrame, query: Seq[String],
+      scale: Long = 10000L): DataFrame = {
+    queryTermStats(docs, query)
       .withColumn("idf_q",
         expr(s"($scale * (2*n_docs - 2*dfd + 1)) div (2*dfd + 1)"))
       .withColumn("contrib",
@@ -86,12 +94,7 @@ object Relevance {
     */
   def bm25(docs: DataFrame, query: Seq[String], k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    require(query.nonEmpty, "empty query")
-    val tf = termFrequencies(docs).filter(col("term").isin(query: _*))
-    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfd"))
-    tf.join(broadcast(dfq), "term")
-      .join(docLengths(docs), "doc_id")
-      .crossJoin(broadcast(totals(docs)))
+    queryTermStats(docs, query)
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("dfd") + lit(0.5)) / (col("dfd") + lit(0.5))))
       .withColumn("contrib",

@@ -31,11 +31,15 @@ object Temporal {
     * `(keys, timeCol, tieCol)` must be unique on the right side for a
     * deterministic result.
     */
-  def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+  def asofJoinBackward(left: DataFrame, rightIn: DataFrame, keys: Seq[String],
       timeCol: String, tieCol: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     require(rightCols.intersect(leftCols).isEmpty,
       s"right payload columns ${rightCols.intersect(leftCols)} collide with the left schema")
+    // a NULL right time can never satisfy `right.time <= left.time` (SQL
+    // comparison semantics) — unfiltered, nulls-first ordering would make
+    // such a row a universal "before everything" match
+    val right = rightIn.filter(col(timeCol).isNotNull)
     val payload = struct((rightCols :+ tieCol).map(col): _*)
     val l = left.select(leftCols.map(col) :+ lit(1).as("_side")
       :+ lit(null).cast(right.select(payload).schema.head.dataType).as("_pay")

@@ -31,6 +31,16 @@ class CurationSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("PrefixSum rejects inputs whose columns collide with its internal names") {
+    val bad = spark.range(0, 10).toDF("id").withColumn("_run", $"id")
+    intercept[IllegalArgumentException] {
+      PrefixSum.inclusive(bad, Seq(col("id")), lit(1L), "seq")
+    }
+    intercept[IllegalArgumentException] {
+      PrefixSum.inclusive(spark.range(0, 10).toDF("id"), Seq(col("id")), lit(1L), "_pid")
+    }
+  }
+
   test("PrefixSum preserves row count and input columns") {
     val df = spark.range(0, 1000, 1, 8).toDF("id").withColumn("payload", $"id" * 3)
     val out = PrefixSum.inclusive(df, Seq(col("id")), lit(1L), "seq")

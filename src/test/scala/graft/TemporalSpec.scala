@@ -53,6 +53,17 @@ class TemporalSpec extends AnyFunSuite {
     assert(byId(102L)._2.isEmpty && byId(104L)._2.isEmpty, "left-outer semantics")
   }
 
+  test("asofJoinBackward ignores NULL-time right rows (no universal fallback match)") {
+    val left = Seq((1L, 1L, 5L)).toDF("event_id", "key", "t")
+    val right = Seq((1L, Option.empty[Long], 99L, "ghost"))
+      .toDF("key", "t", "event_id", "payload")
+      .select($"key", $"t", $"event_id", $"event_id".as("r_id"), $"payload".as("r_payload"))
+    val got = Temporal.asofJoinBackward(left, right,
+        Seq("key"), "t", "event_id", Seq("r_id", "r_payload"))
+      .select($"event_id", $"r_id").as[(Long, Option[Long])].collect().toSeq
+    assert(got == Seq((1L, None)))
+  }
+
   test("asofJoinBackward rejects right payload names colliding with the left schema") {
     val left = leftRows.toDF("event_id", "key", "t")
     val right = rightRows.toDF("key", "t", "event_id", "payload")
