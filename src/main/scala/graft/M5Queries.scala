@@ -334,6 +334,47 @@ object M5Queries {
         .orderBy(col("query_id"))
     }),
 
+    // ---- similarity: product quantization + asymmetric distance (the
+    // FAISS-style memory path: corpus touched only through m-byte codes)
+    "q_embed_pq" -> ((s, dir) =>
+      Similarity.annPqTopK(Similarity.embeddings(s, dir), 0L to 9L, k = 10)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // ---- similarity: PQ quality measured, not guessed — recall@5 of the
+    // ADC ranking against the exact brute-force top-5, per query
+    "q_embed_pq_recall" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      val pq = Similarity.annPqTopK(emb, 0L to 9L, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val bf = Similarity.bruteForceTopK(emb, 0L to 9L, k = 5)
+        .select(col("query_id").as("bq"), col("neighbor_id").as("bn"))
+      bf.join(pq,
+          col("bq") === col("query_id") && col("bn") === col("neighbor_id"), "left")
+        .groupBy(col("bq"))
+        .agg(count(col("neighbor_id")).as("n_hits"))
+        .select(col("bq").as("query_id"), col("n_hits"),
+          (col("n_hits") / lit(5.0)).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
+    // ---- similarity: PQ + exact-cosine refine, judged by recall@5 — the
+    // production IVF-PQ shape (codes produce a shortlist, exact distance
+    // re-ranks it) measured against brute force like the IVF/ADC paths
+    "q_embed_pq_refined" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      val refined = Similarity.annPqRefineTopK(emb, 0L to 9L, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val bf = Similarity.bruteForceTopK(emb, 0L to 9L, k = 5)
+        .select(col("query_id").as("bq"), col("neighbor_id").as("bn"))
+      bf.join(refined,
+          col("bq") === col("query_id") && col("bn") === col("neighbor_id"), "left")
+        .groupBy(col("bq"))
+        .agg(count(col("neighbor_id")).as("n_hits"))
+        .select(col("bq").as("query_id"), col("n_hits"),
+          (col("n_hits") / lit(5.0)).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- curation: PII redaction. The corpus is synthetic word salad with
     // no natural PII, so the query INJECTS deterministic doc_id-derived
     // contact lines first (documented oracle-twin input construction), then
@@ -367,6 +408,11 @@ object M5Queries {
     "q_repetition" -> ((s, dir) =>
       Curation.repetitionMetrics(TextDedup.documents(s, dir))
         .orderBy(col("doc_id"))),
+
+    // ---- curation: exact per-language vocabulary heavy hitters
+    "q_top_tokens" -> ((s, dir) =>
+      Curation.topTokensPerGroup(TextDedup.documents(s, dir), "lang", k = 5)
+        .orderBy(col("lang"), col("rnk"))),
 
     // ---- curation: Gopher-style composite quality gate (integer-exact
     // cross-multiplied thresholds, per-row reasons)
@@ -492,6 +538,53 @@ object M5Queries {
          |${iter(2, "c1")},
          | cents_q AS (SELECT centroid_id, cqv FROM c2)""".stripMargin
     }
+    /** Per-subspace PQ chains mirroring [[graft.operators.Similarity]]'s
+      * pqCodebooks/pqEncode/annPqTopK: for each subspace j the same
+      * seeded-k-means recipe as [[kmeansCtes]] over the qv slice, then
+      * codes (nearest sub-centroid per (vector, subspace)) and the ADC
+      * lookup tables for queries 0–9. Requires a `qvt(vec_id, qv)` CTE.
+      * Ends with `pq_codes(vec_id, j, code)` and
+      * `pq_tab(query_id, j, code, dsub)`.
+      */
+    def pqCtes(m: Int, ksub: Int): String = {
+      val dsub = 64 / m
+      def l2qd(a: String, b: String): String =
+        s"""list_sum(list_transform(generate_series(1, $dsub), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])))"""
+      // subspace distance with an inline offset (j is a column here)
+      def l2off(vec: String, jc: String, cq: String): String =
+        s"""list_sum(list_transform(generate_series(1, $dsub), i -> (($vec)[$jc * $dsub + i] - ($cq)[i]) * (($vec)[$jc * $dsub + i] - ($cq)[i])))"""
+      val chains = (0 until m).map { j =>
+        val p = s"p$j"
+        def iter(i: Int, prev: String): String =
+          s""" ${p}a$i AS (SELECT vec_id, qv, centroid_id FROM (
+             |   SELECT t.vec_id, t.qv, c.centroid_id,
+             |    row_number() OVER (PARTITION BY t.vec_id ORDER BY ${l2qd("t.qv", "c.cqv")}, c.centroid_id) rn
+             |   FROM ${p}qvt t CROSS JOIN $prev c) WHERE rn = 1),
+             | ${p}s$i AS (SELECT centroid_id, d, CAST(floor(sum(qv[d]) / count(*)) AS BIGINT) AS cd
+             |   FROM ${p}a$i, (SELECT unnest(generate_series(1, $dsub)) AS d) dims
+             |   GROUP BY centroid_id, d),
+             | ${p}m$i AS (SELECT centroid_id, list(cd ORDER BY d) AS cqv FROM ${p}s$i GROUP BY centroid_id),
+             | ${p}c$i AS (SELECT q.centroid_id, coalesce(${p}m$i.cqv, q.cqv) AS cqv
+             |   FROM $prev q LEFT JOIN ${p}m$i ON q.centroid_id = ${p}m$i.centroid_id)""".stripMargin
+        s""" ${p}qvt AS (SELECT vec_id, qv[${j * dsub + 1}:${(j + 1) * dsub}] AS qv FROM qvt),
+           | ${p}c0 AS (SELECT vec_id AS centroid_id, qv AS cqv FROM ${p}qvt WHERE vec_id < $ksub),
+           |${iter(1, s"${p}c0")},
+           |${iter(2, s"${p}c1")},
+           | ${p}cents AS (SELECT $j AS j, centroid_id, cqv FROM ${p}c2)""".stripMargin
+      }.mkString(",\n")
+      val union = (0 until m).map(j => s"SELECT * FROM p${j}cents").mkString(" UNION ALL ")
+      s"""$chains,
+         | pq_cents AS ($union),
+         | pq_codes AS (SELECT vec_id, j, centroid_id AS code FROM (
+         |   SELECT t.vec_id, c.j, c.centroid_id,
+         |    row_number() OVER (PARTITION BY t.vec_id, c.j
+         |      ORDER BY ${l2off("t.qv", "c.j", "c.cqv")}, c.centroid_id) rn
+         |   FROM qvt t CROSS JOIN pq_cents c) WHERE rn = 1),
+         | pq_tab AS (SELECT q.vec_id AS query_id, c.j, c.centroid_id AS code,
+         |    ${l2off("q.qv", "c.j", "c.cqv")} AS dsub
+         |   FROM qvt q CROSS JOIN pq_cents c WHERE q.vec_id BETWEEN 0 AND 9)""".stripMargin
+    }
+
     // exact scaled-integer money: cast the 2-dp double INPUT to decimal
     // before scaling (casting a computed double would round differently in
     // Spark vs DuckDB), ×100 (exact, fractional part zero), then BIGINT.
@@ -812,6 +905,71 @@ object M5Queries {
          |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
 
+    "q_embed_pq" ->
+      s"""WITH v AS (${frag.vecs}),
+         | qvt AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv FROM v),
+         |${frag.pqCtes(8, 8)}
+         |SELECT query_id, neighbor_id, adc, rnk::INT AS rank FROM (
+         | SELECT g.query_id, g.neighbor_id, g.adc,
+         |  row_number() OVER (PARTITION BY g.query_id ORDER BY g.adc, g.neighbor_id) AS rnk
+         | FROM (SELECT t.query_id, k.vec_id AS neighbor_id, CAST(sum(t.dsub) AS BIGINT) AS adc
+         |   FROM pq_codes k JOIN pq_tab t ON k.j = t.j AND k.code = t.code
+         |   WHERE k.vec_id <> t.query_id GROUP BY 1, 2) g)
+         |WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_pq_recall" ->
+      s"""WITH v AS (${frag.vecs}),
+         | qvt AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv FROM v),
+         |${frag.pqCtes(8, 8)},
+         | pq AS (SELECT query_id, neighbor_id FROM (
+         |   SELECT g.query_id, g.neighbor_id,
+         |    row_number() OVER (PARTITION BY g.query_id ORDER BY g.adc, g.neighbor_id) AS rnk
+         |   FROM (SELECT t.query_id, k.vec_id AS neighbor_id, CAST(sum(t.dsub) AS BIGINT) AS adc
+         |     FROM pq_codes k JOIN pq_tab t ON k.j = t.j AND k.code = t.code
+         |     WHERE k.vec_id <> t.query_id GROUP BY 1, 2) g)
+         |  WHERE rnk <= 5),
+         | q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id BETWEEN 0 AND 9),
+         | bf AS (SELECT query_id, neighbor_id FROM (
+         |   SELECT query_id, vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY ${frag.cosine("qv", "v.v")} DESC, vec_id) AS rank
+         |   FROM v CROSS JOIN q WHERE vec_id <> query_id)
+         |  WHERE rank <= 5)
+         |SELECT b.query_id, count(p.neighbor_id) AS n_hits,
+         | count(p.neighbor_id) / 5.0 AS recall
+         |FROM bf b LEFT JOIN pq p
+         |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
+
+    "q_embed_pq_refined" ->
+      s"""WITH v AS (${frag.vecs}),
+         | qvt AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv FROM v),
+         |${frag.pqCtes(8, 8)},
+         | shortlist AS (SELECT query_id, neighbor_id FROM (
+         |   SELECT g.query_id, g.neighbor_id,
+         |    row_number() OVER (PARTITION BY g.query_id ORDER BY g.adc, g.neighbor_id) AS rnk
+         |   FROM (SELECT t.query_id, k.vec_id AS neighbor_id, CAST(sum(t.dsub) AS BIGINT) AS adc
+         |     FROM pq_codes k JOIN pq_tab t ON k.j = t.j AND k.code = t.code
+         |     WHERE k.vec_id <> t.query_id GROUP BY 1, 2) g)
+         |  WHERE rnk <= 20),
+         | q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id BETWEEN 0 AND 9),
+         | refined AS (SELECT query_id, neighbor_id FROM (
+         |   SELECT s.query_id, s.neighbor_id,
+         |    row_number() OVER (PARTITION BY s.query_id
+         |      ORDER BY ${frag.cosine("q.qv", "n.v")} DESC, s.neighbor_id) AS rank
+         |   FROM shortlist s JOIN v n ON s.neighbor_id = n.vec_id
+         |     JOIN q ON s.query_id = q.query_id)
+         |  WHERE rank <= 5),
+         | bf AS (SELECT query_id, neighbor_id FROM (
+         |   SELECT query_id, vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY ${frag.cosine("qv", "v.v")} DESC, vec_id) AS rank
+         |   FROM v CROSS JOIN q WHERE vec_id <> query_id)
+         |  WHERE rank <= 5)
+         |SELECT b.query_id, count(r.neighbor_id) AS n_hits,
+         | count(r.neighbor_id) / 5.0 AS recall
+         |FROM bf b LEFT JOIN refined r
+         |  ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
+
     "q_salted_agg" ->
       s"""SELECT event_type, CAST(sum(${frag.cents("value")}) AS BIGINT) AS total_value_x100,
          | count(*) AS n FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -860,6 +1018,15 @@ object M5Queries {
          |SELECT doc_id, n_tokens, start_tok, bin_first, bin_last,
          | COALESCE(bin_last - bin_first + 1, 0)::BIGINT AS n_bins
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_top_tokens" ->
+      s"""WITH c AS (SELECT lang, t AS token, count(*) AS n
+         |   FROM (SELECT lang, unnest(${frag.toks}) AS t FROM documents)
+         |   GROUP BY 1, 2),
+         | r AS (SELECT lang, token, n, row_number() OVER (
+         |     PARTITION BY lang ORDER BY n DESC, token) AS rnk FROM c)
+         |SELECT lang, token, n, rnk::INT AS rnk
+         |FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
 
     "q_quality_filter" ->
       s"""WITH t AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),

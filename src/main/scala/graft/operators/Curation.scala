@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a large-scale training-data pipeline runs
@@ -94,6 +95,31 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"), col("start_tok"),
         col("bin_first"), col("bin_last"),
         coalesce(col("bin_last") - col("bin_first") + 1, lit(0L)).as("n_bins"))
+  }
+
+  // ---- per-group heavy hitters ---------------------------------------
+
+  /** Exact top-`k` tokens per group (vocabulary heavy hitters — the
+    * corpus-inspection primitive behind stopword induction and
+    * contamination triage). Shaped for scale: explode → two-level hash
+    * aggregation, both with map-side partial combine (the (group, token)
+    * space is vocabulary-sized, not corpus-sized, after the first
+    * partial), then a per-group ranking window — partitioned by group,
+    * never global. Ties break to the lexicographically smaller token for
+    * a deterministic, oracle-stable result.
+    */
+  def topTokensPerGroup(docs: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = docs
+      .select(col(groupCol), explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("n").desc, col("token"))
+    counts
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(groupCol), col("token"), col("n"), col("rnk"))
   }
 
   // ---- composite quality filter --------------------------------------

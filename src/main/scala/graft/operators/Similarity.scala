@@ -145,9 +145,17 @@ object Similarity {
     *
     * Returns (centroid_id, cqv: array<long>).
     */
-  def kmeansCodebook(embs: DataFrame, k: Int, iters: Int = 2): DataFrame = {
-    val spark = embs.sparkSession
-    val qv = embs.select(col("vec_id"), quantize(asDouble(col("embedding"))).as("qv"))
+  def kmeansCodebook(embs: DataFrame, k: Int, iters: Int = 2): DataFrame =
+    kmeansOnQv(
+      embs.select(col("vec_id"), quantize(asDouble(col("embedding"))).as("qv")),
+      k, iters)
+
+  /** Core of [[kmeansCodebook]], over a pre-quantized `(vec_id, qv)`
+    * frame — reused per subspace by the product quantizer.
+    */
+  private[operators] def kmeansOnQv(qvIn: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = qvIn.sparkSession
+    val qv = qvIn
     // The codebook is k rows of index METADATA (this is what an IVF index
     // header is), so each Lloyd iteration is materialized driver-side and
     // the next iteration joins against a literal k-row DataFrame. Kept
@@ -233,6 +241,104 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qvec"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+  }
+
+  // ---- product quantization (FAISS-style PQ + ADC) ----
+
+  /** Per-subspace PQ codebooks: the 64-dim quantized vector is split into
+    * `m` contiguous subvectors of 64/m dims, and each subspace trains its
+    * own seeded integer k-means ([[kmeansOnQv]]) with `ksub` centroids.
+    * Returns `(j, centroid_id, cqv)` — m·ksub rows of index metadata,
+    * broadcast-sized by construction.
+    */
+  def pqCodebooks(embs: DataFrame, m: Int, ksub: Int): DataFrame = {
+    require(64 % m == 0, s"m must divide 64, got $m")
+    val dsub = 64 / m
+    val qv = withQuantized(embs)
+    (0 until m).map { j =>
+      val sub = qv.select(col("vec_id"),
+        slice(col("qv"), j * dsub + 1, dsub).as("qv"))
+      kmeansOnQv(sub, ksub, iters = 2).withColumn("j", lit(j))
+    }.reduce(_ unionByName _).select(col("j"), col("centroid_id"), col("cqv"))
+  }
+
+  /** PQ encoding: each vector becomes `m` small codes — per subspace, the
+    * id of its nearest sub-centroid (integer L2, ties to the smaller id).
+    * One broadcast join of the m·ksub codebook against the corpus; codes
+    * come back as an m-element array. This is the 8-bytes-per-vector
+    * memory story that makes billion-vector indexes fit on a cluster.
+    */
+  def pqEncode(embs: DataFrame, m: Int = 8, ksub: Int = 8): DataFrame = {
+    val dsub = 64 / m
+    val cents = pqCodebooks(embs, m, ksub)
+    val w = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("dist"), col("centroid_id"))
+    withQuantized(embs)
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("j"), col("centroid_id"),
+        l2sqQ(slice(col("qv"), col("j") * dsub + 1, lit(dsub)), col("cqv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("centroid_id")))),
+        s => s.getField("centroid_id")).as("codes"))
+  }
+
+  /** PQ ANN via asymmetric distance computation (ADC): each query
+    * precomputes its distance to every sub-centroid (m·ksub-entry lookup
+    * table, exact integers, broadcast), and a candidate's approximate
+    * distance is the sum of its codes' table entries — the corpus is
+    * touched only through its m-byte codes, never its raw vectors.
+    * Rank ties break to the smaller neighbor id. Output:
+    * (query_id, neighbor_id, adc, rank).
+    */
+  def annPqTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 8, ksub: Int = 8): DataFrame = {
+    val dsub = 64 / m
+    val cents = pqCodebooks(embs, m, ksub)
+    val codes = pqEncode(embs, m, ksub)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+    val tables = withQuantized(embs)
+      .filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("qv"))
+      .join(broadcast(cents))
+      .select(col("query_id"), col("j"), col("centroid_id").as("code"),
+        l2sqQ(slice(col("qv"), col("j") * dsub + 1, lit(dsub)), col("cqv")).as("dsub"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    codes.join(broadcast(tables), Seq("j", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dsub")).as("adc"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+  }
+
+  /** PQ + refine (the production IVF-PQ shape): ADC produces a cheap
+    * shortlist of `shortlist` candidates per query from codes alone, and
+    * only those are re-ranked by exact cosine against the raw vectors —
+    * the expensive fold touches `shortlist/corpus` of the data. Pure ADC
+    * ranking trades recall for memory (measured by `q_embed_pq_recall`);
+    * the refine stage buys most of it back for a bounded number of exact
+    * distance evaluations.
+    */
+  def annPqRefineTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 8, ksub: Int = 8, shortlist: Int = 20): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val candidates = annPqTopK(embs, queryIds, shortlist, m, ksub)
+      .select(col("query_id"), col("neighbor_id"))
+    val v = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = v.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("v").as("qvec"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .join(v.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qvec"), col("v")).as("cos"))
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
   }

@@ -91,6 +91,8 @@ class ContractSpec extends AnyFunSuite {
       "q_embed_ivf"         -> Set("cos"),
       // n_hits/5.0 — identical IEEE division of identical integer operands
       "q_embed_ivf_recall"  -> Set("recall"),
+      "q_embed_pq_recall"   -> Set("recall"),
+      "q_embed_pq_refined"  -> Set("recall"),
       "q_dedup_minhash"     -> Set("jac"),
       "q_dedup_jaccard"     -> Set("jac"),
       "q_text_quality"      -> Set("stopword_ratio", "punct_ratio"),

@@ -48,6 +48,26 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(got.join(member, "perm").filter($"minhash" =!= $"want").count() == 0)
   }
 
+  test("PQ: m codes per vector, codes in [0, ksub); identical vectors share codes; ADC ranks monotone") {
+    val emb = Similarity.embeddings(spark, sf).cache()
+    val codes = Similarity.pqEncode(emb, m = 8, ksub = 4).cache()
+    assert(codes.count() == emb.count())
+    assert(codes.filter(size($"codes") =!= 8).count() == 0)
+    assert(codes.filter(exists($"codes", c => c < 0 || c >= 4)).count() == 0)
+    // byte-identical embeddings must encode identically
+    val mismatched = emb.as("a").join(emb.as("b"),
+        $"a.embedding" === $"b.embedding" && $"a.vec_id" < $"b.vec_id")
+      .join(codes.as("ca"), $"a.vec_id" === $"ca.vec_id")
+      .join(codes.as("cb"), $"b.vec_id" === $"cb.vec_id")
+      .filter($"ca.codes" =!= $"cb.codes")
+    assert(mismatched.count() == 0)
+    // ADC distance is non-decreasing in rank within each query
+    val topk = Similarity.annPqTopK(emb, 0L to 9L, k = 10)
+    assert(topk.as("x").join(topk.as("y"),
+        $"x.query_id" === $"y.query_id" && $"x.rank" < $"y.rank" &&
+        $"x.adc" > $"y.adc").count() == 0)
+  }
+
   test("minhash_union rejects signatures of the wrong length instead of skipping them") {
     // A perms mismatch silently skipped would yield sentinel-only sketches
     val bad = Seq((1L, Seq(1L, 2L, 3L))).toDF("id", "sig")
