@@ -151,43 +151,59 @@ object Similarity {
       k, iters)
 
   /** Core of [[kmeansCodebook]], over a pre-quantized `(vec_id, qv)`
-    * frame — reused per subspace by the product quantizer.
+    * frame — the single-group face of [[kmeansGrouped]].
     */
-  private[operators] def kmeansOnQv(qvIn: DataFrame, k: Int, iters: Int): DataFrame = {
-    val spark = qvIn.sparkSession
-    val qv = qvIn
-    // The codebook is k rows of index METADATA (this is what an IVF index
-    // header is), so each Lloyd iteration is materialized driver-side and
-    // the next iteration joins against a literal k-row DataFrame. Kept
-    // lazy, iteration i's full corpus-scan chain would re-run once per
-    // downstream branch (assignment + probing + the next iteration) —
-    // observed 8× blowup at sf0.1. The collect is bounded by k·dims.
-    def toDf(cb: Seq[(Long, Seq[Long])]): DataFrame =
-      broadcast(spark.createDataFrame(cb).toDF("centroid_id", "cqv"))
-    var cents: Seq[(Long, Seq[Long])] = qv.filter(col("vec_id") < k)
+  private[operators] def kmeansOnQv(qvIn: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansGrouped(qvIn.withColumn("j", lit(0)), k, iters)
+      .select(col("centroid_id"), col("cqv"))
+
+  /** Seeded k-means over many independent groups AT ONCE: `subIn` is
+    * `(vec_id, j, qv)` and each group `j` trains its own k centroids.
+    * Grouped training exists for job-count, not semantics — the product
+    * quantizer's m subspaces train in the SAME three Spark jobs (init +
+    * one per Lloyd iteration) instead of 3·m sequential mini-jobs, which
+    * at bench scale was pure job-launch overhead (~8× the data time).
+    * Results are identical to training each group alone: every step is
+    * keyed by `j` (assignment window, mean aggregation, empty-cluster
+    * carry-over).
+    *
+    * The codebook is k·|groups| rows of index METADATA (this is what an
+    * IVF/PQ index header is), so each Lloyd iteration is materialized
+    * driver-side and the next iteration joins against a literal
+    * DataFrame. Kept lazy, iteration i's full corpus-scan chain would
+    * re-run once per downstream branch — observed 8× blowup at sf0.1.
+    * The collect is bounded by k·|groups|·dims.
+    */
+  private[operators] def kmeansGrouped(subIn: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = subIn.sparkSession
+    def toDf(cb: Seq[(Int, Long, Seq[Long])]): DataFrame =
+      broadcast(spark.createDataFrame(cb).toDF("j", "centroid_id", "cqv"))
+    var cents: Seq[(Int, Long, Seq[Long])] = subIn.filter(col("vec_id") < k)
+      .select(col("j"), col("vec_id"), col("qv"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1)))
-      .toSeq.sortBy(_._1)
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+      .toSeq.sortBy(t => (t._1, t._2))
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("centroid_id"))
-      val assigned = qv.join(toDf(cents))
-        .select(col("vec_id"), col("qv"), col("centroid_id"),
+      val w = Window.partitionBy(col("vec_id"), col("j"))
+        .orderBy(col("dist"), col("centroid_id"))
+      val assigned = subIn.join(toDf(cents), "j")
+        .select(col("vec_id"), col("j"), col("qv"), col("centroid_id"),
           l2sqQ(col("qv"), col("cqv")).as("dist"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
       val means = assigned
-        .select(col("centroid_id"), posexplode(col("qv")).as(Seq("d", "x")))
-        .groupBy(col("centroid_id"), col("d"))
+        .select(col("j"), col("centroid_id"), posexplode(col("qv")).as(Seq("d", "x")))
+        .groupBy(col("j"), col("centroid_id"), col("d"))
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
         .withColumn("cd", floor(col("sx").cast("double") / col("n")).cast("long"))
-        .groupBy(col("centroid_id"))
+        .groupBy(col("j"), col("centroid_id"))
         .agg(transform(array_sort(collect_list(struct(col("d"), col("cd")))),
           s => s.getField("cd")).as("newcqv"))
         .collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Long](2)))
         .toMap
       // empty clusters keep their previous centroid
-      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      cents = cents.map { case (j, cid, old) => (j, cid, means.getOrElse((j, cid), old)) }
     }
     toDf(cents)
   }
@@ -256,12 +272,12 @@ object Similarity {
   def pqCodebooks(embs: DataFrame, m: Int, ksub: Int): DataFrame = {
     require(64 % m == 0, s"m must divide 64, got $m")
     val dsub = 64 / m
-    val qv = withQuantized(embs)
-    (0 until m).map { j =>
-      val sub = qv.select(col("vec_id"),
-        slice(col("qv"), j * dsub + 1, dsub).as("qv"))
-      kmeansOnQv(sub, ksub, iters = 2).withColumn("j", lit(j))
-    }.reduce(_ unionByName _).select(col("j"), col("centroid_id"), col("cqv"))
+    val sub = withQuantized(embs)
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("qv"))
+      .select(col("vec_id"), col("j"),
+        slice(col("qv"), col("j") * dsub + 1, lit(dsub)).as("qv"))
+    kmeansGrouped(sub, ksub, iters = 2)
+      .select(col("j"), col("centroid_id"), col("cqv"))
   }
 
   /** PQ encoding: each vector becomes `m` small codes — per subspace, the
