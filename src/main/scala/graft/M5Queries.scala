@@ -171,6 +171,16 @@ object M5Queries {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // ---- dedup: incremental ingest — a new batch (doc_id ≡ 0 mod 10)
+    // deduped against the existing corpus; pairs only ever new × old
+    "q_incremental_dedup" -> ((s, dir) => {
+      val d = TextDedup.documents(s, dir)
+      TextDedup.incrementalDedup(
+          d.filter(pmod(col("doc_id"), lit(10)) === 0),
+          d.filter(pmod(col("doc_id"), lit(10)) =!= 0))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dedup: document fingerprint (rolling hash of normalized text)
     "q_fingerprint" -> ((s, dir) => {
       val toks = TextFunctions.tokens(col("text"))
@@ -482,9 +492,10 @@ object M5Queries {
     def shingles(w: String): String =
       s"""CASE WHEN len($w) < 3 THEN [] ELSE list_transform(generate_series(1, len($w)-2), i -> ($w)[i] || ' ' || ($w)[i+1] || ' ' || ($w)[i+2]) END"""
     // distinct shingle hashes CTE body over documents
-    val shingleHashes: String =
+    def shingleHashesFrom(src: String): String =
       s"""SELECT doc_id, lang, source, list_distinct(list_transform(${shingles("w")}, s -> ${rolling("s")})) h
-         | FROM (SELECT doc_id, lang, source, $toks w FROM documents)""".stripMargin.replace("\n", " ")
+         | FROM (SELECT doc_id, lang, source, $toks w FROM $src)""".stripMargin.replace("\n", " ")
+    val shingleHashes: String = shingleHashesFrom("documents")
     // minhash signature list (16 perms) from hash-list column h
     val minhashSig: String =
       """list_transform(generate_series(0, 15), i -> COALESCE(list_min(list_transform(h, x -> ((2*i+1)*x + 7919*i + 13) % 1000000007)), 1000000007))"""
@@ -693,6 +704,34 @@ object M5Queries {
       """SELECT doc_id FROM documents
         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_incremental_dedup" ->
+      s"""WITH newd AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+         | oldd AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+         | exf AS (SELECT n.doc_id, min(o.doc_id) AS exact_dup_of
+         |   FROM (SELECT doc_id, ${frag.rolling("text")} AS fp FROM newd) n
+         |   LEFT JOIN (SELECT doc_id, ${frag.rolling("text")} AS fp FROM oldd) o
+         |     ON n.fp = o.fp
+         |   GROUP BY n.doc_id),
+         | shn AS (${frag.shingleHashesFrom("newd")}),
+         | sho AS (${frag.shingleHashesFrom("oldd")}),
+         | sign AS (SELECT doc_id, ${frag.minhashSig} sig FROM shn),
+         | sigo AS (SELECT doc_id, ${frag.minhashSig} sig FROM sho),
+         | bn AS (SELECT doc_id, unnest(${frag.bandKeys}) band_key FROM sign),
+         | bo AS (SELECT doc_id AS old_id, unnest(${frag.bandKeys}) band_key FROM sigo),
+         | cand AS (SELECT DISTINCT bn.doc_id, bo.old_id
+         |   FROM bn JOIN bo ON bn.band_key = bo.band_key),
+         | near AS (SELECT c.doc_id, min(c.old_id) AS near_dup_of
+         |   FROM cand c JOIN shn ON shn.doc_id = c.doc_id
+         |     JOIN sho ON sho.doc_id = c.old_id
+         |   WHERE ${frag.jac("shn.h", "sho.h")} >= 0.9
+         |   GROUP BY c.doc_id)
+         |SELECT d.doc_id, exf.exact_dup_of, near.near_dup_of,
+         | (exf.exact_dup_of IS NULL AND near.near_dup_of IS NULL) AS is_new
+         |FROM (SELECT doc_id FROM newd) d
+         | LEFT JOIN exf ON d.doc_id = exf.doc_id
+         | LEFT JOIN near ON d.doc_id = near.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_fingerprint" ->
       s"""SELECT doc_id, CASE WHEN len(w) = 0 THEN 0

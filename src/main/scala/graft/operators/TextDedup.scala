@@ -89,6 +89,51 @@ object TextDedup {
       .distinct()
   }
 
+  /** Incremental-ingest dedup: which documents of a NEW batch are exact
+    * or near duplicates of the EXISTING corpus? The continuous-pipeline
+    * question (a daily crawl lands against petabytes already ingested) —
+    * structurally different from whole-corpus dedup because pairs are only
+    * ever (new × old), never within a side.
+    *
+    * Scale shape: exact matches by fingerprint equi-join (the old side
+    * would be a bucketed fingerprint index in production); near-matches by
+    * the same MinHash band-bucket join as [[lshCandidatePairs]] but keyed
+    * across the two sides, verified by exact shingle Jaccard — candidates
+    * only, never new×old all-pairs. Output: one row per new doc —
+    * (doc_id, exact_dup_of, near_dup_of, is_new) where the *_of columns
+    * carry the smallest matching old doc id (NULL = none); an exact match
+    * also surfaces as a near-match (Jaccard 1 ≥ threshold) when a shared
+    * band catches it.
+    */
+  def incrementalDedup(newDocs: DataFrame, oldDocs: DataFrame,
+      threshold: Double = 0.9, perms: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = perms / bands
+    val exact = newDocs.select(col("doc_id"),
+        graft.functions.RollingHash.rolling_hash(col("text")).as("fp"))
+      .join(oldDocs.select(
+          graft.functions.RollingHash.rolling_hash(col("text")).as("fp"),
+          col("doc_id").as("old_id")), Seq("fp"), "left")
+      .groupBy(col("doc_id")).agg(min(col("old_id")).as("exact_dup_of"))
+    val bandedNew = withSignature(newDocs, perms)
+      .select(col("doc_id"), explode(lshBandKeys(col("sig"), bands, rows)).as("band_key"))
+    val bandedOld = withSignature(oldDocs, perms)
+      .select(col("doc_id").as("old_id"), explode(lshBandKeys(col("sig"), bands, rows)).as("band_key"))
+    val candidates = bandedNew.join(bandedOld, "band_key")
+      .select(col("doc_id"), col("old_id")).distinct()
+    val sh = (d: DataFrame) => d.select(col("doc_id"),
+      graft.functions.ShingleHashes.shingle_hashes(col("text"), 3).as("tok"))
+    val near = candidates
+      .join(sh(newDocs).select(col("doc_id"), col("tok").as("tok_n")), "doc_id")
+      .join(sh(oldDocs).select(col("doc_id").as("old_id"), col("tok").as("tok_o")), "old_id")
+      .filter(graft.functions.JaccardSim.jaccard_sim(col("tok_n"), col("tok_o")) >= threshold)
+      .groupBy(col("doc_id")).agg(min(col("old_id")).as("near_dup_of"))
+    newDocs.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup_of"), col("near_dup_of"),
+        (col("exact_dup_of").isNull && col("near_dup_of").isNull).as("is_new"))
+  }
+
   /** Exact word-set Jaccard near-dup pairs within a blocking key
     * (default: same lang). The oracle-verifiable twin of the LSH path and
     * its verification stage.

@@ -48,6 +48,26 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(got.join(member, "perm").filter($"minhash" =!= $"want").count() == 0)
   }
 
+  test("incrementalDedup: exact, near, and new dispositions; pairs only cross the batch boundary") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    val oldDocs = Seq(
+      (1L, base), (2L, base + "iota kappa"), (3L, "totally different content here"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val newDocs = Seq(
+      (101L, base),                    // exact dup of old 1
+      (102L, base + "iota kappa mu"),  // near dup of old 2 (and 1)
+      (103L, "nothing like the corpus at all"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val out = TextDedup.incrementalDedup(newDocs, oldDocs, threshold = 0.8)
+      .orderBy($"doc_id")
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect()
+    assert(out(0)._2.contains(1L) && !out(0)._4)          // exact hit, smallest old id
+    assert(out(1)._2.isEmpty && out(1)._3.nonEmpty && !out(1)._4) // near only
+    assert(out(2)._2.isEmpty && out(2)._3.isEmpty && out(2)._4)   // genuinely new
+    // a near-dup of several old docs reports the smallest old id
+    assert(out(1)._3.contains(1L) || out(1)._3.contains(2L))
+  }
+
   test("PQ: m codes per vector, codes in [0, ksub); identical vectors share codes; ADC ranks monotone") {
     val emb = Similarity.embeddings(spark, sf).cache()
     val codes = Similarity.pqEncode(emb, m = 8, ksub = 4).cache()
