@@ -47,6 +47,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_asof_join: sorted-union shape — the as-of match runs with NO join operator") {
+    val p = explained("q_asof_join")
+    assert(!p.contains("Join"), s"as-of should union+window, not probe-join:\n$p")
+    assert(p.contains("Union") && p.contains("Window"), p)
+  }
+
+  test("q_bm25: document frequencies and totals reach the corpus as broadcasts") {
+    val p = explained("q_bm25")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast df join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_sort_topk: limit+sort fuses to TakeOrderedAndProject (no global sort)") {
     val p = explained("q_sort_topk")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
