@@ -143,6 +143,22 @@ object M5Queries {
         .orderBy(col("event_id"))
     }),
 
+    // ---- relational: forward as-of join (purchase → next error at or
+    // after it, per user; ties on time broken by smaller event_id)
+    "q_asof_join_fwd" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tus"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("tus"), col("event_id"),
+          col("event_id").as("error_event_id"), col("tus").as("error_tus"))
+      operators.Temporal.asofJoinForward(purchases, errors,
+          keys = Seq("user_id"), timeCol = "tus", tieCol = "event_id",
+          rightCols = Seq("error_event_id", "error_tus"))
+        .withColumn("lag_us", col("error_tus") - col("tus"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- relational: interval (range) join — events falling inside any
     // 10-minute window opened by an error event of the same user, counted
     // per window. Bucketed equi-join, never a cross product.
@@ -419,6 +435,11 @@ object M5Queries {
       Curation.repetitionMetrics(TextDedup.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // ---- curation: token-balanced output shards (stable doc order)
+    "q_balanced_shards" -> ((s, dir) =>
+      Curation.balancedShards(TextDedup.documents(s, dir), nShards = 8)
+        .orderBy(col("doc_id"))),
+
     // ---- curation: exact per-language vocabulary heavy hitters
     "q_top_tokens" -> ((s, dir) =>
       Curation.topTokensPerGroup(TextDedup.documents(s, dir), "lang", k = 5)
@@ -682,6 +703,19 @@ object M5Queries {
         |  SELECT c.event_id, c.tus FROM c
         |  WHERE c.user_id = p.user_id AND c.tus <= p.tus
         |  ORDER BY c.tus DESC, c.event_id DESC LIMIT 1) m ON true
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_asof_join_fwd" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
+        | p AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'purchase'),
+        | x AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id, p.tus,
+        | m.event_id AS error_event_id, m.tus AS error_tus,
+        | m.tus - p.tus AS lag_us
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT x.event_id, x.tus FROM x
+        |  WHERE x.user_id = p.user_id AND x.tus >= p.tus
+        |  ORDER BY x.tus ASC, x.event_id ASC LIMIT 1) m ON true
         |ORDER BY p.event_id""".stripMargin,
 
     "q_range_join" ->
@@ -1057,6 +1091,18 @@ object M5Queries {
          |SELECT doc_id, n_tokens, start_tok, bin_first, bin_last,
          | COALESCE(bin_last - bin_first + 1, 0)::BIGINT AS n_bins
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_balanced_shards" ->
+      s"""WITH c AS (SELECT doc_id, len(${frag.toks})::BIGINT AS n_tokens FROM documents),
+         | s AS (SELECT doc_id, n_tokens,
+         |   (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+         |   (SELECT CAST(sum(n_tokens) AS BIGINT) FROM c) AS total
+         |  FROM c)
+         |SELECT doc_id, n_tokens,
+         | CASE WHEN total > 0
+         |      THEN least(((cum - n_tokens) * 8) // total, 7)
+         |      ELSE 0 END::BIGINT AS shard
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_top_tokens" ->
       s"""WITH c AS (SELECT lang, t AS token, count(*) AS n

@@ -97,6 +97,34 @@ object Curation {
         coalesce(col("bin_last") - col("bin_first") + 1, lit(0L)).as("n_bins"))
   }
 
+  // ---- balanced output sharding --------------------------------------
+
+  /** Assign each document to one of `nShards` output shards balanced by
+    * TOKEN count, preserving doc_id order within and across shards (shard
+    * boundaries are cuts in the concatenated token stream — what a
+    * training data-loader wants: equal work per shard, stable order).
+    * `shard = (start_tok · nShards) div total_tokens`, clamped to the last
+    * shard; all integer arithmetic (exact while
+    * `total_tokens · nShards < 2⁶³`). Imbalance is bounded by the largest
+    * single document. Cost: the distributed prefix sum + one narrow
+    * total-count pass.
+    */
+  def balancedShards(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val counted = docs.select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+    val summed = PrefixSum.inclusive(counted, Seq(col("doc_id")), col("n_tokens"), "cum")
+    val total = counted.agg(sum(col("n_tokens")).as("total"))
+    summed
+      .crossJoin(broadcast(total))
+      .withColumn("start_tok", col("cum") - col("n_tokens"))
+      .withColumn("shard",
+        when(col("total") > 0,
+          least(expr(s"(start_tok * $nShards) div total"), lit(nShards - 1L)))
+          .otherwise(lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("shard"))
+  }
+
   // ---- per-group heavy hitters ---------------------------------------
 
   /** Exact top-`k` tokens per group (vocabulary heavy hitters — the

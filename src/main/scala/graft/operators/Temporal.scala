@@ -32,13 +32,27 @@ object Temporal {
     * deterministic result.
     */
   def asofJoinBackward(left: DataFrame, rightIn: DataFrame, keys: Seq[String],
-      timeCol: String, tieCol: String, rightCols: Seq[String]): DataFrame = {
+      timeCol: String, tieCol: String, rightCols: Seq[String]): DataFrame =
+    asofJoin(left, rightIn, keys, timeCol, tieCol, rightCols, backward = true)
+
+  /** Forward as-of join: the mirror of [[asofJoinBackward]] — for every
+    * left row, the right row with the SMALLEST `(timeCol, tieCol)` such
+    * that `right.timeCol >= left.timeCol`. Same sorted-union plan with
+    * the orders reversed.
+    */
+  def asofJoinForward(left: DataFrame, rightIn: DataFrame, keys: Seq[String],
+      timeCol: String, tieCol: String, rightCols: Seq[String]): DataFrame =
+    asofJoin(left, rightIn, keys, timeCol, tieCol, rightCols, backward = false)
+
+  private def asofJoin(left: DataFrame, rightIn: DataFrame, keys: Seq[String],
+      timeCol: String, tieCol: String, rightCols: Seq[String],
+      backward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     require(rightCols.intersect(leftCols).isEmpty,
       s"right payload columns ${rightCols.intersect(leftCols)} collide with the left schema")
-    // a NULL right time can never satisfy `right.time <= left.time` (SQL
-    // comparison semantics) — unfiltered, nulls-first ordering would make
-    // such a row a universal "before everything" match
+    // a NULL right time can never satisfy the time comparison (SQL
+    // comparison semantics) — unfiltered, nulls-first/last ordering would
+    // make such a row a universal match
     val right = rightIn.filter(col(timeCol).isNotNull)
     val payload = struct((rightCols :+ tieCol).map(col): _*)
     val l = left.select(leftCols.map(col) :+ lit(1).as("_side")
@@ -49,11 +63,23 @@ object Temporal {
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))
         :+ col(timeCol) :+ lit(0).as("_side") :+ payload.as("_pay")
         :+ col(tieCol).as("_tie"): _*)
+    // backward scans time ascending (last prior right row wins); forward
+    // scans descending (so "last" is the EARLIEST at-or-after right row,
+    // ties to the smaller tie id). _side ascending keeps right rows
+    // before left at equal time in both directions — inclusive bound.
+    val ord =
+      if (backward) Seq(col(timeCol).asc, col("_side").asc, col("_tie").asc)
+      else Seq(col(timeCol).desc, col("_side").asc, col("_tie").desc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol), col("_side"), col("_tie"))
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // a NULL LEFT time matches nothing either (comparison is NULL) — in
+    // the forward sort such rows land after every right row, so the
+    // window alone would hand them a match; mask it out explicitly
     l.unionByName(r.select(l.columns.map(col): _*))
-      .withColumn("_match", last(col("_pay"), ignoreNulls = true).over(w))
+      .withColumn("_match",
+        when(col(timeCol).isNotNull,
+          last(col("_pay"), ignoreNulls = true).over(w)))
       .filter(col("_side") === 1)
       .select(leftCols.map(col) ++ rightCols.map(c => col(s"_match.$c").as(c)): _*)
   }

@@ -134,6 +134,35 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  // ---- balanced output sharding --------------------------------------
+
+  test("balancedShards: shards contiguous in doc order, imbalance bounded by the largest doc") {
+    val n = 8
+    val out = Curation.balancedShards(docs, nShards = n).cache()
+    assert(out.count() == docs.count())
+    assert(out.filter($"shard" < 0 || $"shard" >= n).count() == 0)
+    // contiguity: shard is non-decreasing in doc_id order
+    val seq = out.orderBy($"doc_id").select($"shard").as[Long].collect()
+    assert(seq.zip(seq.tail).forall { case (a, b) => a <= b })
+    // balance: every shard's token mass within max-doc of the ideal slice
+    val per = out.groupBy($"shard").agg(sum($"n_tokens").as("t")).as[(Long, Long)]
+      .collect().toMap
+    val totalT = per.values.sum
+    val maxDoc = out.agg(max($"n_tokens")).as[Long].head()
+    val ideal = totalT.toDouble / n
+    per.values.foreach { t =>
+      assert(math.abs(t - ideal) <= maxDoc + 1,
+        s"shard mass $t vs ideal $ideal exceeds max-doc bound $maxDoc")
+    }
+  }
+
+  test("balancedShards: all-empty corpus lands in shard 0") {
+    val empty = Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
+    val out = Curation.balancedShards(empty, nShards = 4)
+      .select($"shard").as[Long].collect().toSet
+    assert(out == Set(0L))
+  }
+
   // ---- composite quality filter --------------------------------------
 
   test("qualityFilter: every rule fires on a crafted doc; clean doc passes; reasons sorted") {

@@ -53,6 +53,38 @@ class TemporalSpec extends AnyFunSuite {
     assert(byId(102L)._2.isEmpty && byId(104L)._2.isEmpty, "left-outer semantics")
   }
 
+  test("asofJoinForward ≡ naive earliest-at-or-after lookup (ties to smaller id)") {
+    val left = leftRows.toDF("event_id", "key", "t")
+    val right = rightRows.toDF("key", "t", "event_id", "payload")
+      .select($"key", $"t", $"event_id",
+        $"event_id".as("r_id"), $"t".as("r_t"))
+    val got = Temporal.asofJoinForward(left, right,
+        keys = Seq("key"), timeCol = "t", tieCol = "event_id",
+        rightCols = Seq("r_id", "r_t"))
+      .select($"event_id", $"r_id", $"r_t")
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+    val naive = leftRows.sortBy(_._1).map { case (id, k, t) =>
+      val m = rightRows.filter(r => r._1 == k && r._2 >= t)
+        .sortBy(r => (r._2, r._3)).headOption
+      (id, m.map(_._3), m.map(_._2))
+    }
+    assert(got == naive)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(101L)._2.contains(11L), "equal-time tie included, SMALLER id wins forward")
+    assert(byId(100L)._2.isEmpty, "left row after every right row → no forward match")
+  }
+
+  test("asof joins give NULL-time LEFT rows no match in either direction") {
+    val left = Seq((1L, 1L, Option.empty[Long])).toDF("event_id", "key", "t")
+    val right = Seq((1L, 10L, 11L)).toDF("key", "t", "event_id")
+      .select($"key", $"t", $"event_id", $"event_id".as("r_id"))
+    val back = Temporal.asofJoinBackward(left, right, Seq("key"), "t", "event_id", Seq("r_id"))
+      .select($"r_id").as[Option[Long]].head()
+    val fwd = Temporal.asofJoinForward(left, right, Seq("key"), "t", "event_id", Seq("r_id"))
+      .select($"r_id").as[Option[Long]].head()
+    assert(back.isEmpty && fwd.isEmpty)
+  }
+
   test("asofJoinBackward ignores NULL-time right rows (no universal fallback match)") {
     val left = Seq((1L, 1L, 5L)).toDF("event_id", "key", "t")
     val right = Seq((1L, Option.empty[Long], 99L, "ghost"))
