@@ -435,6 +435,22 @@ object M5Queries {
       Curation.repetitionMetrics(TextDedup.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // ---- stats: exact per-language token-length quantiles (p50/p90/p99/max)
+    "q_length_quantiles" -> ((s, dir) => {
+      val d = TextDedup.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+      operators.Stats.quantilesPerGroup(d, "lang", "n_tokens", "doc_id",
+          qsPerMille = Seq(500, 900, 990, 1000))
+        .orderBy(col("lang"), col("q"))
+    }),
+
+    // ---- stats: exact distinct-cardinality profile per source (the
+    // oracle twin of the HLL approx path, which the spec pins against it)
+    "q_cardinalities" -> ((s, dir) =>
+      operators.Stats.cardinalities(TextDedup.documents(s, dir), "source")
+        .orderBy(col("source"))),
+
     // ---- curation: token-balanced output shards (stable doc order)
     "q_balanced_shards" -> ((s, dir) =>
       Curation.balancedShards(TextDedup.documents(s, dir), nShards = 8)
@@ -1091,6 +1107,28 @@ object M5Queries {
          |SELECT doc_id, n_tokens, start_tok, bin_first, bin_last,
          | COALESCE(bin_last - bin_first + 1, 0)::BIGINT AS n_bins
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_length_quantiles" ->
+      s"""WITH d AS (SELECT lang, doc_id, len(${frag.toks})::INT AS n_tokens FROM documents),
+         | r AS (SELECT lang, doc_id, n_tokens,
+         |   row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn FROM d),
+         | n AS (SELECT lang, count(*) AS cnt FROM d GROUP BY 1),
+         | qs AS (SELECT unnest([500, 900, 990, 1000]) AS q),
+         | t AS (SELECT lang, q, greatest(1, (q * cnt + 999) // 1000) AS rn
+         |   FROM n CROSS JOIN qs)
+         |SELECT r.lang, t.q, r.n_tokens AS quantile
+         |FROM r JOIN t ON r.lang = t.lang AND r.rn = t.rn
+         |ORDER BY r.lang, t.q""".stripMargin,
+
+    "q_cardinalities" ->
+      s"""WITH e AS (SELECT source, doc_id, ${frag.rolling("text")} AS fp,
+         |   unnest(CASE WHEN len(${frag.toks}) = 0 THEN [NULL]
+         |               ELSE ${frag.toks} END) AS token
+         |  FROM documents)
+         |SELECT source, count(DISTINCT doc_id) AS n_docs,
+         | count(DISTINCT fp) AS n_distinct_fp,
+         | count(DISTINCT token) AS n_distinct_tokens
+         |FROM e GROUP BY source ORDER BY source""".stripMargin,
 
     "q_balanced_shards" ->
       s"""WITH c AS (SELECT doc_id, len(${frag.toks})::BIGINT AS n_tokens FROM documents),

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics over grouped data: exact order statistics and
+  * distinct cardinalities, each with the approximate production path
+  * named next to its exact twin.
+  */
+object Stats {
+
+  /** Exact discrete quantiles per group: for each per-mille point q in
+    * `qsPerMille`, the ⌈q·n/1000⌉-th smallest `valueCol` of the group
+    * (1-indexed; q = 500 is the median, q = 1000 the max). The r-th order
+    * statistic is well-defined under duplicate values, so the result is
+    * deterministic regardless of tiebreak; `tieCol` only pins the window
+    * order itself. One ranking window per group + a broadcast of the
+    * (groups × quantile-points) rank table — no global sort. The
+    * approximate twin at scale is `percentile_approx` (t-digest), whose
+    * sketch is engine-specific and therefore carries no oracle.
+    */
+  def quantilesPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+      tieCol: String, qsPerMille: Seq[Int]): DataFrame = {
+    require(qsPerMille.nonEmpty && qsPerMille.forall(q => q > 0 && q <= 1000),
+      s"quantile points must be in (0, 1000], got $qsPerMille")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(tieCol))
+    val ranked = df.withColumn("_rn", row_number().over(w))
+    val ranks = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      .crossJoin(broadcast(qsPerMille.toDF("q")))
+      .withColumn("_rn", expr("greatest(1, (q * _n + 999) div 1000)"))
+      .select(col(groupCol), col("q"), col("_rn"))
+    ranked.join(broadcast(ranks), Seq(groupCol, "_rn"))
+      .select(col(groupCol), col("q"), col(valueCol).as("quantile"))
+  }
+
+  /** Exact distinct-cardinality profile of the corpus per group: distinct
+    * documents, distinct content fingerprints, distinct tokens. The
+    * approximate production path is `approx_count_distinct` (HLL++,
+    * ~2% error at default rsd) — its sketch differs across engines, so
+    * only the exact twin carries the oracle; the spec pins the
+    * approximation against it.
+    */
+  def cardinalities(docs: DataFrame, groupCol: String): DataFrame = {
+    val fp = graft.functions.RollingHash.rolling_hash(col("text"))
+    val exploded = docs.select(col(groupCol), col("doc_id"), fp.as("fp"),
+      explode_outer(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    exploded.groupBy(col(groupCol))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct_fp"),
+        countDistinct(col("token")).as("n_distinct_tokens"))
+  }
+
+  /** The approximate face of [[cardinalities]] — same shape, HLL++
+    * sketches instead of exact distincts. No oracle (engine-specific
+    * estimates); use when the distinct domain is too large to shuffle.
+    */
+  def cardinalitiesApprox(docs: DataFrame, groupCol: String,
+      rsd: Double = 0.02): DataFrame = {
+    val fp = graft.functions.RollingHash.rolling_hash(col("text"))
+    val exploded = docs.select(col(groupCol), col("doc_id"), fp.as("fp"),
+      explode_outer(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    exploded.groupBy(col(groupCol))
+      .agg(
+        approx_count_distinct(col("doc_id"), rsd).as("n_docs"),
+        approx_count_distinct(col("fp"), rsd).as("n_distinct_fp"),
+        approx_count_distinct(col("token"), rsd).as("n_distinct_tokens"))
+  }
+}

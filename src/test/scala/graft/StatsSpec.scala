@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{Stats, TextDedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = TextDedup.documents(spark, sf).cache()
+
+  test("quantilesPerGroup: hand-checked order statistics, duplicates, single-row group") {
+    // group a: values 1..10 → p500 = 5th smallest = 5, p1000 = 10
+    // group b: all equal → every quantile is 7
+    // group c: single row → every quantile is 42
+    val df = ((1 to 10).map(i => ("a", i.toLong, i.toLong))
+      ++ (1 to 4).map(i => ("b", 7L, 100L + i))
+      ++ Seq(("c", 42L, 1L))).toDF("g", "v", "id")
+    val out = Stats.quantilesPerGroup(df, "g", "v", "id", Seq(500, 1000))
+      .as[(String, Int, Long)].collect().toSet
+    assert(out == Set(
+      ("a", 500, 5L), ("a", 1000, 10L),
+      ("b", 500, 7L), ("b", 1000, 7L),
+      ("c", 500, 42L), ("c", 1000, 42L)))
+  }
+
+  test("quantilesPerGroup rejects out-of-range quantile points") {
+    val df = Seq(("a", 1L, 1L)).toDF("g", "v", "id")
+    intercept[IllegalArgumentException] {
+      Stats.quantilesPerGroup(df, "g", "v", "id", Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      Stats.quantilesPerGroup(df, "g", "v", "id", Seq(1001))
+    }
+  }
+
+  test("cardinalities: empty docs still counted; approx path within 5% of exact") {
+    val exact = Stats.cardinalities(docs, "source")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // every doc appears exactly once per source
+    val docCounts = docs.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    docCounts.foreach { case (s, n) => assert(exact(s)._2 == n, s"source $s") }
+    val approx = Stats.cardinalitiesApprox(docs, "source")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    exact.foreach { case (s, (_, nd, nfp, ntok)) =>
+      val (_, ad, afp, atok) = approx(s)
+      def close(a: Long, e: Long) = e == 0 || math.abs(a - e).toDouble / e <= 0.05
+      assert(close(ad, nd) && close(afp, nfp) && close(atok, ntok),
+        s"source $s: approx ($ad,$afp,$atok) vs exact ($nd,$nfp,$ntok)")
+    }
+  }
+}
