@@ -132,6 +132,38 @@ class TemporalSpec extends AnyFunSuite {
       "empty intervals match nothing")
   }
 
+  test("property: asof both directions ≡ naive on randomized data (nulls, dup times, sparse keys)") {
+    val rnd = new scala.util.Random(0xA50F)
+    for (round <- 1 to 5) {
+      val nKeys = 1 + rnd.nextInt(4)
+      def rows(n: Int) = (1 to n).map { i =>
+        val t = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(20).toLong)
+        (1000L * round + i, rnd.nextInt(nKeys).toLong, t)
+      }
+      val lRows = rows(30)
+      val rRows = rows(25)
+      val left = lRows.toDF("event_id", "key", "t")
+      // right frame shaped for the operator: key, t, tie, payload
+      val r2 = rRows.toDF("rid", "key", "t")
+        .select($"key", $"t", $"rid".as("event_id"), $"rid".as("r_id"))
+      def naive(backward: Boolean) = lRows.sortBy(_._1).map { case (id, k, t) =>
+        val m = t.flatMap { lt =>
+          val cands = rRows.filter(r => r._2 == k && r._3.exists(rt =>
+            if (backward) rt <= lt else rt >= lt))
+          if (backward) cands.sortBy(r => (r._3.get, r._1)).lastOption
+          else cands.sortBy(r => (r._3.get, r._1)).headOption
+        }
+        (id, m.map(_._1))
+      }
+      val gotB = Temporal.asofJoinBackward(left, r2, Seq("key"), "t", "event_id", Seq("r_id"))
+        .select($"event_id", $"r_id").as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+      val gotF = Temporal.asofJoinForward(left, r2, Seq("key"), "t", "event_id", Seq("r_id"))
+        .select($"event_id", $"r_id").as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+      assert(gotB == naive(backward = true), s"backward, round $round")
+      assert(gotF == naive(backward = false), s"forward, round $round")
+    }
+  }
+
   test("rangeJoin plan contains no cartesian or nested-loop join") {
     val intervals = Seq((1L, 1L, 0L, 100L)).toDF("key", "iv_id", "s", "e")
     val points = Seq((1L, 1L, 5L)).toDF("key", "pid", "t")
