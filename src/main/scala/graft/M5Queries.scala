@@ -18,6 +18,23 @@ object M5Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** recall@k of an ANN candidate frame `(query_id, neighbor_id)` against
+    * the exact brute-force top-k for queries 0–9 — ONE definition for
+    * every approximate path's quality measurement (IVF, ADC, PQ+refine),
+    * so the metric cannot drift between them.
+    */
+  private def recallAtK(emb: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val bf = Similarity.bruteForceTopK(emb, 0L to 9L, k)
+      .select(col("query_id").as("bq"), col("neighbor_id").as("bn"))
+    bf.join(candidates,
+        col("bq") === col("query_id") && col("bn") === col("neighbor_id"), "left")
+      .groupBy(col("bq"))
+      .agg(count(col("neighbor_id")).as("n_hits"))
+      .select(col("bq").as("query_id"), col("n_hits"),
+        (col("n_hits") / lit(k.toDouble)).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Exact integer scaling of a 2-dp money column: cast the double INPUT to
     * decimal(18,2) first (exact — the testdata money columns carry ≤2
     * fractional digits by construction), scale by 100, cast to BIGINT. All
@@ -347,17 +364,9 @@ object M5Queries {
     // IVF path against the exact brute-force top-5, per query
     "q_embed_ivf_recall" -> ((s, dir) => {
       val emb = Similarity.embeddings(s, dir)
-      val ivf = Similarity.annIvfTopK(emb, 0L to 9L, k = 5, centroids = 8, nprobe = 2)
-        .select(col("query_id"), col("neighbor_id"))
-      val bf = Similarity.bruteForceTopK(emb, 0L to 9L, k = 5)
-        .select(col("query_id").as("bq"), col("neighbor_id").as("bn"))
-      bf.join(ivf,
-          col("bq") === col("query_id") && col("bn") === col("neighbor_id"), "left")
-        .groupBy(col("bq"))
-        .agg(count(col("neighbor_id")).as("n_hits"))
-        .select(col("bq").as("query_id"), col("n_hits"),
-          (col("n_hits") / lit(5.0)).as("recall"))
-        .orderBy(col("query_id"))
+      recallAtK(emb,
+        Similarity.annIvfTopK(emb, 0L to 9L, k = 5, centroids = 8, nprobe = 2)
+          .select(col("query_id"), col("neighbor_id")), k = 5)
     }),
 
     // ---- similarity: product quantization + asymmetric distance (the
@@ -370,17 +379,9 @@ object M5Queries {
     // ADC ranking against the exact brute-force top-5, per query
     "q_embed_pq_recall" -> ((s, dir) => {
       val emb = Similarity.embeddings(s, dir)
-      val pq = Similarity.annPqTopK(emb, 0L to 9L, k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val bf = Similarity.bruteForceTopK(emb, 0L to 9L, k = 5)
-        .select(col("query_id").as("bq"), col("neighbor_id").as("bn"))
-      bf.join(pq,
-          col("bq") === col("query_id") && col("bn") === col("neighbor_id"), "left")
-        .groupBy(col("bq"))
-        .agg(count(col("neighbor_id")).as("n_hits"))
-        .select(col("bq").as("query_id"), col("n_hits"),
-          (col("n_hits") / lit(5.0)).as("recall"))
-        .orderBy(col("query_id"))
+      recallAtK(emb,
+        Similarity.annPqTopK(emb, 0L to 9L, k = 5)
+          .select(col("query_id"), col("neighbor_id")), k = 5)
     }),
 
     // ---- similarity: PQ + exact-cosine refine, judged by recall@5 — the
@@ -388,17 +389,9 @@ object M5Queries {
     // re-ranks it) measured against brute force like the IVF/ADC paths
     "q_embed_pq_refined" -> ((s, dir) => {
       val emb = Similarity.embeddings(s, dir)
-      val refined = Similarity.annPqRefineTopK(emb, 0L to 9L, k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val bf = Similarity.bruteForceTopK(emb, 0L to 9L, k = 5)
-        .select(col("query_id").as("bq"), col("neighbor_id").as("bn"))
-      bf.join(refined,
-          col("bq") === col("query_id") && col("bn") === col("neighbor_id"), "left")
-        .groupBy(col("bq"))
-        .agg(count(col("neighbor_id")).as("n_hits"))
-        .select(col("bq").as("query_id"), col("n_hits"),
-          (col("n_hits") / lit(5.0)).as("recall"))
-        .orderBy(col("query_id"))
+      recallAtK(emb,
+        Similarity.annPqRefineTopK(emb, 0L to 9L, k = 5)
+          .select(col("query_id"), col("neighbor_id")), k = 5)
     }),
 
     // ---- curation: PII redaction. The corpus is synthetic word salad with

@@ -286,9 +286,16 @@ object Similarity {
     * come back as an m-element array. This is the 8-bytes-per-vector
     * memory story that makes billion-vector indexes fit on a cluster.
     */
-  def pqEncode(embs: DataFrame, m: Int = 8, ksub: Int = 8): DataFrame = {
+  def pqEncode(embs: DataFrame, m: Int = 8, ksub: Int = 8): DataFrame =
+    pqEncodeWith(embs, pqCodebooks(embs, m, ksub), m)
+
+  /** [[pqEncode]] against a codebook trained elsewhere — callers that
+    * also need the codebook (ADC) train it ONCE and pass it in;
+    * `kmeansGrouped`'s training collects are eager, so calling
+    * [[pqCodebooks]] twice would run the whole 3-job training twice.
+    */
+  private def pqEncodeWith(embs: DataFrame, cents: DataFrame, m: Int): DataFrame = {
     val dsub = 64 / m
-    val cents = pqCodebooks(embs, m, ksub)
     val w = Window.partitionBy(col("vec_id"), col("j"))
       .orderBy(col("dist"), col("centroid_id"))
     withQuantized(embs)
@@ -314,7 +321,8 @@ object Similarity {
       m: Int = 8, ksub: Int = 8): DataFrame = {
     val dsub = 64 / m
     val cents = pqCodebooks(embs, m, ksub)
-    val codes = pqEncode(embs, m, ksub)
+    // the one training pass serves both the codes and the lookup tables
+    val codes = pqEncodeWith(embs, cents, m)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
     val tables = withQuantized(embs)
       .filter(col("vec_id").isInCollection(queryIds))

@@ -24,11 +24,20 @@ object Stats {
       tieCol: String, qsPerMille: Seq[Int]): DataFrame = {
     require(qsPerMille.nonEmpty && qsPerMille.forall(q => q > 0 && q <= 1000),
       s"quantile points must be in (0, 1000], got $qsPerMille")
+    val internal = Seq("_rn", "_n", "q", "quantile")
+    val clashes = df.columns.toSeq.intersect(internal)
+    require(clashes.isEmpty,
+      s"input column(s) ${clashes.mkString(", ")} collide with quantilesPerGroup's " +
+        s"internal/output names (${internal.mkString(", ")})")
     val spark = df.sparkSession
     import spark.implicits._
+    // quantiles are over the NON-NULL values: a NULL is not an order
+    // statistic, and Spark's nulls-first ascending sort would otherwise
+    // rank NULLs ahead of every real value (SQL engines sort them last)
+    val clean = df.filter(col(valueCol).isNotNull)
     val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(tieCol))
-    val ranked = df.withColumn("_rn", row_number().over(w))
-    val ranks = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val ranked = clean.withColumn("_rn", row_number().over(w))
+    val ranks = clean.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
       .crossJoin(broadcast(qsPerMille.toDF("q")))
       .withColumn("_rn", expr("greatest(1, (q * _n + 999) div 1000)"))
       .select(col(groupCol), col("q"), col("_rn"))
@@ -43,30 +52,30 @@ object Stats {
     * only the exact twin carries the oracle; the spec pins the
     * approximation against it.
     */
-  def cardinalities(docs: DataFrame, groupCol: String): DataFrame = {
-    val fp = graft.functions.RollingHash.rolling_hash(col("text"))
-    val exploded = docs.select(col(groupCol), col("doc_id"), fp.as("fp"),
+  /** The one frame both cardinality faces profile — exact and approx MUST
+    * count the same thing, so the construction lives in one place.
+    */
+  private def profileFrame(docs: DataFrame, groupCol: String): DataFrame =
+    docs.select(col(groupCol), col("doc_id"),
+      graft.functions.RollingHash.rolling_hash(col("text")).as("fp"),
       explode_outer(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
-    exploded.groupBy(col(groupCol))
+
+  def cardinalities(docs: DataFrame, groupCol: String): DataFrame =
+    profileFrame(docs, groupCol).groupBy(col(groupCol))
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),
         countDistinct(col("fp")).as("n_distinct_fp"),
         countDistinct(col("token")).as("n_distinct_tokens"))
-  }
 
   /** The approximate face of [[cardinalities]] — same shape, HLL++
     * sketches instead of exact distincts. No oracle (engine-specific
     * estimates); use when the distinct domain is too large to shuffle.
     */
   def cardinalitiesApprox(docs: DataFrame, groupCol: String,
-      rsd: Double = 0.02): DataFrame = {
-    val fp = graft.functions.RollingHash.rolling_hash(col("text"))
-    val exploded = docs.select(col(groupCol), col("doc_id"), fp.as("fp"),
-      explode_outer(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
-    exploded.groupBy(col(groupCol))
+      rsd: Double = 0.02): DataFrame =
+    profileFrame(docs, groupCol).groupBy(col(groupCol))
       .agg(
         approx_count_distinct(col("doc_id"), rsd).as("n_docs"),
         approx_count_distinct(col("fp"), rsd).as("n_distinct_fp"),
         approx_count_distinct(col("token"), rsd).as("n_distinct_tokens"))
-  }
 }

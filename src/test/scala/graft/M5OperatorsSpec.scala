@@ -64,8 +64,18 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(out(0)._2.contains(1L) && !out(0)._4)          // exact hit, smallest old id
     assert(out(1)._2.isEmpty && out(1)._3.nonEmpty && !out(1)._4) // near only
     assert(out(2)._2.isEmpty && out(2)._3.isEmpty && out(2)._4)   // genuinely new
-    // a near-dup of several old docs reports the smallest old id
-    assert(out(1)._3.contains(1L) || out(1)._3.contains(2L))
+    // the reported near-dup id is the SMALLEST old doc clearing the
+    // threshold — pinned against independently computed Jaccard, so a
+    // regression of min(old_id) to max/any cannot pass
+    val sh = graft.functions.ShingleHashes.shingle_hashes(col("text"), 3)
+    val hashes = oldDocs.unionByName(newDocs).select($"doc_id", sh.as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def jac(a: Long, b: Long): Double = {
+      val (x, y) = (hashes(a).toSet, hashes(b).toSet)
+      x.intersect(y).size.toDouble / x.union(y).size
+    }
+    val expected = Seq(1L, 2L, 3L).filter(o => jac(102L, o) >= 0.8).min
+    assert(out(1)._3.contains(expected))
   }
 
   test("PQ: m codes per vector, codes in [0, ksub); identical vectors share codes; ADC ranks monotone") {
