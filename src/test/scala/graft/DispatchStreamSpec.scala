@@ -176,6 +176,34 @@ class DispatchStreamSpec extends AnyFunSuite {
     assert(survivors == Set((1L, "alpha beta"), (2L, "gamma"), (5L, "delta")))
   }
 
+  test("batch curation operators run unchanged on a stream (narrow ops are engine-portable)") {
+    import graft.operators.{Curation, Sampling}
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // the same DataFrame → DataFrame operators used by the batch oracle
+    // queries, applied to an unbounded stream: redact → quality-gate →
+    // deterministic sample. All narrow, so Structured Streaming accepts
+    // them with no changes.
+    val curated = Sampling.stratifiedSample(
+      Curation.redactPii(
+        Curation.qualityFilter(docs).filter($"keep").join(docs, "doc_id"),
+        $"text"),
+      $"doc_id", lit("all"), ratesPerMille = Map("all" -> 1000), defaultPerMille = 1000)
+    val q = curated.writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    val longDoc = (1 to 40).map(i => s"word$i").mkString(" ") + " mail me a@b.io"
+    input.addData((1L, longDoc), (2L, "too short"))
+    q.processAllAvailable()
+    q.stop()
+    val out = s.table("curate_out").select($"doc_id", $"redacted")
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L))                   // quality gate dropped doc 2
+    assert(out(1L).endsWith("mail me <EMAIL>"))     // redaction ran on the stream
+  }
+
   test("stream-static broadcast enrichment join") {
     val s = spark
     import s.implicits._
