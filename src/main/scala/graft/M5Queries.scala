@@ -455,9 +455,13 @@ object M5Queries {
         .orderBy(col("lang"), col("rnk"))),
 
     // ---- curation: Gopher-style composite quality gate (integer-exact
-    // cross-multiplied thresholds, per-row reasons)
+    // cross-multiplied thresholds, per-row reasons). The operator returns
+    // `reasons` as an array; the query joins it to a CSV string because
+    // the driver's hasher cannot sort rows by a list-typed column
+    // (CORRECTNESS_r03: pandas `unhashable type: numpy.ndarray`).
     "q_quality_filter" -> ((s, dir) =>
       Curation.qualityFilter(TextDedup.documents(s, dir))
+        .withColumn("reasons", array_join(col("reasons"), ","))
         .orderBy(col("doc_id"))),
 
     // ---- relevance: quantized BM25 top-50 for a fixed 5-term query
@@ -1162,7 +1166,8 @@ object M5Queries {
          |   CASE WHEN n_tokens > 10000 THEN 'too_long' END,
          |   CASE WHEN n_tokens < 30 THEN 'too_short' END], x -> x IS NOT NULL) AS reasons
          |  FROM m)
-         |SELECT doc_id, n_tokens, len(reasons) = 0 AS keep, reasons
+         |SELECT doc_id, n_tokens, len(reasons) = 0 AS keep,
+         |  COALESCE(array_to_string(reasons, ','), '') AS reasons
          |FROM r ORDER BY doc_id""".stripMargin,
 
     // quantized BM25/TF-IDF: integer div/mul only — `//` (DuckDB) and

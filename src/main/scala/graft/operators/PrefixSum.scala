@@ -36,21 +36,36 @@ object PrefixSum {
         s"PrefixSum's internal names (${internal.mkString(", ")})")
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val tagged = df.withColumn("_psum_v", value.cast("long"))
+    // The range exchange MUST be physically executed exactly once.
+    // RangePartitioner picks its bounds from a reservoir SAMPLE seeded by
+    // the underlying rdd id; two independent physical executions of the
+    // same repartitionByRange (exchange reuse does not fire across the
+    // branches below — column pruning specializes each subtree) can pick
+    // DIFFERENT bounds once input partitions exceed the per-partition
+    // sample size, at which point `_pid` in the running-sum branch
+    // disagrees with the partitioning behind the per-partition totals and
+    // the prefix sums are silently wrong. Persisting the ranged frame
+    // makes both consumers read the SAME materialized partitions (one
+    // InMemoryRelation, one exchange); the cache is written by whichever
+    // action runs first and holds the pruned (orderCols, value, payload)
+    // rows once — the price of determinism, spilled to disk if it
+    // doesn't fit. Spark's CacheManager keys entries by canonicalized
+    // plan, so re-constructing the same query reuses one entry instead of
+    // accumulating copies; entries release with the session's context.
     val ranged = tagged.repartitionByRange(nPart, orderCols: _*)
       .withColumn("_pid", spark_partition_id())
+    // re-constructing the same query must not re-persist (CacheManager
+    // would warn "already cached" on every bench pass)
+    if (df.sparkSession.sharedState.cacheManager
+        .lookupCachedData(ranged.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isEmpty)
+      ranged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wLocal = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("_run", sum(col("_psum_v")).over(wLocal))
-    // Branch cost, measured not guessed: the totals branch re-derives from
-    // `ranged` rather than `local` — partial aggregation combines map-side,
+    // The totals branch re-derives from `ranged` rather than `local` —
+    // partial aggregation combines map-side over the cached partitions,
     // so its exchange carries ~one row per task instead of re-sorting the
-    // full rows a second time. Exchange reuse does NOT fire across the two
-    // branches (column pruning specializes each subtree), so the source is
-    // read twice — but both reads are pruned to (orderCols, value) and the
-    // second shuffle moves only the 32-ish partial rows. The driver-loop
-    // alternative (collect per-partition totals) would be cheaper still but
-    // puts an eager job inside plan construction; two pruned scans is the
-    // declarative price.
+    // full rows a second time.
     val totals = ranged.groupBy(col("_pid")).agg(sum(col("_psum_v")).as("_cnt"))
     val offsets = totals.as("a")
       .join(broadcast(totals.as("b")), col("b._pid") < col("a._pid"), "left")

@@ -78,6 +78,26 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("no query output schema contains an array/map/struct column") {
+    // Round-3 lesson: q_quality_filter was the only query with a list-typed
+    // output column and the only driver-side ERROR — the driver's hasher
+    // sorts rows with pandas, and `sort_values` on an ndarray-valued column
+    // dies with `unhashable type: numpy.ndarray`. Nested types are fine
+    // internally; query OUTPUTS must be atomic (join arrays to strings or
+    // explode to rows at the query boundary).
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val nested = fn(spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => f.name
+      }
+      assert(nested.isEmpty,
+        s"$name: nested-type output columns ${nested.toList} — the driver hasher " +
+          "cannot sort list/struct values; emit atomic columns (array_join / explode)")
+    }
+  }
+
   test("double output columns are pinned to the per-row-deterministic allowlist") {
     import org.apache.spark.sql.types.{DoubleType, FloatType}
     // Doubles are allowed ONLY where both engines compute an identical

@@ -47,6 +47,39 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("PrefixSum: both branches consume ONE materialized range partitioning") {
+    // Round-3 advice (high): the running-sum branch and the totals branch
+    // each re-executed repartitionByRange; RangePartitioner's sampled
+    // bounds can then diverge between executions and silently corrupt the
+    // offsets. The fix persists the ranged frame — the executed plan must
+    // read it through InMemoryTableScan in BOTH branches and contain no
+    // live RangePartitioning exchange outside the cached relation.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = graft.operators.PrefixSum.inclusive(
+      graft.sources.Tables.load(spark, sf, "documents"),
+      Seq(col("doc_id")), coalesce(length(col("text")), lit(0)), "run_chars")
+    df.count() // materialize so AQE finalizes subtrees
+    val plan = df.queryExecution.executedPlan
+    def collectAll(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(collectAll)) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => collectAll(q.plan)
+        case _ => Seq.empty
+      })
+    val nodes = collectAll(plan)
+    val cacheScans = nodes.collect { case s: InMemoryTableScanExec => s }
+    assert(cacheScans.size >= 2,
+      s"expected both branches to read the persisted ranged frame, saw ${cacheScans.size}:\n$plan")
+    val liveRange = nodes.collect {
+      case e: ShuffleExchangeLike if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }
+    assert(liveRange.isEmpty,
+      s"live RangePartitioning exchange outside the cache — sampled bounds can diverge:\n$plan")
+  }
+
   test("q_asof_join: sorted-union shape — the as-of match runs with NO join operator") {
     val p = explained("q_asof_join")
     assert(!p.contains("Join"), s"as-of should union+window, not probe-join:\n$p")
