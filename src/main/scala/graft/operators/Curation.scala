@@ -190,19 +190,23 @@ object Curation {
 
   /** The per-document token/bigram statistics both the quality gate and
     * the reported metrics derive from — a single definition so the two
-    * can never drift. Narrow per-row HOF work; tokens materialized once.
+    * can never drift. One pass over the raw string via the
+    * [[graft.functions.TokenStats]] codegen expression; the equivalent
+    * HOF chain (`size(toks)`, `size(array_distinct(toks))`, bigram
+    * shingles, `aggregate` char fold) builds five intermediate arrays per
+    * row — TokenStatsParitySpec property-tests the two spellings
+    * identical, including null text.
     */
   private def tokenStats(docs: DataFrame): DataFrame =
     docs
-      .withColumn("toks", TextFunctions.tokens(col("text")))
-      .withColumn("bi", TextFunctions.shingles(col("toks"), 2))
+      .withColumn("_tstats", graft.functions.TokenStats.token_stats(col("text")))
       .select(
         col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
-        size(col("bi")).as("n_bigrams"),
-        size(array_distinct(col("bi"))).as("n_distinct_bigrams"),
-        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("n_wchars"))
+        col("_tstats.n_tokens").as("n_tokens"),
+        col("_tstats.n_distinct_tokens").as("n_distinct_tokens"),
+        col("_tstats.n_bigrams").as("n_bigrams"),
+        col("_tstats.n_distinct_bigrams").as("n_distinct_bigrams"),
+        col("_tstats.n_wchars").as("n_wchars"))
 
   /** Token/bigram repetition counts (the Gopher-style repetition signals,
     * kept as exact integers — ratios are the caller's division).

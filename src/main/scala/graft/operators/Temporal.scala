@@ -50,6 +50,11 @@ object Temporal {
     val leftCols = left.columns.toSeq
     require(rightCols.intersect(leftCols).isEmpty,
       s"right payload columns ${rightCols.intersect(leftCols)} collide with the left schema")
+    val internal = Seq("_side", "_pay", "_tie", "_match")
+    val clashes = (leftCols ++ rightIn.columns).distinct.intersect(internal)
+    require(clashes.isEmpty,
+      s"input column(s) ${clashes.mkString(", ")} collide with asofJoin's " +
+        s"internal names (${internal.mkString(", ")})")
     // a NULL right time can never satisfy the time comparison (SQL
     // comparison semantics) — unfiltered, nulls-first/last ordering would
     // make such a row a universal match
@@ -95,22 +100,29 @@ object Temporal {
     * many buckets) against candidate-pair selectivity; set it near the
     * typical interval length.
     *
-    * Bucket indices use integer `div` (exact at any epoch magnitude —
-    * `floor(x / w)` on doubles loses ulps past 2⁵³); time values must be
-    * non-negative, where truncating `div` coincides with floor.
+    * Bucket indices use exact integer FLOOR division — `(t - pmod(t, w))
+    * div w` — not doubles (`floor(x / w)` loses ulps past 2⁵³) and not
+    * bare truncating `div` (which rounds toward zero, so negative-epoch
+    * points near zero would land one bucket high and silently drop
+    * matches). The pmod form is floor-exact for any sign; the division is
+    * exact because the numerator is a multiple of `w`. (Times within `w`
+    * of Long.MinValue would overflow the subtraction — a magnitude no
+    * epoch encoding approaches.)
     */
   def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
       timeCol: String, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def floorBucket(e: String): String =
+      s"(($e) - pmod(($e), $bucketWidth)) div $bucketWidth"
     // an empty half-open interval contains nothing; dropping it early also
     // keeps `sequence(startBucket, endBucket)` ascending (Spark's sequence
     // runs DESCENDING when stop < start, which a boundary-aligned empty
     // interval would trigger)
     val iv = intervals.filter(col(endCol) > col(startCol)).withColumn("_bucket",
-      explode(sequence(expr(s"`$startCol` div $bucketWidth"),
-        expr(s"(`$endCol` - 1) div $bucketWidth"))))
-    val pt = points.withColumn("_bucket", expr(s"`$timeCol` div $bucketWidth"))
+      explode(sequence(expr(floorBucket(s"`$startCol`")),
+        expr(floorBucket(s"`$endCol` - 1")))))
+    val pt = points.withColumn("_bucket", expr(floorBucket(s"`$timeCol`")))
     pt.join(iv, keys :+ "_bucket")
       .filter(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
       .drop("_bucket")

@@ -31,13 +31,33 @@ object Tables {
     if (m == null) {
       m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
       cached.put(spark, m)
+      // the listener must NOT strongly capture the session: a listener
+      // lives as long as the CONTEXT, and a strong capture would pin an
+      // abandoned session (and its cached DataFrames) for the context's
+      // whole lifetime even though the map key is weak
+      val ref = new java.lang.ref.WeakReference(spark)
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
-            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          cached.synchronized { cached.remove(spark) }
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          val s = ref.get()
+          if (s != null) evict(s)
+        }
       })
     }
     m
+  }
+
+  /** Drop a session's cached tables now (unpersisting any preloaded pins)
+    * instead of waiting for context shutdown — for callers that stop or
+    * abandon a SparkSession while a shared SparkContext lives on. Without
+    * this, the value→session reference cycle (cached DataFrame →
+    * df.sparkSession → weak map key) keeps the entry uncollectable.
+    */
+  def evict(spark: SparkSession): Unit = {
+    val m = cached.synchronized(cached.remove(spark))
+    if (m != null) m.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =

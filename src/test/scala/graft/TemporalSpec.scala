@@ -164,6 +164,29 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("rangeJoin ≡ naive on NEGATIVE times (floor bucketing, not truncation)") {
+    // round-3 advice: with truncating `div`, a point at t = -3 and an
+    // interval [-5, 1) bucket to 0 and [0, 0] respectively at w = 10 —
+    // both "bucket 0" — but a point at t = -13 against [-15, -11) lands
+    // in bucket 0 while the interval spans [-2, -2], silently dropping
+    // the match. Floor bucketing keeps negatives exact.
+    val w = 10L
+    val intervals = Seq(
+      (1L, 900L, -15L, -11L), // strictly negative span
+      (1L, 901L, -5L, 5L),    // straddles zero
+      (1L, 902L, -30L, -30L)) // empty at a negative boundary
+      .toDF("key", "iv_id", "s", "e")
+    val points = (-40L to 10L).map(t => (1L, t)).toDF("key", "t")
+    val got = Temporal.rangeJoin(points, intervals, Seq("key"), "t", "s", "e", w)
+      .select($"iv_id", $"t").as[(Long, Long)].collect().toSet
+    val naive = points.as("p").join(intervals.as("i"),
+        $"p.key" === $"i.key" && $"p.t" >= $"i.s" && $"p.t" < $"i.e")
+      .select($"iv_id", $"p.t").as[(Long, Long)].collect().toSet
+    assert(got == naive)
+    assert(got.contains((900L, -13L)), "negative-bucket match must survive")
+    assert(got.contains((901L, -3L)) && got.contains((901L, 4L)))
+  }
+
   test("rangeJoin plan contains no cartesian or nested-loop join") {
     val intervals = Seq((1L, 1L, 0L, 100L)).toDF("key", "iv_id", "s", "e")
     val points = Seq((1L, 1L, 5L)).toDF("key", "pid", "t")
