@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Codebook-assignment expressions for the IVF/PQ index builds
+  * ([[graft.operators.Similarity]]).
+  *
+  * A k-means codebook is index METADATA — k·dims longs that live on the
+  * driver between Lloyd iterations. Spelling "nearest centroid" as a
+  * broadcast join + row_number window shuffles and sorts the corpus once
+  * per assignment; spelling it as literal HOF folds
+  * (`array_min(array(struct(aggregate(zip_with(...)))))` × k centroids ×
+  * m subspaces) keeps the plan narrow but inflates it to thousands of
+  * expression nodes, and at small scale ANALYSIS of that tree dominated
+  * the bench (measured: ~0.6 s per training job on 2 000 vectors). These
+  * expressions hold the codebook as a codegen reference object instead:
+  * ONE plan node, a tight primitive loop per row, full whole-stage
+  * codegen — the narrow-plan shape without the planning tax.
+  *
+  * Semantics are identical to the join+window and HOF spellings on every
+  * input the operators produce: integer squared-L2, argmin with ties to
+  * the smaller centroid id. Width mismatches (impossible by
+  * construction — assignment slices the same vectors the codebook was
+  * trained on) throw instead of silently null-padding.
+  */
+object CentroidOps {
+
+  /** Argmin over `cents` of ∑(v[off+i] − cent[i])², ties to smaller id. */
+  def nearest(v: Array[Long], off: Int, ids: Array[Long],
+      cents: Array[Array[Long]]): Long = {
+    var bestD = Long.MaxValue
+    var bestI = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      if (off + ct.length > v.length)
+        throw new IllegalArgumentException(
+          s"vector width ${v.length} too small for centroid width ${ct.length} at offset $off")
+      var d = 0L
+      var i = 0
+      while (i < ct.length) {
+        val t = v(off + i) - ct(i)
+        d += t * t
+        i += 1
+      }
+      if (d < bestD || (d == bestD && ids(c) < bestI)) { bestD = d; bestI = ids(c) }
+      c += 1
+    }
+    bestI
+  }
+
+  def computeNearest(qv: ArrayData, j: Int, ids: Array[Array[Long]],
+      cents: Array[Array[Array[Long]]]): Long =
+    nearest(qv.toLongArray(), 0, ids(j), cents(j))
+
+  def computePqCodes(qv: ArrayData, dsub: Int, ids: Array[Array[Long]],
+      cents: Array[Array[Array[Long]]]): ArrayData = {
+    val v = qv.toLongArray()
+    val m = cents.length
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      out(j) = nearest(v, j * dsub, ids(j), cents(j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `nearest_centroid_id(qv, j)` — id of group `j`'s nearest centroid to
+  * the quantized vector `qv` (integer L2, ties to the smaller id).
+  * Single-codebook callers pass `j = 0`.
+  */
+case class NearestCentroidId(qv: Expression, grp: Expression,
+    ids: Array[Array[Long]], cents: Array[Array[Array[Long]]])
+  extends BinaryExpression {
+
+  override def left: Expression = qv
+  override def right: Expression = grp
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_centroid_id"
+
+  override protected def nullSafeEval(q: Any, j: Any): Any =
+    CentroidOps.computeNearest(q.asInstanceOf[ArrayData],
+      j.asInstanceOf[Int], ids, cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("ids", ids, "long[][]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "long[][][]")
+    nullSafeCodeGen(ctx, ev, (q, j) =>
+      s"${ev.value} = graft.functions.CentroidOps.computeNearest($q, $j, $idsRef, $centsRef);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(qv = newLeft, grp = newRight)
+}
+
+/** `pq_codes(qv)` — all `m` PQ codes of a quantized vector in one pass:
+  * code j = id of subspace j's nearest sub-centroid over
+  * `qv[j·dsub ... (j+1)·dsub)`.
+  */
+case class PqCodes(qv: Expression, dsub: Int,
+    ids: Array[Array[Long]], cents: Array[Array[Array[Long]]])
+  extends UnaryExpression {
+
+  override def child: Expression = qv
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  override protected def nullSafeEval(q: Any): Any =
+    CentroidOps.computePqCodes(q.asInstanceOf[ArrayData], dsub, ids, cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("ids", ids, "long[][]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "long[][][]")
+    nullSafeCodeGen(ctx, ev, q =>
+      s"${ev.value} = graft.functions.CentroidOps.computePqCodes($q, $dsub, $idsRef, $centsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(qv = newChild)
+}
+
+object CentroidExpressions {
+
+  /** Column face over a grouped codebook `(j, centroid_id, cqv)` sorted
+    * by (j, centroid_id) — the shape `kmeansCentsGrouped` returns.
+    */
+  private def grouped(cb: Seq[(Int, Long, Seq[Long])])
+      : (Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val byJ = cb.groupBy(_._1).toSeq.sortBy(_._1)
+    require(byJ.map(_._1) == byJ.indices.map(identity),
+      s"group ids must be 0..m-1, got ${byJ.map(_._1)}")
+    (byJ.map(_._2.map(_._2).toArray).toArray,
+      byJ.map(_._2.map(_._3.toArray).toArray).toArray)
+  }
+
+  def nearestCentroidId(qv: Column, grp: Column,
+      cb: Seq[(Int, Long, Seq[Long])]): Column = {
+    val (ids, cents) = grouped(cb)
+    toColumn(NearestCentroidId(toExpression(qv), toExpression(grp), ids, cents))
+  }
+
+  def pqCodes(qv: Column, dsub: Int, cb: Seq[(Int, Long, Seq[Long])]): Column = {
+    val (ids, cents) = grouped(cb)
+    toColumn(PqCodes(toExpression(qv), dsub, ids, cents))
+  }
+}

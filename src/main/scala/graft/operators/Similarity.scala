@@ -139,23 +139,30 @@ object Similarity {
     * arithmetic is exact integer except the one mean division per
     * dimension, whose operands are exact integers ≪ 2⁵³ — IEEE division +
     * floor is then bit-identical across engines, so the whole codebook is
-    * oracle-reproducible. Scale shape per iteration: one broadcast of the
-    * k-row codebook against the corpus (no shuffle of the big side) + one
-    * (centroid, dim)-keyed partial aggregation — k·dims rows.
+    * oracle-reproducible. Scale shape per iteration: a narrow argmin
+    * projection (the [[graft.functions.NearestCentroidId]] codegen
+    * expression holding the codebook as a reference object — no join, no
+    * window, no shuffle of the corpus) + one (centroid, dim)-keyed
+    * partial aggregation whose exchange carries k·dims rows.
     *
     * Returns (centroid_id, cqv: array<long>).
     */
-  def kmeansCodebook(embs: DataFrame, k: Int, iters: Int = 2): DataFrame =
-    kmeansOnQv(
-      embs.select(col("vec_id"), quantize(asDouble(col("embedding"))).as("qv")),
-      k, iters)
+  def kmeansCodebook(embs: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    val spark = embs.sparkSession
+    broadcast(spark.createDataFrame(
+        kmeansCodebookCents(embs, k, iters).map { case (cid, cqv) => (cid, cqv) })
+      .toDF("centroid_id", "cqv"))
+  }
 
-  /** Core of [[kmeansCodebook]], over a pre-quantized `(vec_id, qv)`
-    * frame — the single-group face of [[kmeansGrouped]].
+  /** Driver-side form of [[kmeansCodebook]] — internal consumers inline
+    * it into [[nearestCent]] expressions.
     */
-  private[operators] def kmeansOnQv(qvIn: DataFrame, k: Int, iters: Int): DataFrame =
-    kmeansGrouped(qvIn.withColumn("j", lit(0)), k, iters)
-      .select(col("centroid_id"), col("cqv"))
+  private def kmeansCodebookCents(embs: DataFrame, k: Int,
+      iters: Int = 2): Seq[(Long, Seq[Long])] =
+    kmeansCentsGrouped(
+      embs.select(col("vec_id"), lit(0).as("j"),
+        quantize(asDouble(col("embedding"))).as("qv")), k, iters)
+      .map { case (_, cid, cqv) => (cid, cqv) }
 
   /** Seeded k-means over many independent groups AT ONCE: `subIn` is
     * `(vec_id, j, qv)` and each group `j` trains its own k centroids.
@@ -164,33 +171,27 @@ object Similarity {
     * one per Lloyd iteration) instead of 3·m sequential mini-jobs, which
     * at bench scale was pure job-launch overhead (~8× the data time).
     * Results are identical to training each group alone: every step is
-    * keyed by `j` (assignment window, mean aggregation, empty-cluster
+    * keyed by `j` (assignment expression, mean aggregation, empty-cluster
     * carry-over).
     *
     * The codebook is k·|groups| rows of index METADATA (this is what an
     * IVF/PQ index header is), so each Lloyd iteration is materialized
-    * driver-side and the next iteration joins against a literal
-    * DataFrame. Kept lazy, iteration i's full corpus-scan chain would
-    * re-run once per downstream branch — observed 8× blowup at sf0.1.
-    * The collect is bounded by k·|groups|·dims.
+    * driver-side and the next iteration inlines it as literals. Kept
+    * lazy, iteration i's full corpus-scan chain would re-run once per
+    * downstream branch — observed 8× blowup at sf0.1. The collect is
+    * bounded by k·|groups|·dims.
     */
-  private[operators] def kmeansGrouped(subIn: DataFrame, k: Int, iters: Int): DataFrame = {
-    val spark = subIn.sparkSession
-    def toDf(cb: Seq[(Int, Long, Seq[Long])]): DataFrame =
-      broadcast(spark.createDataFrame(cb).toDF("j", "centroid_id", "cqv"))
+  private[operators] def kmeansCentsGrouped(subIn: DataFrame, k: Int,
+      iters: Int): Seq[(Int, Long, Seq[Long])] = {
     var cents: Seq[(Int, Long, Seq[Long])] = subIn.filter(col("vec_id") < k)
       .select(col("j"), col("vec_id"), col("qv"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
       .toSeq.sortBy(t => (t._1, t._2))
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col("vec_id"), col("j"))
-        .orderBy(col("dist"), col("centroid_id"))
-      val assigned = subIn.join(toDf(cents), "j")
-        .select(col("vec_id"), col("j"), col("qv"), col("centroid_id"),
-          l2sqQ(col("qv"), col("cqv")).as("dist"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      val assigned = subIn.select(col("j"), col("qv"),
+        graft.functions.CentroidExpressions
+          .nearestCentroidId(col("qv"), col("j"), cents).as("centroid_id"))
       val means = assigned
         .select(col("j"), col("centroid_id"), posexplode(col("qv")).as(Seq("d", "x")))
         .groupBy(col("j"), col("centroid_id"), col("d"))
@@ -205,7 +206,7 @@ object Similarity {
       // empty clusters keep their previous centroid
       cents = cents.map { case (j, cid, old) => (j, cid, means.getOrElse((j, cid), old)) }
     }
-    toDf(cents)
+    cents
   }
 
   /** Corpus side with both the exact double vector (for final cosine) and
@@ -215,22 +216,18 @@ object Similarity {
     embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("qv", quantize(col("v")))
 
-  private def assignToCodebook(vq: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("centroid_id"))
-    vq.join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("qv"), col("centroid_id"),
-        l2sqQ(col("qv"), col("cqv")).as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("centroid_id").as("bucket"))
-  }
+  private def assignToCodebook(vq: DataFrame, cb: Seq[(Long, Seq[Long])]): DataFrame =
+    vq.select(col("vec_id"), col("v"),
+      graft.functions.CentroidExpressions.nearestCentroidId(col("qv"), lit(0),
+        cb.map { case (cid, cqv) => (0, cid, cqv) }).as("bucket"))
 
   /** IVF coarse quantization: assign each vector to its nearest centroid
     * of the seeded k-means codebook ([[kmeansCodebook]]). Ties break on
-    * the smaller centroid id.
+    * the smaller centroid id. Assignment is a narrow projection — the
+    * index build shuffles nothing.
     */
   def ivfAssign(embs: DataFrame, k: Int): DataFrame =
-    assignToCodebook(withQuantized(embs), kmeansCodebook(embs, k))
+    assignToCodebook(withQuantized(embs), kmeansCodebookCents(embs, k))
 
   /** IVF ANN: each query probes its `nprobe` nearest centroid buckets and
     * ranks candidates by exact cosine. At scale the corpus is partitioned
@@ -239,19 +236,19 @@ object Similarity {
     */
   def annIvfTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
       centroids: Int = 8, nprobe: Int = 2): DataFrame = {
-    val cents = kmeansCodebook(embs, centroids)
+    val cb = kmeansCodebookCents(embs, centroids)
     val vq = withQuantized(embs)
-    val assigned = assignToCodebook(vq, cents)
-    // per query: nprobe nearest centroids, by the same quantized metric
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("centroid_id"))
+    val assigned = assignToCodebook(vq, cb)
+    // per query: the nprobe nearest centroids, by the same quantized
+    // metric — array_sort of the k (dist, id) structs, sliced, exploded;
+    // narrow on the (tiny) query side
+    val probeCands = array_sort(array(cb.map { case (cid, cqv) =>
+      struct(l2sqQ(col("qv"), typedLit(cqv)).as("dist"), lit(cid).as("centroid_id"))
+    }: _*))
     val probes = vq.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), col("v").as("qvec"), col("qv"))
-      .join(broadcast(cents))
-      .select(col("query_id"), col("qvec"), col("centroid_id"),
-        l2sqQ(col("qv"), col("cqv")).as("dist"))
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("centroid_id").as("bucket"))
+      .select(col("vec_id").as("query_id"), col("v").as("qvec"),
+        explode(slice(probeCands, 1, nprobe)).as("probe"))
+      .select(col("query_id"), col("qvec"), col("probe.centroid_id").as("bucket"))
     val rankW = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     assigned.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -269,45 +266,43 @@ object Similarity {
     * Returns `(j, centroid_id, cqv)` — m·ksub rows of index metadata,
     * broadcast-sized by construction.
     */
-  def pqCodebooks(embs: DataFrame, m: Int, ksub: Int): DataFrame = {
+  def pqCodebooks(embs: DataFrame, m: Int, ksub: Int): DataFrame =
+    broadcast(embs.sparkSession.createDataFrame(pqCentsGrouped(embs, m, ksub))
+      .toDF("j", "centroid_id", "cqv"))
+
+  /** Driver-side form of [[pqCodebooks]] — internal consumers inline it
+    * into [[nearestCent]] expressions.
+    */
+  private def pqCentsGrouped(embs: DataFrame, m: Int, ksub: Int): Seq[(Int, Long, Seq[Long])] = {
     require(64 % m == 0, s"m must divide 64, got $m")
     val dsub = 64 / m
     val sub = withQuantized(embs)
       .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("qv"))
       .select(col("vec_id"), col("j"),
         slice(col("qv"), col("j") * dsub + 1, lit(dsub)).as("qv"))
-    kmeansGrouped(sub, ksub, iters = 2)
-      .select(col("j"), col("centroid_id"), col("cqv"))
+    kmeansCentsGrouped(sub, ksub, iters = 2)
   }
 
   /** PQ encoding: each vector becomes `m` small codes — per subspace, the
     * id of its nearest sub-centroid (integer L2, ties to the smaller id).
-    * One broadcast join of the m·ksub codebook against the corpus; codes
-    * come back as an m-element array. This is the 8-bytes-per-vector
-    * memory story that makes billion-vector indexes fit on a cluster.
+    * All m codes come from ONE narrow projection over the corpus
+    * ([[nearestCent]] per subspace slice) — no explode, no join, no
+    * shuffle; codes come back as an m-element array. This is the
+    * 8-bytes-per-vector memory story that makes billion-vector indexes
+    * fit on a cluster.
     */
   def pqEncode(embs: DataFrame, m: Int = 8, ksub: Int = 8): DataFrame =
-    pqEncodeWith(embs, pqCodebooks(embs, m, ksub), m)
+    pqEncodeWith(embs, pqCentsGrouped(embs, m, ksub), m)
 
   /** [[pqEncode]] against a codebook trained elsewhere — callers that
     * also need the codebook (ADC) train it ONCE and pass it in;
-    * `kmeansGrouped`'s training collects are eager, so calling
-    * [[pqCodebooks]] twice would run the whole 3-job training twice.
+    * `kmeansCentsGrouped`'s training collects are eager, so calling
+    * [[pqCentsGrouped]] twice would run the whole 3-job training twice.
     */
-  private def pqEncodeWith(embs: DataFrame, cents: DataFrame, m: Int): DataFrame = {
-    val dsub = 64 / m
-    val w = Window.partitionBy(col("vec_id"), col("j"))
-      .orderBy(col("dist"), col("centroid_id"))
-    withQuantized(embs)
-      .join(broadcast(cents))
-      .select(col("vec_id"), col("j"), col("centroid_id"),
-        l2sqQ(slice(col("qv"), col("j") * dsub + 1, lit(dsub)), col("cqv")).as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("centroid_id")))),
-        s => s.getField("centroid_id")).as("codes"))
-  }
+  private def pqEncodeWith(embs: DataFrame, cb: Seq[(Int, Long, Seq[Long])],
+      m: Int): DataFrame =
+    withQuantized(embs).select(col("vec_id"),
+      graft.functions.CentroidExpressions.pqCodes(col("qv"), 64 / m, cb).as("codes"))
 
   /** PQ ANN via asymmetric distance computation (ADC): each query
     * precomputes its distance to every sub-centroid (m·ksub-entry lookup
@@ -320,14 +315,16 @@ object Similarity {
   def annPqTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
       m: Int = 8, ksub: Int = 8): DataFrame = {
     val dsub = 64 / m
-    val cents = pqCodebooks(embs, m, ksub)
+    val cb = pqCentsGrouped(embs, m, ksub)
     // the one training pass serves both the codes and the lookup tables
-    val codes = pqEncodeWith(embs, cents, m)
+    val codes = pqEncodeWith(embs, cb, m)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+    val centsDf = broadcast(embs.sparkSession.createDataFrame(cb)
+      .toDF("j", "centroid_id", "cqv"))
     val tables = withQuantized(embs)
       .filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("qv"))
-      .join(broadcast(cents))
+      .join(centsDf)
       .select(col("query_id"), col("j"), col("centroid_id").as("code"),
         l2sqQ(slice(col("qv"), col("j") * dsub + 1, lit(dsub)), col("cqv")).as("dsub"))
     val rankW = Window.partitionBy(col("query_id"))
