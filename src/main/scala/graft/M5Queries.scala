@@ -394,6 +394,19 @@ object M5Queries {
           .select(col("query_id"), col("neighbor_id")), k = 5)
     }),
 
+    // ---- similarity: SemDeDup — semantic dedup via k-means clusters +
+    // within-cluster cosine pruning (keep-lowest-id), never cross-cluster
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(Similarity.embeddings(s, dir), k = 8, threshold = 0.9)
+        .orderBy(col("vec_id"))),
+
+    // ---- dedup: exact-substring duplication — document pairs sharing an
+    // exact 8-token window, via window-hash bucketing (suffix-array
+    // semantics, bucket-join shape)
+    "q_substring_dups" -> ((s, dir) =>
+      TextDedup.exactSubstringDupPairs(TextDedup.documents(s, dir), k = 8)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // ---- curation: PII redaction. The corpus is synthetic word salad with
     // no natural PII, so the query INJECTS deterministic doc_id-derived
     // contact lines first (documented oracle-twin input construction), then
@@ -525,6 +538,11 @@ object M5Queries {
     // word-3-gram shingle strings from a token-list expression
     def shingles(w: String): String =
       s"""CASE WHEN len($w) < 3 THEN [] ELSE list_transform(generate_series(1, len($w)-2), i -> ($w)[i] || ' ' || ($w)[i+1] || ' ' || ($w)[i+2]) END"""
+    // word-k-gram shingle strings from a token-list expression (general-k
+    // sibling of `shingles`; slice + array_to_string == the Spark
+    // element_at/concat_ws chain)
+    def kShingles(w: String, k: Int): String =
+      s"""CASE WHEN len($w) < $k THEN [] ELSE list_transform(generate_series(1, len($w)-${k - 1}), i -> array_to_string(($w)[i:i+${k - 1}], ' ')) END"""
     // distinct shingle hashes CTE body over documents
     def shingleHashesFrom(src: String): String =
       s"""SELECT doc_id, lang, source, list_distinct(list_transform(${shingles("w")}, s -> ${rolling("s")})) h
@@ -1055,6 +1073,27 @@ object M5Queries {
          |FROM bf b LEFT JOIN refined r
          |  ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
+
+    "q_semdedup" ->
+      s"""WITH v AS (${frag.vecs}),
+         |${frag.kmeansCtes(8)},
+         | assigned AS (SELECT vec_id, v, centroid_id AS bucket FROM (
+         |   SELECT a.vec_id, a.v, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${frag.l2q("a.qv", "c.cqv")}, c.centroid_id) rn
+         |   FROM qvt a CROSS JOIN cents_q c) WHERE rn = 1),
+         | dups AS (SELECT DISTINCT a.vec_id
+         |   FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+         |   WHERE ${frag.cosine("a.v", "b.v")} >= 0.9)
+         |SELECT t.vec_id, t.bucket AS cluster, d.vec_id IS NULL AS keep
+         |FROM assigned t LEFT JOIN dups d ON t.vec_id = d.vec_id
+         |ORDER BY t.vec_id""".stripMargin,
+
+    "q_substring_dups" ->
+      s"""WITH t AS (SELECT doc_id, ${frag.toks} w FROM documents),
+         | wins AS (SELECT doc_id, unnest(list_distinct(${frag.kShingles("w", 8)})) AS win FROM t)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_salted_agg" ->
       s"""SELECT event_type, CAST(sum(${frag.cents("value")}) AS BIGINT) AS total_value_x100,

@@ -364,6 +364,35 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "Semantic
+    * deduplication"): remove documents that are semantic near-copies even
+    * when their surface text differs. Cluster the embeddings with the
+    * seeded k-means codebook, then prune within clusters only: a vector
+    * is dropped iff some SMALLER-id vector in the SAME cluster has cosine
+    * ≥ `threshold` with it (deterministic keep-lowest-id; the paper keeps
+    * the member farthest from the centroid — a policy knob, same shape).
+    *
+    * Scale: the expensive cosine never runs across clusters — candidate
+    * pairs share a cluster id, so the self-join is keyed on the cluster
+    * (k-way spread at corpus scale, the same bucketed-join shape as the
+    * LSH paths). Cluster assignment itself is a narrow codegen argmin.
+    *
+    * Output: (vec_id, cluster, keep).
+    */
+  def semDedup(embs: DataFrame, k: Int = 8, threshold: Double = 0.9): DataFrame = {
+    val cb = kmeansCodebookCents(embs, k)
+    val assigned = assignToCodebook(withQuantized(embs), cb)
+    val dups = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.bucket") === col("b.bucket") && col("b.vec_id") < col("a.vec_id"))
+      .filter(cosine(col("a.v"), col("b.v")) >= threshold)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(dups.withColumn("_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket").as("cluster"),
+        coalesce(col("_dup"), lit(false)).unary_!.as("keep"))
+  }
+
   /** LSH-bucketed near-dup pairs: the scale path for embedding dedup —
     * candidate pairs share a sign-LSH bucket (shuffle keyed by bucket,
     * never all-pairs), exact cosine verifies.

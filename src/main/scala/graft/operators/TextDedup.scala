@@ -47,6 +47,35 @@ object TextDedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** Exact-substring duplication (Lee et al. 2022, arXiv:2107.06499 —
+    * "Deduplicating Training Data Makes Language Models Better"): find
+    * document pairs sharing any exact `k`-token window. The paper builds
+    * a corpus-wide suffix array; the cluster-scale spelling is window
+    * bucketing — every document emits its distinct k-token windows
+    * (n_tokens − k + 1 narrow rows), candidate pairs come from an
+    * equi-join keyed on the window's 64-bit rolling hash (never
+    * all-pairs; the shuffle carries hashes and window strings, not
+    * documents), and exact window-string equality inside the bucket
+    * makes hash collisions harmless. At 100 TB you'd hash longer windows
+    * and drop the string from the shuffle (re-verify against storage);
+    * same plan shape.
+    *
+    * Output: (doc_a, doc_b, n_shared) — the number of DISTINCT window
+    * contents the pair shares, doc_a < doc_b.
+    */
+  def exactSubstringDupPairs(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val wins = docs.select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), k))).as("win"))
+      .withColumn("h", rollingHash(col("win")))
+    wins.as("a")
+      .join(wins.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.win") === col("b.win"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Exact dedup keep-first via window ranking (the "drop duplicates but
     * keep provenance" variant).
     */

@@ -240,6 +240,40 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(ivf.nonEmpty && ivf.forall { case (q, n) => q != n })
   }
 
+  test("semDedup: dropped vectors have a kept smaller-id near-copy in the SAME cluster") {
+    val embs = Similarity.embeddings(spark, sf)
+    val res = Similarity.semDedup(embs, k = 8, threshold = 0.9)
+      .as[(Long, Long, Boolean)].collect()
+    assert(res.length == embs.count(), "one verdict per vector")
+    val cluster = res.map(r => r._1 -> r._2).toMap
+    // naive reference: all same-cluster pairs with cos >= threshold
+    val nearPairs = Similarity.cosineNearDupPairs(
+        embs.withColumn("label", lit(1)), threshold = 0.9)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => cluster(a) == cluster(b) }
+    val expectedDropped = nearPairs.map(_._2).toSet // b is the larger id
+    val dropped = res.filter(!_._3).map(_._1).toSet
+    assert(dropped == expectedDropped,
+      s"drop set mismatch: extra=${dropped -- expectedDropped} missing=${expectedDropped -- dropped}")
+    // the smallest id can never drop: it has no smaller-id partner
+    assert(!dropped.contains(res.map(_._1).min))
+  }
+
+  test("exactSubstringDupPairs ≡ naive shared-window count; k bounds respected") {
+    val d = spark.createDataFrame(Seq(
+      (1L, "a b c d e f"),     // shares the 4-window "b c d e" with 2
+      (2L, "x b c d e y"),
+      (3L, "a b c d e f"),     // exact copy of 1 — shares all 3 windows
+      (4L, "p q r"),           // too short for any 4-window
+      (5L, "b c d e b c d e")  // repeats a window internally: counts once
+    )).toDF("doc_id", "text")
+    val got = TextDedup.exactSubstringDupPairs(d, k = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 3L), (2L, 3L, 1L),
+      (1L, 5L, 1L), (2L, 5L, 1L), (3L, 5L, 1L)),
+      s"got $got")
+  }
+
   test("multimodal chunks reassemble to the original bytes") {
     val media = spark.createDataFrame(Seq(
       (1L, "0123456789abcdefXYZ"), (2L, ""), (3L, "short"))).toDF("media_id", "s")
