@@ -68,6 +68,12 @@ object TextDedup {
     val wins = docs.select(col("doc_id"),
         explode(array_distinct(shingles(tokens(col("text")), k))).as("win"))
       .withColumn("h", rollingHash(col("win")))
+    // both sides of the self-join consume the same window extraction —
+    // persist it so tokenize+shingle+hash runs once, not once per branch
+    // (same CacheManager-dedup discipline as PrefixSum.inclusive)
+    if (docs.sparkSession.sharedState.cacheManager
+        .lookupCachedData(wins.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isEmpty)
+      wins.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     wins.as("a")
       .join(wins.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
