@@ -577,7 +577,7 @@ object M5Queries {
     // integer squared L2 over quantized BIGINT lists (codebook metric)
     def l2q(a: String, b: String): String =
       s"""list_sum(list_transform(generate_series(1, 64), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])))"""
-    /** CTE chain mirroring [[graft.operators.Similarity.kmeansCodebook]]:
+    /** CTE chain mirroring [[graft.operators.Similarity.kmeansCodebookCents]]:
       * quantize (×2²⁰, floor), init = first k by id, 2 Lloyd iterations in
       * exact integer arithmetic (floor-mean per dim; empty clusters keep
       * their centroid; ties → smaller centroid id). Ends with
@@ -602,7 +602,7 @@ object M5Queries {
          | cents_q AS (SELECT centroid_id, cqv FROM c2)""".stripMargin
     }
     /** Per-subspace PQ chains mirroring [[graft.operators.Similarity]]'s
-      * pqCodebooks/pqEncode/annPqTopK: for each subspace j the same
+      * pqCentsGrouped/pqEncode/annPqTopK: for each subspace j the same
       * seeded-k-means recipe as [[kmeansCtes]] over the qv slice, then
       * codes (nearest sub-centroid per (vector, subspace)) and the ADC
       * lookup tables for queries 0–9. Requires a `qvt(vec_id, qv)` CTE.

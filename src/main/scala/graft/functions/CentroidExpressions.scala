@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -78,12 +78,15 @@ object CentroidOps {
   */
 case class NearestCentroidId(qv: Expression, grp: Expression,
     ids: Array[Array[Long]], cents: Array[Array[Array[Long]]])
-  extends BinaryExpression {
+  extends BinaryExpression with ExpectsInputTypes {
 
   override def left: Expression = qv
   override def right: Expression = grp
   override def dataType: DataType = LongType
   override def prettyName: String = "nearest_centroid_id"
+  // wrong-typed children (unquantized array<double>, long group ids) must
+  // fail at ANALYSIS, not as a mid-job ClassCastException in a task
+  override def inputTypes = Seq(ArrayType(LongType), IntegerType)
 
   override protected def nullSafeEval(q: Any, j: Any): Any =
     CentroidOps.computeNearest(q.asInstanceOf[ArrayData],
@@ -106,11 +109,12 @@ case class NearestCentroidId(qv: Expression, grp: Expression,
   */
 case class PqCodes(qv: Expression, dsub: Int,
     ids: Array[Array[Long]], cents: Array[Array[Array[Long]]])
-  extends UnaryExpression {
+  extends UnaryExpression with ExpectsInputTypes {
 
   override def child: Expression = qv
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "pq_codes"
+  override def inputTypes = Seq(ArrayType(LongType))
 
   override protected def nullSafeEval(q: Any): Any =
     CentroidOps.computePqCodes(q.asInstanceOf[ArrayData], dsub, ids, cents)

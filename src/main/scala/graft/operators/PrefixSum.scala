@@ -49,16 +49,10 @@ object PrefixSum {
     // InMemoryRelation, one exchange); the cache is written by whichever
     // action runs first and holds the pruned (orderCols, value, payload)
     // rows once — the price of determinism, spilled to disk if it
-    // doesn't fit. Spark's CacheManager keys entries by canonicalized
-    // plan, so re-constructing the same query reuses one entry instead of
-    // accumulating copies; entries release with the session's context.
-    val ranged = tagged.repartitionByRange(nPart, orderCols: _*)
-      .withColumn("_pid", spark_partition_id())
-    // re-constructing the same query must not re-persist (CacheManager
-    // would warn "already cached" on every bench pass)
-    if (df.sparkSession.sharedState.cacheManager
-        .lookupCachedData(ranged.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isEmpty)
-      ranged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // doesn't fit (SharedBranch documents the persist/release lifecycle).
+    val ranged = SharedBranch.sharedBranch(
+      tagged.repartitionByRange(nPart, orderCols: _*)
+        .withColumn("_pid", spark_partition_id()))
     val wLocal = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("_run", sum(col("_psum_v")).over(wLocal))

@@ -145,19 +145,9 @@ object Similarity {
     * window, no shuffle of the corpus) + one (centroid, dim)-keyed
     * partial aggregation whose exchange carries k·dims rows.
     *
-    * Returns (centroid_id, cqv: array<long>).
+    * Returns the driver-resident codebook: (centroid_id, cqv) pairs.
     */
-  def kmeansCodebook(embs: DataFrame, k: Int, iters: Int = 2): DataFrame = {
-    val spark = embs.sparkSession
-    broadcast(spark.createDataFrame(
-        kmeansCodebookCents(embs, k, iters).map { case (cid, cqv) => (cid, cqv) })
-      .toDF("centroid_id", "cqv"))
-  }
-
-  /** Driver-side form of [[kmeansCodebook]] — internal consumers inline
-    * it into [[nearestCent]] expressions.
-    */
-  private def kmeansCodebookCents(embs: DataFrame, k: Int,
+  def kmeansCodebookCents(embs: DataFrame, k: Int,
       iters: Int = 2): Seq[(Long, Seq[Long])] =
     kmeansCentsGrouped(
       embs.select(col("vec_id"), lit(0).as("j"),
@@ -222,7 +212,7 @@ object Similarity {
         cb.map { case (cid, cqv) => (0, cid, cqv) }).as("bucket"))
 
   /** IVF coarse quantization: assign each vector to its nearest centroid
-    * of the seeded k-means codebook ([[kmeansCodebook]]). Ties break on
+    * of the seeded k-means codebook ([[kmeansCodebookCents]]). Ties break on
     * the smaller centroid id. Assignment is a narrow projection — the
     * index build shuffles nothing.
     */
@@ -262,18 +252,12 @@ object Similarity {
 
   /** Per-subspace PQ codebooks: the 64-dim quantized vector is split into
     * `m` contiguous subvectors of 64/m dims, and each subspace trains its
-    * own seeded integer k-means ([[kmeansOnQv]]) with `ksub` centroids.
-    * Returns `(j, centroid_id, cqv)` — m·ksub rows of index metadata,
-    * broadcast-sized by construction.
+    * own seeded integer k-means ([[kmeansCentsGrouped]]) with `ksub`
+    * centroids. Returns `(j, centroid_id, cqv)` — m·ksub rows of
+    * driver-resident index metadata, inlined into the assignment
+    * expressions by the consumers.
     */
-  def pqCodebooks(embs: DataFrame, m: Int, ksub: Int): DataFrame =
-    broadcast(embs.sparkSession.createDataFrame(pqCentsGrouped(embs, m, ksub))
-      .toDF("j", "centroid_id", "cqv"))
-
-  /** Driver-side form of [[pqCodebooks]] — internal consumers inline it
-    * into [[nearestCent]] expressions.
-    */
-  private def pqCentsGrouped(embs: DataFrame, m: Int, ksub: Int): Seq[(Int, Long, Seq[Long])] = {
+  def pqCentsGrouped(embs: DataFrame, m: Int, ksub: Int): Seq[(Int, Long, Seq[Long])] = {
     require(64 % m == 0, s"m must divide 64, got $m")
     val dsub = 64 / m
     val sub = withQuantized(embs)
@@ -381,7 +365,10 @@ object Similarity {
     */
   def semDedup(embs: DataFrame, k: Int = 8, threshold: Double = 0.9): DataFrame = {
     val cb = kmeansCodebookCents(embs, k)
-    val assigned = assignToCodebook(withQuantized(embs), cb)
+    // consumed by THREE branches (both self-join sides + the verdict
+    // join) — persist so the quantize+argmin projection runs once
+    val assigned = SharedBranch.sharedBranch(
+      assignToCodebook(withQuantized(embs), cb))
     val dups = assigned.as("a")
       .join(assigned.as("b"),
         col("a.bucket") === col("b.bucket") && col("b.vec_id") < col("a.vec_id"))

@@ -65,15 +65,11 @@ object TextDedup {
     */
   def exactSubstringDupPairs(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens, got $k")
-    val wins = docs.select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("text")), k))).as("win"))
-      .withColumn("h", rollingHash(col("win")))
     // both sides of the self-join consume the same window extraction —
     // persist it so tokenize+shingle+hash runs once, not once per branch
-    // (same CacheManager-dedup discipline as PrefixSum.inclusive)
-    if (docs.sparkSession.sharedState.cacheManager
-        .lookupCachedData(wins.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isEmpty)
-      wins.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wins = SharedBranch.sharedBranch(docs.select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), k))).as("win"))
+      .withColumn("h", rollingHash(col("win"))))
     wins.as("a")
       .join(wins.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&

@@ -56,9 +56,20 @@ object Tables {
   def evict(spark: SparkSession): Unit = {
     val m = cached.synchronized(cached.remove(spark))
     if (m != null) m.values.foreach { df =>
-      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      try df.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
+
+  /** Register an operator-internal persisted frame for release with this
+    * session's [[evict]] / context-end cleanup (the same lifecycle as the
+    * preloaded table pins). Keyed by the plan's semantic hash, so the
+    * one-persist-per-canonical-plan discipline of the callers maps to one
+    * registry entry.
+    */
+  def registerPinned(df: DataFrame): Unit =
+    sessionCache(df.sparkSession).update(
+      ("_pinned", df.queryExecution.analyzed.semanticHash().toString), df)
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     sessionCache(spark).getOrElse((sfDir, name), {
