@@ -69,6 +69,36 @@ object Curation {
         (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Approximate decontamination for the scale where the exact path's
+    * broadcast eval-hash set no longer fits: the eval split's shingle
+    * hashes go into a Bloom filter (built DISTRIBUTIVELY by
+    * `df.stat.bloomFilter` — one aggregation, mergeable sketches), and
+    * every training document probes it through a narrow codegen
+    * expression ([[graft.functions.BloomContainsCount]]) — no join at
+    * all on the training side, where the exact twin pays a hash-keyed
+    * join per shingle occurrence.
+    *
+    * Guarantees (spec-pinned, not oracled — sketch layouts are
+    * engine-specific, same policy as `cardinalitiesApprox`):
+    * `contaminated` here ⊇ the exact operator's set (no false
+    * negatives), and `n_shared_possible` ≥ the exact `n_shared`
+    * per document; `fpp` bounds the overshoot.
+    */
+  def decontaminateBloom(docs: DataFrame, evalModulus: Long = 97L,
+      fpp: Double = 0.001): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      TextFunctions.shingleHashes(col("text"), 3).as("shs"))
+    val evalHashes = hashed.filter(pmod(col("doc_id"), lit(evalModulus)) === 0)
+      .select(explode(col("shs")).as("sh")).distinct()
+    val expected = math.max(1L, evalHashes.count())
+    val bf = evalHashes.stat.bloomFilter("sh", expected, fpp)
+    hashed.filter(pmod(col("doc_id"), lit(evalModulus)) =!= 0)
+      .select(col("doc_id"),
+        graft.functions.BloomExpressions.bloomContainsCount(col("shs"), bf)
+          .as("n_shared_possible"))
+      .withColumn("contaminated", col("n_shared_possible") > 0)
+  }
+
   // ---- context-window packing ----------------------------------------
 
   /** Concat-then-chunk packing (the standard pretraining layout): token

@@ -103,6 +103,36 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminateBloom: superset of exact (no false negatives), bounded overshoot") {
+    val exact = Curation.decontaminate(docs)
+      .select($"doc_id", $"n_shared", $"contaminated")
+      .as[(Long, Long, Boolean)].collect()
+    val bloom = Curation.decontaminateBloom(docs, fpp = 0.001)
+      .select($"doc_id", $"n_shared_possible", $"contaminated")
+      .as[(Long, Long, Boolean)].collect()
+    assert(bloom.length == exact.length, "same training split")
+    val bloomByDoc = bloom.map(r => r._1 -> r).toMap
+    exact.foreach { case (id, nExact, flagged) =>
+      val (_, nPossible, flaggedBloom) = bloomByDoc(id)
+      assert(nPossible >= nExact, s"doc $id: Bloom undercounts — false negative")
+      if (flagged) assert(flaggedBloom, s"doc $id: exact-contaminated doc not flagged")
+    }
+    // false-positive overshoot bounded by theory: a doc probing s
+    // distinct shingles false-flags with probability 1 − (1 − fpp)^s,
+    // so the expected extra count is the sum of that over clean docs.
+    // Assert ≤ 3× the analytic expectation (+1 for tiny corpora) — loose
+    // enough to be stable, tight enough to catch a broken filter.
+    val shingleCounts = docs
+      .filter(pmod($"doc_id", lit(97L)) =!= 0)
+      .select(size(TextFunctions.shingleHashes($"text", 3)).cast("long"))
+      .as[Long].collect()
+    val expectedExtra = shingleCounts.map(s => 1.0 - math.pow(1 - 0.001, s.toDouble)).sum
+    val extra = bloom.count(_._3) - exact.count(_._3)
+    assert(extra >= 0 && extra <= 3 * expectedExtra + 1,
+      s"implausible overshoot: $extra extra flagged of ${exact.length} " +
+        f"(analytic expectation $expectedExtra%.1f)")
+  }
+
   // ---- context-window packing ----------------------------------------
 
   test("packContextWindows: contiguous token ranges, bin bounds consistent, totals add up") {
