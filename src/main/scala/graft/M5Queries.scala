@@ -309,6 +309,14 @@ object M5Queries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // ---- curation: deterministic FIXED-SIZE per-group sample (exactly
+    // min(n, |group|) docs per language, chosen by hash rank)
+    "q_sample_fixed" -> ((s, dir) =>
+      Sampling.samplePerGroup(
+        TextDedup.documents(s, dir), col("doc_id"), col("lang"), n = 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // ---- curation: proportional mixture schedule (weight-4 sources appear
     // 4x as often as weight-1 in any prefix of the read order)
     "q_mixture_schedule" -> ((s, dir) =>
@@ -923,6 +931,13 @@ object M5Queries {
         |WHERE ((doc_id * 48271 + 11) % 1000003) % 1000 <
         |  CASE lang WHEN 'en' THEN 800 WHEN 'zh' THEN 500 ELSE 250 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_fixed" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY (doc_id * 48271 + 11) % 1000003, doc_id) AS rn
+        | FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
 
     "q_mixture_schedule" ->
       """WITH positioned AS (

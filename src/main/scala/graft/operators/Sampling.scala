@@ -34,6 +34,26 @@ object Sampling {
     df.filter(bucket(id) < rate)
   }
 
+  /** Deterministic FIXED-SIZE per-group sample: exactly min(n, |group|)
+    * rows per group, chosen by ranking the group's rows on the affine
+    * id-hash (ties broken by id). Rate-based sampling can't promise a
+    * count ("give me exactly 1 000 docs per language for the eval set"
+    * is a count, not a rate); the hash order makes the chosen set
+    * reproducible, id-stable, and oracle-checkable. One shuffle keyed on
+    * the group — the rank window is partitioned, never global. Skewed
+    * groups rank in O(|group| log |group|) within their partitions; at
+    * extreme skew pre-filter with [[stratifiedSample]] to a few × n
+    * first, then rank (noted, not hidden).
+    */
+  def samplePerGroup(df: DataFrame, id: Column, group: Column, n: Int): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group).orderBy(pmod(id * A + B, lit(M)), id)
+    df.withColumn("_smp_rn", row_number().over(w))
+      .filter(col("_smp_rn") <= n)
+      .drop("_smp_rn")
+  }
+
   /** Deterministic corpus-mixture schedule: interleave strata
     * proportionally to integer weights. Row k of stratum s is placed at
     * integer position k·1000/weight(s) (ties broken by stratum, id), so a

@@ -133,6 +133,25 @@ class CurationSpec extends AnyFunSuite {
         f"(analytic expectation $expectedExtra%.1f)")
   }
 
+  test("samplePerGroup: exactly min(n, |group|) rows, hash-deterministic choice") {
+    import graft.operators.Sampling
+    val n = 7
+    val got = Sampling.samplePerGroup(docs, $"doc_id", $"lang", n)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    val sizes = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val gotByLang = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    sizes.foreach { case (lang, total) =>
+      assert(gotByLang.getOrElse(lang, Set.empty).size == math.min(n.toLong, total),
+        s"group $lang")
+    }
+    // naive recompute: rank each group by (affine hash, id)
+    val all = docs.select($"doc_id", $"lang").as[(Long, String)].collect()
+    val expected = all.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy { case (id, _) => ((id * 48271L + 11L) % 1000003L, id) }.take(n).toSeq
+    }.toSet
+    assert(got.toSet == expected)
+  }
+
   // ---- context-window packing ----------------------------------------
 
   test("packContextWindows: contiguous token ranges, bin bounds consistent, totals add up") {
