@@ -47,6 +47,8 @@ object Sampling {
     */
   def samplePerGroup(df: DataFrame, id: Column, group: Column, n: Int): DataFrame = {
     require(n > 0, s"sample size must be positive, got $n")
+    require(!df.columns.contains("_smp_rn"),
+      "input column _smp_rn collides with samplePerGroup's internal name")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(group).orderBy(pmod(id * A + B, lit(M)), id)
     df.withColumn("_smp_rn", row_number().over(w))

@@ -204,6 +204,37 @@ class DispatchStreamSpec extends AnyFunSuite {
     assert(out(1L).endsWith("mail me <EMAIL>"))     // redaction ran on the stream
   }
 
+  test("Bloom decontamination probe runs on a stream (filter built from a static eval set)") {
+    // the production shape at scale: the Bloom filter is index metadata
+    // built ONCE from the static eval corpus; the narrow probe expression
+    // then gates an unbounded ingest stream — no join, no state
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evalDocs = Seq("the quick brown fox jumps", "pack my box with jugs")
+      .toDF("text")
+    val evalHashes = evalDocs
+      .select(explode(graft.functions.TextFunctions.shingleHashes($"text", 3)).as("sh"))
+      .distinct()
+    val bf = evalHashes.stat.bloomFilter("sh", 64, 0.001)
+    val input = MemoryStream[(Long, String)]
+    val flagged = input.toDF().toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.functions.BloomExpressions.bloomContainsCount(
+          graft.functions.TextFunctions.shingleHashes($"text", 3), bf)
+          .as("n_possible"))
+    val q = flagged.writeStream.format("memory").queryName("bloom_out")
+      .outputMode("append").start()
+    input.addData(
+      (1L, "see the quick brown fox jumps today"), // shares eval 3-grams
+      (2L, "completely unrelated clean text here"))
+    q.processAllAvailable()
+    q.stop()
+    val out = s.table("bloom_out").as[(Long, Long)].collect().toMap
+    assert(out(1L) > 0, "contaminated stream doc must be flagged")
+    assert(out(2L) == 0, "clean doc must pass (no false positive at this fpp)")
+  }
+
   test("stream-static broadcast enrichment join") {
     val s = spark
     import s.implicits._

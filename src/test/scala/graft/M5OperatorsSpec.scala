@@ -274,6 +274,29 @@ class M5OperatorsSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("property: exactSubstringDupPairs ≡ naive sliding-window intersection (seeded corpora)") {
+    import org.scalacheck.{Gen, rng}
+    // tiny vocabulary so windows genuinely collide across documents
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.listOfN(30, doc)
+      .pureApply(Gen.Parameters.default, rng.Seed(4242L))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for (k <- Seq(2, 3, 5)) {
+      val got = TextDedup.exactSubstringDupPairs(corpus.toDF("doc_id", "text"), k)
+        .as[(Long, Long, Long)].collect().toSet
+      val windows = corpus.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).sliding(k).filter(_.length == k)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+      val naive = (for {
+        (a, wa) <- windows; (b, wb) <- windows if a < b
+        shared = (wa intersect wb).size if shared > 0
+      } yield (a, b, shared.toLong)).toSet
+      assert(got == naive, s"k=$k: extra=${got -- naive} missing=${naive -- got}")
+    }
+  }
+
   test("multimodal chunks reassemble to the original bytes") {
     val media = spark.createDataFrame(Seq(
       (1L, "0123456789abcdefXYZ"), (2L, ""), (3L, "short"))).toDF("media_id", "s")
