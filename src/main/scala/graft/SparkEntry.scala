@@ -105,7 +105,11 @@ object SparkEntry {
           json_path_exists(j, "$..[?(@.k > 90)]").as("m_deep_filter"),
           json_path_exists(j, "$.body[?(@..k)]").as("m_deep_exists"),
           json_path_exists(j, "$.body.messages[(@.length-1)].k").as("m_script_last"),
-          json_path_exists(j, "$.body.messages[(@.length-2)]").as("m_script_oob"))
+          json_path_exists(j, "$.body.messages[(@.length-2)]").as("m_script_oob"),
+          // root-path operand (Jayway bookstore example 8 shape): each
+          // message's k against a value resolved from the DOCUMENT root
+          json_path_exists(j, "$.body.messages[?(@.k < $.body.messages[0].userId)]")
+            .as("m_root_ref"))
         .orderBy(col("event_id"))
     }),
 
@@ -240,7 +244,8 @@ object SparkEntry {
            | ${m(s"COALESCE($kSql > 90, FALSE)")} AS m_deep_filter,
            | ${m(s"$kSql IS NOT NULL")} AS m_deep_exists,
            | ${m(s"$kSql IS NOT NULL")} AS m_script_last,
-           | ${m("FALSE")} AS m_script_oob
+           | ${m("FALSE")} AS m_script_oob,
+           | ${m(s"COALESCE($kSql < user_id, FALSE)")} AS m_root_ref
            |FROM events ORDER BY event_id""".stripMargin
       },
 

@@ -32,6 +32,8 @@ import scala.jdk.CollectionConverters._
   *   literal  := 'sq-string' | "dq-string" | number | true | false | null
   *             | '/regex/flags'                    // =~ only; flags ⊆ {i,m,s}
   *             | '[' literal (',' literal)* ']'    // in/nin only
+  *             | '$' step*                         // root-path operand:
+  *                                                 // definite, comparison ops only
   * }}}
   *
   * Semantics matched to Jayway (as exercised by the reference):
@@ -120,6 +122,11 @@ object JsonPathLite {
     @transient lazy val pattern: Pattern = Pattern.compile(regex, flags)
   }
   final case class LLit(items: Seq[Lit]) extends Lit
+  /** Root-path comparison operand — `[?(@.price <= $.expensive)]` (Jayway
+    * bookstore example 8). Resolved against the ROOT document per
+    * evaluation; must be a definite path (fields/indices only).
+    */
+  final case class PathLit(steps: Seq[Step]) extends Lit
 
   final case class Compiled(steps: Seq[Step])
 
@@ -451,6 +458,26 @@ object JsonPathLite {
         catch { case e: Exception =>
           throw new JsonPathSyntaxException(s"bad regex '$body' in $whole: ${e.getMessage}")
         }
+      } else if (l.charAt(0) == '$') {
+        // root-path operand: definite (fields/indices) only — Jayway
+        // rejects indefinite paths as comparison operands, and regex /
+        // list ops take literal RHS shapes
+        if (op == "=~" || op == "in" || op == "nin")
+          throw new JsonPathSyntaxException(
+            s"root-path operand not valid with '$op' in $whole")
+        val compiled =
+          try compile(l)
+          catch { case e: JsonPathSyntaxException =>
+            throw new JsonPathSyntaxException(s"bad root-path operand '$l' in $whole: ${e.getMessage}")
+          }
+        val definite = compiled.steps.forall {
+          case _: Field | _: Index => true
+          case _                   => false
+        }
+        if (!definite)
+          throw new JsonPathSyntaxException(
+            s"root-path operand must be definite (fields/indices only): '$l' in $whole")
+        PathLit(compiled.steps)
       } else if (l.charAt(0) == '[') {
         if (op != "in" && op != "nin")
           throw new JsonPathSyntaxException(s"list literal only valid with in/nin in $whole")
@@ -458,7 +485,13 @@ object JsonPathLite {
           throw new JsonPathSyntaxException(s"unterminated list literal '$l' in $whole")
         val inner = l.substring(1, l.length - 1).trim
         if (inner.isEmpty) LLit(Nil)
-        else LLit(splitTop(inner, ",").map(e => parseLiteral(e, "==")))
+        else LLit(splitTop(inner, ",").map { e =>
+          parseLiteral(e, "==") match {
+            case _: PathLit => throw new JsonPathSyntaxException(
+              s"root-path operand not allowed inside a [list] literal in $whole")
+            case lit => lit
+          }
+        })
       } else if (l.charAt(0) == '\'' || l.charAt(0) == '"') {
         val q = l.charAt(0)
         if (l.length < 2 || l.last != q)
@@ -497,7 +530,7 @@ object JsonPathLite {
     var current: Seq[JsonNode] = Seq(root)
     path.steps.foreach { step =>
       if (current.isEmpty) return Seq.empty
-      current = current.flatMap(applyStep(_, step))
+      current = current.flatMap(applyStep(root, _, step))
     }
     current
   }
@@ -510,7 +543,7 @@ object JsonPathLite {
     var current: Seq[JsonNode] = Seq(root)
     path.steps.foreach { step =>
       if (current.isEmpty) return false
-      current = current.flatMap(applyStep(_, step))
+      current = current.flatMap(applyStep(root, _, step))
     }
     current.nonEmpty
   }
@@ -518,7 +551,7 @@ object JsonPathLite {
   private def normSlice(i: Int, n: Int): Int =
     math.max(0, math.min(n, if (i < 0) n + i else i))
 
-  private def applyStep(node: JsonNode, step: Step): Seq[JsonNode] = step match {
+  private def applyStep(root: JsonNode, node: JsonNode, step: Step): Seq[JsonNode] = step match {
     case Field(name) =>
       if (node.isObject && node.has(name)) Seq(node.get(name)) else Seq.empty
     case Index(i) =>
@@ -565,7 +598,7 @@ object JsonPathLite {
         new java.util.IdentityHashMap[JsonNode, java.lang.Boolean]())
       val dedupe = inner.isInstanceOf[FilterStep]
       def walk(n: JsonNode): Unit = {
-        val hits = applyStep(n, inner)
+        val hits = applyStep(root, n, inner)
         if (dedupe) hits.foreach(h => if (seen.add(h)) out += h)
         else out ++= hits
         if (n.isObject || n.isArray) n.elements().asScala.foreach(walk)
@@ -573,8 +606,8 @@ object JsonPathLite {
       walk(node)
       out.toSeq
     case FilterStep(pred) =>
-      if (node.isArray) node.elements().asScala.filter(evalPred(_, pred)).toSeq
-      else if (node.isObject) { if (evalPred(node, pred)) Seq(node) else Seq.empty }
+      if (node.isArray) node.elements().asScala.filter(evalPred(root, _, pred)).toSeq
+      else if (node.isObject) { if (evalPred(root, node, pred)) Seq(node) else Seq.empty }
       else Seq.empty
     case FnLength =>
       // Jayway length()/size(): array size, object size, string length;
@@ -621,21 +654,21 @@ object JsonPathLite {
       }
   }
 
-  private def selectRel(node: JsonNode, path: Seq[Step]): Seq[JsonNode] = {
+  private def selectRel(root: JsonNode, node: JsonNode, path: Seq[Step]): Seq[JsonNode] = {
     var current: Seq[JsonNode] = Seq(node)
     path.foreach { step =>
       if (current.isEmpty) return Seq.empty
-      current = current.flatMap(applyStep(_, step))
+      current = current.flatMap(applyStep(root, _, step))
     }
     current
   }
 
-  private def evalPred(node: JsonNode, pred: Pred): Boolean = pred match {
-    case Or(cs)  => cs.exists(evalPred(node, _))
-    case And(ts) => ts.forall(evalPred(node, _))
-    case Exists(p) => selectRel(node, p).nonEmpty
+  private def evalPred(root: JsonNode, node: JsonNode, pred: Pred): Boolean = pred match {
+    case Or(cs)  => cs.exists(evalPred(root, node, _))
+    case And(ts) => ts.forall(evalPred(root, node, _))
+    case Exists(p) => selectRel(root, node, p).nonEmpty
     case Cmp(p, op, lit) =>
-      selectRel(node, p).headOption.exists(compare(_, op, lit))
+      selectRel(root, node, p).headOption.exists(compare(root, _, op, lit))
   }
 
   private def litEquals(v: JsonNode, lit: Lit): Boolean = lit match {
@@ -646,7 +679,22 @@ object JsonPathLite {
     case _        => false
   }
 
-  private def compare(v: JsonNode, op: String, lit: Lit): Boolean = (lit, op) match {
+  /** A root-path operand resolves to the scalar it selects (missing or
+    * non-scalar operand => the comparison is false, Jayway's behavior for
+    * an unresolvable operand). */
+  private def nodeToLit(n: JsonNode): Option[Lit] =
+    if (n.isTextual) Some(SLit(n.asText))
+    else if (n.isNumber) Some(NLit(BigDecimal(n.decimalValue())))
+    else if (n.isBoolean) Some(BLit(n.asBoolean))
+    else if (n.isNull) Some(NullLit)
+    else None
+
+  private def compare(root: JsonNode, v: JsonNode, op: String, lit: Lit): Boolean = (lit, op) match {
+    case (PathLit(steps), _) =>
+      select(root, Compiled(steps)).headOption.flatMap(nodeToLit) match {
+        case Some(resolved) => compare(root, v, op, resolved)
+        case None           => false
+      }
     case (r: RLit, "=~") => v.isTextual && r.pattern.matcher(v.asText).matches()
     case (LLit(items), "in")  => items.exists(litEquals(v, _))
     case (LLit(items), "nin") => !items.exists(litEquals(v, _))

@@ -132,6 +132,39 @@ class JsonPathLiteSpec extends AnyFunSuite {
     assert(titles("$.store.book[9:]") == Nil)
   }
 
+  test("root-path filter operand (Jayway example 8: price <= $['expensive'])") {
+    def titles(p: String) =
+      JsonPathLite.select(mapper.readTree(store), JsonPathLite.compile(p))
+        .map(_.get("title").asText)
+    // both bracket and dot spellings of the root reference
+    assert(titles("$..book[?(@.price <= $['expensive'])]") ==
+      Seq("Sayings of the Century", "Moby Dick"))
+    assert(titles("$.store.book[?(@.price > $.expensive)]") ==
+      Seq("Sword of Honour", "The Lord of the Rings"))
+    // string-valued root operand compares lexicographically like a literal
+    assert(titles("$.store.book[?(@.color == $.store.bicycle.color)]") == Nil)
+    assert(sel(store, "$.store.book[?(@.category == $.store.book[0].category)]").size == 1)
+    // missing / non-scalar root operand => comparison false, never a match
+    assert(titles("$..book[?(@.price <= $.nonexistent)]") == Nil)
+    assert(titles("$..book[?(@.price <= $.store)]") == Nil)
+    // != with a RESOLVED operand keeps literal semantics
+    assert(titles("$.store.book[?(@.category != $.store.book[0].category)]").size == 3)
+  }
+
+  test("root-path operand grammar limits: definite only, comparison ops only") {
+    import JsonPathLite.JsonPathSyntaxException
+    intercept[JsonPathSyntaxException](
+      JsonPathLite.compile("$.a[?(@.x == $..y)]"))          // indefinite (deep scan)
+    intercept[JsonPathSyntaxException](
+      JsonPathLite.compile("$.a[?(@.x == $.b[*])]"))        // indefinite (wildcard)
+    intercept[JsonPathSyntaxException](
+      JsonPathLite.compile("$.a[?(@.x =~ $.re)]"))          // regex op needs /re/
+    intercept[JsonPathSyntaxException](
+      JsonPathLite.compile("$.a[?(@.x in $.list)]"))        // in needs [list]
+    intercept[JsonPathSyntaxException](
+      JsonPathLite.compile("$.a[?(@.x in [1, $.y])]"))      // no path inside list
+  }
+
   test("script subscript (Jayway doc example: $..book[(@.length-1)])") {
     def titles(p: String) =
       JsonPathLite.select(mapper.readTree(store), JsonPathLite.compile(p))
