@@ -408,6 +408,12 @@ object M5Queries {
       Similarity.semDedup(Similarity.embeddings(s, dir), k = 8, threshold = 0.9)
         .orderBy(col("vec_id"))),
 
+    // ---- dedup: asymmetric containment pairs — subset duplication that
+    // symmetric Jaccard (and MinHash banding) under-recalls
+    "q_containment" -> ((s, dir) =>
+      TextDedup.containmentPairs(TextDedup.documents(s, dir), threshold = 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // ---- dedup: exact-substring duplication — document pairs sharing an
     // exact 8-token window, via window-hash bucketing (suffix-array
     // semantics, bucket-join shape)
@@ -1102,6 +1108,18 @@ object M5Queries {
          |SELECT t.vec_id, t.bucket AS cluster, d.vec_id IS NULL AS keep
          |FROM assigned t LEFT JOIN dups d ON t.vec_id = d.vec_id
          |ORDER BY t.vec_id""".stripMargin,
+
+    "q_containment" ->
+      s"""WITH sh0 AS (${frag.shingleHashes}),
+         | sh AS (SELECT doc_id, unnest(h) AS sh FROM sh0),
+         | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b, p.n_shared,
+         | (p.n_shared::DOUBLE / s.n_sh::DOUBLE) AS containment
+         |FROM p JOIN sizes s ON p.doc_a = s.doc_id
+         |WHERE p.n_shared::DOUBLE / s.n_sh::DOUBLE >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_substring_dups" ->
       s"""WITH t AS (SELECT doc_id, ${frag.toks} w FROM documents),

@@ -78,6 +78,41 @@ object TextDedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Containment near-dups (asymmetric Jaccard): containment(A→B) =
+    * |shingles(A) ∩ shingles(B)| / |shingles(A)|. Symmetric Jaccard
+    * misses SUBSET duplication — a short document quoted wholesale inside
+    * a long one scores low Jaccard but containment ≈ 1 — and MinHash-LSH
+    * recall degrades for exactly those asymmetric pairs, so the scale
+    * shape here is a direct equi-join keyed on the shingle hash (the
+    * substring-dedup shape, not the banding shape): shared-shingle counts
+    * come from the hash join, |A| from a per-doc count, and the division
+    * of those two exact integers is reproducible IEEE. Stop-shingles
+    * (shingles appearing in a large fraction of documents) are the skew
+    * knob at corpus scale — drop hashes above a document-frequency cap
+    * before the join; not needed at oracle scale.
+    *
+    * Output: directed pairs (doc_a, doc_b, n_shared, containment) with
+    * containment(doc_a→doc_b) ≥ threshold, doc_a ≠ doc_b — both
+    * directions appear when both clear the bar.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // both join branches + the size aggregation consume the same
+    // shingle explosion — persist it once
+    val sh = SharedBranch.sharedBranch(docs.select(col("doc_id"),
+      explode(shingleHashes(col("text"), 3)).as("sh")))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh")), "doc_a")
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("n_sh").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("containment"))
+  }
+
   /** Exact dedup keep-first via window ranking (the "drop duplicates but
     * keep provenance" variant).
     */

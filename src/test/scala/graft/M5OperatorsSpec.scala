@@ -274,6 +274,30 @@ class M5OperatorsSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("containmentPairs: asymmetric — quoted subset scores ~1 forward, low backward") {
+    val quoted = "alpha beta gamma delta epsilon zeta"
+    val host = quoted + " " + (1 to 30).map(i => s"filler$i word$i").mkString(" ")
+    val d = spark.createDataFrame(Seq(
+      (1L, quoted),               // fully contained in 2
+      (2L, host),
+      (3L, "unrelated text entirely different content here"))).toDF("doc_id", "text")
+    val got = TextDedup.containmentPairs(d, threshold = 0.8)
+      .select($"doc_a", $"doc_b", $"containment").as[(Long, Long, Double)].collect()
+    // 1→2 clears the bar (every 3-shingle of 1 appears in 2); 2→1 must
+    // not (2's shingle set is far larger); 3 pairs with nothing
+    assert(got.map(r => (r._1, r._2)).toSet == Set((1L, 2L)), s"got ${got.toSeq}")
+    assert(got.head._3 == 1.0, "full quote ⇒ containment exactly 1")
+    // naive cross-check of the directed definition on all pairs
+    val shingleSets = d.select($"doc_id",
+        graft.functions.TextFunctions.shingleHashes($"text", 3).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    for ((a, ha) <- shingleSets; (b, hb) <- shingleSets if a != b) {
+      val c = (ha.toSet intersect hb.toSet).size.toDouble / ha.size
+      val listed = got.exists(r => r._1 == a && r._2 == b)
+      assert(listed == (c >= 0.8), s"pair $a->$b naive=$c listed=$listed")
+    }
+  }
+
   test("property: exactSubstringDupPairs ≡ naive sliding-window intersection (seeded corpora)") {
     import org.scalacheck.{Gen, rng}
     // tiny vocabulary so windows genuinely collide across documents
