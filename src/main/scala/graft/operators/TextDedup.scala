@@ -146,8 +146,10 @@ object TextDedup {
     */
   def lshCandidatePairs(docs: DataFrame, perms: Int = 16, bands: Int = 4): DataFrame = {
     val rows = perms / bands
-    val banded = withSignature(docs, perms)
-      .select(col("doc_id"), explode(lshBandKeys(col("sig"), bands, rows)).as("band_key"))
+    // both self-join sides consume the same signature+banding extraction
+    // (tokenize + shingle + perms minima per doc) — persist it once
+    val banded = SharedBranch.sharedBranch(withSignature(docs, perms)
+      .select(col("doc_id"), explode(lshBandKeys(col("sig"), bands, rows)).as("band_key")))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))

@@ -298,14 +298,36 @@ class M5OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("property: exactSubstringDupPairs ≡ naive sliding-window intersection (seeded corpora)") {
+  private lazy val tinyVocabCorpus: Seq[(Long, String)] = {
     import org.scalacheck.{Gen, rng}
     // tiny vocabulary so windows genuinely collide across documents
     val word = Gen.oneOf("aa", "bb", "cc", "dd")
     val doc = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
-    val corpus = Gen.listOfN(30, doc)
+    Gen.listOfN(30, doc)
       .pureApply(Gen.Parameters.default, rng.Seed(4242L))
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  }
+
+  test("property: containmentPairs ≡ naive directed containment (seeded corpora)") {
+    val corpus = tinyVocabCorpus
+    for (threshold <- Seq(0.3, 0.8)) {
+      val got = TextDedup.containmentPairs(corpus.toDF("doc_id", "text"), threshold)
+        .select($"doc_a", $"doc_b", $"n_shared").as[(Long, Long, Long)].collect().toSet
+      val sets = corpus.toDF("doc_id", "text")
+        .select($"doc_id", graft.functions.TextFunctions.shingleHashes($"text", 3).as("h"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val naive = (for {
+        (a, ha) <- sets.toSeq; (b, hb) <- sets.toSeq if a != b && ha.nonEmpty
+        shared = (ha.toSet intersect hb.toSet).size
+        if shared > 0 && shared.toDouble / ha.size >= threshold
+      } yield (a, b, shared.toLong)).toSet
+      assert(got == naive,
+        s"t=$threshold: extra=${got -- naive} missing=${naive -- got}")
+    }
+  }
+
+  test("property: exactSubstringDupPairs ≡ naive sliding-window intersection (seeded corpora)") {
+    val corpus = tinyVocabCorpus
     for (k <- Seq(2, 3, 5)) {
       val got = TextDedup.exactSubstringDupPairs(corpus.toDF("doc_id", "text"), k)
         .as[(Long, Long, Long)].collect().toSet
