@@ -309,6 +309,17 @@ object M5Queries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // ---- curation: Unicode NFC normalization + whitespace collapse. The
+    // ASCII corpus would make this an identity test, so the query INJECTS
+    // decomposed graphemes (e+combining-acute, A+combining-ring) — the
+    // n_raw→n_norm length drop witnesses real composition (oracle-twin
+    // input construction, like q_pii_redact)
+    "q_normalize" -> ((s, dir) => {
+      val injected = TextDedup.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" cafe\u0301 A\u030A")).as("text"))
+      Curation.normalizeText(injected).orderBy(col("doc_id"))
+    }),
+
     // ---- curation: deterministic FIXED-SIZE per-group sample (exactly
     // min(n, |group|) docs per language, chosen by hash rank)
     "q_sample_fixed" -> ((s, dir) =>
@@ -937,6 +948,16 @@ object M5Queries {
         |WHERE ((doc_id * 48271 + 11) % 1000003) % 1000 <
         |  CASE lang WHEN 'en' THEN 800 WHEN 'zh' THEN 500 ELSE 250 END
         |ORDER BY doc_id""".stripMargin,
+
+    // plain (non-interpolated) string so the regex backslashes survive
+    "q_normalize" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' cafe' || chr(769) || ' A' || chr(778) AS text FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(nfc_normalize(text), '[ \t\n\f\r]+', ' ', 'g') AS text_norm,
+        | length(text)::INT AS n_raw,
+        | length(nfc_normalize(text))::INT AS n_norm
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_sample_fixed" ->
       """WITH r AS (SELECT doc_id, lang,

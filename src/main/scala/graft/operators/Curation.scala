@@ -99,6 +99,22 @@ object Curation {
       .withColumn("contaminated", col("n_shared_possible") > 0)
   }
 
+  /** Unicode normalization — the standard ingest step BEFORE any
+    * hash-based dedup: decomposed and precomposed spellings of the same
+    * grapheme ("é" as e+◌́ vs U+00E9) must hash identically or near-dup
+    * detection silently misses them. NFC canonical composition
+    * (UAX #15 — conformant implementations agree bit-for-bit) plus
+    * whitespace-run collapse; narrow per-row work, trivially parallel.
+    * Output: (doc_id, text_norm, n_raw, n_norm) — the length drop
+    * witnesses composition.
+    */
+  def normalizeText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(graft.functions.NfcNormalize.nfc(col("text")),
+        "[ \t\n\f\r]+", " ").as("text_norm"),
+      length(col("text")).as("n_raw"),
+      length(graft.functions.NfcNormalize.nfc(col("text"))).as("n_norm"))
+
   // ---- context-window packing ----------------------------------------
 
   /** Concat-then-chunk packing (the standard pretraining layout): token

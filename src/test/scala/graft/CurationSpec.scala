@@ -133,6 +133,24 @@ class CurationSpec extends AnyFunSuite {
         f"(analytic expectation $expectedExtra%.1f)")
   }
 
+  test("normalizeText: decomposed and precomposed spellings converge (NFC), whitespace collapses") {
+    val d = spark.createDataFrame(Seq(
+      (1L, "cafe\u0301   du\true"),      // decomposed e+U+0301 + whitespace runs
+      (2L, "caf\u00E9 du rue"),           // precomposed U+00E9, single spaces
+      (3L, "A\u030Angstro\u0308m")))     // decomposed A+U+030A, o+U+0308
+      .toDF("doc_id", "text")
+    val out = Curation.normalizeText(d)
+      .select($"doc_id", $"text_norm", $"n_raw", $"n_norm")
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    // 1 and 2 normalize to the SAME string - the dedup-correctness point
+    assert(out(1L)._2 == out(2L)._2)
+    assert(out(2L)._2 == "caf\u00E9 du rue")
+    // one combining mark folded: raw code-point count drops by exactly 1
+    // (n_norm counts the NFC text BEFORE whitespace collapse)
+    assert(out(1L)._3 == out(1L)._4 + 1, s"${out(1L)}")
+    assert(out(3L)._2 == "\u00C5ngstr\u00F6m" && out(3L)._4 == out(3L)._3 - 2)
+  }
+
   test("samplePerGroup: exactly min(n, |group|) rows, hash-deterministic choice") {
     import graft.operators.Sampling
     val n = 7
