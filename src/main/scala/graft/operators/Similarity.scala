@@ -101,9 +101,19 @@ object Similarity {
     (pmod((lit(j.toLong * DIM_STRIDE) + d + 1L) * 2654435761L, lit(P)).cast("double") / P) - 0.5
 
   /** Sign-LSH bucket id from `planes` hyperplanes: bit j = sign of
-    * ⟨v, h_j⟩. Vectors in the same bucket are ANN candidates.
+    * ⟨v, h_j⟩. Vectors in the same bucket are ANN candidates. One-pass
+    * codegen expression ([[graft.functions.SignLshBucket]]);
+    * [[lshBucketHof]] is the executable reference spelling it is
+    * property-tested against (SignLshParity in M5OperatorsSpec).
     */
   def lshBucket(v: Column, planes: Int): Column =
+    graft.functions.SignLshBucket.sign_lsh_bucket(v, planes)
+
+  /** The HOF reference spelling of [[lshBucket]] — one interpreted
+    * array-walk per plane. Kept as the parity oracle for the fused
+    * expression; not used in any query path.
+    */
+  private[graft] def lshBucketHof(v: Column, planes: Int): Column =
     (0 until planes).map { j =>
       // dimension count derived from the vector itself: a width mismatch
       // must never silently null-pad into a degenerate single bucket

@@ -384,6 +384,27 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(got == expected("的是"))
   }
 
+  test("sign_lsh_bucket expression ≡ HOF per-plane folds (real embeddings + edges)") {
+    val embs = Similarity.embeddings(spark, sf)
+      .select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+    for (planes <- Seq(1, 8, 16)) {
+      val fused = embs.select($"vec_id",
+        Similarity.lshBucket($"v", planes).as("b")).as[(Long, Long)].collect().toMap
+      val hof = embs.select($"vec_id",
+        Similarity.lshBucketHof($"v", planes).as("b")).as[(Long, Long)].collect().toMap
+      assert(fused == hof, s"planes=$planes")
+    }
+    // edges: empty vector -> bucket 0; null vector -> null
+    val edge = spark.createDataFrame(Seq(
+        (1L, Some(Seq(0.0, 0.0)), false),
+        (2L, Some(Seq.empty[Double]), false),
+        (3L, None, true))).toDF("id", "v", "isnull")
+      .select($"id", $"v".cast("array<double>").as("v"))
+    val got = edge.select($"id", Similarity.lshBucket($"v", 8).as("b"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(2L) == Some(0L) && got(3L).isEmpty)
+  }
+
   test("LSH buckets adapt to the embedding width (no null-collapse on non-64-dim)") {
     val df = spark.createDataFrame(Seq(
       (1L, Array.fill(32)(0.5f)), (2L, Array.fill(32)(-0.5f)))).toDF("vec_id", "embedding")
