@@ -425,6 +425,48 @@ object M5Queries {
       TextDedup.containmentPairs(TextDedup.documents(s, dir), threshold = 0.8)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // ---- dedup: containment with the stop-shingle document-frequency cap
+    // (the corpus-scale skew knob): shingles appearing in > maxDf docs are
+    // boilerplate, excluded from the numerator before the self-join —
+    // capped containment is a strict lower bound of the exact value. At
+    // sf0.01 the cap BINDS (max df is 7; 151 shingles exceed df 4), so
+    // this gate exercises the anti-join path, not a no-op flag.
+    "q_containment_capped" -> ((s, dir) =>
+      TextDedup.containmentPairs(TextDedup.documents(s, dir), threshold = 0.8,
+        maxDf = 4L)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ---- similarity: SemDeDup with the cluster count SCALED to the corpus
+    // (k_eff = max(8, ceil(n / targetClusterSize)) — the paper's regime,
+    // where per-cluster pair work stays O(n · targetClusterSize) instead of
+    // O((n/k)²)). The oracle mirrors k_eff = 16 literally, which is
+    // ceil(500/32) at the sf0.01 scale the driver verifies at.
+    "q_semdedup_scaled" -> ((s, dir) =>
+      Similarity.semDedup(Similarity.embeddings(s, dir), k = 8, threshold = 0.9,
+        targetClusterSize = 32L)
+        .orderBy(col("vec_id"))),
+
+    // ---- dedup: MinHash-LSH recall measured, not asserted — per-lang
+    // fraction of exact-Jaccard pairs (same threshold) the banded pipeline
+    // recovers, mirroring q_embed_ivf_recall's measured-quality pattern.
+    // This turns the perms/bands knob into a number and justifies keeping
+    // the all-pairs jaccardPairs twin as a verification stage.
+    "q_minhash_recall" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val exact = TextDedup.jaccardPairs(docs, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val found = TextDedup.minhashNearDups(docs, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+      exact
+        .join(docs.select(col("doc_id").as("doc_a"), col("lang")), "doc_a")
+        .join(found, Seq("doc_a", "doc_b"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_found"))
+        .withColumn("recall",
+          col("n_found").cast("double") / col("n_exact").cast("double"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- dedup: exact-substring duplication — document pairs sharing an
     // exact 8-token window, via window-hash bucketing (suffix-array
     // semantics, bucket-join shape)
@@ -1148,6 +1190,56 @@ object M5Queries {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
          |FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // stop-shingle cap mirror: hashes in > 4 docs leave the numerator
+    // join; the n_sh denominator stays uncapped (lower-bound contract)
+    "q_containment_capped" ->
+      s"""WITH sh0 AS (${frag.shingleHashes}),
+         | sh AS (SELECT doc_id, unnest(h) AS sh FROM sh0),
+         | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         | stop AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1) WHERE df > 4),
+         | j AS (SELECT * FROM sh ANTI JOIN stop USING (sh)),
+         | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |   FROM j a JOIN j b ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b, p.n_shared,
+         | (p.n_shared::DOUBLE / s.n_sh::DOUBLE) AS containment
+         |FROM p JOIN sizes s ON p.doc_a = s.doc_id
+         |WHERE p.n_shared::DOUBLE / s.n_sh::DOUBLE >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // k_eff = ceil(500/32) = 16 at the sf0.01 verify scale (the Spark side
+    // computes it from the corpus count; the SQL mirrors it literally)
+    "q_semdedup_scaled" ->
+      s"""WITH v AS (${frag.vecs}),
+         |${frag.kmeansCtes(16)},
+         | assigned AS (SELECT vec_id, v, centroid_id AS bucket FROM (
+         |   SELECT a.vec_id, a.v, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${frag.l2q("a.qv", "c.cqv")}, c.centroid_id) rn
+         |   FROM qvt a CROSS JOIN cents_q c) WHERE rn = 1),
+         | dups AS (SELECT DISTINCT a.vec_id
+         |   FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+         |   WHERE ${frag.cosine("a.v", "b.v")} >= 0.9)
+         |SELECT t.vec_id, t.bucket AS cluster, d.vec_id IS NULL AS keep
+         |FROM assigned t LEFT JOIN dups d ON t.vec_id = d.vec_id
+         |ORDER BY t.vec_id""".stripMargin,
+
+    "q_minhash_recall" ->
+      s"""WITH sh AS (${frag.shingleHashes}),
+         | sig AS (SELECT doc_id, ${frag.minhashSig} sig FROM sh),
+         | banded AS (SELECT doc_id, unnest(${frag.bandKeys}) band_key FROM sig),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |   FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         | found AS (SELECT doc_a, doc_b FROM cand
+         |   JOIN sh ha ON ha.doc_id = doc_a JOIN sh hb ON hb.doc_id = doc_b
+         |   WHERE ${frag.jac("ha.h", "hb.h")} >= 0.5),
+         | exact AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang
+         |   FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |   WHERE ${frag.jac("a.h", "b.h")} >= 0.5)
+         |SELECT e.lang, count(*) AS n_exact, count(f.doc_a) AS n_found,
+         | count(f.doc_a)::DOUBLE / count(*)::DOUBLE AS recall
+         |FROM exact e LEFT JOIN found f
+         |  ON e.doc_a = f.doc_a AND e.doc_b = f.doc_b
+         |GROUP BY e.lang ORDER BY e.lang""".stripMargin,
 
     "q_salted_agg" ->
       s"""SELECT event_type, CAST(sum(${frag.cents("value")}) AS BIGINT) AS total_value_x100,

@@ -8,10 +8,14 @@ import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `nfc(text)` — Unicode canonical composition (NFC, UAX #15). Spark has
-  * no normalization built-in; conformant implementations are bit-identical
-  * by construction of the standard (java.text.Normalizer here, utf8proc in
-  * the DuckDB oracle's `nfc_normalize`), so the result is oracle-exact.
-  * Null in → null out.
+  * no normalization built-in; conformant implementations agree
+  * bit-for-bit WHEN they implement the same Unicode version
+  * (java.text.Normalizer here — the JDK's ICU data — vs utf8proc in the
+  * DuckDB oracle's `nfc_normalize`). Recently assigned combining marks or
+  * normalization-data corrections between versions can differ, so the
+  * oracle gate pins its injected code points to characters stable across
+  * Unicode versions (U+0301, U+030A — unchanged since Unicode 1.1); for
+  * such stable text the result is oracle-exact. Null in → null out.
   */
 object NfcOps {
   def nfc(s: UTF8String): UTF8String =

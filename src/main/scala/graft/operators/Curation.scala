@@ -47,10 +47,14 @@ object Curation {
     * held-out eval split (doc_id ≡ 0 mod `evalModulus`). The industry-
     * standard n-gram-overlap decontamination check, shaped for scale:
     * shingle hashes explode to (doc, hash) rows, the eval hash set is
-    * DISTINCT + broadcast (eval sets are small by construction), and the
-    * join is keyed on the hash — never all-pairs. Zero-overlap docs are
-    * kept with n_shared = 0 via the left join so the output enumerates the
-    * whole training split.
+    * DISTINCT and small by construction, and the join is keyed on the
+    * hash — never all-pairs. No broadcast HINT on the eval side: AQE
+    * picks broadcast when the side is actually small (identical plan for
+    * the intended regime) but degrades to a shuffle hash join instead of
+    * OOMing the driver if someone feeds a large "eval" split — for which
+    * [[decontaminateBloom]] is the designed escalation. Zero-overlap docs
+    * are kept with n_shared = 0 via the left join so the output
+    * enumerates the whole training split.
     */
   def decontaminate(docs: DataFrame, evalModulus: Long = 97L): DataFrame = {
     val hashes = docs.select(col("doc_id"),
@@ -58,7 +62,7 @@ object Curation {
     val evalHashes = hashes.filter(pmod(col("doc_id"), lit(evalModulus)) === 0)
       .select(col("sh")).distinct()
     val overlaps = hashes.filter(pmod(col("doc_id"), lit(evalModulus)) =!= 0)
-      .join(broadcast(evalHashes), "sh")
+      .join(evalHashes, "sh")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("sh")).as("n"))
     docs.filter(pmod(col("doc_id"), lit(evalModulus)) =!= 0)
@@ -86,16 +90,23 @@ object Curation {
     */
   def decontaminateBloom(docs: DataFrame, evalModulus: Long = 97L,
       fpp: Double = 0.001): DataFrame = {
-    val hashed = docs.select(col("doc_id"),
-      TextFunctions.shingleHashes(col("text"), 3).as("shs"))
+    // three consumers of the tokenize+shingle+hash projection (the
+    // expected-count job, the filter-build aggregation, the training-side
+    // probe scan) — persist so the extraction runs once, not three times
+    val hashed = SharedBranch.sharedBranch(docs.select(col("doc_id"),
+      TextFunctions.shingleHashes(col("text"), 3).as("shs")))
     val evalHashes = hashed.filter(pmod(col("doc_id"), lit(evalModulus)) === 0)
       .select(explode(col("shs")).as("sh")).distinct()
     val expected = math.max(1L, evalHashes.count())
     val bf = evalHashes.stat.bloomFilter("sh", expected, fpp)
+    // coalesce: shingleHashes(NULL text) is NULL, and the exact twin
+    // reports such docs as n_shared = 0 / contaminated = false via its
+    // left join — the documented superset contract must hold row-for-row
     hashed.filter(pmod(col("doc_id"), lit(evalModulus)) =!= 0)
       .select(col("doc_id"),
-        graft.functions.BloomExpressions.bloomContainsCount(col("shs"), bf)
-          .as("n_shared_possible"))
+        coalesce(
+          graft.functions.BloomExpressions.bloomContainsCount(col("shs"), bf),
+          lit(0L)).as("n_shared_possible"))
       .withColumn("contaminated", col("n_shared_possible") > 0)
   }
 

@@ -367,21 +367,47 @@ object Similarity {
     * the member farthest from the centroid — a policy knob, same shape).
     *
     * Scale: the expensive cosine never runs across clusters — candidate
-    * pairs share a cluster id, so the self-join is keyed on the cluster
-    * (k-way spread at corpus scale, the same bucketed-join shape as the
-    * LSH paths). Cluster assignment itself is a narrow codegen argmin.
+    * pairs share a cluster id, so the self-join is keyed on the cluster.
+    * With a FIXED k each cluster holds O(n/k) vectors and the per-cluster
+    * pair space is O((n/k)²) — quadratic at corpus scale. Two knobs close
+    * that (the paper itself runs tens of thousands of clusters):
+    *
+    *  - `targetClusterSize > 0` scales the cluster count with the corpus:
+    *    k_eff = max(k, ⌈n / targetClusterSize⌉), one cheap count job; the
+    *    seeded trainer handles any k, and expected per-cluster pair work
+    *    drops to O(n · targetClusterSize).
+    *  - `subPlanes > 0` sub-buckets WITHIN clusters by sign-LSH
+    *    ([[lshBucket]]): the self-join keys on (cluster, sub-bucket), so
+    *    even a cluster the trainer failed to split (skewed corpora, k too
+    *    small) joins in ~2^subPlanes bounded pieces. This is an
+    *    approximation with one-sided error — near-copies on opposite
+    *    sides of a hyperplane are missed, so `keep` is a superset of the
+    *    exact operator's (random-hyperplane miss probability per plane is
+    *    θ/π for angle θ; near-copies have θ ≈ 0).
+    *
+    * Cluster assignment itself stays a narrow codegen argmin.
     *
     * Output: (vec_id, cluster, keep).
     */
-  def semDedup(embs: DataFrame, k: Int = 8, threshold: Double = 0.9): DataFrame = {
-    val cb = kmeansCodebookCents(embs, k)
+  def semDedup(embs: DataFrame, k: Int = 8, threshold: Double = 0.9,
+      targetClusterSize: Long = 0L, subPlanes: Int = 0): DataFrame = {
+    val kEff =
+      if (targetClusterSize > 0)
+        math.max(k.toLong, (embs.count() + targetClusterSize - 1) / targetClusterSize).toInt
+      else k
+    val cb = kmeansCodebookCents(embs, kEff)
     // consumed by THREE branches (both self-join sides + the verdict
     // join) — persist so the quantize+argmin projection runs once
+    val base = assignToCodebook(withQuantized(embs), cb)
     val assigned = SharedBranch.sharedBranch(
-      assignToCodebook(withQuantized(embs), cb))
+      if (subPlanes > 0) base.withColumn("subb", lshBucket(col("v"), subPlanes))
+      else base)
+    val sameKey =
+      if (subPlanes > 0)
+        col("a.bucket") === col("b.bucket") && col("a.subb") === col("b.subb")
+      else col("a.bucket") === col("b.bucket")
     val dups = assigned.as("a")
-      .join(assigned.as("b"),
-        col("a.bucket") === col("b.bucket") && col("b.vec_id") < col("a.vec_id"))
+      .join(assigned.as("b"), sameKey && col("b.vec_id") < col("a.vec_id"))
       .filter(cosine(col("a.v"), col("b.v")) >= threshold)
       .select(col("a.vec_id").as("vec_id")).distinct()
     assigned

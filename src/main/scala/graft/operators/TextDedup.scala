@@ -47,6 +47,32 @@ object TextDedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** Drop rows whose `keyCol` hash appears in more than `maxDf` documents
+    * — the stop-shingle / stop-window skew knob shared by
+    * [[exactSubstringDupPairs]] and [[containmentPairs]]. A boilerplate
+    * shingle shared by millions of documents ("all rights reserved …")
+    * would make its hash bucket quadratic in the self-join (df² candidate
+    * rows for that ONE key); capping document frequency bounds every
+    * bucket at maxDf² before the join runs. The STOP LIST (hashes above
+    * the cap) is tiny by construction — only boilerplate exceeds a sane
+    * cap — so the anti-join broadcasts it; the df aggregation itself
+    * reuses the already-persisted exploded frame, one extra map-side-
+    * combined pass. `maxDf = Long.MaxValue` skips the pass entirely and
+    * is the exact-output mode (property-tested ≡ a non-binding finite
+    * cap in M5OperatorsSpec).
+    */
+  private def capDocFrequency(rows: DataFrame, keyCol: String, maxDf: Long): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    if (maxDf == Long.MaxValue) rows
+    else {
+      val stop = rows.groupBy(col(keyCol))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf)
+        .select(col(keyCol))
+      rows.join(stop, Seq(keyCol), "left_anti")
+    }
+  }
+
   /** Exact-substring duplication (Lee et al. 2022, arXiv:2107.06499 —
     * "Deduplicating Training Data Makes Language Models Better"): find
     * document pairs sharing any exact `k`-token window. The paper builds
@@ -54,28 +80,63 @@ object TextDedup {
     * bucketing — every document emits its distinct k-token windows
     * (n_tokens − k + 1 narrow rows), candidate pairs come from an
     * equi-join keyed on the window's 64-bit rolling hash (never
-    * all-pairs; the shuffle carries hashes and window strings, not
-    * documents), and exact window-string equality inside the bucket
-    * makes hash collisions harmless. At 100 TB you'd hash longer windows
-    * and drop the string from the shuffle (re-verify against storage);
-    * same plan shape.
+    * all-pairs), and exact window-string equality inside the bucket
+    * makes hash collisions harmless.
+    *
+    * `maxDf` caps per-window document frequency before the self-join
+    * ([[capDocFrequency]]): windows shared by more than `maxDf` documents
+    * are treated as boilerplate and excluded, making `n_shared` a lower
+    * bound that ignores stop-windows (the exact output needs no cap).
+    *
+    * `hashOnlyShuffle` is the 100 TB spelling the doc used to only name:
+    * the wide self-join shuffle carries (doc_id, hash) alone — never the
+    * window STRINGS, which for k=8 outweigh the rest of the row several
+    * times over — and candidate pairs are then re-verified by attaching
+    * both sides' window strings through two doc-keyed equi-joins and
+    * checking string equality. Same output (property-tested ≡ the direct
+    * path in M5OperatorsSpec); the string-bearing joins touch only
+    * candidate windows, a vanishing fraction of the corpus.
     *
     * Output: (doc_a, doc_b, n_shared) — the number of DISTINCT window
     * contents the pair shares, doc_a < doc_b.
     */
-  def exactSubstringDupPairs(docs: DataFrame, k: Int = 8): DataFrame = {
+  def exactSubstringDupPairs(docs: DataFrame, k: Int = 8,
+      maxDf: Long = Long.MaxValue, hashOnlyShuffle: Boolean = false): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens, got $k")
     // both sides of the self-join consume the same window extraction —
     // persist it so tokenize+shingle+hash runs once, not once per branch
-    val wins = SharedBranch.sharedBranch(docs.select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("text")), k))).as("win"))
-      .withColumn("h", rollingHash(col("win"))))
-    wins.as("a")
-      .join(wins.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.win") === col("b.win"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
+    val wins = capDocFrequency(SharedBranch.sharedBranch(
+      docs.select(col("doc_id"),
+          explode(array_distinct(shingles(tokens(col("text")), k))).as("win"))
+        .withColumn("h", rollingHash(col("win")))), "h", maxDf)
+    if (!hashOnlyShuffle)
+      wins.as("a")
+        .join(wins.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.win") === col("b.win"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    else {
+      val slim = wins.select(col("doc_id"), col("h"))
+      // distinct bounds the (rare) within-doc hash-collision fan-out
+      // before the verify joins multiply it
+      val cand = slim.as("a")
+        .join(slim.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("a.h").as("h"))
+        .distinct()
+      cand
+        .join(wins.select(col("doc_id").as("doc_a"), col("h"), col("win").as("win_a")),
+          Seq("doc_a", "h"))
+        .join(wins.select(col("doc_id").as("doc_b"), col("h"), col("win").as("win_b")),
+          Seq("doc_b", "h"))
+        .filter(col("win_a") === col("win_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        // countDistinct, not count: a hash carrying two distinct window
+        // strings in one doc would otherwise double-count after the
+        // candidate fan-out
+        .agg(countDistinct(col("win_a")).as("n_shared"))
+    }
   }
 
   /** Containment near-dups (asymmetric Jaccard): containment(A→B) =
@@ -86,23 +147,30 @@ object TextDedup {
     * shape here is a direct equi-join keyed on the shingle hash (the
     * substring-dedup shape, not the banding shape): shared-shingle counts
     * come from the hash join, |A| from a per-doc count, and the division
-    * of those two exact integers is reproducible IEEE. Stop-shingles
-    * (shingles appearing in a large fraction of documents) are the skew
-    * knob at corpus scale — drop hashes above a document-frequency cap
-    * before the join; not needed at oracle scale.
+    * of those two exact integers is reproducible IEEE.
+    *
+    * `maxDf` is the stop-shingle skew knob at corpus scale
+    * ([[capDocFrequency]]): shingles appearing in more than `maxDf`
+    * documents are dropped from the INTERSECTION (numerator) before the
+    * self-join, bounding every hash bucket at maxDf² candidate rows. The
+    * denominator |A| stays the UNCAPPED per-doc shingle count, so capped
+    * containment is a strict lower bound of the exact value — a pair can
+    * only fall below the threshold, never spuriously clear it.
     *
     * Output: directed pairs (doc_a, doc_b, n_shared, containment) with
     * containment(doc_a→doc_b) ≥ threshold, doc_a ≠ doc_b — both
     * directions appear when both clear the bar.
     */
-  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def containmentPairs(docs: DataFrame, threshold: Double,
+      maxDf: Long = Long.MaxValue): DataFrame = {
     // both join branches + the size aggregation consume the same
     // shingle explosion — persist it once
     val sh = SharedBranch.sharedBranch(docs.select(col("doc_id"),
       explode(shingleHashes(col("text"), 3)).as("sh")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    sh.as("a")
-      .join(sh.as("b"),
+    val joinable = capDocFrequency(sh, "sh", maxDf)
+    joinable.as("a")
+      .join(joinable.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -306,27 +374,62 @@ object TextDedup {
     } else distributedClusters(cached, maxIters)
   }
 
-  /** Distributed min-label propagation (the > driverThreshold path). */
-  private def distributedClusters(pairs: DataFrame, maxIters: Int): DataFrame = {
+  /** Distributed min-label propagation with POINTER SHORTCUTTING (the
+    * > driverThreshold path). Plain min-label needs O(diameter) rounds — a
+    * pathological chain of D near-dups costs D distributed joins. Each
+    * round here additionally rewrites every label through the label map
+    * itself (`l(v) ← l(l(v))`, the path-halving step of MapReduce
+    * connected-components à la Kiveris et al. 2014): labels are always
+    * node ids of same-component nodes and only ever decrease, so the
+    * rewrite is safe, and the distance from any node to its component
+    * minimum shrinks geometrically — convergence in O(log diameter)
+    * rounds (spec-pinned on a 200-edge path graph in M5OperatorsSpec).
+    */
+  private[operators] def distributedClusters(pairs: DataFrame, maxIters: Int): DataFrame = {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    // localCheckpoint each round: the shortcut self-join puts TWO copies
+    // of the round's plan under the next round's plan — without lineage
+    // truncation the logical tree doubles per round (2^rounds nodes, OOM
+    // in plan handling long before data is a problem). Checkpointing
+    // flattens each round to its materialized result; labels are 2 longs
+    // per graph node, a minute fraction of the corpus. (On a cluster,
+    // rdd-based localCheckpoint trades executor-loss tolerance for not
+    // needing a checkpoint dir — acceptable for a ≤ log₂(diameter)-round
+    // loop that simply reruns on failure.)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
-      val updated = labels
+      // relabeled feeds BOTH sides of the shortcut self-join — persist so
+      // the edge join + aggregate run once per round (SharedBranch
+      // discipline; cache released at end of round)
+      val relabeled = labels
         .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
         .select(labels("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
         .cache()
+      // shortcut (path halving, à la Kiveris et al. 2014): follow the
+      // label one hop through the label map itself — labels are always
+      // same-component node ids and only ever decrease, so the rewrite is
+      // safe and the distance to the component minimum shrinks
+      // geometrically. Every label IS a doc_id present in the map;
+      // coalesce guards the no-op round where it maps to itself.
+      val updated = relabeled.as("l1")
+        .join(relabeled.select(col("doc_id").as("lid"), col("cluster_id").as("lcl")).as("l2"),
+          col("l1.cluster_id") === col("lid"), "left")
+        .select(col("l1.doc_id").as("doc_id"),
+          coalesce(col("lcl"), col("l1.cluster_id")).as("cluster_id"))
+        .localCheckpoint() // eager: materializes + truncates lineage
       val changed = updated.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist() // drop the previous round's cache
-      labels = updated
+      relabeled.unpersist()
+      labels = updated // prior rounds' checkpoint blocks free via GC/ContextCleaner
       converged = changed == 0
       iter += 1
     }

@@ -61,15 +61,39 @@ object Tables {
     }
   }
 
-  /** Register an operator-internal persisted frame for release with this
-    * session's [[evict]] / context-end cleanup (the same lifecycle as the
-    * preloaded table pins). Keyed by the plan's semantic hash, so the
-    * one-persist-per-canonical-plan discipline of the callers maps to one
-    * registry entry.
+  /** Register an operator-internal persisted frame for release via
+    * [[evictPinned]] / [[evict]] / context-end cleanup (the same lifecycle
+    * as the preloaded table pins). Keyed by a monotone counter, NOT the
+    * plan's semantic hash: an Int hash collision between two distinct
+    * pinned plans would silently overwrite one entry and leak its
+    * persisted blocks until context end, and expressions embedding
+    * reference-compared Array fields (codebook literals) can legitimately
+    * pin two entries for canonically-equal plans — both must be released.
+    * Dedup of the PERSIST itself is the caller's job
+    * (SharedBranch.lookupCachedData); the registry only guarantees
+    * release.
     */
+  private val pinCounter = new java.util.concurrent.atomic.AtomicLong()
   def registerPinned(df: DataFrame): Unit =
     sessionCache(df.sparkSession).update(
-      ("_pinned", df.queryExecution.analyzed.semanticHash().toString), df)
+      ("_pinned", pinCounter.getAndIncrement().toString), df)
+
+  /** Release the operator-internal pins registered so far for this
+    * session, leaving preloaded TABLE pins in place. Bench/Verify call
+    * this between queries: without it, MEMORY_AND_DISK entries from all
+    * 70+ queries accumulate for the whole run, so later queries execute
+    * with executor storage memory partly occupied by earlier queries'
+    * internal frames — bench skew now, an OOM risk at larger SFs.
+    */
+  def evictPinned(spark: SparkSession): Unit = {
+    val m = cached.synchronized(cached.get(spark))
+    if (m != null) m.keys.toSeq.filter(_._1 == "_pinned").foreach { k =>
+      m.remove(k).foreach { df =>
+        try df.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     sessionCache(spark).getOrElse((sfDir, name), {

@@ -343,6 +343,113 @@ class M5OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: maxDf cap — non-binding cap ≡ uncapped; binding cap is a monotone lower bound") {
+    val d = tinyVocabCorpus.toDF("doc_id", "text")
+    // a finite cap larger than any df must take the anti-join path yet
+    // change nothing (this is NOT the maxDf=∞ shortcut branch)
+    val uncapped = TextDedup.containmentPairs(d, threshold = 0.3)
+      .select($"doc_a", $"doc_b", $"n_shared").as[(Long, Long, Long)].collect().toSet
+    val nonBinding = TextDedup.containmentPairs(d, threshold = 0.3, maxDf = 1000000L)
+      .select($"doc_a", $"doc_b", $"n_shared").as[(Long, Long, Long)].collect().toSet
+    assert(nonBinding == uncapped)
+    // a binding cap: pairs can only lose shared shingles, never gain, and
+    // no pair can appear that the uncapped run did not list at threshold 0
+    val capped = TextDedup.containmentPairs(d, threshold = 0.3, maxDf = 3L)
+      .select($"doc_a", $"doc_b", $"n_shared").as[(Long, Long, Long)].collect()
+    val uncappedAll = TextDedup.containmentPairs(d, threshold = 0.0)
+      .select($"doc_a", $"doc_b", $"n_shared").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(capped.nonEmpty, "cap chosen to bind on the tiny-vocab corpus")
+    capped.foreach { case (a, b, n) =>
+      assert(uncappedAll.contains((a, b)) && n <= uncappedAll((a, b)),
+        s"capped pair $a->$b n=$n vs uncapped ${uncappedAll.get((a, b))}")
+    }
+    // the naive mirror of the capped semantics agrees exactly
+    val sets = d.select($"doc_id", graft.functions.TextFunctions.shingleHashes($"text", 3).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val df = sets.values.flatten.groupBy(identity).map { case (h, v) => h -> v.size }
+    val keep = df.filter(_._2 <= 3).keySet
+    val naive = (for {
+      (a, ha) <- sets.toSeq; (b, hb) <- sets.toSeq if a != b && ha.nonEmpty
+      shared = ((ha.toSet intersect hb.toSet) intersect keep).size
+      if shared > 0 && shared.toDouble / ha.size >= 0.3
+    } yield (a, b, shared.toLong)).toSet
+    assert(capped.toSet == naive,
+      s"extra=${capped.toSet -- naive} missing=${naive -- capped.toSet}")
+  }
+
+  test("property: exactSubstringDupPairs hash-only shuffle ≡ direct path (with and without cap)") {
+    val d = tinyVocabCorpus.toDF("doc_id", "text")
+    for (k <- Seq(2, 3, 5); maxDf <- Seq(Long.MaxValue, 4L)) {
+      val direct = TextDedup.exactSubstringDupPairs(d, k, maxDf)
+        .as[(Long, Long, Long)].collect().toSet
+      val hashOnly = TextDedup.exactSubstringDupPairs(d, k, maxDf, hashOnlyShuffle = true)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(hashOnly == direct,
+        s"k=$k maxDf=$maxDf: extra=${hashOnly -- direct} missing=${direct -- hashOnly}")
+    }
+  }
+
+  test("distributed clusters: label shortcutting converges on a 200-edge path in O(log d) rounds") {
+    // a duplicate CHAIN is the worst case for plain min-label propagation
+    // (O(diameter) rounds — 200 here, past the default iteration cap);
+    // path-halving must close it in ~8 rounds
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = TextDedup.dupClusters(chain, maxIters = 12, driverThreshold = 0L)
+      .as[(Long, Long)].collect()
+    assert(got.length == 201 && got.forall(_._2 == 0L),
+      s"bad labels: ${got.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("semDedup: targetClusterSize scales k — identical to passing k_eff explicitly") {
+    val embs = Similarity.embeddings(spark, sf)
+    val n = embs.count()
+    val target = 10L
+    val kEff = math.max(2L, (n + target - 1) / target).toInt
+    val scaled = Similarity.semDedup(embs, k = 2, threshold = 0.9, targetClusterSize = target)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val explicit = Similarity.semDedup(embs, k = kEff, threshold = 0.9)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(kEff > 2, "target chosen so scaling actually raises k")
+    assert(scaled == explicit)
+  }
+
+  test("semDedup: sign-LSH sub-buckets bound per-key candidates on a skewed corpus; keep is a superset") {
+    // a corpus k-means CANNOT split (k=2 over spread vectors): without
+    // sub-buckets one join key holds O(n) vectors -> O(n²) pairs
+    val rnd = new scala.util.Random(7L)
+    val skewed = spark.createDataFrame(
+      (0L until 120L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    val full = Similarity.semDedup(skewed, k = 2, threshold = 0.95)
+      .filter($"keep").select($"vec_id").as[Long].collect().toSet
+    val sub = Similarity.semDedup(skewed, k = 2, threshold = 0.95, subPlanes = 4)
+      .filter($"keep").select($"vec_id").as[Long].collect().toSet
+    // one-sided error: sub-bucketing can only MISS near-copies, so every
+    // vector the exact operator keeps stays kept
+    assert(full.subsetOf(sub), s"lost keeps: ${full -- sub}")
+    // the join-key histogram: sub-bucketing splits the dominant cluster
+    val assigned = Similarity.ivfAssign(skewed, k = 2)
+      .withColumn("subb", Similarity.lshBucket($"v", 4))
+    val maxCluster = assigned.groupBy($"bucket").count()
+      .agg(max($"count")).as[Long].head()
+    val maxSub = assigned.groupBy($"bucket", $"subb").count()
+      .agg(max($"count")).as[Long].head()
+    assert(maxCluster > 50, "skew corpus: the dominant cluster is O(n)")
+    assert(maxSub * 2 <= maxCluster,
+      s"sub-bucketing must split the dominant cluster: maxSub=$maxSub maxCluster=$maxCluster")
+  }
+
+  test("minhash recall: measured per-lang recall is in [0,1] and counts are consistent") {
+    val recall = M5Queries.queries("q_minhash_recall")(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(recall.nonEmpty)
+    recall.foreach { case (lang, nExact, nFound, r) =>
+      assert(nExact >= nFound && nFound >= 0, s"$lang: $nFound/$nExact")
+      assert(r >= 0.0 && r <= 1.0 && math.abs(r - nFound.toDouble / nExact) < 1e-12)
+    }
+  }
+
   test("multimodal chunks reassemble to the original bytes") {
     val media = spark.createDataFrame(Seq(
       (1L, "0123456789abcdefXYZ"), (2L, ""), (3L, "short"))).toDF("media_id", "s")
