@@ -242,28 +242,52 @@ object TextDedup {
     * band catches it.
     */
   def incrementalDedup(newDocs: DataFrame, oldDocs: DataFrame,
+      threshold: Double = 0.9, perms: Int = 16, bands: Int = 4): DataFrame =
+    incrementalDedupAgainstIndex(newDocs, dedupIndex(oldDocs, perms),
+      threshold, perms, bands)
+
+  /** The stored dedup-index row for a document: content fingerprint,
+    * MinHash signature, and shingle-hash set — everything incremental
+    * dedup needs from the historical corpus WITHOUT its text. At corpus
+    * scale this is what persists between ingests (parquet, appended per
+    * batch — see [[graft.streaming.StreamingIncrementalDedup]]): the raw
+    * text never re-enters the pipeline, and each consumer of the index
+    * reads only its column (fp / sig / tok) off storage, pruned.
+    */
+  def dedupIndex(docs: DataFrame, perms: Int = 16): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.RollingHash.rolling_hash(col("text")).as("fp"),
+        graft.functions.ShingleHashes.shingle_hashes(col("text"), 3).as("tok"))
+      .withColumn("sig", graft.functions.MinHashSig.minhash_sig(col("tok"), perms))
+
+  /** [[incrementalDedup]] against a prebuilt [[dedupIndex]] frame — the
+    * production spelling, where the old side is a stored index rather
+    * than re-derivable documents. `index` must have been built with the
+    * same `perms`. The index side is deliberately NOT persisted: it is
+    * the whole historical corpus at scale, and its three consumers each
+    * read a disjoint column subset ((doc_id, fp) / (doc_id, sig) /
+    * (doc_id, tok)) straight off pruned storage scans. The small new-
+    * batch side is persisted once and feeds all four of its consumers.
+    */
+  def incrementalDedupAgainstIndex(newDocs: DataFrame, index: DataFrame,
       threshold: Double = 0.9, perms: Int = 16, bands: Int = 4): DataFrame = {
     val rows = perms / bands
-    val exact = newDocs.select(col("doc_id"),
-        graft.functions.RollingHash.rolling_hash(col("text")).as("fp"))
-      .join(oldDocs.select(
-          graft.functions.RollingHash.rolling_hash(col("text")).as("fp"),
-          col("doc_id").as("old_id")), Seq("fp"), "left")
+    val newIdx = SharedBranch.sharedBranch(dedupIndex(newDocs, perms))
+    val exact = newIdx.select(col("doc_id"), col("fp"))
+      .join(index.select(col("fp"), col("doc_id").as("old_id")), Seq("fp"), "left")
       .groupBy(col("doc_id")).agg(min(col("old_id")).as("exact_dup_of"))
-    val bandedNew = withSignature(newDocs, perms)
+    val bandedNew = newIdx
       .select(col("doc_id"), explode(lshBandKeys(col("sig"), bands, rows)).as("band_key"))
-    val bandedOld = withSignature(oldDocs, perms)
+    val bandedOld = index
       .select(col("doc_id").as("old_id"), explode(lshBandKeys(col("sig"), bands, rows)).as("band_key"))
     val candidates = bandedNew.join(bandedOld, "band_key")
       .select(col("doc_id"), col("old_id")).distinct()
-    val sh = (d: DataFrame) => d.select(col("doc_id"),
-      graft.functions.ShingleHashes.shingle_hashes(col("text"), 3).as("tok"))
     val near = candidates
-      .join(sh(newDocs).select(col("doc_id"), col("tok").as("tok_n")), "doc_id")
-      .join(sh(oldDocs).select(col("doc_id").as("old_id"), col("tok").as("tok_o")), "old_id")
+      .join(newIdx.select(col("doc_id"), col("tok").as("tok_n")), "doc_id")
+      .join(index.select(col("doc_id").as("old_id"), col("tok").as("tok_o")), "old_id")
       .filter(graft.functions.JaccardSim.jaccard_sim(col("tok_n"), col("tok_o")) >= threshold)
       .groupBy(col("doc_id")).agg(min(col("old_id")).as("near_dup_of"))
-    newDocs.select(col("doc_id"))
+    newIdx.select(col("doc_id"))
       .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"), col("exact_dup_of"), col("near_dup_of"),

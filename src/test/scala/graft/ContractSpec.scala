@@ -113,10 +113,12 @@ class ContractSpec extends AnyFunSuite {
       "q_embed_ivf_recall"  -> Set("recall"),
       "q_embed_pq_recall"   -> Set("recall"),
       "q_embed_pq_refined"  -> Set("recall"),
+      "q_minhash_recall"    -> Set("recall"),
       "q_dedup_minhash"     -> Set("jac"),
       "q_dedup_jaccard"     -> Set("jac"),
       // n_shared/n_sh — identical IEEE division of identical integer operands
       "q_containment"       -> Set("containment"),
+      "q_containment_capped" -> Set("containment"),
       "q_text_quality"      -> Set("stopword_ratio", "punct_ratio"),
       // raw source column passed through unchanged — both engines read the
       // identical parquet value, no arithmetic happens
