@@ -425,6 +425,27 @@ object M5Queries {
       TextDedup.containmentPairs(TextDedup.documents(s, dir), threshold = 0.8)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // ---- dedup: corpus-level exact line dedup (RefinedWeb-style
+    // boilerplate removal). The corpus is single-line word salad, so the
+    // query INJECTS a deterministic multi-line page frame per document
+    // (documented oracle-twin input construction, like q_pii_redact):
+    // an every-doc banner (df 500 -> boilerplate, dropped everywhere), the
+    // doc body (unique -> kept), a short share-line (< 10 chars -> exempt),
+    // a df-5 promo line (kept only in its group's smallest doc_id), and a
+    // df-100 copyright line (boilerplate, dropped everywhere)
+    "q_line_dedup" -> ((s, dir) => {
+      val injected = TextDedup.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          lit("subscribe to our newsletter today for free updates"),
+          col("text"),
+          concat(lit("share "), (col("doc_id") % 7).cast("string")),
+          concat(lit("promo code "), (col("doc_id") % 100).cast("string")),
+          concat(lit("copyright "), (col("doc_id") % 5).cast("string"),
+            lit(" all rights reserved"))).as("text"))
+      TextDedup.lineDedup(injected, minLineChars = 10, boilerplateDf = 50)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dedup: containment with the stop-shingle document-frequency cap
     // (the corpus-scale skew knob): shingles appearing in > maxDf docs are
     // boilerplate, excluded from the numerator before the self-join —
@@ -1190,6 +1211,28 @@ object M5Queries {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
          |FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_line_dedup" ->
+      s"""WITH injected AS (SELECT doc_id,
+         |  'subscribe to our newsletter today for free updates' || chr(10) ||
+         |  text || chr(10) ||
+         |  'share ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+         |  'promo code ' || CAST(doc_id % 100 AS VARCHAR) || chr(10) ||
+         |  'copyright ' || CAST(doc_id % 5 AS VARCHAR) || ' all rights reserved' AS text
+         | FROM documents),
+         | ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM injected),
+         | lines AS (SELECT doc_id, unnest(range(len(l))) AS pos, unnest(l) AS line FROM ls),
+         | dfreq AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1),
+         | rn AS (SELECT doc_id, pos, line,
+         |   row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM lines),
+         | kept AS (SELECT r.doc_id, r.pos, r.line,
+         |   (length(r.line) < 10 OR (d.df <= 50 AND r.rn = 1)) AS keep
+         |  FROM rn r JOIN dfreq d USING (line))
+         |SELECT doc_id,
+         | COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS text_dedup,
+         | count(*) AS n_lines,
+         | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // stop-shingle cap mirror: hashes in > 4 docs leave the numerator
     // join; the n_sh denominator stays uncapped (lower-bound contract)

@@ -181,6 +181,55 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("containment"))
   }
 
+  /** Corpus-level exact LINE dedup (the RefinedWeb / C4 family's
+    * boilerplate-line removal, arXiv:2306.01116 §3.3): a line occurring in
+    * many documents ("all rights reserved…", nav menus, cookie banners)
+    * keeps only its FIRST occurrence in (doc_id, position) order;
+    * documents are reassembled without the dropped lines. Two knobs:
+    *
+    *  - lines shorter than `minLineChars` are exempt (kept everywhere):
+    *    blank lines and one-word lines repeat by nature, not by scraping;
+    *  - lines whose document frequency exceeds `boilerplateDf` are
+    *    dropped EVERYWHERE, first occurrence included — at that
+    *    frequency the line is template noise, not content.
+    *
+    * Scale shape: lines explode narrow; the first-occurrence choice is a
+    * `min(struct(doc_id, pos))` hash aggregation (map-side combinable —
+    * deliberately NOT a per-line ranking window, whose sort would skew on
+    * exactly the boilerplate lines this operator exists to remove); the
+    * verdict returns by an equi-join keyed on the line; reassembly is one
+    * per-doc aggregation. The shuffles carry line strings at small scale
+    * — the 64-bit-hash + in-bucket-verify spelling of
+    * [[exactDuplicates]] applies unchanged at corpus scale.
+    *
+    * Output: (doc_id, text_dedup, n_lines, n_kept) — empty documents and
+    * documents losing every line reassemble to the empty string.
+    */
+  def lineDedup(docs: DataFrame, minLineChars: Int = 10,
+      boilerplateDf: Long = Long.MaxValue): DataFrame = {
+    require(boilerplateDf >= 1, s"boilerplateDf must be >= 1, got $boilerplateDf")
+    // both the first-occurrence aggregation and the verdict join consume
+    // the same explosion — persist it once
+    val lines = SharedBranch.sharedBranch(docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line"))))
+    val first = lines.groupBy(col("line")).agg(
+      min(struct(col("doc_id"), col("pos"))).as("f"),
+      countDistinct(col("doc_id")).as("df"))
+    val kept = lines.join(first, "line")
+      .withColumn("keep",
+        (length(col("line")) < minLineChars) ||
+          (col("df") <= boilerplateDf &&
+            col("f.doc_id") === col("doc_id") && col("f.pos") === col("pos")))
+    kept.groupBy(col("doc_id")).agg(
+      concat_ws("\n",
+        transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line"))).as("text_dedup"),
+      count(lit(1)).as("n_lines"),
+      sum(col("keep").cast("long")).as("n_kept"))
+  }
+
   /** Exact dedup keep-first via window ranking (the "drop duplicates but
     * keep provenance" variant).
     */

@@ -450,6 +450,33 @@ class M5OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("lineDedup: first occurrence survives, short lines exempt, boilerplate dropped everywhere") {
+    val d = Seq(
+      (1L, "common header line here\nunique body of document one\nok"),
+      (2L, "common header line here\nunique body of document two\nok"),
+      (3L, "common header line here\nunique body of document three\nok"))
+      .toDF("doc_id", "text")
+    // boilerplateDf=2 < df(header)=3: the header vanishes from EVERY doc,
+    // including the first; "ok" (< 10 chars) is exempt and kept everywhere
+    val capped = TextDedup.lineDedup(d, minLineChars = 10, boilerplateDf = 2)
+      .orderBy($"doc_id").as[(Long, String, Long, Long)].collect()
+    assert(capped(0) == ((1L, "unique body of document one\nok", 3L, 2L)))
+    assert(capped(1) == ((2L, "unique body of document two\nok", 3L, 2L)))
+    assert(capped(2) == ((3L, "unique body of document three\nok", 3L, 2L)))
+    // without the cap, keep-first applies: doc 1 keeps the header, 2/3 lose it
+    val keepFirst = TextDedup.lineDedup(d, minLineChars = 10)
+      .orderBy($"doc_id").as[(Long, String, Long, Long)].collect()
+    assert(keepFirst(0) == ((1L, "common header line here\nunique body of document one\nok", 3L, 3L)))
+    assert(keepFirst(1) == ((2L, "unique body of document two\nok", 3L, 2L)))
+    assert(keepFirst(2) == ((3L, "unique body of document three\nok", 3L, 2L)))
+    // a doc losing every line reassembles to the empty string
+    val all = Seq((1L, "exactly the same long line"), (2L, "exactly the same long line"))
+      .toDF("doc_id", "text")
+    val gone = TextDedup.lineDedup(all, minLineChars = 10, boilerplateDf = 1)
+      .orderBy($"doc_id").as[(Long, String, Long, Long)].collect()
+    assert(gone(0) == ((1L, "", 1L, 0L)) && gone(1) == ((2L, "", 1L, 0L)))
+  }
+
   test("multimodal chunks reassemble to the original bytes") {
     val media = spark.createDataFrame(Seq(
       (1L, "0123456789abcdefXYZ"), (2L, ""), (3L, "short"))).toDF("media_id", "s")
