@@ -467,6 +467,22 @@ object M5Queries {
         targetClusterSize = 32L)
         .orderBy(col("vec_id"))),
 
+    // ---- similarity: SemDeDup with the PAPER's keep policy — each
+    // near-copy pair keeps the member farther from its cluster centroid
+    // (exact quantized-integer distance, id tiebreak), preserving cluster
+    // outer structure instead of smallest-id provenance
+    "q_semdedup_farthest" -> ((s, dir) =>
+      Similarity.semDedup(Similarity.embeddings(s, dir), k = 8, threshold = 0.9,
+        keepFarthest = true)
+        .orderBy(col("vec_id"))),
+
+    // ---- similarity: corpus k-NN graph — every vector's top-3 neighbors
+    // by exact cosine within its IVF bucket (one bucket-keyed exchange;
+    // the graph-based-curation building block)
+    "q_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(Similarity.embeddings(s, dir), k = 3, centroids = 8)
+        .orderBy(col("vec_id"), col("rank"))),
+
     // ---- dedup: MinHash-LSH recall measured, not asserted — per-lang
     // fraction of exact-Jaccard pairs (same threshold) the banded pipeline
     // recovers, mirroring q_embed_ivf_recall's measured-quality pattern.
@@ -1265,6 +1281,37 @@ object M5Queries {
          |SELECT t.vec_id, t.bucket AS cluster, d.vec_id IS NULL AS keep
          |FROM assigned t LEFT JOIN dups d ON t.vec_id = d.vec_id
          |ORDER BY t.vec_id""".stripMargin,
+
+    "q_semdedup_farthest" ->
+      s"""WITH v AS (${frag.vecs}),
+         |${frag.kmeansCtes(8)},
+         | assigned AS (SELECT vec_id, v, qv, centroid_id AS bucket FROM (
+         |   SELECT a.vec_id, a.v, a.qv, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${frag.l2q("a.qv", "c.cqv")}, c.centroid_id) rn
+         |   FROM qvt a CROSS JOIN cents_q c) WHERE rn = 1),
+         | dcs AS (SELECT a.vec_id, a.v, a.bucket, ${frag.l2q("a.qv", "c.cqv")} AS dc
+         |   FROM assigned a JOIN cents_q c ON a.bucket = c.centroid_id),
+         | dups AS (SELECT DISTINCT a.vec_id
+         |   FROM dcs a JOIN dcs b ON a.bucket = b.bucket
+         |     AND (b.dc > a.dc OR (b.dc = a.dc AND b.vec_id < a.vec_id))
+         |   WHERE ${frag.cosine("a.v", "b.v")} >= 0.9)
+         |SELECT t.vec_id, t.bucket AS cluster, d.vec_id IS NULL AS keep
+         |FROM dcs t LEFT JOIN dups d ON t.vec_id = d.vec_id
+         |ORDER BY t.vec_id""".stripMargin,
+
+    "q_knn_graph" ->
+      s"""WITH v AS (${frag.vecs}),
+         |${frag.kmeansCtes(8)},
+         | assigned AS (SELECT vec_id, v, centroid_id AS bucket FROM (
+         |   SELECT a.vec_id, a.v, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${frag.l2q("a.qv", "c.cqv")}, c.centroid_id) rn
+         |   FROM qvt a CROSS JOIN cents_q c) WHERE rn = 1)
+         |SELECT vec_id, neighbor_id, cos, rank::INT AS rank FROM (
+         | SELECT a.vec_id, b.vec_id AS neighbor_id, ${frag.cosine("a.v", "b.v")} AS cos,
+         |  row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY ${frag.cosine("a.v", "b.v")} DESC, b.vec_id) AS rank
+         | FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
     "q_minhash_recall" ->
       s"""WITH sh AS (${frag.shingleHashes}),

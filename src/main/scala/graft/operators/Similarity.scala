@@ -387,10 +387,20 @@ object Similarity {
     *
     * Cluster assignment itself stays a narrow codegen argmin.
     *
+    * Keep policy: by default a near-copy pair keeps the LOWER id
+    * (deterministic, metadata-free). `keepFarthest = true` is the
+    * paper's policy — keep the member FARTHER from its cluster centroid
+    * (it preserves the cluster's outer structure; near-centroid copies
+    * are the redundant ones), measured in the exact quantized-integer
+    * metric with ties to the smaller id. The centroid distances come
+    * from one broadcast join against the k-row codebook — the big side
+    * still never shuffles for it.
+    *
     * Output: (vec_id, cluster, keep).
     */
   def semDedup(embs: DataFrame, k: Int = 8, threshold: Double = 0.9,
-      targetClusterSize: Long = 0L, subPlanes: Int = 0): DataFrame = {
+      targetClusterSize: Long = 0L, subPlanes: Int = 0,
+      keepFarthest: Boolean = false): DataFrame = {
     val kEff =
       if (targetClusterSize > 0)
         math.max(k.toLong, (embs.count() + targetClusterSize - 1) / targetClusterSize).toInt
@@ -398,7 +408,21 @@ object Similarity {
     val cb = kmeansCodebookCents(embs, kEff)
     // consumed by THREE branches (both self-join sides + the verdict
     // join) — persist so the quantize+argmin projection runs once
-    val base = assignToCodebook(withQuantized(embs), cb)
+    val vq = withQuantized(embs)
+    val base0 = assignToCodebook(vq, cb)
+    val base =
+      if (!keepFarthest) base0
+      else {
+        // distance to own centroid: broadcast join on the k-row codebook
+        val centsDf = broadcast(embs.sparkSession
+          .createDataFrame(cb).toDF("bucket", "cqv"))
+        vq.select(col("vec_id"), col("v"), col("qv"),
+            graft.functions.CentroidExpressions.nearestCentroidId(col("qv"), lit(0),
+              cb.map { case (cid, cqv) => (0, cid, cqv) }).as("bucket"))
+          .join(centsDf, "bucket")
+          .withColumn("dc", l2sqQ(col("qv"), col("cqv")))
+          .select(col("vec_id"), col("v"), col("bucket"), col("dc"))
+      }
     val assigned = SharedBranch.sharedBranch(
       if (subPlanes > 0) base.withColumn("subb", lshBucket(col("v"), subPlanes))
       else base)
@@ -406,14 +430,49 @@ object Similarity {
       if (subPlanes > 0)
         col("a.bucket") === col("b.bucket") && col("a.subb") === col("b.subb")
       else col("a.bucket") === col("b.bucket")
+    // the surviving partner: lower id, or (paper policy) farther from
+    // the centroid with id as the deterministic tiebreak
+    val bWins =
+      if (!keepFarthest) col("b.vec_id") < col("a.vec_id")
+      else col("b.dc") > col("a.dc") ||
+        (col("b.dc") === col("a.dc") && col("b.vec_id") < col("a.vec_id"))
     val dups = assigned.as("a")
-      .join(assigned.as("b"), sameKey && col("b.vec_id") < col("a.vec_id"))
+      .join(assigned.as("b"), sameKey && bWins)
       .filter(cosine(col("a.v"), col("b.v")) >= threshold)
       .select(col("a.vec_id").as("vec_id")).distinct()
     assigned
       .join(dups.withColumn("_dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("bucket").as("cluster"),
         coalesce(col("_dup"), lit(false)).unary_!.as("keep"))
+  }
+
+  /** k-NN graph over the WHOLE corpus: every vector's `k` nearest
+    * neighbors by exact cosine among candidates sharing its IVF bucket —
+    * the building block of graph-based curation (diversity sampling,
+    * label propagation, SemDeDup variants). Differs from [[annIvfTopK]]
+    * in cardinality, which changes the plan: there the query set is a
+    * broadcast handful; here EVERY vector is a query, so the corpus makes
+    * one bucket-keyed exchange and the pair space is per-bucket (the IVF
+    * recall/cost tradeoff), ranked by a window partitioned per vector.
+    * Edges stay within buckets by construction — the graph is
+    * approximate exactly where IVF is.
+    *
+    * Output: (vec_id, neighbor_id, cos, rank), rank 1..k per vector
+    * (fewer if its bucket is small).
+    */
+  def knnGraph(embs: DataFrame, k: Int, centroids: Int = 8): DataFrame = {
+    val cb = kmeansCodebookCents(embs, centroids)
+    // both self-join sides read the same assignment projection
+    val assigned = SharedBranch.sharedBranch(
+      assignToCodebook(withQuantized(embs), cb))
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
   }
 
   /** LSH-bucketed near-dup pairs: the scale path for embedding dedup —

@@ -440,6 +440,76 @@ class M5OperatorsSpec extends AnyFunSuite {
       s"sub-bucketing must split the dominant cluster: maxSub=$maxSub maxCluster=$maxCluster")
   }
 
+  /** Local mirror of the quantized-integer k-means assignment: quantize
+    * (floor ×2²⁰), argmin integer L2 to the codebook, ties to the smaller
+    * centroid id. Returns (cluster, distance-to-own-centroid) per vector.
+    */
+  private def localAssign(vecs: Map[Long, Seq[Double]],
+      cb: Seq[(Long, Seq[Long])]): Map[Long, (Long, Long)] =
+    vecs.map { case (id, v) =>
+      val qv = v.map(x => math.floor(x * 1048576.0).toLong)
+      val scored = cb.map { case (cid, cqv) =>
+        (cid, qv.zip(cqv).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      val (cid, dc) = scored.minBy { case (cid, d) => (d, cid) }
+      id -> (cid, dc)
+    }
+
+  private def localCos(a: Seq[Double], b: Seq[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+
+  test("semDedup keepFarthest ≡ naive rule: dropped iff a beating near-copy exists in the cluster") {
+    val embs = Similarity.embeddings(spark, sf)
+    val vecs = embs.select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val assign = localAssign(vecs, Similarity.kmeansCodebookCents(embs, 8))
+    // 0.35, not 0.9: the sf0.001 corpus is near-random unit vectors with
+    // no 0.9-cosine pairs — a threshold that never fires tests nothing
+    val threshold = 0.35
+    val expectedDropped = vecs.keys.filter { a =>
+      val (ca, dca) = assign(a)
+      vecs.keys.exists { b =>
+        val (cb2, dcb) = assign(b)
+        b != a && cb2 == ca &&
+          (dcb > dca || (dcb == dca && b < a)) &&
+          localCos(vecs(a), vecs(b)) >= threshold
+      }
+    }.toSet
+    val got = Similarity.semDedup(embs, k = 8, threshold = threshold, keepFarthest = true)
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.map(_._1).toSet == vecs.keySet)
+    val dropped = got.filter(!_._3).map(_._1).toSet
+    assert(dropped == expectedDropped,
+      s"extra=${dropped -- expectedDropped} missing=${expectedDropped -- dropped}")
+    assert(expectedDropped.nonEmpty, "corpus chosen so the policy actually fires")
+    // the two policies must agree on WHICH pairs are near-copies, so the
+    // number of clusters and total rows agree even when drop sets differ
+    val lowestId = Similarity.semDedup(embs, k = 8, threshold = threshold)
+      .as[(Long, Long, Boolean)].collect()
+    assert(lowestId.map(r => r._1 -> r._2).toMap == got.map(r => r._1 -> r._2).toMap)
+  }
+
+  test("knnGraph ≡ naive per-bucket top-k (cosine, id ties)") {
+    val embs = Similarity.embeddings(spark, sf)
+    val vecs = embs.select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val assign = localAssign(vecs, Similarity.kmeansCodebookCents(embs, 8))
+    val naive = vecs.keys.flatMap { a =>
+      vecs.keys.toSeq
+        .filter(b => b != a && assign(b)._1 == assign(a)._1)
+        .map(b => (b, localCos(vecs(a), vecs(b))))
+        .sortBy { case (b, c) => (-c, b) }
+        .take(3).zipWithIndex
+        .map { case ((b, _), i) => (a, b, i + 1) }
+    }.toSet
+    val got = Similarity.knnGraph(embs, k = 3, centroids = 8)
+      .select($"vec_id", $"neighbor_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == naive,
+      s"extra=${(got -- naive).take(5)} missing=${(naive -- got).take(5)}")
+  }
+
   test("minhash recall: measured per-lang recall is in [0,1] and counts are consistent") {
     val recall = M5Queries.queries("q_minhash_recall")(spark, sf)
       .as[(String, Long, Long, Double)].collect()
