@@ -476,6 +476,13 @@ object M5Queries {
         keepFarthest = true)
         .orderBy(col("vec_id"))),
 
+    // ---- similarity: codebook distortion measured, not guessed — the
+    // inertia/count per cluster in exact BIGINT arithmetic (the recall
+    // side is q_embed_ivf_recall; together they bracket codebook quality)
+    "q_kmeans_quality" -> ((s, dir) =>
+      Similarity.kmeansQuality(Similarity.embeddings(s, dir), k = 8)
+        .orderBy(col("cluster"))),
+
     // ---- similarity: corpus k-NN graph — every vector's top-3 neighbors
     // by exact cosine within its IVF bucket (one bucket-keyed exchange;
     // the graph-based-curation building block)
@@ -1298,6 +1305,18 @@ object M5Queries {
          |SELECT t.vec_id, t.bucket AS cluster, d.vec_id IS NULL AS keep
          |FROM dcs t LEFT JOIN dups d ON t.vec_id = d.vec_id
          |ORDER BY t.vec_id""".stripMargin,
+
+    "q_kmeans_quality" ->
+      s"""WITH v AS (${frag.vecs}),
+         |${frag.kmeansCtes(8)},
+         | assigned AS (SELECT vec_id, qv, centroid_id AS bucket FROM (
+         |   SELECT a.vec_id, a.qv, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${frag.l2q("a.qv", "c.cqv")}, c.centroid_id) rn
+         |   FROM qvt a CROSS JOIN cents_q c) WHERE rn = 1)
+         |SELECT a.bucket AS cluster, count(*) AS n_vectors,
+         | CAST(sum(${frag.l2q("a.qv", "c.cqv")}) AS BIGINT) AS inertia
+         |FROM assigned a JOIN cents_q c ON a.bucket = c.centroid_id
+         |GROUP BY 1 ORDER BY cluster""".stripMargin,
 
     "q_knn_graph" ->
       s"""WITH v AS (${frag.vecs}),

@@ -446,6 +446,29 @@ object Similarity {
         coalesce(col("_dup"), lit(false)).unary_!.as("keep"))
   }
 
+  /** Codebook quality measured, not guessed — the distortion side of the
+    * story whose recall side is `q_embed_ivf_recall`: per cluster, the
+    * member count and the INERTIA (sum of quantized-integer squared L2 to
+    * the own centroid — the quantity Lloyd iterations minimize). Exact
+    * BIGINT arithmetic end to end, so the numbers are oracle-reproducible
+    * and comparable across k/iters choices. One narrow argmin projection
+    * + a broadcast join on the k-row codebook + one k-row aggregation;
+    * the corpus never shuffles.
+    *
+    * Output: (cluster, n_vectors, inertia).
+    */
+  def kmeansQuality(embs: DataFrame, k: Int = 8): DataFrame = {
+    val cb = kmeansCodebookCents(embs, k)
+    val centsDf = broadcast(embs.sparkSession.createDataFrame(cb).toDF("bucket", "cqv"))
+    withQuantized(embs)
+      .select(col("vec_id"), col("qv"),
+        graft.functions.CentroidExpressions.nearestCentroidId(col("qv"), lit(0),
+          cb.map { case (cid, cqv) => (0, cid, cqv) }).as("bucket"))
+      .join(centsDf, "bucket")
+      .groupBy(col("bucket").as("cluster"))
+      .agg(count(lit(1)).as("n_vectors"), sum(l2sqQ(col("qv"), col("cqv"))).as("inertia"))
+  }
+
   /** k-NN graph over the WHOLE corpus: every vector's `k` nearest
     * neighbors by exact cosine among candidates sharing its IVF bucket —
     * the building block of graph-based curation (diversity sampling,

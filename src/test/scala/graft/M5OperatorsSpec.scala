@@ -547,6 +547,41 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(gone(0) == ((1L, "", 1L, 0L)) && gone(1) == ((2L, "", 1L, 0L)))
   }
 
+  test("property: lineDedup ≡ naive corpus-wide keep-first (seeded multi-line corpora)") {
+    import org.scalacheck.{Gen, rng}
+    // tiny line vocabulary so lines genuinely repeat across documents;
+    // mixed lengths so the short-line exemption fires
+    val lineGen = Gen.oneOf(
+      "the quick brown fox jumps", "all rights reserved today",
+      "subscribe now", "ok", "", "unique snowflake phrase appears")
+    val docGen = Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, lineGen).map(_.mkString("\n")))
+    val corpus = Gen.listOfN(25, docGen)
+      .pureApply(Gen.Parameters.default, rng.Seed(1717L))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for ((minLen, bdf) <- Seq((10, Long.MaxValue), (10, 3L), (1, 2L))) {
+      val got = TextDedup.lineDedup(corpus.toDF("doc_id", "text"), minLen, bdf)
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      // naive: first (doc_id, pos) per line; df over distinct docs
+      val lines = corpus.flatMap { case (id, t) =>
+        t.split("\n", -1).zipWithIndex.map { case (l, p) => (id, p, l) }
+      }
+      val first = lines.groupBy(_._3).map { case (l, occ) =>
+        l -> occ.map(o => (o._1, o._2)).min
+      }
+      val df = lines.groupBy(_._3).map { case (l, occ) => l -> occ.map(_._1).distinct.size }
+      val naive = corpus.map { case (id, t) =>
+        val ls = t.split("\n", -1).zipWithIndex
+        val kept = ls.filter { case (l, p) =>
+          l.length < minLen || (df(l) <= bdf && first(l) == ((id, p)))
+        }
+        id -> ((kept.map(_._1).mkString("\n"), ls.length.toLong, kept.length.toLong))
+      }.toMap
+      assert(got == naive, s"minLen=$minLen bdf=$bdf: " +
+        s"diff=${(got.toSet -- naive.toSet).take(3)} / ${(naive.toSet -- got.toSet).take(3)}")
+    }
+  }
+
   test("multimodal chunks reassemble to the original bytes") {
     val media = spark.createDataFrame(Seq(
       (1L, "0123456789abcdefXYZ"), (2L, ""), (3L, "short"))).toDF("media_id", "s")
