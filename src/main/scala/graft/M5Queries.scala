@@ -620,6 +620,20 @@ object M5Queries {
           .select(col("event_id").as("media_id"), encode(col("props"), "UTF-8").as("media")))
         .orderBy(col("media_id"))),
 
+    // ---- multimodal: media → feature-extract (stub encoder) → ANN, end
+    // to end: the pipeline a multimodal corpus runs (decode amortized per
+    // partition, 16-dim pseudo-embeddings, exact-cosine top-5 for 5 query
+    // items through the standard Similarity operator)
+    "q_multimodal_ann" -> ((s, dir) => {
+      val media = t(s, dir, "events")
+        .select(col("event_id").as("media_id"), encode(col("props"), "UTF-8").as("media"))
+      val feats = Multimodal.extractFeatures(media, dims = 16)
+        .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+      Similarity.bruteForceTopK(feats, 0L to 4L, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- multimodal: frame/patch chunk sampling plumbing. The query
     // chunks the payload by CHARACTERS so both engines slice identically
     // on non-ASCII; the byte-level Multimodal.sampleChunks operator is
@@ -1521,6 +1535,27 @@ object M5Queries {
          | CASE WHEN props IS NULL OR strlen(props) = 0 THEN 0
          |      ELSE ${frag.rolling("props")} END AS content_hash
          |FROM events ORDER BY media_id""".stripMargin,
+
+    // 16-dim twin of frag.cosine (whose dot hardcodes the embedding
+    // table's 64 dims); same sequential fold order as CosineSim
+    "q_multimodal_ann" -> {
+      def dot16(a: String, b: String) =
+        s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 16), i -> ($a)[i] * ($b)[i])), (acc, x) -> acc + x)"""
+      val cosQF = s"""(${dot16("q.qv", "f.v")} / (${frag.norm("q.qv")} * ${frag.norm("f.v")}))"""
+      s"""WITH h AS (SELECT event_id,
+         |  CASE WHEN props IS NULL OR strlen(props) = 0 THEN 0 ELSE ${frag.rolling("props")} END AS h
+         | FROM events),
+         | f AS (SELECT event_id AS vec_id,
+         |   list_transform(generate_series(0, 15), d ->
+         |     (((h + d + 1) * 2654435761) % 1000000007)::DOUBLE / 1000000007 - 0.5) AS v
+         |  FROM h),
+         | q AS (SELECT vec_id AS query_id, v AS qv FROM f WHERE vec_id BETWEEN 0 AND 4)
+         |SELECT query_id, neighbor_id, rank::INT AS rank, cos FROM (
+         | SELECT q.query_id, f.vec_id AS neighbor_id, $cosQF AS cos,
+         |  row_number() OVER (PARTITION BY q.query_id ORDER BY $cosQF DESC, f.vec_id) AS rank
+         | FROM f CROSS JOIN q WHERE f.vec_id <> q.query_id)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     "q_multimodal_chunks" ->
       """SELECT media_id, (i - 1)::INT AS chunk_idx,

@@ -72,6 +72,39 @@ object Multimodal {
       }(enc)
   }
 
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("feature", ArrayType(DoubleType))))
+
+  /** Media → embedding plumbing (the feature-extract stage of a
+    * multimodal pipeline): one `dims`-dimensional pseudo-embedding per
+    * item, derived deterministically from the stub decoder's content hash
+    * (integer-hash per dimension scaled to (−0.5, 0.5) — the
+    * [[Similarity.hyperplane]] recipe, so the SQL oracle reproduces every
+    * value bit-for-bit). In production the body of the loop is the real
+    * encoder (CLIP-style image tower, audio frontend); everything around
+    * it — partition-wise batching with per-partition setup amortized,
+    * columnar binary in, small dense vector out — is the real shape, and
+    * the output feeds the [[Similarity]] ANN/dedup operators unchanged.
+    */
+  def extractFeatures(media: DataFrame, dims: Int = 16): DataFrame = {
+    require(dims >= 1, s"dims must be positive, got $dims")
+    val enc = Encoders.row(featureSchema)
+    val P = 1000000007L
+    media.select(col("media_id"), col("media"))
+      .mapPartitions { it =>
+        // per-partition encoder setup would happen here (amortized)
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val (_, _, _, hash) = StubDecoder.decode(bytes)
+          val f = Seq.tabulate(dims)(d =>
+            ((hash + d + 1) * 2654435761L % P).toDouble / P - 0.5)
+          Row(id, f)
+        }
+      }(enc)
+  }
+
   /** Frame/patch sampling plumbing: split a binary blob into fixed-size
     * chunks with index — the shape of video frame-sampling, minus the real
     * codec. Pure narrow `explode`.

@@ -110,6 +110,7 @@ class ContractSpec extends AnyFunSuite {
       "q_embed_ann_lsh"     -> Set("cos"),
       "q_embed_ivf"         -> Set("cos"),
       "q_knn_graph"         -> Set("cos"),
+      "q_multimodal_ann"    -> Set("cos"),
       // n_hits/5.0 — identical IEEE division of identical integer operands
       "q_embed_ivf_recall"  -> Set("recall"),
       "q_embed_pq_recall"   -> Set("recall"),

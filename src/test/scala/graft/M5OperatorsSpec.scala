@@ -595,6 +595,27 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(back(3L) == "short")
   }
 
+  test("multimodal features: deterministic per-item embeddings matching the stub-hash recipe") {
+    val media = spark.createDataFrame(Seq(
+      (1L, Some("{\"k\": 1}")), (2L, Some("")), (3L, None))).toDF("media_id", "s")
+      .select($"media_id", encode($"s", "UTF-8").as("media"))
+    val got = Multimodal.extractFeatures(media, dims = 4)
+      .as[(Long, Seq[Double])].collect().toMap
+    val P = 1000000007L
+    def expected(text: String): Seq[Double] = {
+      val h = if (text.isEmpty) 0L else graft.functions.RollingHash.compute(text)
+      Seq.tabulate(4)(d => ((h + d + 1) * 2654435761L % P).toDouble / P - 0.5)
+    }
+    assert(got(1L) == expected("{\"k\": 1}"))
+    assert(got(2L) == expected("") && got(3L) == expected(""))
+    assert(got.values.forall(_.forall(x => x > -0.5 && x < 0.5)))
+    // the features plug straight into the Similarity operators
+    val feats = Multimodal.extractFeatures(media, dims = 4)
+      .select($"media_id".as("vec_id"), $"feature".as("embedding"))
+    val tk = Similarity.bruteForceTopK(feats, Seq(1L), k = 2)
+    assert(tk.count() == 2)
+  }
+
   test("multimodal metadata is deterministic and total (empty + null safe)") {
     val media = spark.createDataFrame(Seq(
       (1L, Some("{\"k\": 1}")), (2L, Some("")), (3L, None))).toDF("media_id", "s")
