@@ -541,6 +541,19 @@ object M5Queries {
       Curation.decontaminate(TextDedup.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // ---- curation: contamination attribution — per contaminated doc, the
+    // eval doc sharing the most distinct shingles (the triage step after
+    // decontaminate flags it); hash-keyed join + per-doc ranking window
+    "q_contamination_attribution" -> ((s, dir) =>
+      Curation.contaminationAttribution(TextDedup.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // ---- curation: sliding token-window chunking (RAG/fine-tuning
+    // chunker; overlapping windows, partial tail kept) — purely narrow
+    "q_chunk_tokens" -> ((s, dir) =>
+      Curation.chunkByTokens(TextDedup.documents(s, dir), window = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // ---- curation: concat-then-chunk context-window packing over a
     // distributed prefix sum (no single-task window)
     "q_pack_windows" -> ((s, dir) =>
@@ -1399,6 +1412,27 @@ object M5Queries {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
          | LEFT JOIN ov ON d.doc_id = ov.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_contamination_attribution" ->
+      s"""WITH sh AS (${frag.shingleHashes}),
+         | ex AS (SELECT doc_id, unnest(h) AS s FROM sh),
+         | ev AS (SELECT doc_id AS eval_doc, s FROM ex WHERE doc_id % 97 = 0),
+         | p AS (SELECT t.doc_id, ev.eval_doc, count(DISTINCT t.s) AS n_shared
+         |   FROM ex t JOIN ev ON t.s = ev.s WHERE t.doc_id % 97 <> 0
+         |   GROUP BY 1, 2),
+         | r AS (SELECT doc_id, eval_doc, n_shared,
+         |   row_number() OVER (PARTITION BY doc_id ORDER BY n_shared DESC, eval_doc) AS rn
+         |  FROM p)
+         |SELECT doc_id, eval_doc, n_shared FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_tokens" ->
+      s"""WITH t AS (SELECT doc_id, ${frag.toks} w FROM documents),
+         | st AS (SELECT doc_id, w, range(0, len(w), 48) AS r FROM t),
+         | c AS (SELECT doc_id, w, unnest(range(len(r))) AS chunk_idx, unnest(r) AS start FROM st)
+         |SELECT doc_id, chunk_idx::INT AS chunk_idx,
+         | array_to_string(w[start + 1:start + 64], ' ') AS chunk_text,
+         | len(w[start + 1:start + 64])::INT AS n_tokens
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_pack_windows" ->
       s"""WITH c AS (SELECT doc_id, len(${frag.toks})::BIGINT AS n_tokens FROM documents),

@@ -110,6 +110,32 @@ object Curation {
       .withColumn("contaminated", col("n_shared_possible") > 0)
   }
 
+  /** Contamination ATTRIBUTION — the triage step after [[decontaminate]]
+    * flags a document: WHICH eval document leaked into it? Per
+    * contaminated training doc, the eval doc sharing the most distinct
+    * shingles (ties → smallest eval doc id). Same hash-keyed join shape
+    * as the detector — the (train, eval) pair space is bounded by shared
+    * shingles, never train×eval — plus one per-doc ranking window
+    * (partitioned by the training doc, never global).
+    *
+    * Output: (doc_id, eval_doc, n_shared) for contaminated docs only.
+    */
+  def contaminationAttribution(docs: DataFrame, evalModulus: Long = 97L): DataFrame = {
+    val hashes = docs.select(col("doc_id"),
+      explode(TextFunctions.shingleHashes(col("text"), 3)).as("sh"))
+    val evalHashes = hashes.filter(pmod(col("doc_id"), lit(evalModulus)) === 0)
+      .select(col("doc_id").as("eval_doc"), col("sh"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_shared").desc, col("eval_doc"))
+    hashes.filter(pmod(col("doc_id"), lit(evalModulus)) =!= 0)
+      .join(evalHashes, "sh")
+      .groupBy(col("doc_id"), col("eval_doc"))
+      .agg(countDistinct(col("sh")).as("n_shared"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("eval_doc"), col("n_shared"))
+  }
+
   /** Unicode normalization — the standard ingest step BEFORE any
     * hash-based dedup: decomposed and precomposed spellings of the same
     * grapheme ("é" as e+◌́ vs U+00E9) must hash identically or near-dup
@@ -152,6 +178,30 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"), col("start_tok"),
         col("bin_first"), col("bin_last"),
         coalesce(col("bin_last") - col("bin_first") + 1, lit(0L)).as("n_bins"))
+  }
+
+  /** Sliding token-window chunking (the RAG / fine-tuning chunker, as
+    * opposed to [[packContextWindows]]'s concat-then-cut pretraining
+    * layout): each document emits windows of `window` tokens every
+    * `stride` tokens — overlapping when stride < window — with the final
+    * partial window kept. Purely narrow per-row work (tokenize once,
+    * explode the start offsets, slice); no cross-row step at all, so it
+    * scales embarrassingly.
+    *
+    * Output: (doc_id, chunk_idx, chunk_text, n_tokens); empty documents
+    * emit no chunks.
+    */
+  def chunkByTokens(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, s"window/stride must be positive, got $window/$stride")
+    val toks = TextFunctions.tokens(col("text"))
+    val n = size(toks)
+    val starts = when(n > 0, sequence(lit(0), n - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    docs.select(col("doc_id"), toks.as("toks"),
+        posexplode(starts).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(window))).as("chunk_text"),
+        size(slice(col("toks"), col("start") + 1, lit(window))).as("n_tokens"))
   }
 
   // ---- balanced output sharding --------------------------------------

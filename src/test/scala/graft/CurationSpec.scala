@@ -16,6 +16,34 @@ class CurationSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
   lazy val docs = TextDedup.documents(spark, sf).cache()
 
+  test("chunkByTokens: overlapping windows, partial tail, empty doc emits nothing") {
+    val d = Seq((1L, "a b c d e f g"), (2L, ""), (3L, "x y")).toDF("doc_id", "text")
+    val got = Curation.chunkByTokens(d, window = 4, stride = 3)
+      .orderBy($"doc_id", $"chunk_idx")
+      .as[(Long, Int, String, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0, "a b c d", 4), (1L, 1, "d e f g", 4), (1L, 2, "g", 1),
+      (3L, 0, "x y", 2)))
+  }
+
+  test("contaminationAttribution: the eval doc with the largest shingle overlap wins, ties to smallest") {
+    val base = "one two three four five six seven eight nine ten "
+    val d = Seq(
+      (0L, base * 3),                      // eval (0 % 97 == 0): big overlap
+      (97L, base),                         // eval: subset of 0's shingles
+      (5L, base * 2 + "tail words here"),  // training: overlaps both evals
+      (6L, "nothing shared at all"))       // training: clean
+      .toDF("doc_id", "text")
+    val got = Curation.contaminationAttribution(d)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, c) => a -> ((b, c)) }.toMap
+    assert(got.keySet == Set(5L), s"only the contaminated doc is attributed: $got")
+    // doc 0 shares strictly more distinct shingles with doc 5 than doc 97
+    // does (the repeated base contributes boundary shingles like
+    // "ten one two" that plain base lacks) -> 0 attributed
+    assert(got(5L)._1 == 0L)
+  }
+
   // ---- PrefixSum ------------------------------------------------------
 
   test("PrefixSum ≡ naive unpartitioned running sum (same values, no single-task window)") {
