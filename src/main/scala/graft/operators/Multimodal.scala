@@ -98,8 +98,13 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           val (_, _, _, hash) = StubDecoder.decode(bytes)
+          // floorMod, matching Similarity.hyperplane's pmod: the stub hash
+          // is bounded in [0, P) so the product cannot overflow and the
+          // sign-following % would agree, but a full-range 64-bit hash
+          // source would wrap negative under % while the SQL twin errors —
+          // floorMod keeps the expression non-negative by construction
           val f = Seq.tabulate(dims)(d =>
-            ((hash + d + 1) * 2654435761L % P).toDouble / P - 0.5)
+            Math.floorMod((hash + d + 1) * 2654435761L, P).toDouble / P - 0.5)
           Row(id, f)
         }
       }(enc)

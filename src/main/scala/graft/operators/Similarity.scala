@@ -216,6 +216,25 @@ object Similarity {
     embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("qv", quantize(col("v")))
 
+  /** [[withQuantized]], persisted once ([[SharedBranch]]): codebook
+    * training (three bounded collect jobs), corpus assignment, and any
+    * query-side filter then read ONE materialization instead of each
+    * re-running the scan + cast + quantize projection — the index-build
+    * inputs are consumed by 4–5 branches in every consumer below.
+    */
+  private def withQuantizedShared(embs: DataFrame): DataFrame =
+    SharedBranch.sharedBranch(withQuantized(embs))
+
+  /** Seeded k-means codebook over an already-quantized `(vec_id, v, qv)`
+    * frame — the [[withQuantizedShared]] spelling of
+    * [[kmeansCodebookCents]], so training scans the persisted
+    * quantization instead of re-deriving it per Lloyd job.
+    */
+  private def codebookFrom(vq: DataFrame, k: Int): Seq[(Long, Seq[Long])] =
+    kmeansCentsGrouped(
+      vq.select(col("vec_id"), lit(0).as("j"), col("qv")), k, iters = 2)
+      .map { case (_, cid, cqv) => (cid, cqv) }
+
   private def assignToCodebook(vq: DataFrame, cb: Seq[(Long, Seq[Long])]): DataFrame =
     vq.select(col("vec_id"), col("v"),
       graft.functions.CentroidExpressions.nearestCentroidId(col("qv"), lit(0),
@@ -226,8 +245,10 @@ object Similarity {
     * the smaller centroid id. Assignment is a narrow projection — the
     * index build shuffles nothing.
     */
-  def ivfAssign(embs: DataFrame, k: Int): DataFrame =
-    assignToCodebook(withQuantized(embs), kmeansCodebookCents(embs, k))
+  def ivfAssign(embs: DataFrame, k: Int): DataFrame = {
+    val vq = withQuantizedShared(embs)
+    assignToCodebook(vq, codebookFrom(vq, k))
+  }
 
   /** IVF ANN: each query probes its `nprobe` nearest centroid buckets and
     * ranks candidates by exact cosine. At scale the corpus is partitioned
@@ -236,8 +257,8 @@ object Similarity {
     */
   def annIvfTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
       centroids: Int = 8, nprobe: Int = 2): DataFrame = {
-    val cb = kmeansCodebookCents(embs, centroids)
-    val vq = withQuantized(embs)
+    val vq = withQuantizedShared(embs)
+    val cb = codebookFrom(vq, centroids)
     val assigned = assignToCodebook(vq, cb)
     // per query: the nprobe nearest centroids, by the same quantized
     // metric — array_sort of the k (dist, id) structs, sliced, exploded;
@@ -267,10 +288,16 @@ object Similarity {
     * driver-resident index metadata, inlined into the assignment
     * expressions by the consumers.
     */
-  def pqCentsGrouped(embs: DataFrame, m: Int, ksub: Int): Seq[(Int, Long, Seq[Long])] = {
+  def pqCentsGrouped(embs: DataFrame, m: Int, ksub: Int): Seq[(Int, Long, Seq[Long])] =
+    pqCentsFrom(withQuantizedShared(embs), m, ksub)
+
+  /** [[pqCentsGrouped]] over an already-quantized frame (see
+    * [[withQuantizedShared]]).
+    */
+  private def pqCentsFrom(vq: DataFrame, m: Int, ksub: Int): Seq[(Int, Long, Seq[Long])] = {
     require(64 % m == 0, s"m must divide 64, got $m")
     val dsub = 64 / m
-    val sub = withQuantized(embs)
+    val sub = vq
       .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("qv"))
       .select(col("vec_id"), col("j"),
         slice(col("qv"), col("j") * dsub + 1, lit(dsub)).as("qv"))
@@ -285,17 +312,19 @@ object Similarity {
     * 8-bytes-per-vector memory story that makes billion-vector indexes
     * fit on a cluster.
     */
-  def pqEncode(embs: DataFrame, m: Int = 8, ksub: Int = 8): DataFrame =
-    pqEncodeWith(embs, pqCentsGrouped(embs, m, ksub), m)
+  def pqEncode(embs: DataFrame, m: Int = 8, ksub: Int = 8): DataFrame = {
+    val vq = withQuantizedShared(embs)
+    pqEncodeWith(vq, pqCentsFrom(vq, m, ksub), m)
+  }
 
   /** [[pqEncode]] against a codebook trained elsewhere — callers that
     * also need the codebook (ADC) train it ONCE and pass it in;
     * `kmeansCentsGrouped`'s training collects are eager, so calling
-    * [[pqCentsGrouped]] twice would run the whole 3-job training twice.
+    * [[pqCentsFrom]] twice would run the whole 3-job training twice.
     */
-  private def pqEncodeWith(embs: DataFrame, cb: Seq[(Int, Long, Seq[Long])],
+  private def pqEncodeWith(vq: DataFrame, cb: Seq[(Int, Long, Seq[Long])],
       m: Int): DataFrame =
-    withQuantized(embs).select(col("vec_id"),
+    vq.select(col("vec_id"),
       graft.functions.CentroidExpressions.pqCodes(col("qv"), 64 / m, cb).as("codes"))
 
   /** PQ ANN via asymmetric distance computation (ADC): each query
@@ -309,13 +338,14 @@ object Similarity {
   def annPqTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
       m: Int = 8, ksub: Int = 8): DataFrame = {
     val dsub = 64 / m
-    val cb = pqCentsGrouped(embs, m, ksub)
+    val vq = withQuantizedShared(embs)
+    val cb = pqCentsFrom(vq, m, ksub)
     // the one training pass serves both the codes and the lookup tables
-    val codes = pqEncodeWith(embs, cb, m)
+    val codes = pqEncodeWith(vq, cb, m)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
     val centsDf = broadcast(embs.sparkSession.createDataFrame(cb)
       .toDF("j", "centroid_id", "cqv"))
-    val tables = withQuantized(embs)
+    val tables = vq
       .filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("qv"))
       .join(centsDf)
@@ -401,14 +431,15 @@ object Similarity {
   def semDedup(embs: DataFrame, k: Int = 8, threshold: Double = 0.9,
       targetClusterSize: Long = 0L, subPlanes: Int = 0,
       keepFarthest: Boolean = false): DataFrame = {
+    // consumed by training, the k-sizing count, both self-join sides and
+    // the verdict join — persist FIRST so the sizing count reads the
+    // materialized quantized frame instead of paying its own corpus scan
+    val vq = withQuantizedShared(embs)
     val kEff =
       if (targetClusterSize > 0)
-        math.max(k.toLong, (embs.count() + targetClusterSize - 1) / targetClusterSize).toInt
+        math.max(k.toLong, (vq.count() + targetClusterSize - 1) / targetClusterSize).toInt
       else k
-    val cb = kmeansCodebookCents(embs, kEff)
-    // consumed by THREE branches (both self-join sides + the verdict
-    // join) — persist so the quantize+argmin projection runs once
-    val vq = withQuantized(embs)
+    val cb = codebookFrom(vq, kEff)
     val base0 = assignToCodebook(vq, cb)
     val base =
       if (!keepFarthest) base0
@@ -458,9 +489,10 @@ object Similarity {
     * Output: (cluster, n_vectors, inertia).
     */
   def kmeansQuality(embs: DataFrame, k: Int = 8): DataFrame = {
-    val cb = kmeansCodebookCents(embs, k)
+    val vq = withQuantizedShared(embs)
+    val cb = codebookFrom(vq, k)
     val centsDf = broadcast(embs.sparkSession.createDataFrame(cb).toDF("bucket", "cqv"))
-    withQuantized(embs)
+    vq
       .select(col("vec_id"), col("qv"),
         graft.functions.CentroidExpressions.nearestCentroidId(col("qv"), lit(0),
           cb.map { case (cid, cqv) => (0, cid, cqv) }).as("bucket"))

@@ -46,8 +46,15 @@ object StreamingIncrementalDedup {
     // (foreachBatch redelivery) the index already holds the batch's rows,
     // and without the filter every replayed document would match itself.
     // Partition pruning turns the filter into skipped directories.
+    // Existence goes through Hadoop's FileSystem, not java.io.File: the
+    // production indexDir is an HDFS/S3 URI, where a local-file check is
+    // always false and every batch would silently dedup against an empty
+    // index (all documents marked new, no error raised).
+    val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+    val indexExists =
+      indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(indexPath)
     val index =
-      if (new java.io.File(indexDir).exists())
+      if (indexExists)
         spark.read.parquet(indexDir)
           .filter(col("batch_id") =!= lit(batchId)).drop("batch_id")
       else TextDedup.dedupIndex(batch, perms).limit(0) // empty, right schema
