@@ -18,6 +18,22 @@ object M5Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The q_line_dedup input: documents with a deterministic multi-line
+    * page frame injected (oracle-twin input construction — the corpus is
+    * single-line word salad, see the q_line_dedup comment). Shared by the
+    * direct and hash-only-shuffle line-dedup gates and the end-to-end
+    * pipeline.
+    */
+  private def lineDedupInjected(s: SparkSession, dir: String): DataFrame =
+    TextDedup.documents(s, dir).select(col("doc_id"),
+      concat_ws("\n",
+        lit("subscribe to our newsletter today for free updates"),
+        col("text"),
+        concat(lit("share "), (col("doc_id") % 7).cast("string")),
+        concat(lit("promo code "), (col("doc_id") % 100).cast("string")),
+        concat(lit("copyright "), (col("doc_id") % 5).cast("string"),
+          lit(" all rights reserved"))).as("text"))
+
   /** recall@k of an ANN candidate frame `(query_id, neighbor_id)` against
     * the exact brute-force top-k for queries 0–9 — ONE definition for
     * every approximate path's quality measurement (IVF, ADC, PQ+refine),
@@ -433,18 +449,19 @@ object M5Queries {
     // doc body (unique -> kept), a short share-line (< 10 chars -> exempt),
     // a df-5 promo line (kept only in its group's smallest doc_id), and a
     // df-100 copyright line (boilerplate, dropped everywhere)
-    "q_line_dedup" -> ((s, dir) => {
-      val injected = TextDedup.documents(s, dir).select(col("doc_id"),
-        concat_ws("\n",
-          lit("subscribe to our newsletter today for free updates"),
-          col("text"),
-          concat(lit("share "), (col("doc_id") % 7).cast("string")),
-          concat(lit("promo code "), (col("doc_id") % 100).cast("string")),
-          concat(lit("copyright "), (col("doc_id") % 5).cast("string"),
-            lit(" all rights reserved"))).as("text"))
-      TextDedup.lineDedup(injected, minLineChars = 10, boilerplateDf = 50)
-        .orderBy(col("doc_id"))
-    }),
+    "q_line_dedup" -> ((s, dir) =>
+      TextDedup.lineDedup(lineDedupInjected(s, dir), minLineChars = 10,
+        boilerplateDf = 50)
+        .orderBy(col("doc_id"))),
+
+    // ---- dedup: the same line dedup through the hash-only-shuffle
+    // spelling (64-bit line hashes in every wide exchange, strings
+    // re-attached on the uniform (doc_id, pos) key, collisions diverted
+    // exactly) — identical output, so it shares q_line_dedup's oracle
+    "q_line_dedup_hashed" -> ((s, dir) =>
+      TextDedup.lineDedup(lineDedupInjected(s, dir), minLineChars = 10,
+        boilerplateDf = 50, hashOnlyShuffle = true)
+        .orderBy(col("doc_id"))),
 
     // ---- dedup: containment with the stop-shingle document-frequency cap
     // (the corpus-scale skew knob): shingles appearing in > maxDf docs are
@@ -488,6 +505,16 @@ object M5Queries {
     // the graph-based-curation building block)
     "q_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(Similarity.embeddings(s, dir), k = 3, centroids = 8)
+        .orderBy(col("vec_id"), col("rank"))),
+
+    // ---- similarity: the SKEW-BOUNDED k-NN graph (the 100 TB spelling):
+    // multi-probe sign-LSH sub-buckets inside each IVF bucket cap the
+    // per-join-key pair space at O((subPlanes+1)·sub-bucket²) — one hot
+    // embedding cluster no longer goes quadratic. Candidates = bucket
+    // members within Hamming 1 of the vector's sub-bucket, exactly.
+    "q_knn_graph_bounded" -> ((s, dir) =>
+      Similarity.knnGraph(Similarity.embeddings(s, dir), k = 3, centroids = 8,
+        subPlanes = 4)
         .orderBy(col("vec_id"), col("rank"))),
 
     // ---- dedup: MinHash-LSH recall measured, not asserted — per-lang
@@ -1262,27 +1289,9 @@ object M5Queries {
          |FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    "q_line_dedup" ->
-      s"""WITH injected AS (SELECT doc_id,
-         |  'subscribe to our newsletter today for free updates' || chr(10) ||
-         |  text || chr(10) ||
-         |  'share ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
-         |  'promo code ' || CAST(doc_id % 100 AS VARCHAR) || chr(10) ||
-         |  'copyright ' || CAST(doc_id % 5 AS VARCHAR) || ' all rights reserved' AS text
-         | FROM documents),
-         | ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM injected),
-         | lines AS (SELECT doc_id, unnest(range(len(l))) AS pos, unnest(l) AS line FROM ls),
-         | dfreq AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1),
-         | rn AS (SELECT doc_id, pos, line,
-         |   row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM lines),
-         | kept AS (SELECT r.doc_id, r.pos, r.line,
-         |   (length(r.line) < 10 OR (d.df <= 50 AND r.rn = 1)) AS keep
-         |  FROM rn r JOIN dfreq d USING (line))
-         |SELECT doc_id,
-         | COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS text_dedup,
-         | count(*) AS n_lines,
-         | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_line_dedup" -> lineDedupOracle,
+    // the hash-only spelling is output-identical by contract — one oracle
+    "q_line_dedup_hashed" -> lineDedupOracle,
 
     // stop-shingle cap mirror: hashes in > 4 docs leave the numerator
     // join; the n_sh denominator stays uncapped (lower-bound contract)
@@ -1357,6 +1366,26 @@ object M5Queries {
          |  row_number() OVER (PARTITION BY a.vec_id
          |    ORDER BY ${frag.cosine("a.v", "b.v")} DESC, b.vec_id) AS rank
          | FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    // multi-probe mirror: candidate iff same IVF bucket AND the
+    // sub-buckets differ in at most one of the 4 sign-LSH bits (own
+    // bucket or a single-bit XOR — exactly the Spark side's probe set)
+    "q_knn_graph_bounded" ->
+      s"""WITH v AS (${frag.vecs}),
+         |${frag.kmeansCtes(8)},
+         | assigned AS (SELECT vec_id, v, centroid_id AS bucket,
+         |   (${lshBucketSql("v", 4)})::BIGINT AS subb FROM (
+         |   SELECT a.vec_id, a.v, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${frag.l2q("a.qv", "c.cqv")}, c.centroid_id) rn
+         |   FROM qvt a CROSS JOIN cents_q c) WHERE rn = 1)
+         |SELECT vec_id, neighbor_id, cos, rank::INT AS rank FROM (
+         | SELECT a.vec_id, b.vec_id AS neighbor_id, ${frag.cosine("a.v", "b.v")} AS cos,
+         |  row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY ${frag.cosine("a.v", "b.v")} DESC, b.vec_id) AS rank
+         | FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |  AND (b.subb = a.subb OR b.subb = xor(a.subb, 1) OR b.subb = xor(a.subb, 2)
+         |       OR b.subb = xor(a.subb, 4) OR b.subb = xor(a.subb, 8)))
          |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
     "q_minhash_recall" ->
@@ -1599,6 +1628,32 @@ object M5Queries {
         |      FROM events)
         |ORDER BY media_id, chunk_idx""".stripMargin,
   )
+
+  /** Line-dedup oracle over the injected page-frame corpus (see
+    * [[lineDedupInjected]]); shared by q_line_dedup and its hash-only
+    * shuffle twin, whose outputs are identical by contract.
+    */
+  private lazy val lineDedupOracle: String =
+    s"""WITH injected AS (SELECT doc_id,
+       |  'subscribe to our newsletter today for free updates' || chr(10) ||
+       |  text || chr(10) ||
+       |  'share ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+       |  'promo code ' || CAST(doc_id % 100 AS VARCHAR) || chr(10) ||
+       |  'copyright ' || CAST(doc_id % 5 AS VARCHAR) || ' all rights reserved' AS text
+       | FROM documents),
+       | ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM injected),
+       | lines AS (SELECT doc_id, unnest(range(len(l))) AS pos, unnest(l) AS line FROM ls),
+       | dfreq AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1),
+       | rn AS (SELECT doc_id, pos, line,
+       |   row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM lines),
+       | kept AS (SELECT r.doc_id, r.pos, r.line,
+       |   (length(r.line) < 10 OR (d.df <= 50 AND r.rn = 1)) AS keep
+       |  FROM rn r JOIN dfreq d USING (line))
+       |SELECT doc_id,
+       | COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS text_dedup,
+       | count(*) AS n_lines,
+       | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private lazy val textQualityOracle: String = {
     val stop = TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")

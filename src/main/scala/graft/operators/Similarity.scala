@@ -156,13 +156,32 @@ object Similarity {
     * partial aggregation whose exchange carries k·dims rows.
     *
     * Returns the driver-resident codebook: (centroid_id, cqv) pairs.
+    *
+    * Codebook-ONLY entry point: training's three collect jobs are the
+    * frame's only consumers, so the quantized projection is persisted
+    * locally for the duration of training and RELEASED before returning —
+    * it never joins the session-lifetime pinned set
+    * ([[graft.sources.Tables.registerPinned]]) the frame-returning
+    * consumers ([[ivfAssign]], [[pqEncode]], [[kmeansQuality]]…) use.
     */
   def kmeansCodebookCents(embs: DataFrame, k: Int,
       iters: Int = 2): Seq[(Long, Seq[Long])] =
-    kmeansCentsGrouped(
-      embs.select(col("vec_id"), lit(0).as("j"),
-        quantize(asDouble(col("embedding"))).as("qv")), k, iters)
-      .map { case (_, cid, cqv) => (cid, cqv) }
+    withTrainingPersist(withQuantized(embs)) { vq =>
+      kmeansCentsGrouped(
+        vq.select(col("vec_id"), lit(0).as("j"), col("qv")), k, iters)
+        .map { case (_, cid, cqv) => (cid, cqv) }
+    }
+
+  /** Persist scoped to eager (collect-based) codebook training: the
+    * k-means trainer scans its input once per Lloyd job, so the frame is
+    * materialized for the duration of `body` and unpinned before the
+    * codebook returns — a standalone training call leaves NOTHING in the
+    * storage tier (the ADVICE-r6 pin-lifecycle contract).
+    */
+  private def withTrainingPersist[T](df: DataFrame)(body: DataFrame => T): T = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(df) finally df.unpersist(blocking = false)
+  }
 
   /** Seeded k-means over many independent groups AT ONCE: `subIn` is
     * `(vec_id, j, qv)` and each group `j` trains its own k centroids.
@@ -221,6 +240,16 @@ object Similarity {
     * query-side filter then read ONE materialization instead of each
     * re-running the scan + cast + quantize projection — the index-build
     * inputs are consumed by 4–5 branches in every consumer below.
+    *
+    * Pin lifecycle: the persist registers with
+    * [[graft.sources.Tables.registerPinned]] and lives until the caller
+    * runs `Tables.evictPinned(session)` (Bench/Verify do so per query) or
+    * the context ends. Frame-RETURNING public APIs (ivfAssign, pqEncode,
+    * kmeansQuality, semDedup, annIvfTopK…) need that lifetime — their
+    * lazily-evaluated results read the materialization. Codebook-only
+    * APIs (kmeansCodebookCents, pqCentsGrouped) deliberately do NOT use
+    * it: their collects are eager, so they scope the persist to training
+    * and release it before returning ([[withTrainingPersist]]).
     */
   private def withQuantizedShared(embs: DataFrame): DataFrame =
     SharedBranch.sharedBranch(withQuantized(embs))
@@ -287,9 +316,13 @@ object Similarity {
     * centroids. Returns `(j, centroid_id, cqv)` — m·ksub rows of
     * driver-resident index metadata, inlined into the assignment
     * expressions by the consumers.
+    *
+    * Codebook-ONLY entry point ([[kmeansCodebookCents]] contract): the
+    * training persist is scoped and released before returning, so a
+    * standalone codebook build pins nothing for the session.
     */
   def pqCentsGrouped(embs: DataFrame, m: Int, ksub: Int): Seq[(Int, Long, Seq[Long])] =
-    pqCentsFrom(withQuantizedShared(embs), m, ksub)
+    withTrainingPersist(withQuantized(embs))(pqCentsFrom(_, m, ksub))
 
   /** [[pqCentsGrouped]] over an already-quantized frame (see
     * [[withQuantizedShared]]).
@@ -512,22 +545,63 @@ object Similarity {
     * Edges stay within buckets by construction — the graph is
     * approximate exactly where IVF is.
     *
+    * `subPlanes > 0` bounds the per-bucket pair space for skewed corpora
+    * (one hot embedding cluster otherwise makes the self-join quadratic):
+    * vectors sub-bucket WITHIN their IVF bucket by sign-LSH
+    * ([[lshBucket]]), and — because plain sub-bucketing would lose every
+    * neighbor across a hyperplane boundary — each vector MULTI-PROBES its
+    * own sub-bucket plus all `subPlanes` Hamming-1 neighbor sub-buckets.
+    * The join stays an equi-join keyed on (bucket, sub-bucket); per-key
+    * pair space drops from O(|bucket|²) to
+    * O((subPlanes+1)·|bucket|·max-sub-bucket), and a vector's candidate
+    * list is exactly the bucket members whose sub-bucket is within
+    * Hamming distance 1 of its own (spec-mirrored in M5OperatorsSpec).
+    * One-sided error like `semDedup`'s `subPlanes`: edges to neighbors
+    * ≥ 2 hyperplanes away are missed; per-plane miss probability for
+    * angle θ is θ/π, ≈ 0 for the near-identical vectors a k-NN edge
+    * targets.
+    *
     * Output: (vec_id, neighbor_id, cos, rank), rank 1..k per vector
-    * (fewer if its bucket is small).
+    * (fewer if its bucket — or probed sub-bucket union — is small).
     */
-  def knnGraph(embs: DataFrame, k: Int, centroids: Int = 8): DataFrame = {
-    val cb = kmeansCodebookCents(embs, centroids)
-    // both self-join sides read the same assignment projection
-    val assigned = SharedBranch.sharedBranch(
-      assignToCodebook(withQuantized(embs), cb))
-    assigned.as("a")
-      .join(assigned.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+  def knnGraph(embs: DataFrame, k: Int, centroids: Int = 8,
+      subPlanes: Int = 0): DataFrame =
+    knnGraphCandidates(embs, centroids, subPlanes)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
+
+  /** [[knnGraph]]'s candidate-edge frame before ranking — factored out so
+    * specs can assert the candidate-space bound directly.
+    */
+  private[graft] def knnGraphCandidates(embs: DataFrame, centroids: Int,
+      subPlanes: Int): DataFrame = {
+    val vq = withQuantizedShared(embs)
+    val base = assignToCodebook(vq, codebookFrom(vq, centroids))
+    if (subPlanes == 0) {
+      // both self-join sides read the same assignment projection
+      val assigned = SharedBranch.sharedBranch(base)
+      assigned.as("a")
+        .join(assigned.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+          cosine(col("a.v"), col("b.v")).as("cos"))
+    } else {
+      val assigned = SharedBranch.sharedBranch(
+        base.withColumn("subb", lshBucket(col("v"), subPlanes)))
+      // own sub-bucket + the subPlanes Hamming-1 neighbors; all probe
+      // values are distinct, so a candidate pair is emitted exactly once
+      val probes = assigned.select(col("vec_id"), col("v"), col("bucket"),
+        explode(array((col("subb") +: (0 until subPlanes).map(p =>
+          col("subb").bitwiseXOR(lit(1L << p)))): _*)).as("subb"))
+      probes.join(
+          assigned.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+            col("bucket"), col("subb")),
+          Seq("bucket", "subb"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .select(col("vec_id"), col("neighbor_id"),
+          cosine(col("v"), col("nv")).as("cos"))
+    }
   }
 
   /** LSH-bucketed near-dup pairs: the scale path for embedding dedup —

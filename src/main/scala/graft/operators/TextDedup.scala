@@ -197,25 +197,79 @@ object TextDedup {
     * `min(struct(doc_id, pos))` hash aggregation (map-side combinable —
     * deliberately NOT a per-line ranking window, whose sort would skew on
     * exactly the boilerplate lines this operator exists to remove); the
-    * verdict returns by an equi-join keyed on the line; reassembly is one
-    * per-doc aggregation. The shuffles carry line strings at small scale
-    * — the 64-bit-hash + in-bucket-verify spelling of
-    * [[exactDuplicates]] applies unchanged at corpus scale.
+    * verdict returns by an equi-join; reassembly is one per-doc
+    * aggregation.
+    *
+    * `hashOnlyShuffle` is the 100 TB spelling (the [[exactSubstringDupPairs]]
+    * discipline): the line-keyed aggregation and the verdict join are keyed
+    * on a 64-bit line hash — the string-keyed exchanges, whose heaviest
+    * keys are exactly the boilerplate lines this operator removes, carry
+    * 8-byte hashes instead. Hash collisions are handled EXACTLY, not
+    * assumed away: hashes carrying more than one distinct line string
+    * (detected by a distinct-pair count whose map-side combine reduces
+    * every boilerplate repetition to one row per partition) are diverted
+    * to the string-keyed path — a set that is empty in practice and tiny
+    * by construction, while the clean hashes never shuffle a string. The
+    * verdict re-attaches to the line text by (doc_id, pos) — a uniform
+    * key no boilerplate skew can concentrate. Property-tested ≡ the
+    * direct path under FORCED full- and partial-collision hash functions
+    * (M5OperatorsSpec).
     *
     * Output: (doc_id, text_dedup, n_lines, n_kept) — empty documents and
     * documents losing every line reassemble to the empty string.
     */
   def lineDedup(docs: DataFrame, minLineChars: Int = 10,
-      boilerplateDf: Long = Long.MaxValue): DataFrame = {
+      boilerplateDf: Long = Long.MaxValue, hashOnlyShuffle: Boolean = false): DataFrame =
+    lineDedupKeyed(docs, minLineChars, boilerplateDf, hashOnlyShuffle, xxhash64(_))
+
+  /** [[lineDedup]] with a pluggable line hash — specs inject deliberately
+    * colliding hash functions to prove the collision diversion exact; the
+    * public operator always uses `xxhash64`.
+    */
+  private[graft] def lineDedupKeyed(docs: DataFrame, minLineChars: Int,
+      boilerplateDf: Long, hashOnlyShuffle: Boolean,
+      lineHash: Column => Column): DataFrame = {
     require(boilerplateDf >= 1, s"boilerplateDf must be >= 1, got $boilerplateDf")
     // both the first-occurrence aggregation and the verdict join consume
     // the same explosion — persist it once
     val lines = SharedBranch.sharedBranch(docs.select(col("doc_id"),
       posexplode(split(col("text"), "\n")).as(Seq("pos", "line"))))
-    val first = lines.groupBy(col("line")).agg(
-      min(struct(col("doc_id"), col("pos"))).as("f"),
-      countDistinct(col("doc_id")).as("df"))
-    val kept = lines.join(first, "line")
+    // (doc_id, pos, line, f: first struct(doc_id, pos) of the line, df)
+    val flagged =
+      if (!hashOnlyShuffle) {
+        val first = lines.groupBy(col("line")).agg(
+          min(struct(col("doc_id"), col("pos"))).as("f"),
+          countDistinct(col("doc_id")).as("df"))
+        lines.join(first, "line")
+      } else {
+        val hashed = SharedBranch.sharedBranch(
+          lines.withColumn("lh", lineHash(col("line"))))
+        // hashes carrying >1 distinct string: the (lh, line) distinct is
+        // map-side combinable, so boilerplate lines cost one row per
+        // partition; the survivor set is ~empty and broadcasts
+        val collided = hashed.select(col("lh"), col("line")).distinct()
+          .groupBy(col("lh")).agg(count(lit(1)).as("n_lines"))
+          .filter(col("n_lines") > 1)
+          .select(col("lh"))
+        val slim = hashed.select(col("doc_id"), col("pos"), col("lh"))
+          .join(broadcast(collided), Seq("lh"), "left_anti")
+        val firstClean = slim.groupBy(col("lh")).agg(
+          min(struct(col("doc_id"), col("pos"))).as("f"),
+          countDistinct(col("doc_id")).as("df"))
+        val clean = slim.join(firstClean, "lh")
+          .select(col("doc_id"), col("pos"), col("f"), col("df"))
+        // collision residue: exact string-keyed spelling over a tiny set
+        val collLines = hashed.join(broadcast(collided), Seq("lh"))
+        val firstColl = collLines.groupBy(col("line")).agg(
+          min(struct(col("doc_id"), col("pos"))).as("f"),
+          countDistinct(col("doc_id")).as("df"))
+        val coll = collLines.join(firstColl, "line")
+          .select(col("doc_id"), col("pos"), col("f"), col("df"))
+        // strings re-enter on the uniform (doc_id, pos) key, never on a
+        // boilerplate-skewed line key
+        lines.join(clean.unionByName(coll), Seq("doc_id", "pos"))
+      }
+    val kept = flagged
       .withColumn("keep",
         (length(col("line")) < minLineChars) ||
           (col("df") <= boilerplateDf &&

@@ -510,6 +510,63 @@ class M5OperatorsSpec extends AnyFunSuite {
       s"extra=${(got -- naive).take(5)} missing=${(naive -- got).take(5)}")
   }
 
+  test("knnGraph subPlanes ≡ naive Hamming-1 multi-probe top-k; exhaustive edges survive") {
+    val embs = Similarity.embeddings(spark, sf)
+    val subPlanes = 4
+    // sub-bucket assignment pulled through the SAME expressions the
+    // operator uses; the candidate rule is then mirrored in plain Scala
+    val assigned = Similarity.ivfAssign(embs, k = 8)
+      .withColumn("subb", Similarity.lshBucket($"v", subPlanes))
+      .select($"vec_id", $"v", $"bucket", $"subb")
+      .as[(Long, Seq[Double], Long, Long)].collect()
+    val byId = assigned.map(r => r._1 -> r).toMap
+    val naive = assigned.flatMap { case (a, va, ba, sa) =>
+      assigned.toSeq
+        .filter { case (b, _, bb, sb) =>
+          b != a && bb == ba && java.lang.Long.bitCount(sa ^ sb) <= 1
+        }
+        .map { case (b, vb, _, _) => (b, localCos(va, vb)) }
+        .sortBy { case (b, c) => (-c, b) }
+        .take(3).zipWithIndex
+        .map { case ((b, _), i) => (a, b, i + 1) }
+    }.toSet
+    val got = Similarity.knnGraph(embs, k = 3, centroids = 8, subPlanes = subPlanes)
+      .select($"vec_id", $"neighbor_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == naive,
+      s"extra=${(got -- naive).take(5)} missing=${(naive -- got).take(5)}")
+    assert(byId.nonEmpty && naive.nonEmpty)
+  }
+
+  test("knnGraph: multi-probe sub-buckets bound per-key candidates on a skewed corpus") {
+    // k-means CANNOT split this corpus (k=2 over spread vectors): without
+    // sub-buckets one join key holds O(n) vectors → O(n²) candidate pairs
+    val rnd = new scala.util.Random(7L)
+    val skewed = spark.createDataFrame(
+      (0L until 120L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    val subPlanes = 4
+    val candFull = Similarity.knnGraphCandidates(skewed, centroids = 2, subPlanes = 0).count()
+    val candSub = Similarity.knnGraphCandidates(skewed, centroids = 2, subPlanes = subPlanes).count()
+    // the probe union touches (subPlanes+1)/2^subPlanes ≈ 5/16 of a
+    // uniformly split bucket; require at least a 2× cut to leave slack
+    // for non-uniform sub-bucket sizes
+    // 120 vectors over ≤2 buckets: the ordered-pair space is Σ|b|²−|b|,
+    // ≥ 5000 whenever one bucket holds ≥ 73 of the 120 — clearly O(n²)
+    assert(candFull > 5000L, s"skew corpus: full pair space is O(n²), got $candFull")
+    assert(candSub * 2 <= candFull,
+      s"sub-bucketing must cut the candidate space: $candSub vs $candFull")
+    // per-join-key bound: every (bucket, subb) key's pair contribution is
+    // |probe-side rows| × |build-side rows| ≤ (subPlanes+1)·maxSub², and
+    // maxSub is a fraction of the hot bucket
+    val assigned = Similarity.ivfAssign(skewed, k = 2)
+      .withColumn("subb", Similarity.lshBucket($"v", subPlanes))
+    val maxBucket = assigned.groupBy($"bucket").count().agg(max($"count")).as[Long].head()
+    val maxSub = assigned.groupBy($"bucket", $"subb").count().agg(max($"count")).as[Long].head()
+    assert(maxBucket > 50, "skew corpus: the dominant cluster is O(n)")
+    assert(maxSub * 2 <= maxBucket,
+      s"sub-bucketing must split the hot bucket: maxSub=$maxSub maxBucket=$maxBucket")
+  }
+
   test("minhash recall: measured per-lang recall is in [0,1] and counts are consistent") {
     val recall = M5Queries.queries("q_minhash_recall")(spark, sf)
       .as[(String, Long, Long, Double)].collect()
@@ -579,6 +636,36 @@ class M5OperatorsSpec extends AnyFunSuite {
       }.toMap
       assert(got == naive, s"minLen=$minLen bdf=$bdf: " +
         s"diff=${(got.toSet -- naive.toSet).take(3)} / ${(naive.toSet -- got.toSet).take(3)}")
+    }
+  }
+
+  test("property: lineDedup hash-only shuffle ≡ direct path, incl. forced full/partial hash collisions") {
+    import org.scalacheck.{Gen, rng}
+    val lineGen = Gen.oneOf(
+      "the quick brown fox jumps", "all rights reserved today",
+      "subscribe now", "ok", "", "unique snowflake phrase appears")
+    val docGen = Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, lineGen).map(_.mkString("\n")))
+    val corpus = Gen.listOfN(25, docGen)
+      .pureApply(Gen.Parameters.default, rng.Seed(1717L))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // xxhash64 (the production hash), a 4-bucket hash (partial collisions:
+    // the clean path AND the string-keyed diversion both run), and a
+    // constant hash (EVERY line collides: the diversion carries it all)
+    val hashes: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
+      "xxhash64" -> (c => xxhash64(c)),
+      "mod4" -> (c => pmod(xxhash64(c), lit(4L))),
+      "const" -> (_ => lit(0L)))
+    for ((minLen, bdf) <- Seq((10, Long.MaxValue), (10, 3L), (1, 2L))) {
+      val direct = TextDedup.lineDedup(corpus, minLen, bdf)
+        .as[(Long, String, Long, Long)].collect().toSet
+      hashes.foreach { case (hname, h) =>
+        val hashed = TextDedup.lineDedupKeyed(corpus, minLen, bdf,
+          hashOnlyShuffle = true, lineHash = h)
+          .as[(Long, String, Long, Long)].collect().toSet
+        assert(hashed == direct, s"minLen=$minLen bdf=$bdf hash=$hname: " +
+          s"extra=${(hashed -- direct).take(3)} missing=${(direct -- hashed).take(3)}")
+      }
     }
   }
 
