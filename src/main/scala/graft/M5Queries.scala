@@ -382,6 +382,34 @@ object M5Queries {
       Similarity.lshNearDupPairs(Similarity.embeddings(s, dir), threshold = 0.3)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    // ---- similarity: MULTI-PROBE LSH near-dup pairs — pairs split by a
+    // single hyperplane (silently lost by plain bucketing) are recovered
+    // by probing all Hamming-1 neighbor buckets; candidate rule = bucket
+    // signatures within Hamming distance 1, still an equi-join
+    "q_embed_neardup_lsh_mp" -> ((s, dir) =>
+      Similarity.lshNearDupPairsMultiProbe(Similarity.embeddings(s, dir), threshold = 0.3)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    // ---- similarity: the multi-probe knob's effect MEASURED (the
+    // q_minhash_recall pattern): recall of single-probe vs multi-probe
+    // LSH against the exact label-blocked near-dup pairs at the same
+    // threshold — one row per probe mode
+    "q_embed_lsh_recall" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      val exact = Similarity.cosineNearDupPairs(emb, threshold = 0.3)
+        .select(col("vec_a"), col("vec_b"))
+      def measured(found: DataFrame, mode: String): DataFrame = exact
+        .join(found.select(col("vec_a"), col("vec_b"), lit(1).as("hit")),
+          Seq("vec_a", "vec_b"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_found"))
+        .select(lit(mode).as("probe_mode"), col("n_exact"), col("n_found"),
+          (col("n_found").cast("double") / col("n_exact").cast("double")).as("recall"))
+      measured(Similarity.lshNearDupPairs(emb, threshold = 0.3), "single")
+        .unionByName(measured(
+          Similarity.lshNearDupPairsMultiProbe(emb, threshold = 0.3), "multi"))
+        .orderBy(col("probe_mode"))
+    }),
+
     // ---- similarity: sign-LSH bucketed ANN (the 100 TB path)
     "q_embed_ann_lsh" -> ((s, dir) =>
       Similarity.annLshTopK(Similarity.embeddings(s, dir), 0L to 9L, k = 5, planes = 8)
@@ -426,6 +454,25 @@ object M5Queries {
       val emb = Similarity.embeddings(s, dir)
       recallAtK(emb,
         Similarity.annPqRefineTopK(emb, 0L to 9L, k = 5)
+          .select(col("query_id"), col("neighbor_id")), k = 5)
+    }),
+
+    // ---- similarity: COMPOSED IVF-PQ — the production billion-vector
+    // index shape: probe nprobe coarse buckets, rank in-bucket candidates
+    // by ADC over m-byte codes alone, exact-cosine refine the shortlist.
+    // The corpus reaches the ranking stage only as (bucket, codes).
+    "q_embed_ivfpq" -> ((s, dir) =>
+      Similarity.annIvfPqTopK(Similarity.embeddings(s, dir), 0L to 9L, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))),
+
+    // ---- similarity: IVF-PQ quality measured, not guessed — recall@5 vs
+    // exact brute force, the same metric the IVF / ADC / PQ+refine stages
+    // report individually, so the composition's recall cost is a number
+    "q_embed_ivfpq_recall" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      recallAtK(emb,
+        Similarity.annIvfPqTopK(emb, 0L to 9L, k = 5)
           .select(col("query_id"), col("neighbor_id")), k = 5)
     }),
 
@@ -477,8 +524,8 @@ object M5Queries {
     // ---- similarity: SemDeDup with the cluster count SCALED to the corpus
     // (k_eff = max(8, ceil(n / targetClusterSize)) — the paper's regime,
     // where per-cluster pair work stays O(n · targetClusterSize) instead of
-    // O((n/k)²)). The oracle mirrors k_eff = 16 literally, which is
-    // ceil(500/32) at the sf0.01 scale the driver verifies at.
+    // O((n/k)²)). The oracle DERIVES k_eff from a count over its corpus
+    // CTE with the same integer formula, so it binds at every scale factor.
     "q_semdedup_scaled" -> ((s, dir) =>
       Similarity.semDedup(Similarity.embeddings(s, dir), k = 8, threshold = 0.9,
         targetClusterSize = 32L)
@@ -543,6 +590,17 @@ object M5Queries {
     // semantics, bucket-join shape)
     "q_substring_dups" -> ((s, dir) =>
       TextDedup.exactSubstringDupPairs(TextDedup.documents(s, dir), k = 8)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ---- dedup: exact-substring duplication with the stop-window
+    // document-frequency cap AND the hash-only-shuffle spelling — the two
+    // corpus-scale knobs in one gate. At sf0.01 the cap BINDS (71 windows
+    // have df = 3 > maxDf = 2), so the anti-join path is exercised, not a
+    // no-op flag; n_shared becomes the documented lower bound that
+    // ignores stop-windows.
+    "q_substring_capped" -> ((s, dir) =>
+      TextDedup.exactSubstringDupPairs(TextDedup.documents(s, dir), k = 8,
+        maxDf = 2L, hashOnlyShuffle = true)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // ---- curation: PII redaction. The corpus is synthetic word salad with
@@ -748,7 +806,14 @@ object M5Queries {
       * their centroid; ties → smaller centroid id). Ends with
       * `cents_q(centroid_id, cqv)` and `qvt(vec_id, v, qv)`.
       */
-    def kmeansCtes(k: Int): String = {
+    def kmeansCtes(k: Int): String = kmeansCtesExpr(k.toString)
+
+    /** [[kmeansCtes]] with the cluster count as a SQL EXPRESSION — the
+      * scaled-SemDeDup oracle derives k_eff from a count over the corpus
+      * CTE (mirroring the Spark-side formula) instead of hardcoding the
+      * sf0.01 literal, so verifying at another scale factor stays exact.
+      */
+    def kmeansCtesExpr(kExpr: String): String = {
       def iter(i: Int, prev: String): String =
         s""" a$i AS (SELECT vec_id, qv, centroid_id FROM (
            |   SELECT t.vec_id, t.qv, c.centroid_id,
@@ -761,7 +826,7 @@ object M5Queries {
            | c$i AS (SELECT p.centroid_id, coalesce(m$i.cqv, p.cqv) AS cqv
            |   FROM $prev p LEFT JOIN m$i ON p.centroid_id = m$i.centroid_id)""".stripMargin
       s""" qvt AS (SELECT vec_id, v, list_transform(v, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv FROM v),
-         | c0 AS (SELECT vec_id AS centroid_id, qv AS cqv FROM qvt WHERE vec_id < $k),
+         | c0 AS (SELECT vec_id AS centroid_id, qv AS cqv FROM qvt WHERE vec_id < ($kExpr)),
          |${iter(1, "c0")},
          |${iter(2, "c1")},
          | cents_q AS (SELECT centroid_id, cqv FROM c2)""".stripMargin
@@ -1145,6 +1210,8 @@ object M5Queries {
 
     "q_embed_ann_lsh" -> annLshOracle,
     "q_embed_neardup_lsh" -> embedNearDupLshOracle,
+    "q_embed_neardup_lsh_mp" -> embedNearDupLshMpOracle,
+    "q_embed_lsh_recall" -> embedLshRecallOracle,
 
     "q_embed_ivf" ->
       s"""WITH v AS (${frag.vecs}),
@@ -1256,6 +1323,25 @@ object M5Queries {
          |  ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
 
+    "q_embed_ivfpq" ->
+      s"""$ivfPqChain
+         |SELECT query_id, neighbor_id, rank::INT AS rank, cos FROM ivfpq
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_ivfpq_recall" ->
+      s"""$ivfPqChain,
+         | top AS (SELECT query_id, neighbor_id FROM ivfpq WHERE rank <= 5),
+         | bf AS (SELECT query_id, neighbor_id FROM (
+         |   SELECT query_id, vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY ${frag.cosine("qv", "v.v")} DESC, vec_id) AS rank
+         |   FROM v CROSS JOIN q WHERE vec_id <> query_id)
+         |  WHERE rank <= 5)
+         |SELECT b.query_id, count(t.neighbor_id) AS n_hits,
+         | count(t.neighbor_id) / 5.0 AS recall
+         |FROM bf b LEFT JOIN top t
+         |  ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
+
     "q_semdedup" ->
       s"""WITH v AS (${frag.vecs}),
          |${frag.kmeansCtes(8)},
@@ -1289,6 +1375,19 @@ object M5Queries {
          |FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // cap mirror: df is counted per window HASH (exactly the Spark side's
+    // capDocFrequency key), stop hashes leave before the self-join; the
+    // in-bucket win equality keeps hash collisions harmless
+    "q_substring_capped" ->
+      s"""WITH t AS (SELECT doc_id, ${frag.toks} w FROM documents),
+         | wins AS (SELECT doc_id, win, ${frag.rolling("win")} AS h FROM (
+         |   SELECT doc_id, unnest(list_distinct(${frag.kShingles("w", 8)})) AS win FROM t)),
+         | stop AS (SELECT h FROM (SELECT h, count(*) AS df FROM wins GROUP BY 1) WHERE df > 2),
+         | j AS (SELECT * FROM wins ANTI JOIN stop USING (h))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM j a JOIN j b ON a.h = b.h AND a.win = b.win AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_line_dedup" -> lineDedupOracle,
     // the hash-only spelling is output-identical by contract — one oracle
     "q_line_dedup_hashed" -> lineDedupOracle,
@@ -1309,11 +1408,12 @@ object M5Queries {
          |WHERE p.n_shared::DOUBLE / s.n_sh::DOUBLE >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // k_eff = ceil(500/32) = 16 at the sf0.01 verify scale (the Spark side
-    // computes it from the corpus count; the SQL mirrors it literally)
+    // k_eff DERIVED in SQL exactly as the Spark side derives it —
+    // greatest(8, ceil(n/32)) over the corpus count, all integer — so the
+    // oracle stays correct at ANY scale factor, not just sf0.01's 16
     "q_semdedup_scaled" ->
       s"""WITH v AS (${frag.vecs}),
-         |${frag.kmeansCtes(16)},
+         |${frag.kmeansCtesExpr("SELECT greatest(8, (count(*) + 31) // 32) FROM qvt")},
          | assigned AS (SELECT vec_id, v, centroid_id AS bucket FROM (
          |   SELECT a.vec_id, a.v, c.centroid_id,
          |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${frag.l2q("a.qv", "c.cqv")}, c.centroid_id) rn
@@ -1629,6 +1729,41 @@ object M5Queries {
         |ORDER BY media_id, chunk_idx""".stripMargin,
   )
 
+  /** CTE chain for the composed IVF-PQ oracle: coarse seeded k-means
+    * ([[frag.kmeansCtes]]) + per-subspace PQ ([[frag.pqCtes]]) over the
+    * SAME qvt, then probes (nprobe = 2), ADC ranking of probed-bucket
+    * candidates from codes alone, shortlist 20, exact-cosine refine.
+    * Ends with `ivfpq(query_id, neighbor_id, cos, rank)` — rank
+    * unbounded so consumers slice their own k.
+    */
+  private lazy val ivfPqChain: String =
+    s"""WITH v AS (${frag.vecs}),
+       |${frag.kmeansCtes(8)},
+       |${frag.pqCtes(8, 8)},
+       | assigned AS (SELECT vec_id, centroid_id AS bucket FROM (
+       |   SELECT a.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${frag.l2q("a.qv", "c.cqv")}, c.centroid_id) rn
+       |   FROM qvt a CROSS JOIN cents_q c) WHERE rn = 1),
+       | probes AS (SELECT query_id, centroid_id AS bucket FROM (
+       |   SELECT q.vec_id AS query_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${frag.l2q("q.qv", "c.cqv")}, c.centroid_id) rn
+       |   FROM qvt q CROSS JOIN cents_q c WHERE q.vec_id BETWEEN 0 AND 9) WHERE rn <= 2),
+       | cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       |   FROM assigned a JOIN probes p USING (bucket) WHERE a.vec_id <> p.query_id),
+       | adcs AS (SELECT c.query_id, c.neighbor_id, CAST(sum(t.dsub) AS BIGINT) AS adc
+       |   FROM cand c JOIN pq_codes k ON k.vec_id = c.neighbor_id
+       |     JOIN pq_tab t ON t.query_id = c.query_id AND t.j = k.j AND t.code = k.code
+       |   GROUP BY 1, 2),
+       | sl AS (SELECT query_id, neighbor_id FROM (
+       |   SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) rnk FROM adcs)
+       |  WHERE rnk <= 20),
+       | q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id BETWEEN 0 AND 9),
+       | ivfpq AS (SELECT s.query_id, s.neighbor_id, ${frag.cosine("q.qv", "n.v")} AS cos,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY ${frag.cosine("q.qv", "n.v")} DESC, s.neighbor_id) AS rank
+       |   FROM sl s JOIN v n ON s.neighbor_id = n.vec_id JOIN q USING (query_id))""".stripMargin
+
   /** Line-dedup oracle over the injected page-frame corpus (see
     * [[lineDedupInjected]]); shared by q_line_dedup and its hash-only
     * shuffle twin, whose outputs are identical by contract.
@@ -1694,6 +1829,41 @@ object M5Queries {
        |FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE ${frag.cosine("a.v", "b.v")} >= 0.3
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Multi-probe mirror: a pair qualifies iff the bucket signatures are
+    * within Hamming distance 1 — `bit_count(xor(...)) <= 1` is exactly the
+    * own-bucket ∪ single-bit-flip probe set the Spark side explodes.
+    */
+  private lazy val embedNearDupLshMpOracle: String =
+    s"""WITH v AS (${frag.vecs}),
+       | bv AS (SELECT vec_id, v, (${lshBucketSql("v", 8)})::BIGINT AS bucket FROM v)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${frag.cosine("a.v", "b.v")} AS cos
+       |FROM bv a JOIN bv b
+       |  ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id < b.vec_id
+       |WHERE ${frag.cosine("a.v", "b.v")} >= 0.3
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  private lazy val embedLshRecallOracle: String =
+    s"""WITH v AS (${frag.vecs}),
+       | bv AS (SELECT vec_id, label, v, (${lshBucketSql("v", 8)})::BIGINT AS bucket FROM v),
+       | exact AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       |   FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+       |   WHERE ${frag.cosine("a.v", "b.v")} >= 0.3),
+       | single AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       |   FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |   WHERE ${frag.cosine("a.v", "b.v")} >= 0.3),
+       | multi AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       |   FROM bv a JOIN bv b
+       |     ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id < b.vec_id
+       |   WHERE ${frag.cosine("a.v", "b.v")} >= 0.3)
+       |SELECT probe_mode, n_exact, n_found,
+       | n_found::DOUBLE / n_exact::DOUBLE AS recall FROM (
+       | SELECT 'single' AS probe_mode, count(*) AS n_exact, count(s.va) AS n_found
+       |  FROM exact e LEFT JOIN single s ON e.va = s.va AND e.vb = s.vb
+       | UNION ALL
+       | SELECT 'multi', count(*), count(m.va)
+       |  FROM exact e LEFT JOIN multi m ON e.va = m.va AND e.vb = m.vb)
+       |ORDER BY probe_mode""".stripMargin
 
   private lazy val annLshOracle: String = {
     val bucket = lshBucketSql("v", 8)

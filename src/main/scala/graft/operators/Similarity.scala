@@ -421,6 +421,79 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Composed IVF-PQ ANN — the production billion-vector index shape
+    * (FAISS's IndexIVFPQ): ONE index pairs a coarse quantizer with
+    * per-subspace PQ codes, and a query
+    *
+    *  1. probes its `nprobe` nearest coarse buckets (so only
+    *     nprobe/centroids of the corpus is touched at all),
+    *  2. ranks the probed buckets' candidates by ADC over their m-byte
+    *     codes (the corpus contributes ONLY `bucket` + `codes` — never a
+    *     raw vector — to this stage), and
+    *  3. re-ranks the best `shortlist` candidates by exact cosine against
+    *     raw vectors fetched by id (a bounded, vanishing fraction).
+    *
+    * This composes the two halves [[annIvfTopK]] (probe + exact) and
+    * [[annPqRefineTopK]] (ADC + refine) already implement, on ONE shared
+    * quantized frame: both codebooks train off the same persisted
+    * materialization, and the index projection (bucket, codes) is a
+    * single narrow codegen pass over the corpus. At cluster scale the
+    * index is stored partitioned by bucket, so a query's scan prunes to
+    * its probed partitions and reads 1+m bytes per candidate.
+    *
+    * Output: (query_id, neighbor_id, cos, rank), rank 1..k by exact
+    * cosine over the shortlist (ties to the smaller neighbor id).
+    */
+  def annIvfPqTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
+      centroids: Int = 8, nprobe: Int = 2, m: Int = 8, ksub: Int = 8,
+      shortlist: Int = 20): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val dsub = 64 / m
+    val vq = withQuantizedShared(embs)
+    val cb = codebookFrom(vq, centroids)
+    val pqcb = pqCentsFrom(vq, m, ksub)
+    // the stored index: ONE narrow projection — coarse bucket + m codes
+    val indexed = vq.select(col("vec_id"),
+      graft.functions.CentroidExpressions.nearestCentroidId(col("qv"), lit(0),
+        cb.map { case (cid, cqv) => (0, cid, cqv) }).as("bucket"),
+      graft.functions.CentroidExpressions.pqCodes(col("qv"), dsub, pqcb).as("codes"))
+    // query side (tiny): probed buckets + ADC lookup tables + raw vector
+    val queries = vq.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("v").as("qvec"), col("qv"))
+    val probeCands = array_sort(array(cb.map { case (cid, cqv) =>
+      struct(l2sqQ(col("qv"), typedLit(cqv)).as("dist"), lit(cid).as("centroid_id"))
+    }: _*))
+    val probes = queries
+      .select(col("query_id"), explode(slice(probeCands, 1, nprobe)).as("probe"))
+      .select(col("query_id"), col("probe.centroid_id").as("bucket"))
+    val centsDf = broadcast(embs.sparkSession.createDataFrame(pqcb)
+      .toDF("j", "centroid_id", "cqv"))
+    val tables = queries.join(centsDf)
+      .select(col("query_id"), col("j"), col("centroid_id").as("code"),
+        l2sqQ(slice(col("qv"), col("j") * dsub + 1, lit(dsub)), col("cqv")).as("dsub"))
+    // ADC within probed buckets: codes only, never raw vectors
+    val slW = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    val shortlisted = indexed.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(tables), Seq("query_id", "j", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dsub")).as("adc"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc"))
+      .withColumn("rnk", row_number().over(slW))
+      .filter(col("rnk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact refine: raw vectors fetched by id for the shortlist only
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlisted
+      .join(vq.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qvec"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "Semantic
     * deduplication"): remove documents that are semantic near-copies even
     * when their surface text differs. Cluster the embeddings with the
@@ -618,6 +691,35 @@ object Similarity {
         col("a.vec_id").as("vec_a"),
         col("b.vec_id").as("vec_b"),
         cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** [[lshNearDupPairs]] with Hamming-1 MULTI-PROBE: plain sign-LSH
+    * bucketing silently loses every near-dup pair whose members fall on
+    * opposite sides of ONE hyperplane — for a near-copy pair at angle θ
+    * each plane splits it with probability θ/π, so with 8 planes even
+    * tight pairs have a non-trivial single-split probability (measured by
+    * `q_embed_lsh_recall`). Each vector therefore probes its own bucket
+    * plus all `planes` single-bit-flip neighbor buckets: a pair is
+    * emitted iff its bucket signatures are within Hamming distance 1,
+    * recovering exactly the single-split misses. Still an equi-join —
+    * the probe side explodes (planes+1)× and joins the plain bucketed
+    * side on the bucket key; the probe values of one vector are all
+    * distinct and the other side has one bucket, so each qualifying pair
+    * is emitted exactly once. Pairs split by ≥ 2 planes remain missed
+    * (quadratically rarer for near-copies).
+    */
+  def lshNearDupPairsMultiProbe(embs: DataFrame, threshold: Double,
+      planes: Int = 8): DataFrame = {
+    val v = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val probes = v.select(col("vec_id").as("pid"), col("v").as("pv"),
+      explode(array((col("bucket") +: (0 until planes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("bucket"))
+    probes.join(v, Seq("bucket"))
+      .filter(col("pid") < col("vec_id"))
+      .select(col("pid").as("vec_a"), col("vec_id").as("vec_b"),
+        cosine(col("pv"), col("v")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -109,13 +109,18 @@ class ContractSpec extends AnyFunSuite {
       "q_embed_neardup_lsh" -> Set("cos"),
       "q_embed_ann_lsh"     -> Set("cos"),
       "q_embed_ivf"         -> Set("cos"),
+      "q_embed_ivfpq"       -> Set("cos"),
       "q_knn_graph"         -> Set("cos"),
+      "q_knn_graph_bounded" -> Set("cos"),
+      "q_embed_neardup_lsh_mp" -> Set("cos"),
       "q_multimodal_ann"    -> Set("cos"),
       // n_hits/5.0 — identical IEEE division of identical integer operands
       "q_embed_ivf_recall"  -> Set("recall"),
       "q_embed_pq_recall"   -> Set("recall"),
       "q_embed_pq_refined"  -> Set("recall"),
+      "q_embed_ivfpq_recall" -> Set("recall"),
       "q_minhash_recall"    -> Set("recall"),
+      "q_embed_lsh_recall"  -> Set("recall"),
       "q_dedup_minhash"     -> Set("jac"),
       "q_dedup_jaccard"     -> Set("jac"),
       // n_shared/n_sh — identical IEEE division of identical integer operands

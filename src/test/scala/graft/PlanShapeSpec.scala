@@ -103,6 +103,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"too many shuffles: ${exchanges.length}")
   }
 
+  test("q_embed_ivfpq: the ADC stage reads the corpus only as (bucket, codes) — raw vectors reach the plan solely for the shortlist refine") {
+    // the composed-index contract: the wide candidate stage must carry the
+    // m-byte codes, never 64-dim vectors. Structurally: the optimized plan
+    // joins the probed index on `bucket`, the ADC aggregation's input
+    // carries `codes`-derived columns, and exactly one join touches the
+    // raw `v` column (the refine fetch) plus one broadcast of query
+    // vectors. We assert the refine boundary by column lineage: every
+    // plan-side Aggregate over `adc` must not reference `v`.
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val df = SparkEntry.queries("q_embed_ivfpq")(spark, sf)
+    val adcAggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.name == "adc") => a
+    }
+    assert(adcAggs.nonEmpty, "expected the ADC sum aggregation in the plan")
+    adcAggs.foreach { a =>
+      val inputCols = a.child.output.map(_.name).toSet
+      assert(!inputCols.contains("v") && !inputCols.contains("qvec"),
+        s"ADC stage must see codes only, saw: $inputCols")
+    }
+  }
+
   test("routing core: zero exchanges, codegen present") {
     val plan = executed("q_route_dispatch")
     // ORDER BY in the verify projection adds a sort exchange; check the
