@@ -20,15 +20,30 @@ object M5Queries {
 
   /** The q_line_dedup input: documents with a deterministic multi-line
     * page frame injected (oracle-twin input construction — the corpus is
-    * single-line word salad, see the q_line_dedup comment). Shared by the
-    * direct and hash-only-shuffle line-dedup gates and the end-to-end
-    * pipeline.
+    * single-line word salad, see the q_line_dedup comment).
     */
   private def lineDedupInjected(s: SparkSession, dir: String): DataFrame =
     TextDedup.documents(s, dir).select(col("doc_id"),
       concat_ws("\n",
         lit("subscribe to our newsletter today for free updates"),
         col("text"),
+        concat(lit("share "), (col("doc_id") % 7).cast("string")),
+        concat(lit("promo code "), (col("doc_id") % 100).cast("string")),
+        concat(lit("copyright "), (col("doc_id") % 5).cast("string"),
+          lit(" all rights reserved"))).as("text"))
+
+  /** The q_pipeline_e2e input: [[lineDedupInjected]]'s page frame PLUS an
+    * NFC-decomposed grapheme tail on the body line (e+◌́, A+◌̊ — the
+    * q_normalize injection), so EVERY pipeline stage provably binds: the
+    * frame lines exercise line dedup, the decomposed tail exercises
+    * normalization, and the corpus's own near-dups/eval-split overlap
+    * exercise the dedup and decontamination stages.
+    */
+  private def pipelineInjected(s: SparkSession, dir: String): DataFrame =
+    TextDedup.documents(s, dir).select(col("doc_id"),
+      concat_ws("\n",
+        lit("subscribe to our newsletter today for free updates"),
+        concat(col("text"), lit(" cafe\u0301 A\u030A")),
         concat(lit("share "), (col("doc_id") % 7).cast("string")),
         concat(lit("promo code "), (col("doc_id") % 100).cast("string")),
         concat(lit("copyright "), (col("doc_id") % 5).cast("string"),
@@ -643,6 +658,16 @@ object M5Queries {
     // distributed prefix sum (no single-task window)
     "q_pack_windows" -> ((s, dir) =>
       Curation.packContextWindows(TextDedup.documents(s, dir), windowTokens = 256)
+        .orderBy(col("doc_id"))),
+
+    // ---- curation: the END-TO-END pipeline as ONE oracle-gated query —
+    // line dedup → NFC normalize → quality gate → MinHash near-dup
+    // keep-first → eval-split decontamination → context-window packing,
+    // over the injected page-frame corpus (every stage provably binds;
+    // see pipelineInjected). This is the composition a production run
+    // executes; the per-stage gates remain the isolation twins.
+    "q_pipeline_e2e" -> ((s, dir) =>
+      Curation.curationPipeline(pipelineInjected(s, dir))
         .orderBy(col("doc_id"))),
 
     // ---- curation: repetition statistics (exact integer counts)
@@ -1388,6 +1413,8 @@ object M5Queries {
          |FROM j a JOIN j b ON a.h = b.h AND a.win = b.win AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_pipeline_e2e" -> pipelineE2eOracle,
+
     "q_line_dedup" -> lineDedupOracle,
     // the hash-only spelling is output-identical by contract — one oracle
     "q_line_dedup_hashed" -> lineDedupOracle,
@@ -1728,6 +1755,82 @@ object M5Queries {
         |      FROM events)
         |ORDER BY media_id, chunk_idx""".stripMargin,
   )
+
+  /** End-to-end pipeline oracle: the six stage mirrors chained as CTEs —
+    * line dedup (q_line_dedup's), NFC+whitespace normalize
+    * (q_normalize's), quality gate (q_quality_filter's), MinHash-LSH
+    * near-dup keep-first (q_dedup_minhash's, dropping doc_b), eval-split
+    * decontamination (q_decontaminate's), and prefix-sum packing
+    * (q_pack_windows'). Shingle hashes are computed once over the
+    * quality survivors and reused by dedup AND decontamination, exactly
+    * like the Spark side.
+    */
+  private lazy val pipelineE2eOracle: String = {
+    val ws = """[ \t\n\f\r]+"""
+    s"""WITH injected AS (SELECT doc_id,
+       |  'subscribe to our newsletter today for free updates' || chr(10) ||
+       |  text || ' cafe' || chr(769) || ' A' || chr(778) || chr(10) ||
+       |  'share ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+       |  'promo code ' || CAST(doc_id % 100 AS VARCHAR) || chr(10) ||
+       |  'copyright ' || CAST(doc_id % 5 AS VARCHAR) || ' all rights reserved' AS text
+       | FROM documents),
+       | ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM injected),
+       | lines AS (SELECT doc_id, unnest(range(len(l))) AS pos, unnest(l) AS line FROM ls),
+       | dfreq AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1),
+       | rnq AS (SELECT doc_id, pos, line,
+       |   row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM lines),
+       | ldkept AS (SELECT r.doc_id, r.pos, r.line,
+       |   (length(r.line) < 10 OR (d.df <= 50 AND r.rn = 1)) AS keep
+       |  FROM rnq r JOIN dfreq d USING (line)),
+       | ld AS (SELECT doc_id,
+       |   COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS text
+       |  FROM ldkept GROUP BY doc_id),
+       | norm AS (SELECT doc_id,
+       |   regexp_replace(nfc_normalize(text), '$ws', ' ', 'g') AS text FROM ld),
+       | qt AS (SELECT doc_id, text, ${frag.toks} AS tk FROM norm),
+       | qm AS (SELECT doc_id, text, len(tk)::BIGINT AS n_tokens,
+       |   len(list_distinct(tk))::BIGINT AS nd_tok,
+       |   CASE WHEN len(tk) < 2 THEN 0 ELSE len(tk) - 1 END::BIGINT AS n_bi,
+       |   CASE WHEN len(tk) < 2 THEN 0
+       |        ELSE len(list_distinct(list_transform(generate_series(1, len(tk) - 1),
+       |          i -> tk[i] || ' ' || tk[i + 1]))) END::BIGINT AS nd_bi,
+       |   COALESCE(CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT), 0) AS n_wchars
+       |  FROM qt),
+       | kept AS (SELECT doc_id, text FROM qm WHERE NOT (
+       |   (n_bi > 0 AND nd_bi * 2 < n_bi) OR (nd_tok * 5 < n_tokens * 2) OR
+       |   (n_tokens > 0 AND n_wchars * 10 < n_tokens * 40) OR
+       |   n_tokens > 10000 OR n_tokens < 30)),
+       | sh AS (SELECT doc_id,
+       |   list_distinct(list_transform(${frag.shingles("w")}, s -> ${frag.rolling("s")})) h
+       |  FROM (SELECT doc_id, ${frag.toks} w FROM kept)),
+       | sig AS (SELECT doc_id, ${frag.minhashSig} sig FROM sh),
+       | banded AS (SELECT doc_id, unnest(${frag.bandKeys}) band_key FROM sig),
+       | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |   FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       | dups AS (SELECT DISTINCT doc_b AS doc_id FROM cand
+       |   JOIN sh ha ON ha.doc_id = cand.doc_a JOIN sh hb ON hb.doc_id = cand.doc_b
+       |   WHERE ${frag.jac("ha.h", "hb.h")} >= 0.5),
+       | dd AS (SELECT k.doc_id, k.text FROM kept k ANTI JOIN dups USING (doc_id)),
+       | ex AS (SELECT s.doc_id, unnest(s.h) AS shh FROM sh s JOIN dd USING (doc_id)),
+       | ev AS (SELECT DISTINCT shh FROM ex WHERE doc_id % 97 = 0),
+       | contaminated AS (SELECT t.doc_id FROM ex t JOIN ev ON t.shh = ev.shh
+       |   WHERE t.doc_id % 97 <> 0
+       |   GROUP BY t.doc_id HAVING count(DISTINCT t.shh) >= 3),
+       | survivors AS (SELECT d.doc_id, d.text
+       |   FROM (SELECT * FROM dd WHERE doc_id % 97 <> 0) d
+       |   ANTI JOIN contaminated USING (doc_id)),
+       | cnt AS (SELECT doc_id, len(${frag.toks})::BIGINT AS n_tokens FROM survivors),
+       | scum AS (SELECT doc_id, n_tokens,
+       |   (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+       |  FROM cnt),
+       | bins AS (SELECT doc_id, n_tokens, cum - n_tokens AS start_tok,
+       |   CASE WHEN n_tokens > 0 THEN (cum - n_tokens) // 256 END AS bin_first,
+       |   CASE WHEN n_tokens > 0 THEN (cum - 1) // 256 END AS bin_last
+       |  FROM scum)
+       |SELECT doc_id, n_tokens, start_tok, bin_first, bin_last,
+       | COALESCE(bin_last - bin_first + 1, 0)::BIGINT AS n_bins
+       |FROM bins ORDER BY doc_id""".stripMargin
+  }
 
   /** CTE chain for the composed IVF-PQ oracle: coarse seeded k-means
     * ([[frag.kmeansCtes]]) + per-subspace PQ ([[frag.pqCtes]]) over the

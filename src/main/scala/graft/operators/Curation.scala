@@ -55,8 +55,17 @@ object Curation {
     * [[decontaminateBloom]] is the designed escalation. Zero-overlap docs
     * are kept with n_shared = 0 via the left join so the output
     * enumerates the whole training split.
+    *
+    * `minShared` is the verdict threshold: a doc is `contaminated` iff it
+    * shares at least that many DISTINCT shingles with the eval split. The
+    * default 1 is the strict any-overlap detector; pipelines that FILTER
+    * on the verdict raise it (a handful of common 3-grams is noise, a
+    * run of them is leakage — n_shared is reported either way so the
+    * caller can audit the cut).
     */
-  def decontaminate(docs: DataFrame, evalModulus: Long = 97L): DataFrame = {
+  def decontaminate(docs: DataFrame, evalModulus: Long = 97L,
+      minShared: Long = 1L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val hashes = docs.select(col("doc_id"),
       explode(TextFunctions.shingleHashes(col("text"), 3)).as("sh"))
     val evalHashes = hashes.filter(pmod(col("doc_id"), lit(evalModulus)) === 0)
@@ -70,7 +79,7 @@ object Curation {
       .join(overlaps, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n"), lit(0L)).as("n_shared"),
-        (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
+        (coalesce(col("n"), lit(0L)) >= minShared).as("contaminated"))
   }
 
   /** Approximate decontamination for the scale where the exact path's
@@ -291,6 +300,70 @@ object Curation {
       .withColumn("reasons", filter(fired, r => r.isNotNull))
       .select(col("doc_id"), nTok.as("n_tokens"),
         (size(col("reasons")) === 0).as("keep"), col("reasons"))
+  }
+
+  // ---- the end-to-end curation pipeline --------------------------------
+
+  /** The WHOLE curation pipeline as one composed, verifiable operator —
+    * what a production training-data run actually executes, rather than
+    * each stage in isolation:
+    *
+    *  1. boilerplate-line removal ([[TextDedup.lineDedup]], hash-only
+    *     shuffles — banner/copyright lines vanish, first occurrences of
+    *     moderately repeated lines survive);
+    *  2. Unicode NFC normalization + whitespace collapse
+    *     ([[normalizeText]] — dedup hashing downstream sees one spelling
+    *     per grapheme);
+    *  3. the composite quality gate ([[qualityFilter]] — too-short /
+    *     repetitive / short-word documents leave);
+    *  4. MinHash-LSH near-dup dedup keep-first
+    *     ([[TextDedup.minhashNearDups]] — a document near-duplicating a
+    *     smaller-id survivor leaves);
+    *  5. eval-split decontamination ([[decontaminate]] — the eval split
+    *     itself and every train doc sharing ≥ minShared distinct shingles
+    *     with it leave);
+    *  6. context-window packing ([[packContextWindows]] — the survivors'
+    *     token streams concatenate into windowTokens-sized bins).
+    *
+    * Plan shape: every cross-row step keeps its stage's scale discipline
+    * (hash-keyed equi-joins, banded candidates, distributed prefix sum);
+    * stage handoffs are doc_id-keyed joins; frames consumed by multiple
+    * stages persist ONCE ([[SharedBranch]] — the normalized corpus feeds
+    * the quality gate and its verdict join; the quality survivors feed
+    * signature extraction, the dedup anti-join, decontamination, and the
+    * final pack).
+    *
+    * Output: [[packContextWindows]]'s (doc_id, n_tokens, start_tok,
+    * bin_first, bin_last, n_bins) over the surviving documents.
+    */
+  def curationPipeline(docs: DataFrame, minLineChars: Int = 10,
+      boilerplateDf: Long = 50L, nearDupThreshold: Double = 0.5,
+      evalModulus: Long = 97L, minShared: Long = 3L,
+      windowTokens: Int = 256): DataFrame = {
+    // 1. line dedup (the reassembled text is the only column carried on)
+    val lineDeduped = TextDedup.lineDedup(docs, minLineChars, boilerplateDf,
+        hashOnlyShuffle = true)
+      .select(col("doc_id"), col("text_dedup").as("text"))
+    // 2. normalize; consumed by the quality gate AND its verdict join
+    val normed = SharedBranch.sharedBranch(
+      normalizeText(lineDeduped).select(col("doc_id"), col("text_norm").as("text")))
+    // 3. quality gate
+    val kept = SharedBranch.sharedBranch(
+      normed.join(
+        qualityFilter(normed).filter(col("keep")).select(col("doc_id")),
+        Seq("doc_id")))
+    // 4. near-dup keep-first: a doc near-duplicating a smaller id leaves
+    val dups = TextDedup.minhashNearDups(kept, nearDupThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val nearDeduped = kept.join(dups, Seq("doc_id"), "left_anti")
+    // 5. decontamination — filtering, not just detecting, so the verdict
+    // uses the minShared overlap threshold (any-overlap on a word-salad
+    // corpus flags nearly every doc; a run of shared shingles is leakage)
+    val clean = decontaminate(nearDeduped, evalModulus, minShared)
+      .filter(!col("contaminated")).select(col("doc_id"))
+    val survivors = nearDeduped.join(clean, Seq("doc_id"))
+    // 6. pack
+    packContextWindows(survivors, windowTokens)
   }
 
   // ---- repetition statistics -----------------------------------------

@@ -49,15 +49,26 @@ object StreamingIncrementalDedup {
     // Existence goes through Hadoop's FileSystem, not java.io.File: the
     // production indexDir is an HDFS/S3 URI, where a local-file check is
     // always false and every batch would silently dedup against an empty
-    // index (all documents marked new, no error raised).
+    // index (all documents marked new, no error raised). A directory that
+    // EXISTS but holds no data files (a first write that failed after
+    // mkdir, or only _temporary debris) is equally "no index yet":
+    // spark.read.parquet would fail schema inference on it, so that
+    // AnalysisException falls back to the empty index too — any OTHER
+    // read failure (corrupt footers, permissions) still surfaces loudly.
     val indexPath = new org.apache.hadoop.fs.Path(indexDir)
     val indexExists =
       indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(indexPath)
+    val emptyIndex = TextDedup.dedupIndex(batch, perms).limit(0) // right schema
     val index =
-      if (indexExists)
-        spark.read.parquet(indexDir)
-          .filter(col("batch_id") =!= lit(batchId)).drop("batch_id")
-      else TextDedup.dedupIndex(batch, perms).limit(0) // empty, right schema
+      if (!indexExists) emptyIndex
+      else
+        try
+          spark.read.parquet(indexDir)
+            .filter(col("batch_id") =!= lit(batchId)).drop("batch_id")
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => emptyIndex
+        }
     val verdicts = TextDedup.incrementalDedupAgainstIndex(
       batch, index, threshold, perms, bands)
     verdicts

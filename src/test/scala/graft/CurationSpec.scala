@@ -131,6 +131,48 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate minShared: verdict thresholds on distinct overlap; default ≡ any-overlap") {
+    val base = Curation.decontaminate(docs)
+      .select($"doc_id", $"n_shared", $"contaminated")
+      .as[(Long, Long, Boolean)].collect()
+    // default = any-overlap detector
+    base.foreach { case (id, n, flagged) =>
+      assert(flagged == (n >= 1), s"doc $id")
+    }
+    // a raised threshold flags exactly the docs at or above it, and
+    // n_shared itself is threshold-independent
+    val thresholded = Curation.decontaminate(docs, minShared = 3L)
+      .select($"doc_id", $"n_shared", $"contaminated")
+      .as[(Long, Long, Boolean)].collect()
+    val baseByDoc = base.map(r => r._1 -> r).toMap
+    thresholded.foreach { case (id, n, flagged) =>
+      assert(n == baseByDoc(id)._2, s"doc $id: n_shared drifted with the threshold")
+      assert(flagged == (n >= 3), s"doc $id")
+    }
+    assert(thresholded.count(_._3) < base.count(_._3),
+      "corpus chosen so the raised threshold actually unflags docs")
+  }
+
+  test("curationPipeline: composition ≡ manually chained stage operators") {
+    val pipeline = Curation.curationPipeline(docs)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Long)].collect().toSet
+    // the same six stages spelled out by hand through the public operators
+    val ld = TextDedup.lineDedup(docs, 10, 50L)
+      .select($"doc_id", $"text_dedup".as("text"))
+    val normed = Curation.normalizeText(ld).select($"doc_id", $"text_norm".as("text"))
+    val kept = normed.join(
+      Curation.qualityFilter(normed).filter($"keep").select($"doc_id"), Seq("doc_id"))
+    val dups = TextDedup.minhashNearDups(kept, 0.5)
+      .select($"doc_b".as("doc_id")).distinct()
+    val dd = kept.join(dups, Seq("doc_id"), "left_anti")
+    val clean = Curation.decontaminate(dd, 97L, minShared = 3L)
+      .filter(!$"contaminated").select($"doc_id")
+    val manual = Curation.packContextWindows(dd.join(clean, Seq("doc_id")), 256)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Long)].collect().toSet
+    assert(pipeline == manual,
+      s"extra=${(pipeline -- manual).take(3)} missing=${(manual -- pipeline).take(3)}")
+  }
+
   test("decontaminateBloom: superset of exact (no false negatives), bounded overshoot") {
     val exact = Curation.decontaminate(docs)
       .select($"doc_id", $"n_shared", $"contaminated")

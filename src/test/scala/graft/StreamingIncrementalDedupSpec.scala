@@ -67,4 +67,24 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(resultDir).count() == 6, "idempotent result partition")
     assert(spark.read.parquet(indexDir).count() == 6, "idempotent index partition")
   }
+
+  test("an index dir that exists but holds no data files is treated as absent, not an error") {
+    val s = spark
+    import s.implicits._
+    // the failure mode: a first write died after mkdir (or left only
+    // _temporary) — schema inference would throw; the batch must instead
+    // run against the empty index and mark everything new
+    val indexDir = tmpDir("idx-empty") + "/index"
+    assert(new java.io.File(indexDir).mkdirs())
+    val resultDir = tmpDir("res-empty") + "/results"
+    val batch = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta " * 8))
+      .toDF("doc_id", "text")
+    StreamingIncrementalDedup.processBatch(batch, 0L, indexDir, resultDir,
+      threshold = 0.8, perms = 16, bands = 4)
+    val res = spark.read.parquet(resultDir)
+      .select($"doc_id", $"is_new").as[(Long, Boolean)].collect()
+    assert(res.toSeq == Seq((1L, true)))
+    // and the batch's own index rows landed, so the NEXT batch sees them
+    assert(spark.read.parquet(indexDir).count() == 1)
+  }
 }
