@@ -327,11 +327,23 @@ object Curation {
     *
     * Plan shape: every cross-row step keeps its stage's scale discipline
     * (hash-keyed equi-joins, banded candidates, distributed prefix sum);
-    * stage handoffs are doc_id-keyed joins; frames consumed by multiple
-    * stages persist ONCE ([[SharedBranch]] — the normalized corpus feeds
-    * the quality gate and its verdict join; the quality survivors feed
-    * signature extraction, the dedup anti-join, decontamination, and the
-    * final pack).
+    * stage handoffs are doc_id-keyed joins. Stage OUTPUTS consumed by
+    * multiple later branches are materialized eagerly with
+    * `localCheckpoint` rather than a plain persist: Catalyst plans are
+    * trees, not DAGs, so six chained stages each referencing their input
+    * 2–4× compound to a plan with tens of thousands of duplicated scan
+    * nodes — analysis and cache-lookup canonicalization of that tree
+    * dominated wall clock (15 s of driver time for ~1 s of execution at
+    * sf0.1) even though every duplicate hit the block cache. Checkpoints
+    * flatten each stage boundary to a leaf, exactly the
+    * [[TextDedup.distributedClusters]] discipline; the stored blocks are
+    * the same (doc_id, text) frames the persist would have held, and a
+    * checkpointed handoff is also immune to the sampled-exchange
+    * nondeterminism [[SharedBranch]] exists to prevent. (On a cluster,
+    * localCheckpoint trades executor-loss tolerance for not needing a
+    * checkpoint dir — the standard inter-stage materialization bargain;
+    * a production run pointing at reliable storage would write the stage
+    * outputs as tables here anyway.)
     *
     * Output: [[packContextWindows]]'s (doc_id, n_tokens, start_tok,
     * bin_first, bin_last, n_bins) over the surviving documents.
@@ -340,28 +352,51 @@ object Curation {
       boilerplateDf: Long = 50L, nearDupThreshold: Double = 0.5,
       evalModulus: Long = 97L, minShared: Long = 3L,
       windowTokens: Int = 256): DataFrame = {
+    // Stage handoff = checkpoint + CONDITIONAL re-spread: AQE coalesces
+    // the tiny post-join shuffles of a filtered-down corpus toward ONE
+    // partition, the checkpoint freezes that layout, and the next
+    // stage's compute-heavy per-row work (tokenize + shingle + hash)
+    // then runs single-threaded — measured 9.3 s in one single-task
+    // broadcast-build stage at sf0.1 (the [[TextDedup.documents]]
+    // lesson, mid-pipeline). The spread happens only when the frozen
+    // layout is actually starved (< half the cores have a partition):
+    // that can only occur when AQE judged the frame small, so the
+    // second checkpoint is cheap by construction — while a 100 TB stage
+    // output keeps its thousands of partitions and pays NO extra
+    // shuffle.
+    def handoff(df: DataFrame): DataFrame = {
+      val par = df.sparkSession.sparkContext.defaultParallelism
+      val ck = df.localCheckpoint()
+      if (ck.rdd.getNumPartitions * 2 <= par)
+        ck.repartition(par).localCheckpoint()
+      else ck
+    }
     // 1. line dedup (the reassembled text is the only column carried on)
     val lineDeduped = TextDedup.lineDedup(docs, minLineChars, boilerplateDf,
         hashOnlyShuffle = true)
       .select(col("doc_id"), col("text_dedup").as("text"))
     // 2. normalize; consumed by the quality gate AND its verdict join
-    val normed = SharedBranch.sharedBranch(
+    val normed = handoff(
       normalizeText(lineDeduped).select(col("doc_id"), col("text_norm").as("text")))
     // 3. quality gate
-    val kept = SharedBranch.sharedBranch(
+    val kept = handoff(
       normed.join(
         qualityFilter(normed).filter(col("keep")).select(col("doc_id")),
         Seq("doc_id")))
     // 4. near-dup keep-first: a doc near-duplicating a smaller id leaves
     val dups = TextDedup.minhashNearDups(kept, nearDupThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
-    val nearDeduped = kept.join(dups, Seq("doc_id"), "left_anti")
+    val nearDeduped = handoff(kept.join(dups, Seq("doc_id"), "left_anti"))
     // 5. decontamination — filtering, not just detecting, so the verdict
     // uses the minShared overlap threshold (any-overlap on a word-salad
     // corpus flags nearly every doc; a run of shared shingles is leakage)
     val clean = decontaminate(nearDeduped, evalModulus, minShared)
       .filter(!col("contaminated")).select(col("doc_id"))
-    val survivors = nearDeduped.join(clean, Seq("doc_id"))
+    // checkpointed like the other handoffs: PrefixSum's range partitioner
+    // SAMPLES its input before materializing it, so an un-truncated
+    // survivors plan would re-run the decontamination joins once per
+    // sampling pass on top of the persist pass
+    val survivors = handoff(nearDeduped.join(clean, Seq("doc_id")))
     // 6. pack
     packContextWindows(survivors, windowTokens)
   }

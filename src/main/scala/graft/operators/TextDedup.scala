@@ -230,35 +230,41 @@ object TextDedup {
       boilerplateDf: Long, hashOnlyShuffle: Boolean,
       lineHash: Column => Column): DataFrame = {
     require(boilerplateDf >= 1, s"boilerplateDf must be >= 1, got $boilerplateDf")
-    // both the first-occurrence aggregation and the verdict join consume
-    // the same explosion — persist it once
-    val lines = SharedBranch.sharedBranch(docs.select(col("doc_id"),
-      posexplode(split(col("text"), "\n")).as(Seq("pos", "line"))))
+    val lines0 = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
     // (doc_id, pos, line, f: first struct(doc_id, pos) of the line, df)
     val flagged =
       if (!hashOnlyShuffle) {
+        // both the first-occurrence aggregation and the verdict join
+        // consume the same explosion — persist it once
+        val lines = SharedBranch.sharedBranch(lines0)
         val first = lines.groupBy(col("line")).agg(
           min(struct(col("doc_id"), col("pos"))).as("f"),
           countDistinct(col("doc_id")).as("df"))
         lines.join(first, "line")
       } else {
+        // ONE persist of the hashed explosion serves every consumer
+        // (verdict agg, collision residue, and the final string
+        // re-attach below — hashed carries line+pos too)
         val hashed = SharedBranch.sharedBranch(
-          lines.withColumn("lh", lineHash(col("line"))))
-        // hashes carrying >1 distinct string: the (lh, line) distinct is
-        // map-side combinable, so boilerplate lines cost one row per
-        // partition; the survivor set is ~empty and broadcasts
-        val collided = hashed.select(col("lh"), col("line")).distinct()
-          .groupBy(col("lh")).agg(count(lit(1)).as("n_lines"))
-          .filter(col("n_lines") > 1)
-          .select(col("lh"))
-        val slim = hashed.select(col("doc_id"), col("pos"), col("lh"))
-          .join(broadcast(collided), Seq("lh"), "left_anti")
-        val firstClean = slim.groupBy(col("lh")).agg(
-          min(struct(col("doc_id"), col("pos"))).as("f"),
-          countDistinct(col("doc_id")).as("df"))
-        val clean = slim.join(firstClean, "lh")
+          lines0.withColumn("lh", lineHash(col("line"))))
+        // ONE hash-keyed aggregation carries the verdict inputs AND the
+        // collision detector: nl = distinct strings under the hash. The
+        // countDistinct(line) leg's partial distinct is map-side
+        // combinable, so a boilerplate line costs one exchange row per
+        // partition — strings still never ride the join exchanges.
+        val firstByHash = SharedBranch.sharedBranch(
+          hashed.groupBy(col("lh")).agg(
+            min(struct(col("doc_id"), col("pos"))).as("f"),
+            countDistinct(col("doc_id")).as("df"),
+            countDistinct(col("line")).as("nl")))
+        // nl = 1: the hash IS the line — verdict joins on the 8-byte key
+        val clean = hashed.select(col("doc_id"), col("pos"), col("lh"))
+          .join(firstByHash.filter(col("nl") === 1), Seq("lh"))
           .select(col("doc_id"), col("pos"), col("f"), col("df"))
-        // collision residue: exact string-keyed spelling over a tiny set
+        // collision residue (nl > 1, ~empty by construction): exact
+        // string-keyed spelling over just those hashes
+        val collided = firstByHash.filter(col("nl") > 1).select(col("lh"))
         val collLines = hashed.join(broadcast(collided), Seq("lh"))
         val firstColl = collLines.groupBy(col("line")).agg(
           min(struct(col("doc_id"), col("pos"))).as("f"),
@@ -267,7 +273,8 @@ object TextDedup {
           .select(col("doc_id"), col("pos"), col("f"), col("df"))
         // strings re-enter on the uniform (doc_id, pos) key, never on a
         // boilerplate-skewed line key
-        lines.join(clean.unionByName(coll), Seq("doc_id", "pos"))
+        hashed.select(col("doc_id"), col("pos"), col("line"))
+          .join(clean.unionByName(coll), Seq("doc_id", "pos"))
       }
     val kept = flagged
       .withColumn("keep",

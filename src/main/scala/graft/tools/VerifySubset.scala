@@ -1,10 +1,17 @@
-package graft.tmp
+package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Throwaway: graft.Verify restricted to a comma-separated query list. */
-object VerifySome {
+/** [[graft.Verify]] restricted to a comma-separated query list — the
+  * fast inner loop while building a new oracle-gated query:
+  *
+  * {{{
+  *   sbt -batch "runMain graft.tools.VerifySubset /root/testdata/sf0.01 /tmp/vs q_new_query"
+  *   python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/vs
+  * }}}
+  */
+object VerifySubset {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, names) = args
     val wanted = names.split(",").toSet
