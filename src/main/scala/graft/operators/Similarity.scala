@@ -201,8 +201,19 @@ object Similarity {
     * bounded by k·|groups|·dims.
     */
   private[operators] def kmeansCentsGrouped(subIn: DataFrame, k: Int,
+      iters: Int): Seq[(Int, Long, Seq[Long])] =
+    kmeansCentsGroupedVarK(subIn, lit(k), iters)
+
+  /** [[kmeansCentsGrouped]] with a PER-GROUP centroid count (a Column
+    * over `j`): lets one training pass carry groups of different k —
+    * the composed IVF-PQ index trains its full-dim coarse codebook and
+    * all m PQ subspaces in the SAME three collect jobs. Per-group
+    * results are identical to separate calls: init, assignment, mean,
+    * and carry-over are all keyed by `j` throughout.
+    */
+  private[operators] def kmeansCentsGroupedVarK(subIn: DataFrame, kCol: Column,
       iters: Int): Seq[(Int, Long, Seq[Long])] = {
-    var cents: Seq[(Int, Long, Seq[Long])] = subIn.filter(col("vec_id") < k)
+    var cents: Seq[(Int, Long, Seq[Long])] = subIn.filter(col("vec_id") < kCol)
       .select(col("j"), col("vec_id"), col("qv"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
@@ -448,10 +459,22 @@ object Similarity {
       centroids: Int = 8, nprobe: Int = 2, m: Int = 8, ksub: Int = 8,
       shortlist: Int = 20): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(64 % m == 0, s"m must divide 64, got $m")
     val dsub = 64 / m
     val vq = withQuantizedShared(embs)
-    val cb = codebookFrom(vq, centroids)
-    val pqcb = pqCentsFrom(vq, m, ksub)
+    // BOTH codebooks — the m PQ subspaces (groups 0..m−1) and the
+    // full-dim coarse quantizer (group m) — train in ONE grouped pass:
+    // three collect jobs total instead of six sequential ones, per-group
+    // math identical to separate calls ([[kmeansCentsGroupedVarK]])
+    val subIn = vq
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("qv"))
+      .select(col("vec_id"), col("j"),
+        slice(col("qv"), col("j") * dsub + 1, lit(dsub)).as("qv"))
+      .unionByName(vq.select(col("vec_id"), lit(m).as("j"), col("qv")))
+    val trained = kmeansCentsGroupedVarK(subIn,
+      when(col("j") === m, lit(centroids)).otherwise(lit(ksub)), iters = 2)
+    val cb = trained.collect { case (g, cid, cqv) if g == m => (cid, cqv) }
+    val pqcb = trained.filter(_._1 < m)
     // the stored index: ONE narrow projection — coarse bucket + m codes
     val indexed = vq.select(col("vec_id"),
       graft.functions.CentroidExpressions.nearestCentroidId(col("qv"), lit(0),
