@@ -173,6 +173,19 @@ class CurationSpec extends AnyFunSuite {
       s"extra=${(pipeline -- manual).take(3)} missing=${(manual -- pipeline).take(3)}")
   }
 
+  test("curationPipeline: degenerate corpora (empty, all-filtered) produce empty output, not errors") {
+    // zero rows end to end — every stage (checkpoints, range partitioner,
+    // prefix sum) must tolerate an empty frame
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      docs.select($"doc_id", $"text").schema)
+    assert(Curation.curationPipeline(empty).count() == 0)
+    // every doc dies at the quality gate (too_short) — later stages see
+    // an empty frame mid-pipeline
+    val tiny = Seq((1L, "one two"), (2L, "three four")).toDF("doc_id", "text")
+    assert(Curation.curationPipeline(tiny).count() == 0)
+  }
+
   test("decontaminateBloom: superset of exact (no false negatives), bounded overshoot") {
     val exact = Curation.decontaminate(docs)
       .select($"doc_id", $"n_shared", $"contaminated")
