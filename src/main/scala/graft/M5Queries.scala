@@ -18,19 +18,27 @@ object M5Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** The q_line_dedup input: documents with a deterministic multi-line
-    * page frame injected (oracle-twin input construction — the corpus is
-    * single-line word salad, see the q_line_dedup comment).
+  /** Deterministic multi-line page frame around a body expression
+    * (oracle-twin input construction — the corpus is single-line word
+    * salad, see the q_line_dedup comment): an every-doc banner
+    * (boilerplate, dropped everywhere), the body, a short share line
+    * (exempt), a df-5 promo line (keep-first), a df-100 copyright line
+    * (boilerplate). ONE definition so the line-dedup gates and the
+    * pipeline gate can never desynchronize from their SQL mirrors.
     */
-  private def lineDedupInjected(s: SparkSession, dir: String): DataFrame =
+  private def injectedFrame(s: SparkSession, dir: String, body: Column): DataFrame =
     TextDedup.documents(s, dir).select(col("doc_id"),
       concat_ws("\n",
         lit("subscribe to our newsletter today for free updates"),
-        col("text"),
+        body,
         concat(lit("share "), (col("doc_id") % 7).cast("string")),
         concat(lit("promo code "), (col("doc_id") % 100).cast("string")),
         concat(lit("copyright "), (col("doc_id") % 5).cast("string"),
           lit(" all rights reserved"))).as("text"))
+
+  /** The q_line_dedup input: the page frame around the raw body. */
+  private def lineDedupInjected(s: SparkSession, dir: String): DataFrame =
+    injectedFrame(s, dir, col("text"))
 
   /** The q_pipeline_e2e input: [[lineDedupInjected]]'s page frame PLUS an
     * NFC-decomposed grapheme tail on the body line (e+◌́, A+◌̊ — the
@@ -40,14 +48,7 @@ object M5Queries {
     * exercise the dedup and decontamination stages.
     */
   private def pipelineInjected(s: SparkSession, dir: String): DataFrame =
-    TextDedup.documents(s, dir).select(col("doc_id"),
-      concat_ws("\n",
-        lit("subscribe to our newsletter today for free updates"),
-        concat(col("text"), lit(" cafe\u0301 A\u030A")),
-        concat(lit("share "), (col("doc_id") % 7).cast("string")),
-        concat(lit("promo code "), (col("doc_id") % 100).cast("string")),
-        concat(lit("copyright "), (col("doc_id") % 5).cast("string"),
-          lit(" all rights reserved"))).as("text"))
+    injectedFrame(s, dir, concat(col("text"), lit(" cafe\u0301 A\u030A")))
 
   /** recall@k of an ANN candidate frame `(query_id, neighbor_id)` against
     * the exact brute-force top-k for queries 0–9 — ONE definition for

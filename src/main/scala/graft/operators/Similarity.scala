@@ -177,10 +177,22 @@ object Similarity {
     * materialized for the duration of `body` and unpinned before the
     * codebook returns — a standalone training call leaves NOTHING in the
     * storage tier (the ADVICE-r6 pin-lifecycle contract).
+    *
+    * If a cache entry for the same canonical plan ALREADY exists (a
+    * frame-returning API pinned it via [[SharedBranch]] earlier in the
+    * session), training reuses it and touches nothing: an unconditional
+    * unpersist here would evict the LIVE pin other lazily-evaluated
+    * results still depend on.
     */
   private def withTrainingPersist[T](df: DataFrame)(body: DataFrame => T): T = {
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try body(df) finally df.unpersist(blocking = false)
+    val alreadyCached = df.sparkSession.sharedState.cacheManager
+      .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .nonEmpty
+    if (alreadyCached) body(df)
+    else {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try body(df) finally df.unpersist(blocking = false)
+    }
   }
 
   /** Seeded k-means over many independent groups AT ONCE: `subIn` is
@@ -685,16 +697,27 @@ object Similarity {
     } else {
       val assigned = SharedBranch.sharedBranch(
         base.withColumn("subb", lshBucket(col("v"), subPlanes)))
-      // own sub-bucket + the subPlanes Hamming-1 neighbors; all probe
-      // values are distinct, so a candidate pair is emitted exactly once
-      val probes = assigned.select(col("vec_id"), col("v"), col("bucket"),
+      // pair ENUMERATION carries only ids (the cosineNearDupPairs
+      // discipline): the exploded probe side would otherwise replicate
+      // the 64-dim vector (subPlanes+1)× through the bucket exchange.
+      // Own sub-bucket + the subPlanes Hamming-1 neighbors; all probe
+      // values are distinct, so a candidate pair is emitted exactly once.
+      val slim = assigned.select(col("vec_id"), col("bucket"), col("subb"))
+      val probes = slim.select(col("vec_id"), col("bucket"),
         explode(array((col("subb") +: (0 until subPlanes).map(p =>
           col("subb").bitwiseXOR(lit(1L << p)))): _*)).as("subb"))
-      probes.join(
-          assigned.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
-            col("bucket"), col("subb")),
+      val pairs = probes.join(
+          slim.select(col("vec_id").as("neighbor_id"), col("bucket"), col("subb")),
           Seq("bucket", "subb"))
         .filter(col("vec_id") =!= col("neighbor_id"))
+        .select(col("vec_id"), col("neighbor_id"))
+      // vectors re-attach by the 8-byte id key, off the ONE persisted
+      // assignment frame
+      val vecs = assigned.select(col("vec_id"), col("v"))
+      pairs
+        .join(vecs, "vec_id")
+        .join(vecs.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+          "neighbor_id")
         .select(col("vec_id"), col("neighbor_id"),
           cosine(col("v"), col("nv")).as("cos"))
     }
@@ -734,15 +757,25 @@ object Similarity {
     */
   def lshNearDupPairsMultiProbe(embs: DataFrame, threshold: Double,
       planes: Int = 8): DataFrame = {
+    // pair ENUMERATION carries only ids (the cosineNearDupPairs
+    // discipline): exploding (planes+1) probes per vector with the
+    // 64-dim vector aboard would amplify the heaviest column 9× through
+    // the bucket exchange; vectors re-attach by vec_id equi-joins for
+    // candidates only
     val v = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
-    val probes = v.select(col("vec_id").as("pid"), col("v").as("pv"),
+    val slim = v.select(col("vec_id"), col("bucket"))
+    val probes = slim.select(col("vec_id").as("pid"),
       explode(array((col("bucket") +: (0 until planes).map(p =>
         col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("bucket"))
-    probes.join(v, Seq("bucket"))
+    val pairs = probes.join(slim, Seq("bucket"))
       .filter(col("pid") < col("vec_id"))
-      .select(col("pid").as("vec_a"), col("vec_id").as("vec_b"),
-        cosine(col("pv"), col("v")).as("cos"))
+      .select(col("pid").as("vec_a"), col("vec_id").as("vec_b"))
+    val vecs = v.select(col("vec_id"), col("v"))
+    pairs
+      .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

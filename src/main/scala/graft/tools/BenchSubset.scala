@@ -19,7 +19,18 @@ object BenchSubset {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same ad-hoc experiment hook as Bench — a conf experiment must not
+    // silently measure the defaults
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty).foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => sys.error(s"SPARK_GRAFT_CONF entry '$kv' is not key=value")
+      }
+    })
     graft.sources.Tables.preload(spark, sfDir)
+    // a typo'd name must fail loudly, not bench an empty set
+    val unknown = wanted -- graft.SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val picked = graft.SparkEntry.queries.filter(q => wanted(q._1))
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {

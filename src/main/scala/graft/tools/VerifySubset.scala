@@ -15,6 +15,9 @@ object VerifySubset {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, names) = args
     val wanted = names.split(",").toSet
+    // a typo'd name must fail loudly, not verify vacuously
+    val unknown = wanted -- graft.SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
