@@ -29,7 +29,8 @@ object Bench {
       SparkEntry.queries.foreach { case (name, fn) =>
         try fn(spark, warmDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
-        graft.sources.Tables.evictPinned(spark)
+        graft.sources.Tables.evictPinned(spark, blocking = true)
+        graft.sources.Tables.releaseLocalCheckpoints(spark)
       }
     }
     // best-of-N timed passes per query (default 3): a single pass measures
@@ -48,11 +49,15 @@ object Bench {
         // a broken query must not masquerade as a fast success
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      // release THIS query's operator-internal pins before the next query
-      // runs: without it, MEMORY_AND_DISK entries from all 70+ queries
-      // accumulate for the whole run and later queries execute with
-      // storage memory occupied by earlier queries' internal frames
-      graft.sources.Tables.evictPinned(spark)
+      // release THIS query's operator-internal pins AND dead stage-handoff
+      // checkpoint blocks before the next query runs — blocking, so the
+      // release lands outside every timed window: without it,
+      // MEMORY_AND_DISK entries and localCheckpoint blocks from all 80+
+      // queries linger (async eviction / ContextCleaner GC) and later
+      // queries execute with storage memory occupied by earlier queries'
+      // internal frames
+      graft.sources.Tables.evictPinned(spark, blocking = true)
+      graft.sources.Tables.releaseLocalCheckpoints(spark)
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, Multimodal, Relevance, Sampling, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Curation, LanguageModel, Multimodal, Relevance, Sampling, Similarity, TextAnalysis, TextDedup}
 import graft.functions.TextFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -724,6 +724,16 @@ object M5Queries {
     "q_tfidf_topterms" -> ((s, dir) =>
       Relevance.tfidfTopTerms(TextDedup.documents(s, dir), perDoc = 3)
         .orderBy(col("doc_id"), col("rnk"))),
+
+    // ---- relevance: corpus-trained bigram LM quality score (the
+    // CCNet-style perplexity filtering signal), integer-exact twin.
+    // The synthetic corpus draws from a 31-token vocabulary, so
+    // maxVocab=16 makes the <unk> mapping and its probability mass
+    // provably bind at verify scale (LanguageModelSpec pins this).
+    "q_lm_score" -> ((s, dir) =>
+      LanguageModel.bigramLmQuantized(TextDedup.documents(s, dir),
+          maxVocab = 16)
+        .orderBy(col("doc_id"))),
 
     // ---- skew discipline: two-stage salted aggregation ≡ plain aggregation
     "q_salted_agg" -> ((s, dir) => {
@@ -1701,6 +1711,32 @@ object M5Queries {
          |     PARTITION BY doc_id ORDER BY tfidf_q DESC, term) AS rnk FROM s)
          |SELECT doc_id, term, CAST(tfidf_q AS BIGINT) AS tfidf_q, rnk::INT AS rnk
          |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // bigram LM: vocabulary = top-16 tokens (count desc, token asc —
+    // both engines take the same total order), OOV → '<unk>', add-one
+    // smoothing over |vocab|+1 types; per-instance contribution is
+    // integer `//`÷`div` on positive operands (see LanguageModel scaladoc)
+    "q_lm_score" ->
+      s"""WITH d AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),
+         | e AS (SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM d),
+         | uc AS (SELECT tok, count(*) AS c FROM e GROUP BY 1),
+         | vocab AS (SELECT tok FROM uc ORDER BY c DESC, tok LIMIT 16),
+         | vs AS (SELECT count(*) + 1 AS vsz FROM vocab),
+         | m AS (SELECT doc_id, pos,
+         |     CASE WHEN vb.tok IS NULL THEN '<unk>' ELSE e.tok END AS tok_m
+         |   FROM e LEFT JOIN vocab vb ON e.tok = vb.tok),
+         | b AS (SELECT doc_id, tok_m AS u,
+         |     lead(tok_m) OVER (PARTITION BY doc_id ORDER BY pos) AS v FROM m),
+         | bi AS (SELECT doc_id, u, v, count(*) AS m FROM b
+         |   WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+         | cuv AS (SELECT u, v, sum(m) AS c_uv FROM bi GROUP BY 1, 2),
+         | cu AS (SELECT u, sum(m) AS c_u FROM bi GROUP BY 1),
+         | sc AS (SELECT bi.doc_id, bi.m,
+         |     (10000 * (c_uv + 1)) // (c_u + vsz) AS contrib
+         |   FROM bi JOIN cuv USING (u, v) JOIN cu USING (u) CROSS JOIN vs)
+         |SELECT doc_id, CAST(sum(m * contrib) AS BIGINT) AS lm_q,
+         | CAST(sum(m) AS BIGINT) AS n_bigrams
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
       s"""WITH t AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),

@@ -21,7 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally graft.sources.Tables.evictPinned(spark)
+      finally {
+        graft.sources.Tables.evictPinned(spark, blocking = true)
+        graft.sources.Tables.releaseLocalCheckpoints(spark)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

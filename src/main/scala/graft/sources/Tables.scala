@@ -85,15 +85,38 @@ object Tables {
     * with executor storage memory partly occupied by earlier queries'
     * internal frames — bench skew now, an OOM risk at larger SFs.
     */
-  def evictPinned(spark: SparkSession): Unit = {
+  def evictPinned(spark: SparkSession, blocking: Boolean = false): Unit = {
     val m = cached.synchronized(cached.get(spark))
     if (m != null) m.keys.toSeq.filter(_._1 == "_pinned").foreach { k =>
       m.remove(k).foreach { df =>
-        try df.unpersist(blocking = false)
+        try df.unpersist(blocking)
         catch { case scala.util.control.NonFatal(_) => () }
       }
     }
   }
+
+  /** Drop the blocks of every locally-checkpointed RDD in the context.
+    *
+    * HARNESS-LOOP ONLY: a locally-checkpointed RDD has no lineage to
+    * recompute from, so unpersisting one that a live DataFrame still
+    * references makes that frame permanently unusable. Bench/Verify call
+    * this between queries — the point where every result frame is dead by
+    * construction — because stage-handoff checkpoints (curationPipeline,
+    * distributedClusters) are NOT in the pin registry (the result plan
+    * still references them as leaves, so the operator cannot release
+    * them) and otherwise linger until the ContextCleaner happens to GC
+    * them, occupying storage memory that skews later queries. Blocking:
+    * the release must land before the next timed window opens.
+    */
+  def releaseLocalCheckpoints(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      // isLocallyCheckpointed is private[rdd]; public isCheckpointed is
+      // equivalent here — this engine never reliable-checkpoints, and
+      // cached tables / CacheManager entries are not checkpointed
+      .filter(_.isCheckpointed).foreach { r =>
+        try r.unpersist(blocking = true)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     sessionCache(spark).getOrElse((sfDir, name), {

@@ -38,7 +38,8 @@ object BenchSubset {
       picked.foreach { case (name, fn) =>
         try fn(spark, warmDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
-        graft.sources.Tables.evictPinned(spark)
+        graft.sources.Tables.evictPinned(spark, blocking = true)
+        graft.sources.Tables.releaseLocalCheckpoints(spark)
       }
     }
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
@@ -50,7 +51,8 @@ object BenchSubset {
         }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      graft.sources.Tables.evictPinned(spark)
+      graft.sources.Tables.evictPinned(spark, blocking = true)
+      graft.sources.Tables.releaseLocalCheckpoints(spark)
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

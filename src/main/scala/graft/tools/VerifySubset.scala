@@ -30,7 +30,10 @@ object VerifySubset {
     graft.SparkEntry.queries.filter(q => wanted(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable => System.err.println(s"[verify] $name failed: ${e.getMessage}") }
-      finally graft.sources.Tables.evictPinned(spark)
+      finally {
+        graft.sources.Tables.evictPinned(spark, blocking = true)
+        graft.sources.Tables.releaseLocalCheckpoints(spark)
+      }
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

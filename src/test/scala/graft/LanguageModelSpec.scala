@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.LanguageModel
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LanguageModelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // d1 "a b a b", d2 "a b c", d3 "c a": bigrams (a,b)×3, (b,a)×1,
+  // (b,c)×1, (c,a)×1; unigram counts a=4, b=3, c=2
+  def tiny = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "c a"))
+    .toDF("doc_id", "text")
+
+  test("quantized LM matches a hand-rolled reference (full vocabulary)") {
+    // vocab {a,b,c}, vsz=4; c_u: a=3 b=2 c=1
+    // contrib: (a,b)=(10000*4)div 7=5714, (b,a)=(10000*2)div 6=3333,
+    //          (b,c)=3333, (c,a)=(10000*2)div 5=4000
+    val got = LanguageModel.bigramLmQuantized(tiny, maxVocab = 100)
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2 * 5714L + 3333L, 3L), (2L, 5714L + 3333L, 2L),
+      (3L, 4000L, 1L)))
+  }
+
+  test("capped vocabulary maps OOV to <unk> and shrinks the event space") {
+    // vocab = top-2 {a,b} (c → <unk>), vsz=3; mapped d2 = a b u, d3 = u a
+    // c_uv: (a,b)=3 (b,a)=1 (b,u)=1 (u,a)=1; c_u: a=3 b=2 u=1
+    // contrib: (a,b)=40000 div 6=6666, (b,a)=(b,u)=20000 div 5=4000,
+    //          (u,a)=20000 div 4=5000
+    val got = LanguageModel.bigramLmQuantized(tiny, maxVocab = 2)
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2 * 6666L + 4000L, 3L), (2L, 6666L + 4000L, 2L),
+      (3L, 5000L, 1L)))
+  }
+
+  test("documents with fewer than two tokens produce no row") {
+    val d = Seq((1L, "a b"), (2L, "solo"), (3L, ""), (4L, "  \t "))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.bigramLmQuantized(d, maxVocab = 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+
+  test("integer path is exact: invariant under input partitioning") {
+    val a = LanguageModel.bigramLmQuantized(tiny, maxVocab = 2)
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    val b = LanguageModel.bigramLmQuantized(tiny.repartition(7), maxVocab = 2)
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("log path: modal transitions score better than rare ones") {
+    // d1 repeats the corpus's dominant bigram; d9 is all rare transitions
+    val d = Seq((1L, "a b a b a b a b"), (2L, "a b a b"), (3L, "a b"),
+      (9L, "x y z w")).toDF("doc_id", "text")
+    val ppl = LanguageModel.bigramLogProb(d, maxVocab = 100)
+      .select($"doc_id", $"perplexity").as[(Long, Double)].collect().toMap
+    assert(ppl(1L) < ppl(9L))
+    assert(ppl.values.forall(p => p > 0 && p.isFinite))
+  }
+
+  test("sf0.001 corpus: every multi-token doc scored, <unk> mass binds at maxVocab=16") {
+    // the synthetic corpus has a 31-token vocabulary — the gated query's
+    // maxVocab=16 must sit BELOW it or the OOV path silently never runs
+    val docs = graft.operators.TextDedup.documents(spark, "/root/testdata/sf0.001")
+    val scored = LanguageModel.bigramLmQuantized(docs, maxVocab = 16)
+    val nMulti = docs
+      .filter(size(graft.functions.TextFunctions.tokens($"text")) >= 2).count()
+    assert(scored.count() == nMulti)
+    // capped vs uncapped vocabularies must actually diverge (OOV binds)
+    val uncapped = LanguageModel.bigramLmQuantized(docs, maxVocab = 1000000)
+    val joined = scored.as("a")
+      .join(uncapped.as("b"), Seq("doc_id"))
+      .filter($"a.lm_q" =!= $"b.lm_q")
+    assert(joined.count() > 0)
+    graft.sources.Tables.evictPinned(spark, blocking = true)
+  }
+}

@@ -124,6 +124,41 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_lm_score: vocab caps via TakeOrderedAndProject; bigram pre-agg reuses the doc_id window shuffle") {
+    // the two SCALE.md claims for the LM: (a) the vocabulary cap is a
+    // distributed top-k, never a global sort / single-partition window
+    // over the unigram table; (b) the per-doc bigram aggregation adds NO
+    // exchange after the lead() window (doc_id ⊆ grouping keys)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q_lm_score")(spark, sf)
+    df.count() // materialize so AQE finalizes subtrees and caches fill
+    def collectAll(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(collectAll)) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => collectAll(q.plan)
+        case _ => Seq.empty
+      })
+    val outer = collectAll(df.queryExecution.executedPlan)
+    val cachedPlans = outer.collect { case s: InMemoryTableScanExec => s }
+      .map(_.relation.cacheBuilder.cachedPlan).distinct
+    val allNodes = outer ++ cachedPlans.flatMap(collectAll)
+    assert(allNodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "vocabulary cap should plan as TakeOrderedAndProject")
+    val biPlan = cachedPlans.map(collectAll)
+      .filter(_.exists(_.isInstanceOf[WindowExec]))
+    assert(biPlan.nonEmpty, "expected the bigram pre-agg shared branch in the plan")
+    biPlan.foreach { nodes =>
+      val shuffles = nodes.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.size <= 1,
+        s"bigram branch should shuffle ONCE (the doc_id window): ${shuffles.size}")
+    }
+    graft.sources.Tables.evictPinned(spark, blocking = true)
+  }
+
   test("routing core: zero exchanges, codegen present") {
     val plan = executed("q_route_dispatch")
     // ORDER BY in the verify projection adds a sort exchange; check the
