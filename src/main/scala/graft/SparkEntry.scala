@@ -88,28 +88,40 @@ object SparkEntry {
     // column, each with an exact relational twin in the oracle: slices,
     // index/name unions, regex =~, in/nin, filter-relpath indices
     // (positive and negative), deep-scan filters and deep-scan existence,
-    // script subscripts [(@.length-1)] (in-range and out-of-bounds)
+    // script subscripts [(@.length-1)] (in-range and out-of-bounds).
+    // All 13 predicates evaluate through ONE json_path_routes call — one
+    // JSON parse per row, not 13 (the router's common-subexpression
+    // economy; 13 separate json_path_exists columns re-parsed the
+    // document per column and were the slowest query in the suite).
+    // Semantics preserved per flag: NULL iff txJson is NULL (a malformed
+    // document — which withTxJson never emits — yields NULL routes, and
+    // the coalesce pins the flag to json_path_exists's false).
     "q_rule_match_ext" -> ((s, dir) => {
+      val flags = Seq(
+        "m_slice" -> "$.body.messages[0:2][?(@.userId > 500)]",
+        "m_union_idx" -> "$.body.messages[0,1][?(@.k <= 10)]",
+        "m_union_names" -> "$.body['messages','absent'][0].k",
+        "m_regex" -> "$..messages[?(@.@type =~ /p.+e/)]",
+        "m_in" -> "$..messages[?(@.@type in ['purchase', 'click'])]",
+        "m_nin" -> "$..messages[?(@.@type nin ['error'])]",
+        "m_rel_idx" -> "$.body[?(@.messages[0].k > 50)]",
+        "m_rel_neg" -> "$.body[?(@.messages[-1].userId > 500)]",
+        "m_deep_filter" -> "$..[?(@.k > 90)]",
+        "m_deep_exists" -> "$.body[?(@..k)]",
+        "m_script_last" -> "$.body.messages[(@.length-1)].k",
+        "m_script_oob" -> "$.body.messages[(@.length-2)]",
+        // root-path operand (Jayway bookstore example 8 shape): each
+        // message's k against a value resolved from the DOCUMENT root
+        "m_root_ref" -> "$.body.messages[?(@.k < $.body.messages[0].userId)]")
       val j = col("txJson")
       EventsTx.withTxJson(events(s, dir))
-        .select(
-          col("event_id"),
-          json_path_exists(j, "$.body.messages[0:2][?(@.userId > 500)]").as("m_slice"),
-          json_path_exists(j, "$.body.messages[0,1][?(@.k <= 10)]").as("m_union_idx"),
-          json_path_exists(j, "$.body['messages','absent'][0].k").as("m_union_names"),
-          json_path_exists(j, "$..messages[?(@.@type =~ /p.+e/)]").as("m_regex"),
-          json_path_exists(j, "$..messages[?(@.@type in ['purchase', 'click'])]").as("m_in"),
-          json_path_exists(j, "$..messages[?(@.@type nin ['error'])]").as("m_nin"),
-          json_path_exists(j, "$.body[?(@.messages[0].k > 50)]").as("m_rel_idx"),
-          json_path_exists(j, "$.body[?(@.messages[-1].userId > 500)]").as("m_rel_neg"),
-          json_path_exists(j, "$..[?(@.k > 90)]").as("m_deep_filter"),
-          json_path_exists(j, "$.body[?(@..k)]").as("m_deep_exists"),
-          json_path_exists(j, "$.body.messages[(@.length-1)].k").as("m_script_last"),
-          json_path_exists(j, "$.body.messages[(@.length-2)]").as("m_script_oob"),
-          // root-path operand (Jayway bookstore example 8 shape): each
-          // message's k against a value resolved from the DOCUMENT root
-          json_path_exists(j, "$.body.messages[?(@.k < $.body.messages[0].userId)]")
-            .as("m_root_ref"))
+        .withColumn("r",
+          graft.functions.JsonPathFunctions.json_path_routes(j, flags.map(_._2)))
+        .select(col("event_id") +: flags.zipWithIndex.map { case ((name, _), i) =>
+          when(j.isNull, lit(null).cast("boolean"))
+            .otherwise(coalesce(array_contains(col("r"), lit(i)), lit(false)))
+            .as(name)
+        }: _*)
         .orderBy(col("event_id"))
     }),
 

@@ -66,14 +66,18 @@ object Curation {
   def decontaminate(docs: DataFrame, evalModulus: Long = 97L,
       minShared: Long = 1L): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // shingle_hashes (the one-pass codegen expression, ≡ the HOF twin's
+    // arithmetic) dedups per doc, so (doc_id, sh) arrives unique and the
+    // post-join agg is a one-pass count — a countDistinct expansion here
+    // would re-pay the dedup the extraction already did
     val hashes = docs.select(col("doc_id"),
-      explode(TextFunctions.shingleHashes(col("text"), 3)).as("sh"))
+      explode(graft.functions.ShingleHashes.shingle_hashes(col("text"), 3)).as("sh"))
     val evalHashes = hashes.filter(pmod(col("doc_id"), lit(evalModulus)) === 0)
       .select(col("sh")).distinct()
     val overlaps = hashes.filter(pmod(col("doc_id"), lit(evalModulus)) =!= 0)
       .join(evalHashes, "sh")
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("sh")).as("n"))
+      .agg(count(lit(1)).as("n"))
     docs.filter(pmod(col("doc_id"), lit(evalModulus)) =!= 0)
       .select(col("doc_id"))
       .join(overlaps, Seq("doc_id"), "left")
@@ -103,7 +107,7 @@ object Curation {
     // expected-count job, the filter-build aggregation, the training-side
     // probe scan) — persist so the extraction runs once, not three times
     val hashed = SharedBranch.sharedBranch(docs.select(col("doc_id"),
-      TextFunctions.shingleHashes(col("text"), 3).as("shs")))
+      graft.functions.ShingleHashes.shingle_hashes(col("text"), 3).as("shs")))
     val evalHashes = hashed.filter(pmod(col("doc_id"), lit(evalModulus)) === 0)
       .select(explode(col("shs")).as("sh")).distinct()
     val expected = math.max(1L, evalHashes.count())
@@ -130,16 +134,28 @@ object Curation {
     * Output: (doc_id, eval_doc, n_shared) for contaminated docs only.
     */
   def contaminationAttribution(docs: DataFrame, evalModulus: Long = 97L): DataFrame = {
+    // shingle_hashes (one-pass codegen) dedups per doc, so
+    // (doc_id, eval_doc, sh) triples arrive unique from the join and a
+    // plain count replaces the countDistinct expansion
     val hashes = docs.select(col("doc_id"),
-      explode(TextFunctions.shingleHashes(col("text"), 3)).as("sh"))
-    val evalHashes = hashes.filter(pmod(col("doc_id"), lit(evalModulus)) === 0)
-      .select(col("doc_id").as("eval_doc"), col("sh"))
+      explode(graft.functions.ShingleHashes.shingle_hashes(col("text"), 3)).as("sh"))
+    // broadcast EXPLICITLY: unlike decontaminate's distinct()-aggregated
+    // eval side (whose Aggregate gives the planner a small size
+    // estimate), this bare projection's size estimate derives from the
+    // full corpus scan — left alone the planner can pick the TRAIN
+    // explosion as the build side and collect the whole corpus's
+    // shingles to the driver (measured 17× on the sf0.1 bench). The
+    // eval split is small by definition (the reference-benchmark side),
+    // exactly decontaminate's broadcast contract.
+    val evalHashes = broadcast(
+      hashes.filter(pmod(col("doc_id"), lit(evalModulus)) === 0)
+        .select(col("doc_id").as("eval_doc"), col("sh")))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("n_shared").desc, col("eval_doc"))
     hashes.filter(pmod(col("doc_id"), lit(evalModulus)) =!= 0)
       .join(evalHashes, "sh")
       .groupBy(col("doc_id"), col("eval_doc"))
-      .agg(countDistinct(col("sh")).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("eval_doc"), col("n_shared"))

@@ -36,7 +36,7 @@ object BenchSubset {
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       graft.sources.Tables.preload(spark, warmDir)
       picked.foreach { case (name, fn) =>
-        try fn(spark, warmDir).count()
+        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable => System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
         graft.sources.Tables.evictPinned(spark, blocking = true)
         graft.sources.Tables.releaseLocalCheckpoints(spark)
@@ -46,7 +46,15 @@ object BenchSubset {
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
+        val ok = try {
+          // noop write, NOT count(): count() lets Catalyst prune columns
+          // and then ELIMINATE provably row-preserving operators — e.g.
+          // q_decontaminate's left join (unique right keys, no referenced
+          // right columns) vanished and the bench timed a plan that never
+          // extracted a shingle. The noop sink computes every output
+          // column at full fidelity and discards the rows.
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
+        } catch {
           case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
