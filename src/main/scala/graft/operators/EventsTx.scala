@@ -28,20 +28,19 @@ object EventsTx {
 
   /** Add `raw` (original bytes) + `txJson` (canonical doc; null ⇒ decode
     * failure), the TxDispatchPipeline input contract.
+    *
+    * The document is built by the one-parse
+    * [[graft.functions.EventsTxJson]] codegen expression; the built-in
+    * spelling (`get_json_object($)` validity + `get_json_object($.k)`
+    * extraction + `concat`) parses `props` twice per row and sits under
+    * every dispatch-family query. EventsTxJsonSpec pins the two spellings
+    * equal on the full edge-case matrix.
     */
-  def withTxJson(events: DataFrame): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast("long")
-    val decodable = col("props").isNotNull && get_json_object(col("props"), "$").isNotNull
-    val doc = concat(
-      lit("{\"eventId\":"), col("event_id"),
-      lit(",\"body\":{\"messages\":[{\"@type\":\""), col("event_type"), lit("\""),
-      when(k.isNull, lit("")).otherwise(concat(lit(",\"k\":"), k)),
-      lit(",\"userId\":"), col("user_id"),
-      lit("}]}}"))
+  def withTxJson(events: DataFrame): DataFrame =
     events
       .withColumn("raw", encode(col("props"), "UTF-8"))
-      .withColumn("txJson", when(decodable, doc).otherwise(lit(null).cast("string")))
-  }
+      .withColumn("txJson", graft.functions.EventsTxJson.events_tx_json(
+        col("props"), col("event_id"), col("event_type"), col("user_id")))
 
   /** The harness rule set, mirroring the reference's rules_example.yaml onto
     * the events doc: a type-discriminator rule, a deep-scan numeric-filter
