@@ -177,10 +177,15 @@ object SparkEntry {
           lit("tok"),
           k.cast("string")))
         .withColumn("dec", decode_tx(col("raw")))
+        // ONE from_json parse of the canonical document (the projection
+        // deliberately goes back THROUGH the JSON — that's the round-trip
+        // under test); two get_json_object calls would parse it twice
+        .withColumn("j", from_json(col("dec.txJson"),
+          lit("body STRUCT<messages: ARRAY<STRUCT<fromAddress: STRING, amount: ARRAY<STRUCT<amount: STRING>>>>>")))
         .select(
           col("event_id"),
-          get_json_object(col("dec.txJson"), "$.body.messages[0].fromAddress").as("from_address"),
-          get_json_object(col("dec.txJson"), "$.body.messages[0].amount[0].amount").as("amount"),
+          col("j.body.messages")(0)("fromAddress").as("from_address"),
+          col("j.body.messages")(0)("amount")(0)("amount").as("amount"),
           col("dec.msgCount").as("msg_count"))
         .orderBy(col("event_id"))
     }),
