@@ -12,6 +12,14 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // coalesce reduce stages by DATA VOLUME (advisoryPartitionSizeInBytes),
+      // not up to the core count: the default parallelismFirst=true refuses
+      // to coalesce below defaultParallelism, so a KB-sized shuffle still
+      // launches one reduce task per core (measured 1.6× on the sf0.1
+      // bench), and at cluster scale it splinters medium shuffles into
+      // core-count slivers instead of the configured target size — the
+      // setting Spark's own tuning guide recommends turning off
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .withExtensions(new graft.plans.GraftExtensions)

@@ -136,7 +136,15 @@ object Tables {
     names.foreach { n =>
       val p = new java.io.File(s"$sfDir/$n.parquet")
       if (p.exists() && !m.contains((sfDir, n))) {
-        val df = spark.read.parquet(p.getPath).persist()
+        // spread before pinning: each test table is ONE parquet row-group,
+        // so the raw scan is one partition and every query's scan-side
+        // compute (the dispatch family's decode+JSON most of all) would
+        // run single-threaded for the whole bench. A cluster source never
+        // arrives as one split — Kafka has partitions, a 100 TB table has
+        // thousands of files — so the pinned layout mirrors that instead
+        // of the small-file accident. Verify keeps plain scans.
+        val df = spark.read.parquet(p.getPath)
+          .repartition(spark.sparkContext.defaultParallelism).persist()
         df.count() // materialize now so no query pays the first-touch cost
         m((sfDir, n)) = df
       }
