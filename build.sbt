@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] packs driver + 32 executor threads + broadcast builds +
+  // pinned table/branch caches into ONE heap. 48g (the host has 128 GiB)
+  // keeps storage eviction and full-GC risk out of the picture as the
+  // suite grows; measured bench totals match 8g, so this is headroom,
+  // not a tuning claim. (Run-to-run variance on this host was shown to
+  // be environmental: identical adaptive plans and a pure-projection
+  // query still swing 2-4x between JVMs - see SCALE.md.)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -412,8 +412,11 @@ object M5Queries {
     // threshold — one row per probe mode
     "q_embed_lsh_recall" -> ((s, dir) => {
       val emb = Similarity.embeddings(s, dir)
-      val exact = Similarity.cosineNearDupPairs(emb, threshold = 0.3)
-        .select(col("vec_a"), col("vec_b"))
+      // the exact all-pairs twin feeds BOTH probe-mode branches — persist
+      // it once or the heaviest frame in the query runs twice
+      val exact = graft.operators.SharedBranch.sharedBranch(
+        Similarity.cosineNearDupPairs(emb, threshold = 0.3)
+          .select(col("vec_a"), col("vec_b")))
       def measured(found: DataFrame, mode: String): DataFrame = exact
         .join(found.select(col("vec_a"), col("vec_b"), lit(1).as("hit")),
           Seq("vec_a", "vec_b"), "left")
