@@ -700,6 +700,15 @@ object M5Queries {
       Curation.balancedShards(TextDedup.documents(s, dir), nShards = 8)
         .orderBy(col("doc_id"))),
 
+    // ---- curation: per-source quota (the C4/RefinedWeb per-domain cap)
+    // via the bounded top-N aggregation — O(quota) state per key, map-side
+    // combinable; at sf0.01 the cap BINDS everywhere (20 sources × 25
+    // docs, quota 10)
+    "q_source_quota" -> ((s, dir) =>
+      Curation.sourceQuota(TextDedup.documents(s, dir), maxPerSource = 10,
+          score = col("n_chars"))
+        .orderBy(col("source"), col("qrank"))),
+
     // ---- curation: exact per-language vocabulary heavy hitters
     "q_top_tokens" -> ((s, dir) =>
       Curation.topTokensPerGroup(TextDedup.documents(s, dir), "lang", k = 5)
@@ -1650,6 +1659,13 @@ object M5Queries {
          |      THEN least(((cum - n_tokens) * 8) // total, 7)
          |      ELSE 0 END::BIGINT AS shard
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_source_quota" ->
+      """SELECT source, doc_id, rnk::INT AS qrank FROM (
+        | SELECT source, doc_id, row_number() OVER (
+        |   PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
+        | FROM documents)
+        |WHERE rnk <= 10 ORDER BY source, qrank""".stripMargin,
 
     "q_top_tokens" ->
       s"""WITH c AS (SELECT lang, t AS token, count(*) AS n

@@ -444,4 +444,46 @@ object Curation {
     */
   def repetitionMetrics(docs: DataFrame): DataFrame =
     tokenStats(docs).drop("n_wchars")
+
+  /** Per-source quota: keep at most `maxPerSource` documents per source,
+    * preferring the higher `score` (ties to the smaller doc_id) — the
+    * C4 / RefinedWeb-family per-domain cap that stops one crawled host
+    * from dominating the training mixture.
+    *
+    * Scale shape: ONE aggregation with the bounded
+    * [[graft.functions.BoundedTopN]] state — each map partition collapses
+    * to ≤ maxPerSource (score, id) pairs per source before the exchange,
+    * so the shuffle carries O(quota · partitions) rows per source no
+    * matter how hot the domain. The window spelling
+    * (`row_number() over (partition by source order by …)`) is the
+    * oracle twin and ships EVERY row of a hot domain to one reducer —
+    * exactly the skew this operator exists to manage
+    * (SourceQuotaSpec property-tests the two spellings identical,
+    * including score ties).
+    *
+    * Output: (source, doc_id, qrank), qrank 1..maxPerSource in
+    * preference order.
+    */
+  def sourceQuota(docs: DataFrame, maxPerSource: Int,
+      score: Column): DataFrame =
+    docs
+      .groupBy(col("source"))
+      .agg(graft.functions.BoundedTopN
+        .bounded_top_n(score, col("doc_id"), maxPerSource).as("kept"))
+      .select(col("source"), posexplode(col("kept")).as(Seq("p", "doc_id")))
+      .select(col("source"), col("doc_id"), (col("p") + 1).cast("int").as("qrank"))
+
+  /** The window-ranking twin of [[sourceQuota]] — the oracle-mirroring
+    * spelling, and the property-test reference for the bounded
+    * aggregation.
+    */
+  private[graft] def sourceQuotaByWindow(docs: DataFrame, maxPerSource: Int,
+      score: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(score.desc, col("doc_id"))
+    docs
+      .withColumn("qrank", row_number().over(w))
+      .filter(col("qrank") <= maxPerSource)
+      .select(col("source"), col("doc_id"), col("qrank"))
+  }
 }

@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   * merged associatively by Spark's `count_min_sketch` aggregate in one
   * corpus pass, with per-partition partials, regardless of vocabulary
   * size. This is also the only member of the family whose statistic
-  * (frequency) supports streaming heavy-hitters over windows with
-  * bounded state.
+  * (frequency) supports streaming heavy-hitters with bounded state —
+  * [[graft.streaming.StreamingHeavyHitters]] is that face: the same
+  * sketch carried as `flatMapGroupsWithState` state.
   */
 object Sketches {
 

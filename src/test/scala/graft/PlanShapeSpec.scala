@@ -152,9 +152,16 @@ class PlanShapeSpec extends AnyFunSuite {
       .filter(_.exists(_.isInstanceOf[WindowExec]))
     assert(biPlan.nonEmpty, "expected the bigram pre-agg shared branch in the plan")
     biPlan.foreach { nodes =>
-      val shuffles = nodes.collect { case e: ShuffleExchangeLike => e }
-      assert(shuffles.size <= 1,
-        s"bigram branch should shuffle ONCE (the doc_id window): ${shuffles.size}")
+      // count KEYED exchanges only: the round-robin input spread
+      // (TextDedup.documents) folds into an InMemoryTableScan when an
+      // earlier suite already cached the table, so counting it made the
+      // assertion depend on suite ORDER — the claim under test is "one
+      // hash exchange (the doc_id window), and the groupBy reuses it"
+      val keyed = nodes.collect { case e: ShuffleExchangeLike => e }
+        .filter(_.outputPartitioning
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+      assert(keyed.size <= 1,
+        s"bigram branch should hash-shuffle ONCE (the doc_id window): ${keyed.size}")
     }
     graft.sources.Tables.evictPinned(spark, blocking = true)
   }

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.BoundedTopN
+import graft.operators.{Curation, TextDedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourceQuotaSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("bounded aggregation == window ranking on the real corpus") {
+    val docs = TextDedup.documents(spark, sf)
+    for (quota <- Seq(1, 3, 10)) {
+      val agg = Curation.sourceQuota(docs, quota, col("n_chars"))
+        .as[(String, Long, Int)].collect().toSet
+      val win = Curation.sourceQuotaByWindow(docs, quota, col("n_chars"))
+        .as[(String, Long, Int)].collect().toSet
+      assert(agg == win, s"quota=$quota: bounded top-N diverged from the window twin")
+    }
+  }
+
+  test("score ties resolve identically in both spellings (smaller doc_id wins)") {
+    // forced ties: every score duplicated across several ids, several keys
+    val rows = for {
+      src <- 0 until 4
+      i <- 0 until 30
+    } yield (s"s$src", (src * 100 + i).toLong, (i % 5).toLong) // 6-way score ties
+    val docs = rows.toDF("source", "doc_id", "score")
+    val agg = Curation.sourceQuota(docs, 7, col("score"))
+      .as[(String, Long, Int)].collect().toSet
+    val win = Curation.sourceQuotaByWindow(docs, 7, col("score"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(agg == win)
+    // determinism under a different physical layout: same verdicts
+    val aggShuffled = Curation.sourceQuota(docs.repartition(13), 7, col("score"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(aggShuffled == agg, "result depends on partitioning — merge is not order-free")
+  }
+
+  test("aggregator state never exceeds the quota (the 100 TB bound)") {
+    val a = new BoundedTopN(5)
+    // feed 1000 rows of one key through reduce: buffer length stays <= 2n
+    var buf = a.zero
+    (0 until 1000).foreach { i =>
+      buf = a.reduce(buf, ((i * 7919) % 101L, i.toLong))
+      assert(buf.length <= 10, s"buffer grew past the bound at row $i")
+    }
+    // merge of two full buffers stays bounded and correctly ordered
+    var buf2 = a.zero
+    (1000 until 2000).foreach(i => buf2 = a.reduce(buf2, ((i * 104729) % 101L, i.toLong)))
+    val merged = a.merge(buf.clone(), buf2)
+    assert(merged.length <= 10)
+    val pairs = merged.grouped(2).map(p => (p(0), p(1))).toSeq
+    assert(pairs == pairs.sortBy { case (s, id) => (-s, id) },
+      "merged buffer lost rank order")
+  }
+
+  test("groups smaller than the quota keep every row, ranked") {
+    val docs = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 5L))
+      .toDF("source", "doc_id", "score")
+    val got = Curation.sourceQuota(docs, 10, col("score"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(got == Set(("a", 2L, 1), ("a", 1L, 2), ("b", 3L, 1)))
+  }
+}
