@@ -35,13 +35,17 @@ object Bench {
         graft.sources.Tables.releaseLocalCheckpoints(spark)
       }
     }
-    // best-of-N timed passes per query (default 3): a single pass measures
+    // best-of-N timed passes per query (default 2): a single pass measures
     // whatever GC pause / JIT deopt / host-load spike it collides with
     // (observed 2× run-to-run swings); the minimum is the standard
-    // noise-robust steady-state estimator. Queries run in SORTED NAME
-    // ORDER so per-query numbers are comparable across rounds — hash-map
-    // iteration order would shuffle run-order effects between rounds.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    // noise-robust steady-state estimator. Two timed passes on top of the
+    // warmup execution keep the full 91-query suite inside ~7 min wall on
+    // this host — a third pass bought no measurable extra stability (the
+    // residual noise is environmental, see SCALE.md) at +1.5 min of
+    // wall-clock. Queries run in SORTED NAME ORDER so per-query numbers
+    // are comparable across rounds — hash-map iteration order would
+    // shuffle run-order effects between rounds.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()

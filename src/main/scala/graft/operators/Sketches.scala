@@ -6,12 +6,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Bounded-memory frequency sketching — the fourth member of the sketch
-  * family (MinHash signatures, HyperLogLog cardinalities, Bloom
-  * decontamination, and now Count-Min frequencies). Same verification
-  * policy as the others: sketch layouts are engine-specific, so no DuckDB
-  * oracle rides on these paths; the guarantees are spec-pinned against
-  * the exact twins instead ([[Curation.topTokensPerGroup]]).
+/** Bounded-memory frequency sketching — one member of the sketch family
+  * (MinHash signatures for similarity, HyperLogLog cardinalities, Bloom
+  * decontamination, Count-Min frequencies here, and the
+  * `percentile_approx` rank sketch in [[Stats.quantilesApproxPerGroup]]).
+  * Same verification policy across the family: sketch layouts are
+  * engine-specific, so no DuckDB oracle rides on these paths; the
+  * guarantees are spec-pinned against the exact twins instead
+  * ([[Curation.topTokensPerGroup]]).
   *
   * Why it exists at 100 TB: the exact per-group token ranking keeps a
   * (group × vocabulary)-sized aggregation state. A Count-Min sketch is a

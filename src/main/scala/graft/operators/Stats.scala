@@ -78,4 +78,34 @@ object Stats {
         approx_count_distinct(col("doc_id"), rsd).as("n_docs"),
         approx_count_distinct(col("fp"), rsd).as("n_distinct_fp"),
         approx_count_distinct(col("token"), rsd).as("n_distinct_tokens"))
+
+  /** The approximate face of [[quantilesPerGroup]] — same output shape
+    * `(groupCol, q, quantile)`, `percentile_approx` (a mergeable
+    * rank sketch) instead of the ranking window. This is the quantile
+    * member of the bounded-sketch family (MinHash, HLL, Bloom,
+    * Count-Min): per group the aggregation state is O(accuracy), not
+    * O(n), and partials merge associatively — so a 100 TB distribution
+    * profile is ONE map-side-combinable pass with no per-group sort,
+    * where the exact twin ranks every row of the group. Guarantee:
+    * rank error ≤ n/accuracy (Spark's GK-sketch bound), which
+    * QuantileSketchSpec pins against the exact twin's order statistics.
+    * Engine-specific sketch ⇒ no oracle (the cardinalitiesApprox
+    * policy); the exact twin carries the gate.
+    */
+  def quantilesApproxPerGroup(df: DataFrame, groupCol: String,
+      valueCol: String, qsPerMille: Seq[Int],
+      accuracy: Int = 10000): DataFrame = {
+    require(qsPerMille.nonEmpty && qsPerMille.forall(q => q > 0 && q <= 1000),
+      s"quantile points must be in (0, 1000], got $qsPerMille")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pct = array(qsPerMille.map(q => lit(q / 1000.0)): _*)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(percentile_approx(col(valueCol), pct, lit(accuracy)).as("_qs"))
+      .select(col(groupCol), posexplode(col("_qs")).as(Seq("_i", "quantile")))
+      .join(broadcast(qsPerMille.zipWithIndex.map { case (q, i) => (i, q) }
+        .toDF("_i", "q")), "_i")
+      .select(col(groupCol), col("q"), col("quantile"))
+  }
 }

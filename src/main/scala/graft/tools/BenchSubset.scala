@@ -44,7 +44,7 @@ object BenchSubset {
         graft.sources.Tables.releaseLocalCheckpoints(spark)
       }
     }
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
