@@ -298,24 +298,42 @@ object Curation {
     * (distinct-bigram ratio < 0.5), `short_words` (mean word length < 4).
     */
   def qualityFilter(docs: DataFrame, minTokens: Int = 30,
-      maxTokens: Int = 10000): DataFrame = {
+      maxTokens: Int = 10000): DataFrame =
+    withQualityVerdict(docs, minTokens, maxTokens)
+      .select(col("doc_id"), col("_q.n_tokens").as("n_tokens"),
+        col("_q.keep").as("keep"), col("_q.reasons").as("reasons"))
+
+  /** [[qualityFilter]]'s verdict as ONE added struct column `_q`
+    * (n_tokens, keep, reasons), every input column retained — the
+    * composable core both faces share. Keeping the row intact matters on
+    * STREAMS: the batch pipeline re-attaches text with a doc_id join,
+    * which on a streaming frame would be a stream-stream join; this
+    * spelling stays a stateless projection.
+    */
+  private[graft] def withQualityVerdict(docs: DataFrame, minTokens: Int,
+      maxTokens: Int): DataFrame = {
     // one metric definition for the gate AND the reported statistics
     // (repetitionMetrics) — long casts keep the cross-multiplications
     // overflow-safe under ANSI for arbitrarily long documents
-    val nTok = col("n_tokens").cast("long")
+    val ts = col("_tstats")
+    val nTok = ts.getField("n_tokens").cast("long")
     val fired = array(
-      when(col("n_bigrams") > 0 &&
-        col("n_distinct_bigrams").cast("long") * 2 < col("n_bigrams").cast("long"),
+      when(ts.getField("n_bigrams") > 0 &&
+        ts.getField("n_distinct_bigrams").cast("long") * 2 <
+          ts.getField("n_bigrams").cast("long"),
         lit("bigram_repetition")),
-      when(col("n_distinct_tokens").cast("long") * 5 < nTok * 2,
+      when(ts.getField("n_distinct_tokens").cast("long") * 5 < nTok * 2,
         lit("high_repetition")),
-      when(nTok > 0 && col("n_wchars") * 10 < nTok * 40, lit("short_words")),
+      when(nTok > 0 && ts.getField("n_wchars") * 10 < nTok * 40,
+        lit("short_words")),
       when(nTok > maxTokens, lit("too_long")),
       when(nTok < minTokens, lit("too_short")))
-    tokenStats(docs)
-      .withColumn("reasons", filter(fired, r => r.isNotNull))
-      .select(col("doc_id"), nTok.as("n_tokens"),
-        (size(col("reasons")) === 0).as("keep"), col("reasons"))
+    docs
+      .withColumn("_tstats", graft.functions.TokenStats.token_stats(col("text")))
+      .withColumn("_reasons", filter(fired, r => r.isNotNull))
+      .withColumn("_q", struct(nTok.as("n_tokens"),
+        (size(col("_reasons")) === 0).as("keep"), col("_reasons").as("reasons")))
+      .drop("_tstats", "_reasons")
   }
 
   // ---- the end-to-end curation pipeline --------------------------------

@@ -58,6 +58,31 @@ class SourceQuotaSpec extends AnyFunSuite {
       "merged buffer lost rank order")
   }
 
+  test("fuzz: reduce/merge in any split equals sort-take on the same multiset") {
+    import org.scalacheck.{Gen, rng}
+    val agg = new BoundedTopN(4)
+    val pairGen = for {
+      s <- Gen.choose(0L, 6L) // small score domain → dense ties
+      id <- Gen.choose(0L, 40L)
+    } yield (s, id)
+    val caseGen = for {
+      pairs <- Gen.listOf(pairGen)
+      cut <- Gen.choose(0, math.max(0, pairs.length))
+    } yield (pairs, cut)
+    (0 until 200).foreach { i =>
+      val (pairs, cut) = caseGen.pureApply(Gen.Parameters.default, rng.Seed(i.toLong))
+      val (l, r) = pairs.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      // duplicate (score, id) input rows are legal and rank as separate
+      // instances — exactly like duplicate rows under the window twin
+      val expect = pairs.sortBy { case (s, id) => (-s, id) }
+        .take(4).map(_._2)
+      assert(agg.finish(merged) == expect,
+        s"seed $i: split at $cut of $pairs → ${agg.finish(merged)}, want $expect")
+    }
+  }
+
   test("groups smaller than the quota keep every row, ranked") {
     val docs = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 5L))
       .toDF("source", "doc_id", "score")

@@ -1,0 +1,92 @@
+package graft
+
+import graft.streaming.StreamingCuration
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingCurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def t(ms: Long) = new java.sql.Timestamp(ms)
+
+  private val decomposed = "café" // e + combining acute
+  private val precomposed = "café" // é, NFC form
+
+  /** ≥ minTokens, all words distinct and ≥ 4 chars, so every quality
+    * rule (length, repetition ratios, short-words) passes.
+    */
+  private def longDoc(stem: String): String =
+    (1 to 40).map(i => s"$stem$i token$i").mkString(" ")
+
+  test("streaming pipeline: normalize, gate, dedup, decontaminate — end to end") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evalDocs = Seq((100L, longDoc("evalsecret")))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = StreamingCuration.curate(
+      input.toDF().toDF("doc_id", "ts", "text"), evalDocs,
+      // fpp tightened: at the default 1e-3 a ~100-shingle clean doc has
+      // ~10% deterministic odds of a Bloom false positive for a given
+      // eval set, which would (correctly, one-sidedly) drop it and flake
+      // the assertion
+      eventTime = "ts", watermarkDelay = "10 minutes", minTokens = 30,
+      fpp = 1e-9)
+    val q = out.writeStream.format("memory").queryName("scur_out")
+      .outputMode("append").start()
+    // batch 1: a clean doc spelled with the DECOMPOSED e+◌́ (must
+    // normalize), a too-short doc, and a contaminated doc quoting the
+    // eval corpus wholesale
+    input.addData(
+      (1L, t(1000), longDoc(decomposed)),
+      (2L, t(2000), "too short"),
+      (3L, t(3000), longDoc("evalsecret")))
+    q.processAllAvailable()
+    // batch 2: doc 1 again but PRECOMPOSED (equal only after NFC — the
+    // dedup stage must key on the normalized text) and a fresh clean doc
+    input.addData(
+      (4L, t(4000), longDoc(precomposed)),
+      (5L, t(5000), longDoc("fresh")))
+    q.processAllAvailable()
+    q.stop()
+    val survivors = s.table("scur_out")
+      .select($"doc_id", $"text", $"n_tokens").as[(Long, String, Long)].collect()
+    assert(survivors.map(_._1).toSet == Set(1L, 5L),
+      s"expected docs 1 and 5 to survive, got ${survivors.map(_._1).toSet}: " +
+        "2 fails the gate, 3 is contaminated, 4 duplicates 1 after NFC")
+    val doc1 = survivors.find(_._1 == 1L).get
+    assert(doc1._2.contains(precomposed + "1"),
+      "NFC normalization should precompose e+combining-acute")
+    assert(doc1._3 >= 30L, "surviving rows carry their token count")
+  }
+
+  test("whitespace-variant duplicate collapses to the first arrival") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evalDocs = Seq((100L, longDoc("unrelated"))).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = StreamingCuration.curate(
+      input.toDF().toDF("doc_id", "ts", "text"), evalDocs,
+      // fpp tightened: at the default 1e-3 a ~100-shingle clean doc has
+      // ~10% deterministic odds of a Bloom false positive for a given
+      // eval set, which would (correctly, one-sidedly) drop it and flake
+      // the assertion
+      eventTime = "ts", watermarkDelay = "10 minutes", minTokens = 30,
+      fpp = 1e-9)
+    val q = out.writeStream.format("memory").queryName("scur_norm")
+      .outputMode("append").start()
+    // the same document with doubled whitespace: equal only after the
+    // whitespace collapse, so surviving = normalization runs before dedup
+    input.addData(
+      (1L, t(1000), longDoc("plain")),
+      (2L, t(2000), longDoc("plain").replace(" ", "  ")))
+    q.processAllAvailable()
+    q.stop()
+    val survivors = s.table("scur_norm").select($"doc_id")
+      .as[Long].collect().toSet
+    assert(survivors == Set(1L),
+      s"normalized spellings must dedup to the first arrival, got $survivors")
+  }
+}
