@@ -485,6 +485,20 @@ object M5Queries {
         .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
         .orderBy(col("query_id"), col("rank"))),
 
+    // ---- similarity: the PERSISTED IVF-PQ index — written partitioned
+    // by coarse bucket, probed through parquet partition pruning (the
+    // billion-vector on-disk shape); result identical to the in-memory
+    // composition, so it shares that oracle chain verbatim
+    "q_embed_ivfpq_indexed" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      val ixDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_${
+        java.lang.Integer.toHexString(dir.hashCode)}"
+      Similarity.writeIvfPqIndex(emb, ixDir)
+      Similarity.annIvfPqTopKIndexed(emb, ixDir, 0L to 9L, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- similarity: IVF-PQ quality measured, not guessed — recall@5 vs
     // exact brute force, the same metric the IVF / ADC / PQ+refine stages
     // report individually, so the composition's recall cost is a number
@@ -1372,6 +1386,13 @@ object M5Queries {
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
 
     "q_embed_ivfpq" ->
+      s"""$ivfPqChain
+         |SELECT query_id, neighbor_id, rank::INT AS rank, cos FROM ivfpq
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // identical math to q_embed_ivfpq by construction (the index is the
+    // same assignment/codes, persisted) — the oracle chain is shared
+    "q_embed_ivfpq_indexed" ->
       s"""$ivfPqChain
          |SELECT query_id, neighbor_id, rank::INT AS rank, cos FROM ivfpq
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,

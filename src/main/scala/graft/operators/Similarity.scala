@@ -529,6 +529,109 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Persist the composed IVF-PQ index to storage, PARTITIONED BY COARSE
+    * BUCKET — the on-disk shape that makes [[annIvfPqTopKIndexed]]'s
+    * probes read only their buckets' files (parquet partition pruning),
+    * which is the entire point of an IVF index at the billion-vector
+    * scale: a query touches nprobe/centroids of the stored bytes, and
+    * each stored row is 1 id + m codes, never a raw vector.
+    *
+    * Layout: `dir/index` (vec_id, codes; partitioned by bucket),
+    * `dir/coarse` (centroid_id, cqv), `dir/pq` (j, centroid_id, cqv).
+    * Codebook training reuses the one grouped pass of [[annIvfPqTopK]].
+    */
+  def writeIvfPqIndex(embs: DataFrame, dir: String, centroids: Int = 8,
+      m: Int = 8, ksub: Int = 8): Unit = {
+    require(64 % m == 0, s"m must divide 64, got $m")
+    val dsub = 64 / m
+    val spark = embs.sparkSession
+    val vq = withQuantizedShared(embs)
+    val subIn = vq
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("qv"))
+      .select(col("vec_id"), col("j"),
+        slice(col("qv"), col("j") * dsub + 1, lit(dsub)).as("qv"))
+      .unionByName(vq.select(col("vec_id"), lit(m).as("j"), col("qv")))
+    val trained = kmeansCentsGroupedVarK(subIn,
+      when(col("j") === m, lit(centroids)).otherwise(lit(ksub)), iters = 2)
+    val cb = trained.collect { case (g, cid, cqv) if g == m => (cid, cqv) }
+    val pqcb = trained.filter(_._1 < m)
+    vq.select(col("vec_id"),
+        graft.functions.CentroidExpressions.nearestCentroidId(col("qv"), lit(0),
+          cb.map { case (cid, cqv) => (0, cid, cqv) }).as("bucket"),
+        graft.functions.CentroidExpressions.pqCodes(col("qv"), dsub, pqcb).as("codes"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/index")
+    spark.createDataFrame(cb).toDF("centroid_id", "cqv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+    spark.createDataFrame(pqcb).toDF("j", "centroid_id", "cqv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq")
+  }
+
+  /** [[annIvfPqTopK]] answered FROM a [[writeIvfPqIndex]] directory: the
+    * union of the queries' probed buckets becomes a static
+    * `bucket IN (…)` filter on the partitioned index scan, so parquet
+    * partition pruning skips every unprobed bucket's files
+    * (PlanShapeSpec asserts the pruned scan). Codebooks are index
+    * METADATA (centroids+m·ksub rows) — read and collected driver-side
+    * like every codebook here. The exact-cosine refine fetches raw
+    * vectors by id from `embs`, NOT from the index — the index never
+    * stores a vector. Output identical to [[annIvfPqTopK]] with the
+    * same parameters (spec-pinned; the training is deterministic).
+    */
+  def annIvfPqTopKIndexed(embs: DataFrame, dir: String, queryIds: Seq[Long],
+      k: Int, nprobe: Int = 2, m: Int = 8,
+      shortlist: Int = 20): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val dsub = 64 / m
+    val spark = embs.sparkSession
+    val cb = spark.read.parquet(s"$dir/coarse")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
+    val pqcb = spark.read.parquet(s"$dir/pq")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val queries = withQuantizedShared(embs)
+      .filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("v").as("qvec"), col("qv"))
+    val probeCands = array_sort(array(cb.map { case (cid, cqv) =>
+      struct(l2sqQ(col("qv"), typedLit(cqv)).as("dist"), lit(cid).as("centroid_id"))
+    }: _*))
+    val probes = queries
+      .select(col("query_id"), explode(slice(probeCands, 1, nprobe)).as("probe"))
+      .select(col("query_id"), col("probe.centroid_id").as("bucket"))
+    // bounded collect (queries × nprobe) → a STATIC partition filter the
+    // scan prunes on; the per-query bucket assignment still rides the
+    // broadcast probes join
+    val probedBuckets = probes.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val indexScan = spark.read.parquet(s"$dir/index")
+      .filter(col("bucket").isInCollection(probedBuckets))
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"), col("codes"))
+    val centsDf = broadcast(spark.createDataFrame(pqcb)
+      .toDF("j", "centroid_id", "cqv"))
+    val tables = queries.join(centsDf)
+      .select(col("query_id"), col("j"), col("centroid_id").as("code"),
+        l2sqQ(slice(col("qv"), col("j") * dsub + 1, lit(dsub)), col("cqv")).as("dsub"))
+    val slW = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    val shortlisted = indexScan.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(tables), Seq("query_id", "j", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dsub")).as("adc"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc"))
+      .withColumn("rnk", row_number().over(slW))
+      .filter(col("rnk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val v = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    shortlisted
+      .join(v.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qvec"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "Semantic
     * deduplication"): remove documents that are semantic near-copies even
     * when their surface text differs. Cluster the embeddings with the

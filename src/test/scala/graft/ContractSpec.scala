@@ -110,6 +110,7 @@ class ContractSpec extends AnyFunSuite {
       "q_embed_ann_lsh"     -> Set("cos"),
       "q_embed_ivf"         -> Set("cos"),
       "q_embed_ivfpq"       -> Set("cos"),
+      "q_embed_ivfpq_indexed" -> Set("cos"),
       "q_knn_graph"         -> Set("cos"),
       "q_knn_graph_bounded" -> Set("cos"),
       "q_embed_neardup_lsh_mp" -> Set("cos"),
