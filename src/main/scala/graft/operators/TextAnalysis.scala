@@ -13,8 +13,20 @@ object TextAnalysis {
   /** Marker-based language ID: count marker-stopword hits per language,
     * pick the argmax (declaration order wins ties, 'und' = undetermined
     * when nothing hits). Deterministic and SQL-reproducible.
+    *
+    * One-pass [[graft.functions.LangId]] expression; the HOF fold below
+    * ([[langIdHof]]) is the semantics it is property-pinned against —
+    * that spelling re-ran its lambda `filter` traversals ~30× per row
+    * (lambda HOFs are excluded from subexpression elimination).
     */
-  def langId(toks: Column): Column = {
+  def langId(toks: Column): Column = graft.functions.LangId.lang_id(toks)
+
+  /** The original HOF spelling of [[langId]] — kept as the executable
+    * specification (LangIdSpec pins `langId ≡ langIdHof` property-wise).
+    * Do not use in production paths: every reference to a score or the
+    * max re-runs its full array traversal.
+    */
+  def langIdHof(toks: Column): Column = {
     // langs in fixed order; fold keeps the first maximum
     val ordered = Seq("en", "de", "fr", "es", "zh")
     val scores = ordered.map(l => markerHits(toks, langMarkers(l)))
