@@ -27,11 +27,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] packs driver + 32 executor threads + broadcast builds +
-  // pinned table/branch caches into ONE heap. 48g (the host has 128 GiB)
-  // keeps storage eviction and full-GC risk out of the picture as the
-  // suite grows; measured bench totals match 8g, so this is headroom,
-  // not a tuning claim. (Run-to-run variance on this host was shown to
-  // be environmental: identical adaptive plans and a pure-projection
-  // query still swing 2-4x between JVMs - see SCALE.md.)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // pinned table/branch caches into ONE heap. The default is derived
+  // from the HOST's memory rather than hard-coding one machine's
+  // geometry: 48g on a >=96 GiB host (keeps storage eviction and
+  // full-GC risk out of the picture as the suite grows; measured bench
+  // totals match 8g, so headroom, not a tuning claim), a portable 8g
+  // elsewhere so the forked JVM can't drive a small contributor machine
+  // into swap. SPARK_DRIVER_MEM always overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val memTotalGiB = try {
+      scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemTotal:") =>
+          l.split("\\s+")(1).toLong / (1024 * 1024) }
+        .getOrElse(0L)
+    } catch { case _: Exception => 0L }
+    if (memTotalGiB >= 96) "48g" else "8g"
+  })}",
 )

@@ -84,6 +84,14 @@ class BoundedTopN(val n: Int) extends Aggregator[(Long, Long), Array[Long], Seq[
 object BoundedTopN {
   /** Column form: ids of the group's `n` best (score DESC, id ASC) rows,
     * best first.
+    *
+    * INTEGRAL-SCORE CONTRACT: the input encoder is (Long, Long), and
+    * Spark's implicit numeric cast will coerce a fractional score column
+    * to bigint — silently truncating. Callers must pass an integral
+    * score (scale fractional scores to integer units first); the
+    * DataFrame-level face ([[graft.operators.Curation.sourceQuota]])
+    * enforces this at plan time. Null inputs are rejected by the tuple
+    * encoder at runtime — filter nulls upstream.
     */
   def bounded_top_n(score: Column, id: Column, n: Int): Column =
     F.udaf(new BoundedTopN(n)).apply(score, id)

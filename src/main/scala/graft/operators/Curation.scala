@@ -481,27 +481,57 @@ object Curation {
     *
     * Output: (source, doc_id, qrank), qrank 1..maxPerSource in
     * preference order.
+    *
+    * Contract (checked loudly, both spellings identical by construction):
+    *   - `score` must be an INTEGRAL column. The aggregator's input
+    *     encoder is (Long, Long); Spark's implicit numeric cast would
+    *     silently TRUNCATE a double score, diverging from the window twin
+    *     which ranks the untruncated values — so a fractional score type
+    *     is rejected at plan time here instead. Scale a fractional score
+    *     to integer units first (the `cents` discipline).
+    *   - rows with a null score or null doc_id are DROPPED (a null-scored
+    *     document has no rank preference; the tuple encoder would reject
+    *     it at runtime otherwise). The window twin filters identically so
+    *     the two spellings stay property-identical on nullable input.
     */
   def sourceQuota(docs: DataFrame, maxPerSource: Int,
-      score: Column): DataFrame =
+      score: Column): DataFrame = {
+    requireIntegralScore(docs, score)
     docs
+      .filter(score.isNotNull && col("doc_id").isNotNull)
       .groupBy(col("source"))
       .agg(graft.functions.BoundedTopN
         .bounded_top_n(score, col("doc_id"), maxPerSource).as("kept"))
       .select(col("source"), posexplode(col("kept")).as(Seq("p", "doc_id")))
       .select(col("source"), col("doc_id"), (col("p") + 1).cast("int").as("qrank"))
+  }
 
   /** The window-ranking twin of [[sourceQuota]] — the oracle-mirroring
     * spelling, and the property-test reference for the bounded
-    * aggregation.
+    * aggregation. Mirrors the aggregator's null-row drop (see the
+    * [[sourceQuota]] contract) so the two spellings agree on any input.
     */
   private[graft] def sourceQuotaByWindow(docs: DataFrame, maxPerSource: Int,
       score: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(score.desc, col("doc_id"))
     docs
+      .filter(score.isNotNull && col("doc_id").isNotNull)
       .withColumn("qrank", row_number().over(w))
       .filter(col("qrank") <= maxPerSource)
       .select(col("source"), col("doc_id"), col("qrank"))
+  }
+
+  /** Resolve `score` against `docs` and reject fractional types loudly —
+    * the silent-truncation guard from the sourceQuota contract. Driver
+    * -side analysis of a single-column projection; no job runs.
+    */
+  private def requireIntegralScore(docs: DataFrame, score: Column): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = docs.select(score).schema.head.dataType
+    require(dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType,
+      s"sourceQuota score must be an integral column (got $dt): the bounded " +
+        "aggregator's (Long, Long) encoder would silently truncate fractional " +
+        "scores — scale to integer units (e.g. cents) first")
   }
 }

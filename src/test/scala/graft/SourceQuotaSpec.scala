@@ -83,6 +83,34 @@ class SourceQuotaSpec extends AnyFunSuite {
     }
   }
 
+  test("null score / doc_id rows drop identically in both spellings") {
+    // pre-fix divergence: the aggregator's (Long, Long) encoder CRASHED
+    // on nulls while the window twin ranked them (nulls last under desc)
+    val docs = Seq(
+      ("a", Some(1L), Some(10L)), ("a", Some(2L), None),
+      ("a", None, Some(30L)), ("b", Some(4L), Some(5L)), ("b", Some(5L), None))
+      .toDF("source", "doc_id", "score")
+    val agg = Curation.sourceQuota(docs, 10, col("score"))
+      .as[(String, Long, Int)].collect().toSet
+    val win = Curation.sourceQuotaByWindow(docs, 10, col("score"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(agg == win)
+    assert(agg == Set(("a", 1L, 1), ("b", 4L, 1)), "null rows must be dropped")
+  }
+
+  test("fractional score types are rejected at plan time, not truncated") {
+    // pre-fix: the implicit cast to bigint silently truncated, so 1.9
+    // and 1.2 tied in the aggregator but not in the window twin
+    val docs = Seq(("a", 1L, 1.2), ("a", 2L, 1.9)).toDF("source", "doc_id", "score")
+    val e = intercept[IllegalArgumentException] {
+      Curation.sourceQuota(docs, 1, col("score"))
+    }
+    assert(e.getMessage.contains("integral"))
+    // integral spellings of any width stay accepted
+    val ints = Seq(("a", 1L, 3), ("a", 2L, 7)).toDF("source", "doc_id", "score")
+    assert(Curation.sourceQuota(ints, 1, col("score")).count() == 1)
+  }
+
   test("groups smaller than the quota keep every row, ranked") {
     val docs = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 5L))
       .toDF("source", "doc_id", "score")
