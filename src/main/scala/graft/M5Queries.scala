@@ -914,20 +914,34 @@ object M5Queries {
       * CTE (mirroring the Spark-side formula) instead of hardcoding the
       * sf0.01 literal, so verifying at another scale factor stays exact.
       */
-    def kmeansCtesExpr(kExpr: String): String = {
+    def kmeansCtesExpr(kExpr: String): String = kmeansCtesPred(kExpr, "TRUE")
+
+    /** [[kmeansCtesExpr]] with a TRAINING-ROW predicate: k-means init and
+      * both Lloyd assignment passes see only `qvt` rows satisfying
+      * `trainPred`, while `qvt` itself (what downstream CTEs assign /
+      * encode) keeps the full corpus — the frozen-codebook semantics of
+      * [[graft.operators.Similarity.appendIvfPqIndex]], where appended
+      * vectors are assigned with codebooks they never trained. The
+      * default TRUE emits the original text (no extra CTE), so the
+      * long-green oracle strings are byte-stable.
+      */
+    def kmeansCtesPred(kExpr: String, trainPred: String): String = {
+      val trainSrc = if (trainPred == "TRUE") "qvt" else "qvt_train"
       def iter(i: Int, prev: String): String =
         s""" a$i AS (SELECT vec_id, qv, centroid_id FROM (
            |   SELECT t.vec_id, t.qv, c.centroid_id,
            |    row_number() OVER (PARTITION BY t.vec_id ORDER BY ${l2q("t.qv", "c.cqv")}, c.centroid_id) rn
-           |   FROM qvt t CROSS JOIN $prev c) WHERE rn = 1),
+           |   FROM $trainSrc t CROSS JOIN $prev c) WHERE rn = 1),
            | s$i AS (SELECT centroid_id, d, CAST(floor(sum(qv[d]) / count(*)) AS BIGINT) AS cd
            |   FROM a$i, (SELECT unnest(generate_series(1, 64)) AS d) dims
            |   GROUP BY centroid_id, d),
            | m$i AS (SELECT centroid_id, list(cd ORDER BY d) AS cqv FROM s$i GROUP BY centroid_id),
            | c$i AS (SELECT p.centroid_id, coalesce(m$i.cqv, p.cqv) AS cqv
            |   FROM $prev p LEFT JOIN m$i ON p.centroid_id = m$i.centroid_id)""".stripMargin
-      s""" qvt AS (SELECT vec_id, v, list_transform(v, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv FROM v),
-         | c0 AS (SELECT vec_id AS centroid_id, qv AS cqv FROM qvt WHERE vec_id < ($kExpr)),
+      val trainCte = if (trainPred == "TRUE") ""
+        else s"\n qvt_train AS (SELECT * FROM qvt WHERE $trainPred),"
+      s""" qvt AS (SELECT vec_id, v, list_transform(v, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv FROM v),$trainCte
+         | c0 AS (SELECT vec_id AS centroid_id, qv AS cqv FROM $trainSrc WHERE vec_id < ($kExpr)),
          |${iter(1, "c0")},
          |${iter(2, "c1")},
          | cents_q AS (SELECT centroid_id, cqv FROM c2)""".stripMargin
@@ -940,7 +954,15 @@ object M5Queries {
       * Ends with `pq_codes(vec_id, j, code)` and
       * `pq_tab(query_id, j, code, dsub)`.
       */
-    def pqCtes(m: Int, ksub: Int): String = {
+    def pqCtes(m: Int, ksub: Int): String = pqCtesPred(m, ksub, "TRUE")
+
+    /** [[pqCtes]] with the same training-row predicate as
+      * [[kmeansCtesPred]]: each subspace trains on `trainPred` rows only;
+      * `pq_codes` (assignment) and `pq_tab` (query tables) keep the full
+      * `qvt`.
+      */
+    def pqCtesPred(m: Int, ksub: Int, trainPred: String): String = {
+      val trainSrc = if (trainPred == "TRUE") "qvt" else "qvt_train"
       val dsub = 64 / m
       def l2qd(a: String, b: String): String =
         s"""list_sum(list_transform(generate_series(1, $dsub), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])))"""
@@ -960,7 +982,7 @@ object M5Queries {
              | ${p}m$i AS (SELECT centroid_id, list(cd ORDER BY d) AS cqv FROM ${p}s$i GROUP BY centroid_id),
              | ${p}c$i AS (SELECT q.centroid_id, coalesce(${p}m$i.cqv, q.cqv) AS cqv
              |   FROM $prev q LEFT JOIN ${p}m$i ON q.centroid_id = ${p}m$i.centroid_id)""".stripMargin
-        s""" ${p}qvt AS (SELECT vec_id, qv[${j * dsub + 1}:${(j + 1) * dsub}] AS qv FROM qvt),
+        s""" ${p}qvt AS (SELECT vec_id, qv[${j * dsub + 1}:${(j + 1) * dsub}] AS qv FROM $trainSrc),
            | ${p}c0 AS (SELECT vec_id AS centroid_id, qv AS cqv FROM ${p}qvt WHERE vec_id < $ksub),
            |${iter(1, s"${p}c0")},
            |${iter(2, s"${p}c1")},

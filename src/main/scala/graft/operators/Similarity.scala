@@ -536,21 +536,28 @@ object Similarity {
     * scale: a query touches nprobe/centroids of the stored bytes, and
     * each stored row is 1 id + m codes, never a raw vector.
     *
-    * Layout: `dir/index` (vec_id, codes; partitioned by bucket),
+    * Layout: `dir/index` (vec_id, codes; partitioned by (bucket, batch) —
+    * batch 0 is this base build, [[appendIvfPqIndex]] adds batches 1+),
     * `dir/coarse` (centroid_id, cqv), `dir/pq` (j, centroid_id, cqv).
     * Codebook training reuses the one grouped pass of [[annIvfPqTopK]].
+    *
+    * `trainOn` optionally trains the codebooks on a SUBSET while the full
+    * `embs` is assigned and written — the rebuild-at-equal-codebooks
+    * reference an [[appendIvfPqIndex]] of the complement must reproduce
+    * exactly (IvfPqIndexSpec pins the equivalence).
     */
   def writeIvfPqIndex(embs: DataFrame, dir: String, centroids: Int = 8,
-      m: Int = 8, ksub: Int = 8): Unit = {
+      m: Int = 8, ksub: Int = 8, trainOn: Option[DataFrame] = None): Unit = {
     require(64 % m == 0, s"m must divide 64, got $m")
     val dsub = 64 / m
     val spark = embs.sparkSession
     val vq = withQuantizedShared(embs)
-    val subIn = vq
+    val vqTrain = trainOn.map(withQuantizedShared).getOrElse(vq)
+    val subIn = vqTrain
       .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("qv"))
       .select(col("vec_id"), col("j"),
         slice(col("qv"), col("j") * dsub + 1, lit(dsub)).as("qv"))
-      .unionByName(vq.select(col("vec_id"), lit(m).as("j"), col("qv")))
+      .unionByName(vqTrain.select(col("vec_id"), lit(m).as("j"), col("qv")))
     val trained = kmeansCentsGroupedVarK(subIn,
       when(col("j") === m, lit(centroids)).otherwise(lit(ksub)), iters = 2)
     val cb = trained.collect { case (g, cid, cqv) if g == m => (cid, cqv) }
@@ -558,12 +565,87 @@ object Similarity {
     vq.select(col("vec_id"),
         graft.functions.CentroidExpressions.nearestCentroidId(col("qv"), lit(0),
           cb.map { case (cid, cqv) => (0, cid, cqv) }).as("bucket"),
-        graft.functions.CentroidExpressions.pqCodes(col("qv"), dsub, pqcb).as("codes"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/index")
+        graft.functions.CentroidExpressions.pqCodes(col("qv"), dsub, pqcb).as("codes"),
+        lit(0L).as("batch"))
+      .write.partitionBy("bucket", "batch").mode("overwrite").parquet(s"$dir/index")
     spark.createDataFrame(cb).toDF("centroid_id", "cqv")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
     spark.createDataFrame(pqcb).toDF("j", "centroid_id", "cqv")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq")
+  }
+
+  /** Incrementally grow a [[writeIvfPqIndex]] directory: assign `newEmbs`
+    * with the index's FROZEN on-disk codebooks (read back as metadata —
+    * centroids + m·ksub rows) and append id+codes rows to the bucket
+    * partitions under a new `batch` partition value. This is the
+    * production loop a billion-vector corpus needs — codebooks train
+    * once, growth is a narrow assignment projection + partitioned write;
+    * nothing existing is read or rewritten.
+    *
+    * Idempotent replay: the write uses DYNAMIC partition overwrite keyed
+    * by (bucket, batch) — re-running a failed batch replaces exactly its
+    * own partitions (the StreamingIncrementalDedup batch-id discipline),
+    * never batch 0 or other appends. Append ≡ rebuild with equal
+    * codebooks (spec-pinned): the combined index is row-identical to a
+    * `writeIvfPqIndex(all, trainOn = Some(base))`.
+    *
+    * When to retrain instead of append is a MEASURED call — see
+    * [[ivfPqDrift]].
+    */
+  def appendIvfPqIndex(newEmbs: DataFrame, dir: String, batch: Long,
+      m: Int = 8): Unit = {
+    require(batch >= 1, s"batch 0 is the base build; appends start at 1 (got $batch)")
+    val dsub = 64 / m
+    val spark = newEmbs.sparkSession
+    val cb = spark.read.parquet(s"$dir/coarse")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
+    val pqcb = spark.read.parquet(s"$dir/pq")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    withQuantizedShared(newEmbs)
+      .select(col("vec_id"),
+        graft.functions.CentroidExpressions.nearestCentroidId(col("qv"), lit(0),
+          cb.map { case (cid, cqv) => (0, cid, cqv) }).as("bucket"),
+        graft.functions.CentroidExpressions.pqCodes(col("qv"), dsub, pqcb).as("codes"),
+        lit(batch).as("batch"))
+      .write.partitionBy("bucket", "batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$dir/index")
+  }
+
+  /** Codebook-drift report for a grown index: per batch, the mean
+    * per-dimension squared quantized distance of each stored vector to
+    * its assigned coarse centroid (`mean_inertia`). Appended batches were
+    * assigned with FROZEN codebooks — when their inertia drifts well
+    * above batch 0's, the corpus has moved and the index wants a retrain;
+    * until then appends stay cheap. This makes the retrain decision a
+    * measured number, like the recall queries make ANN accuracy one.
+    *
+    * Exactness: per-vector inertia is the integer [[l2sqQ]] shifted down
+    * by log2(dims)=6 (per-dim floor mean — keeps the batch SUM far inside
+    * BIGINT at any corpus size the gate runs); the one division per batch
+    * is integer `div`. Bit-reproducible in the DuckDB oracle.
+    *
+    * Scale shape: index rows join vectors by the uniform 8-byte vec_id
+    * key, centroids ride a broadcast; one partial-aggregated exchange of
+    * (batch) keyed rows.
+    */
+  def ivfPqDrift(embs: DataFrame, dir: String): DataFrame = {
+    val spark = embs.sparkSession
+    val cb = spark.read.parquet(s"$dir/coarse")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
+    val centsDf = broadcast(spark.createDataFrame(cb).toDF("bucket", "cqv"))
+    val index = spark.read.parquet(s"$dir/index")
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+        col("batch").cast("long").as("batch"))
+    index
+      .join(withQuantizedShared(embs).select(col("vec_id"), col("qv")), "vec_id")
+      .join(centsDf, "bucket")
+      .select(col("batch"), shiftright(l2sqQ(col("qv"), col("cqv")), 6).as("iner"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("iner")).as("sum_iner"))
+      .select(col("batch"), col("n_vecs"),
+        expr("sum_iner div n_vecs").as("mean_inertia"))
   }
 
   /** [[annIvfPqTopK]] answered FROM a [[writeIvfPqIndex]] directory: the
