@@ -626,6 +626,12 @@ object Similarity {
     * BIGINT at any corpus size the gate runs); the one division per batch
     * is integer `div`. Bit-reproducible in the DuckDB oracle.
     *
+    * The join is LEFT from the index: an indexed vec_id absent from the
+    * caller's `embs` (a partial corpus) is COUNTED (`missing_vecs`), not
+    * silently dropped — `mean_inertia` averages the measurable rows only
+    * and is null for a batch with none. A nonzero `missing_vecs` tells
+    * the caller their corpus frame does not cover the index.
+    *
     * Scale shape: index rows join vectors by the uniform 8-byte vec_id
     * key, centroids ride a broadcast; one partial-aggregated exchange of
     * (batch) keyed rows.
@@ -639,13 +645,17 @@ object Similarity {
       .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
         col("batch").cast("long").as("batch"))
     index
-      .join(withQuantizedShared(embs).select(col("vec_id"), col("qv")), "vec_id")
+      .join(withQuantizedShared(embs).select(col("vec_id"), col("qv")), Seq("vec_id"), "left")
       .join(centsDf, "bucket")
-      .select(col("batch"), shiftright(l2sqQ(col("qv"), col("cqv")), 6).as("iner"))
+      .select(col("batch"),
+        when(col("qv").isNotNull, shiftright(l2sqQ(col("qv"), col("cqv")), 6)).as("iner"))
       .groupBy(col("batch"))
-      .agg(count(lit(1)).as("n_vecs"), sum(col("iner")).as("sum_iner"))
-      .select(col("batch"), col("n_vecs"),
-        expr("sum_iner div n_vecs").as("mean_inertia"))
+      .agg(count(lit(1)).as("n_vecs"),
+        count(when(col("iner").isNull, lit(1))).as("missing_vecs"),
+        sum(col("iner")).as("sum_iner"))
+      .select(col("batch"), col("n_vecs"), col("missing_vecs"),
+        expr("CASE WHEN n_vecs > missing_vecs THEN sum_iner div (n_vecs - missing_vecs) END")
+          .as("mean_inertia"))
   }
 
   /** [[annIvfPqTopK]] answered FROM a [[writeIvfPqIndex]] directory: the

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -10,8 +11,35 @@ class IvfPqIndexSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  private def tempDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+
+  private def rm(dir: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+
+  /** The index CONTENT: what a probe reads. `batch` is deliberately
+    * excluded — it is write-lineage metadata (which append created the
+    * row), not index semantics; append vs rebuild place the same rows in
+    * different batches by construction.
+    */
+  private def content(dir: String): Set[(Long, Long, Seq[Long])] =
+    spark.read.parquet(s"$dir/index")
+      .select(col("vec_id"), col("bucket").cast("long"), col("codes"))
+      .as[(Long, Long, Seq[Long])].collect().toSet
+
+  /** Physical state of the batch-0 partitions: path → (size, mtime). */
+  private def batch0Files(dir: String): Map[String, (Long, Long)] = {
+    val root = new java.io.File(s"$dir/index")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(root)
+      .filter(f => f.getPath.contains("batch=0") && f.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> (f.length(), f.lastModified()))
+      .toMap
+  }
+
   test("indexed IVF-PQ reproduces the in-memory composition and prunes partitions") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val dir = tempDir()
     val emb = Similarity.embeddings(spark, sf)
     Similarity.writeIvfPqIndex(emb, dir)
     try {
@@ -46,13 +74,135 @@ class IvfPqIndexSpec extends AnyFunSuite {
           s"index scan should prune on bucket, got filters: ${s.partitionFilters}")
       }
 
-      // stored rows are (vec_id, codes) + the bucket partition column -
-      // never a raw vector
+      // stored rows are (vec_id, codes) + the (bucket, batch) partition
+      // columns — never a raw vector. batch 0 is the base build.
       val stored = spark.read.parquet(s"$dir/index")
-      assert(stored.columns.toSet == Set("vec_id", "codes", "bucket"),
-        s"index must store only id + codes + bucket, got ${stored.columns.mkString(",")}")
-    } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      assert(stored.columns.toSet == Set("vec_id", "codes", "bucket", "batch"),
+        s"index must store only id + codes + (bucket, batch) partition cols, " +
+          s"got ${stored.columns.mkString(",")}")
+      assert(stored.select(col("batch").cast("long")).distinct()
+        .as[Long].collect().toSeq == Seq(0L),
+        "a base build is all batch 0")
+    } finally rm(dir)
+  }
+
+  test("append == rebuild with equal codebooks; batch 0 is never rewritten") {
+    val emb = Similarity.embeddings(spark, sf)
+    val base = emb.filter($"vec_id" <= 249)
+    val rest = emb.filter($"vec_id" > 249)
+    val rebuilt = tempDir()
+    val grown = tempDir()
+    try {
+      // reference: one-shot build of the FULL corpus with codebooks
+      // trained on the base subset only (frozen-codebook semantics)
+      Similarity.writeIvfPqIndex(emb, rebuilt, trainOn = Some(base))
+      // incremental: base build, then append the complement as batch 1
+      Similarity.writeIvfPqIndex(base, grown)
+      val before = batch0Files(grown)
+      assert(before.nonEmpty, "base build must produce batch-0 data files")
+      Similarity.appendIvfPqIndex(rest, grown, batch = 1L)
+
+      // codebooks are byte-identical: append trained nothing
+      def codebook(d: String, sub: String): Set[Seq[Any]] =
+        spark.read.parquet(s"$d/$sub").collect().toSet[org.apache.spark.sql.Row]
+          .map(_.toSeq)
+      assert(codebook(grown, "coarse") == codebook(rebuilt, "coarse"))
+      assert(codebook(grown, "pq") == codebook(rebuilt, "pq"))
+
+      // index content row-identical (vec_id, bucket, codes)
+      assert(content(grown) == content(rebuilt),
+        "grown index must be row-identical to the rebuild-at-equal-codebooks reference")
+
+      // the appended rows landed in batch 1; the base rows stayed batch 0
+      val byBatch = spark.read.parquet(s"$grown/index")
+        .groupBy(col("batch").cast("long").as("batch"))
+        .agg(min($"vec_id").as("lo"), max($"vec_id").as("hi"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (b, lo, hi) => b -> (lo, hi) }.toMap
+      assert(byBatch(0L)._2 <= 249L && byBatch(1L)._1 >= 250L)
+
+      // batch-0 partitions physically untouched: same files, sizes, mtimes
+      assert(batch0Files(grown) == before,
+        "append must not read or rewrite any batch-0 partition file")
+
+      // probes of the grown index match probes of the rebuild exactly
+      val pg = Similarity.annIvfPqTopKIndexed(emb, grown, 0L to 9L, k = 5)
+        .select($"query_id", $"neighbor_id", $"rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val pr = Similarity.annIvfPqTopKIndexed(emb, rebuilt, 0L to 9L, k = 5)
+        .select($"query_id", $"neighbor_id", $"rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(pg == pr)
+    } finally { rm(rebuilt); rm(grown) }
+  }
+
+  test("replaying a failed batch is idempotent: dynamic overwrite replaces exactly its own partitions") {
+    val emb = Similarity.embeddings(spark, sf)
+    val base = emb.filter($"vec_id" <= 249)
+    val rest = emb.filter($"vec_id" > 249)
+    val rebuilt = tempDir()
+    val grown = tempDir()
+    try {
+      Similarity.writeIvfPqIndex(emb, rebuilt, trainOn = Some(base))
+      Similarity.writeIvfPqIndex(base, grown)
+      val batch0Before = batch0Files(grown)
+
+      // a TORN first attempt: only part of batch 1 lands (assignment is
+      // deterministic, so the torn rows' partitions are a subset of the
+      // full batch's — the replay covers every partition the tear wrote)
+      Similarity.appendIvfPqIndex(rest.filter($"vec_id" % 3 === 0), grown, batch = 1L)
+      assert(content(grown) != content(rebuilt), "torn append must be visibly incomplete")
+
+      // replay with the full batch: exactly batch 1's partitions replaced
+      Similarity.appendIvfPqIndex(rest, grown, batch = 1L)
+      assert(content(grown) == content(rebuilt),
+        "replaying the failed batch must converge to the rebuild reference")
+
+      // replay once more (the retry-after-success case): content stable,
+      // batch 0 still physically untouched through all three writes
+      Similarity.appendIvfPqIndex(rest, grown, batch = 1L)
+      assert(content(grown) == content(rebuilt))
+      assert(batch0Files(grown) == batch0Before,
+        "no append or replay may touch a batch-0 partition file")
+    } finally { rm(rebuilt); rm(grown) }
+  }
+
+  test("appends start at batch 1; batch 0 is reserved for the base build") {
+    val emb = Similarity.embeddings(spark, sf)
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqIndex(emb, "/nonexistent", batch = 0L)
     }
+  }
+
+  test("ivfPqDrift reports per-batch inertia and surfaces uncovered vectors") {
+    val emb = Similarity.embeddings(spark, sf)
+    val base = emb.filter($"vec_id" <= 249)
+    val rest = emb.filter($"vec_id" > 249)
+    val dir = tempDir()
+    try {
+      Similarity.writeIvfPqIndex(base, dir)
+      Similarity.appendIvfPqIndex(rest, dir, batch = 1L)
+
+      // full corpus: every indexed vector measurable, nothing missing
+      val full = Similarity.ivfPqDrift(emb, dir)
+        .select($"batch", $"n_vecs", $"missing_vecs", $"mean_inertia")
+        .as[(Long, Long, Long, Option[Long])].collect()
+        .map { case (b, n, miss, mi) => b -> (n, miss, mi) }.toMap
+      assert(full(0L)._1 == 250L && full(0L)._2 == 0L && full(0L)._3.nonEmpty)
+      assert(full(1L)._1 == 250L && full(1L)._2 == 0L && full(1L)._3.nonEmpty)
+      // batch 1 was assigned with codebooks it never trained: its inertia
+      // is at least batch 0's (the drift signal the report exists for)
+      assert(full(1L)._3.get >= full(0L)._3.get)
+
+      // partial corpus (base only): batch 1 rows are COUNTED missing, not
+      // silently dropped — and batch 0 numbers are unchanged
+      val part = Similarity.ivfPqDrift(base, dir)
+        .select($"batch", $"n_vecs", $"missing_vecs", $"mean_inertia")
+        .as[(Long, Long, Long, Option[Long])].collect()
+        .map { case (b, n, miss, mi) => b -> (n, miss, mi) }.toMap
+      assert(part(0L) == full(0L))
+      assert(part(1L)._1 == 250L && part(1L)._2 == 250L && part(1L)._3.isEmpty,
+        s"uncovered batch must report missing_vecs = n_vecs and null inertia, got ${part(1L)}")
+    } finally rm(dir)
   }
 }
