@@ -101,6 +101,40 @@ object M5Queries {
       ixDir
     })
 
+  /** Session-scoped GROWN IVF-PQ index for the append-path gates
+    * (`q_embed_ivfpq_append`, `q_ivfpq_drift`): codebooks train on the
+    * FIRST HALF of the corpus by id (batch 0 = the trained half), the
+    * second half is appended with those frozen codebooks as batch 1 —
+    * the production grow-without-retrain loop, oracle-mirrored by
+    * rebuilding with the same training predicate
+    * ([[frag.kmeansCtesPred]]/[[frag.pqCtesPred]], append ≡ rebuild at
+    * equal codebooks per IvfPqIndexSpec). The `vec_id * 2 < count`
+    * split is scale-portable: vec_ids are dense from 0, so ids 0..7 —
+    * both seeded-k-means inits — always land in the training half.
+    * Same location/lifecycle rules as [[ivfPqIndexDir]].
+    */
+  private val builtIvfPqAppendIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfPqAppendIndexDir(emb: => DataFrame, dir: String): String =
+    builtIvfPqAppendIndexes.computeIfAbsent(dir, _ => {
+      val tag = s"ivfpqa_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val ixDir = sys.env.get("SPARK_GRAFT_INDEX_DIR") match {
+        case Some(root) => s"$root/$tag"
+        case None =>
+          val d = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_p${
+            ProcessHandle.current().pid()}"
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            deleteRecursively(new java.io.File(d))))
+          d
+      }
+      val e = emb
+      val n = e.count()
+      Similarity.writeIvfPqIndex(e.filter(col("vec_id") * 2 < n), ixDir)
+      Similarity.appendIvfPqIndex(e.filter(col("vec_id") * 2 >= n), ixDir, batch = 1L)
+      ixDir
+    })
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
@@ -219,7 +253,8 @@ object M5Queries {
     // ---- relational: backward as-of join (purchase ← most recent click
     // at or before it, per user; ties on time broken by larger event_id)
     "q_asof_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("tus", graft.sources.Tables.epochMicros(ev0, "ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("tus"))
       val clicks = ev.filter(col("event_type") === "click")
@@ -235,7 +270,8 @@ object M5Queries {
     // ---- relational: forward as-of join (purchase → next error at or
     // after it, per user; ties on time broken by smaller event_id)
     "q_asof_join_fwd" -> ((s, dir) => {
-      val ev = t(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("tus", graft.sources.Tables.epochMicros(ev0, "ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("tus"))
       val errors = ev.filter(col("event_type") === "error")
@@ -253,7 +289,8 @@ object M5Queries {
     // per window. Bucketed equi-join, never a cross product.
     "q_range_join" -> ((s, dir) => {
       val tenMinUs = 600000000L
-      val ev = t(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("tus", graft.sources.Tables.epochMicros(ev0, "ts"))
       val intervals = ev.filter(col("event_type") === "error")
         .select(col("user_id"), col("event_id").as("error_event_id"),
           col("tus").as("start_us"), (col("tus") + tenMinUs).as("end_us"))
@@ -548,6 +585,29 @@ object M5Queries {
           .select(col("query_id"), col("neighbor_id")), k = 5)
     }),
 
+    // ---- similarity: the GROWN index — batch 0 trained+written on the
+    // first half of the corpus, second half appended under the frozen
+    // codebooks (Similarity.appendIvfPqIndex), then probed exactly like
+    // q_embed_ivfpq_indexed. The oracle rebuilds with the same training
+    // predicate — append ≡ rebuild at equal codebooks — so the grown
+    // index's probe path is hash-gated, not just spec-asserted.
+    "q_embed_ivfpq_append" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      Similarity.annIvfPqTopKIndexed(emb, ivfPqAppendIndexDir(emb, dir), 0L to 9L, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- similarity: codebook-drift report over the grown index — the
+    // measured number that decides append-vs-retrain (per-batch mean
+    // integer inertia against the frozen coarse codebooks). Integer
+    // arithmetic end-to-end, so the oracle reproduces it bit-for-bit.
+    "q_ivfpq_drift" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      Similarity.ivfPqDrift(emb, ivfPqAppendIndexDir(emb, dir))
+        .orderBy(col("batch"))
+    }),
+
     // ---- similarity: SemDeDup — semantic dedup via k-means clusters +
     // within-cluster cosine pruning (keep-lowest-id), never cross-cluster
     "q_semdedup" -> ((s, dir) =>
@@ -635,6 +695,23 @@ object M5Queries {
       Similarity.knnGraph(Similarity.embeddings(s, dir), k = 3, centroids = 8,
         subPlanes = 4)
         .orderBy(col("vec_id"), col("rank"))),
+
+    // ---- similarity: k-NN graph recall MEASURED, not asserted — the
+    // per-query fraction of the exact top-3 each graph variant recovers
+    // (shared recallAtK definition), with the plain IVF-bucket graph and
+    // the skew-bounded multi-probe graph side by side: the subPlanes
+    // knob's one-sided sub-bucket loss becomes a visible recall delta.
+    "q_knn_graph_recall" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      def edges(subPlanes: Int) =
+        Similarity.knnGraph(emb, k = 3, centroids = 8, subPlanes = subPlanes)
+          .select(col("vec_id").as("query_id"), col("neighbor_id"))
+      recallAtK(emb, edges(0), k = 3).withColumn("variant", lit("bucketed"))
+        .unionByName(
+          recallAtK(emb, edges(4), k = 3).withColumn("variant", lit("multiprobe")))
+        .select(col("variant"), col("query_id"), col("n_hits"), col("recall"))
+        .orderBy(col("variant"), col("query_id"))
+    }),
 
     // ---- dedup: MinHash-LSH recall measured, not asserted — per-lang
     // fraction of exact-Jaccard pairs (same threshold) the banded pipeline
@@ -1458,6 +1535,34 @@ object M5Queries {
          |SELECT query_id, neighbor_id, rank::INT AS rank, cos FROM ivfpq
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // the grown index ≡ a rebuild whose codebooks trained on the first
+    // half only (IvfPqIndexSpec pins the equivalence); the oracle IS that
+    // rebuild — same chain, training predicate threaded through
+    "q_embed_ivfpq_append" ->
+      s"""${ivfPqChainPred(ivfPqHalfPred)}
+         |SELECT query_id, neighbor_id, rank::INT AS rank, cos FROM ivfpq
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // per-batch mean integer inertia vs the frozen half-trained coarse
+    // codebooks; batch membership re-derived from the same id split the
+    // index writer used. missing_vecs is identically 0 here (the gate
+    // passes the full corpus) but stays in the schema — it is the
+    // operator's coverage signal.
+    "q_ivfpq_drift" ->
+      s"""WITH v AS (${frag.vecs}),
+         |${frag.kmeansCtesPred("8", ivfPqHalfPred)},
+         | nearest AS (SELECT vec_id, qv, cqv FROM (
+         |   SELECT a.vec_id, a.qv, c.cqv,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${frag.l2q("a.qv", "c.cqv")}, c.centroid_id) rn
+         |   FROM qvt a CROSS JOIN cents_q c) WHERE rn = 1),
+         | drift AS (SELECT
+         |   CASE WHEN $ivfPqHalfPred THEN 0 ELSE 1 END AS batch,
+         |   ${frag.l2q("qv", "cqv")} // 64 AS iner FROM nearest)
+         |SELECT CAST(batch AS BIGINT) AS batch, count(*) AS n_vecs,
+         | CAST(0 AS BIGINT) AS missing_vecs,
+         | CAST(sum(iner) // count(*) AS BIGINT) AS mean_inertia
+         |FROM drift GROUP BY batch ORDER BY batch""".stripMargin,
+
     "q_embed_ivfpq_recall" ->
       s"""$ivfPqChain,
          | top AS (SELECT query_id, neighbor_id FROM ivfpq WHERE rank <= 5),
@@ -1619,6 +1724,51 @@ object M5Queries {
          |  AND (b.subb = a.subb OR b.subb = xor(a.subb, 1) OR b.subb = xor(a.subb, 2)
          |       OR b.subb = xor(a.subb, 4) OR b.subb = xor(a.subb, 8)))
          |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    // both graph variants rebuilt in SQL (the q_knn_graph /
+    // q_knn_graph_bounded chains restricted to queries 0–9 — the window
+    // partitions per vector, so early restriction is exact), then scored
+    // against the brute-force top-3 like every other recall oracle
+    "q_knn_graph_recall" ->
+      s"""WITH v AS (${frag.vecs}),
+         |${frag.kmeansCtes(8)},
+         | assigned AS (SELECT vec_id, v, centroid_id AS bucket,
+         |   (${lshBucketSql("v", 4)})::BIGINT AS subb FROM (
+         |   SELECT a.vec_id, a.v, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${frag.l2q("a.qv", "c.cqv")}, c.centroid_id) rn
+         |   FROM qvt a CROSS JOIN cents_q c) WHERE rn = 1),
+         | plain AS (SELECT vec_id, neighbor_id FROM (
+         |   SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${frag.cosine("a.v", "b.v")} DESC, b.vec_id) AS rank
+         |   FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |   WHERE a.vec_id BETWEEN 0 AND 9) WHERE rank <= 3),
+         | mp AS (SELECT vec_id, neighbor_id FROM (
+         |   SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${frag.cosine("a.v", "b.v")} DESC, b.vec_id) AS rank
+         |   FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |    AND (b.subb = a.subb OR b.subb = xor(a.subb, 1) OR b.subb = xor(a.subb, 2)
+         |         OR b.subb = xor(a.subb, 4) OR b.subb = xor(a.subb, 8))
+         |   WHERE a.vec_id BETWEEN 0 AND 9) WHERE rank <= 3),
+         | q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id BETWEEN 0 AND 9),
+         | bf AS (SELECT query_id, neighbor_id FROM (
+         |   SELECT query_id, vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY ${frag.cosine("qv", "v.v")} DESC, vec_id) AS rank
+         |   FROM v CROSS JOIN q WHERE vec_id <> query_id)
+         |  WHERE rank <= 3),
+         | r AS (
+         |  SELECT 'bucketed' AS variant, b.query_id, count(p.neighbor_id) AS n_hits
+         |   FROM bf b LEFT JOIN plain p
+         |     ON b.query_id = p.vec_id AND b.neighbor_id = p.neighbor_id
+         |   GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'multiprobe', b.query_id, count(m.neighbor_id)
+         |   FROM bf b LEFT JOIN mp m
+         |     ON b.query_id = m.vec_id AND b.neighbor_id = m.neighbor_id
+         |   GROUP BY 2)
+         |SELECT variant, query_id, n_hits, n_hits / 3.0 AS recall
+         |FROM r ORDER BY variant, query_id""".stripMargin,
 
     "q_minhash_recall" ->
       s"""WITH sh AS (${frag.shingleHashes}),
@@ -1977,10 +2127,25 @@ object M5Queries {
     * Ends with `ivfpq(query_id, neighbor_id, cos, rank)` — rank
     * unbounded so consumers slice their own k.
     */
-  private lazy val ivfPqChain: String =
+  private lazy val ivfPqChain: String = ivfPqChainPred("TRUE")
+
+  /** Training-half predicate for the append-path oracles: codebooks see
+    * only the first half of the corpus by id — the SQL twin of
+    * [[ivfPqAppendIndexDir]]'s `vec_id * 2 < emb.count()` split. A `def`,
+    * not a `val`: the `oracleSql` map initializes BEFORE later plain vals
+    * in this object, which would interpolate a null into the SQL.
+    */
+  private def ivfPqHalfPred: String = "vec_id * 2 < (SELECT count(*) FROM qvt)"
+
+  /** [[ivfPqChain]] with a TRAINING-ROW predicate threaded through both
+    * codebook chains — `TRUE` emits the original byte-stable text;
+    * [[ivfPqHalfPred]] yields the rebuild-reference for the grown index
+    * (append ≡ rebuild at equal codebooks).
+    */
+  private def ivfPqChainPred(trainPred: String): String =
     s"""WITH v AS (${frag.vecs}),
-       |${frag.kmeansCtes(8)},
-       |${frag.pqCtes(8, 8)},
+       |${frag.kmeansCtesPred("8", trainPred)},
+       |${frag.pqCtesPred(8, 8, trainPred)},
        | assigned AS (SELECT vec_id, centroid_id AS bucket FROM (
        |   SELECT a.vec_id, c.centroid_id,
        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${frag.l2q("a.qv", "c.cqv")}, c.centroid_id) rn

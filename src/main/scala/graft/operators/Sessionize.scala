@@ -13,13 +13,13 @@ import org.apache.spark.sql.functions._
 object Sessionize {
 
   /** Per-session rollup: (user_id, session_id, n_events, start_us, end_us).
-    * `gapMicros` defaults to 30 min. Timestamps are truncated to
-    * epoch-MICROsecond longs: the parquet carries nanos, but SQL engines'
-    * native timestamp (and so the oracle) is µs — computing on µs keeps
-    * both engines on identical integers.
+    * `gapMicros` defaults to 30 min. Event time is normalized to
+    * epoch-MICROsecond longs by [[graft.sources.Tables.epochMicros]] —
+    * whatever physical encoding the parquet carries, both engines (this
+    * and the DuckDB oracle's `epoch_us`) compute on identical integers.
     */
   def sessions(events: DataFrame, gapMicros: Long = 30L * 60 * 1000 * 1000): DataFrame = {
-    val tus = expr("ts div 1000")
+    val tus = graft.sources.Tables.epochMicros(events, "ts")
     val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
     val prev = lag(col("tus"), 1).over(w)
     val newSession = when(prev.isNull || col("tus") - prev > gapMicros, 1L).otherwise(0L)

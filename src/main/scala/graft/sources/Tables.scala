@@ -4,14 +4,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Central loader for the harness parquet tables (TESTDATA.md).
   *
-  * The driver-generated parquet stores timestamps as INT64
-  * TIMESTAMP(NANOS), which Spark only reads with
-  * `spark.sql.legacy.parquet.nanosAsLong` — timestamp-ish columns (`ts`,
-  * `l_shipdate`, `o_orderdate`) then surface as LongType nanoseconds since
-  * epoch. The DuckDB oracle mirrors them with `epoch_ns(col)`, keeping both
-  * engines on exact integers (no fp or timezone drift).
+  * Timestamp-ish columns (`ts`, `l_shipdate`, `o_orderdate`): the driver
+  * regenerates the parquet between rounds and has shipped BOTH physical
+  * encodings — INT64 TIMESTAMP(NANOS) (readable only with
+  * `spark.sql.legacy.parquet.nanosAsLong`, surfacing as LongType
+  * nanoseconds) and plain `timestamp[us]` (surfacing as TIMESTAMP_NTZ).
+  * No call site may touch the physical type directly: [[epochMicros]] is
+  * the single schema adapter that turns either encoding into exact
+  * epoch-microsecond BIGINTs, matching the DuckDB oracle's `epoch_us(col)`
+  * — both engines stay on identical integers (no fp or timezone drift;
+  * the session TZ is pinned UTC so the NTZ→TZ cast is the identity).
   */
 object Tables {
+
+  /** Event-time as epoch MICROseconds (BIGINT), whatever physical type the
+    * driver's parquet writer chose this round. The one place in the engine
+    * that inspects a timestamp column's physical type — every consumer
+    * (sessionize, as-of, range join) computes on the µs longs it returns,
+    * so a driver-side re-encode can break at most this function.
+    */
+  def epochMicros(df: DataFrame, colName: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema(colName).dataType match {
+      // INT64 TIMESTAMP(NANOS) read under nanosAsLong: integer ns → µs
+      case LongType => expr(s"$colName div 1000")
+      // timestamp[us]: TIMESTAMP_NTZ; UTC session pins the cast to identity
+      case TimestampNTZType => unix_micros(col(colName).cast(TimestampType))
+      case TimestampType => unix_micros(col(colName))
+      case other => throw new IllegalArgumentException(
+        s"$colName: expected a timestamp-encoded column, got $other")
+    }
+  }
 
   val names: Seq[String] =
     "region nation customer supplier part orders lineitem events documents embeddings".split(" ").toSeq

@@ -111,6 +111,7 @@ class ContractSpec extends AnyFunSuite {
       "q_embed_ivf"         -> Set("cos"),
       "q_embed_ivfpq"       -> Set("cos"),
       "q_embed_ivfpq_indexed" -> Set("cos"),
+      "q_embed_ivfpq_append" -> Set("cos"),
       "q_knn_graph"         -> Set("cos"),
       "q_knn_graph_bounded" -> Set("cos"),
       "q_embed_neardup_lsh_mp" -> Set("cos"),
@@ -122,6 +123,7 @@ class ContractSpec extends AnyFunSuite {
       "q_embed_ivfpq_recall" -> Set("recall"),
       "q_minhash_recall"    -> Set("recall"),
       "q_embed_lsh_recall"  -> Set("recall"),
+      "q_knn_graph_recall"  -> Set("recall"),
       "q_dedup_minhash"     -> Set("jac"),
       "q_dedup_jaccard"     -> Set("jac"),
       // n_shared/n_sh — identical IEEE division of identical integer operands
