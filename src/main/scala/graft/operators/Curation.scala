@@ -524,9 +524,11 @@ object Curation {
 
   /** Resolve `score` against `docs` and reject fractional types loudly —
     * the silent-truncation guard from the sourceQuota contract. Driver
-    * -side analysis of a single-column projection; no job runs.
+    * -side analysis of a single-column projection; no job runs. Shared
+    * with the streaming twin ([[graft.streaming.StreamingSourceQuota]])
+    * so the contract has one definition.
     */
-  private def requireIntegralScore(docs: DataFrame, score: Column): Unit = {
+  private[graft] def requireIntegralScore(docs: DataFrame, score: Column): Unit = {
     import org.apache.spark.sql.types._
     val dt = docs.select(score).schema.head.dataType
     require(dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType,
