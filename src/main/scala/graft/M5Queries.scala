@@ -173,6 +173,34 @@ object M5Queries {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
+    // ---- relational: event-time RANGE PREDICATE pushed down to the scan.
+    // The 100 TB point: the filter compares the NATIVE timestamp column
+    // against a same-typed literal (Tables.tsLiteral), which reaches the
+    // parquet scan as a pushed min/max row-group filter — a year slice of
+    // a date-partitioned fact table reads ~1/7 of the bytes. Arithmetic
+    // then happens on Tables.epochMicros' exact integers (day numbers),
+    // never on the physical type. PlanShapeSpec asserts the PushedFilters.
+    "q_time_pushdown" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val lo = 820454400000000L  // 1996-01-01T00:00:00Z in epoch micros
+      val hi = 852076800000000L  // 1997-01-01T00:00:00Z
+      val li0 = t(s, dir, "lineitem")
+      li0
+        .filter(col("l_shipdate") >= graft.sources.Tables.tsLiteral(li0, "l_shipdate", lo) &&
+          col("l_shipdate") < graft.sources.Tables.tsLiteral(li0, "l_shipdate", hi))
+        .withColumn("ship_us", graft.sources.Tables.epochMicros(li0, "l_shipdate"))
+        .withColumn("ship_day", expr(s"ship_us div $dayUs"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_x100"),
+          sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("revenue_x10k"),
+          count(lit(1)).as("n_rows"),
+          min(col("ship_day")).as("min_day"),
+          max(col("ship_day")).as("max_day"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- relational: broadcast + shuffle join pipeline
     "q_join_revenue" -> ((s, dir) => {
       val c = broadcast(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")))
@@ -1102,6 +1130,20 @@ object M5Queries {
          | count(DISTINCT o_orderkey) AS n_orders
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          | JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same native-column range predicate; day numbers via epoch_us so
+    // both engines group on identical integers
+    "q_time_pushdown" ->
+      s"""SELECT l_returnflag,
+         | CAST(sum(${frag.cents("l_quantity")}) AS BIGINT) AS sum_qty_x100,
+         | CAST(sum(${frag.discPrice4}) AS BIGINT) AS revenue_x10k,
+         | count(*) AS n_rows,
+         | CAST(min(epoch_us(l_shipdate) // 86400000000) AS BIGINT) AS min_day,
+         | CAST(max(epoch_us(l_shipdate) // 86400000000) AS BIGINT) AS max_day
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_window_rank" ->

@@ -37,6 +37,28 @@ object Tables {
     }
   }
 
+  /** A literal of `colName`'s OWN physical type denoting the given
+    * epoch-microsecond instant (UTC). Range predicates must compare the
+    * NATIVE column against a same-typed literal — that is what reaches
+    * the parquet scan as a pushed filter and prunes row groups at the
+    * 100 TB scan; a predicate on [[epochMicros]]'s derived value computes
+    * the same rows but reads every row group to do it. PlanShapeSpec
+    * asserts the pushdown.
+    */
+  def tsLiteral(df: DataFrame, colName: String, micros: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val instant = java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS)
+    df.schema(colName).dataType match {
+      case LongType => lit(micros * 1000L) // INT64 nanos under nanosAsLong
+      case TimestampNTZType =>
+        lit(java.time.LocalDateTime.ofInstant(instant, java.time.ZoneOffset.UTC))
+      case TimestampType => lit(instant)
+      case other => throw new IllegalArgumentException(
+        s"$colName: expected a timestamp-encoded column, got $other")
+    }
+  }
+
   val names: Seq[String] =
     "region nation customer supplier part orders lineitem events documents embeddings".split(" ").toSeq
 

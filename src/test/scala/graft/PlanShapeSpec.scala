@@ -27,6 +27,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "props should be pruned from the scan")
   }
 
+  test("q_time_pushdown: the event-time range predicate reaches the parquet scan") {
+    // the adapter discipline's other half: epochMicros computes on exact
+    // integers, but RANGE PREDICATES must still compare the native column
+    // (Tables.tsLiteral) or a year-slice of a 100 TB fact table reads
+    // every row group
+    val p = explained("q_time_pushdown")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThan(l_shipdate"),
+      s"shipdate range not pushed to the scan:\n$p")
+  }
+
   test("q_join_revenue: customer dimension joins as broadcast") {
     val p = explained("q_join_revenue")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
