@@ -182,49 +182,54 @@ object JsonPathFunctions {
       json: Column, paths: Seq[String], errorRoute: Int, unfilteredRoute: Int): Column =
     toColumn(JsonPathRoutes(toExpression(json), paths, Some(errorRoute), Some(unfilteredRoute)))
 
-  /** Register the engine's custom scalar functions for SQL use on this
-    * session: `json_path_exists(json, 'path')`, `shingle_hashes(text, n)`,
-    * `minhash_sig(hashes, perms)`, `jaccard_sim(a, b)`.
+  /** name → builder for every engine SQL scalar function — ONE
+    * definition shared by the session-scoped [[register]] and the
+    * config-time extensions injection
+    * ([[graft.plans.GraftExtensions]] via
+    * `spark.sql.extensions=graft.plans.GraftExtensions`), so the two
+    * registration paths cannot drift.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+  private[graft] val sqlFunctionBuilders: Seq[(String, String, Seq[Expression] => Expression)] = {
     import org.apache.spark.sql.catalyst.expressions.Literal
-    val reg = spark.sessionState.functionRegistry
     def intLit(e: Expression, what: String): Int = e match {
       case Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
     }
-    reg.createOrReplaceTempFunction(
-      "json_path_exists",
-      { exprs =>
+    Seq(
+      ("json_path_exists", classOf[JsonPathExists].getName, { exprs =>
         require(exprs.length == 2, "json_path_exists(json, 'path')")
         val path = exprs(1) match {
           case Literal(v, _) => v.toString
           case other => throw new IllegalArgumentException(s"path must be a literal, got $other")
         }
         JsonPathExists(exprs.head, path)
-      },
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "shingle_hashes",
-      { exprs =>
+      }),
+      ("shingle_hashes", classOf[ShingleHashes].getName, { exprs =>
         require(exprs.length == 2, "shingle_hashes(text, n)")
         ShingleHashes(exprs.head, intLit(exprs(1), "n"))
-      },
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "minhash_sig",
-      { exprs =>
+      }),
+      ("minhash_sig", classOf[MinHashSig].getName, { exprs =>
         require(exprs.length == 2, "minhash_sig(hashes, perms)")
         MinHashSig(exprs.head, intLit(exprs(1), "perms"))
-      },
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "jaccard_sim",
-      { exprs =>
+      }),
+      ("jaccard_sim", classOf[JaccardSim].getName, { exprs =>
         require(exprs.length == 2,
           "jaccard_sim(a, b) - a/b must be SORTED distinct bigint arrays (shingle_hashes output, or sort_array(...))")
         JaccardSim(exprs.head, exprs(1))
-      },
-      "built-in")
+      }))
+  }
+
+  /** Register the engine's custom scalar functions for SQL use on this
+    * session: `json_path_exists(json, 'path')`, `shingle_hashes(text, n)`,
+    * `minhash_sig(hashes, perms)`, `jaccard_sim(a, b)`. For a session the
+    * caller does not build in code (pure SQL / Thrift), configure
+    * `spark.sql.extensions=graft.plans.GraftExtensions` instead — same
+    * builders.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    sqlFunctionBuilders.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

@@ -139,8 +139,24 @@ object RouteFilterPruning extends Rule[LogicalPlan] {
   }
 }
 
-/** Session extensions: inject the engine's optimizer rules. */
+/** Session extensions: the engine's optimizer rules AND its SQL scalar
+  * functions, injectable without any code on the session — set
+  * `spark.sql.extensions=graft.plans.GraftExtensions` and a pure-SQL /
+  * Thrift deployment gets `json_path_exists`, `shingle_hashes`,
+  * `minhash_sig`, `jaccard_sim` plus the single-topic filter pruning.
+  * The function builders are the SAME list
+  * [[graft.functions.JsonPathFunctions.register]] uses, so the two
+  * registration paths cannot drift.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RouteFilterPruning)
+    graft.functions.JsonPathFunctions.sqlFunctionBuilders.foreach {
+      case (name, className, builder) =>
+        e.injectFunction((
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(className, name),
+          builder))
+    }
+  }
 }
