@@ -213,4 +213,47 @@ class PlanShapeSpec extends AnyFunSuite {
     val r = graft.rules.TxDispatchRules.fromYamlFile(f.toString)
     assert(r.rules == Seq(graft.rules.DispatchRule("r1", "t1", "$.a")))
   }
+
+  test("no cartesian product anywhere; nested-loop joins only in the pinned broadcast-bounded set") {
+    // The 100 TB join discipline, enforced at the plan level across the
+    // WHOLE query surface: a CartesianProductExec is never acceptable
+    // (even the all-pairs oracle twins carry an equi key — lang — so
+    // they plan as hash/sort-merge joins), and a
+    // BroadcastNestedLoopJoin is acceptable ONLY as
+    // crossJoin(broadcast(boundedFrame)) where the broadcast side is
+    // driver-bounded metadata: the ≤10-row query set of the ANN family,
+    // 1-row corpus totals (BM25/LM/quantile/mixture frames), or a
+    // k-row codebook. Those queries are PINNED here: a new query that
+    // plans a nested-loop join fails until it is consciously added,
+    // with its broadcast side's bound, to this list.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val bnljBounded: Set[String] = Set(
+      "q_balanced_shards", // 1-row shard-count frame ×2
+      "q_bm25", // 1-row corpus totals
+      "q_embed_ivf_recall", "q_embed_ivfpq", "q_embed_ivfpq_append",
+      "q_embed_ivfpq_indexed", "q_embed_ivfpq_recall", "q_embed_pq",
+      "q_embed_pq_recall", "q_embed_pq_refined", "q_embed_topk",
+      "q_knn_graph_recall", "q_multimodal_ann", // ≤10-row query-vector set
+      "q_length_quantiles", // 1-row quantile-boundary frame
+      "q_lm_score", // 1-row vocab totals
+      "q_mixture_schedule", // 1-row per-source totals frame
+      "q_pack_windows", "q_pipeline_e2e", // 1-row window/prefix totals
+      "q_tfidf_topterms") // 1-row doc-count frame
+    def collectAll(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(collectAll)) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => collectAll(q.plan)
+        case _ => Seq.empty
+      })
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val nodes = collectAll(fn(spark, sf).queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$name: CartesianProductExec in the plan — an unkeyed join reached execution")
+      if (nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+        assert(bnljBounded(name),
+          s"$name: BroadcastNestedLoopJoin not in the pinned broadcast-bounded set — " +
+            "if the broadcast side is driver-bounded metadata, add it here with its bound")
+    }
+  }
 }
