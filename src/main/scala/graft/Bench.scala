@@ -1,7 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private def loadavg: String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").take(3).mkString(" ")
+    catch { case scala.util.control.NonFatal(_) => "" }
+
   def main(args: Array[String]): Unit = {
+    val loadBefore = loadavg
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -81,7 +86,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // host state rides IN the artifact (SCALE.md capture protocol #1):
+    // a bench number without its load context is uninterpretable on a
+    // host whose stall regime moves identical plans 2-10x between passes
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"load_before":"$loadBefore","load_after":"$loadavg"}""")
     graft.sources.Tables.evict(spark)
     spark.stop()
   }
