@@ -331,6 +331,27 @@ object M5Queries {
         .orderBy(col("error_event_id"))
     }),
 
+    // ---- relational: hopping event-time window aggregation (size 1 h,
+    // hop 30 min — each event belongs to exactly size/hop = 2 windows).
+    // The streaming windowed-agg shape in batch form: a bounded explode
+    // (factor 2) into window starts, then one shuffle on (window, type)
+    // with map-side partial agg collapsing the blow-up. Integer-µs window
+    // arithmetic, same discipline as the rest of the temporal family.
+    "q_hop_window" -> ((s, dir) => {
+      val hopUs = 1800000000L // 30 min; window size = 2 * hop
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("tus", graft.sources.Tables.epochMicros(ev0, "ts"))
+      ev.withColumn("b", col("tus") - (col("tus") % hopUs))
+        // windows [w, w + 2*hop) containing tus are exactly w = b - hop, b
+        .withColumn("window_start_us", explode(array(col("b") - hopUs, col("b"))))
+        .groupBy(col("window_start_us"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+        .orderBy(col("window_start_us"), col("event_type"))
+    }),
+
     // ---- dedup: exact (hash-group keep-first)
     "q_dedup_exact" -> ((s, dir) =>
       TextDedup.exactDuplicates(TextDedup.documents(s, dir))
@@ -1232,6 +1253,21 @@ object M5Queries {
         |  AND e.tus >= iv.start_us AND e.tus < iv.end_us
         |GROUP BY iv.error_event_id, iv.user_id
         |ORDER BY error_event_id""".stripMargin,
+
+    // hopping window: unnest of the two containing window starts is the
+    // declarative twin of the engine's bounded explode
+    "q_hop_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tus, event_type, user_id, event_id
+        |     FROM events),
+        | b AS (SELECT tus - tus % 1800000000 AS b, event_type, user_id, event_id
+        |     FROM e),
+        | x AS (SELECT unnest([b - 1800000000, b]) AS window_start_us,
+        |     event_type, user_id, event_id FROM b)
+        |SELECT window_start_us, event_type, count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users,
+        | min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        |FROM x GROUP BY window_start_us, event_type
+        |ORDER BY window_start_us, event_type""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -114,6 +114,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"too many shuffles: ${exchanges.length}")
   }
 
+  test("q_hop_window: one bounded explode, collapsed map-side before any shuffle") {
+    // the hopping-window contract at 100 TB: the 2x row blow-up from the
+    // window explode must die in the same stage it is born — a partial
+    // aggregate below the first exchange — and the explode must appear
+    // exactly once (factor size/hop, never compounded)
+    val p = explained("q_hop_window")
+    assert("Generate explode".r.findAllIn(p).length == 1,
+      s"expected exactly one explode:\n$p")
+    assert(p.contains("partial_count"), s"no map-side partial agg:\n$p")
+    val exchanges = executed("q_hop_window").collect { case e: Exchange => e }
+    assert(exchanges.length <= 3, // distinct-rewrite pair + orderBy range
+      s"too many shuffles: ${exchanges.length}")
+  }
+
   test("q_embed_ivfpq: the ADC stage reads the corpus only as (bucket, codes) — raw vectors reach the plan solely for the shortlist refine") {
     // the composed-index contract: the wide candidate stage must carry the
     // m-byte codes, never 64-dim vectors. Structurally: the optimized plan
