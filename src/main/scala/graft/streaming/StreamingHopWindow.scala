@@ -13,10 +13,15 @@ import org.apache.spark.sql.functions._
   * State footprint is open-windows × |event_type| — independent of row
   * count, the property that makes this runnable forever at 100 TB/day.
   *
-  * `n_users` (the batch query's countDistinct) is deliberately absent:
-  * exact distinct over an unbounded stream is the dedup-before-agg
-  * pattern ([[StreamingDedup]] upstream of this), a second stateful
-  * operator rather than an aggregate function.
+  * [[aggregate]] omits `n_users` (the batch query's countDistinct):
+  * exact distinct over an unbounded stream needs a dedup stage, not an
+  * aggregate function. [[aggregateWithUsers]] is that composition —
+  * the dedup-before-agg pattern expressed as two CHAINED stateful
+  * aggregations (supported since Spark 3.5's multiple-stateful-operator
+  * work): level 1 collapses to one row per (window, type, user) — the
+  * watermark-evicted dedup — and level 2 re-aggregates those rows per
+  * (window, type), so `n_users` is a plain `count(*)` and the other
+  * aggregates merge losslessly from per-user partials.
   */
 object StreamingHopWindow {
 
@@ -44,5 +49,44 @@ object StreamingHopWindow {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("eventType").as("event_type"),
         col("n_events"), col("min_event_id"), col("max_event_id"))
+  }
+
+  /** Full batch-parity aggregate including exact `n_users`, via two
+    * chained stateful window aggregations. Level-1 state is
+    * open-windows × active-users-per-window — the irreducible cost of
+    * EXACT distinct (any exact counter must remember which users it has
+    * seen per open window); the watermark still bounds it to open
+    * windows only, and it is O(1) bytes per (window, user), never
+    * proportional to event count. Corpora where approximate distinct
+    * suffices should instead pair [[aggregate]] with an HLL sketch
+    * column (operators.Sketches) and skip the per-user state entirely.
+    *
+    * Level 2 groups directly on the level-1 `window` struct — Spark
+    * propagates the event-time watermark through the window column, so
+    * both operators finalize on the same watermark and emit together in
+    * append mode.
+    */
+  def aggregateWithUsers(events: Dataset[Evt], sizeUs: Long, hopUs: Long,
+      watermarkDelay: String = "0 microseconds"): DataFrame = {
+    events
+      .withColumn("ets", timestamp_micros(col("tus")))
+      .withWatermark("ets", watermarkDelay)
+      .groupBy(
+        window(col("ets"), s"$sizeUs microseconds", s"$hopUs microseconds"),
+        col("eventType"), col("userId"))
+      // per-(window,type,user) partials: the streaming dedup stage.
+      // count/min/max merge losslessly into the level-2 aggregates.
+      .agg(count(lit(1)).as("u_events"),
+        min(col("eventId")).as("u_min"),
+        max(col("eventId")).as("u_max"))
+      .groupBy(col("window"), col("eventType"))
+      .agg(sum(col("u_events")).as("n_events"),
+        count(lit(1)).as("n_users"),
+        min(col("u_min")).as("min_event_id"),
+        max(col("u_max")).as("max_event_id"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("eventType").as("event_type"),
+        col("n_events"), col("n_users"),
+        col("min_event_id"), col("max_event_id"))
   }
 }

@@ -64,10 +64,69 @@ class HopWindowParitySpec extends AnyFunSuite {
         s"window $k: streamed $v vs batch ${batch.get(k)}")
     }
     // 2. completeness of eviction: windows strictly closed by the first
-    // trigger's watermark emit during the second
-    val mustEmit = batch.keySet.filter { case (ws, _) => ws + sizeUs < wm1 }
+    // trigger's watermark emit during the second. Spark tracks the
+    // watermark in MILLISECONDS (max event time floored to ms,
+    // WatermarkTracker), so compare against the ms-floored value — the
+    // raw µs max would occasionally demand emission of a window the
+    // engine legitimately keeps open for up to 1 ms more.
+    val wm1Ms = (wm1 / 1000L) * 1000L
+    val mustEmit = batch.keySet.filter { case (ws, _) => ws + sizeUs < wm1Ms }
     assert(mustEmit.subsetOf(streamed.keySet),
       s"closed-but-unemitted windows: ${(mustEmit -- streamed.keySet).take(3)}")
     assert(streamed.nonEmpty, "corpus should close at least one window")
+  }
+
+  test("chained two-level aggregate carries exact n_users at batch parity") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val sizeUs = 3600000000L
+    val hopUs = 1800000000L
+
+    // full batch row including the countDistinct column
+    val batch = SparkEntry.queries("q_hop_window")(s, sf)
+      .select($"window_start_us", $"event_type", $"n_events", $"n_users",
+        $"min_event_id", $"max_event_id")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+
+    val ev = graft.sources.Tables.load(s, sf, "events")
+    val evts = ev
+      .select($"event_id", $"event_type", $"user_id",
+        graft.sources.Tables.epochMicros(ev, "ts").as("tus"))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._4)
+      .map { case (id, et, u, t) => StreamingHopWindow.Evt(id, et, u, t) }
+    val (a, b) = evts.splitAt(evts.length / 2)
+    val wm1Ms = (a.map(_.tus).max / 1000L) * 1000L
+
+    val input = MemoryStream[StreamingHopWindow.Evt]
+    val q = StreamingHopWindow.aggregateWithUsers(input.toDS(), sizeUs, hopUs)
+      .writeStream.format("memory").queryName("hop_users_parity")
+      .outputMode("append").start()
+    input.addData(a.toIndexedSeq: _*)
+    q.processAllAvailable()
+    input.addData(b.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = s.table("hop_users_parity")
+      .select($"window_start_us", $"event_type", $"n_events", $"n_users",
+        $"min_event_id", $"max_event_id")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+
+    streamed.foreach { case (k, v) =>
+      assert(batch.get(k).contains(v),
+        s"window $k: streamed $v vs batch ${batch.get(k)}")
+    }
+    val mustEmit = batch.keySet.filter { case (ws, _) => ws + sizeUs < wm1Ms }
+    assert(mustEmit.subsetOf(streamed.keySet),
+      s"closed-but-unemitted windows: ${(mustEmit -- streamed.keySet).take(3)}")
+    assert(streamed.nonEmpty, "corpus should close at least one window")
+    // the column this test exists for: at least one finalized window
+    // must show real dedup (n_users < n_events), or the parity is vacuous
+    assert(streamed.values.exists(v => v._2 < v._1),
+      "expected at least one window with n_users < n_events")
   }
 }
