@@ -135,6 +135,38 @@ object M5Queries {
       ixDir
     })
 
+  /** Session-scoped RETRAINED IVF-PQ index for `q_embed_ivfpq_retrained`:
+    * the full production lifecycle — base build on the first half,
+    * frozen-codebook append of the second (the [[ivfPqAppendIndexDir]]
+    * growth), then [[Similarity.retrainIvfPqIndex]] over the whole
+    * corpus. Retrain ≡ fresh full-corpus build (IvfPqIndexSpec pins it),
+    * so the probe shares `q_embed_ivfpq_indexed`'s oracle chain — the
+    * append → drift → retrain loop ends hash-gated, not just
+    * spec-asserted. Same location/lifecycle rules as [[ivfPqIndexDir]].
+    */
+  private val builtIvfPqRetrainedIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfPqRetrainedIndexDir(emb: => DataFrame, dir: String): String =
+    builtIvfPqRetrainedIndexes.computeIfAbsent(dir, _ => {
+      val tag = s"ivfpqr_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val ixDir = sys.env.get("SPARK_GRAFT_INDEX_DIR") match {
+        case Some(root) => s"$root/$tag"
+        case None =>
+          val d = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_p${
+            ProcessHandle.current().pid()}"
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            deleteRecursively(new java.io.File(d))))
+          d
+      }
+      val e = emb
+      val n = e.count()
+      Similarity.writeIvfPqIndex(e.filter(col("vec_id") * 2 < n), ixDir)
+      Similarity.appendIvfPqIndex(e.filter(col("vec_id") * 2 >= n), ixDir, batch = 1L)
+      Similarity.retrainIvfPqIndex(e, ixDir)
+      ixDir
+    })
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
@@ -643,6 +675,18 @@ object M5Queries {
     "q_embed_ivfpq_append" -> ((s, dir) => {
       val emb = Similarity.embeddings(s, dir)
       Similarity.annIvfPqTopKIndexed(emb, ivfPqAppendIndexDir(emb, dir), 0L to 9L, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- similarity: the RETRAINED index — grow exactly like
+    // q_embed_ivfpq_append, then rebuild codebooks from the full corpus
+    // in place (Similarity.retrainIvfPqIndex) and probe. Retrain ≡ fresh
+    // full-corpus build, so this shares q_embed_ivfpq_indexed's oracle —
+    // the whole append → drift → retrain loop is hash-gated.
+    "q_embed_ivfpq_retrained" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      Similarity.annIvfPqTopKIndexed(emb, ivfPqRetrainedIndexDir(emb, dir), 0L to 9L, k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -1609,6 +1653,14 @@ object M5Queries {
     // identical math to q_embed_ivfpq by construction (the index is the
     // same assignment/codes, persisted) — the oracle chain is shared
     "q_embed_ivfpq_indexed" ->
+      s"""$ivfPqChain
+         |SELECT query_id, neighbor_id, rank::INT AS rank, cos FROM ivfpq
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // retrain consolidates the grown index into a fresh full-corpus
+    // build (IvfPqIndexSpec pins the equivalence), so the probe's oracle
+    // is q_embed_ivfpq_indexed's chain verbatim
+    "q_embed_ivfpq_retrained" ->
       s"""$ivfPqChain
          |SELECT query_id, neighbor_id, rank::INT AS rank, cos FROM ivfpq
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,

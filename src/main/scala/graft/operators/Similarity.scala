@@ -658,6 +658,45 @@ object Similarity {
           .as("mean_inertia"))
   }
 
+  /** Acts on the [[ivfPqDrift]] report: rebuild the index's codebooks
+    * from the grown corpus and rewrite the whole index, closing the
+    * append → drift → retrain loop. `embs` is the CURRENT full corpus
+    * (base + all appended batches); the result is indistinguishable from
+    * a fresh [[writeIvfPqIndex]] of that corpus — every row re-assigned
+    * with the new codebooks, consolidated back into batch 0, so the
+    * drift report resets to base-build levels and appends restart at
+    * batch 1.
+    *
+    * Swap discipline: the new tree is built COMPLETELY in a hidden
+    * staging directory first, then each of pq / coarse / index moves
+    * into place by filesystem rename (one metadata op per directory on
+    * HDFS-like stores — never a partial data copy). A crash anywhere
+    * leaves either the old tree, the staged tree, or a `.old-*` backup
+    * on disk; re-running the retrain from scratch recovers every case.
+    * The three renames are not jointly atomic, so a retrain is an
+    * OFFLINE index operation (single writer, no concurrent probes) —
+    * the standard rebuild contract; continuous availability would need
+    * an epoch-pointer layout, which the probe paths deliberately keep
+    * out of the hot read path.
+    */
+  def retrainIvfPqIndex(embs: DataFrame, dir: String, centroids: Int = 8,
+      m: Int = 8, ksub: Int = 8): Unit = {
+    import org.apache.hadoop.fs.Path
+    val stage = s"$dir/.retrain-stage"
+    writeIvfPqIndex(embs, stage, centroids, m, ksub)
+    val fs = new Path(dir)
+      .getFileSystem(embs.sparkSession.sparkContext.hadoopConfiguration)
+    Seq("pq", "coarse", "index").foreach { name =>
+      val live = new Path(s"$dir/$name")
+      val old = new Path(s"$dir/.old-$name")
+      fs.delete(old, true)
+      if (fs.exists(live)) require(fs.rename(live, old), s"backup rename of $name failed")
+      require(fs.rename(new Path(s"$stage/$name"), live), s"swap rename of $name failed")
+      fs.delete(old, true)
+    }
+    fs.delete(new Path(stage), true)
+  }
+
   /** [[annIvfPqTopK]] answered FROM a [[writeIvfPqIndex]] directory: the
     * union of the queries' probed buckets becomes a static
     * `bucket IN (…)` filter on the partitioned index scan, so parquet

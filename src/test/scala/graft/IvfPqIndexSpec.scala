@@ -205,4 +205,56 @@ class IvfPqIndexSpec extends AnyFunSuite {
         s"uncovered batch must report missing_vecs = n_vecs and null inertia, got ${part(1L)}")
     } finally rm(dir)
   }
+
+  test("retrain == fresh build on the grown corpus; drift resets to batch 0") {
+    val emb = Similarity.embeddings(spark, sf)
+    val base = emb.filter($"vec_id" <= 249)
+    val rest = emb.filter($"vec_id" > 249)
+    val grown = tempDir()
+    val fresh = tempDir()
+    try {
+      // the production loop: base build → append → drift check → retrain
+      Similarity.writeIvfPqIndex(base, grown)
+      Similarity.appendIvfPqIndex(rest, grown, batch = 1L)
+      Similarity.retrainIvfPqIndex(emb, grown)
+      // the reference the retrain must be indistinguishable from
+      Similarity.writeIvfPqIndex(emb, fresh)
+
+      // codebooks retrained on the FULL corpus, byte-identical to fresh
+      def codebook(d: String, sub: String): Set[Seq[Any]] =
+        spark.read.parquet(s"$d/$sub").collect().toSet[org.apache.spark.sql.Row]
+          .map(_.toSeq)
+      assert(codebook(grown, "coarse") == codebook(fresh, "coarse"))
+      assert(codebook(grown, "pq") == codebook(fresh, "pq"))
+      assert(content(grown) == content(fresh),
+        "retrained index must be row-identical to a fresh build of the corpus")
+
+      // consolidation: every row back in batch 0, so the drift report
+      // resets to base-build levels and the next append is batch 1 again
+      val drift = Similarity.ivfPqDrift(emb, grown)
+        .select($"batch", $"n_vecs", $"missing_vecs", $"mean_inertia")
+        .as[(Long, Long, Long, Option[Long])].collect()
+      assert(drift.map(_._1).toSeq == Seq(0L),
+        s"retrain must consolidate to a single batch 0, got ${drift.map(_._1).toSeq}")
+      val freshDrift = Similarity.ivfPqDrift(emb, fresh)
+        .select($"batch", $"n_vecs", $"missing_vecs", $"mean_inertia")
+        .as[(Long, Long, Long, Option[Long])].collect()
+      assert(drift.toSeq == freshDrift.toSeq,
+        "post-retrain drift report must equal the fresh build's")
+
+      // probes answered from the retrained index match the fresh index
+      val pg = Similarity.annIvfPqTopKIndexed(emb, grown, 0L to 9L, k = 5)
+        .select($"query_id", $"neighbor_id", $"rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val pf = Similarity.annIvfPqTopKIndexed(emb, fresh, 0L to 9L, k = 5)
+        .select($"query_id", $"neighbor_id", $"rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(pg == pf)
+
+      // the swap cleaned up after itself: no staging or backup residue
+      val residue = new java.io.File(grown).listFiles().map(_.getName)
+        .filter(n => n.startsWith(".retrain") || n.startsWith(".old"))
+      assert(residue.isEmpty, s"leftover swap dirs: ${residue.mkString(",")}")
+    } finally { rm(grown); rm(fresh) }
+  }
 }
