@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object M5Queries {
 
+  /** Hop length (µs) of the `q_hop_window` pair — 30 min, window size
+    * 2 × hop. ONE constant threaded into both the Spark twin and the
+    * DuckDB oracle SQL: a knob edit reaches both or neither, so the
+    * pair can never silently verify different windows.
+    */
+  private[graft] val HopWindowHopUs = 1800000000L
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -370,7 +377,7 @@ object M5Queries {
     // with map-side partial agg collapsing the blow-up. Integer-µs window
     // arithmetic, same discipline as the rest of the temporal family.
     "q_hop_window" -> ((s, dir) => {
-      val hopUs = 1800000000L // 30 min; window size = 2 * hop
+      val hopUs = HopWindowHopUs
       val ev0 = t(s, dir, "events")
       val ev = ev0.withColumn("tus", graft.sources.Tables.epochMicros(ev0, "ts"))
       ev.withColumn("b", col("tus") - (col("tus") % hopUs))
@@ -1299,13 +1306,15 @@ object M5Queries {
         |ORDER BY error_event_id""".stripMargin,
 
     // hopping window: unnest of the two containing window starts is the
-    // declarative twin of the engine's bounded explode
+    // declarative twin of the engine's bounded explode. The hop length
+    // interpolates from the SAME constant the Spark twin uses
+    // (HopWindowHopUs) — the knob cannot drift between the pair.
     "q_hop_window" ->
-      """WITH e AS (SELECT epoch_us(ts) AS tus, event_type, user_id, event_id
+      s"""WITH e AS (SELECT epoch_us(ts) AS tus, event_type, user_id, event_id
         |     FROM events),
-        | b AS (SELECT tus - tus % 1800000000 AS b, event_type, user_id, event_id
+        | b AS (SELECT tus - tus % $HopWindowHopUs AS b, event_type, user_id, event_id
         |     FROM e),
-        | x AS (SELECT unnest([b - 1800000000, b]) AS window_start_us,
+        | x AS (SELECT unnest([b - $HopWindowHopUs, b]) AS window_start_us,
         |     event_type, user_id, event_id FROM b)
         |SELECT window_start_us, event_type, count(*) AS n_events,
         | count(DISTINCT user_id) AS n_users,
