@@ -24,6 +24,14 @@ import org.apache.spark.sql.expressions.Aggregator
   * order. The buffer is a packed Array[Long] [s0,i0,s1,i1,…] kept in
   * rank order (n is a quota — small — so insertion by linear scan beats
   * heap bookkeeping and keeps the buffer encoder primitive).
+  *
+  * Redelivery discipline: an exactly-duplicate (score, id) pair —
+  * an at-least-once streaming source replaying a row, or duplicated
+  * batch input — is recognized in both reduce and merge and holds ONE
+  * rank, never a second quota slot. On inputs with duplicated rows this
+  * deliberately diverges from the window spelling (which ranks each row
+  * instance); ids are unique in any real corpus, so the spellings agree
+  * everywhere the equivalence is asserted.
   */
 class BoundedTopN(val n: Int) extends Aggregator[(Long, Long), Array[Long], Seq[Long]] {
   require(n >= 1, s"top-n bound must be >= 1, got $n")
@@ -43,6 +51,10 @@ class BoundedTopN(val n: Int) extends Aggregator[(Long, Long), Array[Long], Seq[
     // insertion position by rank order
     var pos = 0
     while (pos < k && before(buf(2 * pos), buf(2 * pos + 1), s, id)) pos += 1
+    // an identical (score, id) pair is already ranked: a redelivered row
+    // (at-least-once streaming source, duplicated batch input) must not
+    // occupy a second rank or burn a second quota slot
+    if (pos < k && buf(2 * pos) == s && buf(2 * pos + 1) == id) return buf
     val outLen = math.min(k + 1, n) * 2
     val out = new Array[Long](outLen)
     System.arraycopy(buf, 0, out, 0, 2 * pos)
@@ -56,17 +68,24 @@ class BoundedTopN(val n: Int) extends Aggregator[(Long, Long), Array[Long], Seq[
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     if (a.isEmpty) return b
     if (b.isEmpty) return a
-    val outLen = math.min((a.length + b.length) >> 1, n) * 2
-    val out = new Array[Long](outLen)
+    val cap = math.min((a.length + b.length) >> 1, n) * 2
+    val out = new Array[Long](cap)
     var ia = 0; var ib = 0; var io = 0
-    while (io < outLen) {
-      val takeA = ib >= b.length ||
-        (ia < a.length && before(a(ia), a(ia + 1), b(ib), b(ib + 1)))
-      if (takeA) { out(io) = a(ia); out(io + 1) = a(ia + 1); ia += 2 }
-      else { out(io) = b(ib); out(io + 1) = b(ib + 1); ib += 2 }
+    while (io < cap && (ia < a.length || ib < b.length)) {
+      // a pair present in BOTH buffers is one row seen twice — advance
+      // both sides, emit once (same redelivery discipline as reduce)
+      if (ia < a.length && ib < b.length &&
+          a(ia) == b(ib) && a(ia + 1) == b(ib + 1)) {
+        out(io) = a(ia); out(io + 1) = a(ia + 1); ia += 2; ib += 2
+      } else {
+        val takeA = ib >= b.length ||
+          (ia < a.length && before(a(ia), a(ia + 1), b(ib), b(ib + 1)))
+        if (takeA) { out(io) = a(ia); out(io + 1) = a(ia + 1); ia += 2 }
+        else { out(io) = b(ib); out(io + 1) = b(ib + 1); ib += 2 }
+      }
       io += 2
     }
-    out
+    if (io == cap) out else java.util.Arrays.copyOf(out, io)
   }
 
   /** Kept ids in rank order (best first). */

@@ -11,11 +11,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Semantics: after any prefix of the stream, the kept set per source is
   * EXACTLY `Curation.sourceQuota` of the rows seen so far — each trigger
-  * emits the source's refreshed kept set (Update mode: the sink upserts
-  * per (source, doc_id)). A document admitted in one trigger can be
-  * DISPLACED in a later one when better-scoring rows arrive — quota
-  * re-entry — which the refreshed emission makes visible: the displaced
-  * doc_id simply stops appearing in the source's latest emission.
+  * emits the source's refreshed kept set (Update mode). A document
+  * admitted in one trigger can be DISPLACED in a later one when
+  * better-scoring rows arrive — quota re-entry. Sink-key contract: key
+  * the materialized view by (source, qrank) — each trigger's ≤ quota
+  * rows then overwrite every rank, so a displaced document vanishes
+  * from the view by being overwritten at its old rank. A sink keyed by
+  * (source, doc_id) RETAINS displaced rows with stale qranks forever
+  * (an upsert never deletes); consumers of such a sink must take only
+  * the latest emission per source, or prefer the (source, qrank) key.
   *
   * State shape: ONE packed `Array[Long]` per source — the
   * [[graft.functions.BoundedTopN]] buffer, ≤ `maxPerSource` (score, id)

@@ -48,6 +48,60 @@ class EpochMicrosSpec extends AnyFunSuite {
     }
   }
 
+  test("testdata parquet footers carry a timestamp annotation the adapter reads correctly") {
+    // The adapter cannot distinguish LONG encodings: a LongType column is
+    // ASSUMED to be nanoseconds (the nanosAsLong read of INT64
+    // TIMESTAMP(NANOS)). A driver regen to plain epoch-micros or -millis
+    // longs would be silently misread by 1000x — so this test goes to
+    // the PHYSICAL footers of the actual testdata and fails loudly on
+    // any encoding outside the two the adapter handles: INT64 annotated
+    // TIMESTAMP(NANOS), or TIMESTAMP(MICROS)/(MILLIS is also rejected —
+    // the oracle's epoch_us math assumes µs precision survives).
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cases = Seq(("events", "ts"), ("orders", "o_orderdate"), ("lineitem", "l_shipdate"))
+    val sfDirs = new java.io.File("/root/testdata").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("sf")).map(_.getPath)
+    assert(sfDirs.nonEmpty, "no testdata sf dirs found")
+    for (dir <- sfDirs; (table, colName) <- cases) {
+      val p = new java.io.File(s"$dir/$table.parquet")
+      val file = if (p.isFile) p else p.listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no parquet file under $p"))
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.getPath), conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val prim = schema.getType(Seq(colName): _*).asPrimitiveType()
+        prim.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            val unit = ts.getUnit
+            assert(unit == TimeUnit.NANOS || unit == TimeUnit.MICROS,
+              s"$dir/$table.$colName: TIMESTAMP($unit) — the adapter only handles " +
+                "NANOS (long-nanos read) and MICROS; a MILLIS regen would lose precision silently")
+            // cross-check: the unit must agree with the type Spark surfaces,
+            // i.e. the branch epochMicros will actually take
+            val df = Tables.load(spark, dir, table)
+            val surfaced = df.schema(colName).dataType
+            if (unit == TimeUnit.NANOS)
+              assert(surfaced == org.apache.spark.sql.types.LongType,
+                s"$dir/$table.$colName: footer NANOS but Spark surfaced $surfaced")
+            else
+              assert(surfaced != org.apache.spark.sql.types.LongType,
+                s"$dir/$table.$colName: footer MICROS but Spark surfaced LongType — " +
+                  "the adapter would divide epoch-micros by 1000")
+          case other => fail(
+            s"$dir/$table.$colName: physical ${prim.getPrimitiveTypeName} with logical " +
+              s"annotation $other — a plain INT64 here would be misread as nanoseconds; " +
+              "the driver regen changed encodings, extend Tables.epochMicros first")
+        }
+      } finally reader.close()
+    }
+  }
+
   test("a non-timestamp column is rejected loudly") {
     val df = Seq("x").toDF("ts")
     val e1 = intercept[IllegalArgumentException](Tables.epochMicros(df, "ts"))

@@ -87,6 +87,25 @@ class StreamingSourceQuotaSpec extends AnyFunSuite {
     }
   }
 
+  test("at-least-once redelivery: a duplicated row holds one rank and one quota slot") {
+    // the same (source, doc_id, score) row delivered in two triggers —
+    // an at-least-once source replaying — must not appear at two qranks
+    // or displace a distinct document from the quota
+    val b1 = Seq(("a", 1L, 10L), ("a", 2L, 20L))
+    val b2 = Seq(("a", 1L, 10L), ("a", 3L, 5L))
+    val (kept, perTrigger) = run(Seq(b1, b2), quota = 3, "ssq_redeliver")
+    assert(perTrigger(1).filter(_._1 == "a") ==
+      Set(("a", 2L, 1), ("a", 1L, 2), ("a", 3L, 3)),
+      s"redelivered doc 1 must keep exactly one rank, got ${perTrigger(1)}")
+    assert(kept == batchReference(b1 ++ b2.drop(1), 3),
+      "the kept set must equal batch quota of the DEDUPLICATED row set")
+    // same discipline within one trigger
+    val (kept1, _) = run(Seq(Seq(("a", 7L, 4L), ("a", 7L, 4L), ("a", 8L, 3L))),
+      quota = 2, "ssq_redeliver1")
+    assert(kept1 == Set(("a", 7L, 1), ("a", 8L, 2)),
+      s"intra-trigger duplicate must not burn the second slot, got $kept1")
+  }
+
   test("null score or doc_id rows are dropped (the batch contract)") {
     val s = spark
     import s.implicits._
