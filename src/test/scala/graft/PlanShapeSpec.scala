@@ -246,6 +246,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_balanced_shards", // 1-row shard-count frame ×2
       "q_bm25", // 1-row corpus totals
       "q_embed_ivf_recall", "q_embed_ivfpq", "q_embed_ivfpq_append",
+      "q_embed_ivfpq_retrained", // same probe plan as _indexed: ≤10-row query-vector set
       "q_embed_ivfpq_indexed", "q_embed_ivfpq_recall", "q_embed_pq",
       "q_embed_pq_recall", "q_embed_pq_refined", "q_embed_topk",
       "q_knn_graph_recall", "q_multimodal_ann", // ≤10-row query-vector set
