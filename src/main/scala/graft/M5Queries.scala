@@ -525,6 +525,16 @@ object M5Queries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // ---- curation: deterministic seeded epoch shuffle — the
+    // reproducible random read order of a training run: one global
+    // permutation per seed (distributed prefix-sum rank over the affine
+    // id-hash), cut into contiguous shard blocks sized within one doc
+    "q_epoch_shuffle" -> ((s, dir) =>
+      Sampling.epochShuffle(TextDedup.documents(s, dir), col("doc_id"),
+          seed = 7L, nShards = 8)
+        .select(col("doc_id"), col("pos"), col("shard"))
+        .orderBy(col("doc_id"))),
+
     // ---- curation: proportional mixture schedule (weight-4 sources appear
     // 4x as often as weight-1 in any prefix of the read order)
     "q_mixture_schedule" -> ((s, dir) =>
@@ -1514,6 +1524,20 @@ object M5Queries {
         |  row_number() OVER (ORDER BY position, source, doc_id) AS seq
         | FROM positioned)
         |WHERE seq <= 200 ORDER BY seq""".stripMargin,
+
+    // epoch shuffle: row_number over the same affine key (ties by id),
+    // 0-based; contiguous shard blocks via integer division by the
+    // total. The seed-derived multiplier interpolates from the ONE
+    // definition the Spark twin uses (Sampling.epochKeyMult) — the
+    // knob cannot drift between the pair.
+    "q_epoch_shuffle" ->
+      s"""WITH r AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY (doc_id * ${Sampling.epochKeyMult(7L)} + 11) % 1000003, doc_id) - 1 AS pos
+        | FROM documents),
+        | t AS (SELECT count(*) AS total FROM documents)
+        |SELECT r.doc_id, r.pos::BIGINT AS pos,
+        | ((r.pos * 8) // t.total)::BIGINT AS shard
+        |FROM r, t ORDER BY doc_id""".stripMargin,
 
     "q_corpus_stats" ->
       s"""SELECT lang, count(*) AS n_docs,

@@ -56,6 +56,58 @@ object Sampling {
       .drop("_smp_rn")
   }
 
+  /** Deterministic seeded EPOCH SHUFFLE: the reproducible random read
+    * order every training run needs. Each epoch's seed yields one global
+    * permutation of the corpus — `pos` (0-based position in the permuted
+    * order) and `shard` (contiguous block of that order, sizes within
+    * one document of each other) — so any worker can open its shard and
+    * read the same order on every re-run, with no RNG state and no
+    * coordination.
+    *
+    * Shuffle key: the affine id-hash `(id·mult(seed) + B) mod M`, ties
+    * broken by id — the repo's oracle-expressible hash family (same
+    * A/B/M as [[bucket]]). The seed drives the MULTIPLIER
+    * ([[epochKeyMult]]), not an additive term: adding a constant only
+    * rotates the key ring (identical sort order for any corpus whose
+    * keys don't straddle the wrap point), while a different multiplier
+    * genuinely re-orders. M ≈ 10⁶ bounds the distinct key space: beyond ~M
+    * documents the permutation degrades toward blockwise id order
+    * (collided keys sort by id). At that scale swap the key expression
+    * for `xxhash64(seed, id)` — same plan, stronger mixing, no bit-exact
+    * DuckDB twin (the affine default exists to keep the operator
+    * hash-gated).
+    *
+    * Scale shape: the global position is the [[PrefixSum]] distributed
+    * rank over (key, id) — a range exchange on the uniform hash key (no
+    * skew by construction) plus the one-row-per-partition offset table;
+    * no single-task window, no driver collect. `shard` needs the total
+    * count: one broadcast 1-row frame, like [[Curation.balancedShards]].
+    */
+  /** The seed-derived key multiplier (odd stride `A·(2·seed+1) mod M`,
+    * falling back to A at the one degenerate residue). Public so an
+    * oracle twin can interpolate the exact literal.
+    */
+  def epochKeyMult(seed: Long): Long = {
+    val s = ((seed % M) + M) % M
+    val m0 = (A % M) * ((2 * s + 1) % M) % M
+    if (m0 == 0L) A else m0
+  }
+
+  def epochShuffle(df: DataFrame, id: Column, seed: Long, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(!df.columns.contains("_shuf_key"),
+      "input column _shuf_key collides with epochShuffle's internal name")
+    val keyed = df
+      .withColumn("_shuf_key", pmod(id * epochKeyMult(seed) + B, lit(M)))
+      .withColumn("_shuf_id", id)
+    val total = broadcast(df.agg(count(lit(1)).as("total")))
+    PrefixSum.inclusive(keyed, Seq(col("_shuf_key"), col("_shuf_id")), lit(1L), "pos")
+      .withColumn("pos", col("pos") - 1L)
+      .crossJoin(total)
+      .withColumn("shard", expr(s"(pos * $nShards) div total"))
+      .drop("_shuf_key", "_shuf_id", "total")
+  }
+
   /** Deterministic corpus-mixture schedule: interleave strata
     * proportionally to integer weights. Row k of stratum s is placed at
     * integer position k·1000/weight(s) (ties broken by stratum, id), so a

@@ -286,6 +286,36 @@ class CurationSpec extends AnyFunSuite {
 
   // ---- balanced output sharding --------------------------------------
 
+  test("epochShuffle: seeded permutation into contiguous near-equal shard blocks") {
+    import graft.operators.Sampling
+    val out = Sampling.epochShuffle(docs, $"doc_id", seed = 7L, nShards = 8)
+      .select($"doc_id", $"pos", $"shard")
+      .as[(Long, Long, Long)].collect().toSeq
+    val n = out.length
+    // pos is a PERMUTATION: every position 0..n-1 exactly once
+    assert(out.map(_._2).sorted == (0L until n).toSeq, "pos must be a permutation")
+    // shards are contiguous blocks of the permuted order, sizes within 1
+    val byShard = out.groupBy(_._3)
+    assert(byShard.keySet == (0L until 8L).toSet)
+    val sizes = byShard.view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"shard sizes must differ by <= 1, got $sizes")
+    byShard.foreach { case (s, rows) =>
+      val ps = rows.map(_._2).sorted
+      assert(ps == (ps.head to ps.last), s"shard $s is not a contiguous pos block")
+    }
+    // the order is genuinely shuffled, not id order
+    assert(out.sortBy(_._2).map(_._1) != out.map(_._1).sorted,
+      "permuted order should differ from id order")
+    // same seed reproduces exactly; a different seed permutes differently
+    val again = Sampling.epochShuffle(docs, $"doc_id", seed = 7L, nShards = 8)
+      .select($"doc_id", $"pos", $"shard").as[(Long, Long, Long)].collect().toSeq
+    assert(again.toSet == out.toSet, "same seed must reproduce the permutation")
+    val other = Sampling.epochShuffle(docs, $"doc_id", seed = 8L, nShards = 8)
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    assert(out.exists { case (id, p, _) => other(id) != p },
+      "a different seed must yield a different permutation")
+  }
+
   test("balancedShards: shards contiguous in doc order, imbalance bounded by the largest doc") {
     val n = 8
     val out = Curation.balancedShards(docs, nShards = n).cache()
