@@ -679,6 +679,36 @@ object Similarity {
     * an epoch-pointer layout, which the probe paths deliberately keep
     * out of the hot read path.
     */
+  /** The maintenance DECISION, driven by the number [[ivfPqDrift]]
+    * measures: compare the worst appended batch's mean inertia against
+    * batch 0's, retrain iff the ratio exceeds `driftRatio`. Returns a
+    * one-row report (base inertia, worst appended inertia, ratio,
+    * whether a retrain ran) so the decision itself is data, loggable by
+    * the ingest loop that calls this after every N appends.
+    *
+    * The drift frame collapses to one row per batch before the
+    * driver-side decision — bounded by append count, metadata-sized like
+    * every codebook collect here. With no appended batches (or no
+    * measurable rows) the index is left untouched.
+    */
+  def maintainIvfPqIndex(embs: DataFrame, dir: String, driftRatio: Double,
+      centroids: Int = 8, m: Int = 8, ksub: Int = 8): DataFrame = {
+    require(driftRatio > 0, s"driftRatio must be positive, got $driftRatio")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val drift = ivfPqDrift(embs, dir)
+      .select(col("batch"), col("mean_inertia"))
+      .as[(Long, Option[Long])].collect().toMap
+    val base = drift.get(0L).flatten
+    val worst = drift.collect { case (b, Some(mi)) if b > 0 => mi }
+      .maxOption
+    val ratio = for (b <- base; w <- worst if b > 0) yield w.toDouble / b
+    val retrain = ratio.exists(_ > driftRatio)
+    if (retrain) retrainIvfPqIndex(embs, dir, centroids, m, ksub)
+    Seq((base, worst, ratio, retrain))
+      .toDF("base_inertia", "worst_appended_inertia", "drift_ratio", "retrained")
+  }
+
   def retrainIvfPqIndex(embs: DataFrame, dir: String, centroids: Int = 8,
       m: Int = 8, ksub: Int = 8): Unit = {
     import org.apache.hadoop.fs.Path

@@ -257,4 +257,42 @@ class IvfPqIndexSpec extends AnyFunSuite {
       assert(residue.isEmpty, s"leftover swap dirs: ${residue.mkString(",")}")
     } finally { rm(grown); rm(fresh) }
   }
+
+  test("maintain retrains iff the measured drift ratio crosses the threshold") {
+    val emb = Similarity.embeddings(spark, sf)
+    val base = emb.filter($"vec_id" <= 249)
+    val rest = emb.filter($"vec_id" > 249)
+    // a DRIFTED append: the second half's vectors pushed far from every
+    // trained centroid (constant offset per dimension), so its frozen-
+    // codebook inertia is much worse than batch 0's
+    val drifted = rest.withColumn("embedding",
+      transform($"embedding", x => x + lit(3.0f)))
+    val dir = tempDir()
+    try {
+      Similarity.writeIvfPqIndex(base, dir)
+      Similarity.appendIvfPqIndex(drifted, dir, batch = 1L)
+      val corpus = base.unionByName(drifted)
+
+      // below threshold: decision is data, index untouched
+      val rep1 = Similarity.maintainIvfPqIndex(corpus, dir, driftRatio = 1e9)
+        .select($"drift_ratio", $"retrained")
+        .as[(Option[Double], Boolean)].head()
+      assert(!rep1._2 && rep1._1.exists(_ > 1.0),
+        s"expected measured-but-not-acted drift, got $rep1")
+      assert(spark.read.parquet(s"$dir/index")
+        .select(col("batch").cast("long")).distinct().as[Long].collect().toSet == Set(0L, 1L),
+        "a below-threshold maintain must not touch the index")
+
+      // over threshold: retrain runs, consolidates, and the NEXT
+      // maintain sees a drift-free single-batch index
+      val rep2 = Similarity.maintainIvfPqIndex(corpus, dir, driftRatio = 2.0)
+        .select($"retrained").as[Boolean].head()
+      assert(rep2, "the measured ratio should have triggered a retrain")
+      val rep3 = Similarity.maintainIvfPqIndex(corpus, dir, driftRatio = 2.0)
+        .select($"worst_appended_inertia", $"drift_ratio", $"retrained")
+        .as[(Option[Long], Option[Double], Boolean)].head()
+      assert(rep3 == ((None, None, false)),
+        s"post-retrain index has no appended batches to drift, got $rep3")
+    } finally rm(dir)
+  }
 }
