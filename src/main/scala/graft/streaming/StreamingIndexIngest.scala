@@ -21,8 +21,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * the stream ≡ one-shot-append ≡ rebuild chain).
   *
   * When to stop appending and retrain is a MEASURED call — run
-  * [[Similarity.ivfPqDrift]] over the grown directory (oracle-gated as
-  * `q_ivfpq_drift`).
+  * [[Similarity.maintainIvfPqIndex]] (drift report → threshold →
+  * in-place retrain, decision returned as data) BETWEEN ingest epochs,
+  * with the stream stopped: retrain is an offline single-writer
+  * operation, and consolidation to batch 0 would turn a replayed
+  * pre-retrain micro-batch into duplicate rows — the replay-idempotence
+  * guarantee above holds only while the batch partitions it keys on
+  * still exist. Stop → maintain → restart with `firstBatch` past the
+  * retrain point is the supported loop.
   *
   * `firstBatch` offsets the streaming batch ids past any batches already
   * appended by earlier (batch or streaming) ingests: streaming batch N
