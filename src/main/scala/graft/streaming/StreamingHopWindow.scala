@@ -58,14 +58,40 @@ object StreamingHopWindow {
     * seen per open window); the watermark still bounds it to open
     * windows only, and it is O(1) bytes per (window, user), never
     * proportional to event count. Corpora where approximate distinct
-    * suffices should instead pair [[aggregate]] with an HLL sketch
-    * column (operators.Sketches) and skip the per-user state entirely.
+    * suffices should use [[aggregateApproxUsers]] instead and skip the
+    * per-user state entirely.
     *
     * Level 2 groups directly on the level-1 `window` struct — Spark
     * propagates the event-time watermark through the window column, so
     * both operators finalize on the same watermark and emit together in
     * append mode.
     */
+  /** The approximate twin of [[aggregateWithUsers]]: `n_users` as a
+    * HyperLogLog++ estimate (`approx_count_distinct`) folded into the
+    * SINGLE windowed aggregation, so per-(window, type) state is one
+    * constant-size sketch regardless of how many users a window sees —
+    * the spelling for corpora where the per-user level-1 state of the
+    * exact variant is the dominant cost and ±`rsd` relative error is
+    * acceptable. Same output schema as the exact twin.
+    */
+  def aggregateApproxUsers(events: Dataset[Evt], sizeUs: Long, hopUs: Long,
+      watermarkDelay: String = "0 microseconds", rsd: Double = 0.05): DataFrame = {
+    events
+      .withColumn("ets", timestamp_micros(col("tus")))
+      .withWatermark("ets", watermarkDelay)
+      .groupBy(
+        window(col("ets"), s"$sizeUs microseconds", s"$hopUs microseconds"),
+        col("eventType"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("userId"), rsd).as("n_users"),
+        min(col("eventId")).as("min_event_id"),
+        max(col("eventId")).as("max_event_id"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("eventType").as("event_type"),
+        col("n_events"), col("n_users"),
+        col("min_event_id"), col("max_event_id"))
+  }
+
   def aggregateWithUsers(events: Dataset[Evt], sizeUs: Long, hopUs: Long,
       watermarkDelay: String = "0 microseconds"): DataFrame = {
     events

@@ -129,4 +129,56 @@ class HopWindowParitySpec extends AnyFunSuite {
     assert(streamed.values.exists(v => v._2 < v._1),
       "expected at least one window with n_users < n_events")
   }
+
+  test("approx-users twin: sketch estimate tracks the exact count, other columns exact") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val sizeUs = 3600000000L
+    val hopUs = 1800000000L
+
+    val batch = SparkEntry.queries("q_hop_window")(s, sf)
+      .select($"window_start_us", $"event_type", $"n_events", $"n_users",
+        $"min_event_id", $"max_event_id")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+
+    val ev = graft.sources.Tables.load(s, sf, "events")
+    val evts = ev
+      .select($"event_id", $"event_type", $"user_id",
+        graft.sources.Tables.epochMicros(ev, "ts").as("tus"))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._4)
+      .map { case (id, et, u, t) => StreamingHopWindow.Evt(id, et, u, t) }
+    val (a, b) = evts.splitAt(evts.length / 2)
+
+    val input = MemoryStream[StreamingHopWindow.Evt]
+    val q = StreamingHopWindow.aggregateApproxUsers(input.toDS(), sizeUs, hopUs)
+      .writeStream.format("memory").queryName("hop_approx_parity")
+      .outputMode("append").start()
+    input.addData(a.toIndexedSeq: _*)
+    q.processAllAvailable()
+    input.addData(b.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = s.table("hop_approx_parity")
+      .select($"window_start_us", $"event_type", $"n_events", $"n_users",
+        $"min_event_id", $"max_event_id")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+
+    assert(streamed.nonEmpty, "corpus should close at least one window")
+    streamed.foreach { case (k, (ne, nuApprox, mn, mx)) =>
+      val (bne, bnu, bmn, bmx) = batch(k)
+      // every non-sketch column is the exact batch value
+      assert((ne, mn, mx) == ((bne, bmn, bmx)),
+        s"window $k: exact columns diverged")
+      // the HLL++ estimate stays within a generous 3x the configured
+      // 5 % rsd of the true distinct count (small-range counts are
+      // near-exact in practice; the bound guards the wiring, not HLL)
+      val err = math.abs(nuApprox - bnu).toDouble / math.max(1L, bnu)
+      assert(err <= 0.15, s"window $k: approx n_users $nuApprox vs exact $bnu (err $err)")
+    }
+  }
 }
