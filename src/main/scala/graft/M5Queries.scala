@@ -446,6 +446,13 @@ object M5Queries {
       TextDedup.corpusSketches(TextDedup.documents(s, dir), perms = 16)
         .orderBy(col("source"), col("perm"))),
 
+    // ---- dedup: cross-source duplication matrix — LSH-verified near-dup
+    // pairs attributed to unordered source pairs (within-source dups on
+    // the diagonal); the per-corpus overlap report curation reads
+    "q_dup_matrix" -> ((s, dir) =>
+      TextDedup.crossSourceDupMatrix(TextDedup.documents(s, dir), threshold = 0.5)
+        .orderBy(col("source_x"), col("source_y"))),
+
     // ---- dedup: near-dup clusters (connected components, canonical doc)
     "q_dedup_clusters" -> ((s, dir) =>
       TextDedup.dupClusters(
@@ -1399,6 +1406,23 @@ object M5Queries {
          |FROM cand JOIN sh ha ON ha.doc_id = doc_a JOIN sh hb ON hb.doc_id = doc_b
          |WHERE ${frag.jac("ha.h", "hb.h")} >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the dup matrix shares q_dedup_minhash's verified-pair chain, then
+    // attributes each pair to its unordered source pair and counts
+    "q_dup_matrix" ->
+      s"""WITH sh AS (${frag.shingleHashes}),
+         | sig AS (SELECT doc_id, ${frag.minhashSig} sig FROM sh),
+         | banded AS (SELECT doc_id, unnest(${frag.bandKeys}) band_key FROM sig),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |   FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         | p AS (SELECT doc_a, doc_b
+         |   FROM cand JOIN sh ha ON ha.doc_id = doc_a JOIN sh hb ON hb.doc_id = doc_b
+         |   WHERE ${frag.jac("ha.h", "hb.h")} >= 0.5),
+         | s AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS source_x,
+         | greatest(sa.source, sb.source) AS source_y, count(*) AS n_dup_pairs
+         |FROM p JOIN s sa ON sa.doc_id = p.doc_a JOIN s sb ON sb.doc_id = p.doc_b
+         |GROUP BY source_x, source_y ORDER BY source_x, source_y""".stripMargin,
 
     "q_dedup_jaccard" ->
       s"""WITH sh AS (${frag.shingleHashes})

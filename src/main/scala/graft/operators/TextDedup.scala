@@ -451,6 +451,27 @@ object TextDedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Cross-source duplication matrix — the curation diagnostic behind
+    * "how much does source A overlap source B": LSH-verified near-dup
+    * pairs ([[minhashNearDups]] — banded candidates, never all-pairs)
+    * attributed to their sources' unordered pair and counted. Within-
+    * source duplication appears on the diagonal (source_x = source_y).
+    * The matrix itself is |sources|² rows at most — a broadcast-sized
+    * report however large the corpus; the cost is the banded join it
+    * shares with the dedup path.
+    */
+  def crossSourceDupMatrix(docs: DataFrame, threshold: Double,
+      perms: Int = 16, bands: Int = 4): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    minhashNearDups(docs, threshold, perms, bands)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+      .select(least(col("source_a"), col("source_b")).as("source_x"),
+        greatest(col("source_a"), col("source_b")).as("source_y"))
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
   /** Corpus-level MinHash sketches: one signature per group (here:
     * `source`) via the [[graft.functions.MinHashUnion]] Aggregator —
     * elementwise-min merge ≡ signature of the union of the group's

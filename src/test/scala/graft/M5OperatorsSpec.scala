@@ -36,6 +36,19 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(exact.subsetOf(viaLsh))
   }
 
+  test("cross-source dup matrix: counts partition the verified pair set") {
+    val pairs = TextDedup.minhashNearDups(docs, threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val m = TextDedup.crossSourceDupMatrix(docs, threshold = 0.5)
+      .as[(String, String, Long)].collect().toSeq
+    // every pair is attributed exactly once: matrix total == pair count
+    assert(m.map(_._3).sum == pairs.size)
+    // unordered attribution: keys are canonical (x <= y), hence unique
+    assert(m.forall { case (x, y, _) => x <= y })
+    assert(m.map(t => (t._1, t._2)).distinct.size == m.size)
+    assert(m.nonEmpty, "corpus should have at least one near-dup pair")
+  }
+
   test("corpus MinHash sketch: group signature = elementwise min; merge order irrelevant") {
     val sk = TextDedup.corpusSketches(docs, perms = 16)
     // 20 sources × 16 perms
