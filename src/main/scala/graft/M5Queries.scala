@@ -961,6 +961,15 @@ object M5Queries {
       Curation.topTokensPerGroup(TextDedup.documents(s, dir), "lang", k = 5)
         .orderBy(col("lang"), col("rnk"))),
 
+    // ---- text analysis: token-distribution shift between two corpus
+    // snapshots (split by doc_id parity as the old/new stand-ins) — the
+    // top movers by exact integer per-million share
+    "q_token_shift" -> ((s, dir) => {
+      val d = TextDedup.documents(s, dir)
+      TextAnalysis.tokenShiftTopK(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1), k = 25)
+    }),
+
     // ---- curation: Gopher-style composite quality gate (integer-exact
     // cross-multiplied thresholds, per-row reasons). The operator returns
     // `reasons` as an array; the query joins it to a CSV string because
@@ -2085,6 +2094,28 @@ object M5Queries {
         |   PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
         | FROM documents)
         |WHERE rnk <= 10 ORDER BY source, qrank""".stripMargin,
+
+    // token shift: same integer ppm arithmetic; full outer join keeps
+    // appearing/vanishing vocabulary at its full share
+    "q_token_shift" ->
+      s"""WITH a AS (SELECT t AS token, count(*) AS n_a
+         |   FROM (SELECT unnest(${frag.toks}) t FROM documents WHERE doc_id % 2 = 0)
+         |   GROUP BY 1),
+         | b AS (SELECT t AS token, count(*) AS n_b
+         |   FROM (SELECT unnest(${frag.toks}) t FROM documents WHERE doc_id % 2 = 1)
+         |   GROUP BY 1),
+         | ta AS (SELECT sum(n_a) AS total_a FROM a),
+         | tb AS (SELECT sum(n_b) AS total_b FROM b),
+         | j AS (SELECT coalesce(a.token, b.token) AS token,
+         |   coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+         |   FROM a FULL OUTER JOIN b ON a.token = b.token),
+         | sh AS (SELECT token, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+         |   ((n_a * 1000000) // total_a)::BIGINT AS ppm_a,
+         |   ((n_b * 1000000) // total_b)::BIGINT AS ppm_b
+         |  FROM j, ta, tb)
+         |SELECT token, n_a, n_b, ppm_a, ppm_b,
+         | abs(ppm_a - ppm_b)::BIGINT AS ppm_shift
+         |FROM sh ORDER BY ppm_shift DESC, token LIMIT 25""".stripMargin,
 
     "q_top_tokens" ->
       s"""WITH c AS (SELECT lang, t AS token, count(*) AS n

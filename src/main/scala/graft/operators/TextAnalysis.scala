@@ -55,6 +55,40 @@ object TextAnalysis {
         punctRatio(lower(col("text"))).as("punct_ratio"),
         langId(col("toks")).as("lang_pred"))
 
+  /** Token-distribution shift between two corpus snapshots — the drift
+    * monitor a training pipeline reads after refreshing a source: the
+    * `k` tokens whose per-million share moved most between `a` and `b`,
+    * with exact integer arithmetic end-to-end (count · 10⁶ div total —
+    * fits BIGINT while a snapshot stays under ~9·10¹² tokens; shard the
+    * report by lang/source above that). A token absent from one side
+    * counts 0 there (full outer join), so appearing/vanishing vocabulary
+    * ranks at its full share. Both snapshots must be non-empty — an
+    * empty side has no distribution to compare (total 0).
+    *
+    * Scale shape: two explode → hash-agg chains with map-side partials
+    * (vocabulary-sized after the first partial), one token-keyed
+    * full-outer join, totals as broadcast 1-row frames, and a
+    * TakeOrderedAndProject top-k — never a global sort of the
+    * vocabulary.
+    */
+  def tokenShiftTopK(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def counts(d: DataFrame, n: String) = d
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as(n))
+    counts(a, "n_a")
+      .join(counts(b, "n_b"), Seq("token"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .crossJoin(broadcast(counts(a, "x").agg(sum(col("x")).as("total_a"))))
+      .crossJoin(broadcast(counts(b, "x").agg(sum(col("x")).as("total_b"))))
+      .select(col("token"), col("n_a"), col("n_b"),
+        expr("(n_a * 1000000) div total_a").as("ppm_a"),
+        expr("(n_b * 1000000) div total_b").as("ppm_b"))
+      .withColumn("ppm_shift", abs(col("ppm_a") - col("ppm_b")))
+      .orderBy(col("ppm_shift").desc, col("token"))
+      .limit(k)
+  }
+
   /** Document fingerprint: rolling hash of the normalized text
     * (lowercased, whitespace-collapsed) — the cheap exact-dedup key.
     */
