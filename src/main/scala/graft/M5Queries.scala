@@ -532,6 +532,15 @@ object M5Queries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // ---- curation: keep the best 250‰ per language by length (the
+    // quality-prior stand-in documents carry natively) — exact integer
+    // fraction rule, deterministic under ties
+    "q_top_fraction" -> ((s, dir) =>
+      Sampling.topFractionPerGroup(TextDedup.documents(s, dir),
+          col("doc_id"), col("lang"), col("n_chars"), perMille = 250)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // ---- curation: deterministic seeded epoch shuffle — the
     // reproducible random read order of a training run: one global
     // permutation per seed (distributed prefix-sum rank over the affine
@@ -1557,6 +1566,13 @@ object M5Queries {
         |  row_number() OVER (ORDER BY position, source, doc_id) AS seq
         | FROM positioned)
         |WHERE seq <= 200 ORDER BY seq""".stripMargin,
+
+    // top fraction: QUALIFY on the identical integer rule
+    "q_top_fraction" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) * 1000
+        |  <= count(*) OVER (PARTITION BY lang) * 250
+        |ORDER BY doc_id""".stripMargin,
 
     // epoch shuffle: row_number over the same affine key (ties by id),
     // 0-based; contiguous shard blocks via integer division by the

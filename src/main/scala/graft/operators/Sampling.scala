@@ -56,6 +56,34 @@ object Sampling {
       .drop("_smp_rn")
   }
 
+  /** Keep the best `perMille` ‰ of each group by score — the
+    * quality-threshold selector ("top 25 % per language") as an exact
+    * integer rule: a row survives iff `rank·1000 ≤ |group|·perMille`
+    * with rank by (score DESC, id ASC), i.e. exactly
+    * ⌊|group|·perMille/1000⌋ rows per group, deterministic under ties.
+    * Groups too small for the fraction (⌊·⌋ = 0) are dropped whole —
+    * a FRACTION keeps nothing from a group it rounds to zero on; pair
+    * with [[samplePerGroup]] when a per-group floor is wanted.
+    *
+    * One shuffle keyed on the group: rank and group size come from the
+    * same partitioned window, never a global sort. Extreme group skew
+    * ranks in O(|group| log |group|) within the partition — the
+    * [[samplePerGroup]] caveat applies verbatim.
+    */
+  def topFractionPerGroup(df: DataFrame, id: Column, group: Column,
+      score: Column, perMille: Int): DataFrame = {
+    require(perMille >= 0 && perMille <= 1000,
+      s"perMille must be in [0, 1000], got $perMille")
+    Seq("_tf_rnk", "_tf_n").foreach(c => require(!df.columns.contains(c),
+      s"input column $c collides with topFractionPerGroup's internal name"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group).orderBy(score.desc, id)
+    df.withColumn("_tf_rnk", row_number().over(w))
+      .withColumn("_tf_n", count(lit(1)).over(Window.partitionBy(group)))
+      .filter(col("_tf_rnk") * 1000 <= col("_tf_n") * perMille)
+      .drop("_tf_rnk", "_tf_n")
+  }
+
   /** Deterministic seeded EPOCH SHUFFLE: the reproducible random read
     * order every training run needs. Each epoch's seed yields one global
     * permutation of the corpus — `pos` (0-based position in the permuted
