@@ -286,6 +286,25 @@ class CurationSpec extends AnyFunSuite {
 
   // ---- balanced output sharding --------------------------------------
 
+  test("topFractionPerGroup: exact floor counts per group; 1000 keeps all, small groups drop whole") {
+    import graft.operators.Sampling
+    val d = Seq(
+      // lang "a": 5 docs, 250 permille -> floor(5*250/1000) = 1 kept
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "a", 40L), (5L, "a", 50L),
+      // lang "b": 3 docs, 250 permille -> floor(0.75) = 0 kept (dropped whole)
+      (6L, "b", 10L), (7L, "b", 20L), (8L, "b", 30L),
+      // lang "c": ties on score -> smaller doc_id wins the one slot
+      (9L, "c", 10L), (10L, "c", 10L), (11L, "c", 10L), (12L, "c", 10L))
+      .toDF("doc_id", "lang", "score")
+    val kept = Sampling.topFractionPerGroup(d, $"doc_id", $"lang", $"score", 250)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(5L, 9L), s"got $kept")
+    val all = Sampling.topFractionPerGroup(d, $"doc_id", $"lang", $"score", 1000)
+    assert(all.count() == 12, "perMille 1000 must keep every row")
+    val none = Sampling.topFractionPerGroup(d, $"doc_id", $"lang", $"score", 0)
+    assert(none.count() == 0, "perMille 0 must keep nothing")
+  }
+
   test("epochShuffle: seeded permutation into contiguous near-equal shard blocks") {
     import graft.operators.Sampling
     val out = Sampling.epochShuffle(docs, $"doc_id", seed = 7L, nShards = 8)
