@@ -453,6 +453,12 @@ object M5Queries {
       TextDedup.crossSourceDupMatrix(TextDedup.documents(s, dir), threshold = 0.5)
         .orderBy(col("source_x"), col("source_y"))),
 
+    // ---- dedup: per-source novelty — the shingle vocabulary a source
+    // contributes that no other source has (integer ppm of its own)
+    "q_source_novelty" -> ((s, dir) =>
+      TextDedup.sourceNovelty(TextDedup.documents(s, dir))
+        .orderBy(col("source"))),
+
     // ---- dedup: near-dup clusters (connected components, canonical doc)
     "q_dedup_clusters" -> ((s, dir) =>
       TextDedup.dupClusters(
@@ -1441,6 +1447,19 @@ object M5Queries {
          | greatest(sa.source, sb.source) AS source_y, count(*) AS n_dup_pairs
          |FROM p JOIN s sa ON sa.doc_id = p.doc_a JOIN s sb ON sb.doc_id = p.doc_b
          |GROUP BY source_x, source_y ORDER BY source_x, source_y""".stripMargin,
+
+    // novelty: per-shingle source count over the distinct (source,
+    // shingle) set, then exclusive-share per source in integer ppm
+    "q_source_novelty" ->
+      s"""WITH sh AS (${frag.shingleHashes}),
+         | ss AS (SELECT DISTINCT source, s2 AS shingle
+         |   FROM (SELECT source, unnest(h) AS s2 FROM sh)),
+         | ns AS (SELECT shingle, count(*) AS n_sources FROM ss GROUP BY 1)
+         |SELECT source, count(*) AS n_shingles,
+         | count(*) FILTER (WHERE n_sources = 1) AS n_exclusive,
+         | ((count(*) FILTER (WHERE n_sources = 1) * 1000000) // count(*))::BIGINT AS ppm_exclusive
+         |FROM ss JOIN ns USING (shingle)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_dedup_jaccard" ->
       s"""WITH sh AS (${frag.shingleHashes})

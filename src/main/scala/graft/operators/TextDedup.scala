@@ -472,6 +472,32 @@ object TextDedup {
       .agg(count(lit(1)).as("n_dup_pairs"))
   }
 
+  /** Per-source novelty — the other half of the overlap picture
+    * [[crossSourceDupMatrix]] draws: for each source, how much of its
+    * distinct shingle vocabulary appears in NO other source
+    * (`n_exclusive`, and as integer parts-per-million of the source's
+    * `n_shingles`). A source whose content is mostly reproduced
+    * elsewhere scores near zero and is a deduplication/mixture-weight
+    * candidate; a high scorer genuinely adds content.
+    *
+    * Two shuffles, both vocabulary-sized after the per-doc distinct
+    * shingle sets collapse: one exchange on shingle (the per-shingle
+    * source count rides a partition window, no self-join), one on
+    * source for the final report — |sources| rows out.
+    */
+  def sourceNovelty(docs: DataFrame): DataFrame = {
+    val ss = docs
+      .select(col("source"),
+        explode(graft.functions.ShingleHashes.shingle_hashes(col("text"), 3)).as("shingle"))
+      .distinct()
+    ss.withColumn("n_sources", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("n_sources") === 1, lit(1))).as("n_exclusive"))
+      .select(col("source"), col("n_shingles"), col("n_exclusive"),
+        expr("(n_exclusive * 1000000) div n_shingles").as("ppm_exclusive"))
+  }
+
   /** Corpus-level MinHash sketches: one signature per group (here:
     * `source`) via the [[graft.functions.MinHashUnion]] Aggregator —
     * elementwise-min merge ≡ signature of the union of the group's

@@ -49,6 +49,25 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(m.nonEmpty, "corpus should have at least one near-dup pair")
   }
 
+  test("source novelty: exclusive counts partition the single-source vocabulary") {
+    val ss = docs.select($"source",
+        explode(graft.functions.ShingleHashes.shingle_hashes($"text", 3)).as("sh"))
+      .distinct().as[(String, Long)].collect()
+    val bySh = ss.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    val singles = bySh.count(_._2.size == 1)
+    val rep = TextDedup.sourceNovelty(docs)
+      .as[(String, Long, Long, Long)].collect()
+    // per-source totals and exclusives reproduce the hand computation
+    rep.foreach { case (src, n, excl, ppm) =>
+      val mine = ss.filter(_._1 == src).map(_._2).toSet
+      assert(n == mine.size, s"$src: n_shingles")
+      assert(excl == mine.count(sh => bySh(sh).size == 1), s"$src: n_exclusive")
+      assert(ppm == excl * 1000000L / n, s"$src: ppm")
+    }
+    // every single-source shingle is attributed to exactly one source
+    assert(rep.map(_._3).sum == singles)
+  }
+
   test("corpus MinHash sketch: group signature = elementwise min; merge order irrelevant") {
     val sk = TextDedup.corpusSketches(docs, perms = 16)
     // 20 sources × 16 perms
