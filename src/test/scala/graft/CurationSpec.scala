@@ -335,6 +335,26 @@ class CurationSpec extends AnyFunSuite {
       "a different seed must yield a different permutation")
   }
 
+  test("epochShuffle: colliding keys (ids beyond the modulus) still yield a permutation") {
+    import graft.operators.Sampling
+    // ids congruent mod M=1000003 share an affine key by construction —
+    // the documented collision regime where ties break by id
+    val M = 1000003L
+    val ids = (0L until 10L).flatMap(i => Seq(i * 7L, i * 7L + M, i * 7L + 2 * M))
+    val d = ids.toDF("doc_id")
+    val out = Sampling.epochShuffle(d, $"doc_id", seed = 3L, nShards = 4)
+      .select($"doc_id", $"pos", $"shard").as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._2).sorted == (0L until ids.size).toSeq,
+      "pos must remain a permutation under key collisions")
+    // each congruent triple shares one key: its members must order by id
+    (0L until 10L).foreach { i =>
+      val trio = Seq(i * 7L, i * 7L + M, i * 7L + 2 * M)
+      val positions = trio.map(id => out.find(_._1 == id).get._2)
+      assert(positions == positions.sorted,
+        s"collided ids $trio must order by id, got positions $positions")
+    }
+  }
+
   test("balancedShards: shards contiguous in doc order, imbalance bounded by the largest doc") {
     val n = 8
     val out = Curation.balancedShards(docs, nShards = n).cache()
