@@ -811,6 +811,13 @@ object M5Queries {
       Similarity.kmeansQuality(Similarity.embeddings(s, dir), k = 8)
         .orderBy(col("cluster"))),
 
+    // ---- similarity: cluster × label contingency with integer ppm share
+    // of each cluster — the topic-balance report a mixture rebalance acts
+    // on (kmeansQuality's composition sibling)
+    "q_cluster_balance" -> ((s, dir) =>
+      Similarity.clusterBalance(Similarity.embeddings(s, dir), k = 8)
+        .orderBy(col("cluster"), col("label"))),
+
     // ---- similarity: corpus k-NN graph — every vector's top-3 neighbors
     // by exact cosine within its IVF bucket (one bucket-keyed exchange;
     // the graph-based-curation building block)
@@ -883,6 +890,15 @@ object M5Queries {
       TextDedup.exactSubstringDupPairs(TextDedup.documents(s, dir), k = 8,
         maxDf = 2L, hashOnlyShuffle = true)
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ---- dedup: exact-substring span REMOVAL (Lee et al.'s actual
+    // operation) — duplicated 8-token windows keep only their globally
+    // first occurrence; every covered token elsewhere is cut and the doc
+    // reassembles whitespace-normalized. The oracle rebuilds the exact
+    // keep/cut verdict per token position.
+    "q_substring_removal" -> ((s, dir) =>
+      TextDedup.substringDedupRemove(TextDedup.documents(s, dir), k = 8)
+        .orderBy(col("doc_id"))),
 
     // ---- curation: PII redaction. The corpus is synthetic word salad with
     // no natural PII, so the query INJECTS deterministic doc_id-derived
@@ -1002,6 +1018,14 @@ object M5Queries {
           query = Seq("scan", "merge", "window", "vector", "quantum"))
         .orderBy(col("score_q").desc, col("doc_id"))
         .limit(50)),
+
+    // ---- relevance: hashed-bag-of-words linear classifier — the
+    // fastText-style quality-model scoring shape (broadcast weight table,
+    // one doc-keyed shuffle); deterministic stand-in model, exact BIGINT
+    "q_hash_classifier" -> ((s, dir) =>
+      Relevance.hashClassifierScore(TextDedup.documents(s, dir),
+          Relevance.deterministicWeights(s, 4096), numBuckets = 4096)
+        .orderBy(col("doc_id"))),
 
     // ---- relevance: per-document top-3 terms by quantized TF-IDF
     "q_tfidf_topterms" -> ((s, dir) =>
@@ -1854,6 +1878,29 @@ object M5Queries {
          |FROM j a JOIN j b ON a.h = b.h AND a.win = b.win AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // span-removal mirror: every window OCCURRENCE (no distinct) ranked
+    // globally per content by (doc_id, pos); non-first occurrences mark
+    // their k covered token positions; documents reassemble from the
+    // unmarked tokens (1-based DuckDB lambda index ⇄ the Spark side's
+    // 0-based positions via i - 1)
+    "q_substring_removal" ->
+      s"""WITH t AS (SELECT doc_id, ${frag.toks} w FROM documents),
+         | wins0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+         |   FROM t WHERE len(w) >= 8),
+         | wins AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS win FROM wins0),
+         | marked AS (SELECT doc_id, pos,
+         |   row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM wins),
+         | rm AS (SELECT DISTINCT doc_id, rmpos FROM (
+         |   SELECT doc_id, pos + unnest(generate_series(0, 7)) AS rmpos
+         |   FROM marked WHERE rn > 1)),
+         | rml AS (SELECT doc_id, list(rmpos) AS rl FROM rm GROUP BY 1)
+         |SELECT t.doc_id, len(w)::BIGINT AS n_tokens,
+         | coalesce(len(rl), 0)::BIGINT AS n_removed,
+         | coalesce(array_to_string(list_filter(w,
+         |   (x, i) -> rl IS NULL OR NOT list_contains(rl, i - 1)), ' '), '') AS clean_text
+         |FROM t LEFT JOIN rml ON t.doc_id = rml.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
     "q_pipeline_e2e" -> pipelineE2eOracle,
 
     "q_line_dedup" -> lineDedupOracle,
@@ -1921,6 +1968,21 @@ object M5Queries {
          | CAST(sum(${frag.l2q("a.qv", "c.cqv")}) AS BIGINT) AS inertia
          |FROM assigned a JOIN cents_q c ON a.bucket = c.centroid_id
          |GROUP BY 1 ORDER BY cluster""".stripMargin,
+
+    // label share per cluster in integer ppm (// = Spark's div); label
+    // rides the assignment CTE exactly like the Spark-side projection
+    "q_cluster_balance" ->
+      s"""WITH v AS (${frag.vecs}),
+         |${frag.kmeansCtes(8)},
+         | assigned AS (SELECT vec_id, label, centroid_id AS cluster FROM (
+         |   SELECT a.vec_id, lv.label, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${frag.l2q("a.qv", "c.cqv")}, c.centroid_id) rn
+         |   FROM qvt a JOIN v lv ON a.vec_id = lv.vec_id CROSS JOIN cents_q c) WHERE rn = 1),
+         | cells AS (SELECT cluster, label, count(*) AS n_vectors
+         |   FROM assigned GROUP BY 1, 2)
+         |SELECT cluster, label, n_vectors,
+         | ((n_vectors * 1000000) // sum(n_vectors) OVER (PARTITION BY cluster))::BIGINT AS share_ppm
+         |FROM cells ORDER BY cluster, label""".stripMargin,
 
     "q_knn_graph" ->
       s"""WITH v AS (${frag.vecs}),
@@ -2186,6 +2248,22 @@ object M5Queries {
     // quantized BM25/TF-IDF: integer div/mul only — `//` (DuckDB) and
     // `div` (Spark) agree on positive operands; k1=1.2, b=0.75 folded to
     // the 22/10/3/9 constants (see Relevance scaladoc)
+    // classifier mirror: same bucket arithmetic ((hash·2654435761) mod
+    // 4096 — positive operands, engine-identical %), same stand-in
+    // weight table from generate_series; tokenless docs survive the left
+    // join at score 0 / keep false
+    "q_hash_classifier" ->
+      s"""WITH t AS (SELECT doc_id, ${frag.toks} w FROM documents),
+         | wt AS (SELECT bucket, (bucket + 17) * 2654435761 % 2003 - 1001 AS weight
+         |   FROM (SELECT unnest(generate_series(0, 4095))::BIGINT AS bucket)),
+         | tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+         | b AS (SELECT doc_id, (${frag.rolling("tok")}) * 2654435761 % 4096 AS bucket FROM tok),
+         | s AS (SELECT doc_id, count(*) AS n_tokens, sum(weight) AS score
+         |   FROM b JOIN wt USING (bucket) GROUP BY 1)
+         |SELECT t.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+         | coalesce(score, 0)::BIGINT AS score, coalesce(score, 0) > 0 AS keep
+         |FROM t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
     "q_bm25" ->
       s"""WITH d AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),
          | tf AS (SELECT doc_id, t AS term, count(*) AS tf

@@ -125,4 +125,57 @@ object Relevance {
       .filter(col("rnk") <= perDoc)
       .select(col("doc_id"), col("term"), col("tfidf_q"), col("rnk"))
   }
+
+  /** Hashed-bag-of-words linear classifier scoring — the fastText /
+    * logistic-regression quality-classifier shape (CCNet, GPT-3's
+    * WebText similarity filter, FineWeb-Edu all score documents with a
+    * shallow linear model before any LLM sees them). Features are token
+    * hash buckets (`rollingHash(token) mod numBuckets` — the hashing
+    * trick, so the model is a dense `numBuckets`-row weight table, no
+    * vocabulary file); a document's score is the BIGINT sum of its
+    * tokens' bucket weights (every occurrence counts — bag, not set),
+    * and `keep = score > 0` is the filter verdict.
+    *
+    * The model arrives as a DATAFRAME `(bucket, weight)` — the trained
+    * artifact in production — and joins BROADCAST against the exploded
+    * token stream: the corpus-sized side shuffles once, on `doc_id`, for
+    * the map-side-combinable per-doc sum; the weight table never
+    * shuffles. Buckets absent from the table weigh 0 (left join), so a
+    * sparse/pruned model is a smaller broadcast, not an error.
+    *
+    * Integer contract: weights are int64; the score is exact and
+    * engine-reproducible (no sigmoid — monotone in the logit, so
+    * thresholding the raw score IS thresholding the probability).
+    *
+    * Output: (doc_id, n_tokens, score, keep).
+    */
+  def hashClassifierScore(docs: DataFrame, weights: DataFrame,
+      numBuckets: Int): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    docs
+      .select(col("doc_id"),
+        explode_outer(TextFunctions.tokens(col("text"))).as("tok"))
+      .withColumn("bucket",
+        when(col("tok").isNotNull,
+          (TextFunctions.rollingHash(col("tok")) * 2654435761L) % numBuckets))
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      // count(tok), not count(*): the explode_outer row that keeps an
+      // all-whitespace document in the output must not count as a token
+      .agg(count(col("tok")).as("n_tokens"),
+        coalesce(sum(col("weight")), lit(0L)).as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        (col("score") > 0).as("keep"))
+  }
+
+  /** Deterministic stand-in weight table for [[hashClassifierScore]] —
+    * an affine remix of the bucket id into [−1001, 1001]. The operator
+    * is model-agnostic (any trained `(bucket, weight)` frame drops in);
+    * this gives specs and the oracle a reproducible model with both
+    * signs well represented.
+    */
+  def deterministicWeights(spark: org.apache.spark.sql.SparkSession,
+      numBuckets: Int): DataFrame =
+    spark.range(numBuckets).select(col("id").as("bucket"),
+      (((col("id") + 17L) * 2654435761L) % 2003L - 1001L).as("weight"))
 }

@@ -906,6 +906,36 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"), sum(l2sqQ(col("qv"), col("cqv"))).as("inertia"))
   }
 
+  /** Cluster-balance report — the topic-mix diagnostic next to
+    * [[kmeansQuality]]'s distortion: per (cluster, label) cell, the
+    * member count and its integer parts-per-million share of the
+    * CLUSTER. A cluster dominated by one label is a redundancy/skew
+    * signal; a label spread thin across clusters is under-represented
+    * relative to the embedding topology — the report a mixture rebalance
+    * ([[Curation.mixtureSchedule]]) or a per-cluster quota acts on.
+    *
+    * Same plan skeleton as [[kmeansQuality]]: assignment is a narrow
+    * codegen argmin against the broadcast k-row codebook (label rides the
+    * projection, no label join), one aggregation on (cluster, label),
+    * and the within-cluster total comes from a window over the
+    * ≤ k·|labels|-row aggregate — the corpus shuffles once, for the agg.
+    *
+    * Output: (cluster, label, n_vectors, share_ppm).
+    */
+  def clusterBalance(embs: DataFrame, k: Int = 8): DataFrame = {
+    val vq = withQuantizedShared(embs)
+    val cb = codebookFrom(vq, k)
+    embs
+      .select(col("label"),
+        graft.functions.CentroidExpressions.nearestCentroidId(
+          quantize(asDouble(col("embedding"))), lit(0),
+          cb.map { case (cid, cqv) => (0, cid, cqv) }).as("cluster"))
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .withColumn("share_ppm", expr("(n_vectors * 1000000) div " +
+        "sum(n_vectors) OVER (PARTITION BY cluster)"))
+  }
+
   /** k-NN graph over the WHOLE corpus: every vector's `k` nearest
     * neighbors by exact cosine among candidates sharing its IVF bucket —
     * the building block of graph-based curation (diversity sampling,

@@ -139,6 +139,69 @@ object TextDedup {
     }
   }
 
+  /** Exact-substring span REMOVAL — the actionable sibling of
+    * [[exactSubstringDupPairs]]: Lee et al. (arXiv:2107.06499) do not
+    * drop documents that share long substrings, they CUT the repeated
+    * spans out and keep the rest. For every k-token window content that
+    * occurs more than once in the corpus (across documents or within
+    * one), the globally FIRST occurrence — minimum (doc_id, pos) — keeps
+    * its tokens; every token covered by any other occurrence of any
+    * duplicated window is removed, and each document reassembles from
+    * its surviving tokens. Overlapping duplicated windows merge
+    * naturally through position marking, so a long repeated passage
+    * (many overlapping windows) is excised as one span.
+    *
+    * Contract: output text is WHITESPACE-NORMALIZED (surviving tokens
+    * joined by single spaces) — the same normalization [[tokens]]
+    * applies everywhere else in the dedup family. A token in the first
+    * occurrence of one window can still be removed if it is also covered
+    * by a non-first occurrence of ANOTHER window; "kept" means covered
+    * only by first occurrences (or by no duplicated window at all).
+    *
+    * Scale shape: windows explode narrow (n_tokens − k + 1 rows/doc);
+    * the first-occurrence choice is a `min(struct(doc_id, pos))` hash
+    * aggregation keyed on (hash, window) — map-side combinable, so a
+    * boilerplate window repeated in 100k documents collapses per
+    * partition before the exchange (the [[lineDedup]] discipline; a
+    * per-window ranking window would sort exactly the hot keys). The
+    * verdict returns by the same (hash, window) equi-join; removed
+    * positions collapse to one sorted per-doc array, and reassembly is a
+    * doc-keyed join + one narrow indexed-lambda filter over the original
+    * token array — the text itself never rides a wide shuffle. Grouping
+    * by (hash, window) — not hash alone — keeps 30-bit rolling-hash
+    * collisions exact: two contents on one hash form two groups.
+    *
+    * Output: (doc_id, n_tokens, n_removed, clean_text); documents losing
+    * every token reassemble to the empty string.
+    */
+  def substringDedupRemove(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    // the window explosion feeds both the first-occurrence aggregation
+    // and the verdict join — persist it once
+    val wins = SharedBranch.sharedBranch(
+      base.select(col("doc_id"), posexplode(shingles(col("w"), k)).as(Seq("pos", "win")))
+        .withColumn("h", rollingHash(col("win"))))
+    val firsts = wins.groupBy(col("h"), col("win"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val rml = wins.join(firsts, Seq("h", "win"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("f"))
+      // k covered token positions per non-first occurrence; distinct
+      // collapses the overlap fan-out before the per-doc array builds
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("rmpos"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("rmpos"))).as("rl"))
+    base.join(rml, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        when(col("rl").isNull, lit(0L)).otherwise(size(col("rl")).cast("long"))
+          .as("n_removed"),
+        array_join(filter(col("w"),
+          (_, i) => col("rl").isNull || !array_contains(col("rl"), i)), " ")
+          .as("clean_text"))
+  }
+
   /** Containment near-dups (asymmetric Jaccard): containment(A→B) =
     * |shingles(A) ∩ shingles(B)| / |shingles(A)|. Symmetric Jaccard
     * misses SUBSET duplication — a short document quoted wholesale inside

@@ -798,4 +798,73 @@ class M5OperatorsSpec extends AnyFunSuite {
     val plan = graft.operators.TextAnalysis.qualityMetrics(docs).queryExecution.executedPlan
     assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]))
   }
+
+  test("substringDedupRemove: cross-doc copy cut, first occurrence kept; intra-doc repeat collapses") {
+    val tiny = Seq(
+      (1L, "a b c d e f g h u1 u2"),
+      (2L, "x1 x2 a b c d e f g h y1"),
+      // 16 tokens = the same 8-token window at pos 0 and pos 8
+      (3L, "p q r s t u v w p q r s t u v w"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val got = TextDedup.substringDedupRemove(tiny, k = 8)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 10L, 0L, "a b c d e f g h u1 u2"),
+      (2L, 11L, 8L, "x1 x2 y1"),
+      (3L, 16L, 8L, "p q r s t u v w"),
+      (4L, 2L, 0L, "short doc")))
+  }
+
+  test("substringDedupRemove ≡ naive global first-occurrence marking on the corpus") {
+    val toks = docs.select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("w"))
+      .as[(Long, Seq[String])].collect().toMap
+    val k = 8
+    // naive: iterate in (doc_id, pos) order, so the first sighting of a
+    // window IS its global first occurrence
+    val firsts = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    for ((d, w) <- toks.toSeq.sortBy(_._1); i <- 0 to w.size - k) {
+      val win = w.slice(i, i + k).mkString(" ")
+      if (!firsts.contains(win)) firsts(win) = (d, i)
+    }
+    val want = toks.map { case (d, w) =>
+      val rm = (for {
+        i <- 0 to w.size - k
+        if firsts(w.slice(i, i + k).mkString(" ")) != ((d, i))
+        p <- i until i + k
+      } yield p).toSet
+      val clean = w.zipWithIndex.collect { case (t, i) if !rm(i) => t }.mkString(" ")
+      (d, w.size.toLong, rm.size.toLong, clean)
+    }.toSeq.sortBy(_._1)
+    val got = TextDedup.substringDedupRemove(docs, k = k)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == want)
+    assert(got.exists(_._3 > 0), "corpus should contain at least one duplicated window")
+  }
+
+  test("substringDedupRemove conservation: clean token count = n_tokens − n_removed, every doc present") {
+    val out = TextDedup.substringDedupRemove(docs, k = 8)
+      .select($"doc_id", $"n_tokens", $"n_removed",
+        size(graft.functions.TextFunctions.tokens($"clean_text")).cast("long").as("n_clean"))
+    assert(out.filter($"n_clean" =!= $"n_tokens" - $"n_removed").count() == 0)
+    assert(out.count() == docs.count())
+  }
+
+  test("clusterBalance: cells partition the corpus; ppm shares are exact cluster fractions") {
+    val embs = Similarity.embeddings(spark, sf)
+    val cells = Similarity.clusterBalance(embs, k = 8)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(cells.map(_._3).sum == embs.count(), "cells partition the corpus")
+    // per-cluster: counts agree with kmeansQuality, shares are n*1e6 div total
+    val quality = Similarity.kmeansQuality(embs, k = 8)
+      .select($"cluster", $"n_vectors").as[(Long, Long)].collect().toMap
+    val byCluster = cells.groupBy(_._1)
+    for ((c, rows) <- byCluster) {
+      val total = rows.map(_._3).sum
+      assert(total == quality(c), s"cluster $c count drift vs kmeansQuality")
+      for ((_, _, n, ppm) <- rows) assert(ppm == n * 1000000L / total)
+      // integer floor: shares sum to within |labels| ulps of 1e6
+      val s = rows.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - rows.size)
+    }
+  }
 }

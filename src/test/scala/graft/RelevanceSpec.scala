@@ -73,4 +73,38 @@ class RelevanceSpec extends AnyFunSuite {
       .filter($"doc_id" === 1).select($"term").as[String].head()
     assert(top == "rare")
   }
+
+  test("hashClassifierScore: broadcast-join spelling ≡ the narrow HOF fold on the corpus") {
+    import graft.functions.TextFunctions
+    val nb = 4096
+    val got = Relevance.hashClassifierScore(docs,
+        Relevance.deterministicWeights(spark, nb), numBuckets = nb)
+      .orderBy($"doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    // independent spelling: the weight formula inlined into one narrow
+    // aggregate over the token array — no join, no explode
+    val narrow = docs.select($"doc_id",
+        size(TextFunctions.tokens($"text")).cast("long").as("n_tokens"),
+        aggregate(TextFunctions.tokens($"text"), lit(0L), (acc, t) =>
+          acc + (((TextFunctions.rollingHash(t) * 2654435761L) % nb + 17L) *
+            2654435761L) % 2003L - 1001L).as("score"))
+      .select($"doc_id", $"n_tokens", $"score", ($"score" > 0).as("keep"))
+      .orderBy($"doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == narrow)
+    assert(got.exists(_._4) && got.exists(!_._4), "both verdicts should occur")
+  }
+
+  test("hashClassifierScore: tokenless docs survive at score 0; absent buckets weigh 0") {
+    val tiny = Seq((1L, "alpha beta"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
+    val w = Relevance.deterministicWeights(spark, 64)
+    val full = Relevance.hashClassifierScore(tiny, w, numBuckets = 64)
+      .orderBy($"doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(full.map(_._1) == Seq(1L, 2L, 3L), "every doc appears")
+    assert(full.filter(_._1 >= 2L).forall(r => r._2 == 0L && r._3 == 0L && !r._4))
+    // a sparse (pruned) model: empty weight table → all scores 0, no rows lost
+    val empty = Relevance.hashClassifierScore(tiny,
+        w.filter($"bucket" < 0), numBuckets = 64)
+      .orderBy($"doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(empty.map(r => (r._1, r._3)) == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
+    assert(empty.head._2 == 2L, "token counts are model-independent")
+  }
 }
