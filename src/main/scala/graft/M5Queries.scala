@@ -459,6 +459,19 @@ object M5Queries {
       TextDedup.sourceNovelty(TextDedup.documents(s, dir))
         .orderBy(col("source"))),
 
+    // ---- dedup: per-document novelty — the row-granular filtering
+    // signal (share of a doc's shingles unique to it corpus-wide)
+    "q_doc_novelty" -> ((s, dir) =>
+      TextDedup.docNovelty(TextDedup.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // ---- curation: temperature (α = 0.5) mixture weights per source —
+    // the integer-ppm sampling shares that feed mixtureSchedule; sqrt is
+    // the one correctly-rounded IEEE power, so the report stays exact
+    "q_mixture_weights" -> ((s, dir) =>
+      Sampling.mixtureWeights(TextDedup.documents(s, dir))
+        .orderBy(col("source"))),
+
     // ---- dedup: near-dup clusters (connected components, canonical doc)
     "q_dedup_clusters" -> ((s, dir) =>
       TextDedup.dupClusters(
@@ -1484,6 +1497,30 @@ object M5Queries {
          | ((count(*) FILTER (WHERE n_sources = 1) * 1000000) // count(*))::BIGINT AS ppm_exclusive
          |FROM ss JOIN ns USING (shingle)
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    // per-doc mirror of the source-novelty chain: df over the per-doc
+    // distinct shingle sets, uniques = df 1
+    "q_doc_novelty" ->
+      s"""WITH sh AS (${frag.shingleHashes}),
+         | ds AS (SELECT doc_id, unnest(h) AS shingle FROM sh),
+         | nd AS (SELECT shingle, count(*) AS df FROM ds GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_shingles,
+         | count(*) FILTER (WHERE df = 1) AS n_unique,
+         | ((count(*) FILTER (WHERE df = 1) * 1000000) // count(*))::BIGINT AS novelty_ppm
+         |FROM ds JOIN nd USING (shingle)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mixture-weight mirror: identical double chain (exact BIGINT →
+    // correctly-rounded sqrt and multiply → floor), then pure int64 ppm
+    "q_mixture_weights" ->
+      s"""WITH t AS (SELECT source, len(${frag.toks}) AS nt FROM documents),
+         | per AS (SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |   FROM t GROUP BY 1),
+         | s AS (SELECT *, CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000.0) AS BIGINT) AS sv FROM per),
+         | tot AS (SELECT CAST(sum(sv) AS BIGINT) AS stot FROM s)
+         |SELECT source, n_docs, n_tokens,
+         | ((sv * 1000000) // stot)::BIGINT AS weight_ppm
+         |FROM s CROSS JOIN tot ORDER BY source""".stripMargin,
 
     "q_dedup_jaccard" ->
       s"""WITH sh AS (${frag.shingleHashes})

@@ -136,6 +136,41 @@ object Sampling {
       .drop("_shuf_key", "_shuf_id", "total")
   }
 
+  /** Temperature-based mixture weights — the knob that FEEDS
+    * [[mixtureSchedule]]: per source, the α = 0.5 sampling share
+    * p_i ∝ n_i^α of the multilingual-pretraining recipe (mBERT, XLM,
+    * mT5 all flatten the source-size distribution this way so
+    * low-resource sources are upsampled relative to their raw token
+    * share). Exponent fixed at 1/2 because `sqrt` is the one power IEEE
+    * 754 requires CORRECTLY ROUNDED — `pow`/`ln` differ across math
+    * libraries and would un-oracle the report; other α come from
+    * composing sqrt (α = 1/4 = sqrt∘sqrt) or the double path.
+    *
+    * Integer contract: the only fp step is
+    * `s_i = floor(sqrt(n_tokens) · 10⁶)` (exact double input below 2⁵³
+    * tokens, correctly-rounded sqrt and multiply, deterministic floor);
+    * the share is then pure int64: `weight_ppm = s_i·10⁶ div Σ s_j`.
+    * Fits while s_i < 9.2·10¹² — i.e. per-source token counts to ~10²⁵.
+    *
+    * One token-count aggregation on `source` (map-side combinable) over
+    * a narrow tokenize pass; the |sources|-row report then joins a
+    * broadcast 1-row total. Output: (source, n_docs, n_tokens,
+    * weight_ppm), weight_ppm summing to ≤ 10⁶ (floor).
+    */
+  def mixtureWeights(docs: DataFrame): DataFrame = {
+    // the |sources|-row aggregate feeds both the report and its own
+    // total — persist it so the corpus tokenize pass runs once
+    val per = SharedBranch.sharedBranch(docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.functions.TextFunctions.tokens(col("text"))))
+          .cast("long").as("n_tokens"))
+      .withColumn("s",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0))))
+    per.crossJoin(broadcast(per.agg(sum(col("s")).as("stot"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(s * 1000000) div stot").as("weight_ppm"))
+  }
+
   /** Deterministic corpus-mixture schedule: interleave strata
     * proportionally to integer weights. Row k of stratum s is placed at
     * integer position k·1000/weight(s) (ties broken by stratum, id), so a

@@ -561,6 +561,37 @@ object TextDedup {
         expr("(n_exclusive * 1000000) div n_shingles").as("ppm_exclusive"))
   }
 
+  /** Per-DOCUMENT novelty — [[sourceNovelty]] at row granularity, the
+    * keep/drop filtering signal rather than the mixture-weight one: for
+    * each document, how many of its distinct 3-gram shingles appear in
+    * NO other document (corpus document frequency 1), as a count and
+    * integer parts-per-million of the document's own shingle set. A
+    * near-zero scorer is boilerplate or a near-copy even when no single
+    * partner clears a pairwise dedup threshold (content smeared across
+    * MANY documents); a high scorer genuinely adds text.
+    *
+    * Two shuffles: one exchange on shingle (per-shingle document
+    * frequency rides a partition window over the already-distinct
+    * per-doc sets — no self-join), one back on doc_id for the report.
+    *
+    * Contract: one row per document with ≥ 1 shingle (i.e. ≥ 3 tokens);
+    * shorter documents have no shingle set to score — filter them with
+    * the quality gate, not here.
+    *
+    * Output: (doc_id, n_shingles, n_unique, novelty_ppm).
+    */
+  def docNovelty(docs: DataFrame): DataFrame = {
+    val ds = docs.select(col("doc_id"),
+      // ShingleHashes output is per-doc distinct already
+      explode(graft.functions.ShingleHashes.shingle_hashes(col("text"), 3)).as("shingle"))
+    ds.withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") === 1, lit(1))).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        expr("(n_unique * 1000000) div n_shingles").as("novelty_ppm"))
+  }
+
   /** Corpus-level MinHash sketches: one signature per group (here:
     * `source`) via the [[graft.functions.MinHashUnion]] Aggregator —
     * elementwise-min merge ≡ signature of the union of the group's

@@ -424,4 +424,50 @@ class CurationSpec extends AnyFunSuite {
       $"n_bigrams" =!= $"n_tokens" - 1).count() == 0)
     assert(corpus.filter($"n_distinct_bigrams" > $"n_bigrams").count() == 0)
   }
+
+  test("mixtureWeights: exact sqrt-quantized shares on a hand corpus; temperature flattens") {
+    import graft.operators.Sampling
+    // token counts 16 / 4 / 1 → sqrt 4 / 2 / 1 → shares 4/7, 2/7, 1/7
+    val d = Seq(
+      (1L, ("a " * 16).trim, "sA"), (2L, ("b " * 4).trim, "sB"), (3L, "c", "sC"))
+      .toDF("doc_id", "text", "source")
+    val got = Sampling.mixtureWeights(d).orderBy($"source")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("sA", 1L, 16L, 4000000L * 1000000L / 7000000L),
+      ("sB", 1L, 4L, 2000000L * 1000000L / 7000000L),
+      ("sC", 1L, 1L, 1000000L * 1000000L / 7000000L)))
+    // flattening: raw token share of sA is 16/21 ≈ 762k ppm; α = 0.5
+    // share is 4/7 ≈ 571k ppm — the big source is down-weighted
+    assert(got.head._4 < 16L * 1000000L / 21L)
+  }
+
+  test("mixtureWeights on the corpus: doc totals conserved, floor shares sum to ≤ 1e6") {
+    import graft.operators.Sampling
+    val w = Sampling.mixtureWeights(docs)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(w.map(_._2).sum == docs.count())
+    val s = w.map(_._4).sum
+    assert(s <= 1000000L && s > 1000000L - w.size)
+    // exact recompute: the documented three-step formula
+    val sv = w.map(r => math.floor(math.sqrt(r._3.toDouble) * 1000000.0).toLong)
+    val stot = sv.sum
+    assert(w.map(_._4) == sv.map(v => v * 1000000L / stot))
+  }
+
+  test("docNovelty ≡ naive per-doc unique-shingle fraction; bounds hold") {
+    val ds = docs.select($"doc_id",
+        explode(graft.functions.ShingleHashes.shingle_hashes($"text", 3)).as("sh"))
+      .as[(Long, Long)].collect()
+    val df = ds.groupBy(_._2).view.mapValues(_.size).toMap
+    val want = ds.groupBy(_._1).map { case (d, rows) =>
+      val n = rows.size.toLong
+      val u = rows.count(r => df(r._2) == 1).toLong
+      (d, n, u, u * 1000000L / n)
+    }.toSeq.sortBy(_._1)
+    val got = TextDedup.docNovelty(docs).orderBy($"doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.forall(r => r._3 <= r._2 && r._4 >= 0L && r._4 <= 1000000L))
+  }
 }
