@@ -913,6 +913,14 @@ object M5Queries {
       TextDedup.substringDedupRemove(TextDedup.documents(s, dir), k = 8)
         .orderBy(col("doc_id"))),
 
+    // ---- the 100 TB spelling of the same removal: wide exchanges carry
+    // the 64-bit window hash, never the k-token strings; collision
+    // diversion keeps it exact (output-identical by contract — one oracle)
+    "q_substring_removal_hashed" -> ((s, dir) =>
+      TextDedup.substringDedupRemove(TextDedup.documents(s, dir), k = 8,
+        hashOnlyShuffle = true)
+        .orderBy(col("doc_id"))),
+
     // ---- curation: PII redaction. The corpus is synthetic word salad with
     // no natural PII, so the query INJECTS deterministic doc_id-derived
     // contact lines first (documented oracle-twin input construction), then
@@ -1915,28 +1923,9 @@ object M5Queries {
          |FROM j a JOIN j b ON a.h = b.h AND a.win = b.win AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    // span-removal mirror: every window OCCURRENCE (no distinct) ranked
-    // globally per content by (doc_id, pos); non-first occurrences mark
-    // their k covered token positions; documents reassemble from the
-    // unmarked tokens (1-based DuckDB lambda index ⇄ the Spark side's
-    // 0-based positions via i - 1)
-    "q_substring_removal" ->
-      s"""WITH t AS (SELECT doc_id, ${frag.toks} w FROM documents),
-         | wins0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
-         |   FROM t WHERE len(w) >= 8),
-         | wins AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS win FROM wins0),
-         | marked AS (SELECT doc_id, pos,
-         |   row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM wins),
-         | rm AS (SELECT DISTINCT doc_id, rmpos FROM (
-         |   SELECT doc_id, pos + unnest(generate_series(0, 7)) AS rmpos
-         |   FROM marked WHERE rn > 1)),
-         | rml AS (SELECT doc_id, list(rmpos) AS rl FROM rm GROUP BY 1)
-         |SELECT t.doc_id, len(w)::BIGINT AS n_tokens,
-         | coalesce(len(rl), 0)::BIGINT AS n_removed,
-         | coalesce(array_to_string(list_filter(w,
-         |   (x, i) -> rl IS NULL OR NOT list_contains(rl, i - 1)), ' '), '') AS clean_text
-         |FROM t LEFT JOIN rml ON t.doc_id = rml.doc_id
-         |ORDER BY t.doc_id""".stripMargin,
+    "q_substring_removal" -> substringRemovalOracle,
+    // the hash-only spelling is output-identical by contract — one oracle
+    "q_substring_removal_hashed" -> substringRemovalOracle,
 
     "q_pipeline_e2e" -> pipelineE2eOracle,
 
@@ -2563,6 +2552,33 @@ object M5Queries {
        | count(*) AS n_lines,
        | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Span-removal mirror, shared by the exact and hash-only spellings
+    * (output-identical by contract): every window OCCURRENCE (no
+    * distinct) ranked globally per content by (doc_id, pos); non-first
+    * occurrences mark their k covered token positions; documents
+    * reassemble from the unmarked tokens (1-based DuckDB lambda index ⇄
+    * the Spark side's 0-based positions via i - 1). DuckDB's
+    * array_to_string collapses the empty list to NULL, hence the
+    * coalesce — a doc losing every token reassembles to ''.
+    */
+  private lazy val substringRemovalOracle: String =
+    s"""WITH t AS (SELECT doc_id, ${frag.toks} w FROM documents),
+       | wins0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+       |   FROM t WHERE len(w) >= 8),
+       | wins AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS win FROM wins0),
+       | marked AS (SELECT doc_id, pos,
+       |   row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM wins),
+       | rm AS (SELECT DISTINCT doc_id, rmpos FROM (
+       |   SELECT doc_id, pos + unnest(generate_series(0, 7)) AS rmpos
+       |   FROM marked WHERE rn > 1)),
+       | rml AS (SELECT doc_id, list(rmpos) AS rl FROM rm GROUP BY 1)
+       |SELECT t.doc_id, len(w)::BIGINT AS n_tokens,
+       | coalesce(len(rl), 0)::BIGINT AS n_removed,
+       | coalesce(array_to_string(list_filter(w,
+       |   (x, i) -> rl IS NULL OR NOT list_contains(rl, i - 1)), ' '), '') AS clean_text
+       |FROM t LEFT JOIN rml ON t.doc_id = rml.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 
   private lazy val textQualityOracle: String = {
     val stop = TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -164,28 +164,80 @@ object TextDedup {
     * boilerplate window repeated in 100k documents collapses per
     * partition before the exchange (the [[lineDedup]] discipline; a
     * per-window ranking window would sort exactly the hot keys). The
-    * verdict returns by the same (hash, window) equi-join; removed
-    * positions collapse to one sorted per-doc array, and reassembly is a
-    * doc-keyed join + one narrow indexed-lambda filter over the original
-    * token array — the text itself never rides a wide shuffle. Grouping
-    * by (hash, window) — not hash alone — keeps 30-bit rolling-hash
-    * collisions exact: two contents on one hash form two groups.
+    * verdict returns by the same (hash, window) equi-join — restricted
+    * to multi-occurrence windows, so the (vast) unique majority never
+    * joins back; removed positions collapse to one sorted per-doc array,
+    * and reassembly is a doc-keyed join + one narrow indexed-lambda
+    * filter over the original token array — the text itself never rides
+    * a wide shuffle.
+    *
+    * `hashOnlyShuffle` is the 100 TB spelling ([[lineDedup]]'s
+    * discipline, collision handling included): the first-occurrence
+    * aggregation and the verdict join key on the 64-bit window hash
+    * alone — k-token STRINGS, the heaviest column by far, stay out of
+    * the wide exchanges. Hashes carrying more than one distinct window
+    * content (detected by a map-side-combinable distinct count in the
+    * same aggregation) are diverted to the exact string-keyed path — a
+    * set ~empty by construction; the exact path instead keys every
+    * exchange on (hash, window), so two contents on one hash form two
+    * groups either way. Property-tested identical under forced full- and
+    * partial-collision hashes (M5OperatorsSpec).
     *
     * Output: (doc_id, n_tokens, n_removed, clean_text); documents losing
     * every token reassemble to the empty string.
     */
-  def substringDedupRemove(docs: DataFrame, k: Int = 8): DataFrame = {
+  def substringDedupRemove(docs: DataFrame, k: Int = 8,
+      hashOnlyShuffle: Boolean = false): DataFrame =
+    substringDedupRemoveKeyed(docs, k, hashOnlyShuffle, xxhash64(_))
+
+  /** [[substringDedupRemove]] with a pluggable window hash — specs
+    * inject deliberately colliding hashes to prove the diversion exact;
+    * the public operator always uses `xxhash64`.
+    */
+  private[graft] def substringDedupRemoveKeyed(docs: DataFrame, k: Int,
+      hashOnlyShuffle: Boolean, winHash: Column => Column): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens, got $k")
     val base = docs.select(col("doc_id"), tokens(col("text")).as("w"))
-    // the window explosion feeds both the first-occurrence aggregation
-    // and the verdict join — persist it once
+    // the window explosion feeds the first-occurrence aggregation and
+    // the verdict join (and, hash-only, the collision residue) — persist
+    // it once
     val wins = SharedBranch.sharedBranch(
       base.select(col("doc_id"), posexplode(shingles(col("w"), k)).as(Seq("pos", "win")))
-        .withColumn("h", rollingHash(col("win"))))
-    val firsts = wins.groupBy(col("h"), col("win"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-    val rml = wins.join(firsts, Seq("h", "win"))
-      .filter(struct(col("doc_id"), col("pos")) =!= col("f"))
+        .withColumn("h", winHash(col("win"))))
+    val dupStarts =
+      if (!hashOnlyShuffle) {
+        val firsts = wins.groupBy(col("h"), col("win"))
+          .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
+            count(lit(1)).as("cnt"))
+        wins.join(firsts.filter(col("cnt") > 1), Seq("h", "win"))
+          .filter(struct(col("doc_id"), col("pos")) =!= col("f"))
+          .select(col("doc_id"), col("pos"))
+      } else {
+        // ONE hash-keyed aggregation carries the verdict inputs AND the
+        // collision detector (nw = distinct contents under the hash)
+        val firstByHash = SharedBranch.sharedBranch(
+          wins.groupBy(col("h")).agg(
+            min(struct(col("doc_id"), col("pos"))).as("f"),
+            count(lit(1)).as("cnt"),
+            countDistinct(col("win")).as("nw")))
+        // nw = 1: the hash IS the window — verdict joins on the 8-byte key
+        val clean = wins.select(col("doc_id"), col("pos"), col("h"))
+          .join(firstByHash.filter(col("nw") === 1 && col("cnt") > 1), Seq("h"))
+          .filter(struct(col("doc_id"), col("pos")) =!= col("f"))
+          .select(col("doc_id"), col("pos"))
+        // collision residue (nw > 1, ~empty): exact string-keyed
+        // spelling over just those hashes
+        val collided = firstByHash.filter(col("nw") > 1).select(col("h"))
+        val collWins = wins.join(broadcast(collided), Seq("h"))
+        val firstColl = collWins.groupBy(col("win"))
+          .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
+            count(lit(1)).as("cnt"))
+        val coll = collWins.join(firstColl.filter(col("cnt") > 1), Seq("win"))
+          .filter(struct(col("doc_id"), col("pos")) =!= col("f"))
+          .select(col("doc_id"), col("pos"))
+        clean.unionByName(coll)
+      }
+    val rml = dupStarts
       // k covered token positions per non-first occurrence; distinct
       // collapses the overlap fan-out before the per-doc array builds
       .select(col("doc_id"),
@@ -570,9 +622,15 @@ object TextDedup {
     * partner clears a pairwise dedup threshold (content smeared across
     * MANY documents); a high scorer genuinely adds text.
     *
-    * Two shuffles: one exchange on shingle (per-shingle document
-    * frequency rides a partition window over the already-distinct
-    * per-doc sets — no self-join), one back on doc_id for the report.
+    * Scale shape — deliberately NOT [[sourceNovelty]]'s window spelling:
+    * a `count() over (partition by shingle)` window puts every copy of a
+    * hot boilerplate shingle into ONE partition's sort — exactly the
+    * skew this report exists to flag. Here the document frequency is a
+    * map-side-combinable hash aggregation on shingle, the unique set
+    * (df = 1, which by construction EXCLUDES every hot key) returns by a
+    * semi-join AQE can skew-split, and `n_shingles` never shuffles at
+    * all — it's the narrow array size. One explosion feeds both the df
+    * agg and the probe side ([[SharedBranch]]).
     *
     * Contract: one row per document with ≥ 1 shingle (i.e. ≥ 3 tokens);
     * shorter documents have no shingle set to score — filter them with
@@ -581,15 +639,21 @@ object TextDedup {
     * Output: (doc_id, n_shingles, n_unique, novelty_ppm).
     */
   def docNovelty(docs: DataFrame): DataFrame = {
-    val ds = docs.select(col("doc_id"),
-      // ShingleHashes output is per-doc distinct already
-      explode(graft.functions.ShingleHashes.shingle_hashes(col("text"), 3)).as("shingle"))
-    ds.withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        count(when(col("df") === 1, lit(1))).as("n_unique"))
-      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
-        expr("(n_unique * 1000000) div n_shingles").as("novelty_ppm"))
+    // ShingleHashes output is per-doc distinct already
+    val withSets = SharedBranch.sharedBranch(docs.select(col("doc_id"),
+      graft.functions.ShingleHashes.shingle_hashes(col("text"), 3).as("hs")))
+    val ds = SharedBranch.sharedBranch(
+      withSets.select(col("doc_id"), explode(col("hs")).as("shingle")))
+    val uni = ds.groupBy(col("shingle")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") === 1).select(col("shingle"))
+    val nUnique = ds.join(uni, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unique"))
+    withSets.select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+      .join(nUnique, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        expr("(coalesce(n_unique, 0) * 1000000) div n_shingles").as("novelty_ppm"))
   }
 
   /** Corpus-level MinHash sketches: one signature per group (here:

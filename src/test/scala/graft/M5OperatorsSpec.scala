@@ -849,6 +849,34 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(out.count() == docs.count())
   }
 
+  test("property: substringDedupRemove hash-only ≡ direct path, incl. forced full/partial collisions") {
+    import org.scalacheck.{Gen, rng}
+    // phrases long enough that windows (k = 4) straddle phrase joints
+    val phraseGen = Gen.oneOf(
+      "alpha beta gamma delta", "omega psi chi phi",
+      "one two three four", "lone word")
+    val docGen = Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, phraseGen).map(_.mkString(" ")))
+    val corpus = Gen.listOfN(30, docGen)
+      .pureApply(Gen.Parameters.default, rng.Seed(4242L))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val hashes: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
+      "xxhash64" -> (c => xxhash64(c)),
+      "mod4" -> (c => pmod(xxhash64(c), lit(4L))),
+      "const" -> (_ => lit(0L)))
+    for (k <- Seq(4, 8)) {
+      val direct = TextDedup.substringDedupRemove(corpus, k)
+        .as[(Long, Long, Long, String)].collect().toSet
+      hashes.foreach { case (hname, h) =>
+        val hashed = TextDedup.substringDedupRemoveKeyed(corpus, k,
+          hashOnlyShuffle = true, winHash = h)
+          .as[(Long, Long, Long, String)].collect().toSet
+        assert(hashed == direct, s"k=$k hash=$hname: " +
+          s"extra=${(hashed -- direct).take(3)} missing=${(direct -- hashed).take(3)}")
+      }
+    }
+  }
+
   test("clusterBalance: cells partition the corpus; ppm shares are exact cluster fractions") {
     val embs = Similarity.embeddings(spark, sf)
     val cells = Similarity.clusterBalance(embs, k = 8)
