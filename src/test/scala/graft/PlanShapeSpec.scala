@@ -43,6 +43,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
   }
 
+  test("q_hash_classifier: the weight table reaches the token stream as a broadcast") {
+    // the model never shuffles; the corpus-sized exploded side joins it
+    // map-side and shuffles once, on doc_id, for the per-doc sum
+    val p = explained("q_hash_classifier")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast model join:\n$p")
+  }
+
   test("no query plan contains an unpartitioned (single-partition) window") {
     // Round-2 verdict item: q_mixture_schedule funneled the corpus through
     // one WindowExec task. Every window in every query must now declare a
@@ -254,6 +261,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_length_quantiles", // 1-row quantile-boundary frame
       "q_lm_score", // 1-row vocab totals
       "q_mixture_schedule", // 1-row per-source totals frame
+      "q_mixture_weights", // 1-row sqrt-weight total frame
       "q_pack_windows", "q_pipeline_e2e", // 1-row window/prefix totals
       "q_token_shift", // two 1-row snapshot-total frames
       "q_tfidf_topterms") // 1-row doc-count frame
