@@ -570,6 +570,14 @@ object M5Queries {
         .select(col("doc_id"), col("pos"), col("shard"))
         .orderBy(col("doc_id"))),
 
+    // ---- curation: curriculum read order — shortest (easiest) documents
+    // first, contiguous shard blocks; epochShuffle's scored sibling
+    "q_curriculum" -> ((s, dir) =>
+      Sampling.curriculumOrder(TextDedup.documents(s, dir), col("doc_id"),
+          col("n_chars"), nShards = 8)
+        .select(col("doc_id"), col("pos"), col("shard"))
+        .orderBy(col("doc_id"))),
+
     // ---- curation: proportional mixture schedule (weight-4 sources appear
     // 4x as often as weight-1 in any prefix of the read order)
     "q_mixture_schedule" -> ((s, dir) =>
@@ -830,6 +838,14 @@ object M5Queries {
     "q_cluster_balance" -> ((s, dir) =>
       Similarity.clusterBalance(Similarity.embeddings(s, dir), k = 8)
         .orderBy(col("cluster"), col("label"))),
+
+    // ---- similarity: per-cluster quota — cap each embedding cluster at
+    // 40 keep-farthest members (bounded-aggregator state, binds at this
+    // SF: 640 vectors / 8 clusters) — the cluster-balance enforcement arm
+    "q_cluster_quota" -> ((s, dir) =>
+      Similarity.clusterQuota(Similarity.embeddings(s, dir),
+          maxPerCluster = 40, k = 8)
+        .orderBy(col("cluster"), col("qrank"))),
 
     // ---- similarity: corpus k-NN graph — every vector's top-3 neighbors
     // by exact cosine within its IVF bucket (one bucket-keyed exchange;
@@ -1676,6 +1692,17 @@ object M5Queries {
         | ((r.pos * 8) // t.total)::BIGINT AS shard
         |FROM r, t ORDER BY doc_id""".stripMargin,
 
+    // curriculum mirror: global rank over (score, id) — the PrefixSum
+    // spelling's single-window oracle twin
+    "q_curriculum" ->
+      s"""WITH r AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS pos
+        | FROM documents),
+        | t AS (SELECT count(*) AS total FROM documents)
+        |SELECT r.doc_id, r.pos::BIGINT AS pos,
+        | ((r.pos * 8) // t.total)::BIGINT AS shard
+        |FROM r, t ORDER BY doc_id""".stripMargin,
+
     "q_corpus_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
          | sum(length(text))::BIGINT AS total_chars,
@@ -1994,6 +2021,23 @@ object M5Queries {
          | CAST(sum(${frag.l2q("a.qv", "c.cqv")}) AS BIGINT) AS inertia
          |FROM assigned a JOIN cents_q c ON a.bucket = c.centroid_id
          |GROUP BY 1 ORDER BY cluster""".stripMargin,
+
+    // quota mirror: the window twin of the bounded aggregation — rank by
+    // integer centroid distance DESC (keep-farthest), vec_id tiebreak
+    "q_cluster_quota" ->
+      s"""WITH v AS (${frag.vecs}),
+         |${frag.kmeansCtes(8)},
+         | assigned AS (SELECT vec_id, qv, centroid_id AS cluster FROM (
+         |   SELECT a.vec_id, a.qv, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${frag.l2q("a.qv", "c.cqv")}, c.centroid_id) rn
+         |   FROM qvt a CROSS JOIN cents_q c) WHERE rn = 1),
+         | dcs AS (SELECT a.vec_id, a.cluster, ${frag.l2q("a.qv", "c.cqv")} AS dc
+         |   FROM assigned a JOIN cents_q c ON a.cluster = c.centroid_id)
+         |SELECT cluster, vec_id, rnk::INT AS qrank FROM (
+         | SELECT cluster, vec_id,
+         |  row_number() OVER (PARTITION BY cluster ORDER BY dc DESC, vec_id) AS rnk
+         | FROM dcs)
+         |WHERE rnk <= 40 ORDER BY cluster, qrank""".stripMargin,
 
     // label share per cluster in integer ppm (// = Spark's div); label
     // rides the assignment CTE exactly like the Spark-side projection

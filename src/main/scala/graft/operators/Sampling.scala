@@ -136,6 +136,42 @@ object Sampling {
       .drop("_shuf_key", "_shuf_id", "total")
   }
 
+  /** Curriculum read order — [[epochShuffle]]'s deliberate sibling:
+    * instead of a seeded random permutation, documents are ordered by an
+    * INTEGRAL difficulty/quality score ascending (easy/clean first, the
+    * curriculum-learning schedule; flip the score's sign for the reverse
+    * curriculum) with id as the deterministic tiebreak, then cut into
+    * `nShards` contiguous near-equal blocks: shard s of epoch 1 is the
+    * easiest block, the trainer walks the shards in order.
+    *
+    * Scale shape: identical to [[epochShuffle]] — the global position is
+    * the [[PrefixSum]] distributed rank over (score, id), a range
+    * exchange plus the one-row-per-partition offset table; no
+    * single-task window, no driver collect; shard sizing via one
+    * broadcast 1-row total. NOTE the range exchange partitions on the
+    * SCORE order, so a score distribution with heavy ties is fine
+    * (ties split across range bounds by id) but a constant score
+    * degenerates to id order — by design, it IS the tiebreak.
+    *
+    * Integral-score contract as [[Curation.sourceQuota]]: fractional
+    * scores must be quantized by the caller (the `cents` discipline).
+    *
+    * Output: input columns + (pos, shard), pos 0-based in curriculum
+    * order.
+    */
+  def curriculumOrder(df: DataFrame, id: Column, score: Column,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    Curation.requireIntegralScore(df, score)
+    val keyed = df.withColumn("_cur_score", score).withColumn("_cur_id", id)
+    val total = broadcast(df.agg(count(lit(1)).as("total")))
+    PrefixSum.inclusive(keyed, Seq(col("_cur_score"), col("_cur_id")), lit(1L), "pos")
+      .withColumn("pos", col("pos") - 1L)
+      .crossJoin(total)
+      .withColumn("shard", expr(s"(pos * $nShards) div total"))
+      .drop("_cur_score", "_cur_id", "total")
+  }
+
   /** Temperature-based mixture weights — the knob that FEEDS
     * [[mixtureSchedule]]: per source, the α = 0.5 sampling share
     * p_i ∝ n_i^α of the multilingual-pretraining recipe (mBERT, XLM,

@@ -936,6 +936,43 @@ object Similarity {
         "sum(n_vectors) OVER (PARTITION BY cluster)"))
   }
 
+  /** Per-cluster quota — diversity-capped sampling over the embedding
+    * topology, the [[clusterBalance]] report's enforcement arm and the
+    * bounded-state sibling of [[Curation.sourceQuota]]: keep at most
+    * `maxPerCluster` vectors per k-means cluster, preferring the members
+    * FARTHEST from their centroid (SemDeDup's keep policy — the outer
+    * members carry the cluster's structure; near-centroid vectors are
+    * the redundant mass), ties to the smaller vec_id. Caps a dominant
+    * topic at a fixed budget while small clusters survive whole.
+    *
+    * Scale shape: assignment is the narrow codegen argmin; the
+    * centroid distance is exact quantized-integer L2 via one broadcast
+    * join on the k-row codebook; the cap itself is the `BoundedTopN`
+    * Aggregator — O(maxPerCluster) state per cluster and map-side
+    * combine ships ≤ quota·partitions rows per cluster however hot the
+    * topic (a ranking window would ship the WHOLE cluster to one
+    * reducer — kept as the oracle twin).
+    *
+    * Output: (cluster, vec_id, qrank), qrank 1..maxPerCluster in
+    * keep-preference order (farthest first).
+    */
+  def clusterQuota(embs: DataFrame, maxPerCluster: Int, k: Int = 8): DataFrame = {
+    val vq = withQuantizedShared(embs)
+    val cb = codebookFrom(vq, k)
+    val centsDf = broadcast(embs.sparkSession
+      .createDataFrame(cb).toDF("cluster", "cqv"))
+    vq.select(col("vec_id"), col("qv"),
+        graft.functions.CentroidExpressions.nearestCentroidId(col("qv"), lit(0),
+          cb.map { case (cid, cqv) => (0, cid, cqv) }).as("cluster"))
+      .join(centsDf, "cluster")
+      .groupBy(col("cluster"))
+      .agg(graft.functions.BoundedTopN
+        .bounded_top_n(l2sqQ(col("qv"), col("cqv")), col("vec_id"), maxPerCluster)
+        .as("kept"))
+      .select(col("cluster"), posexplode(col("kept")).as(Seq("p", "vec_id")))
+      .select(col("cluster"), col("vec_id"), (col("p") + 1).cast("int").as("qrank"))
+  }
+
   /** k-NN graph over the WHOLE corpus: every vector's `k` nearest
     * neighbors by exact cosine among candidates sharing its IVF bucket —
     * the building block of graph-based curation (diversity sampling,

@@ -425,6 +425,26 @@ class CurationSpec extends AnyFunSuite {
     assert(corpus.filter($"n_distinct_bigrams" > $"n_bigrams").count() == 0)
   }
 
+  test("curriculumOrder: score-ascending permutation, contiguous near-equal shards, integral contract") {
+    import graft.operators.Sampling
+    val out = Sampling.curriculumOrder(docs, $"doc_id", $"n_chars", nShards = 8)
+      .select($"doc_id", $"n_chars", $"pos", $"shard")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._3)
+    // pos is a 0-based permutation in (score, id) order
+    assert(out.map(_._3) == (0L until docs.count()).toSeq)
+    assert(out.map(r => (r._2, r._1)) == out.map(r => (r._2, r._1)).sorted)
+    // shards are contiguous in curriculum order and near-equal (±1)
+    val sizes = out.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(sizes.keySet == (0L to 7L).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    assert(out.map(_._4) == out.map(_._4).sorted, "shard ids ascend with pos")
+    // fractional scores are rejected loudly, not truncated
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.curriculumOrder(docs, $"doc_id", $"n_chars" / 2.0, nShards = 4)
+    }
+    assert(ex.getMessage.toLowerCase.contains("integral"))
+  }
+
   test("mixtureWeights: exact sqrt-quantized shares on a hand corpus; temperature flattens") {
     import graft.operators.Sampling
     // token counts 16 / 4 / 1 → sqrt 4 / 2 / 1 → shares 4/7, 2/7, 1/7

@@ -877,6 +877,29 @@ class M5OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterQuota: bounded aggregation ≡ window keep-farthest ranking; caps bind, small clusters survive") {
+    val embs = Similarity.embeddings(spark, sf)
+    val got = Similarity.clusterQuota(embs, maxPerCluster = 40, k = 8)
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(r => (r._1, r._3))
+    // window twin from the cluster sizes: quota rows per cluster =
+    // min(40, cluster size) — derived independently from clusterBalance
+    val sizes = Similarity.clusterBalance(embs, k = 8)
+      .groupBy($"cluster").agg(sum($"n_vectors").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val perCluster = got.groupBy(_._1).view.mapValues(_.size).toMap
+    for ((c, n) <- sizes)
+      assert(perCluster.getOrElse(c, 0) == math.min(40L, n),
+        s"cluster $c: quota rows ${perCluster.getOrElse(c, 0)} vs size $n")
+    // ranks are dense 1..kept within each cluster
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._3).sorted == (1 to rows.size).toList)
+    }
+    assert(got.size < embs.count(), "the cap should bind somewhere at this SF")
+    // a tiny quota keeps exactly maxPerCluster everywhere (all clusters > 2)
+    val tiny = Similarity.clusterQuota(embs, maxPerCluster = 2, k = 8)
+    assert(tiny.count() == 16L)
+  }
+
   test("clusterBalance: cells partition the corpus; ppm shares are exact cluster fractions") {
     val embs = Similarity.embeddings(spark, sf)
     val cells = Similarity.clusterBalance(embs, k = 8)
