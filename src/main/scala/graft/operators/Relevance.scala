@@ -168,6 +168,44 @@ object Relevance {
         (col("score") > 0).as("keep"))
   }
 
+  /** The NARROW (per-row) spelling of [[hashClassifierScore]] — the
+    * STREAMING face. The weight table rides the plan as a map literal
+    * and the score is one fold over the token array: no explode, no
+    * join, no aggregation, NO state — the join spelling's per-doc sum
+    * would be a stateful (Complete/Update-mode) aggregation on an
+    * unbounded stream, while this projection composes into
+    * [[graft.streaming.StreamingCuration]]-style pipelines statelessly
+    * and works identically on a batch frame. Same bucket arithmetic, so
+    * the two spellings are property-identical (RelevanceSpec); models
+    * beyond literal size (≳10⁵ buckets bloat the plan) run the join
+    * spelling inside `foreachBatch` instead (the
+    * StreamingIncrementalDedup pattern).
+    *
+    * APPENDS (n_tokens, score, keep) to the input row — streaming
+    * pipelines keep their event-time/metadata columns.
+    */
+  def hashClassifierScoreNarrow(docs: DataFrame, weights: Map[Long, Long],
+      numBuckets: Int): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val wm = typedlit(weights)
+    val toks = TextFunctions.tokens(col("text"))
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("score", aggregate(toks, lit(0L), (acc, t) =>
+        acc + coalesce(
+          element_at(wm, (TextFunctions.rollingHash(t) * 2654435761L) % numBuckets),
+          lit(0L))))
+      .withColumn("keep", col("score") > 0)
+  }
+
+  /** Collect a `(bucket, weight)` model frame into the literal map
+    * [[hashClassifierScoreNarrow]] embeds — driver-side, bounded by the
+    * bucket count by construction (the model is dense ≤ numBuckets rows).
+    */
+  def weightsAsMap(weights: DataFrame): Map[Long, Long] =
+    weights.select(col("bucket").cast("long"), col("weight").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   /** Deterministic stand-in weight table for [[hashClassifierScore]] —
     * an affine remix of the bucket id into [−1001, 1001]. The operator
     * is model-agnostic (any trained `(bucket, weight)` frame drops in);

@@ -93,6 +93,22 @@ class RelevanceSpec extends AnyFunSuite {
     assert(got.exists(_._4) && got.exists(!_._4), "both verdicts should occur")
   }
 
+  test("hashClassifierScoreNarrow (map-literal streaming spelling) ≡ join spelling on the corpus") {
+    val nb = 4096
+    val wdf = Relevance.deterministicWeights(spark, nb)
+    val viaJoin = Relevance.hashClassifierScore(docs, wdf, numBuckets = nb)
+      .orderBy($"doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    val viaMap = Relevance.hashClassifierScoreNarrow(docs,
+        Relevance.weightsAsMap(wdf), numBuckets = nb)
+      .select($"doc_id", $"n_tokens", $"score", $"keep")
+      .orderBy($"doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(viaMap == viaJoin)
+    // the narrow spelling appends: input columns survive for pipelines
+    val cols = Relevance.hashClassifierScoreNarrow(docs,
+      Map(0L -> 1L), numBuckets = nb).columns.toSeq
+    assert(cols.take(docs.columns.length) == docs.columns.toSeq)
+  }
+
   test("hashClassifierScore: tokenless docs survive at score 0; absent buckets weigh 0") {
     val tiny = Seq((1L, "alpha beta"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
     val w = Relevance.deterministicWeights(spark, 64)

@@ -89,4 +89,36 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(survivors == Set(1L),
       s"normalized spellings must dedup to the first arrival, got $survivors")
   }
+
+  test("stateless classifier gate on a stream: map-literal spelling scores batch-identically, append mode") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Relevance
+    val nb = 4096
+    val wm = Relevance.weightsAsMap(Relevance.deterministicWeights(s, nb))
+    val rows = Seq(
+      (1L, t(1000), "alpha beta gamma delta"),
+      (2L, t(2000), "omega psi chi"),
+      (3L, t(3000), ""))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    // stateless projection → append output mode works with NO watermark:
+    // the proof this is the streaming spelling (the join spelling's
+    // groupBy(doc_id) would demand Update/Complete + state)
+    val out = Relevance.hashClassifierScoreNarrow(
+      input.toDF().toDF("doc_id", "ts", "text"), wm, numBuckets = nb)
+    val q = out.writeStream.format("memory").queryName("scur_clf")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("scur_clf")
+      .select($"doc_id", $"n_tokens", $"score", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    val batch = Relevance.hashClassifierScore(
+        rows.toDF("doc_id", "ts", "text"),
+        Relevance.deterministicWeights(s, nb), numBuckets = nb)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(streamed == batch)
+  }
 }
