@@ -625,12 +625,13 @@ object TextDedup {
     * Scale shape — deliberately NOT [[sourceNovelty]]'s window spelling:
     * a `count() over (partition by shingle)` window puts every copy of a
     * hot boilerplate shingle into ONE partition's sort — exactly the
-    * skew this report exists to flag. Here the document frequency is a
-    * map-side-combinable hash aggregation on shingle, the unique set
-    * (df = 1, which by construction EXCLUDES every hot key) returns by a
-    * semi-join AQE can skew-split, and `n_shingles` never shuffles at
-    * all — it's the narrow array size. One explosion feeds both the df
-    * agg and the probe side ([[SharedBranch]]).
+    * skew this report exists to flag. Here ONE map-side-combinable hash
+    * aggregation on shingle carries both the document frequency AND the
+    * owner (`min(doc_id)` — a df = 1 shingle has exactly one, so the
+    * min IS the owner; hot keys collapse per partition before the
+    * exchange), the per-doc unique counts come from re-keying that
+    * filtered aggregate on doc_id, and `n_shingles` never shuffles at
+    * all — it's the narrow array size. No join touches the vocabulary.
     *
     * Contract: one row per document with ≥ 1 shingle (i.e. ≥ 3 tokens);
     * shorter documents have no shingle set to score — filter them with
@@ -642,11 +643,10 @@ object TextDedup {
     // ShingleHashes output is per-doc distinct already
     val withSets = SharedBranch.sharedBranch(docs.select(col("doc_id"),
       graft.functions.ShingleHashes.shingle_hashes(col("text"), 3).as("hs")))
-    val ds = SharedBranch.sharedBranch(
-      withSets.select(col("doc_id"), explode(col("hs")).as("shingle")))
-    val uni = ds.groupBy(col("shingle")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") === 1).select(col("shingle"))
-    val nUnique = ds.join(uni, Seq("shingle"), "left_semi")
+    val nUnique = withSets.select(col("doc_id"), explode(col("hs")).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("doc_id"))
+      .filter(col("cnt") === 1)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unique"))
     withSets.select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"))
       .filter(col("n_shingles") > 0)
