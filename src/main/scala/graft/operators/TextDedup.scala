@@ -595,22 +595,31 @@ object TextDedup {
     * elsewhere scores near zero and is a deduplication/mixture-weight
     * candidate; a high scorer genuinely adds content.
     *
-    * Two shuffles, both vocabulary-sized after the per-doc distinct
-    * shingle sets collapse: one exchange on shingle (the per-shingle
-    * source count rides a partition window, no self-join), one on
-    * source for the final report — |sources| rows out.
+    * Two vocabulary-sized shuffles after the per-doc distinct shingle
+    * sets collapse — and, like [[docNovelty]], NO window and NO join on
+    * the vocabulary: one hash aggregation on shingle carries the source
+    * count AND the owner (`min(source)` — an exclusive shingle has
+    * exactly one, so the min IS it; map-side combine collapses hot keys
+    * per partition, where the previous `count() over (partition by
+    * shingle)` window spelling sorted every copy of a hot shingle in one
+    * partition), re-keyed on source for the exclusive counts; per-source
+    * totals ride the other branch of the shared explosion. |sources|
+    * rows out.
     */
   def sourceNovelty(docs: DataFrame): DataFrame = {
-    val ss = docs
+    val ss = SharedBranch.sharedBranch(docs
       .select(col("source"),
         explode(graft.functions.ShingleHashes.shingle_hashes(col("text"), 3)).as("shingle"))
-      .distinct()
-    ss.withColumn("n_sources", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_shingles"),
-        count(when(col("n_sources") === 1, lit(1))).as("n_exclusive"))
-      .select(col("source"), col("n_shingles"), col("n_exclusive"),
-        expr("(n_exclusive * 1000000) div n_shingles").as("ppm_exclusive"))
+      .distinct())
+    val exclusives = ss.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_sources"), min(col("source")).as("source"))
+      .filter(col("n_sources") === 1)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_exclusive"))
+    ss.groupBy(col("source")).agg(count(lit(1)).as("n_shingles"))
+      .join(exclusives, Seq("source"), "left")
+      .select(col("source"), col("n_shingles"),
+        coalesce(col("n_exclusive"), lit(0L)).as("n_exclusive"),
+        expr("(coalesce(n_exclusive, 0) * 1000000) div n_shingles").as("ppm_exclusive"))
   }
 
   /** Per-DOCUMENT novelty — [[sourceNovelty]] at row granularity, the
