@@ -472,6 +472,13 @@ object M5Queries {
       Sampling.mixtureWeights(TextDedup.documents(s, dir))
         .orderBy(col("source"))),
 
+    // ---- curation: the per-source report card — volume + mixture share
+    // + vocabulary novelty + duplication pressure in ONE frame (pure
+    // composition of the three verified reports)
+    "q_source_report" -> ((s, dir) =>
+      Curation.sourceReport(TextDedup.documents(s, dir), dupThreshold = 0.5)
+        .orderBy(col("source"))),
+
     // ---- dedup: near-dup clusters (connected components, canonical doc)
     "q_dedup_clusters" -> ((s, dir) =>
       TextDedup.dupClusters(
@@ -1533,6 +1540,54 @@ object M5Queries {
          | ((count(*) FILTER (WHERE df = 1) * 1000000) // count(*))::BIGINT AS novelty_ppm
          |FROM ds JOIN nd USING (shingle)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // report-card mirror: the novelty, weight, and dup-matrix oracle
+    // chains composed with renamed CTEs and joined on source; missing
+    // dup rows coalesce to 0 like the Spark left joins
+    "q_source_report" ->
+      s"""WITH sh AS (${frag.shingleHashes}),
+         | ss2 AS (SELECT DISTINCT source, s2 AS shingle
+         |   FROM (SELECT source, unnest(h) AS s2 FROM sh)),
+         | ns2 AS (SELECT shingle, count(*) AS n_sources FROM ss2 GROUP BY 1),
+         | novr AS (SELECT source, count(*) AS n_shingles,
+         |   count(*) FILTER (WHERE n_sources = 1) AS n_exclusive,
+         |   ((count(*) FILTER (WHERE n_sources = 1) * 1000000) // count(*))::BIGINT AS ppm_exclusive
+         |  FROM ss2 JOIN ns2 USING (shingle) GROUP BY source),
+         | wt0 AS (SELECT source, len(${frag.toks}) AS nt FROM documents),
+         | wper AS (SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |   FROM wt0 GROUP BY 1),
+         | wsv AS (SELECT *, CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000.0) AS BIGINT) AS sv FROM wper),
+         | wtot AS (SELECT CAST(sum(sv) AS BIGINT) AS stot FROM wsv),
+         | wr AS (SELECT source, n_docs, n_tokens,
+         |   ((sv * 1000000) // stot)::BIGINT AS weight_ppm FROM wsv CROSS JOIN wtot),
+         | sig AS (SELECT doc_id, ${frag.minhashSig} sig FROM sh),
+         | banded AS (SELECT doc_id, unnest(${frag.bandKeys}) band_key FROM sig),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |   FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         | p2 AS (SELECT doc_a, doc_b
+         |   FROM cand JOIN sh ha ON ha.doc_id = doc_a JOIN sh hb ON hb.doc_id = doc_b
+         |   WHERE ${frag.jac("ha.h", "hb.h")} >= 0.5),
+         | ds2 AS (SELECT doc_id, source FROM documents),
+         | mat AS (SELECT least(sa.source, sb.source) AS source_x,
+         |   greatest(sa.source, sb.source) AS source_y, count(*) AS n_dup_pairs
+         |  FROM p2 JOIN ds2 sa ON sa.doc_id = p2.doc_a JOIN ds2 sb ON sb.doc_id = p2.doc_b
+         |  GROUP BY source_x, source_y),
+         | within AS (SELECT source_x AS source, n_dup_pairs AS n_dup_pairs_within
+         |   FROM mat WHERE source_x = source_y),
+         | crossd AS (SELECT source, CAST(sum(n_dup_pairs) AS BIGINT) AS n_dup_pairs_cross
+         |   FROM (SELECT unnest([source_x, source_y]) AS source, n_dup_pairs
+         |         FROM mat WHERE source_x <> source_y)
+         |   GROUP BY source)
+         |SELECT wr.source, wr.n_docs, wr.n_tokens, wr.weight_ppm,
+         | coalesce(novr.n_shingles, 0)::BIGINT AS n_shingles,
+         | coalesce(novr.n_exclusive, 0)::BIGINT AS n_exclusive,
+         | coalesce(novr.ppm_exclusive, 0)::BIGINT AS ppm_exclusive,
+         | coalesce(within.n_dup_pairs_within, 0)::BIGINT AS n_dup_pairs_within,
+         | coalesce(crossd.n_dup_pairs_cross, 0)::BIGINT AS n_dup_pairs_cross
+         |FROM wr LEFT JOIN novr ON wr.source = novr.source
+         | LEFT JOIN within ON wr.source = within.source
+         | LEFT JOIN crossd ON wr.source = crossd.source
+         |ORDER BY wr.source""".stripMargin,
 
     // mixture-weight mirror: identical double chain (exact BIGINT →
     // correctly-rounded sqrt and multiply → floor), then pure int64 ppm

@@ -528,6 +528,50 @@ object Curation {
     * with the streaming twin ([[graft.streaming.StreamingSourceQuota]])
     * so the contract has one definition.
     */
+  /** The per-source REPORT CARD — the curation diagnostics joined into
+    * one frame, the table a mixture owner actually reads before
+    * re-weighting: per source, volume ([[Sampling.mixtureWeights]]'
+    * doc/token counts and its α = 0.5 sampling share), vocabulary
+    * novelty ([[TextDedup.sourceNovelty]]), and duplication pressure
+    * ([[TextDedup.crossSourceDupMatrix]] folded to the source's
+    * within-source pair count and its total cross-source pair
+    * involvement). Pure composition — every column is the corresponding
+    * verified operator's output, joined on the |sources|-row key, so the
+    * report inherits their correctness gates; joins auto-broadcast at
+    * |sources| rows.
+    *
+    * The three branches each re-scan the (column-pruned) corpus — the
+    * [[Relevance]] tradeoff note applies: narrow extra passes beat
+    * forcing unrelated aggregations through one shuffle.
+    *
+    * Output: (source, n_docs, n_tokens, weight_ppm, n_shingles,
+    * n_exclusive, ppm_exclusive, n_dup_pairs_within, n_dup_pairs_cross).
+    */
+  def sourceReport(docs: DataFrame, dupThreshold: Double = 0.5): DataFrame = {
+    val wts = graft.operators.Sampling.mixtureWeights(docs)
+    val nov = TextDedup.sourceNovelty(docs)
+    val m = SharedBranch.sharedBranch(
+      TextDedup.crossSourceDupMatrix(docs, dupThreshold))
+    val within = m.filter(col("source_x") === col("source_y"))
+      .select(col("source_x").as("source"),
+        col("n_dup_pairs").as("n_dup_pairs_within"))
+    val cross = m.filter(col("source_x") =!= col("source_y"))
+      .select(explode(array(col("source_x"), col("source_y"))).as("source"),
+        col("n_dup_pairs"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_dup_pairs")).as("n_dup_pairs_cross"))
+    wts
+      .join(nov, Seq("source"), "left")
+      .join(within, Seq("source"), "left")
+      .join(cross, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight_ppm"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_exclusive"), lit(0L)).as("n_exclusive"),
+        coalesce(col("ppm_exclusive"), lit(0L)).as("ppm_exclusive"),
+        coalesce(col("n_dup_pairs_within"), lit(0L)).as("n_dup_pairs_within"),
+        coalesce(col("n_dup_pairs_cross"), lit(0L)).as("n_dup_pairs_cross"))
+  }
+
   private[graft] def requireIntegralScore(docs: DataFrame, score: Column): Unit = {
     import org.apache.spark.sql.types._
     val dt = docs.select(score).schema.head.dataType

@@ -425,6 +425,32 @@ class CurationSpec extends AnyFunSuite {
     assert(corpus.filter($"n_distinct_bigrams" > $"n_bigrams").count() == 0)
   }
 
+  test("sourceReport: pure composition of the verified per-source operators; pair accounting closes") {
+    import graft.operators.Sampling
+    val rep = Curation.sourceReport(docs, dupThreshold = 0.5)
+      .orderBy($"source")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // every source appears exactly once
+    val wts = Sampling.mixtureWeights(docs)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val nov = TextDedup.sourceNovelty(docs)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rep.map(_._1) == wts.keys.toSeq.sorted)
+    for (r <- rep) {
+      assert((r._2, r._3, r._4) == (wts(r._1)._2, wts(r._1)._3, wts(r._1)._4))
+      assert((r._5, r._6, r._7) == (nov(r._1)._2, nov(r._1)._3, nov(r._1)._4))
+    }
+    // dup accounting: within-pairs counted once, cross-pairs twice (once
+    // per participating source) — together they cover the matrix exactly
+    val m = TextDedup.crossSourceDupMatrix(docs, threshold = 0.5)
+      .as[(String, String, Long)].collect().toSeq
+    val withinTotal = m.filter(r => r._1 == r._2).map(_._3).sum
+    val crossTotal = m.filter(r => r._1 != r._2).map(_._3).sum
+    assert(rep.map(_._8).sum == withinTotal)
+    assert(rep.map(_._9).sum == 2 * crossTotal)
+  }
+
   test("curriculumOrder: score-ascending permutation, contiguous near-equal shards, integral contract") {
     import graft.operators.Sampling
     val out = Sampling.curriculumOrder(docs, $"doc_id", $"n_chars", nShards = 8)

@@ -263,6 +263,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_lm_score", // 1-row vocab totals
       "q_mixture_schedule", // 1-row per-source totals frame
       "q_mixture_weights", // 1-row sqrt-weight total frame
+      "q_source_report", // composes mixtureWeights' 1-row total frame
       "q_pack_windows", "q_pipeline_e2e", // 1-row window/prefix totals
       "q_token_shift", // two 1-row snapshot-total frames
       "q_tfidf_topterms") // 1-row doc-count frame
