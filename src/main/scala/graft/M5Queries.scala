@@ -47,6 +47,26 @@ object M5Queries {
   private def lineDedupInjected(s: SparkSession, dir: String): DataFrame =
     injectedFrame(s, dir, col("text"))
 
+  /** The q_paragraph_dedup input — the paragraph-granularity sibling of
+    * [[injectedFrame]]: blank-line-separated BLOCKS around the body (the
+    * corpus is single-line word salad, so paragraph structure is
+    * injected like the line frame is): an every-doc two-line disclaimer
+    * block (df 500 → boilerplate, dropped everywhere), the body
+    * (unique), a short "ok" block (< minParChars, exempt), and a df-5
+    * footer block (doc_id % 100 → kept only in its group's smallest
+    * doc; the two lines INSIDE it travel together as one unit — the
+    * case line dedup only chips at).
+    */
+  private def paragraphInjected(s: SparkSession, dir: String): DataFrame =
+    TextDedup.documents(s, dir).select(col("doc_id"),
+      concat_ws("\n\n",
+        lit("please subscribe to our newsletter\nfor weekly curated updates"),
+        col("text"),
+        lit("ok"),
+        concat(lit("standard footer paragraph number "),
+          (col("doc_id") % 100).cast("string"),
+          lit("\nwith the usual legal language"))).as("text"))
+
   /** The q_pipeline_e2e input: [[lineDedupInjected]]'s page frame PLUS an
     * NFC-decomposed grapheme tail on the body line (e+◌́, A+◌̊ — the
     * q_normalize injection), so EVERY pipeline stage provably binds: the
@@ -799,6 +819,18 @@ object M5Queries {
     // exactly) — identical output, so it shares q_line_dedup's oracle
     "q_line_dedup_hashed" -> ((s, dir) =>
       TextDedup.lineDedup(lineDedupInjected(s, dir), minLineChars = 10,
+        boilerplateDf = 50, hashOnlyShuffle = true)
+        .orderBy(col("doc_id"))),
+
+    // ---- dedup: paragraph-granularity keep-first dedup over injected
+    // blank-line blocks (documented oracle-twin input construction) —
+    // both spellings (direct + hash-only), one shared oracle
+    "q_paragraph_dedup" -> ((s, dir) =>
+      TextDedup.paragraphDedup(paragraphInjected(s, dir), minParChars = 20,
+        boilerplateDf = 50)
+        .orderBy(col("doc_id"))),
+    "q_paragraph_dedup_hashed" -> ((s, dir) =>
+      TextDedup.paragraphDedup(paragraphInjected(s, dir), minParChars = 20,
         boilerplateDf = 50, hashOnlyShuffle = true)
         .orderBy(col("doc_id"))),
 
@@ -2015,6 +2047,9 @@ object M5Queries {
     // the hash-only spelling is output-identical by contract — one oracle
     "q_line_dedup_hashed" -> lineDedupOracle,
 
+    "q_paragraph_dedup" -> paragraphDedupOracle,
+    "q_paragraph_dedup_hashed" -> paragraphDedupOracle,
+
     // stop-shingle cap mirror: hashes in > 4 docs leave the numerator
     // join; the n_sh denominator stays uncapped (lower-bound contract)
     "q_containment_capped" ->
@@ -2630,6 +2665,34 @@ object M5Queries {
     * [[lineDedupInjected]]); shared by q_line_dedup and its hash-only
     * shuffle twin, whose outputs are identical by contract.
     */
+  /** Paragraph-dedup oracle over [[paragraphInjected]]'s block frame;
+    * shared by q_paragraph_dedup and its hash-only twin. The split is
+    * the plain double-newline (the injected frame has exactly-2 runs by
+    * construction, so it equals the Spark side's `\n{2,}` regex on this
+    * input); keep semantics mirror the line oracle at the paragraph
+    * thresholds.
+    */
+  private lazy val paragraphDedupOracle: String =
+    s"""WITH injected AS (SELECT doc_id,
+       |  'please subscribe to our newsletter' || chr(10) || 'for weekly curated updates' ||
+       |   chr(10) || chr(10) || text || chr(10) || chr(10) || 'ok' || chr(10) || chr(10) ||
+       |  'standard footer paragraph number ' || CAST(doc_id % 100 AS VARCHAR) ||
+       |   chr(10) || 'with the usual legal language' AS text
+       | FROM documents),
+       | ls AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS l FROM injected),
+       | paras AS (SELECT doc_id, unnest(range(len(l))) AS pos, unnest(l) AS line FROM ls),
+       | dfreq AS (SELECT line, count(DISTINCT doc_id) AS df FROM paras GROUP BY 1),
+       | rn AS (SELECT doc_id, pos, line,
+       |   row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM paras),
+       | kept AS (SELECT r.doc_id, r.pos, r.line,
+       |   (length(r.line) < 20 OR (d.df <= 50 AND r.rn = 1)) AS keep
+       |  FROM rn r JOIN dfreq d USING (line))
+       |SELECT doc_id,
+       | COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) || chr(10) ORDER BY pos), '') AS text_dedup,
+       | count(*) AS n_lines,
+       | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private lazy val lineDedupOracle: String =
     s"""WITH injected AS (SELECT doc_id,
        |  'subscribe to our newsletter today for free updates' || chr(10) ||

@@ -337,16 +337,35 @@ object TextDedup {
       boilerplateDf: Long = Long.MaxValue, hashOnlyShuffle: Boolean = false): DataFrame =
     lineDedupKeyed(docs, minLineChars, boilerplateDf, hashOnlyShuffle, xxhash64(_))
 
+  /** PARAGRAPH-granularity [[lineDedup]] — the same keep-first /
+    * boilerplate-df semantics over blank-line-separated blocks (split on
+    * runs of ≥ 2 newlines), the granularity between line dedup and
+    * whole-document dedup: a scraped disclaimer or navigation block
+    * repeats as a multi-line unit that line dedup would only chip at
+    * line by line (each line individually under its own df) and document
+    * dedup would miss entirely. Paragraph separators NORMALIZE to one
+    * blank line on reassembly. Same plan as [[lineDedup]], including the
+    * `hashOnlyShuffle` collision-diverted spelling — only the split and
+    * rejoin differ.
+    */
+  def paragraphDedup(docs: DataFrame, minParChars: Int = 30,
+      boilerplateDf: Long = Long.MaxValue, hashOnlyShuffle: Boolean = false): DataFrame =
+    lineDedupKeyed(docs, minParChars, boilerplateDf, hashOnlyShuffle, xxhash64(_),
+      splitRegex = "\n{2,}", joinSep = "\n\n")
+
   /** [[lineDedup]] with a pluggable line hash — specs inject deliberately
     * colliding hash functions to prove the collision diversion exact; the
-    * public operator always uses `xxhash64`.
+    * public operator always uses `xxhash64` — and a pluggable
+    * split/rejoin pair ([[paragraphDedup]] passes the blank-line
+    * grammar).
     */
   private[graft] def lineDedupKeyed(docs: DataFrame, minLineChars: Int,
       boilerplateDf: Long, hashOnlyShuffle: Boolean,
-      lineHash: Column => Column): DataFrame = {
+      lineHash: Column => Column, splitRegex: String = "\n",
+      joinSep: String = "\n"): DataFrame = {
     require(boilerplateDf >= 1, s"boilerplateDf must be >= 1, got $boilerplateDf")
     val lines0 = docs.select(col("doc_id"),
-      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      posexplode(split(col("text"), splitRegex)).as(Seq("pos", "line")))
     // (doc_id, pos, line, f: first struct(doc_id, pos) of the line, df)
     val flagged =
       if (!hashOnlyShuffle) {
@@ -397,7 +416,7 @@ object TextDedup {
           (col("df") <= boilerplateDf &&
             col("f.doc_id") === col("doc_id") && col("f.pos") === col("pos")))
     kept.groupBy(col("doc_id")).agg(
-      concat_ws("\n",
+      concat_ws(joinSep,
         transform(
           array_sort(collect_list(when(col("keep"),
             struct(col("pos"), col("line"))))),

@@ -849,6 +849,50 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(out.count() == docs.count())
   }
 
+  test("paragraphDedup: blocks travel as units — keep-first, short-exempt, boilerplate-drop; separators normalize") {
+    val footer = "standard footer text\nwith two lines inside"
+    val tiny = Seq(
+      (1L, s"unique body one alpha beta\n\n$footer\n\nok"),
+      (2L, s"unique body two gamma delta\n\n\n$footer"), // 3-newline run = one separator
+      (3L, s"every doc banner paragraph\n\nunique body three")).toDF("doc_id", "text")
+    val got = TextDedup.paragraphDedup(tiny, minParChars = 10)
+      .orderBy($"doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    // footer kept only in doc 1 (its two INNER lines travel together);
+    // 'ok' short-exempt; banner df 1 here so kept; separators → \n\n
+    assert(got == Seq(
+      (1L, s"unique body one alpha beta\n\n$footer\n\nok", 3L, 3L),
+      (2L, "unique body two gamma delta", 2L, 1L),
+      (3L, "every doc banner paragraph\n\nunique body three", 2L, 2L)))
+    // line dedup on the same corpus chips the footer line by line —
+    // the paragraph unit is the difference in kind
+    val lineKept = TextDedup.lineDedup(tiny, minLineChars = 10)
+      .filter($"doc_id" === 2).select($"text_dedup").as[String].head()
+    assert(!lineKept.contains("standard footer text"))
+    // boilerplate paragraphs drop everywhere once df exceeds the cap
+    val many = (1L to 9L).map(i => (i, s"unique body $i alpha beta gamma\n\n$footer"))
+      .toDF("doc_id", "text")
+    val capped = TextDedup.paragraphDedup(many, minParChars = 10, boilerplateDf = 3)
+      .as[(Long, String, Long, Long)].collect()
+    assert(capped.forall(!_._2.contains("standard footer")))
+  }
+
+  test("property: paragraphDedup hash-only ≡ direct path under forced collisions") {
+    val footer = "standard footer text\nwith two lines inside"
+    val corpus = (1L to 20L).map(i =>
+        (i, s"body $i delta\n\n$footer\n\nshared tail ${i % 4} epsilon zeta"))
+      .toDF("doc_id", "text")
+    for (h <- Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        c => xxhash64(c), c => pmod(xxhash64(c), lit(2L)), _ => lit(0L))) {
+      val direct = TextDedup.paragraphDedup(corpus, minParChars = 10, boilerplateDf = 50)
+        .as[(Long, String, Long, Long)].collect().toSet
+      val hashed = TextDedup.lineDedupKeyed(corpus, 10, 50L,
+          hashOnlyShuffle = true, lineHash = h,
+          splitRegex = "\n{2,}", joinSep = "\n\n")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(hashed == direct)
+    }
+  }
+
   test("property: substringDedupRemove hash-only ≡ direct path, incl. forced full/partial collisions") {
     import org.scalacheck.{Gen, rng}
     // phrases long enough that windows (k = 4) straddle phrase joints
