@@ -1054,6 +1054,13 @@ object M5Queries {
       Curation.balancedShards(TextDedup.documents(s, dir), nShards = 8)
         .orderBy(col("doc_id"))),
 
+    // ---- curation: shard manifest — doc/token totals + order-independent
+    // XOR content signature per balanced shard (the compare-two-runs
+    // audit that replaces re-reading the corpus)
+    "q_shard_manifest" -> ((s, dir) =>
+      Curation.shardManifest(TextDedup.documents(s, dir), nShards = 8)
+        .orderBy(col("shard"))),
+
     // ---- curation: per-source quota (the C4/RefinedWeb per-domain cap)
     // via the bounded top-N aggregation — O(quota) state per key, map-side
     // combinable; at sf0.01 the cap BINDS everywhere (20 sources × 25
@@ -2344,6 +2351,23 @@ object M5Queries {
          |      THEN least(((cum - n_tokens) * 8) // total, 7)
          |      ELSE 0 END::BIGINT AS shard
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // manifest mirror: the balanced-shards chain + per-doc rolling hash,
+    // folded per shard with DuckDB's bit_xor (≡ Spark's — both exact
+    // int64 XOR, order-free)
+    "q_shard_manifest" ->
+      s"""WITH c AS (SELECT doc_id, len(${frag.toks})::BIGINT AS n_tokens,
+         |   ${frag.rolling("text")} AS fp FROM documents),
+         | s AS (SELECT doc_id, n_tokens, fp,
+         |   (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+         |   (SELECT CAST(sum(n_tokens) AS BIGINT) FROM c) AS total
+         |  FROM c),
+         | sh AS (SELECT doc_id, n_tokens, fp,
+         |  CASE WHEN total > 0 THEN least(((cum - n_tokens) * 8) // total, 7)
+         |       ELSE 0 END::BIGINT AS shard FROM s)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         | CAST(bit_xor(fp) AS BIGINT) AS content_sig
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q_source_quota" ->
       """SELECT source, doc_id, rnk::INT AS qrank FROM (

@@ -257,6 +257,32 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"), col("shard"))
   }
 
+  /** Shard MANIFEST — the reproducibility audit over
+    * [[balancedShards]]'s assignment: per shard, the doc count, token
+    * total, and an order-independent content signature (XOR of the
+    * per-doc rolling content hashes — commutative, so the signature is
+    * a property of the shard's SET of documents, not of task order).
+    * Two pipeline runs that claim the same corpus compare manifests
+    * instead of re-reading 100 TB; a drifted shard pinpoints itself.
+    * One-sided caveat (documented, standard for XOR manifests): a pair
+    * of identical documents cancels out of the signature, so equal
+    * signatures + equal counts is very strong but not cryptographic
+    * evidence of equality.
+    *
+    * Plan: the shard assignment's prefix-sum chain + one doc-keyed
+    * (uniform) join to attach content hashes + one |shards|-row
+    * aggregation, all map-side combinable.
+    *
+    * Output: (shard, n_docs, n_tokens, content_sig).
+    */
+  def shardManifest(docs: DataFrame, nShards: Int): DataFrame =
+    balancedShards(docs, nShards)
+      .join(docs.select(col("doc_id"),
+        TextFunctions.rollingHash(col("text")).as("fp")), "doc_id")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        expr("bit_xor(fp)").as("content_sig"))
+
   // ---- per-group heavy hitters ---------------------------------------
 
   /** Exact top-`k` tokens per group (vocabulary heavy hitters — the

@@ -425,6 +425,30 @@ class CurationSpec extends AnyFunSuite {
     assert(corpus.filter($"n_distinct_bigrams" > $"n_bigrams").count() == 0)
   }
 
+  test("shardManifest: totals close against balancedShards; signature is order-free and drift-sensitive") {
+    val m = Curation.shardManifest(docs, nShards = 8)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val shards = Curation.balancedShards(docs, nShards = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(m.map(_._2).sum == docs.count())
+    assert(m.map(_._3).sum == shards.map(_._2).sum, "token totals close")
+    // order-free: a reshuffled input yields the identical manifest
+    val again = Curation.shardManifest(docs.repartition(7).sortWithinPartitions($"n_chars"),
+      nShards = 8).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(again.sortBy(_._1) == m.sortBy(_._1))
+    // drift-sensitive: one flipped document changes exactly its shard's
+    // signature (prepend merges into the first token — token counts and
+    // hence shard boundaries stay identical)
+    val drifted = docs.withColumn("text",
+      when($"doc_id" === 0L, concat(lit("x"), $"text")).otherwise($"text"))
+    val dm = Curation.shardManifest(drifted, nShards = 8)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val shard0 = shards.find(_._1 == 0L).get._3
+    val diffs = m.sortBy(_._1).zip(dm).filter { case (a, b) => a._4 != b._4 }
+    assert(diffs.map(_._1._1) == Seq(shard0),
+      s"exactly doc 0's shard ($shard0) should change signature")
+  }
+
   test("sourceReport: pure composition of the verified per-source operators; pair accounting closes") {
     import graft.operators.Sampling
     val rep = Curation.sourceReport(docs, dupThreshold = 0.5)
