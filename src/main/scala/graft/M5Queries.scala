@@ -597,6 +597,14 @@ object M5Queries {
         .select(col("doc_id"), col("pos"), col("shard"))
         .orderBy(col("doc_id"))),
 
+    // ---- curation: leakage-safe train/val/test split — the split key is
+    // the near-dup cluster representative, so near-copies never straddle
+    // train/test (the eval-leakage failure the plain hash split has)
+    "q_leakage_split" -> ((s, dir) =>
+      Sampling.leakageSafeSplit(TextDedup.documents(s, dir),
+          trainPerMille = 900, valPerMille = 50, threshold = 0.5)
+        .orderBy(col("doc_id"))),
+
     // ---- curation: curriculum read order — shortest (easiest) documents
     // first, contiguous shard blocks; epochShuffle's scored sibling
     "q_curriculum" -> ((s, dir) =>
@@ -1728,6 +1736,32 @@ object M5Queries {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_text_quality" -> textQualityOracle,
+
+    // leakage-split mirror: the recursive-CTE components chain keys the
+    // per-mille bucket; singletons key on their own id
+    "q_leakage_split" ->
+      s"""WITH RECURSIVE sh AS (${frag.shingleHashes}),
+         | sig AS (SELECT doc_id, ${frag.minhashSig} sig FROM sh),
+         | banded AS (SELECT doc_id, unnest(${frag.bandKeys}) band_key FROM sig),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |   FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         | pairs AS (SELECT doc_a, doc_b FROM cand
+         |   JOIN sh ha ON ha.doc_id = doc_a JOIN sh hb ON hb.doc_id = doc_b
+         |   WHERE ${frag.jac("ha.h", "hb.h")} >= 0.5),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         | reach(node, label) AS (
+         |   SELECT src, src FROM edges
+         |   UNION
+         |   SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+         | cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+         | keyed AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS split_key
+         |   FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+         |SELECT doc_id, split_key,
+         | CASE WHEN ((split_key * 48271 + 11) % 1000003) % 1000 < 900 THEN 'train'
+         |      WHEN ((split_key * 48271 + 11) % 1000003) % 1000 < 950 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM keyed ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents

@@ -136,6 +136,48 @@ object Sampling {
       .drop("_shuf_key", "_shuf_id", "total")
   }
 
+  /** Deterministic train/val/test split assignment — [[bucket]]'s
+    * three-way face: per-mille hash thresholds over the stable id, so
+    * re-runs and distributed workers agree with no coordination and no
+    * RNG. `trainPerMille + valPerMille ≤ 1000`; the remainder is test.
+    */
+  def assignSplits(df: DataFrame, id: Column, trainPerMille: Int,
+      valPerMille: Int): DataFrame = {
+    require(trainPerMille >= 0 && valPerMille >= 0 &&
+      trainPerMille + valPerMille <= 1000,
+      s"per-mille thresholds must fit 1000, got $trainPerMille + $valPerMille")
+    df.withColumn("split",
+      when(bucket(id) < trainPerMille, "train")
+        .when(bucket(id) < trainPerMille + valPerMille, "val")
+        .otherwise("test"))
+  }
+
+  /** LEAKAGE-SAFE split — the [[assignSplits]] a careful evaluation
+    * actually needs: near-duplicate documents must not straddle
+    * train/test (a test doc whose near-copy sits in train leaks the
+    * answer), so the split key is the document's near-dup CLUSTER
+    * representative ([[TextDedup.dupClusters]] over the banded
+    * MinHash-verified pair graph) — every member of a cluster hashes
+    * with one key and lands in one split; documents in no pair keep
+    * their own id as a singleton key.
+    *
+    * Scale shape: the pair graph + components machinery is the dedup
+    * path's (bucketed band join, never all-pairs; guarded union-find /
+    * label propagation), the cluster map returns by one doc-keyed left
+    * join, and the assignment itself is the narrow hash.
+    *
+    * Output: (doc_id, split_key, split).
+    */
+  def leakageSafeSplit(docs: DataFrame, trainPerMille: Int, valPerMille: Int,
+      threshold: Double = 0.5): DataFrame = {
+    val clusters = TextDedup.dupClusters(
+      TextDedup.minhashNearDups(docs, threshold).select(col("doc_a"), col("doc_b")))
+    val keyed = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+    assignSplits(keyed, col("split_key"), trainPerMille, valPerMille)
+      .select(col("doc_id"), col("split_key"), col("split"))
+  }
+
   /** Curriculum read order — [[epochShuffle]]'s deliberate sibling:
     * instead of a seeded random permutation, documents are ordered by an
     * INTEGRAL difficulty/quality score ascending (easy/clean first, the

@@ -425,6 +425,29 @@ class CurationSpec extends AnyFunSuite {
     assert(corpus.filter($"n_distinct_bigrams" > $"n_bigrams").count() == 0)
   }
 
+  test("leakageSafeSplit: near-dup pairs never straddle splits; plain hash split would leak") {
+    import graft.operators.Sampling
+    val split = Sampling.leakageSafeSplit(docs, trainPerMille = 900,
+        valPerMille = 50, threshold = 0.5)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(split.size == docs.count())
+    val pairs = TextDedup.minhashNearDups(docs, threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    for ((a, b) <- pairs) {
+      assert(split(a)._1 == split(b)._1, s"pair ($a,$b) split keys differ")
+      assert(split(a)._2 == split(b)._2, s"pair ($a,$b) straddles splits")
+    }
+    // the naive id-hash split DOES leak on this corpus — the operator
+    // exists because of exactly these pairs
+    val naive = Sampling.assignSplits(docs, $"doc_id", 900, 50)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(pairs.exists { case (a, b) => naive(a) != naive(b) },
+      "expected at least one leaking pair under the plain hash split")
+    // all three splits materialize at these thresholds
+    assert(split.values.map(_._2).toSet == Set("train", "val", "test"))
+  }
+
   test("shardManifest: totals close against balancedShards; signature is order-free and drift-sensitive") {
     val m = Curation.shardManifest(docs, nShards = 8)
       .as[(Long, Long, Long, Long)].collect().toSeq
