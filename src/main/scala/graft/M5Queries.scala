@@ -550,6 +550,13 @@ object M5Queries {
       TextAnalysis.qualityMetrics(TextDedup.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // ---- text analysis: the language detector MEASURED — confusion
+    // matrix of labeled vs predicted language with integer ppm shares
+    // (diagonal = per-language recall; 'und' = abstain rate)
+    "q_langid_confusion" -> ((s, dir) =>
+      TextAnalysis.langIdConfusion(TextDedup.documents(s, dir))
+        .orderBy(col("lang"), col("lang_pred"))),
+
     // ---- curation: deterministic stratified sampling (hash-of-id buckets,
     // per-language per-mille rates — reproducible, shuffle-free)
     "q_sample_stratified" -> ((s, dir) =>
@@ -1006,6 +1013,12 @@ object M5Queries {
     "q_decontaminate" -> ((s, dir) =>
       Curation.decontaminate(TextDedup.documents(s, dir))
         .orderBy(col("doc_id"))),
+
+    // ---- curation: contamination rate by source — which scrape pipeline
+    // leaks the eval split (the fix-ingestion question, not drop-rows)
+    "q_contamination_by_source" -> ((s, dir) =>
+      Curation.contaminationBySource(TextDedup.documents(s, dir))
+        .orderBy(col("source"))),
 
     // ---- curation: contamination attribution — per contaminated doc, the
     // eval doc sharing the most distinct shingles (the triage step after
@@ -1737,6 +1750,18 @@ object M5Queries {
 
     "q_text_quality" -> textQualityOracle,
 
+    // confusion mirror: the shared lang-pred SQL chain, folded to cells
+    "q_langid_confusion" -> {
+      val (scores, best, pick) = langPredSqlParts
+      s"""WITH p AS (SELECT lang, $pick AS lang_pred
+         |  FROM (SELECT lang, w, $scores, $best best
+         |        FROM (SELECT lang, ${frag.toks} w FROM documents))),
+         | cells AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2)
+         |SELECT lang, lang_pred, n,
+         | ((n * 1000000) // sum(n) OVER (PARTITION BY lang))::BIGINT AS ppm_of_lang
+         |FROM cells ORDER BY lang, lang_pred""".stripMargin
+    },
+
     // leakage-split mirror: the recursive-CTE components chain keys the
     // per-mille bucket; singletons key on their own id
     "q_leakage_split" ->
@@ -2318,6 +2343,22 @@ object M5Queries {
          | LEFT JOIN ov ON d.doc_id = ov.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // by-source mirror: the decontaminate chain folded per source
+    "q_contamination_by_source" ->
+      s"""WITH sh AS (${frag.shingleHashes}),
+         | ex AS (SELECT doc_id, unnest(h) AS s FROM sh),
+         | ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0),
+         | ov AS (SELECT t.doc_id, count(DISTINCT t.s) AS n
+         |   FROM ex t JOIN ev ON t.s = ev.s WHERE t.doc_id % 97 <> 0
+         |   GROUP BY t.doc_id),
+         | verdicts AS (SELECT d.doc_id, d.source, COALESCE(ov.n, 0) > 0 AS contaminated
+         |   FROM (SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0) d
+         |   LEFT JOIN ov ON d.doc_id = ov.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         | count(*) FILTER (WHERE contaminated) AS n_contaminated,
+         | ((count(*) FILTER (WHERE contaminated) * 1000000) // count(*))::BIGINT AS ppm_contaminated
+         |FROM verdicts GROUP BY source ORDER BY source""".stripMargin,
+
     "q_contamination_attribution" ->
       s"""WITH sh AS (${frag.shingleHashes}),
          | ex AS (SELECT doc_id, unnest(h) AS s FROM sh),
@@ -2800,8 +2841,11 @@ object M5Queries {
        |FROM t LEFT JOIN rml ON t.doc_id = rml.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
-  private lazy val textQualityOracle: String = {
-    val stop = TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  /** The langId SQL mirror's three pieces (marker-score projections,
+    * best-score expression, argmax pick) — shared by the quality oracle
+    * and the confusion-matrix oracle so the detector has ONE SQL twin.
+    */
+  private lazy val langPredSqlParts: (String, String, String) = {
     val langs = Seq("en", "de", "fr", "es", "zh")
     val markerList = langs.map(l =>
       TextFunctions.langMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]"))
@@ -2812,6 +2856,12 @@ object M5Queries {
     val pick = langs.foldRight("'und'") { case (l, acc) =>
       s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $acc END"
     }
+    (scores, best, pick)
+  }
+
+  private lazy val textQualityOracle: String = {
+    val stop = TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val (scores, best, pick) = langPredSqlParts
     s"""SELECT doc_id, length(text)::INT AS n_chars_obs, len(w)::INT AS n_tokens,
        | list_sum(list_transform(w, t -> greatest(1::BIGINT, floor((length(t) + 3) / 4.0)::BIGINT)))::BIGINT AS n_bpeish_tokens,
        | CASE WHEN len(w) = 0 THEN 0.0 ELSE len(list_filter(w, t -> list_contains($stop, t)))::DOUBLE / len(w) END AS stopword_ratio,

@@ -86,6 +86,25 @@ object Curation {
         (coalesce(col("n"), lit(0L)) >= minShared).as("contaminated"))
   }
 
+  /** Contamination rate BY SOURCE — [[decontaminate]]'s verdicts folded
+    * to the per-source report (which scrape pipeline is leaking the
+    * eval split — the question that decides where to fix ingestion, not
+    * just which rows to drop): per source, the judged doc count, the
+    * contaminated count, and its integer ppm rate. One doc-keyed join
+    * returns the source label; the report is |sources| rows.
+    *
+    * Output: (source, n_docs, n_contaminated, ppm_contaminated).
+    */
+  def contaminationBySource(docs: DataFrame, evalModulus: Long = 97L,
+      minShared: Long = 1L): DataFrame =
+    decontaminate(docs, evalModulus, minShared)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("contaminated"), lit(1))).as("n_contaminated"))
+      .withColumn("ppm_contaminated",
+        expr("(n_contaminated * 1000000) div n_docs"))
+
   /** Approximate decontamination for the scale where the exact path's
     * broadcast eval-hash set no longer fits: the eval split's shingle
     * hashes go into a Bloom filter (built DISTRIBUTIVELY by

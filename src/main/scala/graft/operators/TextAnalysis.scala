@@ -55,6 +55,27 @@ object TextAnalysis {
         punctRatio(lower(col("text"))).as("punct_ratio"),
         langId(col("toks")).as("lang_pred"))
 
+  /** Language-ID CONFUSION MATRIX — the detector measured, not assumed
+    * (the discipline every approximate component here follows: recall
+    * for LSH, distortion for codebooks, this for [[langId]]): per
+    * (labeled lang, predicted lang) cell, the document count and its
+    * integer ppm share of the labeled language. The diagonal is
+    * per-language recall; off-diagonal mass names the confusion pairs
+    * worth better markers; the `und` column is the detector's abstain
+    * rate. One narrow predict projection + one ≤ |langs|²-row
+    * aggregation; the window runs over that tiny aggregate.
+    *
+    * Output: (lang, lang_pred, n, ppm_of_lang).
+    */
+  def langIdConfusion(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("lang"), langId(col("toks")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("ppm_of_lang",
+        expr("(n * 1000000) div sum(n) OVER (PARTITION BY lang)"))
+
   /** Token-distribution shift between two corpus snapshots — the drift
     * monitor a training pipeline reads after refreshing a source: the
     * `k` tokens whose per-million share moved most between `a` and `b`,

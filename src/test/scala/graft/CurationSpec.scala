@@ -425,6 +425,21 @@ class CurationSpec extends AnyFunSuite {
     assert(corpus.filter($"n_distinct_bigrams" > $"n_bigrams").count() == 0)
   }
 
+  test("contaminationBySource: rates close against per-doc decontaminate verdicts") {
+    val rep = Curation.contaminationBySource(docs)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val verdicts = Curation.decontaminate(docs)
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .select($"source", $"contaminated").as[(String, Boolean)].collect()
+    assert(rep.map(_._2).sum == verdicts.length)
+    assert(rep.map(_._3).sum == verdicts.count(_._2))
+    for ((src, nd, nc, ppm) <- rep) {
+      assert(nd == verdicts.count(_._1 == src))
+      assert(nc == verdicts.count(v => v._1 == src && v._2))
+      assert(ppm == nc * 1000000L / nd)
+    }
+  }
+
   test("leakageSafeSplit: near-dup pairs never straddle splits; plain hash split would leak") {
     import graft.operators.Sampling
     val split = Sampling.leakageSafeSplit(docs, trainPerMille = 900,

@@ -65,4 +65,22 @@ class LangIdSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getString(1) == r.getString(2)))
   }
+
+  test("confusion matrix: cells partition the corpus; ppm rows are exact per-lang fractions") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val cells = graft.operators.TextAnalysis.langIdConfusion(docs)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(cells.map(_._3).sum == docs.count())
+    for ((_, rows) <- cells.groupBy(_._1)) {
+      val total = rows.map(_._3).sum
+      for ((_, _, n, ppm) <- rows) assert(ppm == n * 1000000L / total)
+    }
+    // the per-doc predictions reproduce the cells exactly
+    val perDoc = graft.operators.TextAnalysis.qualityMetrics(docs)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang", $"lang_pred").count()
+      .as[(String, String, Long)].collect().toSet
+    assert(cells.map(c => (c._1, c._2, c._3)).toSet == perDoc)
+  }
 }
