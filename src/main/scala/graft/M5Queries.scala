@@ -1131,6 +1131,21 @@ object M5Queries {
           Relevance.deterministicWeights(s, 4096), numBuckets = 4096)
         .orderBy(col("doc_id"))),
 
+    // ---- relevance: classifier CALIBRATION — per-source quantiles of
+    // the model score (composition: classifier ∘ exact order statistics);
+    // the report that picks a keep threshold per source instead of
+    // assuming one global cut
+    "q_score_quantiles" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val scored = Relevance.hashClassifierScore(docs,
+          Relevance.deterministicWeights(s, 4096), numBuckets = 4096)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("doc_id"), col("score"))
+      operators.Stats.quantilesPerGroup(scored, "source", "score", "doc_id",
+          qsPerMille = Seq(100, 500, 900))
+        .orderBy(col("source"), col("q"))
+    }),
+
     // ---- relevance: per-document top-3 terms by quantized TF-IDF
     "q_tfidf_topterms" -> ((s, dir) =>
       Relevance.tfidfTopTerms(TextDedup.documents(s, dir), perDoc = 3)
@@ -2522,6 +2537,28 @@ object M5Queries {
          |SELECT t.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
          | coalesce(score, 0)::BIGINT AS score, coalesce(score, 0) > 0 AS keep
          |FROM t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    // calibration mirror: the classifier chain feeding the exact
+    // order-statistic quantile spelling per source
+    "q_score_quantiles" ->
+      s"""WITH t AS (SELECT doc_id, source, ${frag.toks} w FROM documents),
+         | wt AS (SELECT bucket, (bucket + 17) * 2654435761 % 2003 - 1001 AS weight
+         |   FROM (SELECT unnest(generate_series(0, 4095))::BIGINT AS bucket)),
+         | tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+         | b AS (SELECT doc_id, (${frag.rolling("tok")}) * 2654435761 % 4096 AS bucket FROM tok),
+         | sc AS (SELECT doc_id, sum(weight) AS score
+         |   FROM b JOIN wt USING (bucket) GROUP BY 1),
+         | d AS (SELECT t.source, t.doc_id, coalesce(sc.score, 0)::BIGINT AS score
+         |   FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id),
+         | r AS (SELECT source, doc_id, score,
+         |   row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn FROM d),
+         | n AS (SELECT source, count(*) AS cnt FROM d GROUP BY 1),
+         | qs AS (SELECT unnest([100, 500, 900]) AS q),
+         | tq AS (SELECT source, q, greatest(1, (q * cnt + 999) // 1000) AS rn
+         |   FROM n CROSS JOIN qs)
+         |SELECT r.source, tq.q, r.score AS quantile
+         |FROM r JOIN tq ON r.source = tq.source AND r.rn = tq.rn
+         |ORDER BY r.source, tq.q""".stripMargin,
 
     "q_bm25" ->
       s"""WITH d AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),
