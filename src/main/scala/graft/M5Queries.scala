@@ -337,6 +337,17 @@ object M5Queries {
       operators.Sessionize(s, dir)
         .orderBy(col("user_id"), col("session_id"))),
 
+    // ---- temporal: per-user event rate cap — at most 3 earliest events
+    // per (user, 6h window) via the bounded aggregator (sourceQuota's
+    // event-time sibling; the ingestion throttle)
+    "q_event_rate_cap" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("tus", graft.sources.Tables.epochMicros(ev0, "ts"))
+      operators.Temporal.eventRateCap(ev, "tus", maxPerWindow = 3,
+          windowUs = 6L * 3600L * 1000000L)
+        .orderBy(col("user_id"), col("window_start_us"), col("qrank"))
+    }),
+
     // ---- relational: backward as-of join (purchase ← most recent click
     // at or before it, per user; ties on time broken by larger event_id)
     "q_asof_join" -> ((s, dir) => {
@@ -1105,6 +1116,20 @@ object M5Queries {
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1), k = 25)
     }),
 
+    // ---- text analysis: corpus snapshot DIFF — added/removed/changed/
+    // unchanged per doc between two derived snapshots (drop doc_id%7=3,
+    // mutate doc_id%5=0): the row-naming audit next to the shard
+    // manifest's signature compare
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = TextDedup.documents(s, dir)
+      val before = d.filter(col("doc_id") % 7 =!= 2)
+      val after = d.filter(col("doc_id") % 7 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(lit("v2 "), col("text")))
+            .otherwise(col("text")))
+      TextAnalysis.corpusDiff(before, after).orderBy(col("doc_id"))
+    }),
+
     // ---- curation: Gopher-style composite quality gate (integer-exact
     // cross-multiplied thresholds, per-row reasons). The operator returns
     // `reasons` as an array; the query joins it to a CSV string because
@@ -1451,6 +1476,19 @@ object M5Queries {
     // as-of: LATERAL top-1 is the declarative twin of the sorted-union
     // window the engine runs; tie-break (tus DESC, event_id DESC) matches
     // the engine's larger-event_id-wins-at-equal-time rule
+    // rate-cap mirror: the ranking-window twin of the bounded aggregation
+    // (earliest-first, event_id tiebreak) over epoch-aligned 6h windows
+    "q_event_rate_cap" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+        | w AS (SELECT user_id, event_id, tus,
+        |   tus - tus % 21600000000 AS window_start_us FROM e)
+        |SELECT user_id, window_start_us, event_id, rnk::INT AS qrank FROM (
+        | SELECT user_id, window_start_us, event_id,
+        |  row_number() OVER (PARTITION BY user_id, window_start_us
+        |    ORDER BY tus, event_id) AS rnk
+        | FROM w)
+        |WHERE rnk <= 3 ORDER BY user_id, window_start_us, qrank""".stripMargin,
+
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
         | p AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'purchase'),
@@ -2468,6 +2506,21 @@ object M5Queries {
 
     // token shift: same integer ppm arithmetic; full outer join keeps
     // appearing/vanishing vocabulary at its full share
+    // diff mirror: the same derived snapshots, full-outer joined on fp
+    "q_corpus_diff" ->
+      s"""WITH b4 AS (SELECT doc_id, ${frag.rolling("text")} AS fp_a
+         |   FROM documents WHERE doc_id % 7 <> 2),
+         | af AS (SELECT doc_id, ${frag.rolling("txt")} AS fp_b FROM (
+         |   SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'v2 ' || text ELSE text END AS txt
+         |   FROM documents WHERE doc_id % 7 <> 3))
+         |SELECT coalesce(b4.doc_id, af.doc_id) AS doc_id,
+         | CASE WHEN b4.doc_id IS NULL THEN 'added'
+         |      WHEN af.doc_id IS NULL THEN 'removed'
+         |      WHEN fp_a = fp_b THEN 'unchanged'
+         |      ELSE 'changed' END AS status
+         |FROM b4 FULL OUTER JOIN af ON b4.doc_id = af.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
     "q_token_shift" ->
       s"""WITH a AS (SELECT t AS token, count(*) AS n_a
          |   FROM (SELECT unnest(${frag.toks}) t FROM documents WHERE doc_id % 2 = 0)

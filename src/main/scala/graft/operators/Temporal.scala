@@ -127,4 +127,38 @@ object Temporal {
       .filter(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
       .drop("_bucket")
   }
+
+  /** Per-key event RATE CAP: keep at most `maxPerWindow` events per
+    * (user, fixed time window), preferring the EARLIEST (ties to the
+    * smaller event_id) — the ingestion-side throttle against runaway
+    * producers and bot bursts, and [[graft.operators.Curation.sourceQuota]]'s
+    * event-time sibling. Windows are epoch-aligned `windowUs` buckets of
+    * the epoch-µs time column (the [[graft.sources.Tables.epochMicros]]
+    * adapter's output — never a raw physical timestamp).
+    *
+    * Same bounded-state shape as every quota here: the `BoundedTopN`
+    * Aggregator keyed on (user_id, window) holds O(maxPerWindow) state
+    * per key and map-side combines, so a key with a million-event burst
+    * ships ≤ cap·partitions rows — the ranking-window spelling (the
+    * oracle twin) would ship the entire burst to one reducer, which is
+    * exactly the input this operator exists for. Earliest-first =
+    * score −tus (BoundedTopN ranks score descending, id ascending).
+    *
+    * Output: (user_id, window_start_us, event_id, qrank),
+    * qrank 1..maxPerWindow in arrival order.
+    */
+  def eventRateCap(events: DataFrame, tusCol: String, maxPerWindow: Int,
+      windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    events
+      .withColumn("window_start_us",
+        col(tusCol) - pmod(col(tusCol), lit(windowUs)))
+      .groupBy(col("user_id"), col("window_start_us"))
+      .agg(graft.functions.BoundedTopN
+        .bounded_top_n(-col(tusCol), col("event_id"), maxPerWindow).as("kept"))
+      .select(col("user_id"), col("window_start_us"),
+        posexplode(col("kept")).as(Seq("p", "event_id")))
+      .select(col("user_id"), col("window_start_us"), col("event_id"),
+        (col("p") + 1).cast("int").as("qrank"))
+  }
 }

@@ -76,6 +76,29 @@ object TextAnalysis {
       .withColumn("ppm_of_lang",
         expr("(n * 1000000) div sum(n) OVER (PARTITION BY lang)"))
 
+  /** Corpus snapshot DIFF — [[tokenShiftTopK]]'s row-granular sibling:
+    * which documents were added, removed, or changed between snapshot
+    * `a` and snapshot `b`, judged by the rolling content hash (so a
+    * re-crawl that rewrites bytes but not content stays `unchanged`
+    * only if the text is truly identical). One full-outer doc-keyed
+    * join of two narrow (doc_id, fp) projections; the diff is the audit
+    * read between pipeline runs, next to the shard-manifest signature
+    * compare — this names the rows, that compares the totals.
+    *
+    * Output: (doc_id, status ∈ added|removed|changed|unchanged) —
+    * `added` = in `b` only, `removed` = in `a` only.
+    */
+  def corpusDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    def fps(df: DataFrame, n: String) = df.select(col("doc_id"),
+      rollingHash(col("text")).as(n))
+    fps(a, "fp_a").join(fps(b, "fp_b"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") === col("fp_b"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Token-distribution shift between two corpus snapshots — the drift
     * monitor a training pipeline reads after refreshing a source: the
     * `k` tokens whose per-million share moved most between `a` and `b`,

@@ -849,6 +849,18 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(out.count() == docs.count())
   }
 
+  test("corpusDiff: self-diff is all-unchanged; add/remove/mutate classify exactly") {
+    val self = graft.operators.TextAnalysis.corpusDiff(docs, docs)
+      .select($"status").distinct().as[String].collect().toSeq
+    assert(self == Seq("unchanged"))
+    val a = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val b = Seq((2L, "beta"), (3L, "gamma prime"), (4L, "delta")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.corpusDiff(a, b)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("paragraphDedup: blocks travel as units — keep-first, short-exempt, boilerplate-drop; separators normalize") {
     val footer = "standard footer text\nwith two lines inside"
     val tiny = Seq(

@@ -251,6 +251,7 @@ class PlanShapeSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val bnljBounded: Set[String] = Set(
       "q_balanced_shards", // 1-row shard-count frame ×2
+      "q_shard_manifest", // composes balancedShards' 1-row total frame
       "q_bm25", // 1-row corpus totals
       "q_embed_ivf_recall", "q_embed_ivfpq", "q_embed_ivfpq_append",
       "q_embed_ivfpq_retrained", // same probe plan as _indexed: ≤10-row query-vector set
@@ -260,6 +261,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_curriculum", // 1-row total-count frame (epochShuffle's sibling)
       "q_epoch_shuffle", // 1-row total-count frame
       "q_length_quantiles", // 1-row quantile-boundary frame
+      "q_score_quantiles", // same quantile-boundary frame (classifier ∘ quantiles)
       "q_lm_score", // 1-row vocab totals
       "q_mixture_schedule", // 1-row per-source totals frame
       "q_mixture_weights", // 1-row sqrt-weight total frame

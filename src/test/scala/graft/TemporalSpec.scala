@@ -194,4 +194,26 @@ class TemporalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
   }
+
+  test("eventRateCap ≡ window ranking twin; cap binds; earliest kept, ties to smaller id") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // (event_id, user, tus): user 1 bursts 5 events in window 0 (two at
+    // t=2 — tie), user 2 has 2; window width 10
+    val ev = Seq(
+      (10L, 1L, 1L), (11L, 1L, 2L), (12L, 1L, 2L), (13L, 1L, 7L), (14L, 1L, 9L),
+      (20L, 2L, 3L), (21L, 2L, 14L)).toDF("event_id", "user_id", "tus")
+    val got = Temporal.eventRateCap(ev, "tus", maxPerWindow = 3, windowUs = 10L)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val w = Window.partitionBy($"user_id", $"ws").orderBy($"tus", $"event_id")
+    val want = ev.withColumn("ws", $"tus" - pmod($"tus", lit(10L)))
+      .withColumn("rnk", row_number().over(w)).filter($"rnk" <= 3)
+      .select($"user_id", $"ws", $"event_id", $"rnk")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got == want)
+    // the burst is capped: events 13/14 (latest two of the five) dropped
+    assert(!got.exists(r => r._3 == 13L || r._3 == 14L))
+    // tie at t=2 keeps the smaller event_id at the earlier rank
+    assert(got.find(_._3 == 11L).get._4 < got.find(_._3 == 12L).get._4)
+  }
 }
