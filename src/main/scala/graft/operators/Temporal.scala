@@ -151,6 +151,11 @@ object Temporal {
       windowUs: Long): DataFrame = {
     require(windowUs > 0, s"windowUs must be positive, got $windowUs")
     events
+      // the sourceQuota null contract: a null-time or null-id event has
+      // no arrival rank — drop it rather than let the aggregator's
+      // (Long, Long) encoding reject it at runtime
+      .filter(col(tusCol).isNotNull && col("event_id").isNotNull &&
+        col("user_id").isNotNull)
       .withColumn("window_start_us",
         col(tusCol) - pmod(col(tusCol), lit(windowUs)))
       .groupBy(col("user_id"), col("window_start_us"))

@@ -215,5 +215,14 @@ class TemporalSpec extends AnyFunSuite {
     assert(!got.exists(r => r._3 == 13L || r._3 == 14L))
     // tie at t=2 keeps the smaller event_id at the earlier rank
     assert(got.find(_._3 == 11L).get._4 < got.find(_._3 == 12L).get._4)
+    // null time/id/user rows drop silently (the sourceQuota contract),
+    // they neither rank nor crash the (Long, Long) state encoding
+    val withNulls = Seq(
+      (Some(30L), Some(1L), Some(1L)), (None, Some(1L), Some(2L)),
+      (Some(31L), None, Some(3L)), (Some(32L), Some(2L), None))
+      .toDF("event_id", "user_id", "tus")
+    val kept = Temporal.eventRateCap(withNulls, "tus", 5, 10L)
+      .select($"event_id").as[Long].collect().toSeq
+    assert(kept == Seq(30L))
   }
 }
