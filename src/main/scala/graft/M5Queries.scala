@@ -904,6 +904,21 @@ object M5Queries {
       Similarity.clusterBalance(Similarity.embeddings(s, dir), k = 8)
         .orderBy(col("cluster"), col("label"))),
 
+    // ---- similarity: embedding distribution shift — per-cluster ppm
+    // share movement between two snapshots against ONE codebook (trained
+    // on snapshot A only): the semantic drift monitor next to
+    // q_token_shift (lexical) and q_corpus_diff (row-level)
+    "q_embedding_shift" -> ((s, dir) => {
+      val e = Similarity.embeddings(s, dir)
+      // the ivfpq-append id split (vec_id·2 < n — EXACTLY the oracle's
+      // ivfPqHalfPred, odd-n safe): first half = snapshot A (codebook
+      // trainer), second half = snapshot B — SF-independent
+      val n = e.count()
+      Similarity.embeddingShift(
+          e.filter(col("vec_id") * 2 < n), e.filter(col("vec_id") * 2 >= n), k = 8)
+        .orderBy(col("cluster"))
+    }),
+
     // ---- similarity: per-cluster quota — cap each embedding cluster at
     // 40 keep-farthest members (bounded-aggregator state, binds at this
     // SF: 640 vectors / 8 clusters) — the cluster-balance enforcement arm
@@ -2230,6 +2245,28 @@ object M5Queries {
          | CAST(sum(${frag.l2q("a.qv", "c.cqv")}) AS BIGINT) AS inertia
          |FROM assigned a JOIN cents_q c ON a.bucket = c.centroid_id
          |GROUP BY 1 ORDER BY cluster""".stripMargin,
+
+    // shift mirror: codebook trained on the first-half rows only
+    // (kmeansCtesPred — the append chain's training predicate), both
+    // halves assigned against it, shares in exact integer ppm
+    "q_embedding_shift" ->
+      s"""WITH v AS (${frag.vecs}),
+         |${frag.kmeansCtesPred("8", ivfPqHalfPred)},
+         | asg AS (SELECT vec_id, centroid_id AS cluster FROM (
+         |   SELECT a.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${frag.l2q("a.qv", "c.cqv")}, c.centroid_id) rn
+         |   FROM qvt a CROSS JOIN cents_q c) WHERE rn = 1),
+         | lab AS (SELECT cluster,
+         |   CASE WHEN $ivfPqHalfPred THEN 1 ELSE 0 END AS isa FROM asg),
+         | j AS (SELECT cluster, CAST(sum(isa) AS BIGINT) AS n_a,
+         |   CAST(count(*) - sum(isa) AS BIGINT) AS n_b FROM lab GROUP BY 1),
+         | ta AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a FROM j),
+         | tb AS (SELECT CAST(sum(n_b) AS BIGINT) AS tot_b FROM j)
+         |SELECT cluster, n_a, n_b,
+         | ((n_a * 1000000) // tot_a)::BIGINT AS ppm_a,
+         | ((n_b * 1000000) // tot_b)::BIGINT AS ppm_b,
+         | abs(((n_a * 1000000) // tot_a) - ((n_b * 1000000) // tot_b))::BIGINT AS ppm_shift
+         |FROM j CROSS JOIN ta CROSS JOIN tb ORDER BY cluster""".stripMargin,
 
     // quota mirror: the window twin of the bounded aggregation — rank by
     // integer centroid distance DESC (keep-farthest), vec_id tiebreak

@@ -936,6 +936,46 @@ object Similarity {
         "sum(n_vectors) OVER (PARTITION BY cluster)"))
   }
 
+  /** Embedding DISTRIBUTION shift between two corpus snapshots — the
+    * semantic member of the drift trilogy ([[graft.operators.TextAnalysis.tokenShiftTopK]]
+    * is the lexical one, `corpusDiff` the row-level one), and the
+    * distribution-side complement of [[ivfPqDrift]]'s quantization-error
+    * report: train the codebook on snapshot `a` ONLY (the frozen-
+    * codebook discipline — both snapshots must be measured against one
+    * frame of reference), assign both snapshots, and report per cluster
+    * the member counts and integer ppm shares of each snapshot, plus
+    * the absolute share shift. A cluster whose share moves is a topic
+    * growing or dying between refreshes; a large total shift is the
+    * retrain trigger [[maintainIvfPqIndex]] acts on.
+    *
+    * Plan: assignment is the narrow codegen argmin on each side; two
+    * k-row aggregations full-outer-join on cluster; totals ride
+    * broadcast 1-row frames (no unpartitioned window). Exact integer
+    * arithmetic end to end.
+    *
+    * Output: (cluster, n_a, n_b, ppm_a, ppm_b, ppm_shift).
+    */
+  def embeddingShift(a: DataFrame, b: DataFrame, k: Int = 8): DataFrame = {
+    val vqA = withQuantizedShared(a)
+    val cb = codebookFrom(vqA, k)
+    def counts(df: DataFrame, n: String) =
+      df.select(graft.functions.CentroidExpressions.nearestCentroidId(
+          quantize(asDouble(col("embedding"))), lit(0),
+          cb.map { case (cid, cqv) => (0, cid, cqv) }).as("cluster"))
+        .groupBy(col("cluster")).agg(count(lit(1)).as(n))
+    val ca = SharedBranch.sharedBranch(counts(a, "n_a"))
+    val cbb = SharedBranch.sharedBranch(counts(b, "n_b"))
+    ca.join(cbb, Seq("cluster"), "full_outer")
+      .select(col("cluster"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .crossJoin(broadcast(ca.agg(sum(col("n_a")).as("tot_a"))))
+      .crossJoin(broadcast(cbb.agg(sum(col("n_b")).as("tot_b"))))
+      .select(col("cluster"), col("n_a"), col("n_b"),
+        expr("(n_a * 1000000) div tot_a").as("ppm_a"),
+        expr("(n_b * 1000000) div tot_b").as("ppm_b"))
+      .withColumn("ppm_shift", abs(col("ppm_a") - col("ppm_b")))
+  }
+
   /** Per-cluster quota — diversity-capped sampling over the embedding
     * topology, the [[clusterBalance]] report's enforcement arm and the
     * bounded-state sibling of [[Curation.sourceQuota]]: keep at most

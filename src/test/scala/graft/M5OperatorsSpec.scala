@@ -933,6 +933,25 @@ class M5OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddingShift: counts close per side; self-shift is zero; shares are exact integer ppm") {
+    val embs = Similarity.embeddings(spark, sf)
+    val n = embs.count()
+    val a = embs.filter($"vec_id" * 2 < n)
+    val b = embs.filter($"vec_id" * 2 >= n)
+    val rep = Similarity.embeddingShift(a, b, k = 8)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rep.map(_._2).sum == a.count() && rep.map(_._3).sum == b.count())
+    val totA = rep.map(_._2).sum; val totB = rep.map(_._3).sum
+    for ((_, na, nb, ppmA, ppmB, shift) <- rep) {
+      assert(ppmA == na * 1000000L / totA && ppmB == nb * 1000000L / totB)
+      assert(shift == math.abs(ppmA - ppmB))
+    }
+    // identical snapshots shift nowhere
+    val self = Similarity.embeddingShift(a, a, k = 8)
+      .select($"ppm_shift").as[Long].collect()
+    assert(self.forall(_ == 0L))
+  }
+
   test("clusterQuota: bounded aggregation ≡ window keep-farthest ranking; caps bind, small clusters survive") {
     val embs = Similarity.embeddings(spark, sf)
     val got = Similarity.clusterQuota(embs, maxPerCluster = 40, k = 8)
