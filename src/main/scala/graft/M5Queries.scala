@@ -1201,6 +1201,15 @@ object M5Queries {
           maxVocab = 16)
         .orderBy(col("doc_id"))),
 
+    // ---- relevance: DSIR importance weights (Xie et al. 2302.03169) —
+    // hashed unigram+bigram likelihood ratio of a target slice (the
+    // English sub-corpus) vs the raw corpus, integer-exact twin; the
+    // data-SELECTION signal the quality classifier and LM score feed
+    "q_importance_weights" -> ((s, dir) =>
+      operators.Importance.importanceQuantized(TextDedup.documents(s, dir),
+          targetPred = col("lang") === "en", numBuckets = 4096)
+        .orderBy(col("doc_id"))),
+
     // ---- skew discipline: two-stage salted aggregation ≡ plain aggregation
     "q_salted_agg" -> ((s, dir) => {
       val salted = t(s, dir, "events")
@@ -2626,6 +2635,28 @@ object M5Queries {
          |   FROM b JOIN wt USING (bucket) GROUP BY 1)
          |SELECT t.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
          | coalesce(score, 0)::BIGINT AS score, coalesce(score, 0) > 0 AS keep
+         |FROM t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    // DSIR mirror: hashed unigram+bigram feature stream, add-one
+    // smoothed target/raw bucket counts, per-instance scaled likelihood
+    // ratio with truncating division (`//` ≡ Spark `div` on positive
+    // operands), BIGINT sum per doc; featureless docs survive the left
+    // join at score 0
+    "q_importance_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${frag.toks} w FROM documents),
+         | f AS (SELECT doc_id, lang = 'en' AS tgt, list_concat(w, ${frag.kShingles("w", 2)}) fs FROM t),
+         | e AS (SELECT doc_id, tgt, (${frag.rolling("g")}) * 2654435761 % 4096 AS bucket
+         |   FROM (SELECT doc_id, tgt, unnest(fs) AS g FROM f)),
+         | rawc AS (SELECT bucket, count(*) AS cr FROM e GROUP BY 1),
+         | tgtc AS (SELECT bucket, count(*) AS ct FROM e WHERE tgt GROUP BY 1),
+         | tots AS (SELECT count(*) AS totr, count(*) FILTER (WHERE tgt) AS tott FROM e),
+         | lr AS (SELECT e.doc_id,
+         |   (10000 * (coalesce(ct, 0) + 1) * (totr + 4096)) // ((cr + 1) * (tott + 4096)) AS lr
+         |   FROM e JOIN rawc USING (bucket) LEFT JOIN tgtc USING (bucket) CROSS JOIN tots),
+         | s AS (SELECT doc_id, count(*) AS n_feats, sum(lr) AS score_q FROM lr GROUP BY 1)
+         |SELECT t.doc_id, coalesce(n_feats, 0)::BIGINT AS n_feats,
+         | coalesce(score_q, 0)::BIGINT AS score_q,
+         | coalesce(score_q, 0) > 10000 * coalesce(n_feats, 0) AS keep
          |FROM t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     // calibration mirror: the classifier chain feeding the exact

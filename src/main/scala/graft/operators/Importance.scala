@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance weighting for data selection (Xie et al.,
+  * "Data Selection for Language Models via Importance Resampling",
+  * arXiv:2302.03169): score every raw document by how much more likely
+  * its hashed n-gram features are under a TARGET distribution (an
+  * in-domain sample — here a predicate over the corpus itself) than
+  * under the RAW distribution, then keep the most target-like slice.
+  * The reference engine has no selection scorer; this extends the
+  * training-data-curation surface (SURVEY §2 extended scope) alongside
+  * the quality classifier and the bigram-LM signal.
+  *
+  * Feature space (the paper's): hashed bag of word unigrams AND
+  * bigrams, `numBuckets` buckets, bucket = (rollingHash(g)·2654435761)
+  * mod numBuckets — the [[Relevance.hashClassifierScore]] bucket
+  * arithmetic extended with 2-shingles. Both distributions are add-one
+  * smoothed over the bucket space.
+  *
+  * Two arithmetic modes, the [[Relevance]] BM25 discipline:
+  *
+  *  - [[importanceLogWeights]] — the paper's statistic: per document,
+  *    `log w = Σ_g [ln p̂_tgt(b(g)) − ln p̂_raw(b(g))]`. Production
+  *    path; not oracle-checkable (`ln` is not correctly-rounded IEEE,
+  *    double sums are order-dependent).
+  *  - [[importanceQuantized]] — integer-exact twin: each feature
+  *    instance contributes the scaled smoothed LIKELIHOOD RATIO
+  *    `(scale·(ct_b+1)·(totR+B)) div ((cr_b+1)·(totT+B))` and the
+  *    document score is the BIGINT sum (arithmetic-mean ratio instead
+  *    of geometric — same "more target-like than raw" ordering signal,
+  *    every operation int64 `div`/`·`/`+`, bit-identical in any
+  *    engine). Exact while `scale·(ct_b+1)·(totR+B)` fits int64 —
+  *    with scale 10⁴ that binds at `(ct_b+1)·totR ≲ 9·10¹⁴`; beyond
+  *    (trillion-feature corpora with a hot bucket) raise `numBuckets`
+  *    so per-bucket counts shrink, or run the double path.
+  *
+  * Plan shape (both modes):
+  *  1. ONE tokenize+explode pass produces the feature-instance stream
+  *     `(doc_id, tgt, bucket)`, persisted ([[SharedBranch]]) — it feeds
+  *     the two count tables, the totals row, and the scoring join.
+  *  2. bucket counts (≤ numBuckets rows each) and the one-row totals
+  *     BROADCAST back onto the stream: the corpus-sized side shuffles
+  *     exactly once, on `doc_id`, for the map-side-combinable per-doc
+  *     sum. Buckets are uniform by hash, so no skewed exchange.
+  *  3. docs with no features survive via a left join at score 0.
+  *
+  * Nothing quadratic, no unpartitioned window, no driver-side loop.
+  * The target sample rides the same scan as the raw corpus (a
+  * predicate); a SEPARATE in-domain frame works identically by unioning
+  * it in with `tgt = true` before calling.
+  */
+object Importance {
+
+  /** Feature-instance stream `(doc_id, tgt, bucket)`: one row per word
+    * unigram and bigram occurrence, `explode_outer` so featureless docs
+    * keep a null-bucket row (the left-join-at-zero anchor).
+    */
+  private[operators] def featureStream(docs: DataFrame, targetPred: Column,
+      numBuckets: Int): DataFrame = {
+    val w = TextFunctions.tokens(col("text"))
+    docs
+      .select(col("doc_id"), targetPred.as("tgt"),
+        explode_outer(concat(w, TextFunctions.shingles(w, 2))).as("g"))
+      .select(col("doc_id"), col("tgt"),
+        when(col("g").isNotNull,
+          (TextFunctions.rollingHash(col("g")) * 2654435761L) % numBuckets)
+          .as("bucket"))
+  }
+
+  /** Integer-exact importance score. Output: (doc_id, n_feats, score_q,
+    * keep) — `keep` iff the mean scaled ratio exceeds 1 (`score_q >
+    * scale·n_feats`), i.e. the document is more target-like than the
+    * raw average. `targetPred` is evaluated against the input columns.
+    */
+  def importanceQuantized(docs: DataFrame, targetPred: Column,
+      numBuckets: Int = 4096, scale: Long = 10000L): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val e = SharedBranch.sharedBranch(
+      featureStream(docs, targetPred, numBuckets).filter(col("bucket").isNotNull))
+    val rawc = e.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgtc = e.filter(col("tgt")).groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val tots = e.agg(count(lit(1)).as("totr"),
+      count(when(col("tgt"), 1)).as("tott"))
+    val scored = e
+      .join(broadcast(rawc), Seq("bucket"))
+      .join(broadcast(tgtc), Seq("bucket"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("doc_id"),
+        expr(s"($scale * (coalesce(ct, 0) + 1) * (totr + $numBuckets))" +
+          s" div ((cr + 1) * (tott + $numBuckets))").as("lr"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("score_q"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("score_q"), lit(0L)).as("score_q"))
+      .withColumn("keep", col("score_q") > lit(scale) * col("n_feats"))
+  }
+
+  /** The paper's log-ratio statistic (production path): per document,
+    * `log_w = Σ_g [ln((ct+1)/(totT+B)) − ln((cr+1)/(totR+B))]`.
+    * Output: (doc_id, n_feats, log_w). Double arithmetic — rank with
+    * it, don't hash-compare it across engines (ImportanceSpec pins its
+    * ordering agreement with the quantized twin on separated corpora).
+    */
+  def importanceLogWeights(docs: DataFrame, targetPred: Column,
+      numBuckets: Int = 4096): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val e = SharedBranch.sharedBranch(
+      featureStream(docs, targetPred, numBuckets).filter(col("bucket").isNotNull))
+    val rawc = e.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgtc = e.filter(col("tgt")).groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val tots = e.agg(count(lit(1)).as("totr"),
+      count(when(col("tgt"), 1)).as("tott"))
+    val scored = e
+      .join(broadcast(rawc), Seq("bucket"))
+      .join(broadcast(tgtc), Seq("bucket"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("doc_id"),
+        (log((coalesce(col("ct"), lit(0L)) + 1L).cast("double") /
+            (col("tott") + numBuckets).cast("double")) -
+          log((col("cr") + 1L).cast("double") /
+            (col("totr") + numBuckets).cast("double"))).as("lw"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lw")).as("log_w"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("log_w"), lit(0.0)).as("log_w"))
+  }
+}

@@ -263,6 +263,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_epoch_shuffle", // 1-row total-count frame
       "q_length_quantiles", // 1-row quantile-boundary frame
       "q_score_quantiles", // same quantile-boundary frame (classifier ∘ quantiles)
+      "q_importance_weights", // 1-row target/raw feature-total frame
       "q_lm_score", // 1-row vocab totals
       "q_mixture_schedule", // 1-row per-source totals frame
       "q_mixture_weights", // 1-row sqrt-weight total frame
