@@ -826,6 +826,20 @@ object M5Queries {
       TextDedup.containmentPairs(TextDedup.documents(s, dir), threshold = 0.8)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // ---- dedup: winnowing fingerprints (Schleimer et al., MOSS) —
+    // the ~2/(w+1)-density local sample with the shared-run GUARANTEE
+    // (any common k-gram run of ≥ w+k−1 words must overlap a selected
+    // hash) that MinHash's global-resemblance sample doesn't give
+    "q_winnow_fps" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(TextDedup.documents(s, dir))
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // ---- dedup: the MOSS match step — pairs sharing ≥ 2 selected
+    // hashes, boilerplate fingerprints (df > 50) diverted from pairing
+    "q_winnow_dups" -> ((s, dir) =>
+      TextAnalysis.winnowDups(TextDedup.documents(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // ---- dedup: corpus-level exact line dedup (RefinedWeb-style
     // boilerplate removal). The corpus is single-line word salad, so the
     // query INJECTS a deterministic multi-line page frame per document
@@ -1282,6 +1296,18 @@ object M5Queries {
       s"""SELECT doc_id, lang, source, list_distinct(list_transform(${shingles("w")}, s -> ${rolling("s")})) h
          | FROM (SELECT doc_id, lang, source, $toks w FROM $src)""".stripMargin.replace("\n", " ")
     val shingleHashes: String = shingleHashesFrom("documents")
+    // winnowing CTE chain (k=3, w=8) ending in sel(doc_id, pos, fp):
+    // shingle-hash sequence → per-window rightmost minimal hash; short
+    // docs (m < w) winnow their single partial window (wl = least(w, m))
+    val winnowSel: String =
+      s"""t AS (SELECT doc_id, $toks w FROM documents),
+         | hsq AS (SELECT doc_id, list_transform(${shingles("w")}, s -> ${rolling("s")}) h FROM t),
+         | hm AS (SELECT doc_id, h, len(h) AS m FROM hsq WHERE len(h) > 0),
+         | wnd AS (SELECT doc_id, h, least(8, m) AS wl, unnest(generate_series(1, greatest(m - 7, 1))) AS i FROM hm),
+         | wsl AS (SELECT doc_id, i, wl, h[i:i+wl-1] AS wn FROM wnd),
+         | sel AS (SELECT doc_id,
+         |   (i + list_max(list_transform(generate_series(1, wl), j -> CASE WHEN wn[j] = list_min(wn) THEN j ELSE 0 END)) - 1)::INT AS pos,
+         |   list_min(wn) AS fp FROM wsl)""".stripMargin
     // minhash signature list (16 perms) from hash-list column h
     val minhashSig: String =
       """list_transform(generate_series(0, 15), i -> COALESCE(list_min(list_transform(h, x -> ((2*i+1)*x + 7919*i + 13) % 1000000007)), 1000000007))"""
@@ -2159,6 +2185,23 @@ object M5Queries {
          |FROM p JOIN sizes s ON p.doc_a = s.doc_id
          |WHERE p.n_shared::DOUBLE / s.n_sh::DOUBLE >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // winnowing mirror: same shingle-hash sequence, per-window rightmost
+    // minimum via a position-scored list_max (ties impossible within a
+    // window unless hashes repeat — then BOTH engines take the rightmost)
+    "q_winnow_fps" ->
+      s"""WITH ${frag.winnowSel}
+         |SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos""".stripMargin,
+
+    // match-step mirror: distinct (doc, fp), df cap 50, pair count ≥ 2
+    "q_winnow_dups" ->
+      s"""WITH ${frag.winnowSel},
+         | fpd AS (SELECT DISTINCT doc_id, fp FROM sel),
+         | dfc AS (SELECT fp, count(*) AS dfc FROM fpd GROUP BY 1),
+         | kept AS (SELECT doc_id, fp FROM fpd JOIN dfc USING (fp) WHERE dfc <= 50)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+         |FROM kept a JOIN kept b USING (fp) WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_substring_dups" ->
       s"""WITH t AS (SELECT doc_id, ${frag.toks} w FROM documents),

@@ -138,4 +138,71 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     rollingHash(concat_ws(" ", tokens(text)))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    * the MOSS local fingerprinting algorithm): over the document's
+    * word-`k`-gram rolling-hash SEQUENCE, slide a window of `w` hashes
+    * and select each window's RIGHTMOST minimal hash (the simplified
+    * rightmost-tie rule; the paper's "robust" variant additionally
+    * prefers the previously selected hash — same density guarantee).
+    * The selected (position, hash) set is a deterministic ~2/(w+1)
+    * density sample that two documents sharing any k-gram run of length
+    * ≥ w+k−1 are GUARANTEED to overlap on — the local-guarantee
+    * property MinHash doesn't give. Documents shorter than `w` hashes
+    * winnow their single partial window; documents under `k` tokens
+    * have no fingerprints.
+    *
+    * Entirely narrow per-row array work (nested HOFs, no shuffle, no
+    * UDF): linear scaling, partition-local. Output: one row per
+    * distinct (doc_id, pos, fp), `pos` the 1-based index into the
+    * shingle-hash sequence.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    val hs = transform(shingles(tokens(col("text")), k), s => rollingHash(s))
+    docs
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("m"))
+      .filter(col("m") > 0)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(col("m") - (w - 1), lit(1))),
+          i => {
+            val win = slice(col("hs"), i, lit(w))
+            val mn = array_min(win)
+            val rj = array_max(zip_with(win, sequence(lit(1), size(win)),
+              (v, j) => when(v === mn, j).otherwise(0)))
+            struct((i + rj - 1).cast("int").as("pos"), mn.as("fp"))
+          }))).as("pf"))
+      .select(col("doc_id"), col("pf.pos").as("pos"), col("pf.fp").as("fp"))
+  }
+
+  /** Candidate near-dup pairs by shared winnowing fingerprints — the
+    * MOSS match step: documents sharing ≥ `minShared` distinct selected
+    * hashes, with the shared count as the match strength. By the local
+    * guarantee, any pair sharing a token run of ≥ w+k−1 words surfaces
+    * here — the complement of MinHash's global-resemblance lens.
+    *
+    * Scale shape (the containment-family discipline): fingerprints with
+    * document frequency > `maxDf` are boilerplate — every doc would
+    * pair with every other through them, an O(df²) bucket — and are
+    * DIVERTED from pairing (documented precision trade; lower `w` or
+    * raise `k` if a hot template must still pair). The only wide
+    * exchanges are keyed on the (uniform, 64-bit) fingerprint hash and
+    * the output pair — never all-pairs, never text.
+    */
+  def winnowDups(docs: DataFrame, k: Int = 3, w: Int = 8,
+      minShared: Int = 2, maxDf: Int = 50): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val dfc = fps.groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
+    val kept = fps.join(dfc.filter(col("dfc") <= maxDf), Seq("fp"))
+      .select(col("fp"), col("doc_id"))
+    kept.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }
