@@ -1215,6 +1215,24 @@ object M5Queries {
           maxVocab = 16)
         .orderBy(col("doc_id"))),
 
+    // ---- tokenizer: distributed BPE merge training (Sennrich et al.,
+    // ACL 2016) — corpus-weighted adjacent-pair argmax, 8 unrolled
+    // iterations in the oracle (the kmeansCtes pattern); driver state is
+    // one pair per iteration
+    "q_bpe_merges" -> ((s, dir) =>
+      operators.Bpe.trainMerges(TextDedup.documents(s, dir), frag.bpeMerges)
+        .orderBy(col("rank"))),
+
+    // ---- tokenizer: segmentation fertility under the trained merges —
+    // per-doc whitespace-word and BPE-token counts (train ∘ apply,
+    // end to end)
+    "q_bpe_segment" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val merges = operators.Bpe.mergePairs(
+        operators.Bpe.trainMerges(docs, frag.bpeMerges))
+      operators.Bpe.segmentStats(docs, merges).orderBy(col("doc_id"))
+    }),
+
     // ---- relevance: DSIR importance weights (Xie et al. 2302.03169) —
     // hashed unigram+bigram likelihood ratio of a target slice (the
     // English sub-corpus) vs the raw corpus, integer-exact twin; the
@@ -1296,6 +1314,31 @@ object M5Queries {
       s"""SELECT doc_id, lang, source, list_distinct(list_transform(${shingles("w")}, s -> ${rolling("s")})) h
          | FROM (SELECT doc_id, lang, source, $toks w FROM $src)""".stripMargin.replace("\n", " ")
     val shingleHashes: String = shingleHashesFrom("documents")
+    // BPE training CTE chain (the kmeansCtes unrolled-iteration house
+    // pattern): wc/w0 = corpus-weighted words as char lists; per merge s,
+    // p{s} weighted adjacent-pair counts, m{s} the argmax pair (count
+    // DESC, (l, r) ASC), w{s+1} every word rewritten by the greedy
+    // left-to-right fold — the per-word rewrite is a `list_reduce` over a
+    // chr(31)-separator-encoded symbol string (symbols are corpus word
+    // characters, never the separator), split back to a list per stage.
+    def bpeFold(m: String): String =
+      s"""string_split(list_reduce(syms, (acc, c) -> CASE WHEN (acc = $m.l OR ends_with(acc, chr(31) || $m.l)) AND c = $m.r THEN acc || c ELSE acc || chr(31) || c END), chr(31))"""
+    def bpeCtes(numMerges: Int): String = {
+      val parts = Seq.newBuilder[String]
+      parts += s"wc AS (SELECT word, count(*) AS cnt FROM (SELECT unnest(w) AS word FROM (SELECT $toks w FROM documents)) GROUP BY 1)"
+      parts += "w0 AS (SELECT word, cnt, string_split_regex(word, '') AS syms FROM wc)"
+      for (s <- 0 until numMerges) {
+        parts += s"p$s AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS c FROM (SELECT cnt, syms, unnest(generate_series(1, len(syms)-1)) AS i FROM w$s) GROUP BY 1, 2)"
+        parts += s"m$s AS (SELECT l, r, c FROM p$s ORDER BY c DESC, l, r LIMIT 1)"
+        parts += s"w${s + 1} AS (SELECT word, cnt, ${bpeFold(s"m$s")} AS syms FROM w$s, m$s)"
+      }
+      parts.result().mkString(",\n ")
+    }
+    /** The number of merges the q_bpe_* pair trains — ONE constant
+      * threaded into the Spark queries and both oracle strings.
+      */
+    val bpeMerges = 8
+
     // winnowing CTE chain (k=3, w=8) ending in sel(doc_id, pos, fp):
     // shingle-hash sequence → per-window rightmost minimal hash; short
     // docs (m < w) winnow their single partial window (wl = least(w, m))
@@ -2185,6 +2228,33 @@ object M5Queries {
          |FROM p JOIN sizes s ON p.doc_a = s.doc_id
          |WHERE p.n_shared::DOUBLE / s.n_sh::DOUBLE >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // BPE mirror: the full 8-iteration training loop unrolled as CTEs;
+    // the argmax tie rule (count DESC, (l, r) ASC) and the greedy
+    // left-to-right fold are string-exact across engines
+    "q_bpe_merges" -> {
+      val union = (0 until frag.bpeMerges).map(s =>
+        s"""SELECT $s::INT AS rank, l AS "left", r AS "right", c::BIGINT AS pair_count FROM m$s""")
+        .mkString(" UNION ALL ")
+      s"""WITH ${frag.bpeCtes(frag.bpeMerges)}
+         |SELECT * FROM ($union) ORDER BY rank""".stripMargin
+    },
+
+    // segmentation mirror: the training CTEs feed 8 per-word apply
+    // stages over the document token stream; tokenless docs survive the
+    // left join at 0
+    "q_bpe_segment" -> {
+      val segCtes = (0 until frag.bpeMerges).map(s =>
+        s"g${s + 1} AS (SELECT doc_id, ${frag.bpeFold(s"m$s")} AS syms FROM g$s, m$s)")
+        .mkString(",\n ")
+      s"""WITH ${frag.bpeCtes(frag.bpeMerges)},
+         | d AS (SELECT doc_id, ${frag.toks} w FROM documents),
+         | g0 AS (SELECT doc_id, string_split_regex(word, '') AS syms FROM (SELECT doc_id, unnest(w) AS word FROM d)),
+         | $segCtes,
+         | ag AS (SELECT doc_id, count(*) AS n_words, sum(len(syms)) AS n_tokens FROM g${frag.bpeMerges} GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_words, 0)::BIGINT AS n_words, coalesce(n_tokens, 0)::BIGINT AS n_tokens
+         |FROM d LEFT JOIN ag USING (doc_id) ORDER BY d.doc_id""".stripMargin
+    },
 
     // winnowing mirror: same shingle-hash sequence, per-window rightmost
     // minimum via a position-scored list_max (ties impossible within a

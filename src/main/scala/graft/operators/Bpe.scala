@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding vocabulary training (Sennrich,
+  * Haddow, Birch, ACL 2016) — the tokenizer-construction step of a
+  * training-data pipeline. The reference engine has no tokenizer
+  * trainer; this extends the curation surface (SURVEY §2 extended
+  * scope) next to the BPE-ish token COUNTER the text-analysis family
+  * already carries.
+  *
+  * Algorithm: words (whitespace tokens, corpus-weighted) start as
+  * character sequences; `numMerges` times, count adjacent symbol pairs
+  * weighted by word frequency, pick the most frequent pair (ties to the
+  * lexicographically smaller (left, right)), and merge it greedily
+  * left-to-right in every word. The merge table IS the tokenizer.
+  *
+  * Distribution shape — the k-means-training discipline
+  * ([[Similarity]]): the corpus-sized work per iteration is ONE
+  * map-side-combinable pair-count aggregation over the word table
+  * (itself the one-time token hash-agg of the corpus — at 100 TB the
+  * distinct-word table is millions of rows, not corpus-sized); the only
+  * driver state is the argmax pair per iteration (one row) and the
+  * accumulated merge table (`numMerges` rows). The per-word merge
+  * rewrite is a narrow HOF fold. Each iteration ends in a
+  * `localCheckpoint` handoff: the loop would otherwise chain
+  * `numMerges` lambda folds into one plan whose analysis cost compounds
+  * (the [[Curation.curationPipeline]] lesson), and each re-count would
+  * recompute every earlier rewrite.
+  *
+  * Determinism: counts are exact integers; the argmax tie rule is a
+  * total order; greedy left-to-right merging is order-free per word —
+  * so the merge table is partitioning- and arrival-order-independent.
+  *
+  * Oracle twin: the DuckDB mirror unrolls the SAME iterations as chained
+  * CTEs (the `kmeansCtes` house pattern), with the per-word rewrite as a
+  * `list_reduce` fold over a separator-encoded symbol string — exact
+  * string equality end-to-end (M5Queries `frag.bpeMergeCtes`).
+  */
+object Bpe {
+
+  /** Corpus-weighted word table: (word, cnt, syms) with syms the
+    * single-character symbol sequence.
+    */
+  private def wordTable(docs: DataFrame): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"), split(col("word"), "").as("syms"))
+
+  /** One greedy left-to-right merge of (l, r) in a symbol array: fold
+    * each symbol onto the accumulator; when the accumulator's last
+    * element is `l` and the incoming symbol is `r`, replace the tail
+    * with the fused symbol (repeated-pair runs merge pairwise,
+    * "aaa" + (a,a) → ["aa","a"] — the standard BPE scan).
+    */
+  private def mergeFold(syms: org.apache.spark.sql.Column, l: String, r: String) =
+    aggregate(syms, array().cast("array<string>"), (acc, ch) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && ch === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(ch))))
+
+  /** Train `numMerges` merges over the corpus. Output: one row per
+    * merge, (rank, left, right, pair_count), rank 0-based in training
+    * order. Requires the corpus to support `numMerges` non-empty pair
+    * counts (a degenerate corpus that runs dry raises — silent
+    * truncation would desynchronize the oracle twin).
+    */
+  def trainMerges(docs: DataFrame, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    var words = wordTable(docs).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 0 until numMerges) {
+      val top = words
+        .select(col("cnt"),
+          explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"corpus ran out of symbol pairs after $rank merges (asked for $numMerges)")
+      val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((rank, l, r, c))
+      val next = words.withColumn("syms", mergeFold(col("syms"), l, r))
+        .localCheckpoint()
+      words.unpersist()
+      words = next
+    }
+    words.unpersist()
+    spark.createDataFrame(merges.result())
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Segment a corpus with a TRAINED merge table: apply the merges in
+    * rank order to every word and report per-document token counts —
+    * the tokenizer-fertility report (chars per token / tokens per word)
+    * that decides whether a vocabulary fits a corpus. The merge table
+    * rides the plan as chained narrow folds (bounded by the table the
+    * caller trained); documents never shuffle — the output is a narrow
+    * projection.
+    *
+    * Output: (doc_id, n_words, n_tokens) — whitespace words and BPE
+    * tokens after all merges; fertility (tokens per word) is their
+    * ratio. (Total character count is merge-invariant — BpeSpec pins
+    * that conservation property — so it is not a useful column.)
+    */
+  def segmentStats(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val seg0 = transform(toks, w => split(w, ""))
+    val merged = merges.foldLeft(seg0) { case (cur, (l, r)) =>
+      transform(cur, syms => mergeFold(syms, l, r))
+    }
+    docs.select(col("doc_id"), merged.as("seg"))
+      .select(col("doc_id"),
+        size(col("seg")).cast("long").as("n_words"),
+        coalesce(aggregate(col("seg"), lit(0L), (acc, s) => acc + size(s)),
+          lit(0L)).as("n_tokens"))
+  }
+
+  /** [[trainMerges]] collected to the (left, right) pairs
+    * [[segmentStats]] applies — driver-bounded by numMerges.
+    */
+  def mergePairs(merges: DataFrame): Seq[(String, String)] =
+    merges.orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+}

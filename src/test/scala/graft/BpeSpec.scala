@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Bpe
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Local reference: the same weighted-pair argmax + greedy
+    * left-to-right merge, in plain Scala collections.
+    */
+  def referenceTrain(texts: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    texts.flatMap(_.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty))
+      .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1)
+    var syms: Map[String, Vector[String]] = wc.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    (0 until n).map { rank =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, c) <- wc; Seq(a, b) <- syms(w).sliding(2) if syms(w).size >= 2)
+        pc((a, b)) = pc.getOrElse((a, b), 0L) + c
+      val ((l, r), c) = pc.minBy { case ((a, b), cnt) => (-cnt, a, b) }
+      syms = syms.map { case (w, s) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        s.foreach { ch =>
+          if (out.nonEmpty && out.last == l && ch == r) out(out.size - 1) = l + r
+          else out += ch
+        }
+        w -> out.toVector
+      }
+      (rank, l, r, c)
+    }
+  }
+
+  val texts = Seq(
+    "banana bandana banana",
+    "aaa abab banana cabbage",
+    "the theme then thesis the the",
+    "cabbage bag bag bag")
+
+  test("trainMerges matches the local reference, incl. repeated-pair runs and multi-char merges") {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Bpe.trainMerges(docs, 6).orderBy($"rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == referenceTrain(texts, 6))
+  }
+
+  test("training is partitioning-independent") {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val a = Bpe.trainMerges(docs.repartition(7), 4).orderBy($"rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    val b = Bpe.trainMerges(docs.coalesce(1), 4).orderBy($"rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("segmentStats: token count falls monotonically with merges; char mass is conserved") {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.mergePairs(Bpe.trainMerges(docs, 6))
+    val counts = (0 to 6).map { m =>
+      Bpe.segmentStats(docs, merges.take(m))
+        .agg(org.apache.spark.sql.functions.sum($"n_tokens")).as[Long].head()
+    }
+    assert(counts.sliding(2).forall { case Seq(a, b) => b <= a })
+    assert(counts.last < counts.head) // the merges actually bind
+    // conservation: with zero merges, tokens == characters of the words
+    val chars = texts.flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty)).map(_.length.toLong).sum
+    assert(counts.head == chars)
+  }
+
+  test("a corpus that runs out of pairs raises instead of silently truncating") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text") // single-char words: no pairs
+    val e = intercept[IllegalArgumentException](Bpe.trainMerges(docs, 1))
+    assert(e.getMessage.contains("ran out of symbol pairs"))
+  }
+}
