@@ -840,6 +840,14 @@ object M5Queries {
       TextAnalysis.winnowDups(TextDedup.documents(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // ---- dedup: distributed truncated suffix ranking (Manber–Myers
+    // prefix doubling) — the suffix-array order under Lee et al. exact
+    // substring dedup, computed in O(log L) integer passes; equal
+    // adjacent ranks mark repeated runs
+    "q_suffix_rank" -> ((s, dir) =>
+      operators.SuffixRank.suffixRanks(TextDedup.documents(s, dir))
+        .orderBy(col("doc_id"), col("pos"))),
+
     // ---- dedup: corpus-level exact line dedup (RefinedWeb-style
     // boilerplate removal). The corpus is single-line word salad, so the
     // query INJECTS a deterministic multi-line page frame per document
@@ -2255,6 +2263,17 @@ object M5Queries {
          |SELECT d.doc_id, coalesce(n_words, 0)::BIGINT AS n_words, coalesce(n_tokens, 0)::BIGINT AS n_tokens
          |FROM d LEFT JOIN ag USING (doc_id) ORDER BY d.doc_id""".stripMargin
     },
+
+    // suffix-rank mirror: dense rank over the space-joined 8-token
+    // prefix. Separator ' ' sorts below every token character and tokens
+    // are nonempty, so joined-string order ≡ token-sequence order ≡ the
+    // Spark side's rank-pair doubling order (missing tail ranked first)
+    "q_suffix_rank" ->
+      s"""WITH t AS (SELECT doc_id, ${frag.toks} w FROM documents),
+         | p AS (SELECT doc_id, i::INT AS pos, array_to_string(w[i:i+7], ' ') AS key8
+         |   FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t))
+         |SELECT doc_id, pos, dense_rank() OVER (ORDER BY key8) AS srank
+         |FROM p ORDER BY doc_id, pos""".stripMargin,
 
     // winnowing mirror: same shingle-hash sequence, per-window rightmost
     // minimum via a position-scored list_max (ties impossible within a

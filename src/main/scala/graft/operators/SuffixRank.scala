@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed truncated suffix ranking by prefix doubling — the
+  * suffix-array construction step underneath corpus-scale exact
+  * substring deduplication (Lee et al., arXiv:2107.06499 build a suffix
+  * array of the concatenated corpus; [[TextDedup.exactSubstringDupPairs]]
+  * covers the fixed-k window form, this ranks every token suffix by its
+  * first `prefixTokens` tokens — the order the full suffix array sorts
+  * by, truncated at a known horizon).
+  *
+  * Algorithm (Manber–Myers doubling, the standard distributed spelling):
+  * rank₁ = dense rank of the single token; rank₂ₖ(p) = dense rank of the
+  * pair (rankₖ(p), rankₖ(p+k)), with a missing p+k ranked 0 — a shorter
+  * suffix that is a prefix of a longer one sorts FIRST, the
+  * lexicographic rule. log₂(prefixTokens) rounds.
+  *
+  * Scale shape — O(log L) linear passes, never a comparison sort of
+  * strings:
+  *  - every dense rank is distinct → range-partitioned
+  *    [[PrefixSum.inclusive]] (contiguous global ranges, per-partition
+  *    windows, broadcast offsets — no unpartitioned window, no driver
+  *    zipWithIndex);
+  *  - the shift join is (doc_id, pos)-keyed, the rank re-attach is
+  *    (r, r2)-keyed — both uniform equi-joins; the wide exchanges carry
+  *    integer ranks, never text (the hashOnlyShuffle discipline);
+  *  - token strings appear exactly once (the vocabulary rank), then the
+  *    corpus rides as integers.
+  *
+  * Output: (doc_id, pos, srank) — pos 1-based token position, srank the
+  * corpus-wide dense rank of the suffix's `prefixTokens`-token prefix.
+  * Equal prefixes share a rank (ties broken nowhere: the rank IS the
+  * truncated-suffix order, the input to dup-span extraction where equal
+  * adjacent ranks mark repeated runs).
+  */
+object SuffixRank {
+
+  def suffixRanks(docs: DataFrame, prefixTokens: Int = 8): DataFrame = {
+    require(prefixTokens >= 1 && (prefixTokens & (prefixTokens - 1)) == 0,
+      s"prefixTokens must be a power of two, got $prefixTokens")
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("int").as("pos"), col("tok"))
+    // rank of the 1-token prefix: distinct tokens are a total order
+    val vocabRank = PrefixSum.inclusive(
+      toks.select(col("tok")).distinct().withColumn("_one", lit(1L)),
+      Seq(col("tok")), col("_one"), "r").drop("_one")
+    // Per-round materialization is load-bearing, not an optimization
+    // nicety: each round references `cur` twice (probe + shift) and
+    // `paired` twice (distinct-rank branch + re-attach probe), so an
+    // unmaterialized loop re-executes the whole prior lineage O(4^rounds)
+    // times. localCheckpoint flattens each round to a leaf (the
+    // curationPipeline stage-handoff discipline); `paired` persists via
+    // SharedBranch for its two same-round consumers.
+    var cur = toks.join(vocabRank, Seq("tok"))
+      .select(col("doc_id"), col("pos"), col("r")).localCheckpoint()
+    var k = 1
+    while (k < prefixTokens) {
+      val shifted = cur.select(col("doc_id"),
+        (col("pos") - k).cast("int").as("pos"), col("r").as("r2"))
+      val paired = SharedBranch.sharedBranch(
+        cur.join(shifted, Seq("doc_id", "pos"), "left")
+          .select(col("doc_id"), col("pos"), col("r"),
+            coalesce(col("r2"), lit(0L)).as("r2")))
+      val pairRank = PrefixSum.inclusive(
+        paired.select(col("r"), col("r2")).distinct().withColumn("_one", lit(1L)),
+        Seq(col("r"), col("r2")), col("_one"), "rnew").drop("_one")
+      val next = paired.join(pairRank, Seq("r", "r2"))
+        .select(col("doc_id"), col("pos"), col("rnew").as("r")).localCheckpoint()
+      cur.unpersist()
+      cur = next
+      k *= 2
+    }
+    cur.select(col("doc_id"), col("pos"), col("r").as("srank"))
+  }
+}
