@@ -848,6 +848,12 @@ object M5Queries {
       operators.SuffixRank.suffixRanks(TextDedup.documents(s, dir))
         .orderBy(col("doc_id"), col("pos"))),
 
+    // ---- dedup: duplicated 8-token runs read off the suffix-rank
+    // table — shared ranks = repeated runs, keep-first canonical
+    "q_suffix_dup_runs" -> ((s, dir) =>
+      operators.SuffixRank.duplicateRuns(TextDedup.documents(s, dir))
+        .orderBy(col("srank"))),
+
     // ---- dedup: corpus-level exact line dedup (RefinedWeb-style
     // boilerplate removal). The corpus is single-line word salad, so the
     // query INJECTS a deterministic multi-line page frame per document
@@ -2274,6 +2280,19 @@ object M5Queries {
          |   FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t))
          |SELECT doc_id, pos, dense_rank() OVER (ORDER BY key8) AS srank
          |FROM p ORDER BY doc_id, pos""".stripMargin,
+
+    // duplicate-run mirror: shared dense ranks, (doc_id, pos)-least
+    // canonical occurrence (min(struct) ≡ the rn=1 window row)
+    "q_suffix_dup_runs" ->
+      s"""WITH t AS (SELECT doc_id, ${frag.toks} w FROM documents),
+         | p AS (SELECT doc_id, i::INT AS pos, array_to_string(w[i:i+7], ' ') AS key8
+         |   FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t)),
+         | r AS (SELECT doc_id, pos, dense_rank() OVER (ORDER BY key8) AS srank FROM p),
+         | sel AS (SELECT srank, doc_id, pos,
+         |   count(*) OVER (PARTITION BY srank) AS n_occ,
+         |   row_number() OVER (PARTITION BY srank ORDER BY doc_id, pos) AS rn FROM r)
+         |SELECT srank, n_occ::BIGINT AS n_occ, doc_id AS first_doc, pos AS first_pos
+         |FROM sel WHERE rn = 1 AND n_occ > 1 ORDER BY srank""".stripMargin,
 
     // winnowing mirror: same shingle-hash sequence, per-window rightmost
     // minimum via a position-scored list_max (ties impossible within a

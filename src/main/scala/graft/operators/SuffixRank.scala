@@ -76,4 +76,21 @@ object SuffixRank {
     }
     cur.select(col("doc_id"), col("pos"), col("r").as("srank"))
   }
+
+  /** The use of the suffix order: ranks held by more than one position
+    * are exactly the `prefixTokens`-token runs duplicated somewhere in
+    * the corpus (within or across documents) — Lee et al.'s
+    * repeated-substring detection, read off the rank table with one
+    * map-side-combinable aggregation. Output: (srank, n_occ, first_doc,
+    * first_pos), the canonical occurrence being the (doc_id, pos)-least
+    * (the keep-first convention of the substring-removal family).
+    */
+  def duplicateRuns(docs: DataFrame, prefixTokens: Int = 8): DataFrame =
+    suffixRanks(docs, prefixTokens)
+      .groupBy(col("srank"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("n_occ") > 1)
+      .select(col("srank"), col("n_occ"),
+        col("first.doc_id").as("first_doc"), col("first.pos").as("first_pos"))
 }

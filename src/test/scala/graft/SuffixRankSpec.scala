@@ -24,7 +24,8 @@ class SuffixRankSpec extends AnyFunSuite {
     (1L, "the cat sat on the mat and the cat sat on the rug"),
     (2L, "a different document with the cat sat on the mat inside it"),
     (3L, "zz yy xx"),
-    (4L, "the cat")) // suffixes shorter than 8 tokens, prefixes of doc 1's
+    (4L, "the cat"), // suffixes shorter than 8 tokens, prefixes of doc 1's
+    (5L, "and the cat sat on the rug")) // ≡ doc 1's pos-7 tail: shared ranks
 
   test("suffix ranks match the local reference (ties shared, prefix-of first)") {
     val docs = texts.toDF("doc_id", "text")
@@ -52,6 +53,19 @@ class SuffixRankSpec extends AnyFunSuite {
       val keys = grp.map { case (id, p, _) => toks(id).slice(p - 1, p - 1 + 8) }.toSet
       assert(keys.size == 1, s"rank shared by unequal suffixes: $grp")
     }
+  }
+
+  test("duplicateRuns surfaces exactly the shared truncated suffixes, keep-first canonical") {
+    val docs = texts.toDF("doc_id", "text")
+    val ranks = reference(texts, 8)
+    val want = ranks.groupBy(_._3).collect { case (rk, occ) if occ.size > 1 =>
+      val first = occ.map(o => (o._1, o._2)).min
+      (rk, occ.size.toLong, first._1, first._2)
+    }.toSet
+    val got = SuffixRank.duplicateRuns(docs, prefixTokens = 8)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty) // doc 5 ≡ doc 1's pos-7 tail run
   }
 
   test("ranking is partitioning-independent") {
