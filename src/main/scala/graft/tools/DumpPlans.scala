@@ -49,7 +49,11 @@ object DumpPlans {
       "q_mixture_weights" -> "temperature mixture weights: one source-keyed token agg + broadcast 1-row sqrt-weight total",
       "q_leakage_split" -> "leakage-safe split: banded dedup pair graph -> components -> doc-keyed cluster-key join -> narrow hash split",
       "q_event_rate_cap" -> "event rate cap: BoundedTopN on (user, window) with map-side partial combine — no per-burst ranking window",
-      "q_source_report" -> "per-source report card: three verified report branches joined on the |sources|-row key")
+      "q_source_report" -> "per-source report card: three verified report branches joined on the |sources|-row key",
+      "q_importance_weights" -> "DSIR importance weights: one exploded feature stream (SharedBranch) feeds bucket counts + broadcast totals, corpus shuffles once on doc_id",
+      "q_winnow_dups" -> "winnowing match step: narrow nested-HOF fingerprint selection, df-capped fp-keyed self-join (the containment discipline)",
+      "q_suffix_rank" -> "prefix-doubling suffix ranks: (doc_id,pos)-keyed shift joins + range-partitioned PrefixSum dense ranks, integer-only wide exchanges (plan shows the final checkpointed round)",
+      "q_bpe_segment" -> "BPE train-then-apply: narrow chained greedy folds over the token stream — documents never shuffle")
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of the flagship queries\n\n")
     sb.append("Auto-generated by `graft.tools.DumpPlans` at sf0.001. What to look for:\n")
