@@ -100,6 +100,72 @@ object Importance {
       .withColumn("keep", col("score_q") > lit(scale) * col("n_feats"))
   }
 
+  /** Exact int64 truncating division as a Column — the `div` the
+    * quantized twin's `expr` strings use, constructible inside HOF
+    * lambdas (where SQL-string `expr` can't reference lambda
+    * variables). A double `/`+`floor` spelling would round-to-nearest
+    * before flooring and can disagree with integer division near exact
+    * quotients once operands grow.
+    */
+  private def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    toColumn(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      toExpression(a), toExpression(b)))
+  }
+
+  /** Fit the frozen model [[importanceScoreNarrow]] applies: collect the
+    * bucket count tables and totals driver-side — bounded by
+    * ≤ 2·numBuckets rows by construction (the [[Relevance.weightsAsMap]]
+    * bridge shape). Returns (targetCounts, rawCounts, totT, totR).
+    */
+  def fitCounts(docs: DataFrame, targetPred: Column, numBuckets: Int = 4096)
+      : (Map[Long, Long], Map[Long, Long], Long, Long) = {
+    val e = SharedBranch.sharedBranch(
+      featureStream(docs, targetPred, numBuckets).filter(col("bucket").isNotNull))
+    val cr = e.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ct = e.filter(col("tgt")).groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val Array(totr, tott) = e.agg(count(lit(1)),
+      count(when(col("tgt"), 1))).collect().map(r => Array(r.getLong(0), r.getLong(1))).head
+    (ct, cr, tott, totr)
+  }
+
+  /** The NARROW (per-row) spelling — the STREAMING face, the
+    * [[Relevance.hashClassifierScoreNarrow]] pattern and the DSIR
+    * deployment shape: distributions are FIT once on a reference corpus
+    * ([[fitCounts]]) and ride the plan as map literals; the score is one
+    * fold over the feature array — no explode, no join, no aggregation,
+    * NO state — so it runs append-mode on an unbounded stream and
+    * composes into [[graft.streaming.StreamingCuration]]-style
+    * pipelines. On the SAME corpus it fit, it is row-identical to
+    * [[importanceQuantized]] (ImportanceSpec pins this); buckets the fit
+    * never saw score with ct = cr = 0 — the same add-one smoothing,
+    * consistently extended.
+    *
+    * APPENDS (n_feats, score_q, keep) to the input row. Models beyond
+    * literal size (numBuckets ≳ 10⁵ bloats the plan) run the join
+    * spelling inside `foreachBatch` instead.
+    */
+  def importanceScoreNarrow(docs: DataFrame, targetCounts: Map[Long, Long],
+      rawCounts: Map[Long, Long], totT: Long, totR: Long,
+      numBuckets: Int = 4096, scale: Long = 10000L): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val ctm = typedlit(targetCounts)
+    val crm = typedlit(rawCounts)
+    val w = TextFunctions.tokens(col("text"))
+    val feats = concat(w, TextFunctions.shingles(w, 2))
+    docs
+      .withColumn("n_feats", size(feats).cast("long"))
+      .withColumn("score_q", aggregate(feats, lit(0L), (acc, g) => {
+        val b = (TextFunctions.rollingHash(g) * 2654435761L) % numBuckets
+        acc + idiv(
+          lit(scale) * (coalesce(element_at(ctm, b), lit(0L)) + 1L) * lit(totR + numBuckets),
+          (coalesce(element_at(crm, b), lit(0L)) + 1L) * lit(totT + numBuckets))
+      }))
+      .withColumn("keep", col("score_q") > lit(scale) * col("n_feats"))
+  }
+
   /** The paper's log-ratio statistic (production path): per document,
     * `log_w = Σ_g [ln((ct+1)/(totT+B)) − ln((cr+1)/(totR+B))]`.
     * Output: (doc_id, n_feats, log_w). Double arithmetic — rank with

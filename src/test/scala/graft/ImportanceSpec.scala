@@ -60,6 +60,23 @@ class ImportanceSpec extends AnyFunSuite {
     }
   }
 
+  test("narrow (streaming) face fit on the corpus is row-identical to the batch twin") {
+    val (ct, cr, tott, totr) = Importance.fitCounts(withMixed, col("is_tgt"), numBuckets = 4096)
+    val narrow = Importance.importanceScoreNarrow(withMixed, ct, cr, tott, totr, numBuckets = 4096)
+      .select($"doc_id", $"n_feats", $"score_q", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    val batch = Importance.importanceQuantized(withMixed, col("is_tgt"), numBuckets = 4096)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(narrow == batch)
+    // the narrow face keeps the input columns (streaming pipelines carry
+    // event-time/metadata), and scores unseen vocabulary consistently
+    val unseen = Seq((9L, "omega psi chi", false)).toDF("doc_id", "text", "is_tgt")
+    val row = Importance.importanceScoreNarrow(unseen, ct, cr, tott, totr, numBuckets = 4096)
+    assert(row.columns.toSeq == Seq("doc_id", "text", "is_tgt", "n_feats", "score_q", "keep"))
+    val (nf, sq) = row.select($"n_feats", $"score_q").as[(Long, Long)].head()
+    assert(nf == 5L && sq > 0L) // ct = cr = 0 buckets still smooth-score
+  }
+
   test("quantized matches a hand-rolled reference on the mixed corpus") {
     val b = 4096
     def toks(s: String) = s.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
