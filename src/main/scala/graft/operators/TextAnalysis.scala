@@ -152,12 +152,27 @@ object TextAnalysis {
     * winnow their single partial window; documents under `k` tokens
     * have no fingerprints.
     *
-    * Entirely narrow per-row array work (nested HOFs, no shuffle, no
-    * UDF): linear scaling, partition-local. Output: one row per
+    * Entirely narrow per-row work (one fused O(m) pass, no shuffle, no
+    * UDF — [[graft.functions.WinnowFps]], a monotonic-deque codegen
+    * expression): linear scaling, partition-local. Output: one row per
     * distinct (doc_id, pos, fp), `pos` the 1-based index into the
     * shingle-hash sequence.
     */
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    docs
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFps.winnow_fps(col("text"), k, w)).as("pf"))
+      .select(col("doc_id"), col("pf.pos").as("pos"), col("pf.fp").as("fp"))
+  }
+
+  /** The HOF spelling [[winnowFingerprints]] is property-pinned against
+    * (WinnowingSpec): slice per window, `array_min` + rightmost-position
+    * fold — the semantics the one-pass expression fuses. O(m·w²) with an
+    * allocation per window; kept as the executable specification, not a
+    * production path.
+    */
+  private[graft] def winnowFingerprintsHof(docs: DataFrame, k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
     val hs = transform(shingles(tokens(col("text")), k), s => rollingHash(s))
     docs

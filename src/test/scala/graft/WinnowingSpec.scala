@@ -47,6 +47,18 @@ class WinnowingSpec extends AnyFunSuite {
     assert(got.count(_._1 == 3L) == 1) // one partial window → one fingerprint
   }
 
+  test("one-pass expression ≡ HOF spelling on the real corpus (both parameterizations)") {
+    val docs = graft.operators.TextDedup.documents(spark, "/root/testdata/sf0.001")
+    for ((k, w) <- Seq((3, 8), (2, 4))) {
+      val fused = TextAnalysis.winnowFingerprints(docs, k, w)
+        .as[(Long, Int, Long)].collect().toSet
+      val hof = TextAnalysis.winnowFingerprintsHof(docs, k, w)
+        .as[(Long, Int, Long)].collect().toSet
+      assert(fused == hof, s"k=$k w=$w")
+      assert(fused.nonEmpty)
+    }
+  }
+
   test("local guarantee: docs sharing a token run of ≥ w+k−1 words share a fingerprint") {
     val shared = (1 to 10).map(i => s"run$i").mkString(" ") // 10 ≥ w+k−1 = 10
     val docs = Seq(
