@@ -75,6 +75,39 @@ class WinnowingSpec extends AnyFunSuite {
     assert(dups.exists(p => p._1 == 1L && p._2 == 2L))
   }
 
+  test("fuzz: the one-pass deque selection ≡ the naive per-window rightmost-min reference") {
+    import org.scalacheck.{Gen, rng}
+    // tiny alphabets force dense hash ties inside windows — the regime
+    // the rightmost-tie rule and the >= back-pop exist for
+    val caseGen = for {
+      n <- Gen.choose(0, 40)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "ba"))
+      k <- Gen.choose(1, 3)
+      w <- Gen.choose(1, 6)
+    } yield (toks.mkString(" "), k, w)
+    (0 until 300).foreach { i =>
+      val (text, k, w) = caseGen.pureApply(Gen.Parameters.default, rng.Seed(i.toLong))
+      val got = graft.functions.WinnowFps.compute(text, k, w)
+        .array.map { r =>
+          val row = r.asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+          (row.getInt(0), row.getLong(1))
+        }.toSet
+      val want = {
+        val toks = text.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+        val hs = toks.sliding(k).filter(_.size == k).map(g => rollHash(g.mkString(" "))).toVector
+        if (hs.isEmpty) Set.empty[(Int, Long)]
+        else {
+          val wins = if (hs.size < w) Seq(0) else 0 to hs.size - w
+          wins.map { s =>
+            val win = hs.slice(s, s + w)
+            (s + win.lastIndexOf(win.min) + 1, win.min)
+          }.toSet
+        }
+      }
+      assert(got == want, s"seed $i: text='$text' k=$k w=$w → $got, want $want")
+    }
+  }
+
   test("df cap diverts boilerplate fingerprints from pairing") {
     // every doc carries the same template; pairs only exist through it
     val docs = (1L to 5L).map(i =>
