@@ -94,6 +94,31 @@ object M5Queries {
       .orderBy(col("query_id"))
   }
 
+  /** Session-scoped shard-export directory for `q_shard_export` — the
+    * [[ivfPqIndexDir]] build-once-per-process lifecycle applied to
+    * [[graft.operators.Curation.writeTrainingShards]]: the first call
+    * writes the 8-shard export; later calls (bench passes) time the
+    * read-back manifest, the recurring cost of the audit.
+    */
+  private val builtShardExports =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def shardExportDir(s: SparkSession, dir: String): String =
+    builtShardExports.computeIfAbsent(dir, _ => {
+      val tag = s"shards_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val exDir = sys.env.get("SPARK_GRAFT_INDEX_DIR") match {
+        case Some(root) => s"$root/$tag"
+        case None =>
+          val d = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_p${
+            ProcessHandle.current().pid()}"
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            deleteRecursively(new java.io.File(d))))
+          d
+      }
+      Curation.writeTrainingShards(TextDedup.documents(s, dir), exDir, nShards = 8)
+      exDir
+    })
+
   /** Session-scoped IVF-PQ index directory for `q_embed_ivfpq_indexed`.
     *
     * Location: `SPARK_GRAFT_INDEX_DIR` if set (a real deployment points
@@ -1134,6 +1159,15 @@ object M5Queries {
     // audit that replaces re-reading the corpus)
     "q_shard_manifest" -> ((s, dir) =>
       Curation.shardManifest(TextDedup.documents(s, dir), nShards = 8)
+        .orderBy(col("shard"))),
+
+    // ---- curation: shard EXPORT — the manifest recomputed from the
+    // materialized `shard=`-partitioned parquet (write-once per process,
+    // the persisted-index lifecycle): hash-equality with q_shard_manifest's
+    // oracle proves the export round-trips every document byte-exactly
+    // in the assigned layout
+    "q_shard_export" -> ((s, dir) =>
+      Curation.shardManifestFromDir(s, shardExportDir(s, dir))
         .orderBy(col("shard"))),
 
     // ---- curation: per-source quota (the C4/RefinedWeb per-domain cap)
@@ -2680,19 +2714,10 @@ object M5Queries {
     // manifest mirror: the balanced-shards chain + per-doc rolling hash,
     // folded per shard with DuckDB's bit_xor (≡ Spark's — both exact
     // int64 XOR, order-free)
-    "q_shard_manifest" ->
-      s"""WITH c AS (SELECT doc_id, len(${frag.toks})::BIGINT AS n_tokens,
-         |   ${frag.rolling("text")} AS fp FROM documents),
-         | s AS (SELECT doc_id, n_tokens, fp,
-         |   (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
-         |   (SELECT CAST(sum(n_tokens) AS BIGINT) FROM c) AS total
-         |  FROM c),
-         | sh AS (SELECT doc_id, n_tokens, fp,
-         |  CASE WHEN total > 0 THEN least(((cum - n_tokens) * 8) // total, 7)
-         |       ELSE 0 END::BIGINT AS shard FROM s)
-         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         | CAST(bit_xor(fp) AS BIGINT) AS content_sig
-         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_shard_manifest" -> shardManifestOracle,
+    // the export gate recomputes the SAME manifest from the materialized
+    // files — output-identical by the round-trip contract, one oracle
+    "q_shard_export" -> shardManifestOracle,
 
     "q_source_quota" ->
       """SELECT source, doc_id, rnk::INT AS qrank FROM (
@@ -3080,6 +3105,24 @@ object M5Queries {
     * input); keep semantics mirror the line oracle at the paragraph
     * thresholds.
     */
+  /** Shared by q_shard_manifest (assignment-side) and q_shard_export
+    * (file-side read-back) — hash-equality of the two against ONE oracle
+    * is the round-trip proof.
+    */
+  private lazy val shardManifestOracle: String =
+    s"""WITH c AS (SELECT doc_id, len(${frag.toks})::BIGINT AS n_tokens,
+       |   ${frag.rolling("text")} AS fp FROM documents),
+       | s AS (SELECT doc_id, n_tokens, fp,
+       |   (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+       |   (SELECT CAST(sum(n_tokens) AS BIGINT) FROM c) AS total
+       |  FROM c),
+       | sh AS (SELECT doc_id, n_tokens, fp,
+       |  CASE WHEN total > 0 THEN least(((cum - n_tokens) * 8) // total, 7)
+       |       ELSE 0 END::BIGINT AS shard FROM s)
+       |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       | CAST(bit_xor(fp) AS BIGINT) AS content_sig
+       |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+
   private lazy val paragraphDedupOracle: String =
     s"""WITH injected AS (SELECT doc_id,
        |  'please subscribe to our newsletter' || chr(10) || 'for weekly curated updates' ||

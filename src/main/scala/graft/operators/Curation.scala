@@ -302,6 +302,39 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         expr("bit_xor(fp)").as("content_sig"))
 
+  /** MATERIALIZE the balanced shards — the pipeline's output step: the
+    * corpus written `shard=`-partitioned (one directory per training
+    * shard, the layout a trainer's data loader reads sequentially and a
+    * resume skips by partition), full row carried (text + metadata +
+    * n_tokens). Overwrite mode: a re-export replaces the directory
+    * atomically enough for the single-writer pipeline case (concurrent
+    * writers want a table format underneath — same seam as the
+    * incremental-dedup index). A (shard, doc_id) sort within partitions
+    * makes re-exports byte-stable for the manifest diff.
+    */
+  def writeTrainingShards(docs: DataFrame, dir: String, nShards: Int): Unit =
+    balancedShards(docs, nShards)
+      .join(docs, "doc_id")
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
+  /** The read-back audit of [[writeTrainingShards]]: recompute the
+    * manifest FROM THE FILES — content signatures from the round-tripped
+    * text, not the writer's memory — so `manifest(written) ==`
+    * [[shardManifest]]`(input)` proves the export preserved every
+    * document byte-exactly and the partition layout matches the
+    * assignment. (Partition-column inference reads `shard=` back as int;
+    * cast restores the assignment's BIGINT.)
+    */
+  def shardManifestFromDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .withColumn("fp", TextFunctions.rollingHash(col("text")))
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("bit_xor(fp)").as("content_sig"))
+
   // ---- per-group heavy hitters ---------------------------------------
 
   /** Exact top-`k` tokens per group (vocabulary heavy hitters — the

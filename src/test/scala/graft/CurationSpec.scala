@@ -563,6 +563,42 @@ class CurationSpec extends AnyFunSuite {
     assert(w.map(_._4) == sv.map(v => v * 1000000L / stot))
   }
 
+  test("writeTrainingShards round-trips: file-side manifest ≡ assignment-side; layout + tamper detection") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard_spec").toString
+    try {
+      Curation.writeTrainingShards(docs, dir, nShards = 4)
+      // partition layout on disk: one shard=N directory per shard
+      val parts = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("shard="))
+      assert(parts.toSet == (0 until 4).map(i => s"shard=$i").toSet)
+      // manifest recomputed from the files equals the assignment-side one
+      val fromDir = Curation.shardManifestFromDir(spark, dir)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val fromInput = Curation.shardManifest(docs, nShards = 4)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(fromDir == fromInput)
+      // all rows round-trip (full columns, every doc exactly once)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == docs.count())
+      assert(back.select("doc_id").distinct().count() == docs.count())
+      // tampering with one document's text flips its shard's signature
+      // (an extra token can also shift cumulative shard boundaries, so
+      // the guarantee is "detected", not "detected in exactly one shard")
+      val backDocs = back.select($"doc_id", $"text")
+      val tampered = backDocs.withColumn("text",
+        when($"doc_id" === 0L, concat($"text", lit(" x"))).otherwise($"text"))
+      val sigA = Curation.shardManifest(backDocs, 4).as[(Long, Long, Long, Long)]
+        .collect().map(r => r._1 -> r._4).toMap
+      val sigB = Curation.shardManifest(tampered, 4).as[(Long, Long, Long, Long)]
+        .collect().map(r => r._1 -> r._4).toMap
+      assert(sigA.keySet.exists(k => sigA(k) != sigB(k)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("docNovelty ≡ naive per-doc unique-shingle fraction; bounds hold") {
     val ds = docs.select($"doc_id",
         explode(graft.functions.ShingleHashes.shingle_hashes($"text", 3)).as("sh"))
