@@ -121,4 +121,44 @@ class StreamingCurationSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
     assert(streamed == batch)
   }
+
+  test("stateless DSIR importance gate on a stream: frozen fit scores batch-identically, append mode") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Importance
+    import org.apache.spark.sql.functions.col
+    // fit on a reference corpus (batch), then score an unbounded stream
+    // with the frozen distributions — the DSIR deployment shape
+    val fitCorpus = Seq(
+      (100L, "alpha beta gamma alpha", true),
+      (101L, "alpha gamma beta", true),
+      (102L, "delta epsilon zeta", false),
+      (103L, "epsilon zeta delta delta", false)).toDF("doc_id", "text", "is_tgt")
+    val (ct, cr, tott, totr) = Importance.fitCounts(fitCorpus, col("is_tgt"), numBuckets = 512)
+    val rows = Seq(
+      (1L, t(1000), "alpha beta gamma"),
+      (2L, t(2000), "delta epsilon zeta"),
+      (3L, t(3000), "omega psi"), // vocabulary the fit never saw
+      (4L, t(4000), ""))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = Importance.importanceScoreNarrow(
+      input.toDF().toDF("doc_id", "ts", "text"), ct, cr, tott, totr, numBuckets = 512)
+    val q = out.writeStream.format("memory").queryName("scur_dsir")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("scur_dsir")
+      .select($"doc_id", $"n_feats", $"score_q", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    val batch = Importance.importanceScoreNarrow(
+        rows.toDF("doc_id", "ts", "text"), ct, cr, tott, totr, numBuckets = 512)
+      .select($"doc_id", $"n_feats", $"score_q", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(streamed == batch)
+    val byId = streamed.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 && !byId(2L)._4) // target dialect kept, off-dialect dropped
+    assert(byId(4L) == ((4L, 0L, 0L, false)))
+  }
 }
