@@ -706,6 +706,24 @@ object M5Queries {
     // q_minhash_recall pattern): recall of single-probe vs multi-probe
     // LSH against the exact label-blocked near-dup pairs at the same
     // threshold — one row per probe mode
+    // ---- similarity: JL dimension reduction, recall-measured — top-5
+    // in the 16-dim signed-projection space vs the exact 64-dim top-5
+    // (the 4× fold/byte/shuffle cut priced in recall, per query vector)
+    "q_embed_jl_recall" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      val qs = 0L to 4L
+      val exact = Similarity.bruteForceTopK(emb, qs, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val jl = Similarity.bruteForceTopK(Similarity.jlProject(emb, 16), qs, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact.join(jl, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("hit")).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(5.0)).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     "q_embed_lsh_recall" -> ((s, dir) => {
       val emb = Similarity.embeddings(s, dir)
       // the exact all-pairs twin feeds BOTH probe-mode branches — persist
@@ -1421,6 +1439,16 @@ object M5Queries {
       s"""sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform($a, x -> x * x)), (acc, x) -> acc + x))"""
     def cosine(a: String, b: String): String =
       s"""(${dot(a, b)} / (${norm(a)} * ${norm(b)}))"""
+    // dims-general dot/cosine (the 64-dim forms above predate the JL
+    // family; norm is already length-generic)
+    def dotN(a: String, b: String, n: Int): String =
+      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $n), i -> ($a)[i] * ($b)[i])), (acc, x) -> acc + x)"""
+    def cosineN(a: String, b: String, n: Int): String =
+      s"""(${dotN(a, b, n)} / (${norm(a)} * ${norm(b)}))"""
+    // JL signed projection of the 64-dim double-list column v into nOut
+    // dims — the Spark jlProject fold, sign off the same integer mix
+    def jlProj(nOut: Int): String =
+      s"""list_transform(generate_series(0, ${nOut - 1}), j -> list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64), i -> CASE WHEN (((((i - 1) * $nOut + j + 1) * 2654435761) % 1000000007) * ((((i - 1) * $nOut + j + 1) * 2654435761) % 1000000007)) % 1000000007 % 2 = 0 THEN v[i] ELSE -v[i] END)), (acc, x) -> acc + x))"""
     def l2sq(a: String, b: String): String =
       s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]))), (acc, x) -> acc + x)"""
     // embeddings cast to double-list
@@ -2077,6 +2105,26 @@ object M5Queries {
     "q_embed_ann_lsh" -> annLshOracle,
     "q_embed_neardup_lsh" -> embedNearDupLshOracle,
     "q_embed_neardup_lsh_mp" -> embedNearDupLshMpOracle,
+    // JL mirror: identical signed projection + identical per-row cosine
+    // folds in both spaces, rank ties to the smaller neighbor_id
+    "q_embed_jl_recall" ->
+      s"""WITH v AS (${frag.vecs}),
+         | jl AS (SELECT vec_id, ${frag.jlProj(16)} AS w FROM v),
+         | q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id BETWEEN 0 AND 4),
+         | qj AS (SELECT vec_id AS query_id, w AS qw FROM jl WHERE vec_id BETWEEN 0 AND 4),
+         | ex AS (SELECT query_id, neighbor_id FROM (
+         |   SELECT query_id, vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY ${frag.cosine("qv", "v.v")} DESC, vec_id) AS rank
+         |   FROM v CROSS JOIN q WHERE vec_id <> query_id) WHERE rank <= 5),
+         | fj AS (SELECT query_id, neighbor_id FROM (
+         |   SELECT query_id, jl.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY ${frag.cosineN("qw", "jl.w", 16)} DESC, jl.vec_id) AS rank
+         |   FROM jl CROSS JOIN qj WHERE jl.vec_id <> query_id) WHERE rank <= 5)
+         |SELECT ex.query_id, count(fj.neighbor_id)::BIGINT AS n_hits,
+         | (count(fj.neighbor_id)::DOUBLE / 5.0) AS recall
+         |FROM ex LEFT JOIN fj USING (query_id, neighbor_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_embed_lsh_recall" -> embedLshRecallOracle,
 
     "q_embed_ivf" ->

@@ -63,6 +63,40 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Johnson–Lindenstrauss dimensionality reduction with a DETERMINISTIC
+    * sign matrix (Achlioptas, JCSS 2003: ±1 entries preserve pairwise
+    * geometry with the JL guarantee — no Gaussian sampling, no RNG
+    * state): out_j = Σ_i s(i,j)·v_i with s(i,j) the parity of
+    * h² mod P for h = (i·outDims + j + 1)·2654435761 mod P — the square
+    * makes the bit NONLINEAR in the flat index (the parity of the linear
+    * mix alone barely flips down a column: every output dim collapses
+    * onto ±Σvᵢ and all projected cosines → 1; caught by the measured
+    * gate, the reason the knob discipline exists). The scale lever the
+    * ANN family composes with: a 4× dimension cut is a 4× cut of every
+    * downstream distance fold, index byte size, and shuffle width, at a
+    * recall cost `q_embed_jl_recall` MEASURES. The measured number
+    * tracks the CORPUS's neighborhood margin, not just the method: JL
+    * distortion at d dims is ~1/√d, so neighbors separated by less
+    * (this synthetic corpus: top cosine ≈ 0.37 over a ≈ 0.01 noise
+    * floor) scramble — recall@5 ≈ 0.2 at 16 dims here — while strongly
+    * clustered real embeddings survive. Unnormalized: cosine is
+    * scale-invariant, so the 1/√d factor cancels. Narrow per-row work;
+    * fold order matches the oracle (signed array built first, then one
+    * left fold).
+    */
+  def jlProject(embs: DataFrame, outDims: Int): DataFrame = {
+    require(outDims >= 1, s"outDims must be positive, got $outDims")
+    val v = asDouble(col("embedding"))
+    embs.select(col("vec_id"),
+      transform(sequence(lit(0), lit(outDims - 1)), j =>
+        aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => {
+            val h = ((i * outDims + j + 1) * 2654435761L) % 1000000007L
+            when(((h * h) % 1000000007L) % 2 === 0, x).otherwise(-x)
+          }),
+          lit(0.0), (acc, x) => acc + x)).as("embedding"))
+  }
+
   /** All near-duplicate vector pairs with cosine ≥ threshold, blocked by
     * label (the oracle-verifiable small-scale form; at scale the blocking
     * key becomes an LSH bucket, below).
