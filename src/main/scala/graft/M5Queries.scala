@@ -1308,6 +1308,23 @@ object M5Queries {
           targetPred = col("lang") === "en", numBuckets = 4096)
         .orderBy(col("doc_id"))),
 
+    // ---- relevance: Borda-count quality ensemble — classifier logit,
+    // per-bigram LM mass, and novelty ppm rank-summed (the multi-signal
+    // gate; incomparable units combine rank-wise, integer-exact); docs
+    // missing a signal (too short) rank last for it by sentinel
+    "q_quality_ensemble" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val clf = Relevance.hashClassifierScore(docs,
+          Relevance.deterministicWeights(s, 4096), numBuckets = 4096)
+        .select(col("doc_id"), col("score").as("s"))
+      val lm = LanguageModel.bigramLmQuantized(docs, maxVocab = 16)
+        .select(col("doc_id"), expr("lm_q div n_bigrams").as("s"))
+      val nov = TextDedup.docNovelty(docs)
+        .select(col("doc_id"), col("novelty_ppm").as("s"))
+      Relevance.bordaEnsemble(docs, Seq("clf" -> clf, "lm" -> lm, "nov" -> nov))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- skew discipline: two-stage salted aggregation ≡ plain aggregation
     "q_salted_agg" -> ((s, dir) => {
       val salted = t(s, dir, "events")
@@ -2882,6 +2899,55 @@ object M5Queries {
          | coalesce(score_q, 0)::BIGINT AS score_q,
          | coalesce(score_q, 0) > 10000 * coalesce(n_feats, 0) AS keep
          |FROM t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    // ensemble mirror: the classifier, LM, and novelty oracle chains
+    // composed with prefixed CTEs; per-signal rank = row_number over
+    // (s DESC, doc_id) — ≡ the Spark side's range-partitioned prefix-sum
+    // rank over the same total order; missing signals take the sentinel
+    "q_quality_ensemble" ->
+      s"""WITH t AS (SELECT doc_id, ${frag.toks} w FROM documents),
+         | c_wt AS (SELECT bucket, (bucket + 17) * 2654435761 % 2003 - 1001 AS weight
+         |   FROM (SELECT unnest(generate_series(0, 4095))::BIGINT AS bucket)),
+         | c_b AS (SELECT doc_id, (${frag.rolling("tok")}) * 2654435761 % 4096 AS bucket
+         |   FROM (SELECT doc_id, unnest(w) AS tok FROM t)),
+         | c_s AS (SELECT doc_id, sum(weight) AS s FROM c_b JOIN c_wt USING (bucket) GROUP BY 1),
+         | clf AS (SELECT t.doc_id, coalesce(c_s.s, 0) AS s FROM t LEFT JOIN c_s USING (doc_id)),
+         | l_e AS (SELECT doc_id, unnest(range(len(w))) AS pos, unnest(w) AS tok FROM t),
+         | l_uc AS (SELECT tok, count(*) AS c FROM l_e GROUP BY 1),
+         | l_vocab AS (SELECT tok FROM l_uc ORDER BY c DESC, tok LIMIT 16),
+         | l_vs AS (SELECT count(*) + 1 AS vsz FROM l_vocab),
+         | l_m AS (SELECT doc_id, pos,
+         |     CASE WHEN vb.tok IS NULL THEN '<unk>' ELSE l_e.tok END AS tok_m
+         |   FROM l_e LEFT JOIN l_vocab vb ON l_e.tok = vb.tok),
+         | l_b AS (SELECT doc_id, tok_m AS u,
+         |     lead(tok_m) OVER (PARTITION BY doc_id ORDER BY pos) AS v FROM l_m),
+         | l_bi AS (SELECT doc_id, u, v, count(*) AS m FROM l_b
+         |   WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+         | l_cuv AS (SELECT u, v, sum(m) AS c_uv FROM l_bi GROUP BY 1, 2),
+         | l_cu AS (SELECT u, sum(m) AS c_u FROM l_bi GROUP BY 1),
+         | l_sc AS (SELECT l_bi.doc_id, l_bi.m,
+         |     (10000 * (c_uv + 1)) // (c_u + vsz) AS contrib
+         |   FROM l_bi JOIN l_cuv USING (u, v) JOIN l_cu USING (u) CROSS JOIN l_vs),
+         | lm AS (SELECT doc_id, CAST(sum(m * contrib) AS BIGINT) // CAST(sum(m) AS BIGINT) AS s
+         |   FROM l_sc GROUP BY doc_id),
+         | n_sh AS (${frag.shingleHashes}),
+         | n_ds AS (SELECT doc_id, unnest(h) AS shingle FROM n_sh),
+         | n_nd AS (SELECT shingle, count(*) AS df FROM n_ds GROUP BY 1),
+         | nov AS (SELECT doc_id,
+         |   ((count(*) FILTER (WHERE df = 1) * 1000000) // count(*))::BIGINT AS s
+         |   FROM n_ds JOIN n_nd USING (shingle) GROUP BY doc_id),
+         | sig AS (SELECT t.doc_id,
+         |   coalesce(clf.s, -1000000000000000000) AS s_clf,
+         |   coalesce(lm.s, -1000000000000000000) AS s_lm,
+         |   coalesce(nov.s, -1000000000000000000) AS s_nov
+         |  FROM t LEFT JOIN clf USING (doc_id) LEFT JOIN lm USING (doc_id)
+         |  LEFT JOIN nov USING (doc_id)),
+         | r AS (SELECT doc_id,
+         |   row_number() OVER (ORDER BY s_clf DESC, doc_id) AS r_clf,
+         |   row_number() OVER (ORDER BY s_lm DESC, doc_id) AS r_lm,
+         |   row_number() OVER (ORDER BY s_nov DESC, doc_id) AS r_nov FROM sig)
+         |SELECT doc_id, r_clf, r_lm, r_nov, (r_clf + r_lm + r_nov)::BIGINT AS borda
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // calibration mirror: the classifier chain feeding the exact
     // order-statistic quantile spelling per source

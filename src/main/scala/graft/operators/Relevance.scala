@@ -198,6 +198,41 @@ object Relevance {
       .withColumn("keep", col("score") > 0)
   }
 
+  /** Borda-count ensemble of quality signals — the multi-signal
+    * curation step (FineWeb-style pipelines gate on several independent
+    * quality estimates rather than trusting one): each signal ranks
+    * every document (higher signal = better = rank 1), and the ensemble
+    * score is the RANK SUM — scale-free, so signals with incomparable
+    * units (a logit sum, a smoothed-probability mass, a ppm share)
+    * combine without normalization, and integer-exact.
+    *
+    * Inputs: `(name, frame)` pairs where each frame is (doc_id,
+    * s: integral, higher better). A document MISSING from a signal
+    * frame (too short for bigrams, no shingles) ranks LAST for that
+    * signal via an explicit sentinel — no null-ordering dependence.
+    * Ranks are per-signal `row_number` over (s DESC, doc_id), computed
+    * as range-partitioned [[PrefixSum]]s (never a single-task global
+    * window); the join-up is |signals| doc_id-keyed equi-joins.
+    *
+    * Output: (doc_id, r_<name>…, borda), borda ascending-better.
+    */
+  def bordaEnsemble(docs: DataFrame, signals: Seq[(String, DataFrame)]): DataFrame = {
+    require(signals.nonEmpty, "need at least one signal")
+    require(signals.map(_._1).distinct.size == signals.size, "signal names must be unique")
+    val base = docs.select(col("doc_id"))
+    val ranked = signals.map { case (name, sig) =>
+      val s = base.join(sig, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("s"), lit(-1000000000000000000L)).as("s"))
+      PrefixSum.inclusive(s.withColumn("_one", lit(1L)),
+        Seq(col("s").desc, col("doc_id")), col("_one"), s"r_$name")
+        .select(col("doc_id"), col(s"r_$name"))
+    }
+    ranked.reduce(_.join(_, Seq("doc_id")))
+      .withColumn("borda",
+        signals.map(s => col(s"r_${s._1}")).reduce(_ + _))
+  }
+
   /** Collect a `(bucket, weight)` model frame into the literal map
     * [[hashClassifierScoreNarrow]] embeds — driver-side, bounded by the
     * bucket count by construction (the model is dense ≤ numBuckets rows).

@@ -266,6 +266,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_score_quantiles", // same quantile-boundary frame (classifier ∘ quantiles)
       "q_importance_weights", // 1-row target/raw feature-total frame
       "q_lm_score", // 1-row vocab totals
+      "q_quality_ensemble", // LM 1-row vocab totals + 3 PrefixSum offset triangles (≤nPart rows)
       "q_mixture_schedule", // 1-row per-source totals frame
       "q_mixture_weights", // 1-row sqrt-weight total frame
       "q_source_report", // composes mixtureWeights' 1-row total frame

@@ -123,4 +123,28 @@ class RelevanceSpec extends AnyFunSuite {
     assert(empty.map(r => (r._1, r._3)) == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
     assert(empty.head._2 == 2L, "token counts are model-independent")
   }
+
+  test("bordaEnsemble: rank sum over (s DESC, doc_id); missing signals rank last") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val sigA = Seq((1L, 30L), (2L, 10L), (3L, 30L), (4L, 20L)).toDF("doc_id", "s")
+    val sigB = Seq((1L, 5L), (3L, 7L)).toDF("doc_id", "s") // docs 2, 4 missing
+    val got = Relevance.bordaEnsemble(base, Seq("a" -> sigA, "b" -> sigB))
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    // sigA ranks: 1→1 (tie with 3, id wins), 3→2, 4→3, 2→4
+    // sigB ranks: 3→1, 1→2, then missing by id: 2→3, 4→4
+    val want = Seq(
+      (1L, 1L, 2L, 3L),
+      (2L, 4L, 3L, 7L),
+      (3L, 2L, 1L, 3L),
+      (4L, 3L, 4L, 7L))
+    assert(got == want)
+    // borda is partitioning-independent (the prefix-sum rank is total-ordered)
+    val re = Relevance.bordaEnsemble(base.repartition(5),
+        Seq("a" -> sigA.repartition(3), "b" -> sigB))
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(re == want)
+    // duplicate signal names are a caller bug, loudly
+    intercept[IllegalArgumentException](
+      Relevance.bordaEnsemble(base, Seq("x" -> sigA, "x" -> sigB)))
+  }
 }
