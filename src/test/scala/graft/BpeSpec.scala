@@ -15,10 +15,12 @@ class BpeSpec extends AnyFunSuite {
     texts.flatMap(_.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty))
       .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1)
     var syms: Map[String, Vector[String]] = wc.keys.map(w => w -> w.map(_.toString).toVector).toMap
-    (0 until n).map { rank =>
+    (0 until n).iterator.map { rank =>
       val pc = scala.collection.mutable.Map.empty[(String, String), Long]
       for ((w, c) <- wc; Seq(a, b) <- syms(w).sliding(2) if syms(w).size >= 2)
         pc((a, b)) = pc.getOrElse((a, b), 0L) + c
+      if (pc.isEmpty) null // dry: the trainer raises here
+      else {
       val ((l, r), c) = pc.minBy { case ((a, b), cnt) => (-cnt, a, b) }
       syms = syms.map { case (w, s) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -29,7 +31,8 @@ class BpeSpec extends AnyFunSuite {
         w -> out.toVector
       }
       (rank, l, r, c)
-    }
+      }
+    }.takeWhile(_ != null).toSeq
   }
 
   val texts = Seq(
@@ -66,6 +69,26 @@ class BpeSpec extends AnyFunSuite {
     // conservation: with zero merges, tokens == characters of the words
     val chars = texts.flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty)).map(_.length.toLong).sum
     assert(counts.head == chars)
+  }
+
+  test("fuzz: random tiny corpora train identically to the reference (tie + repeat regimes)") {
+    import org.scalacheck.{Gen, rng}
+    // 3-letter alphabet, short words → dense pair ties and aa-run merges
+    val wordGen = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val corpusGen = Gen.choose(3, 10).flatMap(n => Gen.listOfN(n, Gen.choose(2, 6).flatMap(m => Gen.listOfN(m, wordGen).map(_.mkString(" ")))))
+    (0 until 5).foreach { seed =>
+      val texts = corpusGen.pureApply(Gen.Parameters.default, rng.Seed(seed.toLong))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = try Some(Bpe.trainMerges(docs, 3).orderBy($"rank")
+        .as[(Int, String, String, Long)].collect().toSeq)
+      catch { case e: IllegalArgumentException if e.getMessage.contains("ran out") => None }
+      val ref = referenceTrain(texts, 3) // stops at dry
+      got match {
+        case Some(g) => assert(g == ref, s"seed $seed: $texts")
+        case None => assert(ref.size < 3,
+          s"seed $seed: Spark ran dry but the reference didn't: $texts")
+      }
+    }
   }
 
   test("a corpus that runs out of pairs raises instead of silently truncating") {
