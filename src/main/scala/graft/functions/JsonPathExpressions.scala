@@ -216,12 +216,16 @@ object JsonPathFunctions {
         require(exprs.length == 2,
           "jaccard_sim(a, b) - a/b must be SORTED distinct bigint arrays (shingle_hashes output, or sort_array(...))")
         JaccardSim(exprs.head, exprs(1))
+      }),
+      ("winnow_fps", classOf[WinnowFps].getName, { exprs =>
+        require(exprs.length == 3, "winnow_fps(text, k, w)")
+        WinnowFps(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "w"))
       }))
   }
 
   /** Register the engine's custom scalar functions for SQL use on this
     * session: `json_path_exists(json, 'path')`, `shingle_hashes(text, n)`,
-    * `minhash_sig(hashes, perms)`, `jaccard_sim(a, b)`. For a session the
+    * `minhash_sig(hashes, perms)`, `jaccard_sim(a, b)`, `winnow_fps(text, k, w)`. For a session the
     * caller does not build in code (pure SQL / Thrift), configure
     * `spark.sql.extensions=graft.plans.GraftExtensions` instead — same
     * builders.

@@ -142,7 +142,7 @@ object RouteFilterPruning extends Rule[LogicalPlan] {
 /** Session extensions: the engine's optimizer rules AND its SQL scalar
   * functions, injectable without any code on the session — set
   * `spark.sql.extensions=graft.plans.GraftExtensions` and a pure-SQL /
-  * Thrift deployment gets `json_path_exists`, `shingle_hashes`,
+  * Thrift deployment gets `json_path_exists`, `shingle_hashes`, `winnow_fps`,
   * `minhash_sig`, `jaccard_sim` plus the single-topic filter pruning.
   * The function builders are the SAME list
   * [[graft.functions.JsonPathFunctions.register]] uses, so the two

@@ -74,4 +74,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.forall(_._2.length == 16))
   }
+
+  test("winnow_fps reproduces q_winnow_fps rows in pure SQL") {
+    val s = spark
+    import s.implicits._
+    graft.functions.JsonPathFunctions.register(s)
+    graft.operators.TextDedup.documents(s, sf)
+      .createOrReplaceTempView("documents_raw")
+    val got = s.sql("""
+      SELECT doc_id, pf.pos AS pos, pf.fp AS fp
+      FROM documents_raw
+      LATERAL VIEW explode(winnow_fps(text, 3, 8)) AS pf
+      ORDER BY doc_id, pos""")
+      .as[(Long, Int, Long)].collect().toSeq
+    val want = graft.operators.TextAnalysis.winnowFingerprints(
+        graft.operators.TextDedup.documents(s, sf))
+      .orderBy($"doc_id", $"pos").as[(Long, Int, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
