@@ -1308,6 +1308,16 @@ object M5Queries {
           targetPred = col("lang") === "en", numBuckets = 4096)
         .orderBy(col("doc_id"))),
 
+    // ---- relevance: the DSIR SELECTION step — global top-250‰ by mean
+    // per-feature likelihood ratio, prefix-sum ranked (a single-group
+    // window would funnel the corpus through one task)
+    "q_importance_selected" -> ((s, dir) =>
+      operators.Importance.selectTopFraction(
+          operators.Importance.importanceQuantized(TextDedup.documents(s, dir),
+            targetPred = col("lang") === "en", numBuckets = 4096),
+          perMille = 250)
+        .orderBy(col("doc_id"))),
+
     // ---- relevance: Borda-count quality ensemble — classifier logit,
     // per-bigram LM mass, and novelty ppm rank-summed (the multi-signal
     // gate; incomparable units combine rank-wise, integer-exact); docs
@@ -2899,6 +2909,29 @@ object M5Queries {
          | coalesce(score_q, 0)::BIGINT AS score_q,
          | coalesce(score_q, 0) > 10000 * coalesce(n_feats, 0) AS keep
          |FROM t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    // selection mirror: the DSIR chain + integer mean, global
+    // row_number rank (ties to smaller doc_id), keep iff rnk·1000 ≤ n·250
+    "q_importance_selected" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${frag.toks} w FROM documents),
+         | f AS (SELECT doc_id, lang = 'en' AS tgt, list_concat(w, ${frag.kShingles("w", 2)}) fs FROM t),
+         | e AS (SELECT doc_id, tgt, (${frag.rolling("g")}) * 2654435761 % 4096 AS bucket
+         |   FROM (SELECT doc_id, tgt, unnest(fs) AS g FROM f)),
+         | rawc AS (SELECT bucket, count(*) AS cr FROM e GROUP BY 1),
+         | tgtc AS (SELECT bucket, count(*) AS ct FROM e WHERE tgt GROUP BY 1),
+         | tots AS (SELECT count(*) AS totr, count(*) FILTER (WHERE tgt) AS tott FROM e),
+         | lr AS (SELECT e.doc_id,
+         |   (10000 * (coalesce(ct, 0) + 1) * (totr + 4096)) // ((cr + 1) * (tott + 4096)) AS lr
+         |   FROM e JOIN rawc USING (bucket) LEFT JOIN tgtc USING (bucket) CROSS JOIN tots),
+         | s AS (SELECT doc_id, count(*) AS n_feats, sum(lr) AS score_q FROM lr GROUP BY 1),
+         | sc AS (SELECT t.doc_id,
+         |   (coalesce(score_q, 0) // greatest(coalesce(n_feats, 0), 1))::BIGINT AS mean_q
+         |  FROM t LEFT JOIN s USING (doc_id)),
+         | r AS (SELECT doc_id, mean_q,
+         |   row_number() OVER (ORDER BY mean_q DESC, doc_id) AS rnk,
+         |   count(*) OVER () AS n_docs FROM sc)
+         |SELECT doc_id, mean_q, rnk, (rnk * 1000 <= n_docs * 250) AS selected
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // ensemble mirror: the classifier, LM, and novelty oracle chains
     // composed with prefixed CTEs; per-signal rank = row_number over

@@ -166,6 +166,30 @@ object Importance {
       .withColumn("keep", col("score_q") > lit(scale) * col("n_feats"))
   }
 
+  /** The SELECTION step that closes the DSIR loop: keep the global top
+    * `perMille`‰ of documents by mean per-feature score (`score_q div
+    * n_feats` — document-length-free, integer-exact), ties to the
+    * smaller doc_id. The global rank is a range-partitioned
+    * [[PrefixSum]] — the grouped top-fraction operator
+    * ([[Sampling.topFractionPerGroup]]) would put the WHOLE corpus in
+    * one ranking window here (single group = single task), exactly the
+    * skew its per-group window exists to avoid. Input: the
+    * [[importanceQuantized]] output. Output: (doc_id, mean_q, rnk,
+    * selected) — featureless docs carry mean 0 and rank last among
+    * zeros.
+    */
+  def selectTopFraction(scored: DataFrame, perMille: Int): DataFrame = {
+    require(perMille >= 0 && perMille <= 1000,
+      s"perMille must be in [0, 1000], got $perMille")
+    val m = scored.select(col("doc_id"),
+      expr("score_q div greatest(n_feats, 1)").as("mean_q"))
+    val ranked = PrefixSum.inclusive(m.withColumn("_one", lit(1L)),
+      Seq(col("mean_q").desc, col("doc_id")), col("_one"), "rnk")
+    ranked.crossJoin(broadcast(ranked.agg(count(lit(1)).as("n_docs"))))
+      .select(col("doc_id"), col("mean_q"), col("rnk"),
+        (col("rnk") * 1000 <= col("n_docs") * perMille).as("selected"))
+  }
+
   /** The paper's log-ratio statistic (production path): per document,
     * `log_w = Σ_g [ln((ct+1)/(totT+B)) − ln((cr+1)/(totR+B))]`.
     * Output: (doc_id, n_feats, log_w). Double arithmetic — rank with

@@ -77,6 +77,25 @@ class ImportanceSpec extends AnyFunSuite {
     assert(nf == 5L && sq > 0L) // ct = cr = 0 buckets still smooth-score
   }
 
+  test("selectTopFraction keeps exactly the top fraction by mean ratio, ties to smaller id") {
+    val scored = Importance.importanceQuantized(withMixed, col("is_tgt"), numBuckets = 4096)
+    val got = Importance.selectTopFraction(scored, perMille = 500)
+      .orderBy($"doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    // local recompute from the verified scores
+    val means = scored.as[(Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._3 / math.max(r._2, 1L))).toSeq
+    val order = means.sortBy { case (id, m) => (-m, id) }.map(_._1)
+    val nKeep = order.indices.count(i => (i + 1) * 1000 <= means.size * 500)
+    val want = means.sortBy(_._1).map { case (id, m) =>
+      (id, m, order.indexOf(id) + 1L, order.indexOf(id) < nKeep)
+    }
+    assert(got == want)
+    assert(got.count(_._4) == means.size * 500 / 1000)
+    // perMille 0 selects nothing; 1000 selects everything
+    assert(Importance.selectTopFraction(scored, 0).filter($"selected").count() == 0)
+    assert(Importance.selectTopFraction(scored, 1000).filter(!$"selected").count() == 0)
+  }
+
   test("quantized matches a hand-rolled reference on the mixed corpus") {
     val b = 4096
     def toks(s: String) = s.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq

@@ -265,6 +265,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_length_quantiles", // 1-row quantile-boundary frame
       "q_score_quantiles", // same quantile-boundary frame (classifier ∘ quantiles)
       "q_importance_weights", // 1-row target/raw feature-total frame
+      "q_importance_selected", // same totals + 1-row doc-count frame + PrefixSum offsets
       "q_lm_score", // 1-row vocab totals
       "q_quality_ensemble", // LM 1-row vocab totals + 3 PrefixSum offset triangles (≤nPart rows)
       "q_mixture_schedule", // 1-row per-source totals frame
