@@ -122,6 +122,37 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stateless BPE segmentation on a stream: trained merges apply batch-identically, append mode") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Bpe
+    // train on a reference corpus (batch), segment an unbounded stream
+    // with the frozen merge table — narrow folds, no state
+    val fitCorpus = Seq((100L, "banana bandana banana cabana"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.mergePairs(Bpe.trainMerges(fitCorpus, 4))
+    val rows = Seq(
+      (1L, t(1000), "banana cabana"),
+      (2L, t(2000), "unrelated words"),
+      (3L, t(3000), ""))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = Bpe.segmentStats(input.toDF().toDF("doc_id", "ts", "text"), merges)
+    val q = out.writeStream.format("memory").queryName("scur_bpe")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("scur_bpe")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val batch = Bpe.segmentStats(rows.toDF("doc_id", "ts", "text"), merges)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(streamed == batch)
+    val byId = streamed.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 < "banana cabana".count(_ != ' ')) // merges bind
+    assert(byId(3L) == ((3L, 0L, 0L)))
+  }
+
   test("stateless DSIR importance gate on a stream: frozen fit scores batch-identically, append mode") {
     val s = spark
     import s.implicits._
