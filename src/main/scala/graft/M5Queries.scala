@@ -1414,6 +1414,15 @@ object M5Queries {
     // left-to-right fold — the per-word rewrite is a `list_reduce` over a
     // chr(31)-separator-encoded symbol string (symbols are corpus word
     // characters, never the separator), split back to a list per stage.
+    // Corpus character-class contract (oracle-side only): the [ \t\n\f\r]
+    // tokenizer passes other control characters below 0x20 through into
+    // tokens, so a corpus token containing 0x1F (this separator) or e.g.
+    // 0x0B would desynchronize this mirror — and likewise the suffix-rank
+    // oracle's space-joined key ordering — from the engine, which carries
+    // symbols as real array elements and never flattens them through a
+    // separator. The driver-generated documents fixtures are printable
+    // ASCII + whitespace, inside the contract; a corpus that isn't needs
+    // the engine-side (array-native) path only.
     def bpeFold(m: String): String =
       s"""string_split(list_reduce(syms, (acc, c) -> CASE WHEN (acc = $m.l OR ends_with(acc, chr(31) || $m.l)) AND c = $m.r THEN acc || c ELSE acc || chr(31) || c END), chr(31))"""
     def bpeCtes(numMerges: Int): String = {

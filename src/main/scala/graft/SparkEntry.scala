@@ -139,12 +139,25 @@ object SparkEntry {
         .select(col("event_id"), decode(col("value"), "UTF-8").as("dlq_json"))
         .orderBy(col("event_id"))),
 
-    // X1 — error path passes through the ORIGINAL bytes
-    "q_error_passthrough" -> ((s, dir) =>
-      routed(s, dir)
+    // X1 — error path passes through the ORIGINAL bytes. Exercised over
+    // the PROTO table's real decode failures (event_type='error' rows
+    // carry undecodable bytes — the q_proto_dispatch synthesis), not the
+    // JSON-twin events path: the events fixture contains zero
+    // undecodable props rows at every sf, so the former spelling
+    // compared two empty frames and proved nothing (round-11 verdict
+    // "What's wrong" #2). Here the gate returns one row per error event
+    // and hash-checks that the ERROR route's value column is the
+    // byte-identical original input (TopologyProducer.kt:122 semantics:
+    // error output = input bytes, never a re-encode).
+    "q_error_passthrough" -> ((s, dir) => {
+      val raw = when(col("event_type") === "error", lit("test".getBytes("UTF-8")))
+        .otherwise(encode_msg_send_tx(
+          concat(lit("user"), col("user_id")), lit("dest"), lit("tok"), lit("1")))
+      ProtoTx.routed(events(s, dir).withColumn("raw", raw), protoRules)
         .filter(col("route") === ERROR)
         .select(col("event_id"), decode(col("value"), "UTF-8").as("original"))
-        .orderBy(col("event_id"))),
+        .orderBy(col("event_id"))
+    }),
 
     // L1 — observed metrics: per-destination record counts
     "q_observe_metrics" -> ((s, dir) =>
@@ -281,7 +294,7 @@ object SparkEntry {
            |ORDER BY event_id""".stripMargin,
 
       "q_error_passthrough" ->
-        s"SELECT event_id, props AS original FROM events WHERE NOT $decodableSql ORDER BY event_id",
+        "SELECT event_id, 'test' AS original FROM events WHERE event_type = 'error' ORDER BY event_id",
 
       "q_observe_metrics" ->
         s"""SELECT topic, count(*) AS n FROM ($routesOracle) GROUP BY topic ORDER BY topic""",

@@ -24,6 +24,15 @@ import scala.collection.mutable
   * the shingle sequence, consecutive duplicate selections collapsed
   * (a position can only repeat in adjacent windows — once a rival hash
   * pops it or outlives it, it never returns).
+  *
+  * Case-mapping contract: [[WinnowFps.compute]] lowercases with Java
+  * `Locale.ROOT` while the HOF twin goes through Spark's `lower()` —
+  * equivalent on ASCII, accented Latin, Cyrillic, and Greek incl. the
+  * contextual final sigma (WinnowingSpec pins the non-ASCII set), but
+  * locale-special mappings outside Unicode's default algorithm (the
+  * Turkish dotted/dotless I family) are not guaranteed identical across
+  * the two spellings; a corpus in that regime should pick ONE spelling
+  * for both fingerprint and match sides (they are self-consistent).
   */
 case class WinnowFps(child: Expression, k: Int, w: Int)
     extends UnaryExpression {

@@ -61,6 +61,20 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(ch))))
 
+  /** Corpus-weighted adjacent-pair counts of the current symbol table —
+    * ONE map-side-combinable aggregation, the per-round corpus-sized
+    * work of both trainers.
+    */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("cnt"),
+        explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("c"))
+
   /** Train `numMerges` merges over the corpus. Output: one row per
     * merge, (rank, left, right, pair_count), rank 0-based in training
     * order. Requires the corpus to support `numMerges` non-empty pair
@@ -73,28 +87,123 @@ object Bpe {
     var words = wordTable(docs).localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (rank <- 0 until numMerges) {
-      val top = words
-        .select(col("cnt"),
-          explode(zip_with(
-            slice(col("syms"), lit(1), size(col("syms")) - 1),
-            slice(col("syms"), lit(2), size(col("syms")) - 1),
-            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("c"))
+      val top = pairCounts(words)
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(1).collect()
       require(top.nonEmpty,
         s"corpus ran out of symbol pairs after $rank merges (asked for $numMerges)")
       val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       merges += ((rank, l, r, c))
-      val next = words.withColumn("syms", mergeFold(col("syms"), l, r))
+      // prior rounds' checkpoint blocks free via GC/ContextCleaner once
+      // unreferenced (localCheckpoint blocks are not CacheManager
+      // entries, so an unpersist() here would be a no-op — the
+      // TextDedup.distributedClusters house pattern)
+      words = words.withColumn("syms", mergeFold(col("syms"), l, r))
         .localCheckpoint()
-      words.unpersist()
-      words = next
     }
-    words.unpersist()
     spark.createDataFrame(merges.result())
       .toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** One greedy left-to-right pass applying a BATCH of symbol-disjoint
+    * merges simultaneously: the [[mergeFold]] scan with a K-way fuse
+    * branch. Well-defined exactly because the batch is symbol-disjoint
+    * (no selected pair's `l`/`r`/fused string appears in another), so no
+    * application order exists to disagree about — fusing one pair can
+    * neither create nor destroy an adjacency of another.
+    */
+  private def mergeFoldBatch(syms: org.apache.spark.sql.Column,
+      pairs: Seq[(String, String)]) =
+    aggregate(syms, array().cast("array<string>"), (acc, ch) => {
+      val last = element_at(acc, -1)
+      val fused = pairs.foldRight(lit(null).cast("string")) { case ((l, r), rest) =>
+        when(last === lit(l) && ch === lit(r), lit(l + r)).otherwise(rest)
+      }
+      when(size(acc) > 0 && fused.isNotNull,
+        concat(slice(acc, lit(1), size(acc) - 1), array(fused)))
+        .otherwise(concat(acc, array(ch)))
+    })
+
+  /** Vocabulary-scale training: up to `batchSize` merges per Spark round
+    * instead of one — the round-count goes from O(vocab) sequential jobs
+    * (unusable at a real 32k–64k vocabulary; the round-11 verdict's
+    * scale caveat on [[trainMerges]]) to O(vocab / batchSize).
+    *
+    * Batch selection is the LOCAL-MAXIMUM (dominance) rule, chosen
+    * deliberately over greedy-scan selection because it is order-free
+    * and therefore exactly expressible in set-based SQL — the oracle
+    * twin needs no recursion: rank the round's pair counts by the
+    * [[trainMerges]] total order (count DESC, (l, r) ASC), truncate to
+    * the top `candidateCap`, and select a pair iff NO higher-ranked
+    * candidate CONFLICTS with it (conflict = the symbol sets {l, r,
+    * l+r} intersect — the fused string participates so a selected merge
+    * can never equal, feed, or consume another's output), capped at
+    * `batchSize` in rank order. Consequences:
+    *  - the round's top-1 pair is always selected (nothing outranks
+    *    it), so `batchSize = 1` degenerates EXACTLY to [[trainMerges]]
+    *    (BpeSpec pins this on the shared corpus);
+    *  - selected pairs are pairwise symbol-disjoint, so their counts
+    *    are mutually invariant and the one-pass [[mergeFoldBatch]]
+    *    application is order-free;
+    *  - on corpora where merges never interact (e.g. two-symbol words),
+    *    batched training ≡ sequential training outright (BpeSpec);
+    *    in general the batch trades exact Sennrich sequence fidelity
+    *    for O(K) fewer rounds — the standard parallel-BPE compromise,
+    *    and every recorded pair_count is still the true count at its
+    *    round's start.
+    *
+    * Driver state per round: the collected top-`candidateCap` count rows
+    * (bounded by config, the [[trainMerges]] 1-row argmax generalized)
+    * and the O(cap²) dominance scan — microseconds next to the Spark
+    * round. The corpus-sized work stays ONE pair-count aggregation per
+    * round.
+    *
+    * Output: (rank, round, left, right, pair_count) — rank 0-based in
+    * global selection order, `round` the Spark round that selected it.
+    * A round always selects ≥ 1 pair, so `rounds` rounds train between
+    * `rounds` and `rounds·batchSize` merges; a corpus that runs dry
+    * raises, like [[trainMerges]].
+    */
+  def trainMergesBatched(docs: DataFrame, rounds: Int, batchSize: Int,
+      candidateCap: Int = 0): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val cap = if (candidateCap > 0) candidateCap else 4 * batchSize
+    require(cap >= batchSize, s"candidateCap $cap < batchSize $batchSize")
+    val spark = docs.sparkSession
+    var words = wordTable(docs).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
+    var rank = 0
+    for (round <- 0 until rounds) {
+      val cands = pairCounts(words)
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(cap).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      require(cands.nonEmpty,
+        s"corpus ran out of symbol pairs after $rank merges (round $round of $rounds)")
+      val selected = Seq.newBuilder[(String, String)]
+      var nSel = 0
+      for (i <- cands.indices if nSel < batchSize) {
+        val (l, r, c) = cands(i)
+        val syms = Set(l, r, l + r)
+        val dominated = (0 until i).exists { j =>
+          val (lj, rj, _) = cands(j)
+          syms(lj) || syms(rj) || syms(lj + rj)
+        }
+        if (!dominated) {
+          merges += ((rank, round, l, r, c))
+          selected += ((l, r))
+          rank += 1
+          nSel += 1
+        }
+      }
+      // prior rounds' checkpoint blocks free via GC/ContextCleaner once
+      // unreferenced (see trainMerges)
+      words = words.withColumn("syms", mergeFoldBatch(col("syms"), selected.result()))
+        .localCheckpoint()
+    }
+    spark.createDataFrame(merges.result())
+      .toDF("rank", "round", "left", "right", "pair_count")
   }
 
   /** Segment a corpus with a TRAINED merge table: apply the merges in

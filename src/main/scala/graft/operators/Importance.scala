@@ -89,8 +89,22 @@ object Importance {
       .join(broadcast(tgtc), Seq("bucket"), "left")
       .crossJoin(broadcast(tots))
       .select(col("doc_id"),
+        // the trailing coalesce(assert_true(..), 0) adds 0 on every
+        // in-envelope row and RAISES when the documented int64 bound
+        // (scale·(ct+1)·(totR+B) ≤ Long.Max) would wrap — non-ANSI
+        // multiply overflow is silent, and a silently corrupted score is
+        // the one failure mode an exact-arithmetic twin must not have.
+        // The bound is checked in divided form so the check itself
+        // cannot overflow; the denominator product is dominated by the
+        // numerator bound (cr+1 ≤ totR+B, tott+B ≤ totR+B) so guarding
+        // the numerator suffices.
         expr(s"($scale * (coalesce(ct, 0) + 1) * (totr + $numBuckets))" +
-          s" div ((cr + 1) * (tott + $numBuckets))").as("lr"))
+          s" div ((cr + 1) * (tott + $numBuckets))" +
+          s" + coalesce(assert_true(coalesce(ct, 0) + 1 <=" +
+          s" (9223372036854775807 div $scale) div (totr + $numBuckets)," +
+          s" 'importanceQuantized exceeded the int64 exactness envelope" +
+          s" (hot bucket too large): raise numBuckets or use" +
+          s" importanceLogWeights'), 0)").as("lr"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("score_q"))
     docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
@@ -151,6 +165,14 @@ object Importance {
       rawCounts: Map[Long, Long], totT: Long, totR: Long,
       numBuckets: Int = 4096, scale: Long = 10000L): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    // frozen-model twin of the quantized path's in-plan envelope guard:
+    // the counts are driver values here, so the int64 bound is checkable
+    // once, up front, in divided (overflow-free) form
+    val maxCt = if (targetCounts.isEmpty) 0L else targetCounts.values.max
+    require(maxCt + 1 <= (Long.MaxValue / scale) / (totR + numBuckets),
+      s"importanceScoreNarrow exceeds the int64 exactness envelope " +
+        s"(hot bucket ${maxCt}, totR $totR): raise numBuckets or score with " +
+        s"importanceLogWeights")
     val ctm = typedlit(targetCounts)
     val crm = typedlit(rawCounts)
     val w = TextFunctions.tokens(col("text"))

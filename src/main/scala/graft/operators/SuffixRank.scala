@@ -68,29 +68,59 @@ object SuffixRank {
       val pairRank = PrefixSum.inclusive(
         paired.select(col("r"), col("r2")).distinct().withColumn("_one", lit(1L)),
         Seq(col("r"), col("r2")), col("_one"), "rnew").drop("_one")
-      val next = paired.join(pairRank, Seq("r", "r2"))
+      // prior rounds' checkpoint blocks free via GC/ContextCleaner once
+      // unreferenced (not CacheManager entries — unpersist() would no-op)
+      cur = paired.join(pairRank, Seq("r", "r2"))
         .select(col("doc_id"), col("pos"), col("rnew").as("r")).localCheckpoint()
-      cur.unpersist()
-      cur = next
       k *= 2
     }
     cur.select(col("doc_id"), col("pos"), col("r").as("srank"))
   }
 
-  /** The use of the suffix order: ranks held by more than one position
-    * are exactly the `prefixTokens`-token runs duplicated somewhere in
-    * the corpus (within or across documents) — Lee et al.'s
+  /** The use of the suffix order: a rank held by more than one position
+    * marks a duplicated truncated suffix — Lee et al.'s
     * repeated-substring detection, read off the rank table with one
     * map-side-combinable aggregation. Output: (srank, n_occ, first_doc,
     * first_pos), the canonical occurrence being the (doc_id, pos)-least
     * (the keep-first convention of the substring-removal family).
+    *
+    * Truncated-tail semantics (deliberate, two regimes):
+    *  - `fullWindowsOnly = false` (default): ranks are over TRUNCATED
+    *    suffixes, so positions with fewer than `prefixTokens` tokens
+    *    remaining can share a rank on a shorter-than-`prefixTokens`
+    *    common tail (two documents ending in the same 7-token tail
+    *    share a rank at horizon 8 — SuffixRankSpec's doc 5). Shared
+    *    ranks here mean "identical to the end of the horizon OR to the
+    *    end of the document", NOT "exactly prefixTokens tokens
+    *    duplicated" — fine for corpus diagnostics, over-eager as a
+    *    removal key.
+    *  - `fullWindowsOnly = true`: positions with fewer than
+    *    `prefixTokens` remaining tokens are dropped BEFORE the
+    *    group-by, so every surviving shared rank is a genuine
+    *    full-length duplicated window — the contract the span-removal
+    *    family ([[TextDedup]]; `q_substring_removal_sa`) requires.
+    *    Doc lengths are recovered from the rank table itself (`max(pos)`
+    *    per doc — one extra map-side-combinable aggregation, rejoined on
+    *    doc_id), then `pos ≤ len − prefixTokens + 1` keeps exactly the
+    *    full-window positions.
     */
-  def duplicateRuns(docs: DataFrame, prefixTokens: Int = 8): DataFrame =
-    suffixRanks(docs, prefixTokens)
-      .groupBy(col("srank"))
+  def duplicateRuns(docs: DataFrame, prefixTokens: Int = 8,
+      fullWindowsOnly: Boolean = false): DataFrame = {
+    val ranks = suffixRanks(docs, prefixTokens)
+    val base =
+      if (!fullWindowsOnly) ranks
+      else {
+        val r = SharedBranch.sharedBranch(ranks)
+        val lens = r.groupBy(col("doc_id")).agg(max(col("pos")).as("n_toks"))
+        r.join(lens, Seq("doc_id"))
+          .filter(col("pos") <= col("n_toks") - (prefixTokens - 1))
+          .drop("n_toks")
+      }
+    base.groupBy(col("srank"))
       .agg(count(lit(1)).as("n_occ"),
         min(struct(col("doc_id"), col("pos"))).as("first"))
       .filter(col("n_occ") > 1)
       .select(col("srank"), col("n_occ"),
         col("first.doc_id").as("first_doc"), col("first.pos").as("first_pos"))
+  }
 }

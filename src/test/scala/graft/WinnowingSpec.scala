@@ -47,6 +47,26 @@ class WinnowingSpec extends AnyFunSuite {
     assert(got.count(_._1 == 3L) == 1) // one partial window → one fingerprint
   }
 
+  test("one-pass expression ≡ HOF spelling on non-ASCII text (Unicode case mapping)") {
+    // the fused expression lowercases with Java Locale.ROOT while the HOF
+    // twin goes through Spark's lower(); this pins their agreement beyond
+    // ASCII — accented Latin, German ß/SS, Cyrillic, and Greek ΣΟΦΟΣ
+    // (whose trailing sigma exercises the contextual final-sigma rule)
+    val docs = Seq(
+      (1L, "Éclair ÉCLAIR école Über ÜBER straße STRASSE"),
+      (2L, "Привет МИР привет мир Привет МИР привет мир"),
+      (3L, "ΣΟΦΟΣ σοφος ΣΟΦΟΣ σοφος ΣΟΦΟΣ")
+    ).toDF("doc_id", "text")
+    for ((k, w) <- Seq((2, 4), (3, 8))) {
+      val fused = TextAnalysis.winnowFingerprints(docs, k, w)
+        .as[(Long, Int, Long)].collect().toSet
+      val hof = TextAnalysis.winnowFingerprintsHof(docs, k, w)
+        .as[(Long, Int, Long)].collect().toSet
+      assert(fused == hof, s"k=$k w=$w")
+      assert(fused.nonEmpty, s"k=$k w=$w")
+    }
+  }
+
   test("one-pass expression ≡ HOF spelling on the real corpus (both parameterizations)") {
     val docs = graft.operators.TextDedup.documents(spark, "/root/testdata/sf0.001")
     for ((k, w) <- Seq((3, 8), (2, 4))) {
