@@ -42,12 +42,23 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   /** Corpus-weighted word table: (word, cnt, syms) with syms the
-    * single-character symbol sequence.
+    * single-character symbol sequence. `unitTokens = 1` is classic
+    * word-internal BPE (Sennrich); `unitTokens = n > 1` makes the unit a
+    * space-joined word n-gram whose interior space is an ordinary
+    * symbol, so merges can cross word boundaries inside the unit — the
+    * SentencePiece-style whitespace-inclusive regime, and the one that
+    * gives a small-vocabulary corpus enough pair diversity to train a
+    * deep merge table (the driver fixtures hold only 31 distinct words
+    * ≈ 89 trainable word-internal merges before total fusion; the
+    * 2-gram unit space is ~916 units / ~9k symbols).
     */
-  private def wordTable(docs: DataFrame): DataFrame =
-    docs.select(explode(TextFunctions.tokens(col("text"))).as("word"))
+  private def wordTable(docs: DataFrame, unitTokens: Int = 1): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val units = if (unitTokens == 1) toks else TextFunctions.shingles(toks, unitTokens)
+    docs.select(explode(units).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("word"), col("cnt"), split(col("word"), "").as("syms"))
+  }
 
   /** One greedy left-to-right merge of (l, r) in a symbol array: fold
     * each symbol onto the accumulator; when the accumulator's last
@@ -129,19 +140,20 @@ object Bpe {
     * (unusable at a real 32k–64k vocabulary; the round-11 verdict's
     * scale caveat on [[trainMerges]]) to O(vocab / batchSize).
     *
-    * Batch selection is the LOCAL-MAXIMUM (dominance) rule, chosen
-    * deliberately over greedy-scan selection because it is order-free
-    * and therefore exactly expressible in set-based SQL — the oracle
-    * twin needs no recursion: rank the round's pair counts by the
-    * [[trainMerges]] total order (count DESC, (l, r) ASC), truncate to
-    * the top `candidateCap`, and select a pair iff NO higher-ranked
-    * candidate CONFLICTS with it (conflict = the symbol sets {l, r,
-    * l+r} intersect — the fused string participates so a selected merge
-    * can never equal, feed, or consume another's output), capped at
-    * `batchSize` in rank order. Consequences:
-    *  - the round's top-1 pair is always selected (nothing outranks
-    *    it), so `batchSize = 1` degenerates EXACTLY to [[trainMerges]]
-    *    (BpeSpec pins this on the shared corpus);
+    * Batch selection is GREEDY FIRST-FIT over the round's ranked pair
+    * counts: rank by the [[trainMerges]] total order (count DESC,
+    * (l, r) ASC), truncate to the top `candidateCap`, then scan in rank
+    * order keeping a used-symbol set — a candidate is selected iff none
+    * of {l, r, l+r} was used by an ALREADY-SELECTED pair (the fused
+    * string participates so a selected merge can never equal, feed, or
+    * consume another's output), stopping at `batchSize`. The scan is a
+    * linear recursion, which the oracle twin mirrors exactly as a
+    * one-row-per-candidate RECURSIVE CTE carrying the used list (no
+    * set-based spelling exists: greedy acceptance depends on prior
+    * ACCEPTANCES, not mere rank). Consequences:
+    *  - the round's top-1 pair is always selected (the used set starts
+    *    empty), so `batchSize = 1` degenerates EXACTLY to
+    *    [[trainMerges]] (BpeSpec pins this on the shared corpus);
     *  - selected pairs are pairwise symbol-disjoint, so their counts
     *    are mutually invariant and the one-pass [[mergeFoldBatch]]
     *    application is order-free;
@@ -154,9 +166,8 @@ object Bpe {
     *
     * Driver state per round: the collected top-`candidateCap` count rows
     * (bounded by config, the [[trainMerges]] 1-row argmax generalized)
-    * and the O(cap²) dominance scan — microseconds next to the Spark
-    * round. The corpus-sized work stays ONE pair-count aggregation per
-    * round.
+    * and the O(cap) greedy scan — microseconds next to the Spark round.
+    * The corpus-sized work stays ONE pair-count aggregation per round.
     *
     * Output: (rank, round, left, right, pair_count) — rank 0-based in
     * global selection order, `round` the Spark round that selected it.
@@ -165,13 +176,13 @@ object Bpe {
     * raises, like [[trainMerges]].
     */
   def trainMergesBatched(docs: DataFrame, rounds: Int, batchSize: Int,
-      candidateCap: Int = 0): DataFrame = {
+      candidateCap: Int = 0, unitTokens: Int = 1): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val cap = if (candidateCap > 0) candidateCap else 4 * batchSize
     require(cap >= batchSize, s"candidateCap $cap < batchSize $batchSize")
     val spark = docs.sparkSession
-    var words = wordTable(docs).localCheckpoint()
+    var words = wordTable(docs, unitTokens).localCheckpoint()
     val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
     var rank = 0
     for (round <- 0 until rounds) {
@@ -182,17 +193,14 @@ object Bpe {
       require(cands.nonEmpty,
         s"corpus ran out of symbol pairs after $rank merges (round $round of $rounds)")
       val selected = Seq.newBuilder[(String, String)]
+      val used = scala.collection.mutable.Set.empty[String]
       var nSel = 0
       for (i <- cands.indices if nSel < batchSize) {
         val (l, r, c) = cands(i)
-        val syms = Set(l, r, l + r)
-        val dominated = (0 until i).exists { j =>
-          val (lj, rj, _) = cands(j)
-          syms(lj) || syms(rj) || syms(lj + rj)
-        }
-        if (!dominated) {
+        if (!used(l) && !used(r) && !used(l + r)) {
           merges += ((rank, round, l, r, c))
           selected += ((l, r))
+          used ++= Seq(l, r, l + r)
           rank += 1
           nSel += 1
         }

@@ -48,6 +48,60 @@ class BpeSpec extends AnyFunSuite {
     assert(got == referenceTrain(texts, 6))
   }
 
+  test("batched trainer with batchSize=1 degenerates exactly to the sequential trainer") {
+    // greedy first-fit with K=1 always selects the round's top-1 pair
+    // (the used set starts empty), so every round IS a sequential step
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val seq = Bpe.trainMerges(docs, 6).orderBy($"rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    val bat = Bpe.trainMergesBatched(docs, rounds = 6, batchSize = 1)
+      .orderBy($"rank")
+      .select($"rank", $"left", $"right", $"pair_count")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(bat == seq)
+  }
+
+  test("batched ≡ sequential on a conflict-free corpus (disjoint two-symbol words)") {
+    // every word is two distinct symbols and no symbol repeats across
+    // words: merges neither create pairs (a fused word has one symbol)
+    // nor touch each other's counts, so ONE batched round must equal
+    // four sequential rounds, in the same rank order
+    val cfTexts = Seq(Seq.fill(10)("ab"), Seq.fill(9)("cd"),
+      Seq.fill(8)("ef"), Seq.fill(7)("gh")).map(_.mkString(" "))
+    val docs = cfTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val seq = Bpe.trainMerges(docs, 4).orderBy($"rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    val bat = Bpe.trainMergesBatched(docs, rounds = 1, batchSize = 4)
+      .orderBy($"rank")
+      .select($"rank", $"left", $"right", $"pair_count")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(bat == seq)
+    assert(bat.map(_._4) == Seq(10L, 9L, 8L, 7L)) // rank order = count order
+  }
+
+  test("batched rounds select pairwise symbol-disjoint pairs (incl. fused strings)") {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = Bpe.trainMergesBatched(docs, rounds = 3, batchSize = 8)
+      .select($"round", $"left", $"right")
+      .as[(Int, String, String)].collect().toSeq
+    rows.groupBy(_._1).foreach { case (round, sel) =>
+      val symSets = sel.map { case (_, l, r) => Set(l, r, l + r) }
+      for (i <- symSets.indices; j <- 0 until i)
+        assert(symSets(i).intersect(symSets(j)).isEmpty,
+          s"round $round: ${sel(i)} shares symbols with ${sel(j)}")
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("batched training is partitioning-independent") {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val a = Bpe.trainMergesBatched(docs.repartition(7), rounds = 2, batchSize = 4)
+      .orderBy($"rank").as[(Int, Int, String, String, Long)].collect().toSeq
+    val b = Bpe.trainMergesBatched(docs.coalesce(1), rounds = 2, batchSize = 4)
+      .orderBy($"rank").as[(Int, Int, String, String, Long)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("training is partitioning-independent") {
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val a = Bpe.trainMerges(docs.repartition(7), 4).orderBy($"rank")
