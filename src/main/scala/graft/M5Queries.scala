@@ -1088,6 +1088,15 @@ object M5Queries {
         hashOnlyShuffle = true)
         .orderBy(col("doc_id"))),
 
+    // ---- the suffix-array spelling of the same removal: duplicated
+    // windows read off the corpus-global suffix ORDER (SuffixRank at
+    // doubling horizon k) — wide exchanges carry only integers, rank
+    // equality is collision-free (output-identical by contract — one
+    // oracle gates all three spellings)
+    "q_substring_removal_sa" -> ((s, dir) =>
+      TextDedup.substringDedupRemoveSa(TextDedup.documents(s, dir), k = 8)
+        .orderBy(col("doc_id"))),
+
     // ---- curation: PII redaction. The corpus is synthetic word salad with
     // no natural PII, so the query INJECTS deterministic doc_id-derived
     // contact lines first (documented oracle-twin input construction), then
@@ -2517,8 +2526,10 @@ object M5Queries {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_substring_removal" -> substringRemovalOracle,
-    // the hash-only spelling is output-identical by contract — one oracle
+    // the hash-only and suffix-array spellings are output-identical by
+    // contract — one oracle gates all three
     "q_substring_removal_hashed" -> substringRemovalOracle,
+    "q_substring_removal_sa" -> substringRemovalOracle,
 
     "q_pipeline_e2e" -> pipelineE2eOracle,
 

@@ -237,6 +237,18 @@ object TextDedup {
           .select(col("doc_id"), col("pos"))
         clean.unionByName(coll)
       }
+    removeMarkedWindows(base, dupStarts, k)
+  }
+
+  /** Shared tail of the span-removal family: expand the non-first
+    * duplicated window starts (0-based token positions) to their k
+    * covered positions, merge overlaps through position marking, and
+    * reassemble each document from its surviving tokens. `base` is
+    * (doc_id, w: array<string>); output is the family contract
+    * (doc_id, n_tokens, n_removed, clean_text).
+    */
+  private def removeMarkedWindows(base: DataFrame, dupStarts: DataFrame,
+      k: Int): DataFrame = {
     val rml = dupStarts
       // k covered token positions per non-first occurrence; distinct
       // collapses the overlap fan-out before the per-doc array builds
@@ -252,6 +264,56 @@ object TextDedup {
         array_join(filter(col("w"),
           (_, i) => col("rl").isNull || !array_contains(col("rl"), i)), " ")
           .as("clean_text"))
+  }
+
+  /** Suffix-array spelling of [[substringDedupRemove]]: duplicated
+    * k-token windows are read off the corpus-global truncated suffix
+    * ORDER ([[SuffixRank.suffixRanks]] at doubling horizon k) instead of
+    * a window-content hash join — positions sharing a rank at a
+    * full-window position hold character-identical k-token windows by
+    * construction, so the wide exchanges carry nothing but integers:
+    * not window strings (the exact spelling's cost), not even hashes
+    * (the hashOnlyShuffle spelling's 64-bit keys + collision-diversion
+    * machinery) — rank equality is collision-FREE. The price is the
+    * O(log k) prefix-doubling passes that build the rank table; the
+    * table is then reusable (dup-run diagnostics, longer horizons) where
+    * the hash join is single-purpose.
+    *
+    * Same keep-first rule (global min (doc_id, pos) per duplicated
+    * window keeps its tokens), same overlap merging through position
+    * marking — so a repeated passage LONGER than k (its L − k + 1
+    * overlapping duplicated windows) excises as one contiguous span,
+    * Lee et al.'s variable-length cut (M5OperatorsSpec pins a 12-token
+    * repeat at k = 8 excising whole) — and therefore output-identical
+    * to the windowed spellings at the same k on every input: one oracle
+    * gates all three (`q_substring_removal{,_hashed,_sa}`).
+    *
+    * Truncated-tail discipline: positions with fewer than k tokens
+    * remaining rank by their shorter tail and are EXCLUDED before the
+    * duplication group-by (the [[SuffixRank.duplicateRuns]]
+    * `fullWindowsOnly` contract) — without the filter, two documents
+    * ending in the same short tail would over-flag their endings.
+    */
+  def substringDedupRemoveSa(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val ranks = SuffixRank.suffixRanks(docs, k)
+    val lens = ranks.groupBy(col("doc_id")).agg(max(col("pos")).as("n_toks"))
+    // the full-window frame feeds the first-occurrence aggregation and
+    // the verdict join — persist it once
+    val full = SharedBranch.sharedBranch(
+      ranks.join(lens, Seq("doc_id"))
+        .filter(col("pos") <= col("n_toks") - (k - 1))
+        .select(col("doc_id"), col("pos"), col("srank")))
+    val firsts = full.groupBy(col("srank"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
+        count(lit(1)).as("cnt"))
+    val dupStarts = full.join(firsts.filter(col("cnt") > 1), Seq("srank"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("f"))
+      // suffixRanks positions are 1-based; the removal tail indexes the
+      // token array 0-based
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    removeMarkedWindows(base, dupStarts, k)
   }
 
   /** Containment near-dups (asymmetric Jaccard): containment(A→B) =

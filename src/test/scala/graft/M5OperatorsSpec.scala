@@ -841,6 +841,39 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 0), "corpus should contain at least one duplicated window")
   }
 
+  test("substringDedupRemoveSa ≡ windowed remover on the corpus; longer-than-k runs excise as one span") {
+    // output-identity contract across spellings (shared oracle)
+    val k = 8
+    val sa = TextDedup.substringDedupRemoveSa(docs, k = k)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    val win = TextDedup.substringDedupRemove(docs, k = k)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(sa == win)
+    assert(sa.exists(_._3 > 0))
+
+    // variable-length semantics: a 12-token passage repeated at k = 8
+    // carries 5 overlapping duplicated windows whose marks merge into
+    // ONE contiguous 12-token cut — not two disjoint 8-token cuts
+    val run = (1 to 12).map("r" + _).mkString(" ")
+    val tiny = Seq(
+      (1L, s"$run a1 a2"),
+      (2L, s"b1 b2 $run b3"),
+      // truncated-tail guard: docs 3 and 4 end in the same 6-token tail
+      // (< k) — shared SHORT tails must not be flagged for removal
+      (3L, "c1 c2 c3 t1 t2 t3 t4 t5 t6"),
+      (4L, "d1 d2 d3 d4 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    val got = TextDedup.substringDedupRemoveSa(tiny, k = k)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 14L, 0L, s"$run a1 a2"),
+      (2L, 15L, 12L, "b1 b2 b3"),
+      (3L, 9L, 0L, "c1 c2 c3 t1 t2 t3 t4 t5 t6"),
+      (4L, 10L, 0L, "d1 d2 d3 d4 t1 t2 t3 t4 t5 t6")))
+    val winTiny = TextDedup.substringDedupRemove(tiny, k = k)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == winTiny)
+  }
+
   test("substringDedupRemove conservation: clean token count = n_tokens − n_removed, every doc present") {
     val out = TextDedup.substringDedupRemove(docs, k = 8)
       .select($"doc_id", $"n_tokens", $"n_removed",
