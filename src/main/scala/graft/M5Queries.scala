@@ -1338,6 +1338,23 @@ object M5Queries {
           perMille = 250)
         .orderBy(col("doc_id"))),
 
+    // ---- relevance: the STREAMING face of the DSIR selection — the
+    // top-fraction cutoff computed ONCE on the fit corpus (one bounded
+    // collect off the prefix-sum ranking), then applied as a stateless
+    // per-row threshold filter (no rank, no state — append-mode-safe);
+    // on the fit corpus itself: batch selection ∪ threshold ties
+    "q_top_fraction_frozen" -> ((s, dir) => {
+      // the scored frame feeds the threshold fit (an action) and the
+      // output projection — persist it once
+      val scored = graft.operators.SharedBranch.sharedBranch(
+        operators.Importance.importanceQuantized(TextDedup.documents(s, dir),
+          targetPred = col("lang") === "en", numBuckets = 4096))
+      val thr = operators.Importance.selectionThreshold(scored, perMille = 250)
+      operators.Importance.selectByFrozenThreshold(scored, thr)
+        .select(col("doc_id"), col("mean_q"), col("selected"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- relevance: Borda-count quality ensemble — classifier logit,
     // per-bigram LM mass, and novelty ppm rank-summed (the multi-signal
     // gate; incomparable units combine rank-wise, integer-exact); docs
@@ -3019,6 +3036,32 @@ object M5Queries {
          |   count(*) OVER () AS n_docs FROM sc)
          |SELECT doc_id, mean_q, rnk, (rnk * 1000 <= n_docs * 250) AS selected
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // frozen-threshold mirror: the DSIR chain + integer mean; the
+    // cutoff = min selected mean_q under the batch rule, applied as a
+    // per-row >= (threshold ties admit — the documented streaming
+    // tolerance); empty selection (T = 0) coalesces to FALSE
+    "q_top_fraction_frozen" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${frag.toks} w FROM documents),
+         | f AS (SELECT doc_id, lang = 'en' AS tgt, list_concat(w, ${frag.kShingles("w", 2)}) fs FROM t),
+         | e AS (SELECT doc_id, tgt, (${frag.rolling("g")}) * 2654435761 % 4096 AS bucket
+         |   FROM (SELECT doc_id, tgt, unnest(fs) AS g FROM f)),
+         | rawc AS (SELECT bucket, count(*) AS cr FROM e GROUP BY 1),
+         | tgtc AS (SELECT bucket, count(*) AS ct FROM e WHERE tgt GROUP BY 1),
+         | tots AS (SELECT count(*) AS totr, count(*) FILTER (WHERE tgt) AS tott FROM e),
+         | lr AS (SELECT e.doc_id,
+         |   (10000 * (coalesce(ct, 0) + 1) * (totr + 4096)) // ((cr + 1) * (tott + 4096)) AS lr
+         |   FROM e JOIN rawc USING (bucket) LEFT JOIN tgtc USING (bucket) CROSS JOIN tots),
+         | s AS (SELECT doc_id, count(*) AS n_feats, sum(lr) AS score_q FROM lr GROUP BY 1),
+         | sc AS (SELECT t.doc_id,
+         |   (coalesce(score_q, 0) // greatest(coalesce(n_feats, 0), 1))::BIGINT AS mean_q
+         |  FROM t LEFT JOIN s USING (doc_id)),
+         | r AS (SELECT doc_id, mean_q,
+         |   row_number() OVER (ORDER BY mean_q DESC, doc_id) AS rnk,
+         |   count(*) OVER () AS n_docs FROM sc),
+         | thr AS (SELECT min(mean_q) AS cut FROM r WHERE rnk * 1000 <= n_docs * 250)
+         |SELECT doc_id, mean_q, coalesce(mean_q >= (SELECT cut FROM thr), FALSE) AS selected
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     // ensemble mirror: the classifier, LM, and novelty oracle chains
     // composed with prefixed CTEs; per-signal rank = row_number over

@@ -212,6 +212,47 @@ object Importance {
         (col("rnk") * 1000 <= col("n_docs") * perMille).as("selected"))
   }
 
+  /** The score cutoff that [[selectTopFraction]] realizes on a FIT
+    * corpus: the mean per-feature score of the rank-T document (T =
+    * ⌊n·perMille/1000⌋ under the batch total order mean_q DESC, doc_id
+    * ASC) — i.e. the smallest mean_q the batch selection admits. None
+    * when the fraction admits nothing (T = 0, e.g. perMille 0 or a
+    * tiny corpus). ONE bounded collect (a 1-row min over the selected
+    * slice of the prefix-sum ranking); the threshold then rides a
+    * stream as a frozen literal — [[selectByFrozenThreshold]].
+    */
+  def selectionThreshold(scored: DataFrame, perMille: Int): Option[Long] = {
+    val row = selectTopFraction(scored, perMille)
+      .filter(col("selected")).agg(min(col("mean_q"))).collect()(0)
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
+  }
+
+  /** The STREAMING face of the DSIR selection step — the frozen-fit
+    * discipline ([[fitCounts]]/[[importanceScoreNarrow]]) extended to
+    * SELECTION: [[selectTopFraction]] is batch-global by necessity (a
+    * rank against the whole corpus), so an unbounded stream instead
+    * applies a THRESHOLD computed once on the fit corpus
+    * ([[selectionThreshold]]) as a stateless per-row filter — no rank,
+    * no aggregation, no state; runs append-mode and composes with
+    * [[importanceScoreNarrow]]'s pipeline (which already emits the
+    * score_q/n_feats this consumes).
+    *
+    * Tolerance contract (ImportanceSpec pins it): on the corpus the
+    * threshold was fit from, the frozen selection is a SUPERSET of the
+    * batch top-fraction, and every extra document sits exactly AT the
+    * threshold (`mean_q == t`) — the batch rule cuts threshold ties by
+    * doc_id, which a stateless per-row filter cannot see; documents
+    * strictly above or below the cutoff classify identically. None ⇒
+    * nothing selected (the T = 0 batch behavior).
+    *
+    * APPENDS (mean_q, selected) to the input row.
+    */
+  def selectByFrozenThreshold(scored: DataFrame, threshold: Option[Long]): DataFrame =
+    scored
+      .withColumn("mean_q", expr("score_q div greatest(n_feats, 1)"))
+      .withColumn("selected",
+        threshold.map(t => col("mean_q") >= lit(t)).getOrElse(lit(false)))
+
   /** The paper's log-ratio statistic (production path): per document,
     * `log_w = Σ_g [ln((ct+1)/(totT+B)) − ln((cr+1)/(totR+B))]`.
     * Output: (doc_id, n_feats, log_w). Double arithmetic — rank with

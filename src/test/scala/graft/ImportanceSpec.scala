@@ -96,6 +96,51 @@ class ImportanceSpec extends AnyFunSuite {
     assert(Importance.selectTopFraction(scored, 1000).filter(!$"selected").count() == 0)
   }
 
+  test("frozen-threshold selection = batch top-fraction ∪ threshold ties on the fit corpus; None selects nothing") {
+    val scored = Importance.importanceQuantized(withMixed, col("is_tgt"), numBuckets = 4096)
+    for (perMille <- Seq(250, 500, 800)) {
+      val thr = Importance.selectionThreshold(scored, perMille)
+      assert(thr.nonEmpty, s"perMille=$perMille")
+      val frozen = Importance.selectByFrozenThreshold(scored, thr)
+        .select($"doc_id", $"mean_q", $"selected")
+        .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+      val batch = Importance.selectTopFraction(scored, perMille)
+        .select($"doc_id", $"mean_q", $"selected")
+        .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+      // superset: every batch-selected doc is frozen-selected
+      batch.values.filter(_._3).foreach { case (id, _, _) =>
+        assert(frozen(id)._3, s"perMille=$perMille doc $id dropped by frozen")
+      }
+      // tolerance: every extra sits exactly AT the threshold
+      frozen.values.filter(_._3).foreach { case (id, m, _) =>
+        if (!batch(id)._3)
+          assert(m == thr.get, s"perMille=$perMille doc $id extra at mean_q=$m != ${thr.get}")
+      }
+      // both mean columns agree (same integer arithmetic)
+      assert(frozen.view.mapValues(_._2).toMap == batch.view.mapValues(_._2).toMap)
+    }
+    // T = 0: no threshold exists, the frozen filter selects nothing
+    assert(Importance.selectionThreshold(scored, 0).isEmpty)
+    assert(Importance.selectByFrozenThreshold(scored, None)
+      .filter($"selected").count() == 0)
+  }
+
+  test("frozen threshold composes with the narrow (streaming) scorer end-to-end") {
+    // fit everything on the corpus (counts + threshold), then score and
+    // select a "stream" of the same rows through the stateless faces
+    // only — no rank, no join, no aggregation in the applied plan
+    val (ct, cr, tott, totr) = Importance.fitCounts(withMixed, col("is_tgt"), numBuckets = 4096)
+    val scored = Importance.importanceQuantized(withMixed, col("is_tgt"), numBuckets = 4096)
+    val thr = Importance.selectionThreshold(scored, perMille = 500)
+    val streamed = Importance.selectByFrozenThreshold(
+      Importance.importanceScoreNarrow(withMixed, ct, cr, tott, totr, numBuckets = 4096), thr)
+      .select($"doc_id", $"selected").as[(Long, Boolean)].collect().toMap
+    val batchSel = Importance.selectByFrozenThreshold(scored, thr)
+      .select($"doc_id", $"selected").as[(Long, Boolean)].collect().toMap
+    assert(streamed == batchSel)
+    assert(streamed.values.exists(identity) && streamed.values.exists(!_))
+  }
+
   test("quantized matches a hand-rolled reference on the mixed corpus") {
     val b = 4096
     def toks(s: String) = s.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
