@@ -1308,6 +1308,18 @@ object M5Queries {
       operators.Bpe.segmentStats(docs, merges).orderBy(col("doc_id"))
     }),
 
+    // ---- tokenizer: the frozen-table APPLY path — the trained merge
+    // table rides as ONE reference-object expression instead of
+    // merges.length chained HOF folds (plan size constant in the table
+    // size — the apply-side sibling of the batched trainer);
+    // output-identical to q_bpe_segment, one oracle gates both
+    "q_bpe_segment_frozen" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val merges = operators.Bpe.mergePairs(
+        operators.Bpe.trainMerges(docs, frag.bpeMerges))
+      operators.Bpe.segmentStatsFrozen(docs, merges).orderBy(col("doc_id"))
+    }),
+
     // ---- tokenizer: VOCABULARY-SCALE batched BPE training — greedy
     // symbol-disjoint top-K merges per round over word-2-gram units
     // (space an ordinary symbol), 100+ merges in 8 Spark rounds where
@@ -2457,18 +2469,10 @@ object M5Queries {
     // segmentation mirror: the training CTEs feed 8 per-word apply
     // stages over the document token stream; tokenless docs survive the
     // left join at 0
-    "q_bpe_segment" -> {
-      val segCtes = (0 until frag.bpeMerges).map(s =>
-        s"g${s + 1} AS (SELECT doc_id, ${frag.bpeFold(s"m$s")} AS syms FROM g$s, m$s)")
-        .mkString(",\n ")
-      s"""WITH ${frag.bpeCtes(frag.bpeMerges)},
-         | d AS (SELECT doc_id, ${frag.toks} w FROM documents),
-         | g0 AS (SELECT doc_id, string_split_regex(word, '') AS syms FROM (SELECT doc_id, unnest(w) AS word FROM d)),
-         | $segCtes,
-         | ag AS (SELECT doc_id, count(*) AS n_words, sum(len(syms)) AS n_tokens FROM g${frag.bpeMerges} GROUP BY 1)
-         |SELECT d.doc_id, coalesce(n_words, 0)::BIGINT AS n_words, coalesce(n_tokens, 0)::BIGINT AS n_tokens
-         |FROM d LEFT JOIN ag USING (doc_id) ORDER BY d.doc_id""".stripMargin
-    },
+    "q_bpe_segment" -> bpeSegmentOracle,
+    // the frozen-table reference-object expression is output-identical
+    // to the chained-fold spelling by contract — one oracle gates both
+    "q_bpe_segment_frozen" -> bpeSegmentOracle,
 
     // batched-BPE mirror: see frag.bpeBatchCtes — the greedy per-round
     // selection recursion + one list_reduce batch application per round
@@ -3442,6 +3446,24 @@ object M5Queries {
        | count(*) AS n_lines,
        | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Shared by the chained-fold and frozen-expression segmentation
+    * spellings (output-identical contract): training CTEs + 8 per-word
+    * apply stages over the document token stream; tokenless docs
+    * survive the left join at 0.
+    */
+  private lazy val bpeSegmentOracle: String = {
+    val segCtes = (0 until frag.bpeMerges).map(s =>
+      s"g${s + 1} AS (SELECT doc_id, ${frag.bpeFold(s"m$s")} AS syms FROM g$s, m$s)")
+      .mkString(",\n ")
+    s"""WITH ${frag.bpeCtes(frag.bpeMerges)},
+       | d AS (SELECT doc_id, ${frag.toks} w FROM documents),
+       | g0 AS (SELECT doc_id, string_split_regex(word, '') AS syms FROM (SELECT doc_id, unnest(w) AS word FROM d)),
+       | $segCtes,
+       | ag AS (SELECT doc_id, count(*) AS n_words, sum(len(syms)) AS n_tokens FROM g${frag.bpeMerges} GROUP BY 1)
+       |SELECT d.doc_id, coalesce(n_words, 0)::BIGINT AS n_words, coalesce(n_tokens, 0)::BIGINT AS n_tokens
+       |FROM d LEFT JOIN ag USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Span-removal mirror, shared by the exact and hash-only spellings
     * (output-identical by contract): every window OCCURRENCE (no

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** `bpe_segment_stats(text)` with a FROZEN merge table — the apply side
+  * of vocabulary-scale BPE ([[graft.operators.Bpe]]).
+  *
+  * The chained-HOF spelling ([[graft.operators.Bpe.segmentStats]]) nests
+  * one `transform(…, mergeFold)` per merge: correct and oracle-mirrored
+  * at the 8-merge gate, but the expression TREE grows linearly in the
+  * merge count — a 120-merge table (the batched trainer's output, let
+  * alone a production 32k vocabulary) inflates analysis and codegen the
+  * same way the literal-HOF centroid folds did before
+  * [[CentroidExpressions]]. This expression holds the merge table as a
+  * codegen reference object instead: ONE plan node regardless of table
+  * size, a tight loop per row, full whole-stage codegen.
+  *
+  * Semantics are identical to the fold spelling on every input
+  * (BpeSpec property-pins random merge tables, overlapping pairs
+  * included): whitespace-tokenize (`[ \t\n\f\r]+`, the
+  * [[TextFunctions.tokens]] class), split each word into per-code-point
+  * symbols, then apply the merges IN RANK ORDER, each as the greedy
+  * left-to-right scan ([[graft.operators.Bpe]]'s mergeFold — repeated
+  * pairs merge pairwise). Rank-order application is the standard BPE
+  * tokenizer-apply rule, so a merge can consume the fused output of an
+  * earlier merge, exactly like the chained folds.
+  *
+  * Case-mapping contract: lowercases with Java `Locale.ROOT` while the
+  * fold spelling goes through Spark's `lower()` — the [[WinnowFps]]
+  * caveat verbatim (agreement pinned beyond ASCII in BpeSpec; Turkish
+  * dotted/dotless I corpora should pick one spelling throughout).
+  *
+  * Output: struct<n_words: long, n_tokens: long> — whitespace words and
+  * BPE tokens after all merges (fertility = n_tokens / n_words).
+  */
+case class BpeSegmentStats(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false)))
+  override def prettyName: String = "bpe_segment_stats"
+
+  private lazy val lefts: Array[String] = merges.map(_._1).toArray
+  private lazy val rights: Array[String] = merges.map(_._2).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeSegmentStats.compute(input.toString, lefts, rights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("lefts", lefts, "java.lang.String[]")
+    val rRef = ctx.addReferenceObj("rights", rights, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeSegmentStats.compute($c.toString(), $lRef, $rRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeSegmentStats {
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
+  /** One word's symbol count after applying every merge in rank order
+    * (greedy left-to-right per merge). Symbols start per code point —
+    * the `split(word, "")` fold-spelling boundary.
+    */
+  private def wordTokens(word: String, lefts: Array[String],
+      rights: Array[String]): Int = {
+    var syms = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      syms += word.substring(i, i + n)
+      i += n
+    }
+    var m = 0
+    while (m < lefts.length && syms.length > 1) {
+      val l = lefts(m)
+      val r = rights(m)
+      val out = mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < syms.length) {
+        val s = syms(j)
+        if (out.nonEmpty && out.last == l && s == r) out(out.length - 1) = l + r
+        else out += s
+        j += 1
+      }
+      syms = out
+      m += 1
+    }
+    syms.length
+  }
+
+  /** Static for codegen: tokenize + apply the frozen table per word. */
+  def compute(input: String, lefts: Array[String],
+      rights: Array[String]): InternalRow = {
+    val text = input.toLowerCase(java.util.Locale.ROOT)
+    var nWords = 0L
+    var nTokens = 0L
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) {
+        nWords += 1
+        nTokens += wordTokens(text.substring(start, i), lefts, rights)
+      }
+    }
+    new GenericInternalRow(Array[Any](nWords, nTokens))
+  }
+}

@@ -240,10 +240,30 @@ object Bpe {
           lit(0L)).as("n_tokens"))
   }
 
+  /** [[segmentStats]] with the merge table applied by ONE
+    * reference-object expression ([[graft.functions.BpeSegmentStats]])
+    * instead of `merges.length` chained HOF folds — the apply-side
+    * scale path: the fold spelling's expression tree grows linearly in
+    * the merge count (fine at the 8-merge gate, plan-inflating at the
+    * batched trainer's 120 and unusable at a production 32k), while
+    * this plan is one node whatever the table size. Output-identical to
+    * [[segmentStats]] on every input (BpeSpec property-pins it, random
+    * overlapping tables included), so the existing oracle gates both
+    * spellings.
+    */
+  def segmentStatsFrozen(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    val st = toColumn(graft.functions.BpeSegmentStats(toExpression(col("text")), merges))
+    docs.select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"), col("st.n_words").as("n_words"),
+        // tokenless docs mirror segmentStats' coalesce-at-0
+        coalesce(col("st.n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
   /** [[trainMerges]] collected to the (left, right) pairs
     * [[segmentStats]] applies — driver-bounded by numMerges.
     */
   def mergePairs(merges: DataFrame): Seq[(String, String)] =
-    merges.orderBy(col("rank")).collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    merges.orderBy(col("rank")).select(col("left"), col("right")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
 }

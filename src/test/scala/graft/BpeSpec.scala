@@ -48,6 +48,41 @@ class BpeSpec extends AnyFunSuite {
     assert(got == referenceTrain(texts, 6))
   }
 
+  test("frozen-expression segmentation ≡ chained-fold segmentation (trained, random, and deep tables)") {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def both(d: org.apache.spark.sql.DataFrame, merges: Seq[(String, String)]) = {
+      val fold = Bpe.segmentStats(d, merges).orderBy($"doc_id")
+        .as[(Long, Long, Long)].collect().toSeq
+      val expr = Bpe.segmentStatsFrozen(d, merges).orderBy($"doc_id")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(expr == fold, s"merges=$merges")
+      fold
+    }
+    // the trained table (the oracle-gated configuration)
+    both(docs, Bpe.mergePairs(Bpe.trainMerges(docs, 8)))
+    // hand-picked overlapping/chaining tables: later merges consume
+    // earlier fused symbols, rank order matters
+    both(docs, Seq(("a", "n"), ("b", "an"), ("an", "a"), ("t", "h"), ("th", "e")))
+    both(docs, Seq(("a", "a"), ("aa", "a"), ("b", "a")))
+    // random tables over the corpus alphabet (seeded — reproducible)
+    val rnd = new scala.util.Random(12)
+    val alpha = "abdegnst".map(_.toString)
+    for (_ <- 1 to 5) {
+      val tbl = Seq.fill(6)((alpha(rnd.nextInt(alpha.size)), alpha(rnd.nextInt(alpha.size))))
+      both(docs, tbl)
+    }
+    // a DEEP table (the batched trainer's output size) — the fold
+    // spelling at this depth is exactly what the expression replaces;
+    // equality still holds
+    val deep = Bpe.mergePairs(Bpe.trainMergesBatched(docs, rounds = 6, batchSize = 8))
+    assert(deep.size > 10)
+    both(docs, deep)
+    // non-ASCII case-mapping parity (the WinnowFps contract): Java
+    // Locale.ROOT vs Spark lower() agree on this set
+    val uni = Seq((1L, "Éclair ÉCLAIR Привет ΣΟΦΟΣ σοφος")).toDF("doc_id", "text")
+    both(uni, Seq(("é", "c"), ("п", "р"), ("σ", "ο")))
+  }
+
   test("batched trainer with batchSize=1 degenerates exactly to the sequential trainer") {
     // greedy first-fit with K=1 always selects the round's top-1 pair
     // (the used set starts empty), so every round IS a sequential step
