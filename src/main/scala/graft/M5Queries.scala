@@ -1308,6 +1308,18 @@ object M5Queries {
       operators.Bpe.segmentStats(docs, merges).orderBy(col("doc_id"))
     }),
 
+    // ---- tokenizer: the EMIT step — the per-document BPE token stream
+    // under the trained table (train ∘ apply ∘ emit, the pretraining
+    // data-prep output the fertility report only summarizes); entirely
+    // narrow, constant plan size via the same reference-object apply
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val merges = operators.Bpe.mergePairs(
+        operators.Bpe.trainMerges(docs, frag.bpeMerges))
+      operators.Bpe.encodeTokens(docs, merges)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ---- tokenizer: the frozen-table APPLY path — the trained merge
     // table rides as ONE reference-object expression instead of
     // merges.length chained HOF folds (plan size constant in the table
@@ -2470,6 +2482,22 @@ object M5Queries {
     // stages over the document token stream; tokenless docs survive the
     // left join at 0
     "q_bpe_segment" -> bpeSegmentOracle,
+
+    // token-stream mirror: the segmentation chain threaded with the
+    // word subscript so the flattened (word order, symbol order)
+    // sequence reconstructs positionally
+    "q_bpe_encode" -> {
+      val encCtes = (0 until frag.bpeMerges).map(s =>
+        s"e${s + 1} AS (SELECT doc_id, wi, ${frag.bpeFold(s"m$s")} AS syms FROM e$s, m$s)")
+        .mkString(",\n ")
+      s"""WITH ${frag.bpeCtes(frag.bpeMerges)},
+         | d AS (SELECT doc_id, ${frag.toks} w FROM documents),
+         | e0 AS (SELECT doc_id, wi, string_split_regex(word, '') AS syms FROM (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS wi FROM d)),
+         | $encCtes,
+         | flat AS (SELECT doc_id, wi, si, sym FROM (SELECT doc_id, wi, unnest(syms) AS sym, generate_subscripts(syms, 1) AS si FROM e${frag.bpeMerges}))
+         |SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, sym AS token
+         |FROM flat ORDER BY doc_id, pos""".stripMargin
+    },
     // the frozen-table reference-object expression is output-identical
     // to the chained-fold spelling by contract — one oracle gates both
     "q_bpe_segment_frozen" -> bpeSegmentOracle,

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 import scala.collection.mutable
@@ -63,17 +64,49 @@ case class BpeSegmentStats(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** `bpe_encode(text)` with the same frozen merge table — the EMIT step
+  * of the tokenizer family: the per-document BPE token sequence itself
+  * (words in order, each word's final symbols in order), the actual
+  * pretraining data-prep output that [[BpeSegmentStats]] only counts.
+  * Same tokenization, application rule, and case-mapping contract.
+  * Output: array<string> of tokens; ids are a dictionary join away and
+  * deliberately not baked in (the vocabulary is corpus state, not
+  * expression state).
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  private lazy val lefts: Array[String] = merges.map(_._1).toArray
+  private lazy val rights: Array[String] = merges.map(_._2).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeSegmentStats.computeTokens(input.toString, lefts, rights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("lefts", lefts, "java.lang.String[]")
+    val rRef = ctx.addReferenceObj("rights", rights, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeSegmentStats.computeTokens($c.toString(), $lRef, $rRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BpeSegmentStats {
 
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
-  /** One word's symbol count after applying every merge in rank order
+  /** One word's symbols after applying every merge in rank order
     * (greedy left-to-right per merge). Symbols start per code point —
     * the `split(word, "")` fold-spelling boundary.
     */
-  private def wordTokens(word: String, lefts: Array[String],
-      rights: Array[String]): Int = {
+  private def wordSyms(word: String, lefts: Array[String],
+      rights: Array[String]): mutable.ArrayBuffer[String] = {
     var syms = mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < word.length) {
@@ -97,7 +130,7 @@ object BpeSegmentStats {
       syms = out
       m += 1
     }
-    syms.length
+    syms
   }
 
   /** Static for codegen: tokenize + apply the frozen table per word. */
@@ -114,9 +147,31 @@ object BpeSegmentStats {
       while (i < len && !isWs(text.charAt(i))) i += 1
       if (i > start) {
         nWords += 1
-        nTokens += wordTokens(text.substring(start, i), lefts, rights)
+        nTokens += wordSyms(text.substring(start, i), lefts, rights).length
       }
     }
     new GenericInternalRow(Array[Any](nWords, nTokens))
+  }
+
+  /** Static for codegen: tokenize + apply the frozen table + emit the
+    * flattened token sequence (word order, then within-word symbol
+    * order) — the [[BpeEncode]] body.
+    */
+  def computeTokens(input: String, lefts: Array[String],
+      rights: Array[String]): GenericArrayData = {
+    val text = input.toLowerCase(java.util.Locale.ROOT)
+    val out = mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start)
+        wordSyms(text.substring(start, i), lefts, rights).foreach { s =>
+          out += org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        }
+    }
+    new GenericArrayData(out.toArray)
   }
 }

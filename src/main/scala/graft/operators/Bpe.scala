@@ -260,6 +260,24 @@ object Bpe {
         coalesce(col("st.n_tokens"), lit(0L)).as("n_tokens"))
   }
 
+  /** The EMIT step — the per-document BPE token stream under a frozen
+    * merge table, the actual pretraining data-prep output the fertility
+    * report only summarizes: one [[graft.functions.BpeEncode]]
+    * reference-object expression per row (constant plan size like
+    * [[segmentStatsFrozen]]) exploded to (doc_id, pos, token), pos the
+    * 1-based position in the document's token sequence (word order,
+    * then within-word symbol order). Entirely narrow — at 100 TB this
+    * is a pure map stage feeding the packing/sharding operators; ids
+    * are a vocabulary dictionary join away by design (the vocabulary is
+    * corpus state, not expression state).
+    */
+  def encodeTokens(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    val enc = toColumn(graft.functions.BpeEncode(toExpression(col("text")), merges))
+    docs.select(col("doc_id"), posexplode(enc).as(Seq("pos0", "token")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
+  }
+
   /** [[trainMerges]] collected to the (left, right) pairs
     * [[segmentStats]] applies — driver-bounded by numMerges.
     */

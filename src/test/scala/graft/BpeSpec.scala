@@ -83,6 +83,38 @@ class BpeSpec extends AnyFunSuite {
     both(uni, Seq(("é", "c"), ("п", "р"), ("σ", "ο")))
   }
 
+  test("encodeTokens: local-reference equality, char conservation, and count agreement with the stats twin") {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.mergePairs(Bpe.trainMerges(docs, 6))
+    val got = Bpe.encodeTokens(docs, merges)
+      .as[(Long, Int, String)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    // local reference: same tokenize + per-word rank-order greedy apply
+    def applyWord(w: String, ms: Seq[(String, String)]): Seq[String] =
+      ms.foldLeft(w.map(_.toString): Seq[String]) { case (syms, (l, r)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { s =>
+          if (out.nonEmpty && out.last == l && s == r) out(out.size - 1) = l + r
+          else out += s
+        }
+        out.toSeq
+      }
+    val want = texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+        .flatMap(applyWord(_, merges))
+    }.toMap
+    assert(got == want)
+    // positions are 1..n dense per doc; char mass conserved; counts
+    // agree with the fertility twin
+    val stats = Bpe.segmentStatsFrozen(docs, merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    got.foreach { case (id, toks) =>
+      assert(toks.mkString("") ==
+        texts(id.toInt).toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty).mkString(""))
+      assert(toks.size.toLong == stats(id))
+    }
+  }
+
   test("batched trainer with batchSize=1 degenerates exactly to the sequential trainer") {
     // greedy first-fit with K=1 always selects the round's top-1 pair
     // (the used set starts empty), so every round IS a sequential step
