@@ -1320,6 +1320,32 @@ object M5Queries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // ---- tokenizer: the VOCABULARY of the encoded corpus — dense
+    // frequency-ranked ids via the range-partitioned prefix-sum rank
+    // (the count table is vocabulary-sized, never corpus-sized)
+    "q_bpe_vocab" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val merges = operators.Bpe.mergePairs(
+        operators.Bpe.trainMerges(docs, frag.bpeMerges))
+      operators.Bpe.vocabulary(operators.Bpe.encodeTokens(docs, merges))
+        .orderBy(col("token_id"))
+    }),
+
+    // ---- tokenizer: the ID STREAM — encode ∘ vocabulary ∘ broadcast
+    // dictionary join, the integer tensor feed (the corpus never
+    // shuffles; the vocab is broadcast model metadata)
+    "q_bpe_token_ids" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val merges = operators.Bpe.mergePairs(
+        operators.Bpe.trainMerges(docs, frag.bpeMerges))
+      // the encoded stream feeds the vocabulary build and the id join —
+      // persist it once
+      val enc = graft.operators.SharedBranch.sharedBranch(
+        operators.Bpe.encodeTokens(docs, merges))
+      operators.Bpe.tokenIds(enc, operators.Bpe.vocabulary(enc))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ---- tokenizer: the frozen-table APPLY path — the trained merge
     // table rides as ONE reference-object expression instead of
     // merges.length chained HOF folds (plan size constant in the table
@@ -1512,6 +1538,21 @@ object M5Queries {
     val bpeBatchRounds = 8
     val bpeBatchSize = 32
     val bpeBatchCap = 128
+
+    /** Encode-chain CTEs ending in `flat(doc_id, wi, si, sym)` — the
+      * per-token stream (word subscript wi, within-word subscript si)
+      * that the encode / vocabulary / id-stream mirrors build on.
+      */
+    def bpeEncodeCtes: String = {
+      val encCtes = (0 until bpeMerges).map(s =>
+        s"e${s + 1} AS (SELECT doc_id, wi, ${bpeFold(s"m$s")} AS syms FROM e$s, m$s)")
+        .mkString(",\n ")
+      s"""${bpeCtes(bpeMerges)},
+         | d AS (SELECT doc_id, $toks w FROM documents),
+         | e0 AS (SELECT doc_id, wi, string_split_regex(word, '') AS syms FROM (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS wi FROM d)),
+         | $encCtes,
+         | flat AS (SELECT doc_id, wi, si, sym FROM (SELECT doc_id, wi, unnest(syms) AS sym, generate_subscripts(syms, 1) AS si FROM e$bpeMerges))""".stripMargin
+    }
 
     /** Oracle mirror of [[graft.operators.Bpe.trainMergesBatched]]:
       * per round, pair counts → ranked top-`bpeBatchCap` candidates →
@@ -2486,18 +2527,29 @@ object M5Queries {
     // token-stream mirror: the segmentation chain threaded with the
     // word subscript so the flattened (word order, symbol order)
     // sequence reconstructs positionally
-    "q_bpe_encode" -> {
-      val encCtes = (0 until frag.bpeMerges).map(s =>
-        s"e${s + 1} AS (SELECT doc_id, wi, ${frag.bpeFold(s"m$s")} AS syms FROM e$s, m$s)")
-        .mkString(",\n ")
-      s"""WITH ${frag.bpeCtes(frag.bpeMerges)},
-         | d AS (SELECT doc_id, ${frag.toks} w FROM documents),
-         | e0 AS (SELECT doc_id, wi, string_split_regex(word, '') AS syms FROM (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS wi FROM d)),
-         | $encCtes,
-         | flat AS (SELECT doc_id, wi, si, sym FROM (SELECT doc_id, wi, unnest(syms) AS sym, generate_subscripts(syms, 1) AS si FROM e${frag.bpeMerges}))
+    "q_bpe_encode" ->
+      s"""WITH ${frag.bpeEncodeCtes}
          |SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, sym AS token
-         |FROM flat ORDER BY doc_id, pos""".stripMargin
-    },
+         |FROM flat ORDER BY doc_id, pos""".stripMargin,
+
+    // vocabulary mirror: dense frequency-ranked ids over the encoded
+    // stream (count DESC, token ASC — the Spark side's prefix-sum rank
+    // over the same total order)
+    "q_bpe_vocab" ->
+      s"""WITH ${frag.bpeEncodeCtes},
+         | vc AS (SELECT sym AS token, count(*) AS n_occ FROM flat GROUP BY 1),
+         | vr AS (SELECT token, n_occ, row_number() OVER (ORDER BY n_occ DESC, token) AS rn FROM vc)
+         |SELECT (rn - 1)::BIGINT AS token_id, token, n_occ::BIGINT AS n_occ
+         |FROM vr ORDER BY token_id""".stripMargin,
+
+    // id-stream mirror: the token stream joined to the vocabulary
+    "q_bpe_token_ids" ->
+      s"""WITH ${frag.bpeEncodeCtes},
+         | vc AS (SELECT sym AS token, count(*) AS n_occ FROM flat GROUP BY 1),
+         | vr AS (SELECT token, n_occ, row_number() OVER (ORDER BY n_occ DESC, token) AS rn FROM vc),
+         | p AS (SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, sym AS token FROM flat)
+         |SELECT doc_id, pos, (rn - 1)::BIGINT AS token_id
+         |FROM p JOIN vr USING (token) ORDER BY doc_id, pos""".stripMargin,
     // the frozen-table reference-object expression is output-identical
     // to the chained-fold spelling by contract — one oracle gates both
     "q_bpe_segment_frozen" -> bpeSegmentOracle,

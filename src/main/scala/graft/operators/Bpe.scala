@@ -278,6 +278,34 @@ object Bpe {
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
   }
 
+  /** The VOCABULARY of an encoded corpus: one row per distinct token
+    * with its corpus frequency and a dense 0-based `token_id` assigned
+    * by frequency rank (count DESC, token ASC ties — deterministic).
+    * The rank is a range-partitioned [[PrefixSum]] over the
+    * vocabulary-sized count table (bounded by the merge table + corpus
+    * alphabet, never corpus-sized), not a single-partition window.
+    * Output: (token_id, token, n_occ).
+    */
+  def vocabulary(encoded: DataFrame): DataFrame = {
+    val counts = encoded.groupBy(col("token")).agg(count(lit(1)).as("n_occ"))
+    PrefixSum.inclusive(counts.withColumn("_one", lit(1L)),
+        Seq(col("n_occ").desc, col("token")), col("_one"), "rk")
+      .select((col("rk") - 1).as("token_id"), col("token"), col("n_occ"))
+  }
+
+  /** The ID STREAM — [[encodeTokens]]' output joined to a
+    * [[vocabulary]]: (doc_id, pos, token_id), the integer tensor feed.
+    * The vocabulary broadcasts (it is model metadata, bounded by
+    * construction); the token stream stays narrow — no shuffle touches
+    * the corpus. A token absent from the vocabulary (possible only when
+    * the vocab was frozen from a DIFFERENT corpus) is dropped by the
+    * inner join — callers wanting loud OOV handling join left and
+    * assert on nulls.
+    */
+  def tokenIds(encoded: DataFrame, vocab: DataFrame): DataFrame =
+    encoded.join(broadcast(vocab.select(col("token"), col("token_id"))), Seq("token"))
+      .select(col("doc_id"), col("pos"), col("token_id"))
+
   /** [[trainMerges]] collected to the (left, right) pairs
     * [[segmentStats]] applies — driver-bounded by numMerges.
     */

@@ -115,6 +115,30 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabulary + tokenIds: dense frequency-ranked ids, lossless id stream on the fit corpus") {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.mergePairs(Bpe.trainMerges(docs, 6))
+    val enc = Bpe.encodeTokens(docs, merges)
+    val vocab = Bpe.vocabulary(enc).orderBy($"token_id")
+      .as[(Long, String, Long)].collect().toSeq
+    // ids are dense 0..V-1, counts non-increasing, ties by token asc
+    assert(vocab.map(_._1) == vocab.indices.map(_.toLong))
+    assert(vocab.map(_._2).distinct.size == vocab.size)
+    vocab.sliding(2).foreach { case Seq((_, ta, ca), (_, tb, cb)) =>
+      assert(ca > cb || (ca == cb && ta < tb))
+    case _ => }
+    // total mass = stream length; the id stream loses nothing on the
+    // corpus the vocab was built from and round-trips token identity
+    val nTok = enc.count()
+    assert(vocab.map(_._3).sum == nTok)
+    val ids = Bpe.tokenIds(enc, Bpe.vocabulary(enc))
+    assert(ids.count() == nTok)
+    val byId = vocab.map(v => v._1 -> v._2).toMap
+    val joined = ids.join(enc, Seq("doc_id", "pos"))
+      .as[(Long, Int, Long, String)].collect()
+    assert(joined.nonEmpty && joined.forall { case (_, _, id, tok) => byId(id) == tok })
+  }
+
   test("batched trainer with batchSize=1 degenerates exactly to the sequential trainer") {
     // greedy first-fit with K=1 always selects the round's top-1 pair
     // (the used set starts empty), so every round IS a sequential step
