@@ -1320,6 +1320,18 @@ object M5Queries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // ---- tokenizer: GPT-style token windowing — concat docs with an
+    // EOD separator, split every 256 tokens, docs crossing boundaries
+    // (the pretraining convention; pack_windows is the doc-respecting
+    // sibling). Global position = ONE prefix-sum pass
+    "q_token_windows" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val merges = operators.Bpe.mergePairs(
+        operators.Bpe.trainMerges(docs, frag.bpeMerges))
+      operators.Bpe.tokenWindows(docs, merges, windowSize = frag.tokenWindow)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ---- tokenizer: the VOCABULARY of the encoded corpus — dense
     // frequency-ranked ids via the range-partitioned prefix-sum rank
     // (the count table is vocabulary-sized, never corpus-sized)
@@ -1538,6 +1550,11 @@ object M5Queries {
     val bpeBatchRounds = 8
     val bpeBatchSize = 32
     val bpeBatchCap = 128
+
+    /** The q_token_windows window size — ONE constant threaded into the
+      * Spark query and the oracle (the hopUs discipline).
+      */
+    val tokenWindow = 256
 
     /** Encode-chain CTEs ending in `flat(doc_id, wi, si, sym)` — the
       * per-token stream (word subscript wi, within-word subscript si)
@@ -2541,6 +2558,19 @@ object M5Queries {
          | vr AS (SELECT token, n_occ, row_number() OVER (ORDER BY n_occ DESC, token) AS rn FROM vc)
          |SELECT (rn - 1)::BIGINT AS token_id, token, n_occ::BIGINT AS n_occ
          |FROM vr ORDER BY token_id""".stripMargin,
+
+    // token-window mirror: the position stream + per-doc EOD rows
+    // (empty docs contribute just their separator), global row_number
+    // over (doc_id, pos) ≡ the Spark side's prefix-sum global position
+    "q_token_windows" ->
+      s"""WITH ${frag.bpeEncodeCtes},
+         | p AS (SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, sym AS token FROM flat),
+         | lens AS (SELECT d.doc_id, coalesce(max(pos), 0) AS mp FROM d LEFT JOIN p USING (doc_id) GROUP BY 1),
+         | allt AS (SELECT doc_id, pos, token FROM p UNION ALL SELECT doc_id, (mp + 1)::INT, '<eod>' FROM lens),
+         | g AS (SELECT doc_id, pos, token, row_number() OVER (ORDER BY doc_id, pos) AS gpos FROM allt)
+         |SELECT doc_id, pos, token, ((gpos - 1) // ${frag.tokenWindow})::BIGINT AS win_id,
+         |  ((gpos - 1) % ${frag.tokenWindow})::BIGINT AS off
+         |FROM g ORDER BY doc_id, pos""".stripMargin,
 
     // id-stream mirror: the token stream joined to the vocabulary
     "q_bpe_token_ids" ->

@@ -306,6 +306,40 @@ object Bpe {
     encoded.join(broadcast(vocab.select(col("token"), col("token_id"))), Seq("token"))
       .select(col("doc_id"), col("pos"), col("token_id"))
 
+  /** GPT-style TOKEN WINDOWING — the last prep step before tensors:
+    * documents are concatenated in (doc_id) order with an `eodToken`
+    * separator after each one (empty documents contribute just their
+    * separator), and the resulting global stream is split every
+    * `windowSize` tokens, documents crossing window boundaries freely
+    * (the pretraining convention; the document-RESPECTING alternative
+    * is [[Curation.packWindows]]' bin packing). The global position is
+    * a range-partitioned [[PrefixSum]] over (doc_id, pos) — the one
+    * corpus-sized ordered pass, no single-partition window; window id
+    * and offset are then narrow integer arithmetic.
+    *
+    * Output: (doc_id, pos, token, win_id, off) — every window holds
+    * exactly `windowSize` tokens except the last; `off` is 0-based
+    * within the window.
+    */
+  def tokenWindows(docs: DataFrame, merges: Seq[(String, String)],
+      windowSize: Int, eodToken: String = "<eod>"): DataFrame = {
+    require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
+    // the encoded stream feeds the per-doc length lookup AND the union —
+    // persist it once
+    val enc = SharedBranch.sharedBranch(encodeTokens(docs, merges))
+    val lens = docs.select(col("doc_id"))
+      .join(enc.groupBy(col("doc_id")).agg(max(col("pos")).as("mp")),
+        Seq("doc_id"), "left")
+    val eod = lens.select(col("doc_id"),
+      (coalesce(col("mp"), lit(0)) + 1).as("pos"), lit(eodToken).as("token"))
+    val g = PrefixSum.inclusive(
+      enc.unionByName(eod).withColumn("_one", lit(1L)),
+      Seq(col("doc_id"), col("pos")), col("_one"), "gpos")
+    g.select(col("doc_id"), col("pos"), col("token"),
+      expr(s"(gpos - 1) div $windowSize").as("win_id"),
+      expr(s"(gpos - 1) % $windowSize").as("off"))
+  }
+
   /** [[trainMerges]] collected to the (left, right) pairs
     * [[segmentStats]] applies — driver-bounded by numMerges.
     */

@@ -139,6 +139,30 @@ class BpeSpec extends AnyFunSuite {
     assert(joined.nonEmpty && joined.forall { case (_, _, id, tok) => byId(id) == tok })
   }
 
+  test("tokenWindows: EOD per doc (empty included), exact-size windows, doc-order contiguity") {
+    val withEmpty = (texts :+ "   ").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.mergePairs(Bpe.trainMerges(withEmpty, 4))
+    val w = 7
+    val rows = Bpe.tokenWindows(withEmpty, merges, windowSize = w)
+      .as[(Long, Int, String, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    // one EOD per doc, the empty doc contributing exactly one row: it
+    assert(rows.count(_._3 == "<eod>") == texts.size + 1)
+    assert(rows.filter(_._1 == texts.size.toLong).map(_._3) == Seq("<eod>"))
+    // global order (doc_id, pos) maps to dense gpos: every window full
+    // at w except possibly the last; offsets cycle 0..w-1 in order
+    val inOrder = rows.map(r => (r._4, r._5))
+    val n = rows.size
+    inOrder.zipWithIndex.foreach { case ((win, off), g) =>
+      assert(win == g / w && off == g % w, s"row $g: ($win, $off)")
+    }
+    val sizes = rows.groupBy(_._4).view.mapValues(_.size).toMap
+    sizes.foreach { case (win, sz) =>
+      assert(sz == w || (win == (n - 1) / w && sz == n - (n / w) * w || sz == w))
+    }
+  }
+
   test("batched trainer with batchSize=1 degenerates exactly to the sequential trainer") {
     // greedy first-fit with K=1 always selects the round's top-1 pair
     // (the used set starts empty), so every round IS a sequential step
