@@ -153,6 +153,40 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(byId(3L) == ((3L, 0L, 0L)))
   }
 
+  test("stateless tokenize-to-ids on a stream: frozen merges + frozen vocab, batch parity, append mode") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Bpe
+    // the production shape: train merges + freeze the vocabulary on a
+    // reference corpus (batch), then tokenize an unbounded stream into
+    // ids — one reference-object expression + posexplode + a
+    // stream-static broadcast dictionary join; no state anywhere
+    val fitCorpus = Seq((100L, "banana bandana banana cabana banana"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.mergePairs(Bpe.trainMerges(fitCorpus, 4))
+    val vocab = Bpe.vocabulary(Bpe.encodeTokens(fitCorpus, merges))
+    val rows = Seq(
+      (1L, t(1000), "banana cabana"),
+      (2L, t(2000), "bandana banana bandana"),
+      (3L, t(3000), ""))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = Bpe.tokenIds(
+      Bpe.encodeTokens(input.toDF().toDF("doc_id", "ts", "text"), merges), vocab)
+    val q = out.writeStream.format("memory").queryName("scur_tokids")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("scur_tokids")
+      .as[(Long, Int, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    val batch = Bpe.tokenIds(
+      Bpe.encodeTokens(rows.toDF("doc_id", "ts", "text"), merges), vocab)
+      .as[(Long, Int, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(streamed == batch)
+    assert(streamed.exists(_._1 == 1L) && !streamed.exists(_._1 == 3L))
+  }
+
   test("stateless DSIR importance gate on a stream: frozen fit scores batch-identically, append mode") {
     val s = spark
     import s.implicits._
