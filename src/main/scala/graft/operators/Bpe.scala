@@ -37,7 +37,15 @@ import org.apache.spark.sql.functions._
   * Oracle twin: the DuckDB mirror unrolls the SAME iterations as chained
   * CTEs (the `kmeansCtes` house pattern), with the per-word rewrite as a
   * `list_reduce` fold over a separator-encoded symbol string — exact
-  * string equality end-to-end (M5Queries `frag.bpeMergeCtes`).
+  * string equality end-to-end (M5Queries `frag.bpeCtes` /
+  * `frag.bpeBatchCtes` / `frag.bpeEncodeCtes`).
+  *
+  * The family spans the whole tokenizer lifecycle, each step
+  * oracle-gated: TRAIN ([[trainMerges]] sequential,
+  * [[trainMergesBatched]] vocabulary-scale), APPLY ([[segmentStats]]
+  * fold spelling, [[segmentStatsFrozen]] constant-plan-size
+  * expression), EMIT ([[encodeTokens]] token stream, [[vocabulary]] +
+  * [[tokenIds]] integer feed, [[tokenWindows]] GPT-style windowing).
   */
 object Bpe {
 
