@@ -273,7 +273,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_source_report", // composes mixtureWeights' 1-row total frame
       "q_pack_windows", "q_pipeline_e2e", // 1-row window/prefix totals
       "q_token_shift", // two 1-row snapshot-total frames
-      "q_tfidf_topterms") // 1-row doc-count frame
+      "q_tfidf_topterms", // 1-row doc-count frame
+      "q_bpe_vocab", // PrefixSum offset triangle (≤nPart rows) over the vocab rank
+      "q_bpe_token_ids", // same vocab-rank triangle (the id join itself broadcasts hash-keyed)
+      "q_token_windows") // PrefixSum offset triangle for the global token position
     def collectAll(p: SparkPlan): Seq[SparkPlan] =
       (p +: p.children.flatMap(collectAll)) ++ (p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => collectAll(a.executedPlan)
