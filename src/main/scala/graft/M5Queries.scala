@@ -1381,6 +1381,85 @@ object M5Queries {
         frag.bpeBatchRounds, frag.bpeBatchSize, frag.bpeBatchCap, unitTokens = 2)
         .orderBy(col("rank"))),
 
+    // ---- tokenizer: unigram-LM SEED vocabulary (Kudo, ACL 2018 §3.2)
+    // — corpus-weighted substring counts over the DISTINCT-WORD table,
+    // top-N by (count DESC, piece ASC) plus every single char (the
+    // coverage guarantee); rank via the range-partitioned prefix sum
+    "q_unigram_vocab" -> ((s, dir) =>
+      operators.Unigram.seedVocab(TextDedup.documents(s, dir),
+          frag.uniMaxPieceLen, frag.uniTopN)
+        .orderBy(col("n_occ").desc, col("piece"))),
+
+    // ---- tokenizer: unigram-LM Viterbi segmentation stats — per-doc
+    // (n_words, n_pieces, best score) under the frozen seeded model,
+    // integer-quantized log2 scoring (the Importance exactness
+    // discipline); the max-likelihood sibling of q_bpe_segment. The
+    // oracle unrolls the DP by word position (horizon = the corpus max
+    // word length, frag.uniHorizon — oracle-side only; the expression
+    // handles any length)
+    "q_unigram_segment" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val (pieces, btot) = operators.Unigram.vocabModel(
+        operators.Unigram.seedVocab(docs, frag.uniMaxPieceLen, frag.uniTopN))
+      operators.Unigram.segmentStats(docs, pieces, btot).orderBy(col("doc_id"))
+    }),
+
+    // ---- tokenizer: the unigram EMIT step — the best-path piece
+    // stream under the DP tie-break total order (score DESC, pieces
+    // ASC, piece ASC), q_bpe_encode's max-likelihood sibling
+    "q_unigram_encode" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val (pieces, btot) = operators.Unigram.vocabModel(
+        operators.Unigram.seedVocab(docs, frag.uniMaxPieceLen, frag.uniTopN))
+      operators.Unigram.encodePieces(docs, pieces, btot)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- tokenizer: one unigram PRUNE round (the EM loop's E-step
+    // usage count + hard prune + Laplace re-score) — drop the 8
+    // lowest-usage multi-char pieces, single chars immune; output the
+    // surviving vocabulary with its usage-derived counts
+    "q_unigram_prune" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      // the seed vocab feeds the model fit (an action) AND the prune
+      // join — persist it once
+      val vocab = graft.operators.SharedBranch.sharedBranch(
+        operators.Unigram.seedVocab(docs, frag.uniMaxPieceLen, frag.uniTopN))
+      val (pieces, btot) = operators.Unigram.vocabModel(vocab)
+      operators.Unigram.pruneVocab(vocab,
+          operators.Unigram.pieceUsage(docs, pieces, btot), frag.uniDropK)
+        .orderBy(col("n_occ").desc, col("piece"))
+    }),
+
+    // ---- tokenizer: segmentation stats under the PRUNED model — the
+    // full seed → usage → prune → re-score → apply round, end to end
+    // (the oracle runs a second unrolled DP chain under the pruned
+    // scores)
+    "q_unigram_segment_pruned" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val vocab = graft.operators.SharedBranch.sharedBranch(
+        operators.Unigram.seedVocab(docs, frag.uniMaxPieceLen, frag.uniTopN))
+      val (pieces, btot) = operators.Unigram.vocabModel(vocab)
+      val pruned = operators.Unigram.pruneVocab(vocab,
+        operators.Unigram.pieceUsage(docs, pieces, btot), frag.uniDropK)
+      val (pieces2, btot2) = operators.Unigram.vocabModel(pruned)
+      operators.Unigram.segmentStats(docs, pieces2, btot2).orderBy(col("doc_id"))
+    }),
+
+    // ---- tokenizer: document-boundary SEGMENT IDS within token
+    // windows — the attention-mask prep on top of q_token_windows
+    // (cross-document windows need per-window segment ordinals to mask
+    // cross-doc attention); window groups are bounded by the window
+    // size, never a single-task funnel
+    "q_window_segments" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val merges = operators.Bpe.mergePairs(
+        operators.Bpe.trainMerges(docs, frag.bpeMerges))
+      operators.Bpe.windowSegments(
+          operators.Bpe.tokenWindows(docs, merges, windowSize = frag.tokenWindow))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ---- relevance: DSIR importance weights (Xie et al. 2302.03169) —
     // hashed unigram+bigram likelihood ratio of a target slice (the
     // English sub-corpus) vs the raw corpus, integer-exact twin; the
@@ -1555,6 +1634,99 @@ object M5Queries {
       * Spark query and the oracle (the hopUs discipline).
       */
     val tokenWindow = 256
+
+    /** Unigram-LM tokenizer config — ONE constant set threaded into the
+      * Spark queries and the oracle CTEs (the hopUs discipline).
+      * `uniHorizon` is the DP unroll depth of the ORACLE only (= the
+      * fixture corpus's max word length, 8 — a longer word would simply
+      * miss its final-position CTE and desynchronize loudly via a row-
+      * count mismatch; the engine-side expression has no horizon).
+      */
+    val uniMaxPieceLen = 4
+    val uniTopN = 48
+    val uniHorizon = 8
+    val uniDropK = 8
+
+    /** Unigram-LM mirror CTEs ending in `uvoc(piece, n_occ)` (the seed
+      * vocabulary) and `udp(word, score, np, path)` (per distinct word:
+      * best Viterbi score, piece count, and piece path). Mirrors
+      * [[graft.operators.Unigram]] / [[graft.functions.UnigramSegment]]
+      * exactly:
+      *  - substring counts weighted by word frequency × in-word
+      *    occurrence; top-N by (n_occ DESC, piece ASC) ∪ all single
+      *    chars;
+      *  - piece score = bits(n_occ) − bits(Σ n_occ) with
+      *    bits(c) = ⌊log₂ c⌋ via a power-of-two ladder join — integer-
+      *    exact, never a float log2 round-trip;
+      *  - the DP unrolled by word position (the kmeansCtes house
+      *    pattern), one QUALIFY argmax per position over candidates
+      *    from the previous `uniMaxPieceLen` cells, tie order
+      *    (score DESC, pieces ASC, last-piece ASC) — the same per-cell
+      *    total order the expression backtracks, so the PATH agrees,
+      *    not just the value.
+      * The chained CTEs are MATERIALIZED: inlined, each DP cell
+      * re-executes its ≤ `uniMaxPieceLen` predecessors — the same
+      * exponential re-execution the Spark trainers cut with
+      * localCheckpoint, here measured 120 s → 0.6 s at sf0.01.
+      */
+    /** One unrolled Viterbi DP chain, prefixed so two models can
+      * coexist in one WITH: `{pfx}dp0..{pfx}dp{H}` cells over the
+      * scored vocab CTE `vb(piece, b)` and 1-row total CTE `bt(bt)`,
+      * ending in `{pfx}dp(word, score, np, path)`.
+      */
+    private def unigramDpChain(pfx: String, vb: String, bt: String): String = {
+      val L = uniMaxPieceLen
+      val parts = Seq.newBuilder[String]
+      parts += s"${pfx}dp0 AS (SELECT word, 0::BIGINT AS score, 0::INT AS np, []::VARCHAR[] AS path FROM uwc)"
+      for (t <- 1 to uniHorizon) {
+        val cands = (math.max(0, t - L) until t).map { j =>
+          s"SELECT d.word, d.score + v.b - $bt.bt AS score, d.np + 1 AS np, list_append(d.path, v.piece) AS path, v.piece AS piece FROM ${pfx}dp$j d JOIN $vb v ON v.piece = d.word[${j + 1}:$t], $bt WHERE len(d.word) >= $t"
+        }.mkString(" UNION ALL ")
+        parts += s"${pfx}dpc$t AS ($cands)"
+        parts += s"${pfx}dp$t AS MATERIALIZED (SELECT word, score, np, path FROM ${pfx}dpc$t QUALIFY row_number() OVER (PARTITION BY word ORDER BY score DESC, np, piece) = 1)"
+      }
+      val finals = (1 to uniHorizon)
+        .map(t => s"SELECT word, score, np, path FROM ${pfx}dp$t WHERE len(word) = $t")
+        .mkString(" UNION ALL ")
+      parts += s"${pfx}dp AS ($finals)"
+      parts.result().mkString(",\n ")
+    }
+
+    def unigramCtes: String = {
+      val L = uniMaxPieceLen
+      val parts = Seq.newBuilder[String]
+      parts += s"uwc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM (SELECT unnest(w) AS word FROM (SELECT $toks w FROM documents)) GROUP BY 1)"
+      parts += s"usub AS MATERIALIZED (SELECT piece, sum(cnt)::BIGINT AS n_occ FROM (SELECT cnt, unnest(flatten(list_transform(generate_series(1, len(word)), s -> list_transform(generate_series(1, least($L, len(word) - s + 1)), l -> word[s:s+l-1])))) AS piece FROM uwc) GROUP BY 1)"
+      parts += s"uvoc AS MATERIALIZED (SELECT piece, n_occ FROM (SELECT piece, n_occ, row_number() OVER (ORDER BY n_occ DESC, piece) AS rk FROM usub) WHERE rk <= $uniTopN OR len(piece) = 1)"
+      parts += "upow AS (SELECT unnest(generate_series(0, 62)) AS p)"
+      parts += "uvb AS MATERIALIZED (SELECT piece, (SELECT max(p) FROM upow WHERE (1::BIGINT << p) <= n_occ) AS b FROM uvoc)"
+      parts += "ubt AS MATERIALIZED (SELECT (SELECT max(p) FROM upow WHERE (1::BIGINT << p) <= (SELECT sum(n_occ) FROM uvoc)) AS bt)"
+      parts += unigramDpChain("u", "uvb", "ubt")
+      parts.result().mkString(",\n ")
+    }
+
+    /** PRUNE-round mirror on top of [[unigramCtes]]: corpus-weighted
+      * piece USAGE from the seed-model best paths (Σ word-count ×
+      * in-path occurrences — the Spark side counts the same thing from
+      * the emitted per-doc stream), drop the `uniDropK` lowest-usage
+      * multi-char pieces ((usage ASC, piece ASC) total order; single
+      * chars immune — the coverage guarantee survives pruning),
+      * re-score survivors from usage with a +1 Laplace floor
+      * (integer-exact; a kept-but-never-used piece scores at count 1),
+      * then a SECOND DP chain (`up` prefix) under the pruned model.
+      */
+    def unigramPruneCtes: String = {
+      val parts = Seq.newBuilder[String]
+      parts += unigramCtes
+      parts += "uusage AS MATERIALIZED (SELECT piece, sum(cnt)::BIGINT AS usage FROM (SELECT w.cnt, unnest(u.path) AS piece FROM uwc w JOIN udp u USING (word)) GROUP BY 1)"
+      parts += "ujoin AS (SELECT v.piece, coalesce(u.usage, 0)::BIGINT AS usage FROM uvoc v LEFT JOIN uusage u USING (piece))"
+      parts += "umrk AS (SELECT piece, usage, row_number() OVER (ORDER BY usage, piece) AS rk FROM ujoin WHERE len(piece) > 1)"
+      parts += s"upruned AS MATERIALIZED (SELECT piece, usage, (usage + 1)::BIGINT AS n_occ FROM (SELECT piece, usage FROM ujoin WHERE len(piece) = 1 UNION ALL SELECT piece, usage FROM umrk WHERE rk > $uniDropK))"
+      parts += "upvb AS MATERIALIZED (SELECT piece, (SELECT max(p) FROM upow WHERE (1::BIGINT << p) <= n_occ) AS b FROM upruned)"
+      parts += "upbt AS MATERIALIZED (SELECT (SELECT max(p) FROM upow WHERE (1::BIGINT << p) <= (SELECT sum(n_occ) FROM upruned)) AS bt)"
+      parts += unigramDpChain("up", "upvb", "upbt")
+      parts.result().mkString(",\n ")
+    }
 
     /** Encode-chain CTEs ending in `flat(doc_id, wi, si, sym)` — the
       * per-token stream (word subscript wi, within-word subscript si)
@@ -2594,6 +2766,58 @@ object M5Queries {
          |  l AS "left", r AS "right", c::BIGINT AS pair_count
          |FROM ($union) ORDER BY rank""".stripMargin
     },
+
+    // unigram seed-vocabulary mirror: corpus-weighted substring counts,
+    // top-N ∪ single chars (see frag.unigramCtes)
+    "q_unigram_vocab" ->
+      s"""WITH ${frag.unigramCtes}
+         |SELECT piece, n_occ FROM uvoc ORDER BY n_occ DESC, piece""".stripMargin,
+
+    // unigram Viterbi stats mirror: per-word DP (unrolled by position)
+    // joined back to the document word stream; every fixture doc has
+    // ≥ 1 word, so the inner join is total
+    "q_unigram_segment" ->
+      s"""WITH ${frag.unigramCtes},
+         | udw AS (SELECT doc_id, unnest(w) AS word FROM (SELECT doc_id, ${frag.toks} w FROM documents))
+         |SELECT doc_id, count(*)::BIGINT AS n_words, sum(np)::BIGINT AS n_pieces, sum(score)::BIGINT AS score
+         |FROM udw JOIN udp USING (word) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // unigram piece-stream mirror: the DP path unnested in (word order,
+    // within-word piece order) — the q_bpe_encode position discipline
+    "q_unigram_encode" ->
+      s"""WITH ${frag.unigramCtes},
+         | udwi AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS wi FROM (SELECT doc_id, ${frag.toks} w FROM documents)),
+         | uflat AS (SELECT doc_id, wi, unnest(path) AS piece, generate_subscripts(path, 1) AS si FROM udwi JOIN udp USING (word))
+         |SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, piece
+         |FROM uflat ORDER BY doc_id, pos""".stripMargin,
+
+    // unigram prune-round mirror: best-path usage counts → drop-K →
+    // Laplace re-score (see frag.unigramPruneCtes)
+    "q_unigram_prune" ->
+      s"""WITH ${frag.unigramPruneCtes}
+         |SELECT piece, usage, n_occ FROM upruned ORDER BY n_occ DESC, piece""".stripMargin,
+
+    // pruned-model stats mirror: the SECOND DP chain (up prefix) under
+    // the usage-rescored vocabulary
+    "q_unigram_segment_pruned" ->
+      s"""WITH ${frag.unigramPruneCtes},
+         | udw2 AS (SELECT doc_id, unnest(w) AS word FROM (SELECT doc_id, ${frag.toks} w FROM documents))
+         |SELECT doc_id, count(*)::BIGINT AS n_words, sum(np)::BIGINT AS n_pieces, sum(score)::BIGINT AS score
+         |FROM udw2 JOIN updp USING (word) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // window-segment mirror: q_token_windows + dense_rank of doc_id
+    // within each window (the attention-mask segment ordinal)
+    "q_window_segments" ->
+      s"""WITH ${frag.bpeEncodeCtes},
+         | p AS (SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, sym AS token FROM flat),
+         | lens AS (SELECT d.doc_id, coalesce(max(pos), 0) AS mp FROM d LEFT JOIN p USING (doc_id) GROUP BY 1),
+         | allt AS (SELECT doc_id, pos, token FROM p UNION ALL SELECT doc_id, (mp + 1)::INT, '<eod>' FROM lens),
+         | g AS (SELECT doc_id, pos, token, row_number() OVER (ORDER BY doc_id, pos) AS gpos FROM allt),
+         | wn AS (SELECT doc_id, pos, token, ((gpos - 1) // ${frag.tokenWindow})::BIGINT AS win_id,
+         |   ((gpos - 1) % ${frag.tokenWindow})::BIGINT AS off FROM g)
+         |SELECT doc_id, pos, token, win_id, off,
+         |  (dense_rank() OVER (PARTITION BY win_id ORDER BY doc_id) - 1)::BIGINT AS seg
+         |FROM wn ORDER BY doc_id, pos""".stripMargin,
 
     // suffix-rank mirror: dense rank over the space-joined 8-token
     // prefix. Separator ' ' sorts below every token character and tokens

@@ -1,0 +1,231 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** `unigram_segment_stats(text)` — Viterbi segmentation under a FROZEN
+  * unigram-LM vocabulary (Kudo, ACL 2018: "Subword Regularization",
+  * §3; the SentencePiece unigram model), the maximum-likelihood
+  * counterpart of the greedy BPE apply ([[BpeSegmentStats]]). The
+  * reference engine has no tokenizer; this completes the trained-
+  * tokenizer pair of the extended curation surface (SURVEY §2):
+  * BPE trains a MERGE TABLE applied greedily, the unigram model
+  * trains a SCORED VOCABULARY applied by best-path dynamic
+  * programming.
+  *
+  * Scoring is the integer-quantized log₂ likelihood — the
+  * [[graft.operators.Importance]] discipline (exact integers end to
+  * end so the DuckDB gate is exact equality, no float log in the
+  * compared columns): piece score = bits(n_occ) − bits(Σ n_occ), with
+  * bits(c) = ⌊log₂ c⌋ (= 63 − nlz(c), mirrored in the oracle by a
+  * power-of-two ladder join — never a float log2 round-trip). Every
+  * piece score is ≤ 0, so the DP genuinely trades piece count against
+  * piece frequency exactly like the real-valued model; a production
+  * deployment would swap in double log-probs behind the same plan
+  * shape (knob documented, not gated).
+  *
+  * Per word (whitespace tokens, the [[BpeSegmentStats]] tokenization
+  * and `Locale.ROOT` case contract): best(0) = (0 score, 0 pieces);
+  * best(t) = max over vocabulary pieces p ending at t of
+  * best(t−|p|) + (score(p), 1), ordered lexicographically by
+  * (score DESC, pieces ASC, piece-string ASC by UTF-8 bytes). The
+  * piece-string leg makes the per-cell CHOICE total (distinct
+  * candidate lengths are distinct suffix strings), so the emitted
+  * path ([[UnigramEncode]]) is deterministic and the oracle's
+  * per-position QUALIFY recursion reproduces it bit for bit; the
+  * (score, pieces) VALUE pair is already unique without it, which is
+  * what the stats gate compares. A character absent from the
+  * vocabulary (impossible when the vocabulary was seeded from the
+  * same corpus — [[graft.operators.Unigram.seedVocab]] keeps every
+  * single-character piece) falls back to an UNK single-char piece
+  * with count 1 (score = −bits(total)), the SentencePiece unk
+  * convention.
+  *
+  * Output: struct<n_words: long, n_pieces: long, score: long> —
+  * corpus-frozen vocabulary rides as a codegen reference object
+  * (ONE plan node whatever the vocabulary size, the
+  * [[BpeSegmentStats]] scale argument).
+  */
+case class UnigramSegmentStats(child: Expression, pieces: Seq[(String, Int)],
+    btot: Int) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_pieces", LongType, nullable = false),
+    StructField("score", LongType, nullable = false)))
+  override def prettyName: String = "unigram_segment_stats"
+
+  private lazy val model: UnigramSegment.Model = UnigramSegment.model(pieces, btot)
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnigramSegment.computeStats(input.toString, model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("model", model, classOf[UnigramSegment.Model].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.UnigramSegment.computeStats($c.toString(), $mRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `unigram_encode(text)` — the EMIT sibling: the best-path piece
+  * sequence itself (word order, then within-word piece order), under
+  * exactly [[UnigramSegmentStats]]' DP and tie-break, so the emitted
+  * path's (Σ score, count) always equals the stats output
+  * (UnigramSpec property-pins it). Output: array<string>.
+  */
+case class UnigramEncode(child: Expression, pieces: Seq[(String, Int)],
+    btot: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_encode"
+
+  private lazy val model: UnigramSegment.Model = UnigramSegment.model(pieces, btot)
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnigramSegment.computePieces(input.toString, model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("model", model, classOf[UnigramSegment.Model].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.UnigramSegment.computePieces($c.toString(), $mRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnigramSegment {
+
+  /** Frozen model state carried as ONE codegen reference object:
+    * piece → score map (score = bits(n_occ) − btot, precomputed),
+    * max piece length (the DP's inner-loop bound), and the UNK score.
+    */
+  final class Model(val scores: java.util.HashMap[String, Integer],
+      val maxLen: Int, val unkScore: Int) extends Serializable
+
+  def model(pieces: Seq[(String, Int)], btot: Int): Model = {
+    val m = new java.util.HashMap[String, Integer]()
+    var maxLen = 1
+    pieces.foreach { case (p, bits) =>
+      m.put(p, Integer.valueOf(bits - btot))
+      if (p.length > maxLen) maxLen = p.length
+    }
+    new Model(m, maxLen, -btot)
+  }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
+  /** UTF-8 binary comparison — the Spark/DuckDB string collation, NOT
+    * Java's UTF-16 `compareTo` (they differ above the BMP; the corpus
+    * contract is ASCII but the tie-break should not silently depend on
+    * it).
+    */
+  private def binaryLt(a: String, b: String): Boolean =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+
+  /** Viterbi over one word: fills score/np per position and returns the
+    * chosen last-piece length per position (for backtracking). Cell
+    * order: (score DESC, pieces ASC, piece-string ASC).
+    */
+  private def viterbi(word: String, m: Model):
+      (Array[Long], Array[Int], Array[Int]) = {
+    val n = word.length
+    val score = new Array[Long](n + 1)
+    val np = new Array[Int](n + 1)
+    val lastLen = new Array[Int](n + 1)
+    var t = 1
+    while (t <= n) {
+      var bestScore = Long.MinValue
+      var bestNp = Int.MaxValue
+      var bestL = 0
+      var bestPiece: String = null
+      val lMax = math.min(m.maxLen, t)
+      var l = 1
+      while (l <= lMax) {
+        val piece = word.substring(t - l, t)
+        val s0 = m.scores.get(piece)
+        val pieceScore: Integer =
+          if (s0 != null) s0
+          else if (l == 1) Integer.valueOf(m.unkScore) // UNK single char
+          else null
+        if (pieceScore != null) {
+          val cs = score(t - l) + pieceScore.intValue()
+          val cn = np(t - l) + 1
+          if (cs > bestScore || (cs == bestScore && (cn < bestNp ||
+              (cn == bestNp && binaryLt(piece, bestPiece))))) {
+            bestScore = cs; bestNp = cn; bestL = l; bestPiece = piece
+          }
+        }
+        l += 1
+      }
+      score(t) = bestScore; np(t) = bestNp; lastLen(t) = bestL
+      t += 1
+    }
+    (score, np, lastLen)
+  }
+
+  /** Static for codegen: tokenize + per-word Viterbi, summed stats. */
+  def computeStats(input: String, m: Model): InternalRow = {
+    val text = input.toLowerCase(java.util.Locale.ROOT)
+    var nWords = 0L
+    var nPieces = 0L
+    var total = 0L
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) {
+        nWords += 1
+        val w = text.substring(start, i)
+        val (s, p, _) = viterbi(w, m)
+        total += s(w.length)
+        nPieces += p(w.length)
+      }
+    }
+    new GenericInternalRow(Array[Any](nWords, nPieces, total))
+  }
+
+  /** Static for codegen: tokenize + per-word Viterbi + backtrack the
+    * chosen path (word order, then piece order within the word).
+    */
+  def computePieces(input: String, m: Model): GenericArrayData = {
+    val text = input.toLowerCase(java.util.Locale.ROOT)
+    val out = mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) {
+        val w = text.substring(start, i)
+        val (_, _, lastLen) = viterbi(w, m)
+        val rev = mutable.ArrayBuffer.empty[String]
+        var t = w.length
+        while (t > 0) {
+          val l = lastLen(t)
+          rev += w.substring(t - l, t)
+          t -= l
+        }
+        var j = rev.length - 1
+        while (j >= 0) {
+          out += UTF8String.fromString(rev(j))
+          j -= 1
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -348,6 +348,26 @@ object Bpe {
       expr(s"(gpos - 1) % $windowSize").as("off"))
   }
 
+  /** Document-boundary SEGMENT IDS within token windows — the
+    * attention-mask prep step on top of [[tokenWindows]]: when windows
+    * cross document boundaries (the pretraining convention), the
+    * trainer needs per-window segment ordinals to mask cross-document
+    * attention (e.g. GPT-3 §2.1's "distinct documents within a
+    * context" masking). `seg` is the 0-based ordinal of the row's
+    * document within its window (dense rank over doc_id — documents
+    * enter windows in doc_id order by construction).
+    *
+    * Scale shape: the window partitions by `win_id`, whose groups are
+    * bounded by `windowSize` rows — millions of small groups, never a
+    * single-task funnel; everything else is narrow.
+    */
+  def windowSegments(windowed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    windowed.withColumn("seg",
+      (dense_rank().over(Window.partitionBy(col("win_id")).orderBy(col("doc_id"))) - 1)
+        .cast("long"))
+  }
+
   /** [[trainMerges]] collected to the (left, right) pairs
     * [[segmentStats]] applies — driver-bounded by numMerges.
     */

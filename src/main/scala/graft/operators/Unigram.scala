@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer construction and apply
+  * (Kudo, ACL 2018) — the maximum-likelihood sibling of the greedy
+  * [[Bpe]] family, completing the trained-tokenizer pair of the
+  * extended curation surface (SURVEY §2): SEED a scored vocabulary
+  * from corpus substrings ([[seedVocab]]), FREEZE it to driver-bounded
+  * model state ([[vocabModel]]), APPLY it by Viterbi best-path
+  * segmentation ([[segmentStats]] fertility report, [[encodePieces]]
+  * token stream) — each step oracle-gated.
+  *
+  * Scale shape: the one corpus-sized pass is the word hash-aggregation
+  * (map-side combinable); substring expansion and ranking run over the
+  * DISTINCT-WORD table (millions of rows at 100 TB, never
+  * corpus-sized), with the top-N rank a range-partitioned [[PrefixSum]]
+  * — no single-partition window. The frozen vocabulary is model
+  * metadata bounded by `topN` + alphabet (the [[Bpe.mergePairs]] /
+  * k-means-codebook collect discipline), riding the apply plan as ONE
+  * codegen reference object; segmentation itself is entirely narrow —
+  * documents never shuffle.
+  *
+  * The reference engine (okp4/kafka-processor-cosmos-tx-dispatch) has
+  * no tokenizer surface; this extends the LLM-pipeline scope the same
+  * way [[Bpe]] does. Scoring is integer-quantized log₂ likelihood —
+  * see [[graft.functions.UnigramSegmentStats]] for the exactness
+  * contract and tie-break total order.
+  */
+object Unigram {
+
+  /** Corpus-weighted word table (word, cnt) — the one corpus-sized
+    * aggregation, shared tokenization contract with [[Bpe]]
+    * ([[TextFunctions.tokens]]: lowercase, `[ \t\n\f\r]+`).
+    */
+  private def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** SEED vocabulary (Kudo §3.2's seed step, substring-count variant):
+    * every substring of length ≤ `maxPieceLen` of every corpus word,
+    * weighted by word frequency × occurrence count within the word;
+    * keep the top `topN` by (n_occ DESC, piece ASC) PLUS every
+    * single-character piece regardless of rank — the coverage
+    * guarantee that makes Viterbi segmentation total on the seeding
+    * corpus (SentencePiece keeps all single characters for the same
+    * reason). Output: (piece, n_occ), the scored vocabulary.
+    *
+    * The expansion runs over the distinct-word table (never
+    * corpus-sized); the rank is a range-partitioned [[PrefixSum]].
+    */
+  def seedVocab(docs: DataFrame, maxPieceLen: Int, topN: Int): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val subs = wordCounts(docs)
+      .select(col("cnt"), explode(flatten(transform(
+        sequence(lit(1), length(col("word"))), s =>
+          transform(
+            sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - s + 1)),
+            l => col("word").substr(s, l))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("n_occ"))
+    PrefixSum.inclusive(subs.withColumn("_one", lit(1L)),
+        Seq(col("n_occ").desc, col("piece")), col("_one"), "rk")
+      .filter(col("rk") <= topN || length(col("piece")) === 1)
+      .select(col("piece"), col("n_occ"))
+  }
+
+  /** FREEZE a seeded vocabulary to the driver-bounded model the apply
+    * expressions carry: (piece, bits(n_occ)) pairs plus
+    * btot = bits(Σ n_occ) — bits(c) = ⌊log₂ c⌋ computed by integer
+    * bit position (63 − nlz), mirrored in the oracle by a
+    * power-of-two ladder join, never a float log2. The collect is
+    * bounded by topN + alphabet (model metadata, the
+    * [[Bpe.mergePairs]] discipline).
+    */
+  def vocabModel(vocab: DataFrame): (Seq[(String, Int)], Int) = {
+    val rows = vocab.select(col("piece"), col("n_occ")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(rows.nonEmpty, "empty vocabulary")
+    val bits = rows.map { case (p, c) =>
+      require(c >= 1, s"piece '$p' has non-positive count $c")
+      (p, 63 - java.lang.Long.numberOfLeadingZeros(c))
+    }.toSeq
+    val total = rows.map(_._2).sum
+    (bits, 63 - java.lang.Long.numberOfLeadingZeros(total))
+  }
+
+  /** APPLY: per-document Viterbi segmentation stats under the frozen
+    * model — (doc_id, n_words, n_pieces, score), the fertility report
+    * ([[Bpe.segmentStats]]'s sibling, plus the max-likelihood score
+    * the DP optimizes). One reference-object expression per row,
+    * entirely narrow.
+    */
+  def segmentStats(docs: DataFrame, pieces: Seq[(String, Int)],
+      btot: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    val st = toColumn(graft.functions.UnigramSegmentStats(
+      toExpression(col("text")), pieces, btot))
+    docs.select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"), col("st.n_words").as("n_words"),
+        col("st.n_pieces").as("n_pieces"), col("st.score").as("score"))
+  }
+
+  /** Corpus-weighted piece USAGE under a frozen model: how often each
+    * piece actually appears on the Viterbi best paths — the E-step
+    * count of the unigram trainer's EM loop (Kudo §3.2 step 2, Viterbi
+    * approximation). One corpus-sized map + hash-aggregate; the DP
+    * rides per row as the frozen expression.
+    */
+  def pieceUsage(docs: DataFrame, pieces: Seq[(String, Int)],
+      btot: Int): DataFrame =
+    encodePieces(docs, pieces, btot)
+      .groupBy(col("piece")).agg(count(lit(1)).as("usage"))
+
+  /** PRUNE round (Kudo §3.2 step 3, hard-count variant): drop the
+    * `dropK` lowest-usage MULTI-CHAR pieces ((usage ASC, piece ASC)
+    * total order — zero-usage pieces go first); single-character
+    * pieces are immune, so Viterbi coverage survives any number of
+    * prune rounds. Survivors are re-scored from usage with a +1
+    * Laplace floor (integer-exact; a kept-but-never-used piece scores
+    * at count 1). Output: (piece, usage, n_occ = usage + 1) — feed it
+    * back through [[vocabModel]] for the next apply round. The rank is
+    * a range-partitioned [[PrefixSum]] over the vocabulary-sized frame.
+    */
+  def pruneVocab(vocab: DataFrame, usage: DataFrame, dropK: Int): DataFrame = {
+    require(dropK >= 0, s"dropK must be >= 0, got $dropK")
+    val joined = vocab.join(usage, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("usage"), lit(0L)).as("usage"))
+    val keptMulti = PrefixSum.inclusive(
+        joined.filter(length(col("piece")) > 1).withColumn("_one", lit(1L)),
+        Seq(col("usage").asc, col("piece")), col("_one"), "rk")
+      .filter(col("rk") > dropK)
+      .select(col("piece"), col("usage"))
+    joined.filter(length(col("piece")) === 1)
+      .unionByName(keptMulti)
+      .select(col("piece"), col("usage"), (col("usage") + 1).as("n_occ"))
+  }
+
+  /** EMIT: the best-path piece stream — (doc_id, pos, piece), pos the
+    * 1-based position in the document's piece sequence (word order,
+    * then within-word piece order; [[Bpe.encodeTokens]]'s sibling
+    * under the DP tie-break total order). Narrow map stage; the
+    * [[Bpe.vocabulary]] / [[Bpe.tokenIds]] id steps compose on top
+    * unchanged.
+    */
+  def encodePieces(docs: DataFrame, pieces: Seq[(String, Int)],
+      btot: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    val enc = toColumn(graft.functions.UnigramEncode(
+      toExpression(col("text")), pieces, btot))
+    docs.select(col("doc_id"), posexplode(enc).as(Seq("pos0", "piece")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("piece"))
+  }
+}

@@ -163,6 +163,24 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("windowSegments: seg is the dense 0-based per-window document ordinal") {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.mergePairs(Bpe.trainMerges(docs, 4))
+    val rows = Bpe.windowSegments(Bpe.tokenWindows(docs, merges, windowSize = 7))
+      .as[(Long, Int, String, Long, Long, Long)].collect().toSeq
+    // small window over 4 docs → at least one window genuinely crosses
+    // a document boundary, so the ordinal is exercised beyond seg=0
+    assert(rows.exists(_._6 > 0L))
+    rows.groupBy(_._4).foreach { case (win, ws) =>
+      val ordinal = ws.map(_._1).distinct.sorted.zipWithIndex.toMap
+      ws.foreach { r =>
+        assert(r._6 == ordinal(r._1).toLong, s"win $win doc ${r._1}: seg ${r._6}")
+      }
+      // dense 0..n-1 within the window
+      assert(ws.map(_._6).distinct.sorted == (0 until ordinal.size).map(_.toLong))
+    }
+  }
+
   test("batched trainer with batchSize=1 degenerates exactly to the sequential trainer") {
     // greedy first-fit with K=1 always selects the round's top-1 pair
     // (the used set starts empty), so every round IS a sequential step

@@ -276,7 +276,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_tfidf_topterms", // 1-row doc-count frame
       "q_bpe_vocab", // PrefixSum offset triangle (≤nPart rows) over the vocab rank
       "q_bpe_token_ids", // same vocab-rank triangle (the id join itself broadcasts hash-keyed)
-      "q_token_windows") // PrefixSum offset triangle for the global token position
+      "q_token_windows", // PrefixSum offset triangle for the global token position
+      "q_window_segments", // same global-position triangle (segment ids on top)
+      "q_unigram_vocab", // PrefixSum offset triangle over the substring-vocab rank
+      "q_unigram_prune") // two vocab-rank triangles (seed rank + usage drop-K rank)
     def collectAll(p: SparkPlan): Seq[SparkPlan] =
       (p +: p.children.flatMap(collectAll)) ++ (p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => collectAll(a.executedPlan)
