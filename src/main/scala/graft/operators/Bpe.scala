@@ -368,6 +368,67 @@ object Bpe {
         .cast("long"))
   }
 
+  /** Per-row content fingerprint of a window stream — every exported
+    * column participates, so the XOR manifest detects any lost,
+    * duplicated, or altered row, not just token-text drift.
+    */
+  private def windowRowFp: org.apache.spark.sql.Column =
+    TextFunctions.rollingHash(concat_ws(" ", col("doc_id"), col("pos"),
+      col("token"), col("win_id"), col("off")))
+
+  /** Shard manifest of a token-window stream ([[tokenWindows]] output):
+    * windows go to `win_id % nShards` (fixed-size windows make the
+    * modulo assignment balanced by construction — no length-packing
+    * pass needed, unlike document shards); per shard the window count,
+    * row count, and an order-free XOR content signature over per-row
+    * fingerprints (the [[Curation.shardManifest]] audit discipline at
+    * window granularity). Output: (shard, n_windows, n_tokens,
+    * content_sig).
+    */
+  def windowShardManifest(windowed: DataFrame, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    windowed
+      .withColumn("shard", pmod(col("win_id"), lit(nShards.toLong)))
+      .withColumn("fp", windowRowFp)
+      .groupBy(col("shard"))
+      .agg(countDistinct(col("win_id")).as("n_windows"),
+        count(lit(1)).as("n_tokens"),
+        expr("bit_xor(fp)").as("content_sig"))
+  }
+
+  /** Materialize a token-window stream as `nShards` training shards —
+    * the tensor-feed EXPORT: one parquet partition directory per
+    * shard, rows clustered by (win_id, off) so a shard reader streams
+    * whole windows in order. The write is the one full-data pass; the
+    * assignment column is pure arithmetic (no shuffle beyond the
+    * writer's partitioning).
+    */
+  def writeWindowShards(windowed: DataFrame, dir: String, nShards: Int): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    windowed
+      .withColumn("shard", pmod(col("win_id"), lit(nShards.toLong)))
+      .sortWithinPartitions(col("shard"), col("win_id"), col("off"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+  }
+
+  /** The read-back audit of [[writeWindowShards]]: recompute the
+    * manifest FROM THE FILES — signatures from round-tripped rows, not
+    * the writer's memory — so equality with
+    * [[windowShardManifest]]`(input)` proves the export preserved
+    * every window row byte-exactly and the directory layout matches
+    * the assignment. (Partition-column inference reads `shard=` back
+    * as int; the cast restores the assignment's BIGINT.)
+    */
+  def windowShardManifestFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val back = spark.read.parquet(dir)
+    back
+      .withColumn("fp", windowRowFp)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(countDistinct(col("win_id")).as("n_windows"),
+        count(lit(1)).as("n_tokens"),
+        expr("bit_xor(fp)").as("content_sig"))
+  }
+
   /** [[trainMerges]] collected to the (left, right) pairs
     * [[segmentStats]] applies — driver-bounded by numMerges.
     */

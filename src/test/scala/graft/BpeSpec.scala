@@ -181,6 +181,37 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("window export: read-back manifest equals the input manifest; rows round-trip exactly") {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.mergePairs(Bpe.trainMerges(docs, 4))
+    val windowed = Bpe.tokenWindows(docs, merges, windowSize = 7)
+    val dir = java.nio.file.Files.createTempDirectory("graft_winexp_").toString
+    try {
+      Bpe.writeWindowShards(windowed, dir, nShards = 3)
+      val fromInput = Bpe.windowShardManifest(windowed, nShards = 3)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val fromDir = Bpe.windowShardManifestFromDir(spark, dir)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(fromDir == fromInput)
+      assert(fromInput.map(_._1) == Set(0L, 1L, 2L))
+      // full row round-trip (order-free)
+      val back = spark.read.parquet(dir)
+        .select($"doc_id", $"pos", $"token", $"win_id", $"off")
+        .as[(Long, Int, String, Long, Long)].collect().toSet
+      val orig = windowed.as[(Long, Int, String, Long, Long)].collect().toSet
+      assert(back == orig)
+      // every shard holds only its own windows
+      spark.read.parquet(dir).select($"shard".cast("long"), $"win_id")
+        .as[(Long, Long)].collect()
+        .foreach { case (sh, w) => assert(w % 3 == sh) }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("batched trainer with batchSize=1 degenerates exactly to the sequential trainer") {
     // greedy first-fit with K=1 always selects the round's top-1 pair
     // (the used set starts empty), so every round IS a sequential step

@@ -187,6 +187,41 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(streamed.exists(_._1 == 1L) && !streamed.exists(_._1 == 3L))
   }
 
+  test("stateless unigram Viterbi encode on a stream: frozen vocab, batch parity, append mode") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Unigram
+    // the unigram production shape: seed + freeze the scored vocabulary
+    // on a reference corpus (batch), then Viterbi-segment an unbounded
+    // stream — one reference-object expression + posexplode, no state,
+    // so append mode is trivially exact
+    val fitCorpus = Seq((100L, "banana bandana banana cabana banana"))
+      .toDF("doc_id", "text")
+    val (pieces, btot) = Unigram.vocabModel(Unigram.seedVocab(fitCorpus, 3, 10))
+    val rows = Seq(
+      (1L, t(1000), "banana cabana"),
+      (2L, t(2000), "bandana xyz"), // xyz: UNK single-char fallback binds
+      (3L, t(3000), ""))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = Unigram.encodePieces(
+      input.toDF().toDF("doc_id", "ts", "text"), pieces, btot)
+    val q = out.writeStream.format("memory").queryName("scur_unipieces")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("scur_unipieces")
+      .as[(Long, Int, String)].collect().toSeq.sortBy(r => (r._1, r._2))
+    val batch = Unigram.encodePieces(
+      rows.toDF("doc_id", "ts", "text"), pieces, btot)
+      .as[(Long, Int, String)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(streamed == batch)
+    assert(streamed.exists(_._1 == 1L) && !streamed.exists(_._1 == 3L))
+    // the multi-char pieces the fit corpus trained actually bind on-stream
+    assert(streamed.exists(r => r._1 == 1L && r._3.length > 1))
+  }
+
   test("stateless DSIR importance gate on a stream: frozen fit scores batch-identically, append mode") {
     val s = spark
     import s.implicits._
