@@ -1206,6 +1206,14 @@ object M5Queries {
       operators.Stats.cardinalities(TextDedup.documents(s, dir), "source")
         .orderBy(col("source"))),
 
+    // ---- stats: shuffle-key skew diagnostic — top event users by row
+    // count with exact ppm share, skew-vs-mean, and the ⌈n/mean⌉ salt
+    // factor a salted agg/join on this key would use (measured BEFORE
+    // paying the skewed shuffle; the decision input to q_salted_agg)
+    "q_key_skew" -> ((s, dir) =>
+      operators.Stats.keySkew(t(s, dir, "events"), "user_id", k = 10)
+        .orderBy(col("rnk"))),
+
     // ---- curation: token-balanced output shards (stable doc order)
     "q_balanced_shards" -> ((s, dir) =>
       Curation.balancedShards(TextDedup.documents(s, dir), nShards = 8)
@@ -3276,6 +3284,19 @@ object M5Queries {
          | count(DISTINCT fp) AS n_distinct_fp,
          | count(DISTINCT token) AS n_distinct_tokens
          |FROM e GROUP BY source ORDER BY source""".stripMargin,
+
+    // key-skew mirror: exact integer ppm/div arithmetic throughout —
+    // DuckDB's // is the same truncating div as Spark's `div` on the
+    // non-negative counts here
+    "q_key_skew" ->
+      s"""WITH c AS (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1),
+         | t AS (SELECT count(*)::BIGINT AS nk, sum(n)::BIGINT AS total FROM c),
+         | r AS (SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id) AS rnk FROM c)
+         |SELECT user_id, n, rnk::INT AS rnk,
+         | ((n * 1000000) // total)::BIGINT AS share_ppm,
+         | ((n * nk * 1000000) // total)::BIGINT AS skew_ppm,
+         | ((n * nk + total - 1) // total)::BIGINT AS salt_factor
+         |FROM r, t WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
 
     "q_balanced_shards" ->
       s"""WITH c AS (SELECT doc_id, len(${frag.toks})::BIGINT AS n_tokens FROM documents),

@@ -92,6 +92,48 @@ object Stats {
     * Engine-specific sketch ⇒ no oracle (the cardinalitiesApprox
     * policy); the exact twin carries the gate.
     */
+  /** Key-skew diagnostic for a shuffle key — the measurement that decides
+    * whether a join/aggregation on `keyCol` needs salting ([[Curation]]'s
+    * salted-agg family) or AQE skew handling, produced BEFORE paying the
+    * skewed shuffle. Output: the top `k` keys by frequency with
+    *  - `share_ppm`  — the key's share of all rows (parts per million),
+    *  - `skew_ppm`   — its count relative to the MEAN per-key count
+    *    (1 000 000 = exactly average; 20 000 000 = a 20× hot key),
+    *  - `salt_factor` — ⌈count / mean⌉, the number of salt buckets that
+    *    spreads this key's rows back down to the average partition load
+    *    (1 for any at-or-below-average key).
+    *
+    * All ratios are exact integer arithmetic (`div`, never a float), so
+    * the oracle is bit-exact. Envelope: `n·nk·10⁶` must fit int64 —
+    * binds at count × distinct-keys ≲ 9·10¹², plenty for any per-key
+    * profile worth salting (a hotter corpus overflows the DIAGNOSTIC,
+    * not the engine; the guard below fails loud rather than wrap).
+    *
+    * Scale shape: one map-side-combinable count per key; totals are a
+    * 1-row broadcast; the top-k rank is a range-partitioned [[PrefixSum]]
+    * over the distinct-key frame (never a single-partition window).
+    */
+  def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = SharedBranch.sharedBranch(
+      df.groupBy(col(keyCol)).agg(count(lit(1)).as("n")))
+    val totals = counts.agg(count(lit(1)).as("nk"), sum(col("n")).as("total"))
+    val ranked = PrefixSum.inclusive(counts.withColumn("_one", lit(1L)),
+        Seq(col("n").desc, col(keyCol).asc), col("_one"), "rnk")
+      .filter(col("rnk") <= k).drop("_one")
+    ranked.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("n"), col("rnk").cast("int").as("rnk"),
+        expr("(n * 1000000) div total").as("share_ppm"),
+        // assert_true is eliminated per-row after the first pass through
+        // codegen when the predicate folds; the cost is one comparison
+        expr("CASE WHEN n <= 9223372036854775807 div (nk * 1000000) " +
+          "THEN (n * nk * 1000000) div total " +
+          "ELSE CAST(raise_error('keySkew exceeded the int64 exactness " +
+          "envelope: count * distinct_keys * 1e6 overflows') AS BIGINT) " +
+          "END").as("skew_ppm"),
+        expr("(n * nk + total - 1) div total").as("salt_factor"))
+  }
+
   def quantilesApproxPerGroup(df: DataFrame, groupCol: String,
       valueCol: String, qsPerMille: Seq[Int],
       accuracy: Int = 10000): DataFrame = {

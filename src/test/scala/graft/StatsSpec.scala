@@ -36,6 +36,29 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("keySkew: hand-checked counts, exact ppm/salt arithmetic, top-k cut") {
+    // key a: 6 rows, b: 3, c: 2, d: 1 → total 12, nk 4, mean 3
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") ++ Seq("d"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "x")
+    val out = Stats.keySkew(df, "k", k = 3)
+      .as[(String, Long, Int, Long, Long, Long)].collect().sortBy(_._3)
+    assert(out.toSeq == Seq(
+      // share_ppm = n*1e6/12; skew_ppm = n*4*1e6/12; salt = ceil(n*4/12)
+      ("a", 6L, 1, 500000L, 2000000L, 2L),
+      ("b", 3L, 2, 250000L, 1000000L, 1L),
+      ("c", 2L, 3, 166666L, 666666L, 1L)))
+  }
+
+  test("keySkew: tie-break on key is deterministic; k beyond distinct keys returns all") {
+    val df = Seq("b", "a", "b", "a").zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "x")
+    val out = Stats.keySkew(df, "k", k = 10)
+      .as[(String, Long, Int, Long, Long, Long)].collect().sortBy(_._3)
+    assert(out.map(r => (r._1, r._3)).toSeq == Seq(("a", 1), ("b", 2)))
+    // both keys exactly at the mean: skew 1e6, salt factor 1
+    assert(out.forall(r => r._5 == 1000000L && r._6 == 1L))
+  }
+
   test("cardinalities: empty docs still counted; approx path within 5% of exact") {
     val exact = Stats.cardinalities(docs, "source")
       .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
