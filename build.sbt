@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout VERBATIM: sbt's default logger
+// prefixes every forked line with "[info] ", which breaks any
+// line-oriented JSON consumer of Bench/Verify output (the driver's
+// bench parser saw "[info] {\"queries\":..." and recorded parsed:null
+// in rounds 11–12 despite a well-formed JSON tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1419,6 +1419,24 @@ object M5Queries {
         frag.bpeBatchRounds, frag.bpeBatchSize, frag.bpeBatchCap, unitTokens = 2)
         .orderBy(col("rank"))),
 
+    // ---- tokenizer: the PRODUCTION CHAIN end to end — batched
+    // vocabulary-scale training (word-level units) → the trained table
+    // frozen into ONE BpeEncode reference-object expression →
+    // GPT-style token windowing; proves the composed path, not just
+    // its pieces. The engine applies the table one merge at a time in
+    // rank order; the oracle applies each round's batch in one fold
+    // pass — output-identical because a round's selections are
+    // symbol-disjoint by construction (BpeSpec property-pins the
+    // equivalence on random corpora)
+    "q_bpe_windows_batched" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val merges = operators.Bpe.mergePairs(
+        operators.Bpe.trainMergesBatched(docs, frag.bpeE2eRounds,
+          frag.bpeE2eBatch, frag.bpeE2eCap, unitTokens = 1))
+      operators.Bpe.tokenWindows(docs, merges, windowSize = frag.tokenWindow)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ---- tokenizer: unigram-LM SEED vocabulary (Kudo, ACL 2018 §3.2)
     // — corpus-weighted substring counts over the DISTINCT-WORD table,
     // top-N by (count DESC, piece ASC) plus every single char (the
@@ -1453,6 +1471,23 @@ object M5Queries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // ---- tokenizer: the unigram ID STREAM — the piece stream through
+    // the SAME vocabulary/dictionary-join steps as the BPE family
+    // (Bpe.vocabulary / Bpe.tokenIds are tokenizer-agnostic: they act
+    // on any (doc_id, pos, token) stream), proving the integer tensor
+    // feed composes over the max-likelihood tokenizer too; the
+    // vocabulary broadcasts, the corpus never shuffles
+    "q_unigram_token_ids" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val (pieces, btot) = operators.Unigram.vocabModel(
+        operators.Unigram.seedVocab(docs, frag.uniMaxPieceLen, frag.uniTopN))
+      val enc = graft.operators.SharedBranch.sharedBranch(
+        operators.Unigram.encodePieces(docs, pieces, btot)
+          .withColumnRenamed("piece", "token"))
+      operators.Bpe.tokenIds(enc, operators.Bpe.vocabulary(enc))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ---- tokenizer: one unigram PRUNE round (the EM loop's E-step
     // usage count + hard prune + Laplace re-score) — drop the 8
     // lowest-usage multi-char pieces, single chars immune; output the
@@ -1483,6 +1518,21 @@ object M5Queries {
       val (pieces2, btot2) = operators.Unigram.vocabModel(pruned)
       operators.Unigram.segmentStats(docs, pieces2, btot2).orderBy(col("doc_id"))
     }),
+
+    // ---- tokenizer: the unigram trainer's FULL EM loop to a TARGET
+    // vocabulary size (SentencePiece's vocab_size contract; Kudo §3.2
+    // iterated) — seed → (fit → Viterbi usage → drop-≤cap prune →
+    // Laplace re-score)* until |vocab| ≤ target; one corpus pass per
+    // round, driver state bounded by the model collect, per-round
+    // localCheckpoint (the trainMergesBatched discipline). At the gate
+    // fixture: 49 → 41 → 33 → 29 (3 rounds, final drop partial — the
+    // min(cap, excess) path exercised). Oracle: uniTrainRounds unrolled
+    // EM rounds with dynamic per-round drop counts
+    "q_unigram_train" -> ((s, dir) =>
+      operators.Unigram.trainVocab(TextDedup.documents(s, dir),
+          frag.uniMaxPieceLen, frag.uniTopN, frag.uniTrainTarget,
+          frag.uniTrainDropCap)
+        .orderBy(col("n_occ").desc, col("piece"))),
 
     // ---- tokenizer: the materialized WINDOW EXPORT — token windows
     // written as 8 parquet shards (win_id % 8; fixed-size windows make
@@ -1680,6 +1730,19 @@ object M5Queries {
     val bpeBatchSize = 32
     val bpeBatchCap = 128
 
+    /** End-to-end vocabulary-scale chain config (q_bpe_windows_batched):
+      * batched train at WORD-level units (unitTokens = 1, so the merge
+      * table is directly the apply-side table — the 2-gram batched gate
+      * demonstrates trainer scale, this one proves the production
+      * CHAIN: trainMergesBatched → frozen BpeEncode → tokenWindows),
+      * 4 rounds × ≤ 8 merges from top-32 candidates. The fixtures'
+      * ~31 distinct words carry ~89 trainable word-internal merges, so
+      * 4×8 trains with no saturation.
+      */
+    val bpeE2eRounds = 4
+    val bpeE2eBatch = 8
+    val bpeE2eCap = 32
+
     /** The q_token_windows window size — ONE constant threaded into the
       * Spark query and the oracle (the hopUs discipline).
       */
@@ -1696,6 +1759,23 @@ object M5Queries {
     val uniTopN = 48
     val uniHorizon = 8
     val uniDropK = 8
+
+    /** Unigram EM-loop trainer config (q_unigram_train): train the
+      * seed vocabulary down to `uniTrainTarget` pieces, dropping at
+      * most `uniTrainDropCap` per round. `uniTrainRounds` is the
+      * ORACLE's unroll depth only (the uniHorizon discipline): the
+      * engine loop is size-driven, and at the gate fixture the seed
+      * is 49 pieces (24 single-char + 25 multi), so 49 → 41 → 33 → 29
+      * takes exactly 3 rounds with a partial final drop (4 < cap —
+      * the min(cap, excess) path exercised). Per-round drop counts in
+      * the oracle are DYNAMIC scalar subqueries, so only the round
+      * count itself is fixture-derived; a fixture drift desynchronizes
+      * loudly (extra/missing re-score rounds change every survivor's
+      * n_occ).
+      */
+    val uniTrainTarget = 29
+    val uniTrainDropCap = 8
+    val uniTrainRounds = 3
 
     /** Unigram-LM mirror CTEs ending in `uvoc(piece, n_occ)` (the seed
       * vocabulary) and `udp(word, score, np, path)` (per distinct word:
@@ -1765,16 +1845,57 @@ object M5Queries {
       * (integer-exact; a kept-but-never-used piece scores at count 1),
       * then a SECOND DP chain (`up` prefix) under the pruned model.
       */
+    /** One EM prune round as CTEs, prefixed so any number of rounds
+      * can coexist in one WITH: piece USAGE under the PREVIOUS model's
+      * best paths (`{prevDp}dp`), the drop-K prune over `prevVocab`
+      * ((usage ASC, piece ASC) total order, single chars immune; K is
+      * an arbitrary SQL expression — a literal for the fixed-drop gate,
+      * a least(cap, excess) scalar subquery for the trainer), Laplace
+      * re-score, and the re-scored model — emitting `{pfx}usage` /
+      * `{pfx}join` / `{pfx}mrk`, the vocabulary `outVocab(piece,
+      * usage, n_occ)`, and `{pfx}vb` / `{pfx}bt` for the next DP chain.
+      */
+    private def unigramRoundCtes(prevVocab: String, prevDp: String,
+        pfx: String, outVocab: String, dropKSql: String): String = {
+      val parts = Seq.newBuilder[String]
+      parts += s"${pfx}usage AS MATERIALIZED (SELECT piece, sum(cnt)::BIGINT AS usage FROM (SELECT w.cnt, unnest(u.path) AS piece FROM uwc w JOIN ${prevDp}dp u USING (word)) GROUP BY 1)"
+      parts += s"${pfx}join AS (SELECT v.piece, coalesce(u.usage, 0)::BIGINT AS usage FROM $prevVocab v LEFT JOIN ${pfx}usage u USING (piece))"
+      parts += s"${pfx}mrk AS (SELECT piece, usage, row_number() OVER (ORDER BY usage, piece) AS rk FROM ${pfx}join WHERE len(piece) > 1)"
+      parts += s"$outVocab AS MATERIALIZED (SELECT piece, usage, (usage + 1)::BIGINT AS n_occ FROM (SELECT piece, usage FROM ${pfx}join WHERE len(piece) = 1 UNION ALL SELECT piece, usage FROM ${pfx}mrk WHERE rk > ($dropKSql)))"
+      parts += s"${pfx}vb AS MATERIALIZED (SELECT piece, (SELECT max(p) FROM upow WHERE (1::BIGINT << p) <= n_occ) AS b FROM $outVocab)"
+      parts += s"${pfx}bt AS MATERIALIZED (SELECT (SELECT max(p) FROM upow WHERE (1::BIGINT << p) <= (SELECT sum(n_occ) FROM $outVocab)) AS bt)"
+      parts.result().mkString(",\n ")
+    }
+
     def unigramPruneCtes: String = {
       val parts = Seq.newBuilder[String]
       parts += unigramCtes
-      parts += "uusage AS MATERIALIZED (SELECT piece, sum(cnt)::BIGINT AS usage FROM (SELECT w.cnt, unnest(u.path) AS piece FROM uwc w JOIN udp u USING (word)) GROUP BY 1)"
-      parts += "ujoin AS (SELECT v.piece, coalesce(u.usage, 0)::BIGINT AS usage FROM uvoc v LEFT JOIN uusage u USING (piece))"
-      parts += "umrk AS (SELECT piece, usage, row_number() OVER (ORDER BY usage, piece) AS rk FROM ujoin WHERE len(piece) > 1)"
-      parts += s"upruned AS MATERIALIZED (SELECT piece, usage, (usage + 1)::BIGINT AS n_occ FROM (SELECT piece, usage FROM ujoin WHERE len(piece) = 1 UNION ALL SELECT piece, usage FROM umrk WHERE rk > $uniDropK))"
-      parts += "upvb AS MATERIALIZED (SELECT piece, (SELECT max(p) FROM upow WHERE (1::BIGINT << p) <= n_occ) AS b FROM upruned)"
-      parts += "upbt AS MATERIALIZED (SELECT (SELECT max(p) FROM upow WHERE (1::BIGINT << p) <= (SELECT sum(n_occ) FROM upruned)) AS bt)"
+      parts += unigramRoundCtes("uvoc", "u", "up", "upruned", uniDropK.toString)
       parts += unigramDpChain("up", "upvb", "upbt")
+      parts.result().mkString(",\n ")
+    }
+
+    /** Trainer mirror: [[unigramCtes]] + `uniTrainRounds` unrolled EM
+      * rounds (`t1`..`t$R` prefixes), each with a DYNAMIC drop count
+      * `least(cap, greatest(0, |prev vocab| − target))` — the engine's
+      * min(dropCap, excess) — ending in `t{R}voc(piece, usage, n_occ)`.
+      * Intermediate rounds also emit their DP chain (the next round's
+      * usage needs it); the last round's chain is never consumed, so
+      * it is not emitted.
+      */
+    def unigramTrainCtes: String = {
+      val parts = Seq.newBuilder[String]
+      parts += unigramCtes
+      var prevVocab = "uvoc"
+      var prevDp = "u"
+      for (r <- 1 to uniTrainRounds) {
+        val pfx = s"t$r"
+        val dropK = s"SELECT least($uniTrainDropCap, greatest(0, (SELECT count(*) FROM $prevVocab) - $uniTrainTarget))"
+        parts += unigramRoundCtes(prevVocab, prevDp, pfx, s"${pfx}voc", dropK)
+        if (r < uniTrainRounds) parts += unigramDpChain(pfx, s"${pfx}vb", s"${pfx}bt")
+        prevVocab = s"${pfx}voc"
+        prevDp = pfx
+      }
       parts.result().mkString(",\n ")
     }
 
@@ -1804,9 +1925,14 @@ object M5Queries {
       * the greedy scan is the only recursion and is linear (≤ cap
       * steps per round).
       */
-    def bpeBatchCtes(rounds: Int, k: Int, cap: Int): String = {
+    def bpeBatchCtes(rounds: Int, k: Int, cap: Int, unitTokens: Int = 2): String = {
+      require(unitTokens == 1 || unitTokens == 2,
+        s"oracle mirror supports unitTokens 1 or 2, got $unitTokens")
+      val unitExpr =
+        if (unitTokens == 1) "unnest(w)"
+        else "unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]))"
       val parts = Seq.newBuilder[String]
-      parts += s"bwc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM (SELECT unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS word FROM (SELECT $toks w FROM documents)) GROUP BY 1)"
+      parts += s"bwc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM (SELECT $unitExpr AS word FROM (SELECT $toks w FROM documents)) GROUP BY 1)"
       parts += "wb0 AS MATERIALIZED (SELECT word, cnt, string_split_regex(word, '') AS syms FROM bwc)"
       for (t <- 0 until rounds) {
         parts += s"pb$t AS MATERIALIZED (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS c FROM (SELECT cnt, syms, unnest(generate_series(1, len(syms)-1)) AS i FROM wb$t) GROUP BY 1, 2)"
@@ -2817,6 +2943,25 @@ object M5Queries {
          |FROM ($union) ORDER BY rank""".stripMargin
     },
 
+    // end-to-end chain mirror: batched train at word-level units (the
+    // same bpeBatchCtes recursion, unitTokens = 1) leaves wb{R} holding
+    // every distinct word's FINAL symbolization — round-by-round batch
+    // application ≡ the engine's rank-order one-at-a-time BpeEncode by
+    // symbol-disjointness — then the q_token_windows tail (per-doc
+    // position stream + EOD rows + global row_number windowing)
+    "q_bpe_windows_batched" ->
+      s"""WITH RECURSIVE ${frag.bpeBatchCtes(frag.bpeE2eRounds, frag.bpeE2eBatch, frag.bpeE2eCap, unitTokens = 1)},
+         | d AS (SELECT doc_id, ${frag.toks} w FROM documents),
+         | e AS (SELECT doc_id, wi, word FROM (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS wi FROM d)),
+         | flat AS (SELECT doc_id, wi, si, sym FROM (SELECT doc_id, wi, unnest(syms) AS sym, generate_subscripts(syms, 1) AS si FROM (SELECT e.doc_id, e.wi, b.syms FROM e JOIN wb${frag.bpeE2eRounds} b USING (word)))),
+         | p AS (SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, sym AS token FROM flat),
+         | lens AS (SELECT d.doc_id, coalesce(max(pos), 0) AS mp FROM d LEFT JOIN p USING (doc_id) GROUP BY 1),
+         | allt AS (SELECT doc_id, pos, token FROM p UNION ALL SELECT doc_id, (mp + 1)::INT, '<eod>' FROM lens),
+         | g AS (SELECT doc_id, pos, token, row_number() OVER (ORDER BY doc_id, pos) AS gpos FROM allt)
+         |SELECT doc_id, pos, token, ((gpos - 1) // ${frag.tokenWindow})::BIGINT AS win_id,
+         |  ((gpos - 1) % ${frag.tokenWindow})::BIGINT AS off
+         |FROM g ORDER BY doc_id, pos""".stripMargin,
+
     // unigram seed-vocabulary mirror: corpus-weighted substring counts,
     // top-N ∪ single chars (see frag.unigramCtes)
     "q_unigram_vocab" ->
@@ -2824,13 +2969,19 @@ object M5Queries {
          |SELECT piece, n_occ FROM uvoc ORDER BY n_occ DESC, piece""".stripMargin,
 
     // unigram Viterbi stats mirror: per-word DP (unrolled by position)
-    // joined back to the document word stream; every fixture doc has
-    // ≥ 1 word, so the inner join is total
+    // joined back to the document word stream; tokenless docs survive
+    // the LEFT JOIN from the documents frame at (0, 0, 0) — the
+    // bpeSegmentOracle discipline, so the gate doesn't lean on the
+    // fixtures happening to contain a word everywhere
     "q_unigram_segment" ->
       s"""WITH ${frag.unigramCtes},
-         | udw AS (SELECT doc_id, unnest(w) AS word FROM (SELECT doc_id, ${frag.toks} w FROM documents))
-         |SELECT doc_id, count(*)::BIGINT AS n_words, sum(np)::BIGINT AS n_pieces, sum(score)::BIGINT AS score
-         |FROM udw JOIN udp USING (word) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         | ud AS (SELECT doc_id, ${frag.toks} w FROM documents),
+         | udw AS (SELECT doc_id, unnest(w) AS word FROM ud),
+         | uag AS (SELECT doc_id, count(*) AS n_words, sum(np) AS n_pieces, sum(score) AS score
+         |   FROM udw JOIN udp USING (word) GROUP BY doc_id)
+         |SELECT ud.doc_id, coalesce(n_words, 0)::BIGINT AS n_words,
+         |  coalesce(n_pieces, 0)::BIGINT AS n_pieces, coalesce(score, 0)::BIGINT AS score
+         |FROM ud LEFT JOIN uag USING (doc_id) ORDER BY ud.doc_id""".stripMargin,
 
     // unigram piece-stream mirror: the DP path unnested in (word order,
     // within-word piece order) — the q_bpe_encode position discipline
@@ -2841,6 +2992,18 @@ object M5Queries {
          |SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, piece
          |FROM uflat ORDER BY doc_id, pos""".stripMargin,
 
+    // unigram id-stream mirror: the q_unigram_encode stream through the
+    // q_bpe_token_ids vocabulary-rank + dictionary-join tail
+    "q_unigram_token_ids" ->
+      s"""WITH ${frag.unigramCtes},
+         | udwi AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS wi FROM (SELECT doc_id, ${frag.toks} w FROM documents)),
+         | uflat AS (SELECT doc_id, wi, unnest(path) AS piece, generate_subscripts(path, 1) AS si FROM udwi JOIN udp USING (word)),
+         | up AS (SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, piece AS token FROM uflat),
+         | uvc AS (SELECT token, count(*) AS n_occ FROM up GROUP BY 1),
+         | uvr AS (SELECT token, n_occ, row_number() OVER (ORDER BY n_occ DESC, token) AS rn FROM uvc)
+         |SELECT doc_id, pos, (rn - 1)::BIGINT AS token_id
+         |FROM up JOIN uvr USING (token) ORDER BY doc_id, pos""".stripMargin,
+
     // unigram prune-round mirror: best-path usage counts → drop-K →
     // Laplace re-score (see frag.unigramPruneCtes)
     "q_unigram_prune" ->
@@ -2848,12 +3011,23 @@ object M5Queries {
          |SELECT piece, usage, n_occ FROM upruned ORDER BY n_occ DESC, piece""".stripMargin,
 
     // pruned-model stats mirror: the SECOND DP chain (up prefix) under
-    // the usage-rescored vocabulary
+    // the usage-rescored vocabulary; same LEFT-JOIN-at-0 discipline
     "q_unigram_segment_pruned" ->
       s"""WITH ${frag.unigramPruneCtes},
-         | udw2 AS (SELECT doc_id, unnest(w) AS word FROM (SELECT doc_id, ${frag.toks} w FROM documents))
-         |SELECT doc_id, count(*)::BIGINT AS n_words, sum(np)::BIGINT AS n_pieces, sum(score)::BIGINT AS score
-         |FROM udw2 JOIN updp USING (word) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         | ud2 AS (SELECT doc_id, ${frag.toks} w FROM documents),
+         | udw2 AS (SELECT doc_id, unnest(w) AS word FROM ud2),
+         | uag2 AS (SELECT doc_id, count(*) AS n_words, sum(np) AS n_pieces, sum(score) AS score
+         |   FROM udw2 JOIN updp USING (word) GROUP BY doc_id)
+         |SELECT ud2.doc_id, coalesce(n_words, 0)::BIGINT AS n_words,
+         |  coalesce(n_pieces, 0)::BIGINT AS n_pieces, coalesce(score, 0)::BIGINT AS score
+         |FROM ud2 LEFT JOIN uag2 USING (doc_id) ORDER BY ud2.doc_id""".stripMargin,
+
+    // trainer mirror: uniTrainRounds unrolled EM rounds (see
+    // frag.unigramTrainCtes), final vocabulary (piece, n_occ)
+    "q_unigram_train" ->
+      s"""WITH ${frag.unigramTrainCtes}
+         |SELECT piece, n_occ FROM t${frag.uniTrainRounds}voc
+         |ORDER BY n_occ DESC, piece""".stripMargin,
 
     // window-export mirror: the q_token_windows stream bucketed by
     // win_id % 8 with per-shard counts + XOR of full-row fingerprints

@@ -399,14 +399,21 @@ object Bpe {
   /** Materialize a token-window stream as `nShards` training shards —
     * the tensor-feed EXPORT: one parquet partition directory per
     * shard, rows clustered by (win_id, off) so a shard reader streams
-    * whole windows in order. The write is the one full-data pass; the
-    * assignment column is pure arithmetic (no shuffle beyond the
-    * writer's partitioning).
+    * whole windows in order. The range exchange on (shard, win_id) is
+    * what makes that clustering REAL: ties on the partition keys land
+    * in one range partition, so a window is never split across part
+    * files and files within a shard directory carry sorted,
+    * non-overlapping win_id ranges (a plain sortWithinPartitions would
+    * leave each upstream task writing its own file per shard, with a
+    * boundary-straddling window split across two files and cross-file
+    * order unspecified). One full-data exchange + one write pass —
+    * the honest price of an ordered tensor feed.
     */
   def writeWindowShards(windowed: DataFrame, dir: String, nShards: Int): Unit = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     windowed
       .withColumn("shard", pmod(col("win_id"), lit(nShards.toLong)))
+      .repartitionByRange(col("shard"), col("win_id"))
       .sortWithinPartitions(col("shard"), col("win_id"), col("off"))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
   }

@@ -78,6 +78,15 @@ object Importance {
   def importanceQuantized(docs: DataFrame, targetPred: Column,
       numBuckets: Int = 4096, scale: Long = 10000L): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    // the in-plan guard below only bounds the NUMERATOR; the dominance
+    // argument (denominator ≤ numerator bound) needs cr+1 ≤ totR+B and
+    // tott+B ≤ scale·(totR+B) — the latter holds for every table only
+    // when numBuckets ≤ scale·1, i.e. B ≤ scale (tott ≤ totR always).
+    // Outside that regime the denominator could wrap while the guard
+    // passes, so refuse loudly instead.
+    require(numBuckets <= scale,
+      s"importanceQuantized needs numBuckets ($numBuckets) <= scale ($scale): " +
+        "the int64 envelope guard's dominance argument breaks otherwise")
     val e = SharedBranch.sharedBranch(
       featureStream(docs, targetPred, numBuckets).filter(col("bucket").isNotNull))
     val rawc = e.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
@@ -165,6 +174,9 @@ object Importance {
       rawCounts: Map[Long, Long], totT: Long, totR: Long,
       numBuckets: Int = 4096, scale: Long = 10000L): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(numBuckets <= scale,
+      s"importanceScoreNarrow needs numBuckets ($numBuckets) <= scale ($scale): " +
+        "the int64 envelope guard's dominance argument breaks otherwise")
     // frozen-model twin of the quantized path's in-plan envelope guard:
     // the counts are driver values here, so the int64 bound is checkable
     // once, up front, in divided (overflow-free) form

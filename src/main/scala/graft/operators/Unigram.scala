@@ -138,6 +138,60 @@ object Unigram {
       .select(col("piece"), col("usage"), (col("usage") + 1).as("n_occ"))
   }
 
+  /** TRAIN to a target vocabulary size — the unigram trainer's full EM
+    * loop (Kudo, ACL 2018 §3.2; SentencePiece's `vocab_size` contract):
+    * from the seed vocabulary, repeat fit ([[vocabModel]]) → Viterbi
+    * E-step usage ([[pieceUsage]]) → hard prune + Laplace re-score
+    * ([[pruneVocab]]) until |vocab| ≤ `targetVocab`, dropping at most
+    * `dropCap` lowest-usage multi-char pieces per round (the bounded
+    * shrink schedule — SentencePiece's multiplicative shrink plays the
+    * same role; a fixed cap keeps the round count and the oracle's
+    * unroll depth deterministic). Single-char pieces are prune-immune,
+    * so Viterbi coverage survives every round — and a target below the
+    * single-char alphabet is therefore unreachable and refused loudly
+    * up front. Output: the final (piece, n_occ) vocabulary, already
+    * re-scored for the next [[vocabModel]]/[[segmentStats]] apply
+    * (n_occ = last-round usage + 1 for pruned rounds; the seed counts
+    * verbatim when the seed already meets the target — zero rounds is
+    * a valid run, not an error).
+    *
+    * Scale shape: each round is ONE corpus-sized pass (the usage
+    * hash-aggregate riding the frozen-model Viterbi expression —
+    * map-side combinable, documents never shuffle) plus vocabulary-
+    * sized pruning; the model collect is bounded by topN + alphabet
+    * per round (the [[Bpe.trainMergesBatched]] driver-state
+    * discipline), and the vocab frame is localCheckpointed per round
+    * so round r's plan references checkpoint blocks, not a lineage
+    * accumulating every prior round's corpus pass (prior rounds'
+    * blocks free via GC/ContextCleaner once unreferenced, like the
+    * BPE trainers). Termination is structural: every round drops
+    * min(dropCap, excess, multi-char count) ≥ 1 pieces while excess
+    * > 0 (if the multi-char pool empties, the size is the single-char
+    * alphabet, which the up-front require bounds by the target).
+    */
+  def trainVocab(docs: DataFrame, maxPieceLen: Int, topN: Int,
+      targetVocab: Int, dropCap: Int): DataFrame = {
+    require(targetVocab >= 1, s"targetVocab must be >= 1, got $targetVocab")
+    require(dropCap >= 1, s"dropCap must be >= 1, got $dropCap")
+    var vocab = seedVocab(docs, maxPieceLen, topN)
+      .select(col("piece"), col("n_occ")).localCheckpoint()
+    var (pieces, btot) = vocabModel(vocab)
+    val singles = pieces.count(_._1.length == 1)
+    require(targetVocab >= singles,
+      s"targetVocab $targetVocab is below the single-char alphabet ($singles) — " +
+        "single-char pieces are prune-immune, so that size is unreachable")
+    while (pieces.size > targetVocab) {
+      val dropK = math.min(dropCap.toLong, pieces.size.toLong - targetVocab).toInt
+      vocab = pruneVocab(vocab.select(col("piece")),
+          pieceUsage(docs, pieces, btot), dropK)
+        .select(col("piece"), col("n_occ")).localCheckpoint()
+      val m = vocabModel(vocab)
+      pieces = m._1
+      btot = m._2
+    }
+    vocab
+  }
+
   /** EMIT: the best-path piece stream — (doc_id, pos, piece), pos the
     * 1-based position in the document's piece sequence (word order,
     * then within-word piece order; [[Bpe.encodeTokens]]'s sibling

@@ -55,7 +55,9 @@ object DumpPlans {
       "q_suffix_rank" -> "prefix-doubling suffix ranks: (doc_id,pos)-keyed shift joins + range-partitioned PrefixSum dense ranks, integer-only wide exchanges (plan shows the final checkpointed round)",
       "q_bpe_segment" -> "BPE train-then-apply: narrow chained greedy folds over the token stream — documents never shuffle",
       "q_quality_ensemble" -> "Borda ensemble: three verified signal chains, per-signal prefix-sum ranks (no single-task global window), doc_id-keyed join-up",
-      "q_embed_jl_recall" -> "JL dimension reduction recall: narrow signed-projection fold, both spaces' broadcast top-k, left-join hit count")
+      "q_embed_jl_recall" -> "JL dimension reduction recall: narrow signed-projection fold, both spaces' broadcast top-k, left-join hit count",
+      "q_unigram_encode" -> "unigram-LM Viterbi encode: ONE codegen reference-object expression + posexplode — documents never shuffle",
+      "q_bpe_windows_batched" -> "end-to-end batched chain: trained table frozen into one BpeEncode node, EOD union, global window position via range-partitioned PrefixSum (training itself is driver-bounded collect state, outside this plan)")
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of the flagship queries\n\n")
     sb.append("Auto-generated by `graft.tools.DumpPlans` at sf0.001. What to look for:\n")

@@ -243,6 +243,58 @@ class BpeSpec extends AnyFunSuite {
     assert(bat.map(_._4) == Seq(10L, 9L, 8L, 7L)) // rank order = count order
   }
 
+  test("rank-order sequential apply ≡ per-round batch apply of a batched-trained table (random corpora)") {
+    // the q_bpe_windows_batched contract: the engine applies the
+    // trained table ONE merge at a time in rank order (BpeEncode),
+    // while the oracle applies each round's selections in one fold
+    // pass — equal because a round's selections are pairwise
+    // symbol-disjoint (l, r, and l||r all unused by the round's other
+    // picks), so no position can match two rules and no application
+    // creates or destroys another rule's match
+    def applySeq(w: String, ms: Seq[(String, String)]): Seq[String] =
+      ms.foldLeft(w.map(_.toString): Seq[String]) { case (syms, (l, r)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { s =>
+          if (out.nonEmpty && out.last == l && s == r) out(out.size - 1) = l + r
+          else out += s
+        }
+        out.toSeq
+      }
+    def applyBatch(syms: Seq[String], batch: Seq[(String, String)]): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      syms.foreach { s =>
+        if (out.nonEmpty && batch.exists { case (l, r) => out.last == l && s == r })
+          out(out.size - 1) = out.last + s
+        else out += s
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(77)
+    for (iter <- 1 to 5) {
+      val alpha = "abcde"
+      val words = Seq.fill(16)(
+        (1 to (3 + rnd.nextInt(6))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      val rdocs = words.grouped(4).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+      val tbl = Bpe.trainMergesBatched(rdocs, rounds = 3, batchSize = 4)
+        .orderBy($"rank").as[(Int, Int, String, String, Long)].collect().toSeq
+      val seqTable = tbl.map(t => (t._3, t._4))
+      val roundBatches = tbl.groupBy(_._2).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._1).map(t => (t._3, t._4)))
+      words.distinct.foreach { w =>
+        val sequential = applySeq(w, seqTable)
+        val batched = roundBatches.foldLeft(w.map(_.toString): Seq[String])(applyBatch)
+        assert(sequential == batched, s"iter $iter word $w table $seqTable")
+      }
+      // and the engine's frozen-expression encode equals the sequential reference
+      val enc = Bpe.encodeTokens(rdocs, seqTable).as[(Long, Int, String)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      words.grouped(4).zipWithIndex.foreach { case (ws, i) =>
+        assert(enc(i.toLong) == ws.flatMap(applySeq(_, seqTable)), s"iter $iter doc $i")
+      }
+    }
+  }
+
   test("batched rounds select pairwise symbol-disjoint pairs (incl. fused strings)") {
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val rows = Bpe.trainMergesBatched(docs, rounds = 3, batchSize = 8)

@@ -279,7 +279,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_token_windows", // PrefixSum offset triangle for the global token position
       "q_window_segments", // same global-position triangle (segment ids on top)
       "q_unigram_vocab", // PrefixSum offset triangle over the substring-vocab rank
-      "q_unigram_prune") // two vocab-rank triangles (seed rank + usage drop-K rank)
+      "q_unigram_prune", // two vocab-rank triangles (seed rank + usage drop-K rank)
+      "q_unigram_train", // seed-rank triangle + one drop-K rank triangle per EM round
+      "q_unigram_token_ids", // piece-vocab-rank triangle (the id join itself broadcasts hash-keyed)
+      "q_bpe_windows_batched", // global-token-position PrefixSum triangle (windowing tail)
+      "q_key_skew") // 1-row (nk, total) totals frame broadcast onto the top-k keys
     def collectAll(p: SparkPlan): Seq[SparkPlan] =
       (p +: p.children.flatMap(collectAll)) ++ (p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => collectAll(a.executedPlan)
