@@ -17,6 +17,11 @@ run / fork := true
 // bench parser saw "[info] {\"queries\":..." and recorded parsed:null
 // in rounds 11–12 despite a well-formed JSON tail).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and nothing may print AFTER it: sbt's trailing
+// "[success] Total time: ..." line would otherwise be the last stdout
+// line a tail-parser sees instead of Bench's compact JSON.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1328,6 +1328,16 @@ object M5Queries {
           maxVocab = 16)
         .orderBy(col("doc_id"))),
 
+    // ---- relevance: trigram STUPID-BACKOFF held-out scoring (Brants
+    // et al., EMNLP 2007 — α = 0.4 spelled 2/5, integer-exact). Model
+    // trains on the doc_id%2==0 half, scores the other half, so the
+    // backoff chain genuinely fires (n_tri/n_bi/n_uni are the
+    // backoff-depth diagnostic); maxVocab=16 keeps <unk> binding
+    "q_stupid_backoff" -> ((s, dir) =>
+      LanguageModel.stupidBackoffQuantized(TextDedup.documents(s, dir),
+          maxVocab = 16)
+        .orderBy(col("doc_id"))),
+
     // ---- tokenizer: distributed BPE merge training (Sennrich et al.,
     // ACL 2016) — corpus-weighted adjacent-pair argmax, 8 unrolled
     // iterations in the oracle (the kmeansCtes pattern); driver state is
@@ -1355,6 +1365,17 @@ object M5Queries {
       val merges = operators.Bpe.mergePairs(
         operators.Bpe.trainMerges(docs, frag.bpeMerges))
       operators.Bpe.encodeTokens(docs, merges)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- tokenizer: fill-in-the-middle PSM reorder (Bavarian et al.,
+    // arXiv:2207.14255) — hash-deterministic 50% selection and split
+    // points over the q_bpe_encode stream; entirely narrow (no shuffle)
+    "q_fim_transform" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val merges = operators.Bpe.mergePairs(
+        operators.Bpe.trainMerges(docs, frag.bpeMerges))
+      operators.Bpe.fimTransform(docs, merges)
         .orderBy(col("doc_id"), col("pos"))
     }),
 
@@ -1435,6 +1456,21 @@ object M5Queries {
           frag.bpeE2eBatch, frag.bpeE2eCap, unitTokens = 1))
       operators.Bpe.tokenWindows(docs, merges, windowSize = frag.tokenWindow)
         .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- tokenizer: STRIDED (overlapping) evaluation windows — the
+    // GPT-2-style strided-perplexity protocol (window 256 sliding by
+    // 128): every token lands in ≤ ⌈W/s⌉ = 2 windows via a bounded
+    // map-side explode over the SAME single PrefixSum global position
+    // as the disjoint training split; a token's scoring slot is the
+    // unique row with off < stride
+    "q_token_windows_strided" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val merges = operators.Bpe.mergePairs(
+        operators.Bpe.trainMerges(docs, frag.bpeMerges))
+      operators.Bpe.tokenWindowsStrided(docs, merges,
+          windowSize = frag.tokenWindow, stride = frag.tokenStride)
+        .orderBy(col("doc_id"), col("pos"), col("win_id"))
     }),
 
     // ---- tokenizer: unigram-LM SEED vocabulary (Kudo, ACL 2018 §3.2)
@@ -1747,6 +1783,13 @@ object M5Queries {
       * Spark query and the oracle (the hopUs discipline).
       */
     val tokenWindow = 256
+
+    /** The q_token_windows_strided stride — window 256 sliding by 128,
+      * so every token appears in ≤ 2 windows (the bounded-explode
+      * factor ⌈W/s⌉) and carries ≥ 128 tokens of context in its
+      * scoring window.
+      */
+    val tokenStride = 128
 
     /** Unigram-LM tokenizer config — ONE constant set threaded into the
       * Spark queries and the oracle CTEs (the hopUs discipline).
@@ -2897,6 +2940,24 @@ object M5Queries {
          |SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, sym AS token
          |FROM flat ORDER BY doc_id, pos""".stripMargin,
 
+    // FIM mirror: the encode stream per doc as an ordered list, then the
+    // PSM reorder under the SAME hash-deterministic selection/splits
+    // (h = rolling hash of text; // and % on non-negative int64 agree
+    // across engines; tk[1:0] and tk[n+1:n] are both empty slices)
+    "q_fim_transform" ->
+      s"""WITH ${frag.bpeEncodeCtes},
+         | ta AS (SELECT doc_id, list(sym ORDER BY wi, si) AS tk FROM flat GROUP BY 1),
+         | base AS (SELECT dd.doc_id, coalesce(tk, []) AS tk, ${frag.rolling("text")} AS h
+         |   FROM documents dd LEFT JOIN ta USING (doc_id)),
+         | par AS (SELECT doc_id, tk, h, len(tk)::BIGINT AS n, h % (len(tk)::BIGINT + 1) AS i1 FROM base),
+         | sp AS (SELECT doc_id, tk, n, h % 2 = 0 AS fim, i1,
+         |   i1 + ((h // 7) % (n - i1 + 1)) AS i2 FROM par),
+         | outa AS (SELECT doc_id, fim,
+         |     CASE WHEN fim THEN ['<fim_pre>'] || tk[1:(i1)::INT] || ['<fim_suf>'] || tk[(i2 + 1)::INT:(n)::INT] || ['<fim_mid>'] || tk[(i1 + 1)::INT:(i2)::INT]
+         |          ELSE tk END AS ot FROM sp)
+         |SELECT doc_id, generate_subscripts(ot, 1)::INT AS pos, unnest(ot) AS token, fim
+         |FROM outa ORDER BY doc_id, pos""".stripMargin,
+
     // vocabulary mirror: dense frequency-ranked ids over the encoded
     // stream (count DESC, token ASC — the Spark side's prefix-sum rank
     // over the same total order)
@@ -2961,6 +3022,22 @@ object M5Queries {
          |SELECT doc_id, pos, token, ((gpos - 1) // ${frag.tokenWindow})::BIGINT AS win_id,
          |  ((gpos - 1) % ${frag.tokenWindow})::BIGINT AS off
          |FROM g ORDER BY doc_id, pos""".stripMargin,
+
+    // strided-window mirror: the q_token_windows global stream, each
+    // token unnested into generate_series(w_lo, w_hi) window ids
+    // (DuckDB // is floor-div; the clamp at 0 makes it agree with the
+    // engine's trunc-div spelling on every input — both only diverge
+    // on negative numerators, where both clamp)
+    "q_token_windows_strided" ->
+      s"""WITH ${frag.bpeEncodeCtes},
+         | p AS (SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, sym AS token FROM flat),
+         | lens AS (SELECT d.doc_id, coalesce(max(pos), 0) AS mp FROM d LEFT JOIN p USING (doc_id) GROUP BY 1),
+         | allt AS (SELECT doc_id, pos, token FROM p UNION ALL SELECT doc_id, (mp + 1)::INT, '<eod>' FROM lens),
+         | g AS (SELECT doc_id, pos, token, row_number() OVER (ORDER BY doc_id, pos) AS gpos FROM allt),
+         | x AS (SELECT doc_id, pos, token, gpos, unnest(generate_series(greatest(0, (gpos - 1 - ${frag.tokenWindow} + ${frag.tokenStride}) // ${frag.tokenStride}), (gpos - 1) // ${frag.tokenStride})) AS win_id FROM g)
+         |SELECT doc_id, pos, token, win_id::BIGINT AS win_id,
+         |  (gpos - 1 - win_id * ${frag.tokenStride})::BIGINT AS off
+         |FROM x ORDER BY doc_id, pos, win_id""".stripMargin,
 
     // unigram seed-vocabulary mirror: corpus-weighted substring counts,
     // top-N ∪ single chars (see frag.unigramCtes)
@@ -3783,6 +3860,54 @@ object M5Queries {
          |SELECT doc_id, CAST(sum(m * contrib) AS BIGINT) AS lm_q,
          | CAST(sum(m) AS BIGINT) AS n_bigrams
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // trigram stupid-backoff mirror: counts from the doc_id%2=0 half
+    // (vocabulary = its top-16, OOV → <unk>), the odd half scored per
+    // full-context token instance — trigram hit, else α·bigram, else
+    // α²·unigram floor, α = 2/5 kept integer; every branch's `//` is on
+    // positive operands (chain containment: c3>0 ⇒ c2(u,v)>0,
+    // c2(v,x)>0 ⇒ c1(v)>0). LEFT JOIN keeps tokenless/short docs at 0
+    "q_stupid_backoff" ->
+      s"""WITH d AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),
+         | e AS (SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM d),
+         | te AS (SELECT * FROM e WHERE doc_id % 2 = 0),
+         | uc AS (SELECT tok, count(*) AS c FROM te GROUP BY 1),
+         | vocab AS (SELECT tok FROM uc ORDER BY c DESC, tok LIMIT 16),
+         | tm AS (SELECT doc_id, pos, CASE WHEN vb.tok IS NULL THEN '<unk>' ELSE te.tok END AS u
+         |   FROM te LEFT JOIN vocab vb ON te.tok = vb.tok),
+         | tt AS (SELECT doc_id, u, lead(u) OVER (PARTITION BY doc_id ORDER BY pos) AS v,
+         |   lead(u, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS x FROM tm),
+         | c1 AS (SELECT u, count(*) AS c1 FROM tt GROUP BY 1),
+         | c2 AS (SELECT u, v, count(*) AS c2 FROM tt WHERE v IS NOT NULL GROUP BY 1, 2),
+         | c3 AS (SELECT u, v, x, count(*) AS c3 FROM tt WHERE x IS NOT NULL GROUP BY 1, 2, 3),
+         | nt AS (SELECT count(*) AS n_train FROM tt),
+         | se AS (SELECT doc_id, pos, tok FROM e WHERE doc_id % 2 <> 0),
+         | sm AS (SELECT doc_id, pos, CASE WHEN vb.tok IS NULL THEN '<unk>' ELSE se.tok END AS u
+         |   FROM se LEFT JOIN vocab vb ON se.tok = vb.tok),
+         | st AS (SELECT doc_id, u, lead(u) OVER (PARTITION BY doc_id ORDER BY pos) AS v,
+         |   lead(u, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS x FROM sm),
+         | si AS (SELECT doc_id, u, v, x, count(*) AS m FROM st WHERE x IS NOT NULL GROUP BY 1, 2, 3, 4),
+         | sc AS (SELECT si.doc_id, si.m,
+         |     CASE WHEN c3.c3 IS NOT NULL THEN 0 WHEN bx.c2 IS NOT NULL THEN 1 ELSE 2 END AS lvl,
+         |     CASE WHEN c3.c3 IS NOT NULL THEN (10000 * c3.c3) // cx.c2
+         |          WHEN bx.c2 IS NOT NULL THEN (2 * 10000 * bx.c2) // (5 * cv.c1)
+         |          ELSE (4 * 10000 * coalesce(c1x.c1, 0)) // (25 * nt.n_train) END AS s
+         |   FROM si
+         |   LEFT JOIN c3 ON si.u = c3.u AND si.v = c3.v AND si.x = c3.x
+         |   LEFT JOIN c2 cx ON si.u = cx.u AND si.v = cx.v
+         |   LEFT JOIN c2 bx ON si.v = bx.u AND si.x = bx.v
+         |   LEFT JOIN c1 cv ON si.v = cv.u
+         |   LEFT JOIN c1 c1x ON si.x = c1x.u
+         |   CROSS JOIN nt),
+         | ag AS (SELECT doc_id, sum(m * s) AS sb_q, sum(m) AS n_scored,
+         |   sum(CASE WHEN lvl = 0 THEN m ELSE 0 END) AS n_tri,
+         |   sum(CASE WHEN lvl = 1 THEN m ELSE 0 END) AS n_bi,
+         |   sum(CASE WHEN lvl = 2 THEN m ELSE 0 END) AS n_uni FROM sc GROUP BY 1)
+         |SELECT d.doc_id, coalesce(sb_q, 0)::BIGINT AS sb_q,
+         | coalesce(n_scored, 0)::BIGINT AS n_scored, coalesce(n_tri, 0)::BIGINT AS n_tri,
+         | coalesce(n_bi, 0)::BIGINT AS n_bi, coalesce(n_uni, 0)::BIGINT AS n_uni
+         |FROM d LEFT JOIN ag USING (doc_id) WHERE d.doc_id % 2 <> 0
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_repetition" ->
       s"""WITH t AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),

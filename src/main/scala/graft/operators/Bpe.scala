@@ -286,6 +286,57 @@ object Bpe {
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
   }
 
+  /** FILL-IN-THE-MIDDLE transform (Bavarian et al., arXiv:2207.14255
+    * §2 — "FIM-for-free": reorder a fraction of documents into
+    * [PRE] prefix [SUF] suffix [MID] middle so an autoregressive model
+    * learns infilling; PSM layout, sentinels appended as ordinary
+    * tokens). Selection and split points must be reproducible
+    * cross-engine, so the paper's random draws are replaced by
+    * hash-determinism on the DOCUMENT TEXT (content-keyed like the
+    * paper's per-example coin, stable under re-partitioning and
+    * re-runs): with `h` the rolling hash of the raw text and `n` the
+    * encoded token count,
+    *
+    *  - FIM applies iff `h % 2 == 0` (the paper's 50% rate),
+    *  - prefix length `i1 = h % (n+1)`, middle end
+    *    `i2 = i1 + (h div 7) % (n − i1 + 1)` — both uniform-ish over
+    *    the valid range, both exact int64 arithmetic.
+    *
+    * A FIM'd document emits `<fim_pre> tk[1..i1] <fim_suf>
+    * tk[i2+1..n] <fim_mid> tk[i1+1..i2]` (n+3 tokens); a non-FIM
+    * document emits its stream unchanged. Output: (doc_id, pos, token,
+    * fim) — same (doc_id, pos, token) contract as [[encodeTokens]], so
+    * the result feeds [[tokenWindows]]/[[Curation]] unchanged.
+    *
+    * Plan shape: ENTIRELY NARROW — one [[graft.functions.BpeEncode]]
+    * reference-object call per row, array slicing/concat, posexplode;
+    * no join, no shuffle, no per-doc regrouping (the array never leaves
+    * the row until the final explode). At 100 TB this is a pure map
+    * stage, the cheapest possible spelling of the operator.
+    */
+  def fimTransform(docs: DataFrame, merges: Seq[(String, String)],
+      preToken: String = "<fim_pre>", sufToken: String = "<fim_suf>",
+      midToken: String = "<fim_mid>"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    val enc = toColumn(graft.functions.BpeEncode(toExpression(col("text")), merges))
+    docs.select(col("doc_id"),
+        coalesce(enc, array().cast("array<string>")).as("tk"),
+        coalesce(graft.functions.TextFunctions.rollingHash(col("text")), lit(0L)).as("h"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("i1", col("h") % (col("n") + 1))
+      .withColumn("i2", col("i1") + expr("(h div 7) % (n - i1 + 1)"))
+      .withColumn("fim", col("h") % 2 === 0)
+      .withColumn("ot", when(col("fim"), concat(
+          array(lit(preToken)), slice(col("tk"), lit(1), col("i1").cast("int")),
+          array(lit(sufToken)),
+          slice(col("tk"), (col("i2") + 1).cast("int"), (col("n") - col("i2")).cast("int")),
+          array(lit(midToken)),
+          slice(col("tk"), (col("i1") + 1).cast("int"), (col("i2") - col("i1")).cast("int"))))
+        .otherwise(col("tk")))
+      .select(col("doc_id"), col("fim"), posexplode(col("ot")).as(Seq("pos0", "token")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"), col("fim"))
+  }
+
   /** The VOCABULARY of an encoded corpus: one row per distinct token
     * with its corpus frequency and a dense 0-based `token_id` assigned
     * by frequency rank (count DESC, token ASC ties — deterministic).
@@ -332,6 +383,22 @@ object Bpe {
   def tokenWindows(docs: DataFrame, merges: Seq[(String, String)],
       windowSize: Int, eodToken: String = "<eod>"): DataFrame = {
     require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
+    globalTokenStream(docs, merges, eodToken)
+      .select(col("doc_id"), col("pos"), col("token"),
+        expr(s"(gpos - 1) div $windowSize").as("win_id"),
+        expr(s"(gpos - 1) % $windowSize").as("off"))
+  }
+
+  /** The shared windowing input: the EOD-separated corpus-global token
+    * stream with its 1-based global position `gpos` — documents
+    * concatenated in (doc_id) order, an `eodToken` row after each
+    * (empty documents contribute just their separator). The global
+    * position is a range-partitioned [[PrefixSum]] over (doc_id, pos)
+    * — the one corpus-sized ordered pass; every windowing variant is
+    * narrow arithmetic (or a bounded explode) on top.
+    */
+  private def globalTokenStream(docs: DataFrame,
+      merges: Seq[(String, String)], eodToken: String): DataFrame = {
     // the encoded stream feeds the per-doc length lookup AND the union —
     // persist it once
     val enc = SharedBranch.sharedBranch(encodeTokens(docs, merges))
@@ -340,12 +407,47 @@ object Bpe {
         Seq("doc_id"), "left")
     val eod = lens.select(col("doc_id"),
       (coalesce(col("mp"), lit(0)) + 1).as("pos"), lit(eodToken).as("token"))
-    val g = PrefixSum.inclusive(
+    PrefixSum.inclusive(
       enc.unionByName(eod).withColumn("_one", lit(1L)),
       Seq(col("doc_id"), col("pos")), col("_one"), "gpos")
-    g.select(col("doc_id"), col("pos"), col("token"),
-      expr(s"(gpos - 1) div $windowSize").as("win_id"),
-      expr(s"(gpos - 1) % $windowSize").as("off"))
+  }
+
+  /** STRIDED (overlapping) token windows — the LM EVALUATION windowing
+    * (GPT-2 §3.1-style strided perplexity: score each token with up to
+    * `windowSize − stride` tokens of preceding context by sliding the
+    * window `stride` tokens at a time; `stride == windowSize`
+    * degenerates to [[tokenWindows]]' disjoint training split, and the
+    * spec pins that equality). Window `w` (0-based) covers global
+    * 0-based positions `[w·stride, w·stride + windowSize)`, so a token
+    * at position p belongs to windows `⌈(p − windowSize + 1) / stride⌉
+    * … ⌊p / stride⌋` (clamped at 0) — an explode bounded by
+    * ⌈windowSize / stride⌉ rows per token, the hop-window discipline:
+    * the blow-up factor is a CONFIG ratio, never data-dependent, and
+    * map-side (no shuffle — the global position is the same single
+    * [[PrefixSum]] pass as the disjoint spelling).
+    *
+    * Output: (doc_id, pos, token, win_id, off), `off` the 0-based
+    * offset within the window; a token's scoring slot in window
+    * ⌊p / stride⌋ is the unique row with `off < stride` (those rows
+    * partition the stream — the spec pins it).
+    */
+  def tokenWindowsStrided(docs: DataFrame, merges: Seq[(String, String)],
+      windowSize: Int, stride: Int, eodToken: String = "<eod>"): DataFrame = {
+    require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
+    require(stride >= 1 && stride <= windowSize,
+      s"stride must be in [1, windowSize=$windowSize], got $stride " +
+        "(a stride past the window would silently drop tokens)")
+    globalTokenStream(docs, merges, eodToken)
+      .select(col("doc_id"), col("pos"), col("token"),
+        // w_lo: ceil((p − W + 1)/s) as trunc-div of (p − W + s) — exact
+        // whenever the numerator is non-negative, and both sides clamp
+        // to 0 when it isn't (p < W ⇒ true w_lo ≤ 0)
+        explode(sequence(
+          greatest(lit(0L), expr(s"(gpos - 1 - $windowSize + $stride) div $stride")),
+          expr(s"(gpos - 1) div $stride"))).as("win_id"),
+        col("gpos"))
+      .select(col("doc_id"), col("pos"), col("token"), col("win_id"),
+        (col("gpos") - 1 - col("win_id") * stride).as("off"))
   }
 
   /** Document-boundary SEGMENT IDS within token windows — the

@@ -113,6 +113,118 @@ object LanguageModel {
         sum(col("m")).as("n_bigrams"))
   }
 
+  /** Trigram STUPID-BACKOFF document scoring (Brants et al., EMNLP 2007
+    * §4 — the backoff score built FOR distributed count-based training:
+    * no discounting, no normalization across orders, so every model
+    * table is a plain map-side-combinable count aggregation; the paper's
+    * α = 0.4 is kept, spelled 2/5 so the arithmetic stays integer).
+    *
+    * Unlike [[bigramLmQuantized]] (which scores the corpus against
+    * itself, so its smoothed probabilities never back off), this is a
+    * HELD-OUT scorer: the model trains on the `doc_id % trainModulus
+    * == 0` half and scores the OTHER half, so unseen trigrams genuinely
+    * fall through the backoff chain — the statistic that separates
+    * in-domain text (deep trigram hits) from word salad (unigram-floor
+    * scores). Per scored token instance `w` with context `(u, v)` (all
+    * three mapped through the TRAIN-half top-`maxVocab` vocabulary, OOV
+    * → `<unk>`):
+    *
+    *  - trigram hit (`c₃(u,v,w) > 0`):  `(scale·c₃(u,v,w)) div c₂(u,v)`
+    *  - bigram hit (`c₂(v,w) > 0`):     `(2·scale·c₂(v,w)) div (5·c₁(v))`
+    *  - unigram floor:                  `(4·scale·c₁(w)) div (25·N)`
+    *    (0 when `w` never occurs in the train half at all)
+    *
+    * Chain well-definedness is by containment: `c₃ > 0 ⇒ c₂(u,v) ≥ c₃ >
+    * 0` and `c₂(v,w) > 0 ⇒ c₁(v) > 0`, so no branch divides by zero.
+    * Only tokens with a full two-token in-document context are scored
+    * (`n_scored = max(0, n_tokens − 2)`); every score-half document gets
+    * a row (tokenless → all zeros). Output: (doc_id, sb_q, n_scored,
+    * n_tri, n_bi, n_uni) — the level counts are the backoff-depth
+    * diagnostic (how much of the document the model actually knows).
+    *
+    * Plan shape: train and score streams each pay ONE `doc_id`-keyed
+    * window exchange for adjacency; count tables are hash aggregations;
+    * score instances pre-aggregate per (doc_id, u, v, w) (doc_id ⊆ keys
+    * ⇒ reuses the window's partitioning) before joining `c₃`/`c₂` keyed
+    * (AQE picks broadcast when they fit) and the ≤ `maxVocab`+1-row
+    * `c₁`/`N` tables broadcast. Integer-exact cross-engine: every step
+    * is int64 `·`/`div`/`+` on non-negative operands; the 1-row `N`
+    * frame carries an `assert_true` int64 envelope (`25·scale·N` must
+    * fit — the widest product in the chain) that fails LOUD instead of
+    * wrapping.
+    */
+  def stupidBackoffQuantized(docs: DataFrame, maxVocab: Int = 1024,
+      trainModulus: Long = 2L, scale: Long = 10000L): DataFrame = {
+    require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
+    require(trainModulus >= 2, s"trainModulus must be >= 2 (need a held-out half), got $trainModulus")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+    val train = toks.filter(col("doc_id") % trainModulus === 0)
+    val vocab = SharedBranch.sharedBranch(
+      train.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(maxVocab)
+        .select(col("tok")))
+    def mapped(t: DataFrame): DataFrame = t
+      .join(broadcast(vocab.withColumn("inv", lit(1))), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("inv").isNotNull, col("tok")).otherwise(lit(Unk)).as("u"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    def withContext(t: DataFrame): DataFrame = t
+      .withColumn("v", lead(col("u"), 1).over(w))
+      .withColumn("x", lead(col("u"), 2).over(w))
+    val tr = SharedBranch.sharedBranch(withContext(mapped(train)))
+    val c1 = tr.groupBy(col("u")).agg(count(lit(1)).as("c1"))
+    val c2 = SharedBranch.sharedBranch(
+      tr.filter(col("v").isNotNull)
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c2")))
+    val c3 = tr.filter(col("x").isNotNull)
+      .groupBy(col("u"), col("v"), col("x")).agg(count(lit(1)).as("c3"))
+    // 1-row N with the LOUD int64 envelope: 25·scale·N is the widest
+    // product either side of any branch's division
+    val n = tr.agg(count(lit(1)).as("n_train"))
+      .select(col("n_train"),
+        assert_true(col("n_train") <= lit(Long.MaxValue / (25L * scale)),
+          lit(s"stupidBackoff int64 envelope: 25*$scale*N must fit int64")).as("_g"))
+      .select(col("n_train"))
+    val scoreDocs = docs.filter(col("doc_id") % trainModulus =!= 0)
+    val inst = withContext(mapped(scoreDocs
+        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))))
+      .filter(col("x").isNotNull)
+      .groupBy(col("doc_id"), col("u"), col("v"), col("x"))
+      .agg(count(lit(1)).as("m"))
+    val scored = inst
+      .join(c3, Seq("u", "v", "x"), "left")
+      .join(c2.withColumnRenamed("c2", "c2_ctx"), Seq("u", "v"), "left")
+      .join(c2.select(col("u").as("v"), col("v").as("x"), col("c2").as("c2_vx")),
+        Seq("v", "x"), "left")
+      .join(broadcast(c1.select(col("u").as("v"), col("c1").as("c1_v"))), Seq("v"), "left")
+      .join(broadcast(c1.select(col("u").as("x"), col("c1").as("c1_x"))), Seq("x"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("lvl",
+        when(col("c3").isNotNull, lit(0))
+          .when(col("c2_vx").isNotNull, lit(1)).otherwise(lit(2)))
+      .withColumn("s",
+        when(col("lvl") === 0, expr(s"($scale * c3) div c2_ctx"))
+          .when(col("lvl") === 1, expr(s"(2 * $scale * c2_vx) div (5 * c1_v)"))
+          .otherwise(expr(s"(4 * $scale * coalesce(c1_x, 0)) div (25 * n_train)")))
+    val agg = scored.groupBy(col("doc_id")).agg(
+      sum(col("m") * col("s")).as("sb_q"),
+      sum(col("m")).as("n_scored"),
+      sum(when(col("lvl") === 0, col("m")).otherwise(lit(0L))).as("n_tri"),
+      sum(when(col("lvl") === 1, col("m")).otherwise(lit(0L))).as("n_bi"),
+      sum(when(col("lvl") === 2, col("m")).otherwise(lit(0L))).as("n_uni"))
+    scoreDocs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sb_q"), lit(0L)).as("sb_q"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("n_uni"), lit(0L)).as("n_uni"))
+  }
+
   /** Production LM score: mean `ln P(v|u)` per bigram
     * (`P = (c_uv+1)/(c_u+vsz)`) and perplexity `exp(−mean)`. Same join
     * shape as the quantized twin; double scores are NOT cross-engine

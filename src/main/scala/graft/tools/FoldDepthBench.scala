@@ -56,6 +56,22 @@ object FoldDepthBench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // the fold spelling is measured twice per depth: under DEFAULT
+    // analyzer confs (where its nested-HOF tree trips the resolution
+    // iteration cap past a few dozen merges — a hard analyzer failure,
+    // not slowness), and with spark.sql.analyzer.maxIterations raised
+    // so the actual planning+execution cost past the default ceiling
+    // is a number, not a crash
+    def tryFold(tbl: Seq[(String, String)]): (Double, String) =
+      try {
+        val t = time {
+          graft.operators.Bpe.segmentStats(docs, tbl)
+            .write.mode("overwrite").format("noop").save()
+        }
+        (t, "")
+      } catch {
+        case e: Throwable => (-2.0, Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+      }
     var foldDead = false
     val rows = depths.map { d =>
       val tbl = table(d)
@@ -63,19 +79,25 @@ object FoldDepthBench {
         graft.operators.Bpe.segmentStatsFrozen(docs, tbl)
           .write.mode("overwrite").format("noop").save()
       }
-      val fold =
-        if (foldDead) -1.0
-        else time {
-          graft.operators.Bpe.segmentStats(docs, tbl)
-            .write.mode("overwrite").format("noop").save()
+      val (fold, foldErr) =
+        if (foldDead) (-1.0, "") else tryFold(tbl)
+      val (foldRaised, foldRaisedErr) =
+        if (foldDead) (-1.0, "")
+        else if (fold >= 0) (fold, "") // default confs sufficed
+        else {
+          spark.conf.set("spark.sql.analyzer.maxIterations", "100000")
+          try tryFold(tbl)
+          finally spark.conf.unset("spark.sql.analyzer.maxIterations")
         }
-      if (fold > foldCutoffS) foldDead = true
-      System.err.println(f"[folddepth] depth=$d frozen=$frozen%.2f fold=$fold%.2f")
-      (d, frozen, fold)
+      if (fold > foldCutoffS || foldRaised > foldCutoffS || (fold < 0 && foldRaised < 0 && !foldDead))
+        foldDead = true
+      System.err.println(f"[folddepth] depth=$d frozen=$frozen%.2f fold=$fold%.2f raised=$foldRaised%.2f $foldErr")
+      (d, frozen, fold, foldErr, foldRaised, foldRaisedErr)
     }
     def fmt(v: Double) = f"$v%.3f"
-    println(rows.map { case (d, fr, fo) =>
-      s""""$d":{"frozen_s":${fmt(fr)},"fold_s":${fmt(fo)}}"""
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ") + "\""
+    println(rows.map { case (d, fr, fo, fe, rz, re) =>
+      s""""$d":{"frozen_s":${fmt(fr)},"fold_s":${fmt(fo)},"fold_err":${q(fe)},"fold_raised_iter_s":${fmt(rz)},"fold_raised_err":${q(re)}}"""
     }.mkString(s"""{"metric":"bpe_apply_depth","sf":"$sfDir","fold_cutoff_s":$foldCutoffS,"depths":{""", ",", "}}"))
     graft.sources.Tables.evict(spark)
     spark.stop()

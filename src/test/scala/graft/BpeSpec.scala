@@ -163,6 +163,87 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenWindowsStrided: stride=window degenerates to tokenWindows; bounded multiplicity; off<stride slots partition the stream") {
+    val withEmpty = (texts :+ "   ").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.mergePairs(Bpe.trainMerges(withEmpty, 4))
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, String, Long, Long)].collect().toSeq
+        .sortBy(r => (r._1, r._2, r._4))
+    // degenerate equality: stride == windowSize is exactly the
+    // disjoint training split
+    val disjoint = sorted(Bpe.tokenWindows(withEmpty, merges, windowSize = 6))
+    assert(sorted(Bpe.tokenWindowsStrided(withEmpty, merges, 6, 6)) == disjoint)
+    // strided: window 6, stride 2 → every token in 1..3 windows
+    val w = 6; val s = 2
+    val st = sorted(Bpe.tokenWindowsStrided(withEmpty, merges, w, s))
+    val n = disjoint.size
+    val byToken = st.groupBy(r => (r._1, r._2))
+    assert(byToken.size == n) // every global-stream token appears
+    byToken.foreach { case (k, rs) =>
+      assert(rs.size >= 1 && rs.size <= (w + s - 1) / s, s"token $k in ${rs.size} windows")
+      // offsets are consistent with ONE global position: off = p − win·s
+      // means (off + win·s) is the same for every row of the token
+      assert(rs.map(r => r._5 + r._4 * s).distinct.size == 1, s"token $k")
+      rs.foreach(r => assert(r._5 >= 0 && r._5 < w))
+    }
+    // the off < stride rows are each token's unique scoring slot
+    val slots = st.filter(_._5 < s)
+    assert(slots.size == n)
+    assert(slots.map(r => (r._1, r._2)).distinct.size == n)
+    // every window that fits entirely inside the stream is exactly full
+    val sizes = st.groupBy(_._4).view.mapValues(_.size).toMap
+    sizes.foreach { case (win, sz) =>
+      if (win * s + w <= n) assert(sz == w, s"window $win: $sz")
+    }
+    // a stride past the window would drop tokens — refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Bpe.tokenWindowsStrided(withEmpty, merges, windowSize = 4, stride = 5)
+    }
+    assert(e.getMessage.contains("stride"))
+  }
+
+  test("fimTransform: PSM layout reconstructs the encode stream; non-FIM docs pass through; partitioning-invariant") {
+    val docs = (texts :+ "" :+ "   ").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.mergePairs(Bpe.trainMerges(docs, 4))
+    val enc = Bpe.encodeTokens(docs, merges)
+      .as[(Long, Int, String)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val out = Bpe.fimTransform(docs, merges)
+      .as[(Long, Int, String, Boolean)].collect().toSeq
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // every selected doc carries the three sentinels exactly once, in
+    // PRE < SUF < MID order, and reassembling prefix+middle+suffix
+    // yields the original stream; every unselected doc passes through
+    byDoc.foreach { case (id, rows) =>
+      val toks = rows.map(_._3)
+      assert(rows.map(_._2) == (1 to rows.size), s"doc $id positions")
+      assert(rows.map(_._4).distinct.size == 1, s"doc $id fim flag")
+      val orig = enc.getOrElse(id, Seq.empty)
+      if (rows.head._4) {
+        assert(toks.size == orig.size + 3, s"doc $id")
+        val ip = toks.indexOf("<fim_pre>"); val is = toks.indexOf("<fim_suf>")
+        val im = toks.indexOf("<fim_mid>")
+        assert(ip == 0 && is > ip && im > is, s"doc $id sentinel order")
+        assert(toks.count(t => t.startsWith("<fim_")) == 3, s"doc $id sentinel count")
+        val prefix = toks.slice(1, is); val suffix = toks.slice(is + 1, im)
+        val middle = toks.drop(im + 1)
+        assert(prefix ++ middle ++ suffix == orig, s"doc $id reassembly")
+      } else assert(toks == orig, s"doc $id passthrough")
+    }
+    // both branches are exercised by the fixture
+    assert(out.exists(_._4) && out.exists(!_._4))
+    // a FIM'd tokenless doc is exactly the three sentinels
+    byDoc.filter { case (id, rows) => enc.getOrElse(id, Seq.empty).isEmpty && rows.head._4 }
+      .foreach { case (_, rows) =>
+        assert(rows.map(_._3) == Seq("<fim_pre>", "<fim_suf>", "<fim_mid>")) }
+    // hash-determinism: invariant under input partitioning
+    val out2 = Bpe.fimTransform(docs.repartition(7), merges)
+      .as[(Long, Int, String, Boolean)].collect().toSeq
+    assert(out.sortBy(r => (r._1, r._2)) == out2.sortBy(r => (r._1, r._2)))
+  }
+
   test("windowSegments: seg is the dense 0-based per-window document ordinal") {
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val merges = Bpe.mergePairs(Bpe.trainMerges(docs, 4))

@@ -50,6 +50,66 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // train half = doc 0 "a b c a b c": c3 (a,b,c)=2 (b,c,a)=1 (c,a,b)=1;
+  // c2 (a,b)=2 (b,c)=2 (c,a)=1; c1 a=2 b=2 c=2, N=6; vocab {a,b,c}
+  def sbCorpus = Seq(
+    (0L, "a b c a b c"), // train
+    (1L, "a b c"), // trigram hit: (10000*2) div 2 = 10000
+    (3L, "b c c"), // unigram floor: (4*10000*2) div (25*6) = 533
+    (5L, "c b c"), // bigram hit: (2*10000*2) div (5*2) = 4000
+    (7L, "q q q"), // OOV everywhere: c1(<unk>) absent -> 0, still lvl 2
+    (9L, ""), // tokenless -> all-zero row
+    (11L, "a b")) // no full context -> all-zero row
+    .toDF("doc_id", "text")
+
+  test("stupid backoff: hand-rolled reference hits every backoff level") {
+    val got = LanguageModel.stupidBackoffQuantized(sbCorpus, maxVocab = 100)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 10000L, 1L, 1L, 0L, 0L),
+      (3L, 533L, 1L, 0L, 0L, 1L),
+      (5L, 4000L, 1L, 0L, 1L, 0L),
+      (7L, 0L, 1L, 0L, 0L, 1L),
+      (9L, 0L, 0L, 0L, 0L, 0L),
+      (11L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("stupid backoff: integer path invariant under input partitioning") {
+    val a = LanguageModel.stupidBackoffQuantized(sbCorpus, maxVocab = 2)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val b = LanguageModel.stupidBackoffQuantized(sbCorpus.repartition(7), maxVocab = 2)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("stupid backoff: score half whose trigrams all trained is pure trigram hits") {
+    // score doc repeats a train substring -> every instance lvl 0
+    val d = Seq((0L, "a b c d e a b c d e"), (1L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.stupidBackoffQuantized(d, maxVocab = 100)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got.size == 1)
+    val (_, _, nScored, nTri, nBi, nUni) = got.head
+    assert(nScored == 3 && nTri == 3 && nBi == 0 && nUni == 0)
+  }
+
+  test("stupid backoff: refuses a degenerate split or non-positive knobs") {
+    Seq(
+      intercept[IllegalArgumentException] {
+        LanguageModel.stupidBackoffQuantized(sbCorpus, trainModulus = 1L)
+      },
+      intercept[IllegalArgumentException] {
+        LanguageModel.stupidBackoffQuantized(sbCorpus, maxVocab = 0)
+      },
+      intercept[IllegalArgumentException] {
+        LanguageModel.stupidBackoffQuantized(sbCorpus, scale = 0L)
+      }).foreach(e => assert(e.getMessage.nonEmpty))
+  }
+
   test("log path: modal transitions score better than rare ones") {
     // d1 repeats the corpus's dominant bigram; d9 is all rare transitions
     val d = Seq((1L, "a b a b a b a b"), (2L, "a b a b"), (3L, "a b"),

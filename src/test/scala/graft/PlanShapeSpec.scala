@@ -267,6 +267,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_importance_weights", // 1-row target/raw feature-total frame
       "q_importance_selected", // same totals + 1-row doc-count frame + PrefixSum offsets
       "q_lm_score", // 1-row vocab totals
+      "q_stupid_backoff", // 1-row train-token-total (N) frame
       "q_quality_ensemble", // LM 1-row vocab totals + 3 PrefixSum offset triangles (≤nPart rows)
       "q_mixture_schedule", // 1-row per-source totals frame
       "q_mixture_weights", // 1-row sqrt-weight total frame
@@ -277,6 +278,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_bpe_vocab", // PrefixSum offset triangle (≤nPart rows) over the vocab rank
       "q_bpe_token_ids", // same vocab-rank triangle (the id join itself broadcasts hash-keyed)
       "q_token_windows", // PrefixSum offset triangle for the global token position
+      "q_token_windows_strided", // same global-position triangle (bounded explode on top)
       "q_window_segments", // same global-position triangle (segment ids on top)
       "q_unigram_vocab", // PrefixSum offset triangle over the substring-vocab rank
       "q_unigram_prune", // two vocab-rank triangles (seed rank + usage drop-K rank)
