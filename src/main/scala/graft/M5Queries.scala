@@ -1165,6 +1165,14 @@ object M5Queries {
 
     // ---- curation: sliding token-window chunking (RAG/fine-tuning
     // chunker; overlapping windows, partial tail kept) — purely narrow
+    // ---- sequence-level exact dedup: duplicate passages surface as
+    // identical token chunks even when the containing docs differ —
+    // the post-doc-dedup pass; keeper = lexicographic min
+    // (doc_id, chunk_idx), n_copies >= 2 rows are the dup report
+    "q_chunk_dedup" -> ((s, dir) =>
+      TextDedup.chunkDuplicates(TextDedup.documents(s, dir), window = 64, stride = 48)
+        .orderBy(col("keep_doc"), col("keep_idx"))),
+
     "q_chunk_tokens" -> ((s, dir) =>
       Curation.chunkByTokens(TextDedup.documents(s, dir), window = 64, stride = 48)
         .orderBy(col("doc_id"), col("chunk_idx"))),
@@ -1366,6 +1374,18 @@ object M5Queries {
         operators.Bpe.trainMerges(docs, frag.bpeMerges))
       operators.Bpe.encodeTokens(docs, merges)
         .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- tokenizer: fertility report by source slice — tokens-per-word
+    // per domain, the vocabulary-coverage signal for rebalancing
+    // tokenizer training data; one reference-object apply + one tiny
+    // source-keyed aggregation
+    "q_fertility_by_source" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val merges = operators.Bpe.mergePairs(
+        operators.Bpe.trainMerges(docs, frag.bpeMerges))
+      operators.Bpe.fertilityBySource(docs, merges)
+        .orderBy(col("source"))
     }),
 
     // ---- tokenizer: fill-in-the-middle PSM reorder (Bavarian et al.,
@@ -2932,6 +2952,8 @@ object M5Queries {
     // left join at 0
     "q_bpe_segment" -> bpeSegmentOracle,
 
+    "q_fertility_by_source" -> bpeFertilityBySourceOracle,
+
     // token-stream mirror: the segmentation chain threaded with the
     // word subscript so the flattened (word order, symbol order)
     // sequence reconstructs positionally
@@ -3491,6 +3513,22 @@ object M5Queries {
          |   row_number() OVER (PARTITION BY doc_id ORDER BY n_shared DESC, eval_doc) AS rn
          |  FROM p)
          |SELECT doc_id, eval_doc, n_shared FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // sequence-level dedup mirror: the q_chunk_tokens chunker, then
+    // keep-first window ranking per distinct chunk body
+    "q_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, ${frag.toks} w FROM documents),
+         | st AS (SELECT doc_id, w, range(0, len(w), 48) AS r FROM t),
+         | c AS (SELECT doc_id, w, unnest(range(len(r))) AS chunk_idx, unnest(r) AS start FROM st),
+         | ch AS (SELECT doc_id, chunk_idx::INT AS chunk_idx,
+         |   array_to_string(w[start + 1:start + 64], ' ') AS chunk_text,
+         |   len(w[start + 1:start + 64])::INT AS n_tokens FROM c),
+         | r AS (SELECT doc_id, chunk_idx, n_tokens, chunk_text,
+         |   row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn,
+         |   count(*) OVER (PARTITION BY chunk_text) AS n_copies FROM ch WHERE n_tokens > 0)
+         |SELECT doc_id AS keep_doc, chunk_idx AS keep_idx, n_tokens,
+         | n_copies::BIGINT AS n_copies
+         |FROM r WHERE rn = 1 ORDER BY keep_doc, keep_idx""".stripMargin,
 
     "q_chunk_tokens" ->
       s"""WITH t AS (SELECT doc_id, ${frag.toks} w FROM documents),
@@ -4178,6 +4216,28 @@ object M5Queries {
        | ag AS (SELECT doc_id, count(*) AS n_words, sum(len(syms)) AS n_tokens FROM g${frag.bpeMerges} GROUP BY 1)
        |SELECT d.doc_id, coalesce(n_words, 0)::BIGINT AS n_words, coalesce(n_tokens, 0)::BIGINT AS n_tokens
        |FROM d LEFT JOIN ag USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Fertility-by-source mirror: the [[bpeSegmentOracle]] per-doc chain
+    * re-aggregated per source slice, fertility as positive-operand
+    * integer division.
+    */
+  private lazy val bpeFertilityBySourceOracle: String = {
+    val segCtes = (0 until frag.bpeMerges).map(s =>
+      s"g${s + 1} AS (SELECT doc_id, ${frag.bpeFold(s"m$s")} AS syms FROM g$s, m$s)")
+      .mkString(",\n ")
+    s"""WITH ${frag.bpeCtes(frag.bpeMerges)},
+       | d AS (SELECT doc_id, source, ${frag.toks} w FROM documents),
+       | g0 AS (SELECT doc_id, string_split_regex(word, '') AS syms FROM (SELECT doc_id, unnest(w) AS word FROM d)),
+       | $segCtes,
+       | ag AS (SELECT doc_id, count(*) AS n_words, sum(len(syms)) AS n_tokens FROM g${frag.bpeMerges} GROUP BY 1),
+       | per AS (SELECT d.doc_id, d.source, coalesce(n_words, 0) AS nw, coalesce(n_tokens, 0) AS nt
+       |   FROM d LEFT JOIN ag USING (doc_id)),
+       | s AS (SELECT source, count(*) AS n_docs, sum(nw) AS n_words, sum(nt) AS n_tokens FROM per GROUP BY 1)
+       |SELECT source, n_docs::BIGINT AS n_docs, n_words::BIGINT AS n_words,
+       | n_tokens::BIGINT AS n_tokens,
+       | (CASE WHEN n_words > 0 THEN (10000 * n_tokens) // n_words ELSE 0 END)::BIGINT AS fert_q
+       |FROM s ORDER BY source""".stripMargin
   }
 
   /** Span-removal mirror, shared by the exact and hash-only spellings

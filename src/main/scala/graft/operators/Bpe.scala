@@ -286,6 +286,37 @@ object Bpe {
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
   }
 
+  /** Tokenizer FERTILITY REPORT by corpus slice — tokens-per-word
+    * (fertility) per `source`, the tokenizer-evaluation statistic
+    * pipelines watch per domain/language slice (a slice whose fertility
+    * is far above the corpus mean is one the vocabulary under-serves —
+    * the standard signal for rebalancing tokenizer training data).
+    * Output per source: (source, n_docs, n_words, n_tokens, fert_q)
+    * with `fert_q = (scale·n_tokens) div n_words` (0 for a wordless
+    * slice) — integer-exact cross-engine.
+    *
+    * Plan shape: one [[graft.functions.BpeSegmentStats]]
+    * reference-object call per row (constant plan size at any merge
+    * table depth), then ONE map-side-combinable aggregation keyed on
+    * `source` — output bounded by the source cardinality. At 100 TB:
+    * a pure map stage plus a tiny shuffle.
+    */
+  def fertilityBySource(docs: DataFrame, merges: Seq[(String, String)],
+      scale: Long = 10000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    val st = toColumn(graft.functions.BpeSegmentStats(toExpression(col("text")), merges))
+    docs.select(col("source"), st.as("st"))
+      .select(col("source"), col("st.n_words").as("nw"),
+        coalesce(col("st.n_tokens"), lit(0L)).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("nt")).as("n_tokens"))
+      .withColumn("fert_q",
+        when(col("n_words") > 0, expr(s"($scale * n_tokens) div n_words"))
+          .otherwise(lit(0L)))
+  }
+
   /** FILL-IN-THE-MIDDLE transform (Bavarian et al., arXiv:2207.14255
     * §2 — "FIM-for-free": reorder a fraction of documents into
     * [PRE] prefix [SUF] suffix [MID] middle so an autoregressive model

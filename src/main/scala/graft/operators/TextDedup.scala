@@ -497,6 +497,45 @@ object TextDedup {
       .drop("rn")
   }
 
+  /** SEQUENCE-level exact dedup — duplicate detection on the CHUNKED
+    * token windows ([[Curation.chunkByTokens]]) rather than whole
+    * documents: catches duplicated passages that document-level dedup
+    * misses entirely (shared boilerplate paragraphs, quoted reuse,
+    * partial mirrors — a doc that is 90% a copy of another is untouched
+    * by [[exactDuplicates]] but lights up here chunk by chunk). This is
+    * the training-sequence-level dedup pass production pipelines run
+    * AFTER doc-level dedup; because chunk positions are per-document,
+    * duplicated docs produce identical chunks regardless of where they
+    * sit in the corpus (unlike corpus-global windows, whose alignment
+    * shifts).
+    *
+    * Output: one row per DISTINCT non-empty chunk — (keep_doc,
+    * keep_idx, n_tokens, n_copies), the keeper being the lexicographic
+    * min (doc_id, chunk_idx); `n_copies ≥ 2` rows are the duplication
+    * report, `n_copies = 1` rows the clean survivors.
+    *
+    * Plan shape: the chunker is embarrassingly narrow; dedup is ONE
+    * exchange keyed on chunk_text feeding both window functions (same
+    * partition key → Spark plans a single shuffle). At corpus scale the
+    * exchange should carry fingerprints, not 64-token bodies — the
+    * [[exactDuplicates]] pre-bucket note applies verbatim (hash
+    * chunk_text, verify within buckets); the text-keyed spelling is the
+    * exact small-scale form the oracle can gate.
+    */
+  def chunkDuplicates(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    val chunks = Curation.chunkByTokens(docs, window, stride)
+      .filter(col("n_tokens") > 0)
+    val w = Window.partitionBy(col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy(col("chunk_text"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id").as("keep_doc"), col("chunk_idx").as("keep_idx"),
+        col("n_tokens"), col("n_copies"))
+  }
+
   /** Per-doc MinHash signature (word 3-gram shingles, `perms`
     * permutations), exploded to (doc_id, perm, minhash) rows.
     */

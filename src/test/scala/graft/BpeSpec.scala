@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Bpe
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class BpeSpec extends AnyFunSuite {
@@ -201,6 +202,34 @@ class BpeSpec extends AnyFunSuite {
       Bpe.tokenWindowsStrided(withEmpty, merges, windowSize = 4, stride = 5)
     }
     assert(e.getMessage.contains("stride"))
+  }
+
+  test("fertilityBySource: hand-rolled slice totals; agrees with the per-doc frozen stats under a trained table") {
+    val d = Seq(
+      (1L, "A", "aa bb"), (2L, "A", "aa"),
+      (3L, "B", ""), (4L, "C", "xyz"))
+      .toDF("doc_id", "source", "text")
+    // no merges: tokens = per-char symbols
+    val got = Bpe.fertilityBySource(d, Seq.empty)
+      .orderBy($"source").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 2L, 3L, 6L, 20000L),
+      ("B", 1L, 0L, 0L, 0L),
+      ("C", 1L, 1L, 3L, 30000L)))
+    // under a trained table the slice totals must equal the per-doc
+    // frozen stats re-aggregated
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, s"s${i % 2}", t) }
+      .toDF("doc_id", "source", "text")
+    val merges = Bpe.mergePairs(Bpe.trainMerges(docs, 4))
+    val bySrc = Bpe.fertilityBySource(docs, merges)
+      .orderBy($"source").as[(String, Long, Long, Long, Long)].collect().toSeq
+    val perDoc = Bpe.segmentStatsFrozen(docs, merges)
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("nw"), sum($"n_tokens").as("nt"))
+      .orderBy($"source").as[(String, Long, Long, Long)].collect().toSeq
+    assert(bySrc.map(r => (r._1, r._2, r._3, r._4)) == perDoc)
   }
 
   test("fimTransform: PSM layout reconstructs the encode stream; non-FIM docs pass through; partitioning-invariant") {

@@ -17,6 +17,45 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(TextDedup.dedupKeepFirst(docs).count() == d.count())
   }
 
+  test("chunk dedup: copy counts conserve the chunk stream; duplicated passages surface across distinct docs") {
+    // doc 20 extends doc 10 with a fresh tail — doc-level exact dedup
+    // misses the shared 8-token body entirely; the chunk pass catches
+    // the two aligned chunks (chunk alignment is per-doc, so shared
+    // PREFIXES and full dups always align; interior-shifted reuse is
+    // the near-dup/substring families' job)
+    val d = Seq(
+      (10L, "p q r s t u v w"),
+      (20L, "p q r s t u v w extra tail words"),
+      (30L, "completely different words here"),
+      (40L, ""),
+      (50L, "p q r s t u v w")) // full exact dup of 10
+      .toDF("doc_id", "text")
+    val window = 4; val stride = 4
+    val got = TextDedup.chunkDuplicates(d, window, stride)
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    val chunks = graft.operators.Curation.chunkByTokens(d, window, stride)
+      .filter($"n_tokens" > 0)
+    // conservation: n_copies over survivors = total non-empty chunks
+    assert(got.map(_._4).sum == chunks.count())
+    // keeper is the lexicographic min of its duplicate family
+    val byText = chunks.as[(Long, Int, String, Int)].collect().toSeq
+      .groupBy(_._3)
+    byText.foreach { case (txt, rs) =>
+      val keeper = rs.map(r => (r._1, r._2)).min
+      assert(got.exists(g => (g._1, g._2) == keeper && g._4 == rs.size),
+        s"chunk '$txt'")
+    }
+    // docs 10/20/50 share the aligned 8-token body: both its chunks
+    // keep at doc 10 with 3 copies each; neither 20's body chunks nor
+    // any of 50 survive as keepers (20 keeps only its fresh tail chunk)
+    val k10 = got.filter(_._1 == 10L)
+    assert(k10.size == 2 && k10.forall(_._4 == 3L))
+    assert(got.filter(_._1 == 20L).map(_._2) == Seq(2))
+    assert(!got.exists(_._1 == 50L), "the full dup contributes no keeper")
+    // empty doc contributes nothing
+    assert(!got.exists(_._1 == 40L))
+  }
+
   test("LSH candidates contain every true near-dup pair (recall 1 on exact dups)") {
     val truePairs = TextDedup.jaccardPairs(docs, threshold = 0.99)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
