@@ -1183,6 +1183,22 @@ object M5Queries {
       Curation.packContextWindows(TextDedup.documents(s, dir), windowTokens = 256)
         .orderBy(col("doc_id"))),
 
+    // ---- curation: doc-RESPECTING length-bucketed packing — pow-2
+    // length buckets, capacity = W div bucket docs per window, rank via
+    // one range-partitioned PrefixSum (never a per-bucket window — ≤10
+    // buckets would funnel the corpus through ≤10 tasks)
+    "q_length_pack" -> ((s, dir) =>
+      Curation.lengthBucketedPack(TextDedup.documents(s, dir),
+          windowTokens = frag.tokenWindow)
+        .orderBy(col("doc_id"))),
+
+    // ---- curation: the packing auditor — per-bucket window counts and
+    // integer fill rate (bounded output)
+    "q_length_pack_fill" -> ((s, dir) =>
+      Curation.lengthBucketedFill(TextDedup.documents(s, dir),
+          windowTokens = frag.tokenWindow)
+        .orderBy(col("bucket"))),
+
     // ---- curation: the END-TO-END pipeline as ONE oracle-gated query —
     // line dedup → NFC normalize → quality gate → MinHash near-dup
     // keep-first → eval-split decontamination → context-window packing,
@@ -1541,6 +1557,22 @@ object M5Queries {
         operators.Unigram.encodePieces(docs, pieces, btot)
           .withColumnRenamed("piece", "token"))
       operators.Bpe.tokenIds(enc, operators.Bpe.vocabulary(enc))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- tokenizer: unigram-piece token WINDOWS — the GPT-style
+    // windowing proven tokenizer-AGNOSTIC: Unigram.encodePieces fed
+    // through Bpe.tokenWindowsOf (the same single-PrefixSum global
+    // position as the BPE spelling, EOD separators included for
+    // tokenless docs)
+    "q_unigram_windows" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val (pieces, btot) = operators.Unigram.vocabModel(
+        operators.Unigram.seedVocab(docs, frag.uniMaxPieceLen, frag.uniTopN))
+      val enc = operators.Unigram.encodePieces(docs, pieces, btot)
+        .withColumnRenamed("piece", "token")
+      operators.Bpe.tokenWindowsOf(enc, docs.select(col("doc_id")),
+          windowSize = frag.tokenWindow)
         .orderBy(col("doc_id"), col("pos"))
     }),
 
@@ -3091,6 +3123,21 @@ object M5Queries {
          |SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, piece
          |FROM uflat ORDER BY doc_id, pos""".stripMargin,
 
+    // unigram-piece window mirror: the q_unigram_encode stream through
+    // the q_token_windows EOD/global-row_number windowing tail —
+    // tokenizer-agnostic by construction
+    "q_unigram_windows" ->
+      s"""WITH ${frag.unigramCtes},
+         | udwi AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS wi FROM (SELECT doc_id, ${frag.toks} w FROM documents)),
+         | uflat AS (SELECT doc_id, wi, unnest(path) AS piece, generate_subscripts(path, 1) AS si FROM udwi JOIN udp USING (word)),
+         | p AS (SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, piece AS token FROM uflat),
+         | lens AS (SELECT d0.doc_id, coalesce(max(pos), 0) AS mp FROM documents d0 LEFT JOIN p USING (doc_id) GROUP BY 1),
+         | allt AS (SELECT doc_id, pos, token FROM p UNION ALL SELECT doc_id, (mp + 1)::INT, '<eod>' FROM lens),
+         | g AS (SELECT doc_id, pos, token, row_number() OVER (ORDER BY doc_id, pos) AS gpos FROM allt)
+         |SELECT doc_id, pos, token, ((gpos - 1) // ${frag.tokenWindow})::BIGINT AS win_id,
+         |  ((gpos - 1) % ${frag.tokenWindow})::BIGINT AS off
+         |FROM g ORDER BY doc_id, pos""".stripMargin,
+
     // unigram id-stream mirror: the q_unigram_encode stream through the
     // q_bpe_token_ids vocabulary-rank + dictionary-join tail
     "q_unigram_token_ids" ->
@@ -3538,6 +3585,24 @@ object M5Queries {
          | array_to_string(w[start + 1:start + 64], ' ') AS chunk_text,
          | len(w[start + 1:start + 64])::INT AS n_tokens
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // length-bucketed packing mirror: the pow-2 CASE ladder, per-bucket
+    // row_number rank (tiny table in DuckDB — the funnel concern is the
+    // engine's, not the oracle's), capacity floor at 1 for the overflow
+    // bucket
+    "q_length_pack" ->
+      s"""WITH ${lengthPackCtes}
+         |SELECT doc_id, n_tokens, bucket, (rk // cap)::BIGINT AS win, (rk % cap)::BIGINT AS slot
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_length_pack_fill" ->
+      s"""WITH ${lengthPackCtes},
+         | a AS (SELECT bucket, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+         |   max(rk // cap) + 1 AS n_windows FROM p GROUP BY 1)
+         |SELECT bucket, n_docs::BIGINT AS n_docs, n_tokens::BIGINT AS n_tokens,
+         | n_windows::BIGINT AS n_windows,
+         | ((1000000 * n_tokens) // (n_windows * ${frag.tokenWindow}))::BIGINT AS fill_ppm
+         |FROM a ORDER BY bucket""".stripMargin,
 
     "q_pack_windows" ->
       s"""WITH c AS (SELECT doc_id, len(${frag.toks})::BIGINT AS n_tokens FROM documents),
@@ -4216,6 +4281,21 @@ object M5Queries {
        | ag AS (SELECT doc_id, count(*) AS n_words, sum(len(syms)) AS n_tokens FROM g${frag.bpeMerges} GROUP BY 1)
        |SELECT d.doc_id, coalesce(n_words, 0)::BIGINT AS n_words, coalesce(n_tokens, 0)::BIGINT AS n_tokens
        |FROM d LEFT JOIN ag USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Shared CTE chain of the q_length_pack pair: token counts → pow-2
+    * bucket CASE ladder (generated from the SAME `frag.tokenWindow`
+    * config as the Spark side) → per-bucket 0-based rank → capacity.
+    */
+  private lazy val lengthPackCtes: String = {
+    val ladder = Iterator.iterate(1L)(_ * 2)
+      .takeWhile(_ <= frag.tokenWindow).toSeq
+    val chain = ladder.map(p => s"WHEN n_tokens <= $p THEN $p").mkString(" ")
+    s"""c AS (SELECT doc_id, len(${frag.toks})::BIGINT AS n_tokens FROM documents),
+       | f AS (SELECT doc_id, n_tokens FROM c WHERE n_tokens > 0),
+       | b AS (SELECT doc_id, n_tokens, (CASE $chain ELSE ${2L * frag.tokenWindow} END)::BIGINT AS bucket FROM f),
+       | r AS (SELECT doc_id, n_tokens, bucket, (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)::BIGINT AS rk FROM b),
+       | p AS (SELECT doc_id, n_tokens, bucket, rk, greatest(1, ${frag.tokenWindow} // bucket) AS cap FROM r)""".stripMargin
   }
 
   /** Fertility-by-source mirror: the [[bpeSegmentOracle]] per-doc chain

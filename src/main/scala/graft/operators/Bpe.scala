@@ -252,12 +252,18 @@ object Bpe {
     * reference-object expression ([[graft.functions.BpeSegmentStats]])
     * instead of `merges.length` chained HOF folds — the apply-side
     * scale path: the fold spelling's expression tree grows linearly in
-    * the merge count (fine at the 8-merge gate, plan-inflating at the
-    * batched trainer's 120 and unusable at a production 32k), while
-    * this plan is one node whatever the table size. Output-identical to
-    * [[segmentStats]] on every input (BpeSpec property-pins it, random
-    * overlapping tables included), so the existing oracle gates both
-    * spellings.
+    * the merge count, and the limit is MEASURED, not estimated
+    * ([[graft.tools.FoldDepthBench]], FOLDDEPTH_r13.json, sf0.1): at 64
+    * merges the fold plan FAILS ANALYSIS outright under default confs
+    * (`Max iterations (100) reached for batch Resolution` — the nested
+    * HOF tree exceeds the analyzer's fixed-point budget) and costs
+    * 145–222 s with the cap raised (past 180 s by 1024 merges), while
+    * this one-node plan reads 0.5–2 s at the same depths and 13.9 s at
+    * a production 32k (per-row work is linear in table depth for ANY
+    * applier; the plan cost is what the reference object removes).
+    * Output-identical to [[segmentStats]] on every input (BpeSpec
+    * property-pins it, random overlapping tables included), so the
+    * existing oracle gates both spellings.
     */
   def segmentStatsFrozen(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
@@ -429,18 +435,44 @@ object Bpe {
     * narrow arithmetic (or a bounded explode) on top.
     */
   private def globalTokenStream(docs: DataFrame,
-      merges: Seq[(String, String)], eodToken: String): DataFrame = {
-    // the encoded stream feeds the per-doc length lookup AND the union —
-    // persist it once
-    val enc = SharedBranch.sharedBranch(encodeTokens(docs, merges))
-    val lens = docs.select(col("doc_id"))
-      .join(enc.groupBy(col("doc_id")).agg(max(col("pos")).as("mp")),
+      merges: Seq[(String, String)], eodToken: String): DataFrame =
+    globalStreamOf(SharedBranch.sharedBranch(encodeTokens(docs, merges)),
+      docs.select(col("doc_id")), eodToken)
+
+  /** TOKENIZER-AGNOSTIC form of the windowing input: `stream` is ANY
+    * (doc_id, pos, token) token stream (BPE [[encodeTokens]], unigram
+    * [[Unigram.encodePieces]], or a pre-tokenized table), `docIds` the
+    * one-column frame of ALL document ids (so tokenless documents still
+    * contribute their EOD separator). The stream feeds the per-doc
+    * length lookup AND the union — callers pass it already persisted
+    * ([[SharedBranch]]) when it is not a cheap re-read.
+    */
+  private[operators] def globalStreamOf(stream: DataFrame,
+      docIds: DataFrame, eodToken: String): DataFrame = {
+    val lens = docIds
+      .join(stream.groupBy(col("doc_id")).agg(max(col("pos")).as("mp")),
         Seq("doc_id"), "left")
     val eod = lens.select(col("doc_id"),
       (coalesce(col("mp"), lit(0)) + 1).as("pos"), lit(eodToken).as("token"))
     PrefixSum.inclusive(
-      enc.unionByName(eod).withColumn("_one", lit(1L)),
+      stream.select(col("doc_id"), col("pos"), col("token"))
+        .unionByName(eod).withColumn("_one", lit(1L)),
       Seq(col("doc_id"), col("pos")), col("_one"), "gpos")
+  }
+
+  /** [[tokenWindows]] over an ARBITRARY pre-built token stream — the
+    * tokenizer-agnostic windowing face (the unigram/SentencePiece
+    * sibling feeds [[Unigram.encodePieces]] through here; so would any
+    * externally-tokenized corpus). Same output contract and the same
+    * single-PrefixSum cost as the BPE spelling.
+    */
+  def tokenWindowsOf(stream: DataFrame, docIds: DataFrame,
+      windowSize: Int, eodToken: String = "<eod>"): DataFrame = {
+    require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
+    globalStreamOf(SharedBranch.sharedBranch(stream), docIds, eodToken)
+      .select(col("doc_id"), col("pos"), col("token"),
+        expr(s"(gpos - 1) div $windowSize").as("win_id"),
+        expr(s"(gpos - 1) % $windowSize").as("off"))
   }
 
   /** STRIDED (overlapping) token windows — the LM EVALUATION windowing

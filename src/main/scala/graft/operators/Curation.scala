@@ -224,6 +224,74 @@ object Curation {
         coalesce(col("bin_last") - col("bin_first") + 1, lit(0L)).as("n_bins"))
   }
 
+  /** LENGTH-BUCKETED doc-respecting sequence packing — the padding-
+    * bounded alternative to [[packContextWindows]]' concat-then-cut
+    * layout: no document ever crosses a window boundary (what
+    * fine-tuning / instruction-tuning batches need — concat-and-cut
+    * would truncate examples mid-sequence). True greedy bin packing
+    * (first-fit decreasing) is a sequential scan with a non-associative
+    * carry — un-distributable; the production-grade distributed
+    * spelling is LENGTH BUCKETING (the sequence-bucketing discipline of
+    * NMT batch builders): round each doc's token count up to a power of
+    * two (`bucket`), pack `capacity = max(1, windowTokens div bucket)`
+    * same-bucket docs per window, so per-window padding waste is
+    * bounded by half the window (every resident fills > bucket/2 of its
+    * bucket slot) and the whole assignment is rank arithmetic.
+    * Documents LONGER than the window land in the single overflow
+    * bucket (`2·windowTokens`) at capacity 1 — flagged for the chunker,
+    * never silently truncated; tokenless docs pack nothing and are
+    * dropped.
+    *
+    * Output: (doc_id, n_tokens, bucket, win, slot) — `win` 0-based
+    * within the bucket, `slot` 0-based within the window; window
+    * identity is the (bucket, win) pair.
+    *
+    * Plan shape: token counting is narrow; the within-bucket rank is
+    * ONE range-partitioned [[PrefixSum]] over (bucket, doc_id) with the
+    * per-bucket start offsets (≤ log₂ W + 2 rows) broadcast back —
+    * NEVER a `Window.partitionBy(bucket)` (≤ 10 buckets would funnel
+    * the corpus through ≤ 10 tasks); everything after is narrow integer
+    * arithmetic. `windowTokens` must be a power of two so the bucket
+    * ladder lands exactly on it.
+    */
+  def lengthBucketedPack(docs: DataFrame, windowTokens: Int): DataFrame = {
+    require(windowTokens >= 1 && (windowTokens & (windowTokens - 1)) == 0,
+      s"windowTokens must be a positive power of two, got $windowTokens")
+    val ladder = Iterator.iterate(1L)(_ * 2)
+      .takeWhile(_ <= windowTokens).toSeq
+    val counted = docs.select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val bucket = ladder.foldRight(lit(2L * windowTokens): Column) {
+      (p, acc) => when(col("n_tokens") <= p, lit(p)).otherwise(acc)
+    }
+    val ranked = PrefixSum.inclusive(
+      counted.withColumn("bucket", bucket).withColumn("_one", lit(1L)),
+      Seq(col("bucket"), col("doc_id")), col("_one"), "grk")
+    val offs = ranked.groupBy(col("bucket")).agg(min(col("grk")).as("b0"))
+    ranked.join(broadcast(offs), Seq("bucket"))
+      .withColumn("rk", col("grk") - col("b0"))
+      .withColumn("cap", greatest(lit(1L), expr(s"$windowTokens div bucket")))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+        expr("rk div cap").as("win"), expr("rk % cap").as("slot"))
+  }
+
+  /** Per-bucket FILL report over [[lengthBucketedPack]] — the packing
+    * auditor: window count, resident docs/tokens, and the integer fill
+    * rate `fill_ppm = (10⁶·n_tokens) div (n_windows·windowTokens)`
+    * (the overflow bucket can exceed 10⁶ — capacity-1 windows holding
+    * docs longer than the window; every other bucket is ≤ 10⁶ and
+    * > 5·10⁵ by the half-full guarantee when its windows are full).
+    * Output bounded by the bucket ladder (≤ log₂ W + 2 rows).
+    */
+  def lengthBucketedFill(docs: DataFrame, windowTokens: Int): DataFrame =
+    lengthBucketedPack(docs, windowTokens)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        (max(col("win")) + 1).as("n_windows"))
+      .withColumn("fill_ppm",
+        expr(s"(1000000 * n_tokens) div (n_windows * $windowTokens)"))
+
   /** Sliding token-window chunking (the RAG / fine-tuning chunker, as
     * opposed to [[packContextWindows]]'s concat-then-cut pretraining
     * layout): each document emits windows of `window` tokens every

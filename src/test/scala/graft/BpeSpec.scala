@@ -273,6 +273,21 @@ class BpeSpec extends AnyFunSuite {
     assert(out.sortBy(r => (r._1, r._2)) == out2.sortBy(r => (r._1, r._2)))
   }
 
+  test("tokenWindowsOf: the agnostic face over the BPE stream equals tokenWindows; tokenless docs still separate") {
+    val docs = (texts :+ "").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.mergePairs(Bpe.trainMerges(docs, 4))
+    val direct = Bpe.tokenWindows(docs, merges, windowSize = 6)
+      .as[(Long, Int, String, Long, Long)].collect().toSeq.sorted
+    val viaStream = Bpe.tokenWindowsOf(Bpe.encodeTokens(docs, merges),
+        docs.select($"doc_id"), windowSize = 6)
+      .as[(Long, Int, String, Long, Long)].collect().toSeq.sorted
+    assert(direct == viaStream)
+    // the tokenless doc contributes exactly its separator row
+    assert(viaStream.count(r => r._1 == texts.size.toLong) == 1)
+    assert(viaStream.filter(_._1 == texts.size.toLong).head._3 == "<eod>")
+  }
+
   test("windowSegments: seg is the dense 0-based per-window document ordinal") {
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val merges = Bpe.mergePairs(Bpe.trainMerges(docs, 4))

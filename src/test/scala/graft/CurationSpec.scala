@@ -16,6 +16,62 @@ class CurationSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
   lazy val docs = TextDedup.documents(spark, sf).cache()
 
+  test("lengthBucketedPack: hand-rolled buckets/windows/slots; no window overfills; partitioning-invariant") {
+    // W=8 ladder: 1,2,4,8 (+ overflow 16); caps 8,4,2,1,1
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val d = Seq(
+      (1L, words(1)), (2L, words(1)), // bucket 1: rk 0,1 -> win 0
+      (3L, words(2)), // bucket 2
+      (4L, words(3)), // bucket 4
+      (5L, words(5)), (6L, words(8)), // bucket 8, cap 1: wins 0 and 1
+      (7L, words(9)), // overflow bucket 16, cap 1
+      (8L, "")) // tokenless: dropped
+      .toDF("doc_id", "text")
+    val got = Curation.lengthBucketedPack(d, windowTokens = 8)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, 0L, 0L), (2L, 1L, 1L, 0L, 1L),
+      (3L, 2L, 2L, 0L, 0L),
+      (4L, 3L, 4L, 0L, 0L),
+      (5L, 5L, 8L, 0L, 0L), (6L, 8L, 8L, 1L, 0L),
+      (7L, 9L, 16L, 0L, 0L)))
+    // invariants on real data: every non-overflow window's token sum
+    // fits W; capacity respected everywhere; docs never split
+    val w = 128
+    val packed = Curation.lengthBucketedPack(docs, windowTokens = w)
+    val byWin = packed.groupBy($"bucket", $"win")
+      .agg(count(lit(1)).as("n"), sum($"n_tokens").as("tt"),
+        max($"slot").as("mxs"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    byWin.foreach { case (bucket, win, n, tt, mxs) =>
+      val cap = math.max(1L, w / bucket)
+      assert(n <= cap && mxs < cap, s"bucket $bucket win $win")
+      if (bucket <= w) assert(tt <= w, s"bucket $bucket win $win: $tt tokens")
+    }
+    val a = packed.orderBy($"doc_id").collect().toSeq
+    val b = Curation.lengthBucketedPack(docs.repartition(7), windowTokens = w)
+      .orderBy($"doc_id").collect().toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Curation.lengthBucketedPack(d, windowTokens = 100)
+    }
+  }
+
+  test("lengthBucketedFill: report equals the pack re-aggregated; full windows are at least half full") {
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val d = Seq((1L, words(1)), (2L, words(1)), (3L, words(2)),
+      (4L, words(5)), (5L, words(9))).toDF("doc_id", "text")
+    val got = Curation.lengthBucketedFill(d, windowTokens = 8)
+      .orderBy($"bucket").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // bucket 1: 2 docs, 2 tokens, 1 window -> 2e6/8 = 250000 ppm
+    // bucket 2: 1 doc, 2 tokens, 1 window -> 250000
+    // bucket 8: 1 doc, 5 tokens, 1 window -> 625000
+    // bucket 16 (overflow): 1 doc, 9 tokens, 1 window -> 1125000 (> 1e6 allowed)
+    assert(got == Seq(
+      (1L, 2L, 2L, 1L, 250000L), (2L, 1L, 2L, 1L, 250000L),
+      (8L, 1L, 5L, 1L, 625000L), (16L, 1L, 9L, 1L, 1125000L)))
+  }
+
   test("chunkByTokens: overlapping windows, partial tail, empty doc emits nothing") {
     val d = Seq((1L, "a b c d e f g"), (2L, ""), (3L, "x y")).toDF("doc_id", "text")
     val got = Curation.chunkByTokens(d, window = 4, stride = 3)

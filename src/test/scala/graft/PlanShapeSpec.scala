@@ -273,6 +273,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_mixture_weights", // 1-row sqrt-weight total frame
       "q_source_report", // composes mixtureWeights' 1-row total frame
       "q_pack_windows", "q_pipeline_e2e", // 1-row window/prefix totals
+      "q_length_pack", "q_length_pack_fill", // bucket-rank PrefixSum triangle + ≤10-row offset frame
       "q_token_shift", // two 1-row snapshot-total frames
       "q_tfidf_topterms", // 1-row doc-count frame
       "q_bpe_vocab", // PrefixSum offset triangle (≤nPart rows) over the vocab rank
@@ -280,6 +281,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_token_windows", // PrefixSum offset triangle for the global token position
       "q_token_windows_strided", // same global-position triangle (bounded explode on top)
       "q_window_segments", // same global-position triangle (segment ids on top)
+      "q_unigram_windows", // same global-position PrefixSum triangle over the piece stream
       "q_unigram_vocab", // PrefixSum offset triangle over the substring-vocab rank
       "q_unigram_prune", // two vocab-rank triangles (seed rank + usage drop-K rank)
       "q_unigram_train", // seed-rank triangle + one drop-K rank triangle per EM round
