@@ -1404,6 +1404,17 @@ object M5Queries {
         .orderBy(col("source"))
     }),
 
+    // ---- tokenizer: T5-style span corruption (Raffel et al., JMLR
+    // 2020) — hash-deterministic spans over 10-token blocks (~20%
+    // density, lengths 1–3), numbered sentinels; input + target streams
+    "q_span_corruption" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val merges = operators.Bpe.mergePairs(
+        operators.Bpe.trainMerges(docs, frag.bpeMerges))
+      operators.Bpe.spanCorruption(docs, merges)
+        .orderBy(col("doc_id"), col("stream"), col("pos"))
+    }),
+
     // ---- tokenizer: fill-in-the-middle PSM reorder (Bavarian et al.,
     // arXiv:2207.14255) — hash-deterministic 50% selection and split
     // points over the q_bpe_encode stream; entirely narrow (no shuffle)
@@ -2993,6 +3004,33 @@ object M5Queries {
       s"""WITH ${frag.bpeEncodeCtes}
          |SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, sym AS token
          |FROM flat ORDER BY doc_id, pos""".stripMargin,
+
+    // span-corruption mirror: block/offset/span flags as row arithmetic
+    // on the encode stream (h = text rolling hash), sentinel ordinal =
+    // running start count, both streams' positions via per-doc
+    // row_number; the target's sentinel-before-span ordering rides the
+    // 2j/2j+1 key
+    "q_span_corruption" ->
+      s"""WITH ${frag.bpeEncodeCtes},
+         | p AS (SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si)) - 1 AS j, sym AS token FROM flat),
+         | hh AS (SELECT doc_id, ${frag.rolling("text")} AS h FROM documents),
+         | f AS (SELECT p.doc_id, j, token, h, (j % 10) AS off,
+         |     (h + (j // 10)) % 8 AS s, 1 + ((h // 7) + (j // 10)) % 3 AS ln
+         |   FROM p JOIN hh ON p.doc_id = hh.doc_id),
+         | g AS (SELECT doc_id, j, token, (off >= s AND off < s + ln) AS corr, (off = s) AS strt,
+         |     sum(CASE WHEN off = s THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY j ROWS UNBOUNDED PRECEDING) - 1 AS k
+         |   FROM f),
+         | inp AS (SELECT doc_id, 'input' AS stream,
+         |     (row_number() OVER (PARTITION BY doc_id ORDER BY j))::INT AS pos,
+         |     CASE WHEN strt THEN '<extra_id_' || k::VARCHAR || '>' ELSE token END AS token
+         |   FROM g WHERE NOT corr OR strt),
+         | tg0 AS (SELECT doc_id, 2 * j AS tkey, '<extra_id_' || k::VARCHAR || '>' AS token FROM g WHERE strt
+         |   UNION ALL SELECT doc_id, 2 * j + 1, token FROM g WHERE corr),
+         | tg AS (SELECT doc_id, 'target' AS stream,
+         |     (row_number() OVER (PARTITION BY doc_id ORDER BY tkey))::INT AS pos, token FROM tg0)
+         |SELECT doc_id, stream, pos, token FROM inp
+         |UNION ALL SELECT doc_id, stream, pos, token FROM tg
+         |ORDER BY doc_id, stream, pos""".stripMargin,
 
     // FIM mirror: the encode stream per doc as an ordered list, then the
     // PSM reorder under the SAME hash-deterministic selection/splits

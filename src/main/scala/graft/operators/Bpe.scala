@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed byte-pair-encoding vocabulary training (Sennrich,
@@ -372,6 +373,78 @@ object Bpe {
         .otherwise(col("tk")))
       .select(col("doc_id"), col("fim"), posexplode(col("ot")).as(Seq("pos0", "token")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"), col("fim"))
+  }
+
+  /** T5-STYLE SPAN CORRUPTION (Raffel et al., JMLR 2020 §3.1.4 — the
+    * denoising pretraining objective's data prep; [[fimTransform]]'s
+    * sibling): mask contiguous token spans with numbered sentinels,
+    * emitting the INPUT stream (unmasked tokens + one `<extra_id_k>`
+    * per span) and the TARGET stream (each span's sentinel followed by
+    * the tokens it hid). The paper's random span draws are replaced by
+    * hash-determinism (the [[fimTransform]] discipline — reproducible
+    * under re-partitioning and re-runs): the token stream is cut into
+    * `blockSize`-token blocks, and block `b` of a document with text
+    * hash `h` corrupts offsets `[s, min(s+len, blockEnd))` where
+    * `s = (h + b) % (blockSize − 2)` and
+    * `len = 1 + (h div 7 + b) % 3` — a span starts only if `s` lands
+    * inside the block, so corruption density is ≈ 2/blockSize·100% with
+    * span lengths 1–3 (T5's ~15% at mean 3 ⇒ the default
+    * `blockSize = 10` sits at the paper's operating point). Sentinel
+    * numbering `k` is the 0-based span ordinal within the document.
+    *
+    * Output: (doc_id, stream, pos, token), `stream ∈ {input, target}`,
+    * `pos` dense 1-based per (doc, stream); documents with no tokens
+    * emit nothing, a document with no corrupted span emits its
+    * unchanged stream as `input` and an empty `target`.
+    *
+    * Plan shape: the flags (`block`, span membership, span start) are
+    * narrow arithmetic on the encoded stream; sentinel ordinals and
+    * both streams' dense positions are window functions over ONE
+    * `doc_id`-keyed exchange (per-doc groups — millions of small
+    * partitions at scale, the [[LanguageModel]] adjacency discipline);
+    * the flagged frame is a [[SharedBranch]] feeding both stream
+    * projections.
+    */
+  def spanCorruption(docs: DataFrame, merges: Seq[(String, String)],
+      blockSize: Int = 10, sentinelPrefix: String = "<extra_id_"): DataFrame = {
+    require(blockSize >= 3, s"blockSize must be >= 3 (span start draws from blockSize - 2), got $blockSize")
+    val enc = encodeTokens(docs, merges)
+    val hashes = docs.select(col("doc_id"),
+      coalesce(TextFunctions.rollingHash(col("text")), lit(0L)).as("h"))
+    // flags are pure arithmetic on (j, h); the join keys the stream to
+    // its doc hash — doc_id equi-join, AQE picks the strategy
+    val flagged0 = enc.join(hashes, Seq("doc_id"))
+      .withColumn("j", col("pos").cast("long") - 1)
+      .withColumn("b", expr(s"j div $blockSize"))
+      .withColumn("off", expr(s"j % $blockSize"))
+      .withColumn("s", expr(s"(h + b) % (${blockSize - 2})"))
+      .withColumn("ln", expr("1 + ((h div 7) + b) % 3"))
+      .withColumn("corr", col("off") >= col("s") && col("off") < col("s") + col("ln"))
+      .withColumn("start", col("off") === col("s"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("j"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = SharedBranch.sharedBranch(flagged0
+      .withColumn("k", sum(col("start").cast("long")).over(w) - 1))
+    val sentinel = concat(lit(sentinelPrefix), col("k"), lit(">"))
+    val wIn = Window.partitionBy(col("doc_id")).orderBy(col("j"))
+    val input = flagged.filter(!col("corr") || col("start"))
+      .select(col("doc_id"), lit("input").as("stream"),
+        row_number().over(wIn).as("pos"),
+        when(col("start"), sentinel).otherwise(col("token")).as("token"))
+    // target ordering: the sentinel row precedes its span's tokens —
+    // key 2j for the start row's sentinel, 2j+1 for each hidden token
+    val wTg = Window.partitionBy(col("doc_id")).orderBy(col("tkey"))
+    val target = flagged.filter(col("corr"))
+      .select(col("doc_id"), col("j"), col("k"), col("token"), col("start"))
+      .withColumn("rows", when(col("start"),
+          array(struct((col("j") * 2).as("tkey"), sentinel.as("tok")),
+            struct((col("j") * 2 + 1).as("tkey"), col("token").as("tok"))))
+        .otherwise(array(struct((col("j") * 2 + 1).as("tkey"), col("token").as("tok")))))
+      .select(col("doc_id"), explode(col("rows")).as("r"))
+      .select(col("doc_id"), col("r.tkey").as("tkey"), col("r.tok").as("token"))
+      .select(col("doc_id"), lit("target").as("stream"),
+        row_number().over(wTg).as("pos"), col("token"))
+    input.unionByName(target)
   }
 
   /** The VOCABULARY of an encoded corpus: one row per distinct token

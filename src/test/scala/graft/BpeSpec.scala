@@ -288,6 +288,51 @@ class BpeSpec extends AnyFunSuite {
     assert(viaStream.filter(_._1 == texts.size.toLong).head._3 == "<eod>")
   }
 
+  test("spanCorruption: splicing target spans into the input reconstructs the stream; one 1-3 token span per full block") {
+    val docs = (texts :+ "" :+ "one two three four five six seven eight nine ten eleven twelve").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.mergePairs(Bpe.trainMerges(docs, 4))
+    val enc = Bpe.encodeTokens(docs, merges)
+      .as[(Long, Int, String)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val out = Bpe.spanCorruption(docs, merges)
+      .as[(Long, String, Int, String)].collect().toSeq
+    val Sent = """<extra_id_(\d+)>""".r
+    out.map(_._1).distinct.foreach { id =>
+      val input = out.filter(r => r._1 == id && r._2 == "input").sortBy(_._3).map(_._4)
+      val target = out.filter(r => r._1 == id && r._2 == "target").sortBy(_._3).map(_._4)
+      // positions are dense from 1 in both streams (sortBy(_._3) order)
+      // parse target into k -> hidden tokens
+      val spans = scala.collection.mutable.Map.empty[Int, Vector[String]]
+      var cur = -1
+      target.foreach {
+        case Sent(k) => cur = k.toInt; spans(cur) = Vector.empty
+        case t => assert(cur >= 0, s"doc $id: target token before sentinel")
+          spans(cur) = spans(cur) :+ t
+      }
+      // sentinels appear 0,1,2,... in both streams, once each
+      val inSents = input.collect { case Sent(k) => k.toInt }
+      assert(inSents == inSents.indices.toSeq, s"doc $id input sentinels")
+      assert(spans.keys.toSeq.sorted == inSents, s"doc $id sentinel sets")
+      spans.values.foreach(s => assert(s.size >= 1 && s.size <= 3, s"doc $id span size"))
+      // splice back: sentinel k -> its hidden tokens
+      val rebuilt = input.flatMap {
+        case Sent(k) => spans(k.toInt)
+        case t => Seq(t)
+      }
+      assert(rebuilt == enc.getOrElse(id, Seq.empty), s"doc $id reconstruction")
+      // every full 10-token block hides exactly one span (s < 8 < 10)
+      val nFull = enc.getOrElse(id, Seq.empty).size / 10
+      assert(spans.size >= nFull, s"doc $id span count")
+    }
+    // the long doc exercises 2+ sentinels; the empty doc emits nothing
+    assert(out.count(r => r._1 == texts.size.toLong + 1 && r._4.startsWith("<extra_id_")) >= 2)
+    assert(!out.exists(_._1 == texts.size.toLong))
+    val out2 = Bpe.spanCorruption(docs.repartition(7), merges)
+      .as[(Long, String, Int, String)].collect().toSeq
+    assert(out.sortBy(r => (r._1, r._2, r._3)) == out2.sortBy(r => (r._1, r._2, r._3)))
+  }
+
   test("windowSegments: seg is the dense 0-based per-window document ordinal") {
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val merges = Bpe.mergePairs(Bpe.trainMerges(docs, 4))
