@@ -225,6 +225,114 @@ object LanguageModel {
         coalesce(col("n_uni"), lit(0L)).as("n_uni"))
   }
 
+  /** Fit the frozen stupid-backoff model [[stupidBackoffScoreNarrow]]
+    * applies: the [[stupidBackoffQuantized]] count tables collected
+    * driver-side as maps keyed by ` `-joined n-grams (tokens never
+    * contain the separator under the `[ \t\n\f\r]` tokenizer contract
+    * — the M5Queries oracle character-class note). Model size is
+    * bounded by the fit corpus's DISTINCT trigram count — fine for
+    * capped vocabularies (≤ (maxVocab+1)³ keys, ~5k at the gate's 16);
+    * a model past literal size (≳10⁵ keys bloats the plan) runs the
+    * join spelling inside `foreachBatch` instead — the
+    * [[Importance.importanceScoreNarrow]] deployment note verbatim.
+    * Returns (vocab presence map, c3, c2, c1, nTrain).
+    */
+  def fitStupidBackoff(docs: DataFrame, maxVocab: Int = 1024,
+      trainModulus: Long = 2L)
+      : (Map[String, Long], Map[String, Long], Map[String, Long],
+         Map[String, Long], Long) = {
+    require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
+    require(trainModulus >= 2, s"trainModulus must be >= 2, got $trainModulus")
+    val sep = " "
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+    val train = toks.filter(col("doc_id") % trainModulus === 0)
+    val vocab = train.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(maxVocab)
+      .select(col("tok")).collect().map(_.getString(0))
+    val vm = vocab.map(_ -> 1L).toMap
+    val vmc = typedlit(vm)
+    val mapped = train.select(col("doc_id"), col("pos"),
+      when(element_at(vmc, col("tok")).isNotNull, col("tok"))
+        .otherwise(lit(Unk)).as("u"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tr = SharedBranch.sharedBranch(mapped
+      .withColumn("v", lead(col("u"), 1).over(w))
+      .withColumn("x", lead(col("u"), 2).over(w)))
+    val c1 = tr.groupBy(col("u")).agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c2 = tr.filter(col("v").isNotNull)
+      .groupBy(concat_ws(sep, col("u"), col("v")).as("k"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c3 = tr.filter(col("x").isNotNull)
+      .groupBy(concat_ws(sep, col("u"), col("v"), col("x")).as("k"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = tr.count()
+    (vm, c3, c2, c1, n)
+  }
+
+  private def idiv(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    toColumn(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      toExpression(a), toExpression(b)))
+  }
+
+  /** The NARROW (per-row) spelling of stupid-backoff scoring — the
+    * STREAMING face, the [[Importance.importanceScoreNarrow]] pattern:
+    * the model rides the plan as map literals ([[fitStupidBackoff]]),
+    * the score is ONE fold over the token array — no explode, no join,
+    * no aggregation, NO state — so it runs append-mode on an unbounded
+    * stream (the continuous-curation quality gate scoring arrivals
+    * against a frozen in-domain LM). On the held-out half of the corpus
+    * it fit, it is row-identical to [[stupidBackoffQuantized]]'s
+    * (sb_q, n_scored) (LanguageModelSpec pins it); level diagnostics
+    * are the batch operator's job.
+    *
+    * APPENDS (n_scored, sb_q, keep) to the input row;
+    * `keep = sb_q ≥ minMeanQ·n_scored` (mean-score threshold, the
+    * [[Importance.selectByFrozenThreshold]] discipline; tokenless/short
+    * docs score 0 and keep only at minMeanQ = 0).
+    */
+  def stupidBackoffScoreNarrow(docs: DataFrame, vocab: Map[String, Long],
+      c3: Map[String, Long], c2: Map[String, Long], c1: Map[String, Long],
+      nTrain: Long, minMeanQ: Long = 0L, scale: Long = 10000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    require(nTrain > 0, "stupidBackoffScoreNarrow needs a non-empty fit corpus (nTrain > 0)")
+    require(nTrain <= Long.MaxValue / (25L * scale),
+      s"stupidBackoff int64 envelope: 25*$scale*N must fit int64 (N = $nTrain)")
+    val sep = " "
+    val vm = typedlit(vocab); val c3m = typedlit(c3)
+    val c2m = typedlit(c2); val c1m = typedlit(c1)
+    val toksC = TextFunctions.tokens(col("text"))
+    val m = transform(toksC,
+      t => when(element_at(vm, t).isNotNull, t).otherwise(lit(Unk)))
+    docs
+      .withColumn("_m", m)
+      .withColumn("n_scored",
+        greatest(lit(0L), (size(col("_m")) - 2).cast("long")))
+      .withColumn("sb_q", aggregate(
+        when(size(col("_m")) >= 3, sequence(lit(3), size(col("_m"))))
+          .otherwise(array().cast("array<int>")),
+        lit(0L), (acc, i) => {
+          val u = element_at(col("_m"), i - 2)
+          val v = element_at(col("_m"), i - 1)
+          val x = element_at(col("_m"), i)
+          val c3v = element_at(c3m, concat_ws(sep, u, v, x))
+          val cvx = element_at(c2m, concat_ws(sep, v, x))
+          acc + when(c3v.isNotNull,
+              idiv(lit(scale) * c3v, element_at(c2m, concat_ws(sep, u, v))))
+            .when(cvx.isNotNull,
+              idiv(lit(2L * scale) * cvx, lit(5L) * element_at(c1m, v)))
+            .otherwise(idiv(lit(4L * scale) * (coalesce(element_at(c1m, x), lit(0L))),
+              lit(25L * nTrain)))
+        }))
+      .withColumn("keep", col("sb_q") >= lit(minMeanQ) * col("n_scored"))
+      .drop("_m")
+  }
+
   /** Production LM score: mean `ln P(v|u)` per bigram
     * (`P = (c_uv+1)/(c_u+vsz)`) and perplexity `exp(−mean)`. Same join
     * shape as the quantized twin; double scores are NOT cross-engine

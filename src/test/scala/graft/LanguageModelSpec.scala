@@ -110,6 +110,52 @@ class LanguageModelSpec extends AnyFunSuite {
       }).foreach(e => assert(e.getMessage.nonEmpty))
   }
 
+  test("stupid backoff narrow face: row-identical to the batch scorer on the held-out half; keep thresholds") {
+    val (vm, c3, c2, c1, n) = LanguageModel.fitStupidBackoff(sbCorpus, maxVocab = 100)
+    val batch = LanguageModel.stupidBackoffQuantized(sbCorpus, maxVocab = 100)
+      .select($"doc_id", $"sb_q", $"n_scored")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val narrow = LanguageModel.stupidBackoffScoreNarrow(
+        sbCorpus.filter($"doc_id" % 2 =!= 0), vm, c3, c2, c1, n)
+      .select($"doc_id", $"sb_q", $"n_scored")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(narrow == batch)
+    // mean threshold: doc 1 (mean 10000) survives minMeanQ=5000, doc 3 (533) does not
+    val kept = LanguageModel.stupidBackoffScoreNarrow(
+        sbCorpus.filter($"doc_id" % 2 =!= 0), vm, c3, c2, c1, n, minMeanQ = 5000L)
+      .filter($"keep").select($"doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(3L))
+    // loud guards
+    intercept[IllegalArgumentException] {
+      LanguageModel.stupidBackoffScoreNarrow(sbCorpus, vm, c3, c2, c1, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      LanguageModel.stupidBackoffScoreNarrow(sbCorpus, vm, c3, c2, c1,
+        nTrain = Long.MaxValue / 1000L)
+    }
+  }
+
+  test("stupid backoff narrow face: runs append-mode on an unbounded stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (vm, c3, c2, c1, n) = LanguageModel.fitStupidBackoff(sbCorpus, maxVocab = 100)
+    val input = MemoryStream[(Long, String)]
+    val scored = LanguageModel.stupidBackoffScoreNarrow(
+      input.toDF().toDF("doc_id", "text"), vm, c3, c2, c1, n, minMeanQ = 5000L)
+    val q = scored.writeStream.format("memory")
+      .queryName("sb_gate").outputMode("append").start()
+    try {
+      input.addData((1L, "a b c"), (3L, "b c c"))
+      q.processAllAvailable()
+      input.addData((5L, "c b c"))
+      q.processAllAvailable()
+      val rows = spark.table("sb_gate")
+        .select($"doc_id", $"sb_q", $"keep")
+        .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+      assert(rows == Seq((1L, 10000L, true), (3L, 533L, false), (5L, 4000L, false)))
+    } finally q.stop()
+  }
+
   test("log path: modal transitions score better than rare ones") {
     // d1 repeats the corpus's dominant bigram; d9 is all rare transitions
     val d = Seq((1L, "a b a b a b a b"), (2L, "a b a b"), (3L, "a b"),
