@@ -1352,6 +1352,18 @@ object M5Queries {
           maxVocab = 16)
         .orderBy(col("doc_id"))),
 
+    // ---- relevance: the bigram LM quality score over the BPE TOKEN
+    // stream (CCNet runs its LM over SentencePiece tokens, not words) —
+    // the tokenizer-agnostic LM core fed by Bpe.encodeTokens
+    "q_token_ppl" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val merges = operators.Bpe.mergePairs(
+        operators.Bpe.trainMerges(docs, frag.bpeMerges))
+      LanguageModel.bigramLmQuantizedOver(
+          operators.Bpe.encodeTokens(docs, merges), maxVocab = 16)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- relevance: trigram STUPID-BACKOFF held-out scoring (Brants
     // et al., EMNLP 2007 — α = 0.4 spelled 2/5, integer-exact). Model
     // trains on the doc_id%2==0 half, scores the other half, so the
@@ -3983,6 +3995,30 @@ object M5Queries {
     "q_lm_score" ->
       s"""WITH d AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),
          | e AS (SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM d),
+         | uc AS (SELECT tok, count(*) AS c FROM e GROUP BY 1),
+         | vocab AS (SELECT tok FROM uc ORDER BY c DESC, tok LIMIT 16),
+         | vs AS (SELECT count(*) + 1 AS vsz FROM vocab),
+         | m AS (SELECT doc_id, pos,
+         |     CASE WHEN vb.tok IS NULL THEN '<unk>' ELSE e.tok END AS tok_m
+         |   FROM e LEFT JOIN vocab vb ON e.tok = vb.tok),
+         | b AS (SELECT doc_id, tok_m AS u,
+         |     lead(tok_m) OVER (PARTITION BY doc_id ORDER BY pos) AS v FROM m),
+         | bi AS (SELECT doc_id, u, v, count(*) AS m FROM b
+         |   WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+         | cuv AS (SELECT u, v, sum(m) AS c_uv FROM bi GROUP BY 1, 2),
+         | cu AS (SELECT u, sum(m) AS c_u FROM bi GROUP BY 1),
+         | sc AS (SELECT bi.doc_id, bi.m,
+         |     (10000 * (c_uv + 1)) // (c_u + vsz) AS contrib
+         |   FROM bi JOIN cuv USING (u, v) JOIN cu USING (u) CROSS JOIN vs)
+         |SELECT doc_id, CAST(sum(m * contrib) AS BIGINT) AS lm_q,
+         | CAST(sum(m) AS BIGINT) AS n_bigrams
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // token-level LM mirror: the q_lm_score chain with the word stream
+    // replaced by the BPE encode stream (vocab = top-16 tokens)
+    "q_token_ppl" ->
+      s"""WITH ${frag.bpeEncodeCtes},
+         | e AS (SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, sym AS tok FROM flat),
          | uc AS (SELECT tok, count(*) AS c FROM e GROUP BY 1),
          | vocab AS (SELECT tok FROM uc ORDER BY c DESC, tok LIMIT 16),
          | vs AS (SELECT count(*) + 1 AS vsz FROM vocab),

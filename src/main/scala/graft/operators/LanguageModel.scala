@@ -67,10 +67,19 @@ object LanguageModel {
     * via the [[graft.sources.Tables.evictPinned]] lifecycle.
     */
   private def lmStats(docs: DataFrame, maxVocab: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    lmStatsOver(docs.select(col("doc_id"),
+      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok"))),
+      maxVocab)
+
+  /** [[lmStats]] over a PRE-BUILT (doc_id, pos, tok) token stream — the
+    * tokenizer-agnostic core (the [[graft.operators.Bpe.tokenWindowsOf]]
+    * discipline): the LM trains and scores over whatever token stream
+    * it is handed, word or subword.
+    */
+  private def lmStatsOver(toks: DataFrame, maxVocab: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
-    val toks = docs.select(col("doc_id"),
-      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
     val vocab = SharedBranch.sharedBranch(
       toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("tok")).limit(maxVocab)
@@ -104,6 +113,27 @@ object LanguageModel {
   def bigramLmQuantized(docs: DataFrame, maxVocab: Int = 1024,
       scale: Long = 10000L): DataFrame = {
     val (bi, cuv, cu, vs) = lmStats(docs, maxVocab)
+    quantizedTail(bi, cuv, cu, vs, scale)
+  }
+
+  /** [[bigramLmQuantized]] over a PRE-BUILT (doc_id, pos, token) stream
+    * — the SUBWORD-level quality score (what production filters ship:
+    * KenLM-style perplexity over the tokenizer's OWN output, not words
+    * — CCNet §4.3 runs its LM over SentencePiece tokens): feed
+    * [[graft.operators.Bpe.encodeTokens]] (or the unigram piece stream)
+    * straight in. Same plan shape, same integer contract; the stream's
+    * `token` column plays `tok`.
+    */
+  def bigramLmQuantizedOver(stream: DataFrame, maxVocab: Int = 1024,
+      scale: Long = 10000L): DataFrame = {
+    val (bi, cuv, cu, vs) = lmStatsOver(
+      stream.select(col("doc_id"), col("pos"), col("token").as("tok")),
+      maxVocab)
+    quantizedTail(bi, cuv, cu, vs, scale)
+  }
+
+  private def quantizedTail(bi: DataFrame, cuv: DataFrame, cu: DataFrame,
+      vs: DataFrame, scale: Long): DataFrame =
     bi.join(cuv, Seq("u", "v"))
       .join(broadcast(cu), Seq("u"))
       .crossJoin(broadcast(vs))
@@ -111,7 +141,6 @@ object LanguageModel {
       .groupBy(col("doc_id"))
       .agg(sum(col("m") * col("contrib")).as("lm_q"),
         sum(col("m")).as("n_bigrams"))
-  }
 
   /** Trigram STUPID-BACKOFF document scoring (Brants et al., EMNLP 2007
     * §4 — the backoff score built FOR distributed count-based training:

@@ -110,6 +110,25 @@ class LanguageModelSpec extends AnyFunSuite {
       }).foreach(e => assert(e.getMessage.nonEmpty))
   }
 
+  test("bigramLmQuantizedOver: the word stream reproduces bigramLmQuantized; subword streams score") {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val wordStream = tiny.select(col("doc_id"),
+      posexplode(graft.functions.TextFunctions.tokens(col("text")))
+        .as(Seq("pos", "token")))
+    val over = LanguageModel.bigramLmQuantizedOver(wordStream, maxVocab = 2)
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    val base = LanguageModel.bigramLmQuantized(tiny, maxVocab = 2)
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(over == base)
+    // a subword stream scores: per-char tokens of d1 "a b a b" -> more
+    // bigrams than the word stream (chars, not words)
+    val charStream = Seq((1L, 1, "a"), (1L, 2, "b"), (1L, 3, "a"), (1L, 4, "b"))
+      .toDF("doc_id", "pos", "token")
+    val sub = LanguageModel.bigramLmQuantizedOver(charStream, maxVocab = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(sub.head._3 == 3L)
+  }
+
   test("stupid backoff narrow face: row-identical to the batch scorer on the held-out half; keep thresholds") {
     val (vm, c3, c2, c1, n) = LanguageModel.fitStupidBackoff(sbCorpus, maxVocab = 100)
     val batch = LanguageModel.stupidBackoffQuantized(sbCorpus, maxVocab = 100)
