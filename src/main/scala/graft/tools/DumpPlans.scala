@@ -57,7 +57,13 @@ object DumpPlans {
       "q_quality_ensemble" -> "Borda ensemble: three verified signal chains, per-signal prefix-sum ranks (no single-task global window), doc_id-keyed join-up",
       "q_embed_jl_recall" -> "JL dimension reduction recall: narrow signed-projection fold, both spaces' broadcast top-k, left-join hit count",
       "q_unigram_encode" -> "unigram-LM Viterbi encode: ONE codegen reference-object expression + posexplode — documents never shuffle",
-      "q_bpe_windows_batched" -> "end-to-end batched chain: trained table frozen into one BpeEncode node, EOD union, global window position via range-partitioned PrefixSum (training itself is driver-bounded collect state, outside this plan)")
+      "q_bpe_windows_batched" -> "end-to-end batched chain: trained table frozen into one BpeEncode node, EOD union, global window position via range-partitioned PrefixSum (training itself is driver-bounded collect state, outside this plan)",
+      "q_token_windows_strided" -> "strided eval windows: the SAME single PrefixSum global position, covering windows as a bounded map-side explode (blow-up = config ratio, no extra shuffle)",
+      "q_fim_transform" -> "FIM PSM reorder: ENTIRELY NARROW — one BpeEncode reference-object call, array slice/concat, posexplode; no join, no exchange",
+      "q_span_corruption" -> "T5 span corruption: narrow block/span flags, sentinel ordinals + both streams' positions on ONE doc_id window exchange",
+      "q_stupid_backoff" -> "trigram stupid-backoff: train/score halves each pay one doc_id window exchange; c1/N broadcast, c2/c3 keyed joins under AQE; 1-row N frame carries the loud int64 envelope",
+      "q_length_pack" -> "length-bucketed packing: pow-2 bucket CASE ladder, within-bucket rank via range-partitioned PrefixSum + broadcast <=10-row offsets (never Window.partitionBy(bucket))",
+      "q_chunk_dedup" -> "sequence-level chunk dedup: narrow chunker, ONE chunk_text-keyed exchange feeding both window functions")
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of the flagship queries\n\n")
     sb.append("Auto-generated by `graft.tools.DumpPlans` at sf0.001. What to look for:\n")
