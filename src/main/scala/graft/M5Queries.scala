@@ -1173,6 +1173,12 @@ object M5Queries {
       TextDedup.chunkDuplicates(TextDedup.documents(s, dir), window = 64, stride = 48)
         .orderBy(col("keep_doc"), col("keep_idx"))),
 
+    // NOTE: Curation.sentenceChunks ships WITHOUT an oracle gate by the
+    // vacuity policy — the driver fixtures contain no sentence
+    // terminators, so a gated query would prove only the no-op split
+    // (the q_error_passthrough lesson). CurationSpec pins the real
+    // semantics (boundary respect, bounded overflow, degenerate docs).
+
     "q_chunk_tokens" -> ((s, dir) =>
       Curation.chunkByTokens(TextDedup.documents(s, dir), window = 64, stride = 48)
         .orderBy(col("doc_id"), col("chunk_idx"))),

@@ -292,6 +292,43 @@ object Curation {
       .withColumn("fill_ppm",
         expr(s"(1000000 * n_tokens) div (n_windows * $windowTokens)"))
 
+  /** SENTENCE-AWARE chunking — the boundary-respecting sibling of
+    * [[chunkByTokens]] (which cuts mid-sentence at fixed offsets): the
+    * document splits at sentence boundaries (`[.!?]+` followed by
+    * whitespace — a lookbehind-free pattern because the oracle's RE2
+    * has no lookbehind; the terminator is consumed identically in both
+    * engines), and consecutive sentences assign to ≈`maxTokens` chunks
+    * by START offset: `chunk_idx = tokens_before div maxTokens`. A
+    * chunk can overflow by at most one sentence minus one token —
+    * bounded, and the price of never splitting a sentence (the RAG
+    * indexing convention). Sentences with no tokens are dropped.
+    *
+    * Output: (doc_id, sent_idx, chunk_idx, n_tokens, sentence) —
+    * `sent_idx` dense 1-based over kept sentences; chunk bodies are one
+    * ordered concat away, left to the caller (the assignment is the
+    * operator).
+    *
+    * Plan shape: the split + token count are narrow; the running
+    * token offset is a window over `doc_id` (per-doc groups — millions
+    * of small partitions at scale, the [[LanguageModel]] adjacency
+    * discipline); nothing else shuffles.
+    */
+  def sentenceChunks(docs: DataFrame, maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    val sents = filter(split(col("text"), "[.!?]+[ \t\n\f\r]+"),
+      s => size(TextFunctions.tokens(s)) > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("sent_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), posexplode(sents).as(Seq("si0", "sentence")))
+      .select(col("doc_id"), (col("si0") + 1).as("sent_idx"), col("sentence"),
+        size(TextFunctions.tokens(col("sentence"))).cast("long").as("n_tokens"))
+      .withColumn("cb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("sent_idx"),
+        expr(s"cb div ${maxTokens.toLong}").as("chunk_idx"),
+        col("n_tokens"), col("sentence"))
+  }
+
   /** Sliding token-window chunking (the RAG / fine-tuning chunker, as
     * opposed to [[packContextWindows]]'s concat-then-cut pretraining
     * layout): each document emits windows of `window` tokens every
