@@ -220,15 +220,66 @@ object JsonPathFunctions {
       ("winnow_fps", classOf[WinnowFps].getName, { exprs =>
         require(exprs.length == 3, "winnow_fps(text, k, w)")
         WinnowFps(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "w"))
+      }),
+      ("rolling_hash", classOf[RollingHash].getName, { exprs =>
+        require(exprs.length == 1, "rolling_hash(text)")
+        RollingHash(exprs.head)
+      }),
+      ("nfc_normalize", classOf[NfcNormalize].getName, { exprs =>
+        require(exprs.length == 1, "nfc_normalize(text)")
+        NfcNormalize(exprs.head)
+      }),
+      ("simhash62", classOf[SimHash62].getName, { exprs =>
+        require(exprs.length == 1,
+          "simhash62(mixed_hashes) - array<bigint> of pre-mixed token hashes (TextFunctions.mixedTokenHashes)")
+        SimHash62(exprs.head)
+      }),
+      ("lang_id", classOf[LangId].getName, { exprs =>
+        require(exprs.length == 1, "lang_id(tokens) - lowercased token array")
+        LangId(exprs.head)
+      }),
+      ("bpe_encode", classOf[BpeEncode].getName, { exprs =>
+        require(exprs.length == 3,
+          "bpe_encode(text, array(lefts...), array(rights...)) - merge table as two parallel string-array literals in rank order")
+        val lefts = strArrayLit(exprs(1), "lefts")
+        val rights = strArrayLit(exprs(2), "rights")
+        require(lefts.length == rights.length,
+          s"bpe_encode: lefts (${lefts.length}) and rights (${rights.length}) must pair up")
+        BpeEncode(exprs.head, lefts.zip(rights))
       }))
+  }
+
+  /** A string-array argument of a SQL function call: `array('a','b')`
+    * arrives as an unevaluated `CreateArray` of literals (a foldable
+    * constant arrives already folded to a `Literal`); anything
+    * non-constant is refused loudly — the merge table is expression
+    * state, not data.
+    */
+  private def strArrayLit(e: Expression, what: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    e match {
+      case CreateArray(children, _) => children.map {
+        case Literal(s, StringType) if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$what elements must be string literals, got $other")
+      }
+      case Literal(d: org.apache.spark.sql.catalyst.util.ArrayData, ArrayType(StringType, _)) =>
+        d.toObjectArray(StringType).map(_.toString).toSeq
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string-array literal, got $other")
+    }
   }
 
   /** Register the engine's custom scalar functions for SQL use on this
     * session: `json_path_exists(json, 'path')`, `shingle_hashes(text, n)`,
-    * `minhash_sig(hashes, perms)`, `jaccard_sim(a, b)`, `winnow_fps(text, k, w)`. For a session the
-    * caller does not build in code (pure SQL / Thrift), configure
-    * `spark.sql.extensions=graft.plans.GraftExtensions` instead — same
-    * builders.
+    * `minhash_sig(hashes, perms)`, `jaccard_sim(a, b)`,
+    * `winnow_fps(text, k, w)`, `rolling_hash(text)`,
+    * `nfc_normalize(text)`, `simhash62(text)`, `lang_id(text)`, and
+    * `bpe_encode(text, array(lefts...), array(rights...))`. For a
+    * session the caller does not build in code (pure SQL / Thrift),
+    * configure `spark.sql.extensions=graft.plans.GraftExtensions`
+    * instead — same builders.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

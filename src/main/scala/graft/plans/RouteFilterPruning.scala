@@ -143,7 +143,9 @@ object RouteFilterPruning extends Rule[LogicalPlan] {
   * functions, injectable without any code on the session — set
   * `spark.sql.extensions=graft.plans.GraftExtensions` and a pure-SQL /
   * Thrift deployment gets `json_path_exists`, `shingle_hashes`, `winnow_fps`,
-  * `minhash_sig`, `jaccard_sim` plus the single-topic filter pruning.
+  * `minhash_sig`, `jaccard_sim`, `rolling_hash`, `nfc_normalize`,
+  * `simhash62`, `lang_id`, `bpe_encode` plus the single-topic filter
+  * pruning.
   * The function builders are the SAME list
   * [[graft.functions.JsonPathFunctions.register]] uses, so the two
   * registration paths cannot drift.

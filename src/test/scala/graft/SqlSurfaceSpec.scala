@@ -75,6 +75,53 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(got.forall(_._2.length == 16))
   }
 
+  test("tokenizer + text scalars on the SQL surface: bpe_encode reproduces encodeTokens; unary scalars match their Column twins") {
+    val s = spark
+    import s.implicits._
+    graft.functions.JsonPathFunctions.register(s)
+    val docs = Seq((1L, "banana bandana"), (2L, "Aaa abab"), (3L, ""))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("sql_docs")
+    val merges = graft.operators.Bpe.mergePairs(
+      graft.operators.Bpe.trainMerges(docs, 3))
+    val lefts = merges.map(m => s"'${m._1}'").mkString(", ")
+    val rights = merges.map(m => s"'${m._2}'").mkString(", ")
+    val got = s.sql(s"""
+      SELECT doc_id, p0 + 1 AS pos, token
+      FROM sql_docs
+      LATERAL VIEW posexplode(bpe_encode(text, array($lefts), array($rights))) pt AS p0, token
+      ORDER BY doc_id, pos""")
+      .as[(Long, Int, String)].collect().toSeq
+    val want = graft.operators.Bpe.encodeTokens(docs, merges)
+      .orderBy($"doc_id", $"pos").as[(Long, Int, String)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // mismatched merge arrays are refused loudly
+    val e = intercept[Exception] {
+      s.sql("SELECT bpe_encode(text, array('a'), array('b', 'c')) FROM sql_docs").collect()
+    }
+    assert(e.getMessage.contains("pair up"))
+    // scalars evaluate identically to their Column twins (simhash62 and
+    // lang_id take the pre-built arrays their operators feed them)
+    import graft.functions.TextFunctions
+    docs
+      .withColumn("mh", TextFunctions.mixedTokenHashes(TextFunctions.tokens($"text")))
+      .withColumn("toks", TextFunctions.tokens($"text"))
+      .createOrReplaceTempView("sql_docs2")
+    val scalars = s.sql("""
+      SELECT doc_id, rolling_hash(text) AS rh, nfc_normalize(text) AS nf,
+             simhash62(mh) AS sh, lang_id(toks) AS li
+      FROM sql_docs2 ORDER BY doc_id""")
+      .as[(Long, Long, String, Long, String)].collect().toSeq
+    val twin = docs.select($"doc_id",
+        TextFunctions.rollingHash($"text").as("rh"),
+        graft.functions.NfcNormalize.nfc($"text").as("nf"),
+        graft.functions.SimHash62.simhash62(
+          TextFunctions.mixedTokenHashes(TextFunctions.tokens($"text"))).as("sh"),
+        graft.functions.LangId.lang_id(TextFunctions.tokens($"text")).as("li"))
+      .orderBy($"doc_id").as[(Long, Long, String, Long, String)].collect().toSeq
+    assert(scalars == twin)
+  }
+
   test("winnow_fps reproduces q_winnow_fps rows in pure SQL") {
     val s = spark
     import s.implicits._
