@@ -333,6 +333,54 @@ class BpeSpec extends AnyFunSuite {
     assert(out.sortBy(r => (r._1, r._2, r._3)) == out2.sortBy(r => (r._1, r._2, r._3)))
   }
 
+  test("fuzz: FIM reassembly and span-corruption reconstruction hold on random corpora (incl. non-ASCII, 1-token, empty)") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("a", "b", "ab", "ba", "ü", "αβ", "x")
+    (0 until 4).foreach { round =>
+      // the fixed doc guarantees trainable pairs whatever the draw
+      val docs = ((0 until 12).map { i =>
+        val n = rnd.nextInt(26) // 0..25 words
+        (i.toLong, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+      } :+ (100L, "abba abba abba")).toDF("doc_id", "text")
+      val merges = Bpe.mergePairs(Bpe.trainMerges(docs, 1 + rnd.nextInt(2)))
+      val enc = Bpe.encodeTokens(docs, merges)
+        .as[(Long, Int, String)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+      // FIM: reassembly per doc
+      val fim = Bpe.fimTransform(docs, merges)
+        .as[(Long, Int, String, Boolean)].collect().toSeq.groupBy(_._1)
+      fim.foreach { case (id, rows) =>
+        val toks = rows.sortBy(_._2).map(_._3)
+        val orig = enc.getOrElse(id, Seq.empty)
+        if (rows.head._4) {
+          val is = toks.indexOf("<fim_suf>"); val im = toks.indexOf("<fim_mid>")
+          assert(toks.head == "<fim_pre>" && is > 0 && im > is, s"round $round doc $id")
+          assert(toks.slice(1, is) ++ toks.drop(im + 1) ++ toks.slice(is + 1, im) == orig,
+            s"round $round doc $id fim")
+        } else assert(toks == orig, s"round $round doc $id passthrough")
+      }
+      // span corruption: splice-back per doc
+      val sc = Bpe.spanCorruption(docs, merges)
+        .as[(Long, String, Int, String)].collect().toSeq.groupBy(_._1)
+      val Sent = """<extra_id_(\d+)>""".r
+      sc.foreach { case (id, rows) =>
+        val input = rows.filter(_._2 == "input").sortBy(_._3).map(_._4)
+        val target = rows.filter(_._2 == "target").sortBy(_._3).map(_._4)
+        val spans = scala.collection.mutable.Map.empty[Int, Vector[String]]
+        var cur = -1
+        target.foreach {
+          case Sent(k) => cur = k.toInt; spans(cur) = Vector.empty
+          case t => spans(cur) = spans(cur) :+ t
+        }
+        val rebuilt = input.flatMap {
+          case Sent(k) => spans(k.toInt)
+          case t => Seq(t)
+        }
+        assert(rebuilt == enc.getOrElse(id, Seq.empty), s"round $round doc $id span")
+      }
+    }
+  }
+
   test("windowSegments: seg is the dense 0-based per-window document ordinal") {
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val merges = Bpe.mergePairs(Bpe.trainMerges(docs, 4))
