@@ -558,6 +558,17 @@ object M5Queries {
       Sampling.mixtureWeights(TextDedup.documents(s, dir))
         .orderBy(col("source"))),
 
+    // ---- curation: MATERIALIZE the mixture — per-source token budgets
+    // (weight_ppm · 20000 div 10⁶) filled in seeded-hash order, the
+    // selection as an auditable flag; per-source running sums via ONE
+    // range-partitioned PrefixSum + broadcast base offsets
+    "q_mixture_budget" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      Sampling.mixtureBudget(docs, Sampling.mixtureWeights(docs),
+          totalTokens = 20000L, seed = 7L)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- curation: the per-source report card — volume + mixture share
     // + vocabulary novelty + duplication pressure in ONE frame (pure
     // composition of the three verified reports)
@@ -2554,6 +2565,26 @@ object M5Queries {
          |SELECT source, n_docs, n_tokens,
          | ((sv * 1000000) // stot)::BIGINT AS weight_ppm
          |FROM s CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    // mixture-budget mirror: the q_mixture_weights CTEs feed per-source
+    // budgets; within-source order is the seeded epoch-shuffle key (the
+    // multiplier interpolated from the ONE Scala definition); the cut
+    // is tokens-BEFORE < budget
+    "q_mixture_budget" ->
+      s"""WITH t AS (SELECT source, len(${frag.toks}) AS nt FROM documents),
+         | per AS (SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |   FROM t GROUP BY 1),
+         | s AS (SELECT *, CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000.0) AS BIGINT) AS sv FROM per),
+         | tot AS (SELECT CAST(sum(sv) AS BIGINT) AS stot FROM s),
+         | w AS (SELECT source, ((sv * 1000000) // stot)::BIGINT AS weight_ppm FROM s CROSS JOIN tot),
+         | c AS (SELECT doc_id, source, len(${frag.toks})::BIGINT AS n_tokens FROM documents),
+         | k AS (SELECT doc_id, source, n_tokens,
+         |   (doc_id * ${Sampling.epochKeyMult(7L)} + 11) % 1000003 AS hk FROM c),
+         | r AS (SELECT doc_id, source, n_tokens,
+         |   coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM k)
+         |SELECT doc_id, r.source, n_tokens,
+         | (cb < (weight_ppm * 20000) // 1000000) AS selected
+         |FROM r JOIN w ON r.source = w.source ORDER BY doc_id""".stripMargin,
 
     "q_dedup_jaccard" ->
       s"""WITH sh AS (${frag.shingleHashes})

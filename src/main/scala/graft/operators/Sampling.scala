@@ -136,6 +136,52 @@ object Sampling {
       .drop("_shuf_key", "_shuf_id", "total")
   }
 
+  /** MATERIALIZE a token-budget training mixture — the step that turns
+    * mixture WEIGHTS into an actual dataset (what [[mixtureWeights]]
+    * computes, this SELECTS): per source, documents are taken in the
+    * seeded-hash order of [[epochShuffle]] (reproducible "random",
+    * identical across re-runs and workers) until the source's token
+    * budget `(weight_ppm · totalTokens) div 10⁶` is filled; the cut is
+    * by tokens-BEFORE, so overspend is bounded by one document per
+    * source (never silently truncating a document). A source absent
+    * from the weight table selects nothing — loud in the report, not
+    * silent row loss (LEFT join keeps its rows with `selected=false`).
+    *
+    * Output: (doc_id, source, n_tokens, selected) — one row per input
+    * document, the selection as a flag so the unselected complement
+    * stays auditable.
+    *
+    * Plan shape: token counting + hash key are narrow; the per-source
+    * running token sum is ONE range-partitioned [[PrefixSum]] over
+    * (source, key, doc_id) with per-source base offsets (|sources| rows)
+    * broadcast back — NEVER `Window.partitionBy(source)` (≤ a dozen
+    * sources would funnel the corpus through that many tasks; the
+    * [[Curation.lengthBucketedPack]] discipline). The weight table
+    * broadcasts (|sources| rows).
+    */
+  def mixtureBudget(docs: DataFrame, weights: DataFrame, totalTokens: Long,
+      seed: Long = 0L): DataFrame = {
+    require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
+    require(totalTokens <= Long.MaxValue / 1000000L,
+      s"mixtureBudget int64 envelope: weight_ppm * totalTokens must fit int64, got $totalTokens")
+    val counted = docs.select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("hk", pmod(col("doc_id") * epochKeyMult(seed) + B, lit(M)))
+    val ranked = SharedBranch.sharedBranch(PrefixSum.inclusive(counted,
+      Seq(col("source"), col("hk"), col("doc_id")), col("n_tokens"), "cum"))
+    val base = ranked.groupBy(col("source"))
+      .agg(min(col("cum") - col("n_tokens")).as("base"))
+    ranked
+      .join(broadcast(base), Seq("source"))
+      .join(broadcast(weights.select(col("source"), col("weight_ppm"))),
+        Seq("source"), "left")
+      .withColumn("cb", col("cum") - col("n_tokens") - col("base"))
+      .withColumn("selected",
+        col("weight_ppm").isNotNull &&
+          col("cb") < expr(s"(weight_ppm * ${totalTokens}L) div 1000000"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("selected"))
+  }
+
   /** Deterministic train/val/test split assignment — [[bucket]]'s
     * three-way face: per-mille hash thresholds over the stable id, so
     * re-runs and distributed workers agree with no coordination and no

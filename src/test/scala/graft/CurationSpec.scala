@@ -16,6 +16,42 @@ class CurationSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
   lazy val docs = TextDedup.documents(spark, sf).cache()
 
+  test("mixtureBudget: budgets bind per source with one-doc overspend; selection is seeded-deterministic and auditable") {
+    import graft.operators.Sampling
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // source A: 4 docs x 10 tokens; source B: 2 docs x 30 tokens
+    val d = Seq(
+      (1L, "A", words(10)), (2L, "A", words(10)), (3L, "A", words(10)), (4L, "A", words(10)),
+      (5L, "B", words(30)), (6L, "B", words(30)))
+      .toDF("doc_id", "source", "text")
+    val weights = Seq(("A", 500000L), ("B", 500000L)).toDF("source", "weight_ppm")
+    // budget 40 total -> 20 tokens per source: A takes its first 2 hash-ordered
+    // docs (cb 0,10 < 20; third has cb 20), B takes 1 (cb 0 < 20; 30-token
+    // overspend bounded by that one doc)
+    val got = Sampling.mixtureBudget(d, weights, totalTokens = 40L, seed = 3L)
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    val selA = got.filter(r => r._2 == "A" && r._4)
+    val selB = got.filter(r => r._2 == "B" && r._4)
+    assert(got.size == 6 && selA.size == 2 && selB.size == 1)
+    // the selected A docs are the 2 smallest by the seeded hash key
+    val m = Sampling.epochKeyMult(3L)
+    val hk = (id: Long) => ((id * m + 11L) % 1000003L, id)
+    val wantA = got.filter(_._2 == "A").map(_._1).sortBy(hk).take(2).toSet
+    assert(selA.map(_._1).toSet == wantA)
+    // a source missing from the weight table selects nothing, loudly visible
+    val got2 = Sampling.mixtureBudget(d, weights.filter($"source" === "A"),
+        totalTokens = 40L, seed = 3L)
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    assert(got2.size == 6 && got2.filter(_._2 == "B").forall(!_._4))
+    // reproducible across partitionings
+    val got3 = Sampling.mixtureBudget(d.repartition(5), weights, 40L, seed = 3L)
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    assert(got.sortBy(_._1) == got3.sortBy(_._1))
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureBudget(d, weights, totalTokens = 0L)
+    }
+  }
+
   test("sentenceChunks: boundary-respecting assignment; overflow bounded by one sentence; degenerate docs") {
     val d = Seq(
       (1L, "One two three. Four five? Six seven eight! Nine"),

@@ -271,6 +271,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_stupid_backoff", // 1-row train-token-total (N) frame
       "q_quality_ensemble", // LM 1-row vocab totals + 3 PrefixSum offset triangles (≤nPart rows)
       "q_mixture_schedule", // 1-row per-source totals frame
+      "q_mixture_budget", // weights' 1-row total + per-source PrefixSum triangle + |sources|-row base frame
       "q_mixture_weights", // 1-row sqrt-weight total frame
       "q_source_report", // composes mixtureWeights' 1-row total frame
       "q_pack_windows", "q_pipeline_e2e", // 1-row window/prefix totals
