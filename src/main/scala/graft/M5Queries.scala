@@ -1399,6 +1399,19 @@ object M5Queries {
       operators.Bpe.trainMerges(TextDedup.documents(s, dir), frag.bpeMerges)
         .orderBy(col("rank"))),
 
+    // ---- tokenizer: WARM-START extension — a frozen 4-merge prior
+    // grows 4 more merges on the corpus; greedy-sequential training
+    // makes the extension exactly the 8-merge chain's suffix, which is
+    // what the oracle gates
+    "q_bpe_extend" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val prior = operators.Bpe.mergePairs(
+        operators.Bpe.trainMerges(docs, frag.bpeMerges / 2))
+      operators.Bpe.extendMerges(docs, prior,
+          extraMerges = frag.bpeMerges - frag.bpeMerges / 2)
+        .orderBy(col("rank"))
+    }),
+
     // ---- tokenizer: segmentation fertility under the trained merges —
     // per-doc whitespace-word and BPE-token counts (train ∘ apply,
     // end to end)
@@ -3033,6 +3046,17 @@ object M5Queries {
     // left-to-right fold are string-exact across engines
     "q_bpe_merges" -> {
       val union = (0 until frag.bpeMerges).map(s =>
+        s"""SELECT $s::INT AS rank, l AS "left", r AS "right", c::BIGINT AS pair_count FROM m$s""")
+        .mkString(" UNION ALL ")
+      s"""WITH ${frag.bpeCtes(frag.bpeMerges)}
+         |SELECT * FROM ($union) ORDER BY rank""".stripMargin
+    },
+
+    // warm-start extension mirror: rows bpeMerges/2 .. bpeMerges-1 of
+    // the SAME unrolled training chain (greedy-sequential training ⇒
+    // extension ≡ suffix)
+    "q_bpe_extend" -> {
+      val union = (frag.bpeMerges / 2 until frag.bpeMerges).map(s =>
         s"""SELECT $s::INT AS rank, l AS "left", r AS "right", c::BIGINT AS pair_count FROM m$s""")
         .mkString(" UNION ALL ")
       s"""WITH ${frag.bpeCtes(frag.bpeMerges)}

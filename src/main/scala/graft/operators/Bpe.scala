@@ -125,6 +125,42 @@ object Bpe {
       .toDF("rank", "left", "right", "pair_count")
   }
 
+  /** WARM-START training — EXTEND a frozen merge table with
+    * `extraMerges` further merges trained on `docs` (the
+    * domain-adaptation move: a base tokenizer grows vocabulary on a new
+    * corpus without retraining from characters). The prior table is
+    * applied first (rank order, the same greedy fold as training would
+    * have), then training continues; because BPE training is
+    * greedy-sequential, extending on the SAME corpus the prior was
+    * trained on is exactly the longer run's suffix
+    * (`extendMerges(docs, first k of trainMerges(docs, n), n−k) ≡
+    * rows k..n−1 of trainMerges(docs, n)` — BpeSpec pins it, and the
+    * oracle gates the composition as the long chain's tail). Output
+    * ranks continue after the prior (`prior.length`-based).
+    */
+  def extendMerges(docs: DataFrame, prior: Seq[(String, String)],
+      extraMerges: Int): DataFrame = {
+    require(extraMerges >= 1, s"extraMerges must be >= 1, got $extraMerges")
+    val spark = docs.sparkSession
+    var words = prior.foldLeft(wordTable(docs)) { case (w, (l, r)) =>
+      w.withColumn("syms", mergeFold(col("syms"), l, r))
+    }.localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- prior.length until prior.length + extraMerges) {
+      val top = pairCounts(words)
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"corpus ran out of symbol pairs after ${rank - prior.length} extension merges (asked for $extraMerges)")
+      val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((rank, l, r, c))
+      words = words.withColumn("syms", mergeFold(col("syms"), l, r))
+        .localCheckpoint()
+    }
+    spark.createDataFrame(merges.result())
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
   /** One greedy left-to-right pass applying a BATCH of symbol-disjoint
     * merges simultaneously: the [[mergeFold]] scan with a K-way fuse
     * branch. Well-defined exactly because the batch is symbol-disjoint

@@ -333,6 +333,27 @@ class BpeSpec extends AnyFunSuite {
     assert(out.sortBy(r => (r._1, r._2, r._3)) == out2.sortBy(r => (r._1, r._2, r._3)))
   }
 
+  test("extendMerges: same-corpus warm start is exactly the longer run's suffix; ranks continue cross-corpus; dry raises") {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val full = Bpe.trainMerges(docs, 6)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val prior = full.take(3).map(m => (m._2, m._3))
+    val ext = Bpe.extendMerges(docs, prior, 3)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(ext == full.drop(3))
+    // a prior trained ELSEWHERE extends on a new corpus; ranks continue
+    val other = Seq((50L, "zz zz zz yy")).toDF("doc_id", "text")
+    val e2 = Bpe.extendMerges(other, prior, 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(e2.size == 1 && e2.head._1 == 3)
+    // a corpus that runs dry mid-extension raises, never truncates
+    val dry = intercept[IllegalArgumentException] {
+      Bpe.extendMerges(other, prior, 50)
+    }
+    assert(dry.getMessage.contains("extension"))
+  }
+
   test("fuzz: FIM reassembly and span-corruption reconstruction hold on random corpora (incl. non-ASCII, 1-token, empty)") {
     val rnd = new scala.util.Random(7)
     val alphabet = Vector("a", "b", "ab", "ba", "ü", "αβ", "x")
