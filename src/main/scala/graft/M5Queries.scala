@@ -1399,6 +1399,25 @@ object M5Queries {
       operators.Bpe.trainMerges(TextDedup.documents(s, dir), frag.bpeMerges)
         .orderBy(col("rank"))),
 
+    // ---- tokenizer: held-out OOV report — vocabulary frozen from the
+    // doc_id%2==0 half's token stream CAPPED at its top-16 (real
+    // vocabularies are capped; uncapped, this corpus's train half
+    // covers every score-half token and the gate would be vacuous),
+    // the other half scored for absent-token share
+    "q_oov_rate" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val merges = operators.Bpe.mergePairs(
+        operators.Bpe.trainMerges(docs, frag.bpeMerges))
+      val enc = operators.SharedBranch.sharedBranch(
+        operators.Bpe.encodeTokens(docs, merges))
+      val vocab = operators.Bpe.vocabulary(
+          enc.filter(col("doc_id") % 2 === 0))
+        .filter(col("token_id") < 16)
+      operators.Bpe.oovReport(enc.filter(col("doc_id") % 2 =!= 0), vocab,
+          docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- tokenizer: WARM-START extension — a frozen 4-merge prior
     // grows 4 more merges on the corpus; greedy-sequential training
     // makes the extension exactly the 8-merge chain's suffix, which is
@@ -3051,6 +3070,23 @@ object M5Queries {
       s"""WITH ${frag.bpeCtes(frag.bpeMerges)}
          |SELECT * FROM ($union) ORDER BY rank""".stripMargin
     },
+
+    // held-out OOV mirror: train-half top-16 tokens (count DESC, token
+    // ASC — the vocabulary rank's total order) as the frozen capped
+    // vocabulary, score-half stream LEFT-joined, absent-token counts
+    // per doc with the LEFT-join-at-0 tail
+    "q_oov_rate" ->
+      s"""WITH ${frag.bpeEncodeCtes},
+         | p AS (SELECT doc_id, sym AS token FROM flat),
+         | v AS (SELECT token FROM (SELECT token, count(*) AS n_occ FROM p WHERE doc_id % 2 = 0 GROUP BY 1) ORDER BY n_occ DESC, token LIMIT 16),
+         | sc AS (SELECT doc_id, count(*) AS n_tokens,
+         |     sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+         |   FROM p LEFT JOIN v ON p.token = v.token WHERE doc_id % 2 <> 0 GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+         | coalesce(n_oov, 0)::BIGINT AS n_oov,
+         | (CASE WHEN coalesce(n_tokens, 0) > 0 THEN (1000000 * n_oov) // n_tokens ELSE 0 END)::BIGINT AS oov_ppm
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 <> 0) d
+         |LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // warm-start extension mirror: rows bpeMerges/2 .. bpeMerges-1 of
     // the SAME unrolled training chain (greedy-sequential training ⇒

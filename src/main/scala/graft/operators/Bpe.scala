@@ -511,6 +511,37 @@ object Bpe {
     encoded.join(broadcast(vocab.select(col("token"), col("token_id"))), Seq("token"))
       .select(col("doc_id"), col("pos"), col("token_id"))
 
+  /** HELD-OUT OOV REPORT — the tokenizer-evaluation metric a frozen
+    * vocabulary is judged by: per document of the SCORE stream, how
+    * many of its tokens are absent from the frozen `vocab`
+    * (`oov_ppm = (10⁶·n_oov) div n_tokens`, 0 for tokenless docs).
+    * Freeze the vocabulary from one corpus ([[vocabulary]] over the
+    * train half), score another — a high OOV share is the signal the
+    * vocabulary under-serves that slice (the [[fertilityBySource]]
+    * sibling, absence- rather than length-based).
+    *
+    * Plan shape: the vocabulary broadcasts (model metadata, bounded by
+    * construction); the score stream pays one `doc_id`-keyed hash
+    * aggregation. `docIds` keeps every scored document in the report
+    * (tokenless → all-zero row), the LEFT-join-at-0 house discipline.
+    */
+  def oovReport(scored: DataFrame, vocab: DataFrame,
+      docIds: DataFrame): DataFrame = {
+    val agg = scored
+      .join(broadcast(vocab.select(col("token")).withColumn("inv", lit(1))),
+        Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docIds.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_ppm",
+        when(col("n_tokens") > 0, expr("(1000000 * n_oov) div n_tokens"))
+          .otherwise(lit(0L)))
+  }
+
   /** GPT-style TOKEN WINDOWING — the last prep step before tensors:
     * documents are concatenated in (doc_id) order with an `eodToken`
     * separator after each one (empty documents contribute just their

@@ -333,6 +333,19 @@ class BpeSpec extends AnyFunSuite {
     assert(out.sortBy(r => (r._1, r._2, r._3)) == out2.sortBy(r => (r._1, r._2, r._3)))
   }
 
+  test("oovReport: absent-token counts per doc; tokenless docs keep an all-zero row") {
+    val scored = Seq((1L, 1, "a"), (1L, 2, "q"), (1L, 3, "q"),
+      (3L, 1, "b")).toDF("doc_id", "pos", "token")
+    val vocab = Seq("a", "b").toDF("token")
+    val ids = Seq(1L, 3L, 5L).toDF("doc_id") // 5 has no tokens at all
+    val got = Bpe.oovReport(scored, vocab, ids)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 666666L),
+      (3L, 1L, 0L, 0L),
+      (5L, 0L, 0L, 0L)))
+  }
+
   test("extendMerges: same-corpus warm start is exactly the longer run's suffix; ranks continue cross-corpus; dry raises") {
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")

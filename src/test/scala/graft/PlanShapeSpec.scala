@@ -279,6 +279,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_token_shift", // two 1-row snapshot-total frames
       "q_tfidf_topterms", // 1-row doc-count frame
       "q_bpe_vocab", // PrefixSum offset triangle (≤nPart rows) over the vocab rank
+      "q_oov_rate", // same vocab-rank triangle (train-half vocabulary freeze)
       "q_bpe_token_ids", // same vocab-rank triangle (the id join itself broadcasts hash-keyed)
       "q_token_windows", // PrefixSum offset triangle for the global token position
       "q_token_windows_strided", // same global-position triangle (bounded explode on top)
