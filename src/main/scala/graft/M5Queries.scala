@@ -392,6 +392,13 @@ object M5Queries {
       operators.Sessionize(s, dir)
         .orderBy(col("user_id"), col("session_id"))),
 
+    // ---- temporal: interval concurrency sweep — active sessions at
+    // each boundary via per-timestamp delta aggregation + one
+    // range-partitioned prefix sum (never a single-task sort)
+    "q_session_concurrency" -> ((s, dir) =>
+      operators.Sessionize.concurrency(operators.Sessionize(s, dir))
+        .orderBy(col("tus"))),
+
     // ---- temporal: per-user event rate cap — at most 3 earliest events
     // per (user, 6h window) via the bounded aggregator (sourceQuota's
     // event-time sibling; the ingestion throttle)
@@ -2356,6 +2363,28 @@ object M5Queries {
         |SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
         | min(tus) AS start_us, max(tus) AS end_us
         |FROM g GROUP BY user_id, g.session_id ORDER BY user_id, session_id""".stripMargin,
+
+    // concurrency-sweep mirror: the session rollup's boundaries as
+    // +1/−1 deltas aggregated per timestamp (end_us + 1 = half-open),
+    // running sum over the boundary order
+    "q_session_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) tus FROM events),
+        | s AS (SELECT user_id, event_id, tus,
+        |   CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000
+        |        THEN 1::BIGINT ELSE 0::BIGINT END AS new_session
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        | g AS (SELECT user_id, tus,
+        |   sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS session_id
+        |   FROM s),
+        | ses AS (SELECT user_id, session_id, min(tus) AS start_us, max(tus) AS end_us
+        |   FROM g GROUP BY 1, 2),
+        | d AS (SELECT start_us AS tus, 1::BIGINT AS dd FROM ses
+        |   UNION ALL SELECT end_us + 1, -1::BIGINT FROM ses),
+        | agg AS (SELECT tus, sum(dd) AS delta FROM d GROUP BY 1)
+        |SELECT tus, CAST(delta AS BIGINT) AS delta,
+        | CAST(sum(delta) OVER (ORDER BY tus ROWS UNBOUNDED PRECEDING) AS BIGINT) AS active
+        |FROM agg ORDER BY tus""".stripMargin,
 
     // as-of: LATERAL top-1 is the declarative twin of the sorted-union
     // window the engine runs; tie-break (tus DESC, event_id DESC) matches

@@ -260,6 +260,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_embed_jl_recall", // ≤5-row query-vector set, both spaces
       "q_knn_graph_recall", "q_multimodal_ann", // ≤10-row query-vector set
       "q_curriculum", // 1-row total-count frame (epochShuffle's sibling)
+      "q_session_concurrency", // boundary-sweep PrefixSum triangle
       "q_embedding_shift", // two 1-row snapshot-total frames
       "q_epoch_shuffle", // 1-row total-count frame
       "q_length_quantiles", // 1-row quantile-boundary frame

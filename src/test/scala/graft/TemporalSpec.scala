@@ -11,6 +11,26 @@ class TemporalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("session concurrency sweep: hand-rolled actives; boundary-touch never overlaps; sweep closes at zero") {
+    // sessions: [0,10], [5,20], [10,10] (1-event at the boundary), [21,30]
+    val ses = Seq(
+      (1L, 1L, 2L, 0L, 10L), (2L, 1L, 3L, 5L, 20L),
+      (3L, 1L, 1L, 10L, 10L), (4L, 1L, 2L, 21L, 30L))
+      .toDF("user_id", "session_id", "n_events", "start_us", "end_us")
+    val got = graft.operators.Sessionize.concurrency(ses)
+      .orderBy($"tus").as[(Long, Long, Long)].collect().toSeq
+    // boundaries: 0:+1, 5:+1, 10:+1, 11:-1(end 10)x2, 21:+1-1(end 20 ties start 21? end 20 -> 21)
+    // end_us+1: 11, 21, 11, 31; deltas: 0:+1 5:+1 10:+1 11:-2 21:+1-1=0 31:-1
+    assert(got == Seq((0L, 1L, 1L), (5L, 1L, 2L), (10L, 1L, 3L),
+      (11L, -2L, 1L), (21L, 0L, 1L), (31L, -1L, 0L)))
+    // every sweep ends at zero; peak here is 3
+    assert(got.last._3 == 0L && got.map(_._3).max == 3L)
+    // partitioning invariance
+    val got2 = graft.operators.Sessionize.concurrency(ses.repartition(5))
+      .orderBy($"tus").as[(Long, Long, Long)].collect().toSeq
+    assert(got == got2)
+  }
+
   // left: (event_id, key, t)
   val leftRows = Seq(
     (100L, 1L, 50L),   // after two right rows
