@@ -63,7 +63,10 @@ object DumpPlans {
       "q_span_corruption" -> "T5 span corruption: narrow block/span flags, sentinel ordinals + both streams' positions on ONE doc_id window exchange",
       "q_stupid_backoff" -> "trigram stupid-backoff: train/score halves each pay one doc_id window exchange; c1/N broadcast, c2/c3 keyed joins under AQE; 1-row N frame carries the loud int64 envelope",
       "q_length_pack" -> "length-bucketed packing: pow-2 bucket CASE ladder, within-bucket rank via range-partitioned PrefixSum + broadcast <=10-row offsets (never Window.partitionBy(bucket))",
-      "q_chunk_dedup" -> "sequence-level chunk dedup: narrow chunker, ONE chunk_text-keyed exchange feeding both window functions")
+      "q_chunk_dedup" -> "sequence-level chunk dedup: narrow chunker, ONE chunk_text-keyed exchange feeding both window functions",
+      "q_mixture_budget" -> "mixture-budget materialization: per-source running token sums via range-partitioned PrefixSum + broadcast |sources|-row base offsets (no per-source window)",
+      "q_session_concurrency" -> "interval concurrency sweep: map-side per-timestamp delta agg, PrefixSum running sum (no single-task sort)",
+      "q_oov_rate" -> "held-out OOV report: broadcast frozen capped vocabulary, one doc-keyed aggregation, LEFT-join-at-0 tail")
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of the flagship queries\n\n")
     sb.append("Auto-generated by `graft.tools.DumpPlans` at sf0.001. What to look for:\n")
