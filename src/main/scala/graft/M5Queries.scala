@@ -1695,6 +1695,19 @@ object M5Queries {
     // fixture: 49 → 41 → 33 → 29 (3 rounds, final drop partial — the
     // min(cap, excess) path exercised). Oracle: uniTrainRounds unrolled
     // EM rounds with dynamic per-round drop counts
+    // ---- tokenizer: encode under the EM-TRAINED unigram vocabulary —
+    // the trainer's output proven usable end to end (the
+    // q_bpe_windows_batched composition discipline): trainVocab →
+    // freeze → Viterbi encode
+    "q_unigram_train_encode" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val (pieces, btot) = operators.Unigram.vocabModel(
+        operators.Unigram.trainVocab(docs, frag.uniMaxPieceLen,
+          frag.uniTopN, frag.uniTrainTarget, frag.uniTrainDropCap))
+      operators.Unigram.encodePieces(docs, pieces, btot)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     "q_unigram_train" -> ((s, dir) =>
       operators.Unigram.trainVocab(TextDedup.documents(s, dir),
           frag.uniMaxPieceLen, frag.uniTopN, frag.uniTrainTarget,
@@ -2048,6 +2061,16 @@ object M5Queries {
       parts += unigramDpChain("up", "upvb", "upbt")
       parts.result().mkString(",\n ")
     }
+
+    /** [[unigramTrainCtes]] + the FINAL trained model's DP chain — the
+      * end-to-end mirror for encoding under the EM-trained vocabulary
+      * (the q_bpe_windows_batched composition discipline applied to
+      * the unigram family): the trainer's last `t{R}vb`/`t{R}bt`
+      * score tables feed one more [[unigramDpChain]].
+      */
+    def unigramTrainEncodeCtes: String =
+      unigramTrainCtes + ",\n " + unigramDpChain(
+        s"te", s"t${uniTrainRounds}vb", s"t${uniTrainRounds}bt")
 
     /** Trainer mirror: [[unigramCtes]] + `uniTrainRounds` unrolled EM
       * rounds (`t1`..`t$R` prefixes), each with a DYNAMIC drop count
@@ -3343,6 +3366,16 @@ object M5Queries {
          |SELECT ud2.doc_id, coalesce(n_words, 0)::BIGINT AS n_words,
          |  coalesce(n_pieces, 0)::BIGINT AS n_pieces, coalesce(score, 0)::BIGINT AS score
          |FROM ud2 LEFT JOIN uag2 USING (doc_id) ORDER BY ud2.doc_id""".stripMargin,
+
+    // trained-model encode mirror: the trainer CTEs + ONE more DP chain
+    // under the final t{R} score tables, then the q_unigram_encode
+    // positional tail
+    "q_unigram_train_encode" ->
+      s"""WITH ${frag.unigramTrainEncodeCtes},
+         | udwi AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS wi FROM (SELECT doc_id, ${frag.toks} w FROM documents)),
+         | uflat AS (SELECT doc_id, wi, unnest(path) AS piece, generate_subscripts(path, 1) AS si FROM udwi JOIN tedp USING (word))
+         |SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, piece
+         |FROM uflat ORDER BY doc_id, pos""".stripMargin,
 
     // trainer mirror: uniTrainRounds unrolled EM rounds (see
     // frag.unigramTrainCtes), final vocabulary (piece, n_occ)
