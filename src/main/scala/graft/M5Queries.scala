@@ -427,6 +427,24 @@ object M5Queries {
         .orderBy(col("event_id"))
     }),
 
+    // ---- relational: TOLERANCE-bounded backward as-of join — the
+    // q_asof_join pairing with a 1h staleness bound: clicks older than
+    // the bound null out exactly like no-match (merge_asof tolerance)
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("tus", graft.sources.Tables.epochMicros(ev0, "ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tus"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tus"), col("event_id"),
+          col("event_id").as("click_event_id"), col("tus").as("click_tus"))
+      operators.Temporal.asofJoinBackwardTolerance(purchases, clicks,
+          keys = Seq("user_id"), timeCol = "tus", tieCol = "event_id",
+          rightCols = Seq("click_event_id", "click_tus"),
+          toleranceMicros = 3600L * 1000000L)
+        .orderBy(col("event_id"))
+    }),
+
     // ---- relational: forward as-of join (purchase → next error at or
     // after it, per user; ties on time broken by smaller event_id)
     "q_asof_join_fwd" -> ((s, dir) => {
@@ -2435,6 +2453,22 @@ object M5Queries {
         |FROM p LEFT JOIN LATERAL (
         |  SELECT c.event_id, c.tus FROM c
         |  WHERE c.user_id = p.user_id AND c.tus <= p.tus
+        |  ORDER BY c.tus DESC, c.event_id DESC LIMIT 1) m ON true
+        |ORDER BY p.event_id""".stripMargin,
+
+    // tolerance mirror: the q_asof_join LATERAL with the staleness
+    // bound inside the probe predicate (equivalent to post-masking the
+    // unbounded match — the match is the LATEST prior row either way)
+    "q_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
+        | p AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'purchase'),
+        | c AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.tus,
+        | m.event_id AS click_event_id, m.tus AS click_tus
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT c.event_id, c.tus FROM c
+        |  WHERE c.user_id = p.user_id AND c.tus <= p.tus
+        |    AND p.tus - c.tus <= 3600000000
         |  ORDER BY c.tus DESC, c.event_id DESC LIMIT 1) m ON true
         |ORDER BY p.event_id""".stripMargin,
 

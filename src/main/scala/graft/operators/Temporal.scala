@@ -44,6 +44,30 @@ object Temporal {
       timeCol: String, tieCol: String, rightCols: Seq[String]): DataFrame =
     asofJoin(left, rightIn, keys, timeCol, tieCol, rightCols, backward = false)
 
+  /** [[asofJoinBackward]] with a STALENESS BOUND (pandas
+    * `merge_asof(tolerance=)`): the matched prior right row only counts
+    * while `left.time − right.time ≤ toleranceMicros`; a staler match
+    * nulls out exactly like no-match (a quote older than the bound is
+    * not a quote). Same sorted-union plan — the right event time rides
+    * the payload struct and the bound is a narrow post-mask, so the
+    * tolerance costs nothing at any scale.
+    */
+  def asofJoinBackwardTolerance(left: DataFrame, rightIn: DataFrame,
+      keys: Seq[String], timeCol: String, tieCol: String,
+      rightCols: Seq[String], toleranceMicros: Long): DataFrame = {
+    require(toleranceMicros >= 0,
+      s"toleranceMicros must be >= 0, got $toleranceMicros")
+    val rt = "_asof_rt"
+    require(!(left.columns ++ rightIn.columns).contains(rt),
+      s"input column $rt collides with asofJoinBackwardTolerance's internal name")
+    val joined = asofJoin(left, rightIn.withColumn(rt, col(timeCol)),
+      keys, timeCol, tieCol, rightCols :+ rt, backward = true)
+    val within = col(rt).isNotNull &&
+      (col(timeCol) - col(rt)) <= toleranceMicros
+    joined.select(left.columns.map(col) ++
+      rightCols.map(c => when(within, col(c)).otherwise(lit(null)).as(c)): _*)
+  }
+
   private def asofJoin(left: DataFrame, rightIn: DataFrame, keys: Seq[String],
       timeCol: String, tieCol: String, rightCols: Seq[String],
       backward: Boolean): DataFrame = {

@@ -11,6 +11,36 @@ class TemporalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("as-of tolerance: stale matches null out exactly like no-match; the bound is inclusive") {
+    import graft.operators.Temporal
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 200L), (3L, 2L, 50L))
+      .toDF("event_id", "key", "t")
+    val right = Seq((1L, 90L, 10L), (1L, 120L, 11L)) // key 2 has no right rows
+      .toDF("key", "t", "event_id")
+      .select($"key", $"t", $"event_id", $"event_id".as("r_id"), $"t".as("r_t"))
+    def run(tol: Long) = Temporal.asofJoinBackwardTolerance(left, right,
+        keys = Seq("key"), timeCol = "t", tieCol = "event_id",
+        rightCols = Seq("r_id", "r_t"), toleranceMicros = tol)
+      .orderBy($"event_id")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    // unbounded-equivalent: huge tolerance == plain backward as-of
+    val base = Temporal.asofJoinBackward(left, right, Seq("key"), "t", "event_id",
+        Seq("r_id", "r_t"))
+      .orderBy($"event_id")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(run(Long.MaxValue / 4) == base)
+    // left 1 matches rid 10 at wait 10; left 2 matches rid 11 at wait 80
+    assert(run(10L) == Seq(
+      (1L, 1L, 100L, Some(10L), Some(90L)), // wait 10 == tol: inclusive
+      (2L, 1L, 200L, None, None), // wait 80 > 10: stale -> nulls
+      (3L, 2L, 50L, None, None))) // never had a match
+    assert(run(9L).head._4.isEmpty) // wait 10 > 9: just past the bound
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoinBackwardTolerance(left, right, Seq("key"), "t", "event_id",
+        Seq("r_id", "r_t"), toleranceMicros = -1L)
+    }
+  }
+
   test("session concurrency sweep: hand-rolled actives; boundary-touch never overlaps; sweep closes at zero") {
     // sessions: [0,10], [5,20], [10,10] (1-event at the boundary), [21,30]
     val ses = Seq(
