@@ -392,6 +392,17 @@ object M5Queries {
       operators.Sessionize(s, dir)
         .orderBy(col("user_id"), col("session_id"))),
 
+    // ---- temporal: gap + duration-cap sessionization — gap-sessions
+    // longer than 10 min split at fixed offsets from their start (the
+    // GA4 visit-cap rule; 10 min so the cap BINDS on this fixture —
+    // 303 of 9 549 gap-sessions exceed it at sf0.01); split is
+    // arithmetic, same per-user exchange
+    "q_session_capped" -> ((s, dir) =>
+      operators.Sessionize.sessionsCapped(
+          graft.sources.Tables.load(s, dir, "events"),
+          capMicros = 600L * 1000000L)
+        .orderBy(col("user_id"), col("session_id"))),
+
     // ---- temporal: interval concurrency sweep — active sessions at
     // each boundary via per-timestamp delta aggregation + one
     // range-partitioned prefix sum (never a single-task sort)
@@ -459,6 +470,23 @@ object M5Queries {
           keys = Seq("user_id"), timeCol = "tus", tieCol = "event_id",
           rightCols = Seq("error_event_id", "error_tus"))
         .withColumn("lag_us", col("error_tus") - col("tus"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- relational: tolerance-bounded FORWARD as-of — the
+    // q_asof_join_fwd pairing with a 1h look-ahead bound
+    "q_asof_tolerance_fwd" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("tus", graft.sources.Tables.epochMicros(ev0, "ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tus"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("tus"), col("event_id"),
+          col("event_id").as("error_event_id"), col("tus").as("error_tus"))
+      operators.Temporal.asofJoinForwardTolerance(purchases, errors,
+          keys = Seq("user_id"), timeCol = "tus", tieCol = "event_id",
+          rightCols = Seq("error_event_id", "error_tus"),
+          toleranceMicros = 3600L * 1000000L)
         .orderBy(col("event_id"))
     }),
 
@@ -2405,6 +2433,28 @@ object M5Queries {
         | min(tus) AS start_us, max(tus) AS end_us
         |FROM g GROUP BY user_id, g.session_id ORDER BY user_id, session_id""".stripMargin,
 
+    // cap-split mirror: the gap CTEs + per-gap-session start, fixed-
+    // offset sub id, rollup re-ranked densely per user
+    "q_session_capped" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) tus FROM events),
+        | s AS (SELECT user_id, event_id, tus,
+        |   CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000
+        |        THEN 1::BIGINT ELSE 0::BIGINT END AS new_session
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        | g AS (SELECT user_id, tus,
+        |   sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS gsid
+        |   FROM s),
+        | st AS (SELECT user_id, tus, gsid,
+        |   min(tus) OVER (PARTITION BY user_id, gsid) AS gstart FROM g),
+        | sub AS (SELECT user_id, gsid, (tus - gstart) // 600000000 AS sub, tus FROM st),
+        | r AS (SELECT user_id, gsid, sub, count(*) AS n_events,
+        |   min(tus) AS start_us, max(tus) AS end_us FROM sub GROUP BY 1, 2, 3)
+        |SELECT user_id,
+        | (row_number() OVER (PARTITION BY user_id ORDER BY gsid, sub))::BIGINT AS session_id,
+        | n_events, start_us, end_us
+        |FROM r ORDER BY user_id, session_id""".stripMargin,
+
     // concurrency-sweep mirror: the session rollup's boundaries as
     // +1/−1 deltas aggregated per timestamp (end_us + 1 = half-open),
     // running sum over the boundary order
@@ -2482,6 +2532,20 @@ object M5Queries {
         |FROM p LEFT JOIN LATERAL (
         |  SELECT x.event_id, x.tus FROM x
         |  WHERE x.user_id = p.user_id AND x.tus >= p.tus
+        |  ORDER BY x.tus ASC, x.event_id ASC LIMIT 1) m ON true
+        |ORDER BY p.event_id""".stripMargin,
+
+    // forward-tolerance mirror: the bound inside the LATERAL probe
+    "q_asof_tolerance_fwd" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
+        | p AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'purchase'),
+        | x AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id, p.tus,
+        | m.event_id AS error_event_id, m.tus AS error_tus
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT x.event_id, x.tus FROM x
+        |  WHERE x.user_id = p.user_id AND x.tus >= p.tus
+        |    AND x.tus - p.tus <= 3600000000
         |  ORDER BY x.tus ASC, x.event_id ASC LIMIT 1) m ON true
         |ORDER BY p.event_id""".stripMargin,
 

@@ -57,6 +57,44 @@ object Sessionize {
     * [[PrefixSum]] over `tus` — the sweep never sorts on a single
     * task, the 100 TB shape of this classical algorithm.
     */
+  /** GAP + DURATION-CAP sessionization — [[sessions]] with the second
+    * rule real telemetry pipelines add (GA4-style visit caps): a
+    * gap-session longer than `capMicros` SPLITS at fixed offsets from
+    * its own start (`sub = (tus − session_start) div capMicros`), so no
+    * reported session ever exceeds the cap. The split is ARITHMETIC on
+    * the gap-session's start — not a second sequential scan — so it
+    * rides the same per-user window exchange as the gap rule; the
+    * rollup key becomes (user_id, session_id, sub_id), re-ranked to a
+    * dense per-user session ordinal.
+    *
+    * Output: (user_id, session_id, n_events, start_us, end_us) — same
+    * contract as [[sessions]]; `session_id` re-numbered densely in
+    * time order over the split result. Every output session satisfies
+    * `end_us − start_us < capMicros` AND the original gap rule.
+    */
+  def sessionsCapped(events: DataFrame, gapMicros: Long = 30L * 60 * 1000 * 1000,
+      capMicros: Long = 4L * 3600 * 1000 * 1000): DataFrame = {
+    require(capMicros >= 1, s"capMicros must be >= 1, got $capMicros")
+    val tus = graft.sources.Tables.epochMicros(events, "ts")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val prev = lag(col("tus"), 1).over(w)
+    val newSession = when(prev.isNull || col("tus") - prev > gapMicros, 1L).otherwise(0L)
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .withColumn("tus", tus)
+      .withColumn("gsid", sum(newSession).over(run))
+      .withColumn("gstart",
+        min(col("tus")).over(Window.partitionBy(col("user_id"), col("gsid"))))
+      .withColumn("sub", expr(s"(tus - gstart) div ${capMicros}"))
+      .groupBy(col("user_id"), col("gsid"), col("sub"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tus")).as("start_us"), max(col("tus")).as("end_us"))
+      .withColumn("session_id", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("gsid"), col("sub"))).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_us"), col("end_us"))
+  }
+
   def concurrency(sessions: DataFrame): DataFrame = {
     val deltas = sessions
       .select(col("start_us").as("tus"), lit(1L).as("d"))

@@ -68,6 +68,28 @@ object Temporal {
       rightCols.map(c => when(within, col(c)).otherwise(lit(null)).as(c)): _*)
   }
 
+  /** [[asofJoinForward]] with the mirror staleness bound: the matched
+    * next right row counts only while `right.time − left.time ≤
+    * toleranceMicros` (the earliest at-or-after row is also the
+    * closest, so the post-mask is exact for the same monotonicity
+    * reason as the backward spelling).
+    */
+  def asofJoinForwardTolerance(left: DataFrame, rightIn: DataFrame,
+      keys: Seq[String], timeCol: String, tieCol: String,
+      rightCols: Seq[String], toleranceMicros: Long): DataFrame = {
+    require(toleranceMicros >= 0,
+      s"toleranceMicros must be >= 0, got $toleranceMicros")
+    val rt = "_asof_rt"
+    require(!(left.columns ++ rightIn.columns).contains(rt),
+      s"input column $rt collides with asofJoinForwardTolerance's internal name")
+    val joined = asofJoin(left, rightIn.withColumn(rt, col(timeCol)),
+      keys, timeCol, tieCol, rightCols :+ rt, backward = false)
+    val within = col(rt).isNotNull &&
+      (col(rt) - col(timeCol)) <= toleranceMicros
+    joined.select(left.columns.map(col) ++
+      rightCols.map(c => when(within, col(c)).otherwise(lit(null)).as(c)): _*)
+  }
+
   private def asofJoin(left: DataFrame, rightIn: DataFrame, keys: Seq[String],
       timeCol: String, tieCol: String, rightCols: Seq[String],
       backward: Boolean): DataFrame = {

@@ -39,6 +39,34 @@ class TemporalSpec extends AnyFunSuite {
       Temporal.asofJoinBackwardTolerance(left, right, Seq("key"), "t", "event_id",
         Seq("r_id", "r_t"), toleranceMicros = -1L)
     }
+    // forward mirror: left 1 (t=100) -> next right at 120, lag 20
+    def runFwd(tol: Long) = Temporal.asofJoinForwardTolerance(left, right,
+        keys = Seq("key"), timeCol = "t", tieCol = "event_id",
+        rightCols = Seq("r_id", "r_t"), toleranceMicros = tol)
+      .orderBy($"event_id")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(runFwd(20L).head == (1L, 1L, 100L, Some(11L), Some(120L))) // lag 20 == tol
+    assert(runFwd(19L).head._4.isEmpty) // just past the bound
+  }
+
+  test("sessionsCapped: long gap-sessions split at fixed offsets; every output session respects BOTH rules") {
+    import graft.operators.Sessionize
+    // user 1: events every 10 min for 2.5h (one gap-session) -> cap 1h
+    // splits it at offsets 0h/1h/2h into 3 sessions of 6/6/4 events
+    val ev = ((0 until 16).map(i => (1L, i.toLong, i * 600L * 1000000L)) ++
+      Seq((2L, 100L, 0L), (2L, 101L, 7200L * 1000000L))) // user 2: gap split only
+      .map { case (u, e, t) => (u, e, new java.sql.Timestamp(t / 1000L)) }
+      .toDF("user_id", "event_id", "ts")
+    val got = Sessionize.sessionsCapped(ev, capMicros = 3600L * 1000000L)
+      .orderBy($"user_id", $"session_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val u1 = got.filter(_._1 == 1L)
+    assert(u1.map(_._3) == Seq(6L, 6L, 4L)) // 0..50, 60..110, 120..150 min
+    assert(u1.forall(s => s._5 - s._4 < 3600L * 1000000L))
+    assert(got.filter(_._1 == 2L).map(_._3) == Seq(1L, 1L)) // gap rule intact
+    // session ids are dense from 1 per user
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted == (1L to rs.size).toSeq) }
   }
 
   test("session concurrency sweep: hand-rolled actives; boundary-touch never overlaps; sweep closes at zero") {
