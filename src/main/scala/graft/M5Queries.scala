@@ -1237,6 +1237,14 @@ object M5Queries {
       TextDedup.chunkDuplicates(TextDedup.documents(s, dir), window = 64, stride = 48)
         .orderBy(col("keep_doc"), col("keep_idx"))),
 
+    // ---- sequence-level exact dedup, 100 TB spelling: the SAME report
+    // via ONE xxhash64(chunk_text)-keyed min(struct) aggregation with
+    // the collision diversion — no ranking window, no string-keyed
+    // corpus exchange; gated against the SAME oracle as q_chunk_dedup
+    "q_chunk_dedup_hashed" -> ((s, dir) =>
+      TextDedup.chunkDuplicatesHashed(TextDedup.documents(s, dir), window = 64, stride = 48)
+        .orderBy(col("keep_doc"), col("keep_idx"))),
+
     // NOTE: Curation.sentenceChunks ships WITHOUT an oracle gate by the
     // vacuity policy — the driver fixtures contain no sentence
     // terminators, so a gated query would prove only the no-op split
@@ -3871,6 +3879,22 @@ object M5Queries {
     // sequence-level dedup mirror: the q_chunk_tokens chunker, then
     // keep-first window ranking per distinct chunk body
     "q_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, ${frag.toks} w FROM documents),
+         | st AS (SELECT doc_id, w, range(0, len(w), 48) AS r FROM t),
+         | c AS (SELECT doc_id, w, unnest(range(len(r))) AS chunk_idx, unnest(r) AS start FROM st),
+         | ch AS (SELECT doc_id, chunk_idx::INT AS chunk_idx,
+         |   array_to_string(w[start + 1:start + 64], ' ') AS chunk_text,
+         |   len(w[start + 1:start + 64])::INT AS n_tokens FROM c),
+         | r AS (SELECT doc_id, chunk_idx, n_tokens, chunk_text,
+         |   row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn,
+         |   count(*) OVER (PARTITION BY chunk_text) AS n_copies FROM ch WHERE n_tokens > 0)
+         |SELECT doc_id AS keep_doc, chunk_idx AS keep_idx, n_tokens,
+         | n_copies::BIGINT AS n_copies
+         |FROM r WHERE rn = 1 ORDER BY keep_doc, keep_idx""".stripMargin,
+
+    // the hash-keyed spelling answers the SAME question — one oracle,
+    // two engine plans (the lineDedup hashOnlyShuffle discipline)
+    "q_chunk_dedup_hashed" ->
       s"""WITH t AS (SELECT doc_id, ${frag.toks} w FROM documents),
          | st AS (SELECT doc_id, w, range(0, len(w), 48) AS r FROM t),
          | c AS (SELECT doc_id, w, unnest(range(len(r))) AS chunk_idx, unnest(r) AS start FROM st),

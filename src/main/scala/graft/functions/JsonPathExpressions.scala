@@ -265,7 +265,14 @@ object JsonPathFunctions {
           s"$what elements must be string literals, got $other")
       }
       case Literal(d: org.apache.spark.sql.catalyst.util.ArrayData, ArrayType(StringType, _)) =>
-        d.toObjectArray(StringType).map(_.toString).toSeq
+        // a constant-folded array can still carry NULL entries — refuse
+        // them with the same loud message as the CreateArray branch
+        // instead of an opaque NullPointerException (round-13 advice)
+        d.toObjectArray(StringType).map { v =>
+          if (v == null) throw new IllegalArgumentException(
+            s"$what elements must be string literals, got NULL")
+          v.toString
+        }.toSeq
       case other => throw new IllegalArgumentException(
         s"$what must be a string-array literal, got $other")
     }

@@ -142,9 +142,19 @@ object Bpe {
       extraMerges: Int): DataFrame = {
     require(extraMerges >= 1, s"extraMerges must be >= 1, got $extraMerges")
     val spark = docs.sparkSession
-    var words = prior.foldLeft(wordTable(docs)) { case (w, (l, r)) =>
-      w.withColumn("syms", mergeFold(col("syms"), l, r))
-    }.localCheckpoint()
+    // the prior applies as chained mergeFold HOFs, localCheckpointed
+    // every 16 merges: FOLDDEPTH_r13.json measures stock Catalyst
+    // analysis FAILING at 64 chained folds (Max iterations reached), so
+    // an unbroken application of a realistically sized prior — the
+    // operator's whole domain-adaptation purpose — would never analyze.
+    // Sixteen stays 4× under the measured cliff and each checkpoint cuts
+    // the lineage, so plan depth is bounded regardless of |prior|.
+    var words = wordTable(docs).localCheckpoint()
+    prior.grouped(16).foreach { grp =>
+      words = grp.foldLeft(words) { case (w, (l, r)) =>
+        w.withColumn("syms", mergeFold(col("syms"), l, r))
+      }.localCheckpoint()
+    }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (rank <- prior.length until prior.length + extraMerges) {
       val top = pairCounts(words)

@@ -210,12 +210,16 @@ object LanguageModel {
     val c3 = tr.filter(col("x").isNotNull)
       .groupBy(col("u"), col("v"), col("x")).agg(count(lit(1)).as("c3"))
     // 1-row N with the LOUD int64 envelope: 25·scale·N is the widest
-    // product either side of any branch's division
-    val n = tr.agg(count(lit(1)).as("n_train"))
-      .select(col("n_train"),
-        assert_true(col("n_train") <= lit(Long.MaxValue / (25L * scale)),
-          lit(s"stupidBackoff int64 envelope: 25*$scale*N must fit int64")).as("_g"))
-      .select(col("n_train"))
+    // product either side of any branch's division. The guard rides the
+    // CONSUMED n_train value as `+ coalesce(assert_true(..), 0)` — the
+    // [[Importance]] envelope discipline — because an assertion aliased
+    // to its own dropped column is eliminated by Catalyst column pruning
+    // and never executes (round-13 advice).
+    val envBound = Long.MaxValue / (25L * scale)
+    val n = tr.agg(count(lit(1)).as("n_train0"))
+      .select(expr(s"n_train0 + coalesce(assert_true(n_train0 <= $envBound," +
+        s" 'stupidBackoff int64 envelope: 25*$scale*N must fit int64'), 0)")
+        .as("n_train"))
     val scoreDocs = docs.filter(col("doc_id") % trainModulus =!= 0)
     val inst = withContext(mapped(scoreDocs
         .select(col("doc_id"), col("text"))
@@ -256,23 +260,28 @@ object LanguageModel {
 
   /** Fit the frozen stupid-backoff model [[stupidBackoffScoreNarrow]]
     * applies: the [[stupidBackoffQuantized]] count tables collected
-    * driver-side as maps keyed by ` `-joined n-grams (tokens never
-    * contain the separator under the `[ \t\n\f\r]` tokenizer contract
-    * — the M5Queries oracle character-class note). Model size is
-    * bounded by the fit corpus's DISTINCT trigram count — fine for
-    * capped vocabularies (≤ (maxVocab+1)³ keys, ~5k at the gate's 16);
-    * a model past literal size (≳10⁵ keys bloats the plan) runs the
-    * join spelling inside `foreachBatch` instead — the
+    * driver-side as maps keyed by space-joined n-grams (tokens never
+    * contain a space under the `[ \t\n\f\r]` tokenizer contract — the
+    * M5Queries oracle character-class note — so the joined key is
+    * collision-free). Model size is bounded by the fit corpus's
+    * DISTINCT trigram count — fine for capped vocabularies
+    * (≤ (maxVocab+1)³ keys, ~5k at the gate's 16); past
+    * `maxModelKeys` total distinct n-grams the fit FAILS LOUD (a
+    * distinct pre-count BEFORE any `.collect()`, so an uncapped-corpus
+    * fit can neither OOM the driver nor silently bloat the plan with
+    * the map literals) — a model that large runs the join spelling
+    * inside `foreachBatch` instead, the
     * [[Importance.importanceScoreNarrow]] deployment note verbatim.
     * Returns (vocab presence map, c3, c2, c1, nTrain).
     */
   def fitStupidBackoff(docs: DataFrame, maxVocab: Int = 1024,
-      trainModulus: Long = 2L)
+      trainModulus: Long = 2L, maxModelKeys: Long = 100000L)
       : (Map[String, Long], Map[String, Long], Map[String, Long],
          Map[String, Long], Long) = {
     require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
     require(trainModulus >= 2, s"trainModulus must be >= 2, got $trainModulus")
-    val sep = " "
+    require(maxModelKeys > 0, s"maxModelKeys must be positive, got $maxModelKeys")
+    val sep = " "
     val toks = docs.select(col("doc_id"),
       posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
     val train = toks.filter(col("doc_id") % trainModulus === 0)
@@ -288,16 +297,28 @@ object LanguageModel {
     val tr = SharedBranch.sharedBranch(mapped
       .withColumn("v", lead(col("u"), 1).over(w))
       .withColumn("x", lead(col("u"), 2).over(w)))
-    val c1 = tr.groupBy(col("u")).agg(count(lit(1)).as("c")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val c2 = tr.filter(col("v").isNotNull)
+    val c1df = SharedBranch.sharedBranch(
+      tr.groupBy(col("u")).agg(count(lit(1)).as("c")))
+    val c2df = SharedBranch.sharedBranch(tr.filter(col("v").isNotNull)
       .groupBy(concat_ws(sep, col("u"), col("v")).as("k"))
-      .agg(count(lit(1)).as("c")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val c3 = tr.filter(col("x").isNotNull)
+      .agg(count(lit(1)).as("c")))
+    val c3df = SharedBranch.sharedBranch(tr.filter(col("x").isNotNull)
       .groupBy(concat_ws(sep, col("u"), col("v"), col("x")).as("k"))
-      .agg(count(lit(1)).as("c")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .agg(count(lit(1)).as("c")))
+    // the LOUD size gate runs distributed, BEFORE any collect: the
+    // persisted count tables are counted (cheap — they are already the
+    // aggregation outputs) and the fit refuses rather than pull an
+    // unbounded model into driver memory / a map-literal plan
+    val nKeys = c1df.count() + c2df.count() + c3df.count()
+    require(nKeys <= maxModelKeys,
+      s"fitStupidBackoff model has $nKeys distinct n-gram keys > maxModelKeys" +
+        s" = $maxModelKeys: a model this large must not ride the plan as map" +
+        " literals — run the stupidBackoffQuantized join spelling inside" +
+        " foreachBatch instead (the Importance.importanceScoreNarrow" +
+        " deployment note), or raise maxModelKeys deliberately")
+    val c1 = c1df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c2 = c2df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c3 = c3df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val n = tr.count()
     (vm, c3, c2, c1, n)
   }
@@ -332,7 +353,7 @@ object LanguageModel {
     require(nTrain > 0, "stupidBackoffScoreNarrow needs a non-empty fit corpus (nTrain > 0)")
     require(nTrain <= Long.MaxValue / (25L * scale),
       s"stupidBackoff int64 envelope: 25*$scale*N must fit int64 (N = $nTrain)")
-    val sep = " "
+    val sep = " "
     val vm = typedlit(vocab); val c3m = typedlit(c3)
     val c2m = typedlit(c2); val c1m = typedlit(c1)
     val toksC = TextFunctions.tokens(col("text"))

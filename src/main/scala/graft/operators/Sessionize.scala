@@ -38,25 +38,6 @@ object Sessionize {
   def apply(spark: SparkSession, sfDir: String): DataFrame =
     sessions(graft.sources.Tables.load(spark, sfDir, "events"))
 
-  /** INTERVAL CONCURRENCY SWEEP — how many sessions are simultaneously
-    * active at each boundary instant, the classic +1/−1 sweep (peak
-    * concurrency, capacity planning, load replay). Sessions are treated
-    * half-open as `[start_us, end_us + 1)` (+1 so a single-event
-    * session is active at its own instant), and the tie rule is
-    * ARITHMETIC rather than an ordering contract: deltas aggregate per
-    * distinct timestamp before the running sum, so `active` at boundary
-    * `tus` is exactly `#{start ≤ tus} − #{end < tus}` — sessions
-    * touching only at a boundary never overlap, in any engine.
-    *
-    * Output: (tus, delta, active) — one row per distinct boundary
-    * timestamp, `active` the concurrency holding from `tus` until the
-    * next boundary; `max(active)` is the peak.
-    *
-    * Plan shape: a union + ONE map-side-combinable per-timestamp
-    * aggregation, then the running sum as a range-partitioned
-    * [[PrefixSum]] over `tus` — the sweep never sorts on a single
-    * task, the 100 TB shape of this classical algorithm.
-    */
   /** GAP + DURATION-CAP sessionization — [[sessions]] with the second
     * rule real telemetry pipelines add (GA4-style visit caps): a
     * gap-session longer than `capMicros` SPLITS at fixed offsets from
@@ -95,6 +76,25 @@ object Sessionize {
         col("start_us"), col("end_us"))
   }
 
+  /** INTERVAL CONCURRENCY SWEEP — how many sessions are simultaneously
+    * active at each boundary instant, the classic +1/−1 sweep (peak
+    * concurrency, capacity planning, load replay). Sessions are treated
+    * half-open as `[start_us, end_us + 1)` (+1 so a single-event
+    * session is active at its own instant), and the tie rule is
+    * ARITHMETIC rather than an ordering contract: deltas aggregate per
+    * distinct timestamp before the running sum, so `active` at boundary
+    * `tus` is exactly `#{start ≤ tus} − #{end < tus}` — sessions
+    * touching only at a boundary never overlap, in any engine.
+    *
+    * Output: (tus, delta, active) — one row per distinct boundary
+    * timestamp, `active` the concurrency holding from `tus` until the
+    * next boundary; `max(active)` is the peak.
+    *
+    * Plan shape: a union + ONE map-side-combinable per-timestamp
+    * aggregation, then the running sum as a range-partitioned
+    * [[PrefixSum]] over `tus` — the sweep never sorts on a single
+    * task, the 100 TB shape of this classical algorithm.
+    */
   def concurrency(sessions: DataFrame): DataFrame = {
     val deltas = sessions
       .select(col("start_us").as("tus"), lit(1L).as("d"))

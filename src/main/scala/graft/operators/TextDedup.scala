@@ -516,11 +516,12 @@ object TextDedup {
     *
     * Plan shape: the chunker is embarrassingly narrow; dedup is ONE
     * exchange keyed on chunk_text feeding both window functions (same
-    * partition key → Spark plans a single shuffle). At corpus scale the
-    * exchange should carry fingerprints, not 64-token bodies — the
-    * [[exactDuplicates]] pre-bucket note applies verbatim (hash
-    * chunk_text, verify within buckets); the text-keyed spelling is the
-    * exact small-scale form the oracle can gate.
+    * partition key → Spark plans a single shuffle). This text-keyed
+    * spelling is the small-scale oracle twin ONLY: at corpus scale its
+    * exchange carries 64-token bodies as keys and sorts every copy of
+    * a hot chunk on one task — run [[chunkDuplicatesHashed]] (the
+    * hash-keyed, window-free, collision-diverted spelling, gated
+    * against the SAME oracle) instead.
     */
   def chunkDuplicates(docs: DataFrame, window: Int, stride: Int): DataFrame = {
     val chunks = Curation.chunkByTokens(docs, window, stride)
@@ -534,6 +535,65 @@ object TextDedup {
       .filter(col("rn") === 1)
       .select(col("doc_id").as("keep_doc"), col("chunk_idx").as("keep_idx"),
         col("n_tokens"), col("n_copies"))
+  }
+
+  /** The 100 TB spelling of [[chunkDuplicates]] — row-identical output,
+    * but NO corpus-sized exchange is keyed on chunk text and NO ranking
+    * window exists at all. The text-keyed spelling ranks a window over
+    * raw 64-token chunk BODIES: every copy of a hot boilerplate chunk
+    * (the exact thing sequence-level dedup removes) rides the exchange
+    * as a multi-hundred-byte key and lands on one task to be sorted
+    * there — the skew funnel the [[lineDedup]] rationale rejects. Here
+    * the [[lineDedupKeyed]] discipline applies verbatim: ONE
+    * `xxhash64(chunk_text)`-keyed aggregation whose `min(struct)` /
+    * `count` / `countDistinct(chunk_text)` legs are all map-side
+    * combinable (a boilerplate chunk costs one exchange row per
+    * partition, 8-byte key), with hashes carrying more than one
+    * distinct chunk string diverted to an exact text-keyed residue —
+    * empty in practice, tiny by construction, and property-tested ≡
+    * the direct path under FORCED collisions (M5OperatorsSpec).
+    * First-occurrence and copy-count semantics are pure aggregation
+    * (`min(struct(doc_id, chunk_idx, n_tokens))` IS keep-first), so the
+    * ranking window disappears rather than being re-keyed.
+    */
+  def chunkDuplicatesHashed(docs: DataFrame, window: Int, stride: Int): DataFrame =
+    chunkDuplicatesKeyed(docs, window, stride, xxhash64(_))
+
+  /** [[chunkDuplicatesHashed]] with a pluggable chunk hash — specs
+    * inject deliberately colliding hash functions to prove the
+    * collision diversion exact; the public operator always uses
+    * `xxhash64`.
+    */
+  private[graft] def chunkDuplicatesKeyed(docs: DataFrame, window: Int,
+      stride: Int, chunkHash: Column => Column): DataFrame = {
+    val chunks = Curation.chunkByTokens(docs, window, stride)
+      .filter(col("n_tokens") > 0)
+    // ONE persist of the hashed chunk stream serves both the verdict
+    // aggregation and the collision residue
+    val hashed = SharedBranch.sharedBranch(
+      chunks.withColumn("chh", chunkHash(col("chunk_text"))))
+    // keep-first + copy count + collision detector in ONE hash-keyed
+    // aggregation; every leg map-side combinable
+    val byHash = SharedBranch.sharedBranch(
+      hashed.groupBy(col("chh")).agg(
+        min(struct(col("doc_id"), col("chunk_idx"), col("n_tokens"))).as("f"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("chunk_text")).as("nc")))
+    // nc = 1: the hash IS the chunk — the aggregate row already carries
+    // keeper and count; no second pass touches the text
+    val clean = byHash.filter(col("nc") === 1)
+      .select(col("f.doc_id").as("keep_doc"), col("f.chunk_idx").as("keep_idx"),
+        col("f.n_tokens").as("n_tokens"), col("n_copies"))
+    // collision residue (nc > 1, ~empty by construction): exact
+    // text-keyed aggregation over just those hashes
+    val collided = byHash.filter(col("nc") > 1).select(col("chh"))
+    val coll = hashed.join(broadcast(collided), Seq("chh"))
+      .groupBy(col("chunk_text")).agg(
+        min(struct(col("doc_id"), col("chunk_idx"), col("n_tokens"))).as("f"),
+        count(lit(1)).as("n_copies"))
+      .select(col("f.doc_id").as("keep_doc"), col("f.chunk_idx").as("keep_idx"),
+        col("f.n_tokens").as("n_tokens"), col("n_copies"))
+    clean.unionByName(coll)
   }
 
   /** Per-doc MinHash signature (word 3-gram shingles, `perms`

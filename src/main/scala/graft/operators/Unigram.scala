@@ -176,7 +176,13 @@ object Unigram {
     var vocab = seedVocab(docs, maxPieceLen, topN)
       .select(col("piece"), col("n_occ")).localCheckpoint()
     var (pieces, btot) = vocabModel(vocab)
-    val singles = pieces.count(_._1.length == 1)
+    // CODE-POINT length, matching the engine-side prune-immunity test
+    // (Spark's length() counts code points): a supplementary-plane char
+    // (emoji) is one immune piece but two UTF-16 units — counting with
+    // String.length would under-count the floor and let a targetVocab
+    // between the two counts pass the require while the shrink loop
+    // never terminates (round-13 advice)
+    val singles = pieces.count(p => p._1.codePointCount(0, p._1.length) == 1)
     require(targetVocab >= singles,
       s"targetVocab $targetVocab is below the single-char alphabet ($singles) — " +
         "single-char pieces are prune-immune, so that size is unreachable")

@@ -367,6 +367,27 @@ class BpeSpec extends AnyFunSuite {
     assert(dry.getMessage.contains("extension"))
   }
 
+  test("extendMerges: a prior DEEPER than the measured 64-fold analysis cliff applies and extends") {
+    // FOLDDEPTH_r13.json: >= 64 chained mergeFold HOFs fail analysis
+    // (Max iterations reached) under stock Spark — exactly the shape an
+    // unbroken prior application builds. The checkpoint-every-16 fix
+    // must let a realistically sized prior through. 80 never-matching
+    // pairs exercise the plan depth without changing the symbol table,
+    // so the extension's first merge is just the corpus's top pair.
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // multi-char left symbols that no char-split array or earlier no-op
+    // merge can ever produce - guaranteed non-matching at every depth
+    val noopPrior = (0 until 80).map(i => (s"<$i>", s"<$i>"))
+    val first = Bpe.trainMerges(docs, 1)
+      .as[(Int, String, String, Long)].collect().head
+    val ext = Bpe.extendMerges(docs, noopPrior, 1)
+      .as[(Int, String, String, Long)].collect().head
+    assert(ext._1 == 80, "ranks continue after the prior")
+    assert((ext._2, ext._3, ext._4) == (first._2, first._3, first._4),
+      "a no-op prior must not perturb the next trained merge")
+  }
+
   test("fuzz: FIM reassembly and span-corruption reconstruction hold on random corpora (incl. non-ASCII, 1-token, empty)") {
     val rnd = new scala.util.Random(7)
     val alphabet = Vector("a", "b", "ab", "ba", "ü", "αβ", "x")

@@ -154,6 +154,23 @@ class LanguageModelSpec extends AnyFunSuite {
     }
   }
 
+  test("fitStupidBackoff: a fit past maxModelKeys fails LOUD with the deployment note, before any collect") {
+    // sbCorpus carries more than 3 distinct n-gram keys, so a cap of 3
+    // must refuse — and the message must carry the foreachBatch
+    // deployment note, not a generic bound complaint
+    val e = intercept[IllegalArgumentException] {
+      LanguageModel.fitStupidBackoff(sbCorpus, maxVocab = 100, maxModelKeys = 3L)
+    }
+    assert(e.getMessage.contains("foreachBatch") &&
+      e.getMessage.contains("maxModelKeys"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      LanguageModel.fitStupidBackoff(sbCorpus, maxVocab = 100, maxModelKeys = 0L)
+    }
+    // at the default cap the same corpus fits fine
+    val (vm, _, _, _, n) = LanguageModel.fitStupidBackoff(sbCorpus, maxVocab = 100)
+    assert(vm.nonEmpty && n > 0)
+  }
+
   test("stupid backoff narrow face: runs append-mode on an unbounded stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

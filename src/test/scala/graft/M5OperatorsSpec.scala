@@ -56,6 +56,34 @@ class M5OperatorsSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 40L))
   }
 
+  test("property: chunk dedup hash-only spelling ≡ text-keyed path, incl. forced full/partial hash collisions") {
+    import org.scalacheck.{Gen, rng}
+    // a tiny word pool so chunks genuinely duplicate across documents
+    val wordGen = Gen.oneOf("p", "q", "r", "s", "boiler", "plate")
+    val docGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val corpus = Gen.listOfN(30, docGen)
+      .pureApply(Gen.Parameters.default, rng.Seed(2424L))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // xxhash64 (production), a 4-bucket hash (partial collisions: clean
+    // path AND text-keyed diversion both run), and a constant hash
+    // (EVERY chunk collides: the diversion carries it all)
+    val hashes: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
+      "xxhash64" -> (c => xxhash64(c)),
+      "mod4" -> (c => pmod(xxhash64(c), lit(4L))),
+      "const" -> (_ => lit(0L)))
+    for ((window, stride) <- Seq((4, 4), (4, 3), (2, 2))) {
+      val direct = TextDedup.chunkDuplicates(corpus, window, stride)
+        .as[(Long, Int, Int, Long)].collect().toSet
+      hashes.foreach { case (hname, h) =>
+        val hashed = TextDedup.chunkDuplicatesKeyed(corpus, window, stride, h)
+          .as[(Long, Int, Int, Long)].collect().toSet
+        assert(hashed == direct, s"window=$window stride=$stride hash=$hname: " +
+          s"extra=${(hashed -- direct).take(3)} missing=${(direct -- hashed).take(3)}")
+      }
+    }
+  }
+
   test("LSH candidates contain every true near-dup pair (recall 1 on exact dups)") {
     val truePairs = TextDedup.jaccardPairs(docs, threshold = 0.99)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet

@@ -198,6 +198,54 @@ class PlanShapeSpec extends AnyFunSuite {
     graft.sources.Tables.evictPinned(spark, blocking = true)
   }
 
+  test("q_chunk_dedup_hashed: no ranking window; every string-keyed exchange is map-side combined or collision-bounded") {
+    // the round-13 verdict's one weak component, fixed: the text-keyed
+    // spelling ranks a window over raw chunk bodies (all copies of a
+    // hot boilerplate chunk sort on one task); the hash spelling must
+    // carry NO window at all, and any exchange still keyed on a string
+    // must be either (a) a map-side-combined aggregation (one row per
+    // distinct string per partition — the lineDedup countDistinct leg)
+    // or (b) downstream of the broadcast collision filter (input ~empty
+    // by construction). A bare string-keyed exchange — every copy
+    // riding — is the funnel this pin forbids.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.types.StringType
+    val df = SparkEntry.queries("q_chunk_dedup_hashed")(spark, sf)
+    df.count() // materialize so AQE finalizes subtrees and caches fill
+    def collectAll(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(collectAll)) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => collectAll(q.plan)
+        case _ => Seq.empty
+      })
+    val outer = collectAll(df.queryExecution.executedPlan)
+    val cachedPlans = outer.collect { case s: InMemoryTableScanExec => s }
+      .map(_.relation.cacheBuilder.cachedPlan).distinct
+    val allNodes = outer ++ cachedPlans.flatMap(collectAll)
+    assert(!allNodes.exists(_.isInstanceOf[WindowExec]),
+      "the hash spelling must plan NO ranking window")
+    val stringKeyed = allNodes.collect {
+      case e: ShuffleExchangeLike if (e.outputPartitioning match {
+        case h: HashPartitioning => h.expressions.exists(_.dataType == StringType)
+        case _ => false
+      }) => e
+    }
+    stringKeyed.foreach { e =>
+      val below = collectAll(e)
+      assert(below.exists(n =>
+          n.isInstanceOf[BaseAggregateExec] || n.isInstanceOf[BroadcastHashJoinExec]),
+        s"string-keyed exchange with neither a map-side partial aggregate nor" +
+          s" the broadcast collision filter below it:\n$e")
+    }
+    graft.sources.Tables.evictPinned(spark, blocking = true)
+  }
+
   test("routing core: zero exchanges, codegen present") {
     val plan = executed("q_route_dispatch")
     // ORDER BY in the verify projection adds a sort exchange; check the
