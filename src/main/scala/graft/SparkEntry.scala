@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.JsonPathFunctions.json_path_exists
 import graft.functions.ProtoFunctions.{decode_tx, encode_msg_send_tx}
-import graft.operators.{EventsTx, ProtoTx}
+import graft.operators.{EventsTx, ProtoTx, TxDispatchPipeline}
 import graft.rules.{DispatchRule, TxDispatchRules}
 import graft.rules.TxDispatchRules.{ERROR, UNFILTERED}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -42,6 +42,31 @@ object SparkEntry {
        |  WHERE $decodableSql AND NOT (event_type = 'purchase') AND NOT COALESCE($kSql > 50, FALSE)
        |""".stripMargin
   }
+
+  /** Shared by the batch gate and its file-source STREAMING twin (one
+    * oracle, two execution modes — the chunkDedupOracle convention):
+    * a stateless dispatch emits the same row set under any micro-batch
+    * partitioning, so the batch oracle gates the stream verbatim.
+    */
+  private val routeDispatchOracle: String =
+    s"SELECT * FROM ($routesOracle) ORDER BY event_id, route"
+
+  // lazy: interpolates BS, declared further down in the object
+  private lazy val dlqEnvelopeOracle: String = {
+    import EventsTx.oracle._
+    s"""SELECT event_id,
+       | ('{"txJson":' ||
+       |  CASE WHEN $decodableSql THEN ('"' || replace(replace($txJsonSql, '$BS', '$BS$BS'), '"', '$BS"') || '"') ELSE 'null' END ||
+       |  ',"txBytes":' ||
+       |  CASE WHEN props IS NULL THEN 'null' ELSE ('"' || to_base64(encode(props)) || '"') END ||
+       |  ',"message":null}') AS dlq_json
+       |FROM events
+       |WHERE $decodableSql AND NOT (event_type = 'purchase') AND NOT COALESCE($kSql > 50, FALSE)
+       |ORDER BY event_id""".stripMargin
+  }
+
+  private val errorPassthroughOracle: String =
+    "SELECT event_id, 'test' AS original FROM events WHERE event_type = 'error' ORDER BY event_id"
 
   // ------------------------------------------------------------------
   // queries: one per implemented operator (SURVEY.md §2.1)
@@ -158,6 +183,41 @@ object SparkEntry {
         .select(col("event_id"), decode(col("value"), "UTF-8").as("original"))
         .orderBy(col("event_id"))
     }),
+
+    // §2.8 — the stateless dispatch core under REAL STREAMING
+    // EXECUTION: the same parquet fixture re-driven through a file
+    // source in maxFilesPerTrigger-bounded micro-batches, outputs
+    // unioned via foreachBatch, gated against the SAME oracle as the
+    // batch twin (stateless ⇒ batching-invariant row set —
+    // FileStreamHarness; the round-13/14 verdicts' streaming-oracle
+    // ask). Covers the F1–F3 disposition columns.
+    "q_stream_route_dispatch" -> ((s, dir) =>
+      graft.streaming.FileStreamHarness.runStateless(s, dir, "events", st =>
+          TxDispatchPipeline(EventsTx.withTxJson(st), EventsTx.rules)
+            .select(col("event_id"), col("route"), col("topic")))
+        .orderBy(col("event_id"), col("route"))),
+
+    // §2.8 + X4 — the DLQ envelope built INSIDE a streaming plan,
+    // byte-identical to the batch gate's JSON strings
+    "q_stream_dlq_envelope" -> ((s, dir) =>
+      graft.streaming.FileStreamHarness.runStateless(s, dir, "events", st =>
+          TxDispatchPipeline(EventsTx.withTxJson(st), EventsTx.rules)
+            .filter(col("route") === UNFILTERED)
+            .select(col("event_id"), decode(col("value"), "UTF-8").as("dlq_json")))
+        .orderBy(col("event_id"))),
+
+    // §2.8 + X1 — error passthrough under streaming execution: the
+    // ERROR route's value is the byte-identical original input in
+    // every micro-batch (TopologyProducer.kt:122 semantics)
+    "q_stream_error_passthrough" -> ((s, dir) =>
+      graft.streaming.FileStreamHarness.runStateless(s, dir, "events", st => {
+        val raw = when(col("event_type") === "error", lit("test".getBytes("UTF-8")))
+          .otherwise(encode_msg_send_tx(
+            concat(lit("user"), col("user_id")), lit("dest"), lit("tok"), lit("1")))
+        ProtoTx.routed(st.withColumn("raw", raw), protoRules)
+          .filter(col("route") === ERROR)
+          .select(col("event_id"), decode(col("value"), "UTF-8").as("original"))
+      }).orderBy(col("event_id"))),
 
     // L1 — observed metrics: per-destination record counts
     "q_observe_metrics" -> ((s, dir) =>
@@ -279,22 +339,14 @@ object SparkEntry {
            |FROM events ORDER BY event_id""".stripMargin
       },
 
-      "q_route_dispatch" ->
-        s"SELECT * FROM ($routesOracle) ORDER BY event_id, route",
+      "q_route_dispatch" -> routeDispatchOracle,
+      "q_stream_route_dispatch" -> routeDispatchOracle,
 
-      "q_dlq_envelope" ->
-        s"""SELECT event_id,
-           | ('{"txJson":' ||
-           |  CASE WHEN $decodableSql THEN ('"' || replace(replace($txJsonSql, '$BS', '$BS$BS'), '"', '$BS"') || '"') ELSE 'null' END ||
-           |  ',"txBytes":' ||
-           |  CASE WHEN props IS NULL THEN 'null' ELSE ('"' || to_base64(encode(props)) || '"') END ||
-           |  ',"message":null}') AS dlq_json
-           |FROM events
-           |WHERE $decodableSql AND NOT (event_type = 'purchase') AND NOT COALESCE($kSql > 50, FALSE)
-           |ORDER BY event_id""".stripMargin,
+      "q_dlq_envelope" -> dlqEnvelopeOracle,
+      "q_stream_dlq_envelope" -> dlqEnvelopeOracle,
 
-      "q_error_passthrough" ->
-        "SELECT event_id, 'test' AS original FROM events WHERE event_type = 'error' ORDER BY event_id",
+      "q_error_passthrough" -> errorPassthroughOracle,
+      "q_stream_error_passthrough" -> errorPassthroughOracle,
 
       "q_observe_metrics" ->
         s"""SELECT topic, count(*) AS n FROM ($routesOracle) GROUP BY topic ORDER BY topic""",

@@ -38,8 +38,18 @@ import scala.collection.mutable
   *
   * Output: struct<n_words: long, n_tokens: long> — whitespace words and
   * BPE tokens after all merges (fertility = n_tokens / n_words).
+  *
+  * `byteLevel = true` switches the unit alphabet from code points to
+  * GPT-2 BYTE UNITS ([[ByteUnitsOps]]): each whitespace word is
+  * byte-unit pre-encoded before the per-symbol split, so unsegmented
+  * scripts (CJK, Thai) decompose into trainable 3-byte unit triples
+  * instead of opaque whole-word symbols, and NO input is ever
+  * unrepresentable. Mirrors [[graft.operators.Bpe]]'s fold spelling
+  * with the same flag (BpeSpec property-pins agreement on random
+  * multibyte corpora; oracle-gated at `q_bpe_bytes_segment`).
   */
-case class BpeSegmentStats(child: Expression, merges: Seq[(String, String)])
+case class BpeSegmentStats(child: Expression, merges: Seq[(String, String)],
+    byteLevel: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
@@ -51,13 +61,13 @@ case class BpeSegmentStats(child: Expression, merges: Seq[(String, String)])
   private lazy val rights: Array[String] = merges.map(_._2).toArray
 
   override protected def nullSafeEval(input: Any): Any =
-    BpeSegmentStats.compute(input.toString, lefts, rights)
+    BpeSegmentStats.compute(input.toString, lefts, rights, byteLevel)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lRef = ctx.addReferenceObj("lefts", lefts, "java.lang.String[]")
     val rRef = ctx.addReferenceObj("rights", rights, "java.lang.String[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.BpeSegmentStats.compute($c.toString(), $lRef, $rRef);")
+      s"${ev.value} = graft.functions.BpeSegmentStats.compute($c.toString(), $lRef, $rRef, $byteLevel);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -71,9 +81,13 @@ case class BpeSegmentStats(child: Expression, merges: Seq[(String, String)])
   * Same tokenization, application rule, and case-mapping contract.
   * Output: array<string> of tokens; ids are a dictionary join away and
   * deliberately not baked in (the vocabulary is corpus state, not
-  * expression state).
+  * expression state). `byteLevel` as in [[BpeSegmentStats]]: tokens are
+  * then byte-UNIT strings ([[ByteUnitsOps]] alphabet), invertible back
+  * to raw bytes with `byte_units_decode` once a word's tokens are
+  * re-concatenated.
   */
-case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+    byteLevel: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -83,13 +97,13 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   private lazy val rights: Array[String] = merges.map(_._2).toArray
 
   override protected def nullSafeEval(input: Any): Any =
-    BpeSegmentStats.computeTokens(input.toString, lefts, rights)
+    BpeSegmentStats.computeTokens(input.toString, lefts, rights, byteLevel)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lRef = ctx.addReferenceObj("lefts", lefts, "java.lang.String[]")
     val rRef = ctx.addReferenceObj("rights", rights, "java.lang.String[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.BpeSegmentStats.computeTokens($c.toString(), $lRef, $rRef);")
+      s"${ev.value} = graft.functions.BpeSegmentStats.computeTokens($c.toString(), $lRef, $rRef, $byteLevel);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -103,10 +117,15 @@ object BpeSegmentStats {
 
   /** One word's symbols after applying every merge in rank order
     * (greedy left-to-right per merge). Symbols start per code point —
-    * the `split(word, "")` fold-spelling boundary.
+    * the `split(word, "")` fold-spelling boundary. `byteLevel` first
+    * maps the word through the GPT-2 byte-unit bijection
+    * ([[ByteUnitsOps.encodeString]]); every unit is a single BMP code
+    * point, so the same per-code-point split then yields one symbol
+    * per raw BYTE.
     */
-  private def wordSyms(word: String, lefts: Array[String],
-      rights: Array[String]): mutable.ArrayBuffer[String] = {
+  private def wordSyms(rawWord: String, lefts: Array[String],
+      rights: Array[String], byteLevel: Boolean): mutable.ArrayBuffer[String] = {
+    val word = if (byteLevel) ByteUnitsOps.encodeString(rawWord) else rawWord
     var syms = mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < word.length) {
@@ -135,7 +154,7 @@ object BpeSegmentStats {
 
   /** Static for codegen: tokenize + apply the frozen table per word. */
   def compute(input: String, lefts: Array[String],
-      rights: Array[String]): InternalRow = {
+      rights: Array[String], byteLevel: Boolean): InternalRow = {
     val text = input.toLowerCase(java.util.Locale.ROOT)
     var nWords = 0L
     var nTokens = 0L
@@ -147,7 +166,7 @@ object BpeSegmentStats {
       while (i < len && !isWs(text.charAt(i))) i += 1
       if (i > start) {
         nWords += 1
-        nTokens += wordSyms(text.substring(start, i), lefts, rights).length
+        nTokens += wordSyms(text.substring(start, i), lefts, rights, byteLevel).length
       }
     }
     new GenericInternalRow(Array[Any](nWords, nTokens))
@@ -158,7 +177,7 @@ object BpeSegmentStats {
     * order) — the [[BpeEncode]] body.
     */
   def computeTokens(input: String, lefts: Array[String],
-      rights: Array[String]): GenericArrayData = {
+      rights: Array[String], byteLevel: Boolean): GenericArrayData = {
     val text = input.toLowerCase(java.util.Locale.ROOT)
     val out = mutable.ArrayBuffer.empty[Any]
     var i = 0
@@ -168,7 +187,7 @@ object BpeSegmentStats {
       val start = i
       while (i < len && !isWs(text.charAt(i))) i += 1
       if (i > start)
-        wordSyms(text.substring(start, i), lefts, rights).foreach { s =>
+        wordSyms(text.substring(start, i), lefts, rights, byteLevel).foreach { s =>
           out += org.apache.spark.unsafe.types.UTF8String.fromString(s)
         }
     }

@@ -28,10 +28,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    travel safely through every downstream string operator (the
   *    word-separator and chr(31) oracle contracts hold by construction).
   *
-  * The map is a bijection; [[ByteUnitsDecode]] inverts it EXACTLY
-  * (byte-level round-trip, oracle-gated at `q_bpe_bytes_roundtrip`).
-  * Both directions are reference-object codegen one-liners — constant
-  * plan size, whole-stage codegen, purely narrow.
+  * The map is a bijection; [[ByteUnitsDecode]] inverts it EXACTLY.
+  * Oracle-gated against an independent DuckDB hex-dump spelling:
+  * `q_bpe_bytes_units` (forward map), `q_bpe_bytes_roundtrip`
+  * (decode ∘ encode ≡ id), and wired through the whole [[
+  * graft.operators.Bpe]] lifecycle as its `byteLevel` unit alphabet
+  * (`q_bpe_bytes_merges` / `q_bpe_bytes_segment` /
+  * `q_bpe_bytes_encode`). Both directions are reference-object codegen
+  * one-liners — constant plan size, whole-stage codegen, purely
+  * narrow.
   */
 object ByteUnitsOps {
 

@@ -238,6 +238,14 @@ object JsonPathFunctions {
         require(exprs.length == 1, "lang_id(tokens) - lowercased token array")
         LangId(exprs.head)
       }),
+      ("byte_units", classOf[ByteUnits].getName, { exprs =>
+        require(exprs.length == 1, "byte_units(text)")
+        ByteUnits(exprs.head)
+      }),
+      ("byte_units_decode", classOf[ByteUnitsDecode].getName, { exprs =>
+        require(exprs.length == 1, "byte_units_decode(units)")
+        ByteUnitsDecode(exprs.head)
+      }),
       ("bpe_encode", classOf[BpeEncode].getName, { exprs =>
         require(exprs.length == 3,
           "bpe_encode(text, array(lefts...), array(rights...)) - merge table as two parallel string-array literals in rank order")

@@ -60,13 +60,30 @@ object Bpe {
     * deep merge table (the driver fixtures hold only 31 distinct words
     * ≈ 89 trainable word-internal merges before total fusion; the
     * 2-gram unit space is ~916 units / ~9k symbols).
+    *
+    * `byteLevel = true` switches the SYMBOL alphabet from code points
+    * to GPT-2 byte units ([[graft.functions.ByteUnitsOps]]): each
+    * distinct word is byte-unit pre-encoded, then split per unit (one
+    * symbol per raw UTF-8 byte). Unsegmented scripts (CJK, Thai)
+    * decompose into trainable 3-byte triples instead of riding the
+    * whitespace tokenizer as opaque whole-sentence symbols, and every
+    * possible input is representable over the fixed 256-unit alphabet
+    * — no `<unk>`, ever. The encode is applied AFTER the distinct-word
+    * hash-agg (the bijection is injective, so grouping raw words first
+    * groups unit words exactly), keeping the corpus-sized pass free of
+    * the mapping.
     */
-  private def wordTable(docs: DataFrame, unitTokens: Int = 1): DataFrame = {
+  private def wordTable(docs: DataFrame, unitTokens: Int = 1,
+      byteLevel: Boolean = false): DataFrame = {
+    require(!(byteLevel && unitTokens != 1),
+      "byteLevel applies to word-level units only (unitTokens = 1)")
     val toks = TextFunctions.tokens(col("text"))
     val units = if (unitTokens == 1) toks else TextFunctions.shingles(toks, unitTokens)
+    val w = if (byteLevel) graft.functions.ByteUnits.byte_units(col("word"))
+            else col("word")
     docs.select(explode(units).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .select(col("word"), col("cnt"), split(col("word"), "").as("syms"))
+      .select(w.as("word"), col("cnt"), split(w, "").as("syms"))
   }
 
   /** One greedy left-to-right merge of (l, r) in a symbol array: fold
@@ -101,10 +118,11 @@ object Bpe {
     * counts (a degenerate corpus that runs dry raises — silent
     * truncation would desynchronize the oracle twin).
     */
-  def trainMerges(docs: DataFrame, numMerges: Int): DataFrame = {
+  def trainMerges(docs: DataFrame, numMerges: Int,
+      byteLevel: Boolean = false): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = docs.sparkSession
-    var words = wordTable(docs).localCheckpoint()
+    var words = wordTable(docs, byteLevel = byteLevel).localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (rank <- 0 until numMerges) {
       val top = pairCounts(words)
@@ -231,13 +249,14 @@ object Bpe {
     * raises, like [[trainMerges]].
     */
   def trainMergesBatched(docs: DataFrame, rounds: Int, batchSize: Int,
-      candidateCap: Int = 0, unitTokens: Int = 1): DataFrame = {
+      candidateCap: Int = 0, unitTokens: Int = 1,
+      byteLevel: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val cap = if (candidateCap > 0) candidateCap else 4 * batchSize
     require(cap >= batchSize, s"candidateCap $cap < batchSize $batchSize")
     val spark = docs.sparkSession
-    var words = wordTable(docs, unitTokens).localCheckpoint()
+    var words = wordTable(docs, unitTokens, byteLevel).localCheckpoint()
     val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
     var rank = 0
     for (round <- 0 until rounds) {
@@ -282,9 +301,12 @@ object Bpe {
     * ratio. (Total character count is merge-invariant — BpeSpec pins
     * that conservation property — so it is not a useful column.)
     */
-  def segmentStats(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def segmentStats(docs: DataFrame, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
-    val seg0 = transform(toks, w => split(w, ""))
+    val unit: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (byteLevel) graft.functions.ByteUnits.byte_units else identity
+    val seg0 = transform(toks, w => split(unit(w), ""))
     val merged = merges.foldLeft(seg0) { case (cur, (l, r)) =>
       transform(cur, syms => mergeFold(syms, l, r))
     }
@@ -312,9 +334,11 @@ object Bpe {
     * property-pins it, random overlapping tables included), so the
     * existing oracle gates both spellings.
     */
-  def segmentStatsFrozen(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def segmentStatsFrozen(docs: DataFrame, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
-    val st = toColumn(graft.functions.BpeSegmentStats(toExpression(col("text")), merges))
+    val st = toColumn(graft.functions.BpeSegmentStats(toExpression(col("text")),
+      merges, byteLevel))
     docs.select(col("doc_id"), st.as("st"))
       .select(col("doc_id"), col("st.n_words").as("n_words"),
         // tokenless docs mirror segmentStats' coalesce-at-0
@@ -332,9 +356,11 @@ object Bpe {
     * are a vocabulary dictionary join away by design (the vocabulary is
     * corpus state, not expression state).
     */
-  def encodeTokens(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def encodeTokens(docs: DataFrame, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
-    val enc = toColumn(graft.functions.BpeEncode(toExpression(col("text")), merges))
+    val enc = toColumn(graft.functions.BpeEncode(toExpression(col("text")),
+      merges, byteLevel))
     docs.select(col("doc_id"), posexplode(enc).as(Seq("pos0", "token")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
   }

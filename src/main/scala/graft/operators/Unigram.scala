@@ -114,6 +114,49 @@ object Unigram {
     encodePieces(docs, pieces, btot)
       .groupBy(col("piece")).agg(count(lit(1)).as("usage"))
 
+  /** SOFT-EM piece usage — the FULL E-step (Kudo §3.2 step 2 as
+    * SentencePiece implements it, forward–backward over the whole
+    * segmentation lattice) instead of [[pieceUsage]]'s Viterbi
+    * best-path approximation (the round-13/14 verdicts' carried ask):
+    * each vocabulary piece's usage is its corpus-weighted EXPECTED
+    * occurrence count under the posterior, quantized integer-exactly
+    * (`e_q = ⌊scale·E⌋` per distinct word — see
+    * [[graft.functions.UnigramSoftCounts]] for the scaled-integer
+    * exactness contract that makes the DuckDB gate exact equality,
+    * never a float forward–backward round-trip).
+    *
+    * Scale shape: ONE corpus-sized pass (the word hash-agg), the
+    * lattice DP per DISTINCT word as one codegen reference-object
+    * expression (constant plan size at any vocabulary), then a
+    * vocabulary-bounded aggregation — `usage_q = Σ_w cnt_w · e_q(w)`,
+    * exact because both factors are integers. Every vocabulary piece
+    * reports (LEFT join from the model frame, zeros kept): the prune
+    * step's (usage ASC, piece ASC) total order needs the zero rows.
+    *
+    * `vocab` rows are (piece, n_occ) — [[seedVocab]]/[[pruneVocab]]
+    * output, the same frame [[vocabModel]] freezes; driver state is
+    * the collected vocabulary (topN + alphabet — the model-collect
+    * discipline). Output: (piece, usage_q).
+    */
+  def pieceUsageSoft(docs: DataFrame, vocab: DataFrame,
+      probBits: Int = 8, scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    val spark = docs.sparkSession
+    val rows = vocab.select(col("piece"), col("n_occ"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(rows.nonEmpty, "empty vocabulary")
+    val total = rows.map(_._2).sum
+    val soft = toColumn(graft.functions.UnigramSoftCounts(
+      toExpression(col("word")), rows, total, probBits, scale))
+    val usage = wordCounts(docs)
+      .select(col("cnt"), explode(soft).as("pc"))
+      .groupBy(col("pc.piece").as("piece"))
+      .agg(sum(col("cnt") * col("pc.e_q")).as("u"))
+    spark.createDataFrame(rows).toDF("piece", "n_occ")
+      .join(usage, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("u"), lit(0L)).as("usage_q"))
+  }
+
   /** PRUNE round (Kudo §3.2 step 3, hard-count variant): drop the
     * `dropK` lowest-usage MULTI-CHAR pieces ((usage ASC, piece ASC)
     * total order — zero-usage pieces go first); single-character

@@ -66,7 +66,9 @@ object DumpPlans {
       "q_chunk_dedup" -> "sequence-level chunk dedup: narrow chunker, ONE chunk_text-keyed exchange feeding both window functions",
       "q_mixture_budget" -> "mixture-budget materialization: per-source running token sums via range-partitioned PrefixSum + broadcast |sources|-row base offsets (no per-source window)",
       "q_session_concurrency" -> "interval concurrency sweep: map-side per-timestamp delta agg, PrefixSum running sum (no single-task sort)",
-      "q_oov_rate" -> "held-out OOV report: broadcast frozen capped vocabulary, one doc-keyed aggregation, LEFT-join-at-0 tail")
+      "q_oov_rate" -> "held-out OOV report: broadcast frozen capped vocabulary, one doc-keyed aggregation, LEFT-join-at-0 tail",
+      "q_bpe_bytes_encode" -> "byte-level BPE emit: ONE BpeEncode(byteLevel) reference-object node applying unit-encode + merges per row — entirely narrow, documents never shuffle (training is driver-bounded collect state, outside this plan)",
+      "q_unigram_usage_soft" -> "soft-EM E-step: the forward-backward lattice as ONE UnigramSoftCounts reference-object node over the DISTINCT-WORD table (never corpus-sized), vocabulary-bounded usage agg, broadcast model-frame LEFT join keeps zero rows")
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of the flagship queries\n\n")
     sb.append("Auto-generated by `graft.tools.DumpPlans` at sf0.001. What to look for:\n")

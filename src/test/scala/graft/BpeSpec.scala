@@ -11,10 +11,18 @@ class BpeSpec extends AnyFunSuite {
   /** Local reference: the same weighted-pair argmax + greedy
     * left-to-right merge, in plain Scala collections.
     */
-  def referenceTrain(texts: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
+  def referenceTrain(texts: Seq[String], n: Int): Seq[(Int, String, String, Long)] =
+    referenceTrainWords(
+      texts.flatMap(_.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty)), n)
+
+  /** [[referenceTrain]] from a pre-tokenized word stream — the seam the
+    * byte-level reference needs (unit-encoded words must NOT be
+    * re-lowercased: the unit alphabet contains case-paired chars like
+    * Ã/ã that map DISTINCT bytes).
+    */
+  def referenceTrainWords(words: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
     val wc = scala.collection.mutable.Map.empty[String, Long]
-    texts.flatMap(_.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty))
-      .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1)
+    words.foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1)
     var syms: Map[String, Vector[String]] = wc.keys.map(w => w -> w.map(_.toString).toVector).toMap
     (0 until n).iterator.map { rank =>
       val pc = scala.collection.mutable.Map.empty[(String, String), Long]
@@ -639,4 +647,116 @@ class BpeSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Bpe.trainMerges(docs, 1))
     assert(e.getMessage.contains("ran out of symbol pairs"))
   }
+
+  // ---- byte-level unit alphabet (GPT-2 bytes_to_unicode wiring) ----
+
+  val byteTexts = Seq(
+    "数据处理 机器学习 数据 banana",
+    "日本語テキスト 日本語 データ処理 banana bandana",
+    "déjà vu naïve café déjà café",
+    "数据处理 日本語テキスト mixed ascii words")
+
+  /** Local byte-level reference: [[referenceTrain]] with every word
+    * byte-unit pre-encoded (one symbol per raw UTF-8 byte).
+    */
+  def referenceTrainBytes(texts: Seq[String], n: Int): Seq[(Int, String, String, Long)] =
+    referenceTrainWords(
+      texts.flatMap(_.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty))
+        .map(graft.functions.ByteUnitsOps.encodeString), n)
+
+  test("byteLevel trainMerges matches the local reference: CJK decomposes into trainable byte triples") {
+    val docs = byteTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Bpe.trainMerges(docs, 6, byteLevel = true).orderBy($"rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == referenceTrainBytes(byteTexts, 6))
+    // the gate's point: at least one trained merge fuses byte units
+    // OUTSIDE printable ASCII (a multibyte character's interior)
+    assert(got.exists { case (_, l, r, _) =>
+      (l + r).exists(c => c > 'z') }, s"no multibyte merge trained: $got")
+  }
+
+  test("byteLevel: frozen-expression segmentation ≡ chained-fold segmentation, incl. random unit tables") {
+    val docs = byteTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def both(merges: Seq[(String, String)]) = {
+      val fold = Bpe.segmentStats(docs, merges, byteLevel = true).orderBy($"doc_id")
+        .as[(Long, Long, Long)].collect().toSeq
+      val expr = Bpe.segmentStatsFrozen(docs, merges, byteLevel = true).orderBy($"doc_id")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(expr == fold, s"merges=$merges")
+      fold
+    }
+    val trained = Bpe.mergePairs(Bpe.trainMerges(docs, 8, byteLevel = true))
+    val st = both(trained)
+    // pre-merge token counts are BYTE counts: with no merges, n_tokens
+    // for doc 0 = its words' total UTF-8 byte length
+    val none = both(Nil)
+    val bytes0 = byteTexts(0).toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      .map(_.getBytes("UTF-8").length.toLong).sum
+    assert(none(0) == ((0L, 4L, bytes0)))
+    assert(st(0)._3 < bytes0, "8 trained merges should compress doc 0")
+    // random tables over the corpus's UNIT alphabet (seeded)
+    val alpha = byteTexts.flatMap(_.toLowerCase.split("\\s+"))
+      .map(graft.functions.ByteUnitsOps.encodeString)
+      .flatMap(_.toSeq).distinct.map(_.toString)
+    val rnd = new scala.util.Random(15)
+    for (_ <- 1 to 5)
+      both(Seq.fill(6)((alpha(rnd.nextInt(alpha.size)), alpha(rnd.nextInt(alpha.size)))))
+  }
+
+  test("byteLevel encodeTokens: a word's concatenated tokens DECODE back to the raw word") {
+    val docs = byteTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.mergePairs(Bpe.trainMerges(docs, 8, byteLevel = true))
+    val toks = Bpe.encodeTokens(docs, merges, byteLevel = true)
+      .as[(Long, Int, String)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    for ((doc, i) <- byteTexts.zipWithIndex) {
+      val words = doc.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      // token stream re-concatenated = the byte-unit encoding of the
+      // whitespace-stripped doc; decoding inverts it exactly
+      val units = toks(i.toLong).mkString("")
+      assert(units == words.map(graft.functions.ByteUnitsOps.encodeString).mkString(""))
+      // every token decodes through the unit alphabet (merges never
+      // cross word boundaries, but CAN split a char's byte triple —
+      // only the concatenation per word is guaranteed valid UTF-8)
+      val s2 = spark
+      import s2.implicits._
+      val dec = Seq(units).toDF("u")
+        .select(graft.functions.ByteUnits.byte_units_decode($"u")).as[String]
+        .collect()(0)
+      assert(dec == words.mkString(""))
+    }
+  }
+
+  test("byteLevel batched trainer: batchSize=1 degenerates to sequential byte-level training") {
+    val docs = byteTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val seq6 = Bpe.trainMerges(docs, 6, byteLevel = true).orderBy($"rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    val bat = Bpe.trainMergesBatched(docs, rounds = 6, batchSize = 1,
+        unitTokens = 1, byteLevel = true)
+      .orderBy($"rank")
+      .select($"rank", $"left", $"right", $"pair_count")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(bat == seq6)
+  }
+
+  test("byteLevel on printable-ASCII text degenerates exactly to char-level (printables self-map)") {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val a = Bpe.trainMerges(docs, 6, byteLevel = true).orderBy($"rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    val b = Bpe.trainMerges(docs, 6).orderBy($"rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(a == b)
+    val merges = Bpe.mergePairs(Bpe.trainMerges(docs, 6))
+    val sa = Bpe.segmentStatsFrozen(docs, merges, byteLevel = true).orderBy($"doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val sb = Bpe.segmentStatsFrozen(docs, merges).orderBy($"doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(sa == sb)
+  }
+
 }

@@ -238,4 +238,90 @@ class UnigramSpec extends AnyFunSuite {
     assert(got == Seq((0L, 0L, 0L, 0L), (1L, 0L, 0L, 0L)))
     assert(Unigram.encodePieces(empty, pieces, btot).count() == 0L)
   }
+
+  // ---- soft-EM E-step (forward–backward expected counts) ----
+
+  /** Local exact-rational reference: the TRUE posterior expected counts
+    * of the QUANTIZED model (q/S piece mass), via brute-force
+    * enumeration of every segmentation — an independent spelling of
+    * what the scaled-integer forward–backward must equal exactly.
+    */
+  def refSoft(word: String, vocab: Seq[(String, Long)], probBits: Int,
+      scale: Long): Map[String, Long] = {
+    import scala.math.BigInt
+    val total = vocab.map(_._2).sum
+    val q = vocab.map { case (p, n) =>
+      p -> (BigInt(n) << probBits) / total.max(1) }.map { case (p, v) =>
+      p -> v.max(1) }.toMap
+    val maxLen = vocab.map(_._1.length).max
+    val S = BigInt(1) << probBits
+    // enumerate segmentations; weight = prod q(p); denominator S^pieces
+    // → common denominator S^len via weight · S^(len − pieces)
+    def segs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Nil)
+      else (1 to math.min(maxLen, w.length)).flatMap { k =>
+        val p = w.take(k)
+        if (q.contains(p) || k == 1)
+          segs(w.drop(k)).map(p +: _)
+        else Nil
+      }
+    val n = word.length
+    val weighted = segs(word).map { seg =>
+      val w = seg.map(p => q.getOrElse(p, BigInt(1))).product *
+        (S.pow(n - seg.length))
+      (seg, w)
+    }
+    val z = weighted.map(_._2).sum
+    val num = scala.collection.mutable.Map.empty[String, BigInt]
+    for ((seg, w) <- weighted; p <- seg)
+      num(p) = num.getOrElse(p, BigInt(0)) + w
+    num.map { case (p, nm) => p -> ((BigInt(scale) * nm) / z).toLong }.toMap
+  }
+
+  test("pieceUsageSoft ≡ brute-force posterior expected counts of the quantized model") {
+    val vocab = Unigram.seedVocab(docs, 3, 12)
+    val rows = vocab.select($"piece", $"n_occ")
+      .as[(String, Long)].collect().toSeq
+    val got = Unigram.pieceUsageSoft(docs, vocab)
+      .as[(String, Long)].collect().toMap
+    // reference: corpus-weighted sum of per-word brute-force posteriors
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    texts.flatMap(_.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty))
+      .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1)
+    val want = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- wc; (p, e) <- refSoft(w, rows, 8, 1000000L))
+      want(p) = want.getOrElse(p, 0L) + c * e
+    val wantAll = rows.map { case (p, _) => p -> want.getOrElse(p, 0L) }.toMap
+    assert(got == wantAll)
+    assert(got.values.exists(_ > 0))
+    // soft ≠ hard on this corpus: some piece gets lattice mass that the
+    // Viterbi best paths alone would never give it (the ask's point)
+    val (pieces, btot) = Unigram.vocabModel(vocab)
+    val hard = Unigram.pieceUsage(docs, pieces, btot)
+      .as[(String, Long)].collect().toMap
+    val softOnly = got.filter { case (p, u) => u > 0 && hard.getOrElse(p, 0L) == 0L }
+    assert(softOnly.nonEmpty,
+      "expected at least one piece with soft mass but zero Viterbi usage")
+  }
+
+  test("pieceUsageSoft invariants: per-word expected piece mass ∈ [scale, len·scale]; single-seg words are exact") {
+    val s2 = spark
+    import s2.implicits._
+    val one = Seq((0L, "z")).toDF("doc_id", "text") // single char, one segmentation
+    val vocabZ = Seq(("z", 5L)).toDF("piece", "n_occ")
+    val gotZ = Unigram.pieceUsageSoft(one, vocabZ).as[(String, Long)].collect().toSeq
+    assert(gotZ == Seq(("z", 1000000L))) // E = exactly 1 piece
+    // a word with several segmentations: total expected mass between
+    // 1·scale (one piece) and len·scale (all singles)
+    val ab = Seq((0L, "abab")).toDF("doc_id", "text")
+    val vocabAb = Seq(("a", 4L), ("b", 4L), ("ab", 2L)).toDF("piece", "n_occ")
+    val tot = Unigram.pieceUsageSoft(ab, vocabAb).as[(String, Long)].collect()
+      .map(_._2).sum
+    assert(tot >= 1000000L && tot <= 4 * 1000000L, s"total mass $tot")
+    // UNK floor: a char outside the vocabulary still yields a lattice
+    val unk = Seq((0L, "zq")).toDF("doc_id", "text")
+    val gotUnk = Unigram.pieceUsageSoft(unk, vocabZ).as[(String, Long)].collect().toMap
+    assert(gotUnk.keySet == Set("z")) // only vocab pieces report
+    assert(gotUnk("z") > 0L)
+  }
 }
