@@ -717,6 +717,25 @@ object M5Queries {
       Curation.normalizeText(injected).orderBy(col("doc_id"))
     }),
 
+    // ---- \u00A72.8: the STATELESS curation stages under REAL streaming
+    // execution (StreamingCuration's stages 1\u20132 oracle-proven, not just
+    // spec-pinned \u2014 the FileStreamHarness discipline: stateless \u21D2
+    // batching-invariant, so the batch oracle gates the stream
+    // verbatim). Per-row quality metrics ...
+    "q_stream_text_quality" -> ((s, dir) =>
+      graft.streaming.FileStreamHarness.runStateless(s, dir, "documents",
+          st => TextAnalysis.qualityMetrics(st), keyCol = "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // ... and NFC normalization + whitespace collapse, with the same
+    // decomposed-grapheme injection as the batch gate
+    "q_stream_normalize" -> ((s, dir) =>
+      graft.streaming.FileStreamHarness.runStateless(s, dir, "documents",
+          st => Curation.normalizeText(st.select(col("doc_id"),
+            concat(col("text"), lit(" cafe\u0301 A\u030A")).as("text"))),
+          keyCol = "doc_id")
+        .orderBy(col("doc_id"))),
+
     // ---- curation: deterministic FIXED-SIZE per-group sample (exactly
     // min(n, |group|) docs per language, chosen by hash rank)
     "q_sample_fixed" -> ((s, dir) =>
@@ -1838,6 +1857,19 @@ object M5Queries {
         .orderBy(col("n_occ").desc, col("piece"))
     }),
 
+    // ---- tokenizer: the FULL SOFT-EM TRAINER — the trainVocab loop
+    // with the lattice E-step in every round (seed → (soft expected
+    // counts → drop-≤cap prune → Laplace re-score)* to the target
+    // size), i.e. Kudo's trainer as SentencePiece runs it, oracle-gated
+    // end to end: uniTrainRounds unrolled forward–backward chains, each
+    // under the PREVIOUS round's re-scored vocabulary
+    "q_unigram_train_soft" -> ((s, dir) =>
+      operators.Unigram.trainVocab(TextDedup.documents(s, dir),
+          frag.uniMaxPieceLen, frag.uniTopN, frag.uniTrainTarget,
+          frag.uniTrainDropCap, soft = true, frag.uniProbBits,
+          frag.uniSoftScale)
+        .orderBy(col("n_occ").desc, col("piece"))),
+
     // ---- tokenizer: segmentation stats under the PRUNED model — the
     // full seed → usage → prune → re-score → apply round, end to end
     // (the oracle runs a second unrolled DP chain under the pruned
@@ -2250,43 +2282,86 @@ object M5Queries {
       * needs them). Validated against an independent Python
       * forward–backward before wiring (exact match at sf0.001).
       */
-    def unigramSoftCtes: String = {
+    /** One soft E-step chain, PREFIXED so any number can coexist in a
+      * WITH (the unigramDpChain discipline): forward `${p}fa0..{H}`,
+      * backward `${p}ba0..{H}`, occurrence/numerator/usage CTEs over
+      * the quantized model `${p}q` built from vocab CTE `$voc(piece,
+      * n_occ)` and the shared word table `uwc(word, cnt)` — emitting
+      * `${p}usage(piece, u)`.
+      */
+    private def unigramSoftChain(p: String, voc: String): String = {
       val L = uniMaxPieceLen
       val H = uniHorizon
       val S = 1L << uniProbBits
       def sp(k: Int): Long = 1L << (uniProbBits * (k - 1))
       val parts = Seq.newBuilder[String]
+      parts += s"${p}q AS MATERIALIZED (SELECT piece, greatest(1, (n_occ * $S) // (SELECT sum(n_occ) FROM $voc))::HUGEINT AS q FROM $voc)"
+      parts += s"${p}fa0 AS (SELECT word, 0 AS i, 1::HUGEINT AS a FROM uwc)"
+      for (t <- 1 to H) {
+        val cands = (math.max(0, t - L) until t).map(j =>
+          s"SELECT f.word, f.a * q.q * ${sp(t - j)}::HUGEINT AS term FROM ${p}fa$j f JOIN ${p}q q ON q.piece = substr(f.word, ${j + 1}, ${t - j}) WHERE len(f.word) >= $t")
+          .mkString(" UNION ALL ")
+        parts += s"${p}fc$t AS ($cands)"
+        parts += s"${p}fa$t AS MATERIALIZED (SELECT word, $t AS i, sum(term)::HUGEINT AS a FROM ${p}fc$t GROUP BY word)"
+      }
+      parts += s"${p}fall AS (" + (0 to H).map(t => s"SELECT word, i, a FROM ${p}fa$t").mkString(" UNION ALL ") + ")"
+      parts += s"${p}ba0 AS (SELECT word, 0 AS r, 1::HUGEINT AS b FROM uwc)"
+      for (r <- 1 to H) {
+        val cands = (1 to math.min(L, r)).map(k =>
+          s"SELECT g.word, q.q * ${sp(k)}::HUGEINT * g.b AS term FROM ${p}ba${r - k} g JOIN ${p}q q ON q.piece = substr(g.word, len(g.word) - $r + 1, $k) WHERE len(g.word) >= $r")
+          .mkString(" UNION ALL ")
+        parts += s"${p}bc$r AS ($cands)"
+        parts += s"${p}ba$r AS MATERIALIZED (SELECT word, $r AS r, sum(term)::HUGEINT AS b FROM ${p}bc$r GROUP BY word)"
+      }
+      parts += s"${p}ball AS (" + (0 to H).map(r => s"SELECT word, r, b FROM ${p}ba$r").mkString(" UNION ALL ") + ")"
+      parts += s"${p}ks(k, sk) AS (VALUES " + (1 to L).map(k => s"($k, ${sp(k)})").mkString(", ") + ")"
+      parts += s"${p}z AS (SELECT word, a AS z FROM ${p}fall WHERE i = len(word))"
+      parts += s"""${p}occ AS (SELECT s.word, q.piece, s.a * q.q * k.sk::HUGEINT * b.b AS term
+        | FROM ${p}fall s JOIN ${p}ks k ON len(s.word) >= s.i + k.k
+        | JOIN ${p}q q ON q.piece = substr(s.word, s.i + 1, k.k)
+        | JOIN ${p}ball b ON b.word = s.word AND b.r = len(s.word) - s.i - k.k)""".stripMargin
+      parts += s"${p}num AS (SELECT word, piece, sum(term) AS nm FROM ${p}occ GROUP BY 1, 2)"
+      parts += s"${p}eq AS (SELECT word, piece, ($uniSoftScale::HUGEINT * nm) // z AS e_q FROM ${p}num JOIN ${p}z USING (word))"
+      parts += s"${p}usage AS (SELECT piece, sum(cnt * e_q) AS u FROM ${p}eq JOIN uwc USING (word) GROUP BY 1)"
+      parts.result().mkString(",\n ")
+    }
+
+    /** Seed CTEs (shared word table + seed vocabulary, the unigramCtes
+      * head) + one soft chain under the seed — ends in `uusage`.
+      */
+    def unigramSoftCtes: String = {
+      val L = uniMaxPieceLen
+      val parts = Seq.newBuilder[String]
       parts += s"uwc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM (SELECT unnest(w) AS word FROM (SELECT $toks w FROM documents)) GROUP BY 1)"
       parts += s"usub AS MATERIALIZED (SELECT piece, sum(cnt)::BIGINT AS n_occ FROM (SELECT cnt, unnest(flatten(list_transform(generate_series(1, len(word)), s -> list_transform(generate_series(1, least($L, len(word) - s + 1)), l -> word[s:s+l-1])))) AS piece FROM uwc) GROUP BY 1)"
       parts += s"uvoc AS MATERIALIZED (SELECT piece, n_occ FROM (SELECT piece, n_occ, row_number() OVER (ORDER BY n_occ DESC, piece) AS rk FROM usub) WHERE rk <= $uniTopN OR len(piece) = 1)"
-      parts += s"uq AS MATERIALIZED (SELECT piece, greatest(1, (n_occ * $S) // (SELECT sum(n_occ) FROM uvoc))::HUGEINT AS q FROM uvoc)"
-      parts += "sfa0 AS (SELECT word, 0 AS i, 1::HUGEINT AS a FROM uwc)"
-      for (t <- 1 to H) {
-        val cands = (math.max(0, t - L) until t).map(j =>
-          s"SELECT f.word, f.a * q.q * ${sp(t - j)}::HUGEINT AS term FROM sfa$j f JOIN uq q ON q.piece = substr(f.word, ${j + 1}, ${t - j}) WHERE len(f.word) >= $t")
-          .mkString(" UNION ALL ")
-        parts += s"sfc$t AS ($cands)"
-        parts += s"sfa$t AS MATERIALIZED (SELECT word, $t AS i, sum(term)::HUGEINT AS a FROM sfc$t GROUP BY word)"
+      parts += unigramSoftChain("u", "uvoc")
+      parts.result().mkString(",\n ")
+    }
+
+    /** FULL soft-EM trainer mirror: `uniTrainRounds` unrolled rounds of
+      * (soft E-step chain under the current vocab → dynamic drop-K
+      * prune → +1 Laplace re-score), exactly [[unigramTrainCtes]] with
+      * the Viterbi usage swapped for the lattice expected counts —
+      * ending in `tv{R}(piece, n_occ)`, the trained vocabulary.
+      */
+    def unigramSoftTrainCtes: String = {
+      val L = uniMaxPieceLen
+      val parts = Seq.newBuilder[String]
+      parts += s"uwc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM (SELECT unnest(w) AS word FROM (SELECT $toks w FROM documents)) GROUP BY 1)"
+      parts += s"usub AS MATERIALIZED (SELECT piece, sum(cnt)::BIGINT AS n_occ FROM (SELECT cnt, unnest(flatten(list_transform(generate_series(1, len(word)), s -> list_transform(generate_series(1, least($L, len(word) - s + 1)), l -> word[s:s+l-1])))) AS piece FROM uwc) GROUP BY 1)"
+      parts += s"tv0 AS MATERIALIZED (SELECT piece, n_occ FROM (SELECT piece, n_occ, row_number() OVER (ORDER BY n_occ DESC, piece) AS rk FROM usub) WHERE rk <= $uniTopN OR len(piece) = 1)"
+      for (r <- 0 until uniTrainRounds) {
+        val voc = s"tv$r"
+        parts += unigramSoftChain(s"t$r", voc)
+        // drop count is DYNAMIC (least(cap, excess) — the
+        // unigramTrainCtes discipline: only the round COUNT is
+        // fixture-derived; a fixture drift desynchronizes loudly)
+        val dropK = s"least($uniTrainDropCap, (SELECT count(*) FROM $voc) - $uniTrainTarget)"
+        parts += s"t${r}j AS (SELECT v.piece, coalesce(u.u, 0)::BIGINT AS usage FROM $voc v LEFT JOIN t${r}usage u USING (piece))"
+        parts += s"t${r}mrk AS (SELECT piece, usage, row_number() OVER (ORDER BY usage, piece) AS rk FROM t${r}j WHERE len(piece) > 1)"
+        parts += s"tv${r + 1} AS MATERIALIZED (SELECT piece, (usage + 1)::BIGINT AS n_occ FROM (SELECT piece, usage FROM t${r}j WHERE len(piece) = 1 UNION ALL SELECT piece, usage FROM t${r}mrk WHERE rk > ($dropK)))"
       }
-      parts += "sfall AS (" + (0 to H).map(t => s"SELECT word, i, a FROM sfa$t").mkString(" UNION ALL ") + ")"
-      parts += "sba0 AS (SELECT word, 0 AS r, 1::HUGEINT AS b FROM uwc)"
-      for (r <- 1 to H) {
-        val cands = (1 to math.min(L, r)).map(k =>
-          s"SELECT g.word, q.q * ${sp(k)}::HUGEINT * g.b AS term FROM sba${r - k} g JOIN uq q ON q.piece = substr(g.word, len(g.word) - $r + 1, $k) WHERE len(g.word) >= $r")
-          .mkString(" UNION ALL ")
-        parts += s"sbc$r AS ($cands)"
-        parts += s"sba$r AS MATERIALIZED (SELECT word, $r AS r, sum(term)::HUGEINT AS b FROM sbc$r GROUP BY word)"
-      }
-      parts += "sball AS (" + (0 to H).map(r => s"SELECT word, r, b FROM sba$r").mkString(" UNION ALL ") + ")"
-      parts += "uks(k, sk) AS (VALUES " + (1 to L).map(k => s"($k, ${sp(k)})").mkString(", ") + ")"
-      parts += "uz AS (SELECT word, a AS z FROM sfall WHERE i = len(word))"
-      parts += """uocc AS (SELECT s.word, q.piece, s.a * q.q * k.sk::HUGEINT * b.b AS term
-        | FROM sfall s JOIN uks k ON len(s.word) >= s.i + k.k
-        | JOIN uq q ON q.piece = substr(s.word, s.i + 1, k.k)
-        | JOIN sball b ON b.word = s.word AND b.r = len(s.word) - s.i - k.k)""".stripMargin
-      parts += "unum AS (SELECT word, piece, sum(term) AS nm FROM uocc GROUP BY 1, 2)"
-      parts += s"ueq AS (SELECT word, piece, ($uniSoftScale::HUGEINT * nm) // z AS e_q FROM unum JOIN uz USING (word))"
-      parts += "uusage AS (SELECT piece, sum(cnt * e_q) AS u FROM ueq JOIN uwc USING (word) GROUP BY 1)"
       parts.result().mkString(",\n ")
     }
 
@@ -3138,15 +3213,13 @@ object M5Queries {
         |  CASE lang WHEN 'en' THEN 800 WHEN 'zh' THEN 500 ELSE 250 END
         |ORDER BY doc_id""".stripMargin,
 
-    // plain (non-interpolated) string so the regex backslashes survive
-    "q_normalize" ->
-      """WITH t AS (SELECT doc_id,
-        |  text || ' cafe' || chr(769) || ' A' || chr(778) AS text FROM documents)
-        |SELECT doc_id,
-        | regexp_replace(nfc_normalize(text), '[ \t\n\f\r]+', ' ', 'g') AS text_norm,
-        | length(text)::INT AS n_raw,
-        | length(nfc_normalize(text))::INT AS n_norm
-        |FROM t ORDER BY doc_id""".stripMargin,
+    // plain (non-interpolated) string so the regex backslashes survive;
+    // ONE val shared with the streaming twin (stateless ⇒ the batch
+    // oracle gates the stream verbatim)
+    "q_normalize" -> normalizeOracle,
+    "q_stream_normalize" -> normalizeOracle,
+
+    "q_stream_text_quality" -> textQualityOracle,
 
     "q_sample_fixed" ->
       """WITH r AS (SELECT doc_id, lang,
@@ -3743,6 +3816,12 @@ object M5Queries {
       s"""WITH ${frag.unigramSoftCtes}
          |SELECT v.piece, coalesce(u.u, 0)::BIGINT AS usage_q
          |FROM uvoc v LEFT JOIN uusage u USING (piece) ORDER BY piece""".stripMargin,
+
+    // full soft-EM trainer mirror: uniTrainRounds unrolled
+    // (soft chain → dynamic drop-K prune → re-score) rounds
+    "q_unigram_train_soft" ->
+      s"""WITH ${frag.unigramSoftTrainCtes}
+         |SELECT piece, n_occ FROM tv${frag.uniTrainRounds} ORDER BY n_occ DESC, piece""".stripMargin,
 
     // soft-EM round mirror: the soft usage feeding the SAME prune
     // spelling as unigramRoundCtes (drop-K over (usage ASC, piece ASC),
@@ -5021,6 +5100,19 @@ object M5Queries {
     }
     (scores, best, pick)
   }
+
+  /** Shared by the batch normalize gate and its file-source streaming
+    * twin (the routeDispatchOracle convention). Plain string: the regex
+    * backslashes must survive, so no interpolation.
+    */
+  private lazy val normalizeOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |  text || ' cafe' || chr(769) || ' A' || chr(778) AS text FROM documents)
+      |SELECT doc_id,
+      | regexp_replace(nfc_normalize(text), '[ \t\n\f\r]+', ' ', 'g') AS text_norm,
+      | length(text)::INT AS n_raw,
+      | length(nfc_normalize(text))::INT AS n_norm
+      |FROM t ORDER BY doc_id""".stripMargin
 
   private lazy val textQualityOracle: String = {
     val stop = TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")

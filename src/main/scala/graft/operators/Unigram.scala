@@ -213,7 +213,8 @@ object Unigram {
     * alphabet, which the up-front require bounds by the target).
     */
   def trainVocab(docs: DataFrame, maxPieceLen: Int, topN: Int,
-      targetVocab: Int, dropCap: Int): DataFrame = {
+      targetVocab: Int, dropCap: Int, soft: Boolean = false,
+      probBits: Int = 8, scale: Long = 1000000L): DataFrame = {
     require(targetVocab >= 1, s"targetVocab must be >= 1, got $targetVocab")
     require(dropCap >= 1, s"dropCap must be >= 1, got $dropCap")
     var vocab = seedVocab(docs, maxPieceLen, topN)
@@ -231,8 +232,15 @@ object Unigram {
         "single-char pieces are prune-immune, so that size is unreachable")
     while (pieces.size > targetVocab) {
       val dropK = math.min(dropCap.toLong, pieces.size.toLong - targetVocab).toInt
-      vocab = pruneVocab(vocab.select(col("piece")),
-          pieceUsage(docs, pieces, btot), dropK)
+      // E-step: Viterbi best-path usage (hard, the Kudo approximation)
+      // or the full-lattice expected counts (soft — the real Kudo
+      // round, [[pieceUsageSoft]]; the usage-agnostic prune makes the
+      // M-step identical either way)
+      val usage =
+        if (soft) pieceUsageSoft(docs, vocab, probBits, scale)
+          .select(col("piece"), col("usage_q").as("usage"))
+        else pieceUsage(docs, pieces, btot)
+      vocab = pruneVocab(vocab.select(col("piece")), usage, dropK)
         .select(col("piece"), col("n_occ")).localCheckpoint()
       val m = vocabModel(vocab)
       pieces = m._1

@@ -132,6 +132,8 @@ class ContractSpec extends AnyFunSuite {
       "q_containment"       -> Set("containment"),
       "q_containment_capped" -> Set("containment"),
       "q_text_quality"      -> Set("stopword_ratio", "punct_ratio"),
+      // the file-source streaming twin of the same per-row metrics
+      "q_stream_text_quality" -> Set("stopword_ratio", "punct_ratio"),
       // raw source column passed through unchanged — both engines read the
       // identical parquet value, no arithmetic happens
       "q_sort_topk"         -> Set("l_extendedprice"))

@@ -338,6 +338,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_unigram_prune", // two vocab-rank triangles (seed rank + usage drop-K rank)
       "q_unigram_prune_soft", // same seed-rank + drop-K rank triangles, usage from the soft E-step
       "q_unigram_train", // seed-rank triangle + one drop-K rank triangle per EM round
+      "q_unigram_train_soft", // same trainer triangles (usage from the soft E-step)
       "q_unigram_train_encode", // same trainer triangles (the encode tail is narrow)
       "q_unigram_token_ids", // piece-vocab-rank triangle (the id join itself broadcasts hash-keyed)
       "q_bpe_windows_batched", // global-token-position PrefixSum triangle (windowing tail)

@@ -304,6 +304,42 @@ class UnigramSpec extends AnyFunSuite {
       "expected at least one piece with soft mass but zero Viterbi usage")
   }
 
+  test("trainVocab(soft): local-reference equality, target reached, singles preserved, and soft ≠ hard binds") {
+    val target = 14
+    val gotSoft = Unigram.trainVocab(docs, 3, 12, target, dropCap = 4,
+        soft = true).orderBy($"n_occ".desc, $"piece")
+      .as[(String, Long)].collect().toSeq
+    assert(gotSoft.size == target)
+    val singles = refVocab(3, 12).count(_._1.length == 1)
+    assert(gotSoft.count(_._1.length == 1) == singles,
+      "single-char pieces must survive every soft prune round")
+    // local reference: the same loop with brute-force posterior usage
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    texts.flatMap(_.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty))
+      .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1)
+    var vocab = refVocab(3, 12)
+    while (vocab.size > target) {
+      val dropK = math.min(4, vocab.size - target)
+      val usage = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, c) <- wc; (p, e) <- refSoft(w, vocab, 8, 1000000L))
+        usage(p) = usage.getOrElse(p, 0L) + c * e
+      val (singlesV, multi) = vocab.partition(_._1.length == 1)
+      val dropped = multi.map { case (p, _) => (p, usage.getOrElse(p, 0L)) }
+        .sortBy { case (p, u) => (u, p) }.take(dropK).map(_._1).toSet
+      vocab = (singlesV.map(v => (v._1, usage.getOrElse(v._1, 0L))) ++
+        multi.filter(v => !dropped(v._1))
+          .map(v => (v._1, usage.getOrElse(v._1, 0L))))
+        .map { case (p, u) => (p, u + 1L) }
+    }
+    val want = vocab.sortBy { case (p, n) => (-n, p) }
+    assert(gotSoft == want)
+    // and the soft E-step genuinely changes the trained model vs hard
+    val gotHard = Unigram.trainVocab(docs, 3, 12, target, dropCap = 4)
+      .orderBy($"n_occ".desc, $"piece").as[(String, Long)].collect().toSeq
+    assert(gotSoft != gotHard,
+      "soft and hard trainers coincided — the soft gate would be vacuous on this corpus")
+  }
+
   test("pieceUsageSoft invariants: per-word expected piece mass ∈ [scale, len·scale]; single-seg words are exact") {
     val s2 = spark
     import s2.implicits._
