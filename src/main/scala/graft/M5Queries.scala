@@ -1695,6 +1695,21 @@ object M5Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- tokenizer: the byte-level PRODUCTION CHAIN end to end —
+    // vocabulary-scale byte training → the trained table frozen into
+    // ONE BpeEncode(byteLevel) expression → GPT-style token windowing
+    // (the q_bpe_windows_batched composition discipline over the GPT-2
+    // unit alphabet; EOD separators are plain tokens, not unit-encoded)
+    "q_bpe_bytes_windows" -> ((s, dir) => {
+      val docs = byteInjected(s, dir)
+      val merges = operators.Bpe.mergePairs(
+        operators.Bpe.trainMergesBatched(docs, frag.bpeE2eRounds,
+          frag.bpeE2eBatch, frag.bpeE2eCap, unitTokens = 1, byteLevel = true))
+      operators.Bpe.tokenWindows(docs, merges,
+          windowSize = frag.tokenWindow, byteLevel = true)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ---- tokenizer: byte-level train ∘ apply ∘ emit — the byte-unit
     // token stream (BpeEncode byteLevel): tokens are unit strings over
     // the GPT-2 alphabet, invertible back to raw bytes once a word's
@@ -3699,6 +3714,23 @@ object M5Queries {
          |  l AS "left", r AS "right", c::BIGINT AS pair_count
          |FROM ($union) ORDER BY rank""".stripMargin
     },
+
+    // byte-level end-to-end chain mirror: the byte bpeBatchCtes
+    // recursion, words unit-encoded on BOTH the training and the apply
+    // side (the wb{R} join key is the unit word), then the
+    // q_token_windows tail over bd
+    "q_bpe_bytes_windows" ->
+      s"""WITH RECURSIVE ${frag.byteDocsCte}, ${frag.bpeBatchCtes(frag.bpeE2eRounds, frag.bpeE2eBatch, frag.bpeE2eCap, unitTokens = 1, byteLevel = true, src = "bd")},
+         | d AS (SELECT doc_id, ${frag.toks} w FROM bd),
+         | e AS (SELECT doc_id, wi, ${frag.byteUnitsExpr("word")} AS word FROM (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS wi FROM d)),
+         | flat AS (SELECT doc_id, wi, si, sym FROM (SELECT doc_id, wi, unnest(syms) AS sym, generate_subscripts(syms, 1) AS si FROM (SELECT e.doc_id, e.wi, b.syms FROM e JOIN wb${frag.bpeE2eRounds} b USING (word)))),
+         | p AS (SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, sym AS token FROM flat),
+         | lens AS (SELECT d.doc_id, coalesce(max(pos), 0) AS mp FROM d LEFT JOIN p USING (doc_id) GROUP BY 1),
+         | allt AS (SELECT doc_id, pos, token FROM p UNION ALL SELECT doc_id, (mp + 1)::INT, '<eod>' FROM lens),
+         | g AS (SELECT doc_id, pos, token, row_number() OVER (ORDER BY doc_id, pos) AS gpos FROM allt)
+         |SELECT doc_id, pos, token, ((gpos - 1) // ${frag.tokenWindow})::BIGINT AS win_id,
+         |  ((gpos - 1) % ${frag.tokenWindow})::BIGINT AS off
+         |FROM g ORDER BY doc_id, pos""".stripMargin,
 
     // byte-level segmentation mirror: train + apply over unit-encoded
     // words (n_tokens in byte units)

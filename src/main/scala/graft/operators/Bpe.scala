@@ -594,9 +594,10 @@ object Bpe {
     * within the window.
     */
   def tokenWindows(docs: DataFrame, merges: Seq[(String, String)],
-      windowSize: Int, eodToken: String = "<eod>"): DataFrame = {
+      windowSize: Int, eodToken: String = "<eod>",
+      byteLevel: Boolean = false): DataFrame = {
     require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
-    globalTokenStream(docs, merges, eodToken)
+    globalTokenStream(docs, merges, eodToken, byteLevel)
       .select(col("doc_id"), col("pos"), col("token"),
         expr(s"(gpos - 1) div $windowSize").as("win_id"),
         expr(s"(gpos - 1) % $windowSize").as("off"))
@@ -611,8 +612,10 @@ object Bpe {
     * narrow arithmetic (or a bounded explode) on top.
     */
   private def globalTokenStream(docs: DataFrame,
-      merges: Seq[(String, String)], eodToken: String): DataFrame =
-    globalStreamOf(SharedBranch.sharedBranch(encodeTokens(docs, merges)),
+      merges: Seq[(String, String)], eodToken: String,
+      byteLevel: Boolean = false): DataFrame =
+    globalStreamOf(
+      SharedBranch.sharedBranch(encodeTokens(docs, merges, byteLevel)),
       docs.select(col("doc_id")), eodToken)
 
   /** TOKENIZER-AGNOSTIC form of the windowing input: `stream` is ANY
