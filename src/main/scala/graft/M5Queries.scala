@@ -1856,6 +1856,34 @@ object M5Queries {
         .orderBy(col("piece"))
     }),
 
+    // ---- tokenizer: SentencePiece --byte_fallback — a character with
+    // NO vocabulary piece decomposes into its UTF-8 bytes as <0xXX>
+    // tokens (count-1 score per BYTE) instead of one lossy UNK piece,
+    // so the emitted stream stays invertible on out-of-vocabulary
+    // scripts. The model seeds from the ASCII corpus while the scored
+    // corpus carries the injected multibyte tail, so EVERY CJK/latin-1
+    // char exercises the fallback (the byteInjected binding
+    // discipline); ASCII chars keep their vocabulary pieces
+    "q_unigram_bytes_fallback" -> ((s, dir) => {
+      val (pieces, btot) = operators.Unigram.vocabModel(
+        operators.Unigram.seedVocab(TextDedup.documents(s, dir),
+          frag.uniMaxPieceLen, frag.uniTopN))
+      operators.Unigram.segmentStats(byteInjected(s, dir), pieces, btot,
+          byteFallback = true)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- tokenizer: the byte-fallback piece STREAM — <0xXX> tokens
+    // visible in the emitted sequence at their exact positions
+    "q_unigram_bytes_fallback_encode" -> ((s, dir) => {
+      val (pieces, btot) = operators.Unigram.vocabModel(
+        operators.Unigram.seedVocab(TextDedup.documents(s, dir),
+          frag.uniMaxPieceLen, frag.uniTopN))
+      operators.Unigram.encodePieces(byteInjected(s, dir), pieces, btot,
+          byteFallback = true)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ---- tokenizer: SOFT-EM round closed end to end — the lattice
     // E-step feeding the M-step prune (pruneVocab is usage-agnostic by
     // design: same drop-K total order, single chars immune, Laplace
@@ -2244,14 +2272,25 @@ object M5Queries {
       * scored vocab CTE `vb(piece, b)` and 1-row total CTE `bt(bt)`,
       * ending in `{pfx}dp(word, score, np, path)`.
       */
-    private def unigramDpChain(pfx: String, vb: String, bt: String): String = {
+    private def unigramDpChain(pfx: String, vb: String, bt: String,
+        words: String = "uwc", fallback: Option[String] = None): String = {
       val L = uniMaxPieceLen
       val parts = Seq.newBuilder[String]
-      parts += s"${pfx}dp0 AS (SELECT word, 0::BIGINT AS score, 0::INT AS np, []::VARCHAR[] AS path FROM uwc)"
+      parts += s"${pfx}dp0 AS (SELECT word, 0::BIGINT AS score, 0::INT AS np, []::VARCHAR[] AS path FROM $words)"
       for (t <- 1 to uniHorizon) {
-        val cands = (math.max(0, t - L) until t).map { j =>
+        val vocabCands = (math.max(0, t - L) until t).map { j =>
           s"SELECT d.word, d.score + v.b - $bt.bt AS score, d.np + 1 AS np, list_append(d.path, v.piece) AS path, v.piece AS piece FROM ${pfx}dp$j d JOIN $vb v ON v.piece = d.word[${j + 1}:$t], $bt WHERE len(d.word) >= $t"
-        }.mkString(" UNION ALL ")
+        }
+        // byte-fallback branch (SentencePiece --byte_fallback): a char
+        // with NO vocabulary piece decomposes into <0xXX> byte tokens
+        // (nb pieces, one count-1 score — i.e. −bt — per BYTE); the
+        // fallback table `f(c, nb, fbpath)` holds exactly the
+        // uncovered chars, so the two branches are exclusive by
+        // construction. Tie piece = the LAST byte token (the engine's
+        // bestPiece for a fallback step).
+        val fbCand = fallback.map(f =>
+          s"SELECT d.word, d.score - f.nb * $bt.bt AS score, d.np + f.nb AS np, d.path || f.fbpath AS path, f.fbpath[-1] AS piece FROM ${pfx}dp${t - 1} d JOIN $f f ON f.c = d.word[$t:$t], $bt WHERE len(d.word) >= $t")
+        val cands = (vocabCands ++ fbCand).mkString(" UNION ALL ")
         parts += s"${pfx}dpc$t AS ($cands)"
         parts += s"${pfx}dp$t AS MATERIALIZED (SELECT word, score, np, path FROM ${pfx}dpc$t QUALIFY row_number() OVER (PARTITION BY word ORDER BY score DESC, np, piece) = 1)"
       }
@@ -2259,6 +2298,30 @@ object M5Queries {
         .map(t => s"SELECT word, score, np, path FROM ${pfx}dp$t WHERE len(word) = $t")
         .mkString(" UNION ALL ")
       parts += s"${pfx}dp AS ($finals)"
+      parts.result().mkString(",\n ")
+    }
+
+    /** Byte-fallback gate CTEs: the seed model from the ASCII corpus
+      * (so every injected multibyte char is genuinely uncovered), the
+      * TARGET word table from the injected corpus `bd`, the uncovered-
+      * char fallback table (UTF-8 bytes as uppercase-hex `<0xXX>`
+      * tokens via the hex-dump spelling), and one DP chain over the
+      * target words with the fallback branch live — ending in `fbdp`.
+      */
+    def unigramByteFallbackCtes: String = {
+      val L = uniMaxPieceLen
+      val parts = Seq.newBuilder[String]
+      parts += s"uwc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM (SELECT unnest(w) AS word FROM (SELECT $toks w FROM documents)) GROUP BY 1)"
+      parts += s"usub AS MATERIALIZED (SELECT piece, sum(cnt)::BIGINT AS n_occ FROM (SELECT cnt, unnest(flatten(list_transform(generate_series(1, len(word)), s -> list_transform(generate_series(1, least($L, len(word) - s + 1)), l -> word[s:s+l-1])))) AS piece FROM uwc) GROUP BY 1)"
+      parts += s"uvoc AS MATERIALIZED (SELECT piece, n_occ FROM (SELECT piece, n_occ, row_number() OVER (ORDER BY n_occ DESC, piece) AS rk FROM usub) WHERE rk <= $uniTopN OR len(piece) = 1)"
+      parts += "upow AS (SELECT unnest(generate_series(0, 62)) AS p)"
+      parts += "uvb AS MATERIALIZED (SELECT piece, (SELECT max(p) FROM upow WHERE (1::BIGINT << p) <= n_occ) AS b FROM uvoc)"
+      parts += "ubt AS MATERIALIZED (SELECT (SELECT max(p) FROM upow WHERE (1::BIGINT << p) <= (SELECT sum(n_occ) FROM uvoc)) AS bt)"
+      parts += s"bwc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM (SELECT unnest(w) AS word FROM (SELECT $toks w FROM bd)) GROUP BY 1)"
+      parts += "ufbc AS (SELECT DISTINCT unnest(string_split_regex(word, '')) AS c FROM bwc)"
+      parts += "ufb AS MATERIALIZED (SELECT c, octet_length(encode(c))::INT AS nb, list_transform(range(octet_length(encode(c))), i -> '<0x' || hex(encode(c))[2*i+1:2*i+2] || '>') AS fbpath FROM ufbc WHERE c NOT IN (SELECT piece FROM uvoc))"
+      parts += unigramDpChain("fb", "uvb", "ubt", words = "bwc",
+        fallback = Some("ufb"))
       parts.result().mkString(",\n ")
     }
 
@@ -3848,6 +3911,28 @@ object M5Queries {
       s"""WITH ${frag.unigramSoftCtes}
          |SELECT v.piece, coalesce(u.u, 0)::BIGINT AS usage_q
          |FROM uvoc v LEFT JOIN uusage u USING (piece) ORDER BY piece""".stripMargin,
+
+    // byte-fallback stats mirror: the seed model from documents, the
+    // DP over bd's words with the fallback branch live (uncovered
+    // chars decompose via the hex-dump byte-token table)
+    "q_unigram_bytes_fallback" ->
+      s"""WITH ${frag.byteDocsCte}, ${frag.unigramByteFallbackCtes},
+         | fd AS (SELECT doc_id, ${frag.toks} w FROM bd),
+         | fdw AS (SELECT doc_id, unnest(w) AS word FROM fd),
+         | fag AS (SELECT doc_id, count(*) AS n_words, sum(np) AS n_pieces, sum(score) AS score
+         |   FROM fdw JOIN fbdp USING (word) GROUP BY doc_id)
+         |SELECT fd.doc_id, coalesce(n_words, 0)::BIGINT AS n_words,
+         |  coalesce(n_pieces, 0)::BIGINT AS n_pieces, coalesce(score, 0)::BIGINT AS score
+         |FROM fd LEFT JOIN fag USING (doc_id) ORDER BY fd.doc_id""".stripMargin,
+
+    // byte-fallback stream mirror: the DP path unnested positionally,
+    // <0xXX> tokens riding the path arrays
+    "q_unigram_bytes_fallback_encode" ->
+      s"""WITH ${frag.byteDocsCte}, ${frag.unigramByteFallbackCtes},
+         | fdwi AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS wi FROM (SELECT doc_id, ${frag.toks} w FROM bd)),
+         | fflat AS (SELECT doc_id, wi, unnest(path) AS piece, generate_subscripts(path, 1) AS si FROM fdwi JOIN fbdp USING (word))
+         |SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, piece
+         |FROM fflat ORDER BY doc_id, pos""".stripMargin,
 
     // full soft-EM trainer mirror: uniTrainRounds unrolled
     // (soft chain → dynamic drop-K prune → re-score) rounds

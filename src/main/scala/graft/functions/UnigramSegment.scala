@@ -53,7 +53,7 @@ import scala.collection.mutable
   * [[BpeSegmentStats]] scale argument).
   */
 case class UnigramSegmentStats(child: Expression, pieces: Seq[(String, Int)],
-    btot: Int) extends UnaryExpression {
+    btot: Int, byteFallback: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_words", LongType, nullable = false),
@@ -61,7 +61,8 @@ case class UnigramSegmentStats(child: Expression, pieces: Seq[(String, Int)],
     StructField("score", LongType, nullable = false)))
   override def prettyName: String = "unigram_segment_stats"
 
-  private lazy val model: UnigramSegment.Model = UnigramSegment.model(pieces, btot)
+  private lazy val model: UnigramSegment.Model =
+    UnigramSegment.model(pieces, btot, byteFallback)
 
   override protected def nullSafeEval(input: Any): Any =
     UnigramSegment.computeStats(input.toString, model)
@@ -83,12 +84,13 @@ case class UnigramSegmentStats(child: Expression, pieces: Seq[(String, Int)],
   * (UnigramSpec property-pins it). Output: array<string>.
   */
 case class UnigramEncode(child: Expression, pieces: Seq[(String, Int)],
-    btot: Int) extends UnaryExpression {
+    btot: Int, byteFallback: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "unigram_encode"
 
-  private lazy val model: UnigramSegment.Model = UnigramSegment.model(pieces, btot)
+  private lazy val model: UnigramSegment.Model =
+    UnigramSegment.model(pieces, btot, byteFallback)
 
   override protected def nullSafeEval(input: Any): Any =
     UnigramSegment.computePieces(input.toString, model)
@@ -107,20 +109,33 @@ object UnigramSegment {
 
   /** Frozen model state carried as ONE codegen reference object:
     * piece → score map (score = bits(n_occ) − btot, precomputed),
-    * max piece length (the DP's inner-loop bound), and the UNK score.
+    * max piece length (the DP's inner-loop bound), the UNK score, and
+    * the byte-fallback switch (SentencePiece `--byte_fallback`): a
+    * character with NO vocabulary piece decomposes into its UTF-8
+    * bytes as `<0xXX>` tokens — each scored like a count-1 piece
+    * (bits(1) − btot = unkScore per BYTE) — instead of one opaque UNK
+    * piece, so the emitted stream is always invertible back to raw
+    * bytes (no information loss on out-of-vocabulary scripts).
     */
   final class Model(val scores: java.util.HashMap[String, Integer],
-      val maxLen: Int, val unkScore: Int) extends Serializable
+      val maxLen: Int, val unkScore: Int,
+      val byteFallback: Boolean) extends Serializable
 
-  def model(pieces: Seq[(String, Int)], btot: Int): Model = {
+  def model(pieces: Seq[(String, Int)], btot: Int,
+      byteFallback: Boolean = false): Model = {
     val m = new java.util.HashMap[String, Integer]()
     var maxLen = 1
     pieces.foreach { case (p, bits) =>
       m.put(p, Integer.valueOf(bits - btot))
       if (p.length > maxLen) maxLen = p.length
     }
-    new Model(m, maxLen, -btot)
+    new Model(m, maxLen, -btot, byteFallback)
   }
+
+  /** `<0xXX>` byte token (uppercase hex — the SentencePiece surface
+    * form, and the oracle's `hex()` case).
+    */
+  def byteToken(b: Byte): String = f"<0x${b & 0xff}%02X>"
 
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
@@ -134,44 +149,54 @@ object UnigramSegment {
     UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
 
   /** Viterbi over one word: fills score/np per position and returns the
-    * chosen last-piece length per position (for backtracking). Cell
-    * order: (score DESC, pieces ASC, piece-string ASC).
+    * chosen last-piece length per position (for backtracking) plus the
+    * fallback flag per position (the chosen last step was a byte
+    * decomposition). Cell order: (score DESC, pieces ASC, piece-string
+    * ASC) — a fallback step's tie piece is its LAST byte token (the
+    * oracle's `fbpath[-1]`).
     */
   private def viterbi(word: String, m: Model):
-      (Array[Long], Array[Int], Array[Int]) = {
+      (Array[Long], Array[Int], Array[Int], Array[Boolean]) = {
     val n = word.length
     val score = new Array[Long](n + 1)
     val np = new Array[Int](n + 1)
     val lastLen = new Array[Int](n + 1)
+    val isFb = new Array[Boolean](n + 1)
     var t = 1
     while (t <= n) {
       var bestScore = Long.MinValue
       var bestNp = Int.MaxValue
       var bestL = 0
+      var bestFb = false
       var bestPiece: String = null
+      def offer(cs: Long, cn: Int, piece: String, l: Int, fb: Boolean): Unit =
+        if (cs > bestScore || (cs == bestScore && (cn < bestNp ||
+            (cn == bestNp && binaryLt(piece, bestPiece))))) {
+          bestScore = cs; bestNp = cn; bestL = l; bestPiece = piece; bestFb = fb
+        }
       val lMax = math.min(m.maxLen, t)
       var l = 1
       while (l <= lMax) {
         val piece = word.substring(t - l, t)
         val s0 = m.scores.get(piece)
-        val pieceScore: Integer =
-          if (s0 != null) s0
-          else if (l == 1) Integer.valueOf(m.unkScore) // UNK single char
-          else null
-        if (pieceScore != null) {
-          val cs = score(t - l) + pieceScore.intValue()
-          val cn = np(t - l) + 1
-          if (cs > bestScore || (cs == bestScore && (cn < bestNp ||
-              (cn == bestNp && binaryLt(piece, bestPiece))))) {
-            bestScore = cs; bestNp = cn; bestL = l; bestPiece = piece
-          }
+        if (s0 != null)
+          offer(score(t - l) + s0.intValue(), np(t - l) + 1, piece, l, fb = false)
+        else if (l == 1) {
+          if (m.byteFallback) {
+            // byte decomposition: nb pieces, unkScore per BYTE
+            val bytes = piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            offer(score(t - 1) + bytes.length.toLong * m.unkScore,
+              np(t - 1) + bytes.length, byteToken(bytes(bytes.length - 1)),
+              l, fb = true)
+          } else // UNK single char, count-1 score
+            offer(score(t - 1) + m.unkScore, np(t - 1) + 1, piece, l, fb = false)
         }
         l += 1
       }
-      score(t) = bestScore; np(t) = bestNp; lastLen(t) = bestL
+      score(t) = bestScore; np(t) = bestNp; lastLen(t) = bestL; isFb(t) = bestFb
       t += 1
     }
-    (score, np, lastLen)
+    (score, np, lastLen, isFb)
   }
 
   /** Static for codegen: tokenize + per-word Viterbi, summed stats. */
@@ -189,7 +214,7 @@ object UnigramSegment {
       if (i > start) {
         nWords += 1
         val w = text.substring(start, i)
-        val (s, p, _) = viterbi(w, m)
+        val (s, p, _, _) = viterbi(w, m)
         total += s(w.length)
         nPieces += p(w.length)
       }
@@ -211,12 +236,18 @@ object UnigramSegment {
       while (i < len && !isWs(text.charAt(i))) i += 1
       if (i > start) {
         val w = text.substring(start, i)
-        val (_, _, lastLen) = viterbi(w, m)
+        val (_, _, lastLen, isFb) = viterbi(w, m)
         val rev = mutable.ArrayBuffer.empty[String]
         var t = w.length
         while (t > 0) {
           val l = lastLen(t)
-          rev += w.substring(t - l, t)
+          if (isFb(t)) {
+            // byte tokens in byte order ⇒ reversed into the rev buffer
+            val bytes = w.substring(t - 1, t)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var b = bytes.length - 1
+            while (b >= 0) { rev += byteToken(bytes(b)); b -= 1 }
+          } else rev += w.substring(t - l, t)
           t -= l
         }
         var j = rev.length - 1

@@ -94,10 +94,10 @@ object Unigram {
     * entirely narrow.
     */
   def segmentStats(docs: DataFrame, pieces: Seq[(String, Int)],
-      btot: Int): DataFrame = {
+      btot: Int, byteFallback: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
     val st = toColumn(graft.functions.UnigramSegmentStats(
-      toExpression(col("text")), pieces, btot))
+      toExpression(col("text")), pieces, btot, byteFallback))
     docs.select(col("doc_id"), st.as("st"))
       .select(col("doc_id"), col("st.n_words").as("n_words"),
         col("st.n_pieces").as("n_pieces"), col("st.score").as("score"))
@@ -257,10 +257,10 @@ object Unigram {
     * unchanged.
     */
   def encodePieces(docs: DataFrame, pieces: Seq[(String, Int)],
-      btot: Int): DataFrame = {
+      btot: Int, byteFallback: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
     val enc = toColumn(graft.functions.UnigramEncode(
-      toExpression(col("text")), pieces, btot))
+      toExpression(col("text")), pieces, btot, byteFallback))
     docs.select(col("doc_id"), posexplode(enc).as(Seq("pos0", "piece")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("piece"))
   }

@@ -239,6 +239,44 @@ class UnigramSpec extends AnyFunSuite {
     assert(Unigram.encodePieces(empty, pieces, btot).count() == 0L)
   }
 
+  // ---- byte fallback (SentencePiece --byte_fallback) ----
+
+  test("byteFallback: uncovered chars emit <0xXX> byte tokens; the stream inverts; covered text is unchanged") {
+    val (pieces, btot) = Unigram.vocabModel(Unigram.seedVocab(docs, 3, 12))
+    val multi = Seq((0L, "the 数据 café banana")).toDF("doc_id", "text")
+    val toks = Unigram.encodePieces(multi, pieces, btot, byteFallback = true)
+      .as[(Long, Int, String)].collect().sortBy(_._2).map(_._3).toSeq
+    // 数 = E6 95 B0 — the exact SentencePiece byte-token surface forms
+    assert(toks.containsSlice(Seq("<0xE6>", "<0x95>", "<0xB0>")))
+    // invertibility: byte tokens decode to bytes, vocab pieces to their
+    // UTF-8 bytes — the concatenation is the whitespace-stripped text
+    val bytes = toks.flatMap { t =>
+      if (t.matches("<0x[0-9A-F]{2}>"))
+        Seq(Integer.parseInt(t.substring(3, 5), 16).toByte)
+      else t.getBytes("UTF-8").toSeq
+    }.toArray
+    assert(new String(bytes, "UTF-8") == "the数据cafébanana")
+    // stats agree with the emitted stream
+    val st = Unigram.segmentStats(multi, pieces, btot, byteFallback = true)
+      .as[(Long, Long, Long, Long)].collect()(0)
+    assert(st._3 == toks.size.toLong)
+    // a fully covered corpus is untouched by the flag
+    val plain = Unigram.encodePieces(docs, pieces, btot)
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    val fb = Unigram.encodePieces(docs, pieces, btot, byteFallback = true)
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    assert(plain == fb)
+    // scoring: one uncovered 3-byte char costs 3 count-1 pieces where
+    // plain UNK costs 1 — the fallback is visible in (n_pieces, score)
+    val one = Seq((0L, "数")).toDF("doc_id", "text")
+    val hard = Unigram.segmentStats(one, pieces, btot)
+      .as[(Long, Long, Long, Long)].collect()(0)
+    val soft = Unigram.segmentStats(one, pieces, btot, byteFallback = true)
+      .as[(Long, Long, Long, Long)].collect()(0)
+    assert(hard._3 == 1L && soft._3 == 3L)
+    assert(soft._4 == 3L * hard._4)
+  }
+
   // ---- soft-EM E-step (forward–backward expected counts) ----
 
   /** Local exact-rational reference: the TRUE posterior expected counts
