@@ -727,6 +727,20 @@ object M5Queries {
           st => TextAnalysis.qualityMetrics(st), keyCol = "doc_id")
         .orderBy(col("doc_id"))),
 
+    // ---- §2.8: the NARROW classifier face under streaming execution —
+    // the continuous-curation quality scorer (map-literal model, one
+    // fold per row, no state), gated against the SAME oracle as the
+    // join spelling (narrow ≡ join property-pinned in RelevanceSpec;
+    // stateless ⇒ batching-invariant)
+    "q_stream_hash_classifier" -> ((s, dir) =>
+      graft.streaming.FileStreamHarness.runStateless(s, dir, "documents",
+          st => Relevance.hashClassifierScoreNarrow(st,
+              Relevance.weightsAsMap(Relevance.deterministicWeights(s, 4096)),
+              numBuckets = 4096)
+            .select(col("doc_id"), col("n_tokens"), col("score"), col("keep")),
+          keyCol = "doc_id")
+        .orderBy(col("doc_id"))),
+
     // ... and NFC normalization + whitespace collapse, with the same
     // decomposed-grapheme injection as the batch gate
     "q_stream_normalize" -> ((s, dir) =>
@@ -4554,17 +4568,12 @@ object M5Queries {
     // 4096 — positive operands, engine-identical %), same stand-in
     // weight table from generate_series; tokenless docs survive the left
     // join at score 0 / keep false
-    "q_hash_classifier" ->
-      s"""WITH t AS (SELECT doc_id, ${frag.toks} w FROM documents),
-         | wt AS (SELECT bucket, (bucket + 17) * 2654435761 % 2003 - 1001 AS weight
-         |   FROM (SELECT unnest(generate_series(0, 4095))::BIGINT AS bucket)),
-         | tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
-         | b AS (SELECT doc_id, (${frag.rolling("tok")}) * 2654435761 % 4096 AS bucket FROM tok),
-         | s AS (SELECT doc_id, count(*) AS n_tokens, sum(weight) AS score
-         |   FROM b JOIN wt USING (bucket) GROUP BY 1)
-         |SELECT t.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
-         | coalesce(score, 0)::BIGINT AS score, coalesce(score, 0) > 0 AS keep
-         |FROM t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    // ONE val shared with the file-source streaming twin of the NARROW
+    // (map-literal, stateless) face — the spellings are
+    // property-identical (RelevanceSpec), so one oracle gates the join
+    // spelling, the narrow spelling, AND streaming execution
+    "q_hash_classifier" -> hashClassifierOracle,
+    "q_stream_hash_classifier" -> hashClassifierOracle,
 
     // DSIR mirror: hashed unigram+bigram feature stream, add-one
     // smoothed target/raw bucket counts, per-instance scaled likelihood
@@ -5217,6 +5226,22 @@ object M5Queries {
     }
     (scores, best, pick)
   }
+
+  /** Shared by the hash-classifier join spelling and the NARROW
+    * spelling's file-source streaming twin (the routeDispatchOracle
+    * convention).
+    */
+  private lazy val hashClassifierOracle: String =
+    s"""WITH t AS (SELECT doc_id, ${frag.toks} w FROM documents),
+       | wt AS (SELECT bucket, (bucket + 17) * 2654435761 % 2003 - 1001 AS weight
+       |   FROM (SELECT unnest(generate_series(0, 4095))::BIGINT AS bucket)),
+       | tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+       | b AS (SELECT doc_id, (${frag.rolling("tok")}) * 2654435761 % 4096 AS bucket FROM tok),
+       | s AS (SELECT doc_id, count(*) AS n_tokens, sum(weight) AS score
+       |   FROM b JOIN wt USING (bucket) GROUP BY 1)
+       |SELECT t.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       | coalesce(score, 0)::BIGINT AS score, coalesce(score, 0) > 0 AS keep
+       |FROM t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
   /** Shared by the batch normalize gate and its file-source streaming
     * twin (the routeDispatchOracle convention). Plain string: the regex
