@@ -1927,6 +1927,20 @@ object M5Queries {
           frag.uniSoftScale)
         .orderBy(col("n_occ").desc, col("piece"))),
 
+    // ---- tokenizer: encode under the SOFT-EM-trained vocabulary —
+    // the soft trainer's output proven usable end to end
+    // (q_unigram_train_encode's composition discipline for the soft
+    // path: trainVocab(soft) → freeze → Viterbi encode)
+    "q_unigram_train_soft_encode" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val (pieces, btot) = operators.Unigram.vocabModel(
+        operators.Unigram.trainVocab(docs, frag.uniMaxPieceLen,
+          frag.uniTopN, frag.uniTrainTarget, frag.uniTrainDropCap,
+          soft = true, frag.uniProbBits, frag.uniSoftScale))
+      operators.Unigram.encodePieces(docs, pieces, btot)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ---- tokenizer: segmentation stats under the PRUNED model — the
     // full seed → usage → prune → re-score → apply round, end to end
     // (the oracle runs a second unrolled DP chain under the pruned
@@ -2506,6 +2520,18 @@ object M5Queries {
     def unigramTrainEncodeCtes: String =
       unigramTrainCtes + ",\n " + unigramDpChain(
         s"te", s"t${uniTrainRounds}vb", s"t${uniTrainRounds}bt")
+
+    /** [[unigramSoftTrainCtes]] + the soft-trained model's score tables
+      * + one Viterbi chain — encode under the SOFT-EM-trained
+      * vocabulary, the q_unigram_train_encode composition close for the
+      * soft trainer.
+      */
+    def unigramSoftTrainEncodeCtes: String =
+      unigramSoftTrainCtes + ",\n " +
+        "upow AS (SELECT unnest(generate_series(0, 62)) AS p),\n " +
+        s"tsvb AS MATERIALIZED (SELECT piece, (SELECT max(p) FROM upow WHERE (1::BIGINT << p) <= n_occ) AS b FROM tv$uniTrainRounds),\n " +
+        s"tsbt AS MATERIALIZED (SELECT (SELECT max(p) FROM upow WHERE (1::BIGINT << p) <= (SELECT sum(n_occ) FROM tv$uniTrainRounds)) AS bt),\n " +
+        unigramDpChain("ts", "tsvb", "tsbt")
 
     /** Trainer mirror: [[unigramCtes]] + `uniTrainRounds` unrolled EM
       * rounds (`t1`..`t$R` prefixes), each with a DYNAMIC drop count
@@ -3947,6 +3973,15 @@ object M5Queries {
          | fflat AS (SELECT doc_id, wi, unnest(path) AS piece, generate_subscripts(path, 1) AS si FROM fdwi JOIN fbdp USING (word))
          |SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, piece
          |FROM fflat ORDER BY doc_id, pos""".stripMargin,
+
+    // soft-trainer composition mirror: the soft-trained scores feed one
+    // more Viterbi chain, paths unnested positionally
+    "q_unigram_train_soft_encode" ->
+      s"""WITH ${frag.unigramSoftTrainEncodeCtes},
+         | udwi AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS wi FROM (SELECT doc_id, ${frag.toks} w FROM documents)),
+         | uflat AS (SELECT doc_id, wi, unnest(path) AS piece, generate_subscripts(path, 1) AS si FROM udwi JOIN tsdp USING (word))
+         |SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, piece
+         |FROM uflat ORDER BY doc_id, pos""".stripMargin,
 
     // full soft-EM trainer mirror: uniTrainRounds unrolled
     // (soft chain → dynamic drop-K prune → re-score) rounds
