@@ -183,8 +183,11 @@ object Unigram {
 
   /** TRAIN to a target vocabulary size — the unigram trainer's full EM
     * loop (Kudo, ACL 2018 §3.2; SentencePiece's `vocab_size` contract):
-    * from the seed vocabulary, repeat fit ([[vocabModel]]) → Viterbi
-    * E-step usage ([[pieceUsage]]) → hard prune + Laplace re-score
+    * from the seed vocabulary, repeat fit ([[vocabModel]]) → E-step
+    * usage (Viterbi [[pieceUsage]], or with `soft = true` the
+    * FULL-LATTICE forward–backward expected counts [[pieceUsageSoft]]
+    * — the round SentencePiece actually runs, oracle-gated at
+    * `q_unigram_train_soft`) → hard prune + Laplace re-score
     * ([[pruneVocab]]) until |vocab| ≤ `targetVocab`, dropping at most
     * `dropCap` lowest-usage multi-char pieces per round (the bounded
     * shrink schedule — SentencePiece's multiplicative shrink plays the
