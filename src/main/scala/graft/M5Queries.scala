@@ -77,6 +77,20 @@ object M5Queries {
   private def pipelineInjected(s: SparkSession, dir: String): DataFrame =
     injectedFrame(s, dir, concat(col("text"), lit(" cafe\u0301 A\u030A")))
 
+  /** The q_pii_redact / q_stream_pii_redact input: deterministic
+    * email/IPv4/phone tails per doc (the fixtures carry no PII — an
+    * uninjected gate would prove only the no-op). ONE helper so the
+    * batch gate and its streaming twin can never desynchronize.
+    */
+  private def piiInjected(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") % 100).cast("string"),
+        lit(" tel +1415555"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+
   /** The q_bpe_bytes_* input: the corpus plus frag.byteInject's
     * deterministic multibyte tail (CJK/kana/latin-1) and a doc-varying
     * final digit \u2014 the fixtures are pure ASCII, where the GPT-2 byte
@@ -1238,19 +1252,24 @@ object M5Queries {
     // no natural PII, so the query INJECTS deterministic doc_id-derived
     // contact lines first (documented oracle-twin input construction), then
     // proves detection + redaction agree byte-for-byte across engines.
-    "q_pii_redact" -> ((s, dir) => {
-      val injected = TextDedup.documents(s, dir).select(col("doc_id"),
-        concat(col("text"),
-          lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
-          lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
-          lit("."), (col("doc_id") % 100).cast("string"),
-          lit(" tel +1415555"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
-      Curation.redactPii(injected, col("text"))
+    "q_pii_redact" -> ((s, dir) =>
+      Curation.redactPii(piiInjected(TextDedup.documents(s, dir)), col("text"))
         .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
           col("redacted"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
+
+    // ---- §2.8: PII redaction under streaming execution — the per-row
+    // regex transform (the continuous-ingest privacy gate: redact
+    // BEFORE anything persists) through the file-source harness, gated
+    // against the SAME oracle as the batch gate (one injection helper,
+    // one oracle val — the injectedFrame discipline)
+    "q_stream_pii_redact" -> ((s, dir) =>
+      graft.streaming.FileStreamHarness.runStateless(s, dir, "documents",
+          st => Curation.redactPii(piiInjected(st), col("text"))
+            .select(col("doc_id"), col("n_emails"), col("n_ips"),
+              col("n_phones"), col("redacted")),
+          keyCol = "doc_id")
+        .orderBy(col("doc_id"))),
 
     // ---- curation: eval-split decontamination (3-gram shingle overlap)
     "q_decontaminate" -> ((s, dir) =>
@@ -4359,21 +4378,10 @@ object M5Queries {
     // deliberately backslash-free regexes (see Curation) so the identical
     // pattern text is valid in Java regex and RE2; 'g' flag = replace-all,
     // matching Spark's regexp_replace semantics
-    "q_pii_redact" ->
-      s"""WITH injected AS (SELECT doc_id,
-         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
-         |       || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
-         |       || ' tel +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
-         | FROM documents)
-         |SELECT doc_id,
-         | len(regexp_extract_all(text, '${Curation.EmailRe}'))::INT AS n_emails,
-         | len(regexp_extract_all(text, '${Curation.Ipv4Re}'))::INT AS n_ips,
-         | len(regexp_extract_all(text, '${Curation.PhoneRe}'))::INT AS n_phones,
-         | regexp_replace(regexp_replace(regexp_replace(text,
-         |   '${Curation.EmailRe}', '<EMAIL>', 'g'),
-         |   '${Curation.Ipv4Re}', '<IP>', 'g'),
-         |   '${Curation.PhoneRe}', '<PHONE>', 'g') AS redacted
-         |FROM injected ORDER BY doc_id""".stripMargin,
+    // ONE val shared with the file-source streaming twin (stateless ⇒
+    // the batch oracle gates the stream verbatim)
+    "q_pii_redact" -> piiRedactOracle,
+    "q_stream_pii_redact" -> piiRedactOracle,
 
     "q_decontaminate" ->
       s"""WITH sh AS (${frag.shingleHashes}),
@@ -5261,6 +5269,26 @@ object M5Queries {
     }
     (scores, best, pick)
   }
+
+  /** Shared by the batch PII-redaction gate and its file-source
+    * streaming twin (the routeDispatchOracle convention); injection
+    * mirrors [[piiInjected]].
+    */
+  private lazy val piiRedactOracle: String =
+    s"""WITH injected AS (SELECT doc_id,
+       |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+       |       || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
+       |       || ' tel +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+       | FROM documents)
+       |SELECT doc_id,
+       | len(regexp_extract_all(text, '${Curation.EmailRe}'))::INT AS n_emails,
+       | len(regexp_extract_all(text, '${Curation.Ipv4Re}'))::INT AS n_ips,
+       | len(regexp_extract_all(text, '${Curation.PhoneRe}'))::INT AS n_phones,
+       | regexp_replace(regexp_replace(regexp_replace(text,
+       |   '${Curation.EmailRe}', '<EMAIL>', 'g'),
+       |   '${Curation.Ipv4Re}', '<IP>', 'g'),
+       |   '${Curation.PhoneRe}', '<PHONE>', 'g') AS redacted
+       |FROM injected ORDER BY doc_id""".stripMargin
 
   /** Shared by the hash-classifier join spelling and the NARROW
     * spelling's file-source streaming twin (the routeDispatchOracle
