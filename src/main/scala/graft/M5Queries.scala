@@ -101,6 +101,17 @@ object M5Queries {
     TextDedup.documents(s, dir).withColumn("text",
       concat(col("text"), lit(frag.byteInject), (col("doc_id") % 5).cast("string")))
 
+  /** The q_bpe_pretok_* input: the corpus plus frag.pretokInject's
+    * contraction/punctuation/multi-space/mixed-case/CJK tail and a
+    * doc-varying final digit — the fixtures are lowercase
+    * single-spaced ASCII words, where the GPT-2 pre-split degenerates
+    * to the whitespace tokenizer and every pretok gate would be
+    * vacuous (the byteInjected discipline).
+    */
+  private def pretokInjected(s: SparkSession, dir: String): DataFrame =
+    TextDedup.documents(s, dir).withColumn("text",
+      concat(col("text"), lit(frag.pretokInject), (col("doc_id") % 5).cast("string")))
+
   /** recall@k of an ANN candidate frame `(query_id, neighbor_id)` against
     * the exact brute-force top-k for queries 0–9 — ONE definition for
     * every approximate path's quality measurement (IVF, ADC, PQ+refine),
@@ -551,6 +562,35 @@ object M5Queries {
           countDistinct(col("user_id")).as("n_users"),
           min(col("event_id")).as("min_event_id"),
           max(col("event_id")).as("max_event_id"))
+        .orderBy(col("window_start_us"), col("event_type"))
+    }),
+
+    // ---- §2.8: the hop-window aggregation under REAL STREAMING
+    // execution — the first STATEFUL streaming oracle gate (round-15
+    // verdict ask #2): watermarked append-mode windowed aggregation
+    // (two chained stateful aggs — the dedup-before-agg spelling of
+    // exact n_users) driven through a TIME-ORDERED file-source split
+    // (FileStreamHarness.runEventTime: strict time buckets + increasing
+    // file mtimes ⇒ no row is ever late-dropped, and the appended union
+    // is exactly the FINALIZED windows — end ≤ the final watermark =
+    // ms-floor of the fixture's max event time). Oracle = the batch
+    // q_hop_window aggregation RESTRICTED to that deterministic set.
+    "q_stream_hop_window" -> ((s, dir) => {
+      val hopUs = HopWindowHopUs
+      val sizeUs = 2 * hopUs
+      graft.streaming.FileStreamHarness.runEventTime(s, dir, "events",
+          prep = ev => ev.select(col("event_id"), col("event_type"),
+            col("user_id"), graft.sources.Tables.epochMicros(ev, "ts").as("tus")),
+          tsCol = "tus",
+          transform = df => {
+            import s.implicits._
+            graft.streaming.StreamingHopWindow.aggregateWithUsers(
+              df.select(col("event_id").as("eventId"),
+                col("event_type").as("eventType"),
+                col("user_id").as("userId"), col("tus"))
+                .as[graft.streaming.StreamingHopWindow.Evt],
+              sizeUs, hopUs)
+          })
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
@@ -1743,6 +1783,48 @@ object M5Queries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // ---- tokenizer: GPT-2 REGEX PRE-TOKENIZATION (the round-15
+    // verdict's top ask — the published encoder.py pattern: contraction
+    // suffixes, optional-leading-space letter/number/punctuation runs,
+    // whitespace with the last-space giveback, case-PRESERVING) — the
+    // pre-split word table with its byte-unit (Ġ-convention) encoding.
+    // Engine = the published regex through Java's lookahead engine;
+    // oracle = an independent ordered-alternation scanner as a linear
+    // recursive CTE (RE2 has no lookahead — frag.pretokMl spells the
+    // giveback arithmetically)
+    "q_bpe_pretok_words" -> ((s, dir) =>
+      pretokInjected(s, dir)
+        .select(explode(TextFunctions.gpt2Pretokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .select(col("word"), col("cnt"),
+          graft.functions.ByteUnits.byte_units(col("word")).as("units"))
+        .orderBy(col("word"))),
+
+    // ---- tokenizer: vocabulary-scale training over the PRE-SPLIT
+    // stream — trainMergesBatched with pretok = true feeds the existing
+    // byteLevel trainer unchanged ("hello," now trains as "hello" + ","
+    // and " world" as "Ġworld", the production GPT-2 regime)
+    "q_bpe_pretok_train_batched" -> ((s, dir) =>
+      operators.Bpe.trainMergesBatched(pretokInjected(s, dir),
+          frag.bpeE2eRounds, frag.bpeE2eBatch, frag.bpeE2eCap,
+          unitTokens = 1, byteLevel = true, pretok = true)
+        .orderBy(col("rank"))),
+
+    // ---- tokenizer: the PRODUCTION CHAIN re-gated over the pre-split
+    // stream (the q_bpe_bytes_windows composition: batched pretok byte
+    // train → the table frozen into ONE BpeEncode(byteLevel, pretok)
+    // expression → GPT-style token windowing)
+    "q_bpe_pretok_windows" -> ((s, dir) => {
+      val docs = pretokInjected(s, dir)
+      val merges = operators.Bpe.mergePairs(
+        operators.Bpe.trainMergesBatched(docs, frag.bpeE2eRounds,
+          frag.bpeE2eBatch, frag.bpeE2eCap, unitTokens = 1,
+          byteLevel = true, pretok = true))
+      operators.Bpe.tokenWindows(docs, merges,
+          windowSize = frag.tokenWindow, byteLevel = true, pretok = true)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ---- tokenizer: byte-level train ∘ apply ∘ emit — the byte-unit
     // token stream (BpeEncode byteLevel): tokens are unit strings over
     // the GPT-2 alphabet, invertible back to raw bytes once a word's
@@ -1931,6 +2013,23 @@ object M5Queries {
         .select(col("piece"), col("usage_q").as("usage"))
       operators.Unigram.pruneVocab(vocab, softUsage, frag.uniDropK)
         .orderBy(col("n_occ").desc, col("piece"))
+    }),
+
+    // ---- tokenizer: prune ranked by LIKELIHOOD LOSS-DELTA (Kudo's
+    // actual criterion; usage is the approximation — the round-15
+    // verdict's refinement ask): per candidate piece, the corpus-
+    // weighted at-least-once posterior mass ⌊scale·(Z − Z^{−p})/Z⌋ from
+    // one EXCLUDED forward pass per occurring piece, integer-exact over
+    // the same scaled lattice as the soft E-step; drop the dropK
+    // lowest-loss multi-char pieces, single chars immune
+    "q_unigram_prune_loss" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val vocab = graft.operators.SharedBranch.sharedBranch(
+        operators.Unigram.seedVocab(docs, frag.uniMaxPieceLen, frag.uniTopN))
+      val loss = operators.Unigram.pieceLossDelta(docs, vocab,
+        frag.uniProbBits, frag.uniSoftScale)
+      operators.Unigram.pruneVocabByLoss(vocab, loss, frag.uniDropK)
+        .orderBy(col("loss_q").desc, col("piece"))
     }),
 
     // ---- tokenizer: the FULL SOFT-EM TRAINER — the trainVocab loop
@@ -2184,9 +2283,77 @@ object M5Queries {
       * (the hopUs discipline); the trailing doc_id % 5 digit varies
       * the final kana word across docs for pair diversity.
       */
-    val byteInject = " 数据处理 机器学习 déjà vu naïve café 日本語テキスト"
+    // the supplementary-plane words (🚀 U+1F680, 😀 U+1F600 — surrogate
+    // PAIRS in UTF-16, 4 UTF-8 bytes each) bind the one-code-point
+    // fallback/UNK step: a per-UTF-16-unit engine would emit <0x3F>
+    // ('?') pairs instead of the real 4-byte decomposition (round-15
+    // advice); a😀b additionally pins a pair MID-WORD between ASCII
+    // vocabulary pieces
+    val byteInject = " 数据处理 机器学习 déjà vu naïve café 日本語テキスト 🚀数 a😀b"
     val byteDocsCte: String =
       s"bd AS (SELECT doc_id, text || '$byteInject' || CAST(doc_id % 5 AS VARCHAR) AS text FROM documents)"
+
+    /** The q_bpe_pretok_* injection tail — every GPT-2 pre-split branch
+      * must BIND (the byteInject vacuity discipline): contractions
+      * (don't/it's/I'll/they're/you've/I'm/we'd — the 7 suffix
+      * alternatives), apostrophes that are NOT contractions ('quoted' —
+      * " '" rides the punctuation branch), punctuation adjacent to
+      * words (Hello, World! (line) [k]), a DOUBLE space (the
+      * `\s+(?!\S)` last-space giveback), tab/newline (non-space
+      * whitespace never absorbs into ` ?`), digit runs with punctuation
+      * (3.14, x-2), mixed case (pretok is case-PRESERVING — lowercasing
+      * here would hash-match anyway and hide a case bug), and a CJK
+      * letter run (multi-byte units under byteLevel). The doc-varying
+      * digit lands after '#' so the number branch varies per doc.
+      */
+    val pretokInject =
+      " We don't it's I'll they're you've I'm we'd 'quoted'  Hello,  World!\tTab\nNew (line) [k] 3.14 x-2 日本語テキスト #"
+    val pretokDocsCte: String =
+      s"pd AS (SELECT doc_id, text || '${pretokInject.replace("'", "''")}' || CAST(doc_id % 5 AS VARCHAR) AS text FROM documents)"
+
+    /** Match length of the GPT-2 pre-tokenization pattern at position
+      * `pos` of `text` — the ORDERED-ALTERNATION semantics of the
+      * published pattern (contractions first, then optional-space
+      * letter/number/punctuation runs, then whitespace) spelled WITHOUT
+      * the `(?!\S)` lookahead RE2 cannot express: a whitespace run is
+      * taken whole when it reaches end-of-text, else gives up its last
+      * character to the following token (run − 1), else — a single
+      * non-space-adjacent whitespace char (tab/newline before non-space,
+      * where ` ?` cannot absorb it) — length 1. An independent SPELLING,
+      * not a shared implementation: the engine runs the published regex
+      * itself through Java's lookahead engine.
+      */
+    def pretokMl(text: String, pos: String): String = {
+      val rest = s"substr($text, ($pos)::INT)"
+      val l3 = s"substr($text, ($pos)::INT, 3)"
+      val l2 = s"substr($text, ($pos)::INT, 2)"
+      val let = s"regexp_extract($rest, '^ ?[\\p{L}]+')"
+      val num = s"regexp_extract($rest, '^ ?[\\p{N}]+')"
+      val oth = s"regexp_extract($rest, '^ ?[^\\s\\p{L}\\p{N}]+')"
+      val ws = s"regexp_extract($rest, '^[\\s]+')"
+      s"""CASE WHEN $l3 IN ('''re', '''ve', '''ll') THEN 3
+         | WHEN $l2 IN ('''s', '''t', '''m', '''d') THEN 2
+         | WHEN len($let) > 0 THEN len($let)
+         | WHEN len($num) > 0 THEN len($num)
+         | WHEN len($oth) > 0 THEN len($oth)
+         | WHEN ($pos) + len($ws) > len($text) THEN len($ws)
+         | WHEN len($ws) > 1 THEN len($ws) - 1
+         | ELSE 1 END""".stripMargin.replace("\n", " ")
+    }
+
+    /** The GPT-2 pre-tokenization SCANNER over `pd` as a linear
+      * recursive CTE — one step per emitted token, each step taking
+      * [[pretokMl]] at the current position (leftmost-first ordered
+      * alternation ≡ the regex engine's scan, because the alternation
+      * covers every character class and matches are therefore
+      * contiguous). Ends in `ptok(doc_id, ord, tok)`, ord 1-based in
+      * scan order. Requires the gate SQL to open WITH RECURSIVE.
+      */
+    def pretokScanCtes: String =
+      s"""pscan AS (SELECT doc_id, text, 1::BIGINT AS pos, CAST(NULL AS VARCHAR) AS tok, 0::BIGINT AS ord FROM pd
+         | UNION ALL SELECT doc_id, text, pos + ml, substr(text, pos::INT, ml::INT), ord + 1
+         |   FROM (SELECT doc_id, text, pos, ord, (${pretokMl("text", "pos")})::BIGINT AS ml FROM pscan WHERE pos <= len(text))),
+         | ptok AS MATERIALIZED (SELECT doc_id, ord, tok FROM pscan WHERE tok IS NOT NULL)""".stripMargin.replace("\n", " ")
 
     /** DuckDB mirror of the GPT-2 bytes→units bijection
       * ([[graft.functions.ByteUnitsOps]]): hex-dump the UTF-8 bytes
@@ -2464,6 +2631,41 @@ object M5Queries {
       parts.result().mkString(",\n ")
     }
 
+    /** Likelihood-loss prune mirror ([[graft.functions.UnigramLossDelta]]):
+      * on top of the soft chain's quantized model `uq` and full forward
+      * total `uz`, one EXCLUDED forward chain keyed by (word, excluded
+      * piece) — candidates are the multi-char vocabulary pieces
+      * occurring in each word (`contains`), the recursion is the ufa
+      * chain with `q.piece <> f.ex` on every step (the all-singles path
+      * survives every exclusion, so totals stay positive), and the
+      * per-word loss is the floored at-least-once posterior mass
+      * `⌊scale·(Z − Z^{−p})/Z⌋`, corpus-weighted like uusage. Ends in
+      * `xloss(piece, lq)`.
+      */
+    def unigramLossCtes: String = {
+      val L = uniMaxPieceLen
+      val H = uniHorizon
+      def sp(k: Int): Long = 1L << (uniProbBits * (k - 1))
+      val parts = Seq.newBuilder[String]
+      parts += unigramSoftCtes
+      parts += "xc AS MATERIALIZED (SELECT DISTINCT w.word, q.piece AS ex FROM uwc w JOIN uq q ON len(q.piece) > 1 AND contains(w.word, q.piece))"
+      parts += "xf0 AS (SELECT word, ex, 0 AS i, 1::HUGEINT AS a FROM xc)"
+      for (t <- 1 to H) {
+        val cands = (math.max(0, t - L) until t).map(j =>
+          s"SELECT f.word, f.ex, f.a * q.q * ${sp(t - j)}::HUGEINT AS term FROM xf$j f JOIN uq q ON q.piece = substr(f.word, ${j + 1}, ${t - j}) AND q.piece <> f.ex WHERE len(f.word) >= $t")
+          .mkString(" UNION ALL ")
+        parts += s"xfc$t AS ($cands)"
+        parts += s"xf$t AS MATERIALIZED (SELECT word, ex, $t AS i, sum(term)::HUGEINT AS a FROM xfc$t GROUP BY 1, 2)"
+      }
+      val finals = (1 to H)
+        .map(t => s"SELECT word, ex, a FROM xf$t WHERE len(word) = $t")
+        .mkString(" UNION ALL ")
+      parts += s"xz AS ($finals)"
+      parts += s"xd AS (SELECT x.word, x.ex AS piece, (($uniSoftScale::HUGEINT * (z.z - x.a)) // z.z) AS dq FROM xz x JOIN uz z USING (word))"
+      parts += "xloss AS (SELECT piece, sum(cnt * dq) AS lq FROM xd JOIN uwc USING (word) GROUP BY 1)"
+      parts.result().mkString(",\n ")
+    }
+
     /** FULL soft-EM trainer mirror: `uniTrainRounds` unrolled rounds of
       * (soft E-step chain under the current vocab → dynamic drop-K
       * prune → +1 Laplace re-score), exactly [[unigramTrainCtes]] with
@@ -2611,16 +2813,24 @@ object M5Queries {
       * steps per round).
       */
     def bpeBatchCtes(rounds: Int, k: Int, cap: Int, unitTokens: Int = 2,
-        byteLevel: Boolean = false, src: String = "documents"): String = {
+        byteLevel: Boolean = false, src: String = "documents",
+        wordsSql: Option[String] = None): String = {
       require(unitTokens == 1 || unitTokens == 2,
         s"oracle mirror supports unitTokens 1 or 2, got $unitTokens")
       require(!(byteLevel && unitTokens != 1),
         "byteLevel applies to word-level units only (the engine contract)")
+      // wordsSql: a full SELECT yielding one `word` row per occurrence —
+      // the pretok gates swap the whitespace tokenizer for the GPT-2
+      // scanner stream here (word-level units only)
+      require(wordsSql.isEmpty || unitTokens == 1,
+        "a custom word stream implies word-level units")
       val unitExpr =
         if (unitTokens == 1) "unnest(w)"
         else "unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]))"
+      val wordsSrc = wordsSql.getOrElse(
+        s"SELECT $unitExpr AS word FROM (SELECT $toks w FROM $src)")
       val parts = Seq.newBuilder[String]
-      parts += s"bwc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM (SELECT $unitExpr AS word FROM (SELECT $toks w FROM $src)) GROUP BY 1)"
+      parts += s"bwc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM ($wordsSrc) GROUP BY 1)"
       // byte-level: unit-encode AFTER the distinct-word agg (bpeCtes)
       if (byteLevel)
         parts += s"bwu AS (SELECT ${byteUnitsExpr("word")} AS word, cnt FROM bwc)"
@@ -3025,6 +3235,27 @@ object M5Queries {
         | count(DISTINCT user_id) AS n_users,
         | min(event_id) AS min_event_id, max(event_id) AS max_event_id
         |FROM x GROUP BY window_start_us, event_type
+        |ORDER BY window_start_us, event_type""".stripMargin,
+
+    // streaming hop-window mirror: the SAME batch aggregation restricted
+    // to FINALIZED windows — window end ≤ the final watermark, i.e. the
+    // millisecond floor of the corpus's max event time (Spark tracks
+    // watermarks in ms; delay 0). The restriction is the ONLY delta from
+    // the batch oracle: the time-ordered split guarantees no late drops,
+    // so finalized windows carry their complete batch aggregates.
+    "q_stream_hop_window" ->
+      s"""WITH e AS (SELECT epoch_us(ts) AS tus, event_type, user_id, event_id
+        |     FROM events),
+        | b AS (SELECT tus - tus % $HopWindowHopUs AS b, event_type, user_id, event_id
+        |     FROM e),
+        | x AS (SELECT unnest([b - $HopWindowHopUs, b]) AS window_start_us,
+        |     event_type, user_id, event_id FROM b)
+        |SELECT window_start_us, event_type, count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users,
+        | min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        |FROM x
+        |WHERE window_start_us + ${2 * HopWindowHopUs} <= (SELECT (max(tus) // 1000) * 1000 FROM e)
+        |GROUP BY window_start_us, event_type
         |ORDER BY window_start_us, event_type""".stripMargin,
 
     "q_dedup_exact" ->
@@ -3854,6 +4085,44 @@ object M5Queries {
          |  ((gpos - 1) % ${frag.tokenWindow})::BIGINT AS off
          |FROM g ORDER BY doc_id, pos""".stripMargin,
 
+    // pretok word-table mirror: the recursive scanner stream grouped to
+    // (word, cnt), byte-units via the independent hex-dump spelling
+    "q_bpe_pretok_words" ->
+      s"""WITH RECURSIVE ${frag.pretokDocsCte}, ${frag.pretokScanCtes},
+         | pwc AS (SELECT tok AS word, count(*) AS cnt FROM ptok GROUP BY 1)
+         |SELECT word, cnt::BIGINT AS cnt, ${frag.byteUnitsExpr("word")} AS units
+         |FROM pwc ORDER BY word""".stripMargin,
+
+    // pretok batched-training mirror: the bpeBatchCtes recursion with
+    // the word stream swapped for the scanner's tokens (then the usual
+    // unit-encode-after-distinct step)
+    "q_bpe_pretok_train_batched" -> {
+      val union = (0 until frag.bpeE2eRounds).map(t =>
+        s"SELECT $t AS round, rn, l, r, c FROM sb$t").mkString(" UNION ALL ")
+      s"""WITH RECURSIVE ${frag.pretokDocsCte}, ${frag.pretokScanCtes},
+         | ${frag.bpeBatchCtes(frag.bpeE2eRounds, frag.bpeE2eBatch, frag.bpeE2eCap, unitTokens = 1, byteLevel = true, wordsSql = Some("SELECT tok AS word FROM ptok"))}
+         |SELECT (row_number() OVER (ORDER BY round, rn) - 1)::INT AS rank, round::INT AS round,
+         |  l AS "left", r AS "right", c::BIGINT AS pair_count
+         |FROM ($union) ORDER BY rank""".stripMargin
+    },
+
+    // pretok end-to-end chain mirror: q_bpe_bytes_windows with the
+    // whitespace tokenizer swapped for the scanner on BOTH the training
+    // and the apply side (the wb{R} join key is the unit word; the
+    // scanner's ord is the word subscript)
+    "q_bpe_pretok_windows" ->
+      s"""WITH RECURSIVE ${frag.pretokDocsCte}, ${frag.pretokScanCtes},
+         | ${frag.bpeBatchCtes(frag.bpeE2eRounds, frag.bpeE2eBatch, frag.bpeE2eCap, unitTokens = 1, byteLevel = true, wordsSql = Some("SELECT tok AS word FROM ptok"))},
+         | e AS (SELECT doc_id, ord AS wi, ${frag.byteUnitsExpr("tok")} AS word FROM ptok),
+         | flat AS (SELECT doc_id, wi, si, sym FROM (SELECT doc_id, wi, unnest(syms) AS sym, generate_subscripts(syms, 1) AS si FROM (SELECT e.doc_id, e.wi, b.syms FROM e JOIN wb${frag.bpeE2eRounds} b USING (word)))),
+         | p AS (SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, sym AS token FROM flat),
+         | lens AS (SELECT pd.doc_id, coalesce(max(pos), 0) AS mp FROM pd LEFT JOIN p USING (doc_id) GROUP BY 1),
+         | allt AS (SELECT doc_id, pos, token FROM p UNION ALL SELECT doc_id, (mp + 1)::INT, '<eod>' FROM lens),
+         | g AS (SELECT doc_id, pos, token, row_number() OVER (ORDER BY doc_id, pos) AS gpos FROM allt)
+         |SELECT doc_id, pos, token, ((gpos - 1) // ${frag.tokenWindow})::BIGINT AS win_id,
+         |  ((gpos - 1) % ${frag.tokenWindow})::BIGINT AS off
+         |FROM g ORDER BY doc_id, pos""".stripMargin,
+
     // byte-level segmentation mirror: train + apply over unit-encoded
     // words (n_tokens in byte units)
     "q_bpe_bytes_segment" -> bpeSegmentOracleFor(byteLevel = true, src = "bd"),
@@ -4019,6 +4288,18 @@ object M5Queries {
          | SELECT piece, usage FROM sj WHERE len(piece) = 1
          | UNION ALL SELECT piece, usage FROM smrk WHERE rk > ${frag.uniDropK})
          |ORDER BY n_occ DESC, piece""".stripMargin,
+
+    // loss-delta prune mirror: the excluded-forward chains
+    // (frag.unigramLossCtes) ending in xloss, then the SAME drop-K
+    // spelling as the usage prune over (loss ASC, piece ASC)
+    "q_unigram_prune_loss" ->
+      s"""WITH ${frag.unigramLossCtes},
+         | lj AS (SELECT v.piece, coalesce(l.lq, 0)::BIGINT AS loss_q FROM uvoc v LEFT JOIN xloss l USING (piece)),
+         | lmrk AS (SELECT piece, loss_q, row_number() OVER (ORDER BY loss_q, piece) AS rk FROM lj WHERE len(piece) > 1)
+         |SELECT piece, loss_q FROM (
+         | SELECT piece, loss_q FROM lj WHERE len(piece) = 1
+         | UNION ALL SELECT piece, loss_q FROM lmrk WHERE rk > ${frag.uniDropK})
+         |ORDER BY loss_q DESC, piece""".stripMargin,
 
     // pruned-model stats mirror: the SECOND DP chain (up prefix) under
     // the usage-rescored vocabulary; same LEFT-JOIN-at-0 discipline

@@ -49,7 +49,7 @@ import scala.collection.mutable
   * multibyte corpora; oracle-gated at `q_bpe_bytes_segment`).
   */
 case class BpeSegmentStats(child: Expression, merges: Seq[(String, String)],
-    byteLevel: Boolean = false)
+    byteLevel: Boolean = false, pretok: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
@@ -61,13 +61,13 @@ case class BpeSegmentStats(child: Expression, merges: Seq[(String, String)],
   private lazy val rights: Array[String] = merges.map(_._2).toArray
 
   override protected def nullSafeEval(input: Any): Any =
-    BpeSegmentStats.compute(input.toString, lefts, rights, byteLevel)
+    BpeSegmentStats.compute(input.toString, lefts, rights, byteLevel, pretok)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lRef = ctx.addReferenceObj("lefts", lefts, "java.lang.String[]")
     val rRef = ctx.addReferenceObj("rights", rights, "java.lang.String[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.BpeSegmentStats.compute($c.toString(), $lRef, $rRef, $byteLevel);")
+      s"${ev.value} = graft.functions.BpeSegmentStats.compute($c.toString(), $lRef, $rRef, $byteLevel, $pretok);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -87,7 +87,7 @@ case class BpeSegmentStats(child: Expression, merges: Seq[(String, String)],
   * re-concatenated.
   */
 case class BpeEncode(child: Expression, merges: Seq[(String, String)],
-    byteLevel: Boolean = false)
+    byteLevel: Boolean = false, pretok: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -97,13 +97,13 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)],
   private lazy val rights: Array[String] = merges.map(_._2).toArray
 
   override protected def nullSafeEval(input: Any): Any =
-    BpeSegmentStats.computeTokens(input.toString, lefts, rights, byteLevel)
+    BpeSegmentStats.computeTokens(input.toString, lefts, rights, byteLevel, pretok)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lRef = ctx.addReferenceObj("lefts", lefts, "java.lang.String[]")
     val rRef = ctx.addReferenceObj("rights", rights, "java.lang.String[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.BpeSegmentStats.computeTokens($c.toString(), $lRef, $rRef, $byteLevel);")
+      s"${ev.value} = graft.functions.BpeSegmentStats.computeTokens($c.toString(), $lRef, $rRef, $byteLevel, $pretok);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -114,6 +114,14 @@ object BpeSegmentStats {
 
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
+  /** Compiled once per JVM: the GPT-2 pre-tokenization pattern
+    * ([[TextFunctions.Gpt2PretokPattern]]). Pretok mode iterates these
+    * matches (case-PRESERVING — GPT-2 does not lowercase; whitespace
+    * runs are tokens too) instead of the whitespace/lowercase word scan.
+    */
+  private val Gpt2Pat: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(TextFunctions.Gpt2PretokPattern)
 
   /** One word's symbols after applying every merge in rank order
     * (greedy left-to-right per merge). Symbols start per code point —
@@ -154,19 +162,27 @@ object BpeSegmentStats {
 
   /** Static for codegen: tokenize + apply the frozen table per word. */
   def compute(input: String, lefts: Array[String],
-      rights: Array[String], byteLevel: Boolean): InternalRow = {
-    val text = input.toLowerCase(java.util.Locale.ROOT)
+      rights: Array[String], byteLevel: Boolean, pretok: Boolean): InternalRow = {
     var nWords = 0L
     var nTokens = 0L
-    var i = 0
-    val len = text.length
-    while (i < len) {
-      while (i < len && isWs(text.charAt(i))) i += 1
-      val start = i
-      while (i < len && !isWs(text.charAt(i))) i += 1
-      if (i > start) {
+    if (pretok) {
+      val m = Gpt2Pat.matcher(input)
+      while (m.find()) {
         nWords += 1
-        nTokens += wordSyms(text.substring(start, i), lefts, rights, byteLevel).length
+        nTokens += wordSyms(m.group(), lefts, rights, byteLevel).length
+      }
+    } else {
+      val text = input.toLowerCase(java.util.Locale.ROOT)
+      var i = 0
+      val len = text.length
+      while (i < len) {
+        while (i < len && isWs(text.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isWs(text.charAt(i))) i += 1
+        if (i > start) {
+          nWords += 1
+          nTokens += wordSyms(text.substring(start, i), lefts, rights, byteLevel).length
+        }
       }
     }
     new GenericInternalRow(Array[Any](nWords, nTokens))
@@ -177,19 +193,28 @@ object BpeSegmentStats {
     * order) — the [[BpeEncode]] body.
     */
   def computeTokens(input: String, lefts: Array[String],
-      rights: Array[String], byteLevel: Boolean): GenericArrayData = {
-    val text = input.toLowerCase(java.util.Locale.ROOT)
+      rights: Array[String], byteLevel: Boolean,
+      pretok: Boolean): GenericArrayData = {
     val out = mutable.ArrayBuffer.empty[Any]
-    var i = 0
-    val len = text.length
-    while (i < len) {
-      while (i < len && isWs(text.charAt(i))) i += 1
-      val start = i
-      while (i < len && !isWs(text.charAt(i))) i += 1
-      if (i > start)
-        wordSyms(text.substring(start, i), lefts, rights, byteLevel).foreach { s =>
+    if (pretok) {
+      val m = Gpt2Pat.matcher(input)
+      while (m.find())
+        wordSyms(m.group(), lefts, rights, byteLevel).foreach { s =>
           out += org.apache.spark.unsafe.types.UTF8String.fromString(s)
         }
+    } else {
+      val text = input.toLowerCase(java.util.Locale.ROOT)
+      var i = 0
+      val len = text.length
+      while (i < len) {
+        while (i < len && isWs(text.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isWs(text.charAt(i))) i += 1
+        if (i > start)
+          wordSyms(text.substring(start, i), lefts, rights, byteLevel).foreach { s =>
+            out += org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          }
+      }
     }
     new GenericArrayData(out.toArray)
   }

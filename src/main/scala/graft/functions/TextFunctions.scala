@@ -32,6 +32,32 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[ \t\n\f\r]+"), t => length(t) > 0)
 
+  /** The published GPT-2 pre-tokenization pattern (Radford et al. 2019,
+    * the released encoder.py's `pat`): an ORDERED alternation of
+    * contraction suffixes ('s 't 're 've 'm 'll 'd), optional-single-
+    * leading-space letter / number / punctuation runs, then whitespace —
+    * where `\s+(?!\S)` makes a whitespace run followed by non-space give
+    * up its LAST space to the next token (the Ġ-prefix convention; byte
+    * 0x20 is in the GPT-2 unit alphabet precisely for this). Unlike
+    * [[tokens]] there is NO lowercasing: GPT-2 pre-tokenization is
+    * case-preserving. `\p{L}`/`\p{N}` are the same Unicode categories in
+    * Java regex as in the Python `regex` module the reference pattern
+    * targets; `\s` is Java's ASCII-default class, and the oracle's RE2
+    * `\s` agrees on everything but \x0B (excluded from fixtures — the
+    * [[tokens]] split-class discipline).
+    */
+  val Gpt2PretokPattern: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+
+  /** GPT-2 pre-tokenization as a codegen'd column: every non-overlapping
+    * match of [[Gpt2PretokPattern]] in scan order. The alternation covers
+    * every character class, so the matches are CONTIGUOUS — their
+    * concatenation reproduces the input exactly (BpeSpec pins it), which
+    * is what makes byte-level BPE over this stream lossless.
+    */
+  def gpt2Pretokens(text: Column): Column =
+    regexp_extract_all(text, lit(Gpt2PretokPattern), lit(0))
+
   /** Polynomial rolling hash of a string: fold(acc·31 + codepoint) mod P.
     * The document-fingerprint primitive. Delegates to the
     * [[RollingHash]] expression — true code points; the HOF spelling

@@ -179,10 +179,35 @@ object UnigramSegment {
       while (l <= lMax) {
         val piece = word.substring(t - l, t)
         val s0 = m.scores.get(piece)
-        if (s0 != null)
-          offer(score(t - l) + s0.intValue(), np(t - l) + 1, piece, l, fb = false)
-        else if (l == 1) {
-          if (m.byteFallback) {
+        if (s0 != null) {
+          // mid-codepoint DP cells (see below) are unreachable: never
+          // extend from a MinValue base (the sum would wrap)
+          if (score(t - l) != Long.MinValue)
+            offer(score(t - l) + s0.intValue(), np(t - l) + 1, piece, l, fb = false)
+        } else if (l == 1) {
+          val c0 = word.charAt(t - 1)
+          if (Character.isLowSurrogate(c0) && t >= 2 &&
+              Character.isHighSurrogate(word.charAt(t - 2))) {
+            // a supplementary-plane character is TWO UTF-16 units but ONE
+            // code point: the fallback/UNK step spans both (length 2) and
+            // takes the full code point's real UTF-8 bytes — per-unit
+            // getBytes would see unpaired surrogates and emit '?' (0x3F),
+            // breaking invertibility and diverging from the code-point-
+            // based oracle (round-15 advice)
+            val cp = word.substring(t - 2, t)
+            if (m.byteFallback) {
+              val bytes = cp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              offer(score(t - 2) + bytes.length.toLong * m.unkScore,
+                np(t - 2) + bytes.length, byteToken(bytes(bytes.length - 1)),
+                2, fb = true)
+            } else // UNK single CODE POINT, count-1 score
+              offer(score(t - 2) + m.unkScore, np(t - 2) + 1, cp, 2, fb = false)
+          } else if (Character.isHighSurrogate(c0) && t < n &&
+              Character.isLowSurrogate(word.charAt(t))) {
+            // position splits a surrogate pair: no step may end here (the
+            // pair's one step lands at t + 1); the cell stays unreachable
+            // and the MinValue guard above keeps it out of every path
+          } else if (m.byteFallback) {
             // byte decomposition: nb pieces, unkScore per BYTE
             val bytes = piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             offer(score(t - 1) + bytes.length.toLong * m.unkScore,
@@ -242,8 +267,9 @@ object UnigramSegment {
         while (t > 0) {
           val l = lastLen(t)
           if (isFb(t)) {
-            // byte tokens in byte order ⇒ reversed into the rev buffer
-            val bytes = w.substring(t - 1, t)
+            // byte tokens in byte order ⇒ reversed into the rev buffer;
+            // l = 2 for a surrogate-pair step (one code point, 4 bytes)
+            val bytes = w.substring(t - l, t)
               .getBytes(java.nio.charset.StandardCharsets.UTF_8)
             var b = bytes.length - 1
             while (b >= 0) { rev += byteToken(bytes(b)); b -= 1 }

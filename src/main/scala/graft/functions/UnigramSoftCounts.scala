@@ -32,10 +32,19 @@ import java.math.BigInteger
   * p as word[i+1..i+k] contributes posterior mass
   * A[i]·q(p)·S^(k−1)·B[len−i−k] / A[len] — a ratio of INTEGERS, and
   * the emitted `e_q = ⌊scale · Σ_occ mass⌋` is integer-exact
-  * cross-engine (the numerators live in BigInteger here, HUGEINT in
-  * the oracle — probBits·maxWordLen must stay under the 127-bit
-  * HUGEINT envelope, which probBits = 8 and the fixture horizon 8
-  * satisfy with ~60 bits to spare). Expected counts are summed over
+  * cross-engine. The numerators live in BigInteger here, HUGEINT in
+  * the oracle, so the LARGEST oracle intermediate — `scale · numer(p)`
+  * — must stay under 127 bits. The bound (round-15 advice tightened
+  * it to include the scale multiplier and segmentation-count growth):
+  * q ≤ S ⇒ alpha[i] ≤ #segmentations(prefix) ≤ 2^(i−1), so
+  * A[n] ≤ 2^(n−1)·S^n, and Σ_p numer(p) = A[n]·E_total with
+  * E_total ≤ n, giving bits(scale·numer) ≤ (n−1) + n·probBits +
+  * ⌈log₂ n⌉ + ⌈log₂ scale⌉ — at the fixture regime (n = 8,
+  * probBits = 8, scale = 10⁶) that is 7 + 64 + 3 + 20 = 94 bits,
+  * 33 to spare even at an all-high-q vocabulary. [[compute]] also
+  * guards the EXACT value at emission (`bitLength ≤ 126`), so a
+  * regime that would overflow the DuckDB mirror fails loudly
+  * engine-side instead of desynchronizing. Expected counts are summed over
   * the lattice; Σ_p E(p) is the expected PIECE COUNT of a random
   * segmentation drawn from the posterior — between 1 and len(word).
   *
@@ -192,7 +201,14 @@ object UnigramSoftCounts {
     val it = numer.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val eq = e.getValue.multiply(scaleB).divide(z).longValueExact()
+      val prod = e.getValue.multiply(scaleB)
+      // the DuckDB mirror computes this exact product in HUGEINT
+      // (127-bit signed): fail loudly HERE rather than let the oracle
+      // overflow on a regime the class doc's envelope bound missed
+      require(prod.bitLength <= 126,
+        s"scale*numer for piece '${e.getKey}' of word '$word' needs " +
+          s"${prod.bitLength} bits — exceeds the oracle's HUGEINT envelope")
+      val eq = prod.divide(z).longValueExact()
       out(j) = InternalRow(e.getKey, eq)
       j += 1
     }

@@ -74,10 +74,18 @@ object Bpe {
     * the mapping.
     */
   private def wordTable(docs: DataFrame, unitTokens: Int = 1,
-      byteLevel: Boolean = false): DataFrame = {
+      byteLevel: Boolean = false, pretok: Boolean = false): DataFrame = {
     require(!(byteLevel && unitTokens != 1),
       "byteLevel applies to word-level units only (unitTokens = 1)")
-    val toks = TextFunctions.tokens(col("text"))
+    // pretok = the GPT-2 pre-split ([[TextFunctions.gpt2Pretokens]]):
+    // case-preserving regex pieces with the leading space ATTACHED to
+    // the following word — which only round-trips when the space is an
+    // ordinary trainable symbol, i.e. at byteLevel (Ġ = unit of 0x20)
+    require(!pretok || byteLevel,
+      "pretok requires byteLevel (the Ġ space convention lives in the unit alphabet)")
+    val toks =
+      if (pretok) TextFunctions.gpt2Pretokens(col("text"))
+      else TextFunctions.tokens(col("text"))
     val units = if (unitTokens == 1) toks else TextFunctions.shingles(toks, unitTokens)
     val w = if (byteLevel) graft.functions.ByteUnits.byte_units(col("word"))
             else col("word")
@@ -119,10 +127,11 @@ object Bpe {
     * truncation would desynchronize the oracle twin).
     */
   def trainMerges(docs: DataFrame, numMerges: Int,
-      byteLevel: Boolean = false): DataFrame = {
+      byteLevel: Boolean = false, pretok: Boolean = false): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = docs.sparkSession
-    var words = wordTable(docs, byteLevel = byteLevel).localCheckpoint()
+    var words = wordTable(docs, byteLevel = byteLevel, pretok = pretok)
+      .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (rank <- 0 until numMerges) {
       val top = pairCounts(words)
@@ -250,13 +259,13 @@ object Bpe {
     */
   def trainMergesBatched(docs: DataFrame, rounds: Int, batchSize: Int,
       candidateCap: Int = 0, unitTokens: Int = 1,
-      byteLevel: Boolean = false): DataFrame = {
+      byteLevel: Boolean = false, pretok: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val cap = if (candidateCap > 0) candidateCap else 4 * batchSize
     require(cap >= batchSize, s"candidateCap $cap < batchSize $batchSize")
     val spark = docs.sparkSession
-    var words = wordTable(docs, unitTokens, byteLevel).localCheckpoint()
+    var words = wordTable(docs, unitTokens, byteLevel, pretok).localCheckpoint()
     val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
     var rank = 0
     for (round <- 0 until rounds) {
@@ -302,8 +311,12 @@ object Bpe {
     * that conservation property — so it is not a useful column.)
     */
   def segmentStats(docs: DataFrame, merges: Seq[(String, String)],
-      byteLevel: Boolean = false): DataFrame = {
-    val toks = TextFunctions.tokens(col("text"))
+      byteLevel: Boolean = false, pretok: Boolean = false): DataFrame = {
+    require(!pretok || byteLevel,
+      "pretok requires byteLevel (the Ġ space convention lives in the unit alphabet)")
+    val toks =
+      if (pretok) TextFunctions.gpt2Pretokens(col("text"))
+      else TextFunctions.tokens(col("text"))
     val unit: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       if (byteLevel) graft.functions.ByteUnits.byte_units else identity
     val seg0 = transform(toks, w => split(unit(w), ""))
@@ -335,10 +348,10 @@ object Bpe {
     * existing oracle gates both spellings.
     */
   def segmentStatsFrozen(docs: DataFrame, merges: Seq[(String, String)],
-      byteLevel: Boolean = false): DataFrame = {
+      byteLevel: Boolean = false, pretok: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
     val st = toColumn(graft.functions.BpeSegmentStats(toExpression(col("text")),
-      merges, byteLevel))
+      merges, byteLevel, pretok))
     docs.select(col("doc_id"), st.as("st"))
       .select(col("doc_id"), col("st.n_words").as("n_words"),
         // tokenless docs mirror segmentStats' coalesce-at-0
@@ -357,10 +370,10 @@ object Bpe {
     * corpus state, not expression state).
     */
   def encodeTokens(docs: DataFrame, merges: Seq[(String, String)],
-      byteLevel: Boolean = false): DataFrame = {
+      byteLevel: Boolean = false, pretok: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
     val enc = toColumn(graft.functions.BpeEncode(toExpression(col("text")),
-      merges, byteLevel))
+      merges, byteLevel, pretok))
     docs.select(col("doc_id"), posexplode(enc).as(Seq("pos0", "token")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
   }
@@ -595,9 +608,9 @@ object Bpe {
     */
   def tokenWindows(docs: DataFrame, merges: Seq[(String, String)],
       windowSize: Int, eodToken: String = "<eod>",
-      byteLevel: Boolean = false): DataFrame = {
+      byteLevel: Boolean = false, pretok: Boolean = false): DataFrame = {
     require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
-    globalTokenStream(docs, merges, eodToken, byteLevel)
+    globalTokenStream(docs, merges, eodToken, byteLevel, pretok)
       .select(col("doc_id"), col("pos"), col("token"),
         expr(s"(gpos - 1) div $windowSize").as("win_id"),
         expr(s"(gpos - 1) % $windowSize").as("off"))
@@ -613,9 +626,9 @@ object Bpe {
     */
   private def globalTokenStream(docs: DataFrame,
       merges: Seq[(String, String)], eodToken: String,
-      byteLevel: Boolean = false): DataFrame =
+      byteLevel: Boolean = false, pretok: Boolean = false): DataFrame =
     globalStreamOf(
-      SharedBranch.sharedBranch(encodeTokens(docs, merges, byteLevel)),
+      SharedBranch.sharedBranch(encodeTokens(docs, merges, byteLevel, pretok)),
       docs.select(col("doc_id")), eodToken)
 
   /** TOKENIZER-AGNOSTIC form of the windowing input: `stream` is ANY

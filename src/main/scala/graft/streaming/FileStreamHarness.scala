@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, min, ntile}
 import org.apache.spark.sql.streaming.Trigger
 
 /** Deterministic FILE-SOURCE oracle harness for the STATELESS streaming
@@ -59,6 +59,13 @@ object FileStreamHarness {
       batch.repartition(numFiles, col(keyCol)).write.parquet(d)
       d
     })
+    // seed outDir with a ZERO-ROW write of the transformed schema: a
+    // transform that legitimately emits nothing in every micro-batch
+    // would otherwise leave outDir nonexistent and the read-back throw
+    // path-not-found instead of comparing empty-vs-empty (round-15
+    // advice). The limit(0) batch plan shares the streaming transform's
+    // analysis, so the seeded schema can never drift from the appends.
+    transform(batch.limit(0)).write.mode("overwrite").parquet(outDir)
     val stream = spark.readStream
       .schema(batch.schema)
       .option("maxFilesPerTrigger", 1)
@@ -67,6 +74,96 @@ object FileStreamHarness {
       .foreachBatch { (b: DataFrame, id: Long) =>
         onBatch(id)
         // append per batch: the scratch dir accumulates the union
+        b.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", s"$scratch/_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  // the ordered split is a pure function of (sfDir, table, tsCol,
+  // numFiles) — build it once per JVM (the splitCache discipline)
+  private val orderedSplitCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String, Int), String]
+
+  /** Run a STATEFUL event-time transform (watermarked append-mode
+    * aggregation) over `table` as a TIME-ORDERED multi-micro-batch file
+    * stream — the stateful extension of [[runStateless]] (the round-15
+    * verdict ask #2). Two constructions make the output row SET a pure
+    * function of the fixture, so the SAME DuckDB oracle family gates it:
+    *
+    *  1. **Time-ordered, tie-cohesive split.** Input files are range
+    *     buckets of the event-time column (`ntile` over time order,
+    *     then every row of a tied timestamp pulled into the tie's FIRST
+    *     bucket), written sequentially with STRICTLY INCREASING file
+    *     modification times (set explicitly — the file source orders by
+    *     modTime, and same-millisecond writes would otherwise leave the
+    *     batch order to the filesystem). Batch k therefore holds only
+    *     event times strictly between batch k−1's max and batch k+1's
+    *     min: the watermark after batch k (= max event time seen, delay
+    *     0) can never exceed a LATER batch's events, so **no row is
+    *     ever late-dropped** and every finalized window holds its
+    *     complete batch-side aggregate.
+    *  2. **Append-mode emission is exactly-once per group.** A window
+    *     emits in whichever micro-batch its end first falls behind the
+    *     watermark — WHICH batch that is depends on the split, but the
+    *     UNION over all batches (what the scratch dir accumulates) is
+    *     exactly the windows whose end ≤ the FINAL watermark = the
+    *     fixture's max event time — a deterministic set the oracle
+    *     restricts to with one WHERE clause.
+    *
+    * `tsCol` must be an exact epoch-µs LONG column already present on
+    * the loaded table frame after `prep` (the harness splits on it);
+    * `transform` sees the streaming frame with the same schema. Returns
+    * the read-back union of every micro-batch's appends.
+    */
+  def runEventTime(spark: SparkSession, sfDir: String, table: String,
+      prep: DataFrame => DataFrame, tsCol: String,
+      transform: DataFrame => DataFrame, numFiles: Int = 4,
+      onBatch: Long => Unit = _ => ()): DataFrame = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val scratch = java.nio.file.Files.createTempDirectory("graft_stream_evt_")
+      .toString
+    val outDir = s"$scratch/out"
+    val batch = prep(graft.sources.Tables.load(spark, sfDir, table))
+    val inDir = orderedSplitCache.getOrElseUpdate((sfDir, table, tsCol, numFiles), {
+      val d = s"$scratch/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(tsCol))
+      // ntile over time order, then tie cohesion: all rows of one
+      // timestamp land in the tie's first bucket, so bucket boundaries
+      // are strict time boundaries (the no-late-rows precondition).
+      // The single-partition window is fixture-sized harness scaffolding
+      // (gate input, not a scale path); production streams arrive
+      // time-ordered from the source and never need this re-split.
+      val bucketed = batch
+        .withColumn("_b", ntile(numFiles).over(w))
+        .withColumn("_b", min(col("_b")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(tsCol))))
+      for (i <- 1 to numFiles) {
+        val part = s"$scratch/part_$i"
+        bucketed.filter(col("_b") === i).drop("_b")
+          .coalesce(1).write.parquet(part)
+        val f = new java.io.File(part).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(d, f"file_$i%05d.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        // strictly increasing, minutes apart: the stream replays the
+        // buckets in time order regardless of write-clock granularity
+        dst.setLastModified(1600000000000L + i * 60000L)
+      }
+      d
+    })
+    transform(batch.limit(0)).write.mode("overwrite").parquet(outDir)
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val q = transform(stream).writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        onBatch(id)
         b.write.mode("append").parquet(outDir)
       }
       .option("checkpointLocation", s"$scratch/_chk")
