@@ -743,6 +743,70 @@ class BpeSpec extends AnyFunSuite {
     assert(bat == seq6)
   }
 
+  test("gpt2Pretokens reproduces the published pattern's splits on every branch") {
+    val text = "We don't like  spaced\tTab (x) 3.14 'quoted'"
+    val got = Seq((1L, text)).toDF("doc_id", "text")
+      .select(graft.functions.TextFunctions.gpt2Pretokens($"text"))
+      .as[Seq[String]].head()
+    // hand-derived from the pattern's ordered alternation: contraction
+    // 't splits off; "  spaced" gives its FIRST space to a lone-space
+    // token and keeps one on the word (the (?!\S) giveback); the tab
+    // stays its own token (` ?` absorbs only a literal space); " '"
+    // rides the punctuation branch, breaking 'quoted' off after it
+    val expected = Seq("We", " don", "'t", " like", " ", " spaced",
+      "\t", "Tab", " (", "x", ")", " 3", ".", "14", " '", "quoted", "'")
+    assert(got == expected)
+  }
+
+  test("gpt2Pretokens matches are CONTIGUOUS: concatenation reproduces the input") {
+    val tricky = Seq(
+      "trailing run   ", "a  b   c", "line\nbreaks\r\nhere",
+      "don't they're I'll we'd you've I'm it's", "日本語テキスト mixed",
+      "e😀moji and 🚀", "'''", "x-2.5e9 #tag @user", "", "   ")
+    val rows = tricky.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select($"text",
+        concat_ws("", graft.functions.TextFunctions.gpt2Pretokens($"text")).as("re"))
+      .as[(String, String)].collect()
+    rows.foreach { case (t, re) => assert(re == t, s"lost bytes on '$t'") }
+  }
+
+  test("pretok trainer refuses non-byteLevel (the Ġ convention lives in the unit alphabet)") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainMerges(docs, 1, byteLevel = false, pretok = true)
+    }
+    assert(e.getMessage.contains("byteLevel"))
+  }
+
+  test("pretok apply side tokenizes exactly like the trainer (n_words = pretok match count)") {
+    val docs = Seq((1L, "We don't like  spaced\tTab (x) 3.14 'quoted'"),
+      (2L, "Hello,  World! 日本語"), (3L, "")).toDF("doc_id", "text")
+    val nw = Bpe.segmentStats(docs, Seq(("a", "b")), byteLevel = true,
+        pretok = true)
+      .orderBy($"doc_id").select($"n_words").as[Long].collect().toSeq
+    val nwFrozen = Bpe.segmentStatsFrozen(docs, Seq(("a", "b")),
+        byteLevel = true, pretok = true)
+      .orderBy($"doc_id").select($"n_words").as[Long].collect().toSeq
+    val expected = docs
+      .select(size(graft.functions.TextFunctions.gpt2Pretokens($"text"))
+        .cast("long"))
+      .as[Long].collect().toSeq
+    assert(nw == expected)
+    assert(nwFrozen == expected)
+    assert(expected.head == 17L) // the hand-derived split above
+  }
+
+  test("pretok encode is case-PRESERVING where the whitespace spelling lowercases") {
+    val docs = Seq((1L, "Ab")).toDF("doc_id", "text")
+    val pre = Bpe.encodeTokens(docs, Nil, byteLevel = true, pretok = true)
+      .select($"token").as[String].collect().toSeq
+    val ws = Bpe.encodeTokens(docs, Nil, byteLevel = true)
+      .select($"token").as[String].collect().toSeq
+    assert(pre == Seq("A", "b"))
+    assert(ws == Seq("a", "b"))
+  }
+
   test("byteLevel on printable-ASCII text degenerates exactly to char-level (printables self-map)") {
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")

@@ -44,4 +44,59 @@ class FileStreamHarnessSpec extends AnyFunSuite {
       .as[(Long, Int, String)].collect().sorted.toSeq
     assert(streamed7 == batch)
   }
+
+  test("a transform that emits ZERO rows returns an empty frame, not a crash") {
+    // round-15 advice: before the outDir seed, an all-empty run left no
+    // parquet behind and the read-back threw path-not-found
+    val out = FileStreamHarness.runStateless(spark, sf, "events",
+      st => st.select(col("event_id")).filter(col("event_id") < 0))
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("event_id"))
+  }
+
+  test("runEventTime: hop-window appends ≡ batch aggregates over FINALIZED windows") {
+    val s = spark
+    import s.implicits._
+    val hopUs = 1800000000L
+    val sizeUs = 2 * hopUs
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val streamed = FileStreamHarness.runEventTime(spark, sf, "events",
+        prep = ev => ev.select(col("event_id"), col("event_type"),
+          col("user_id"), graft.sources.Tables.epochMicros(ev, "ts").as("tus")),
+        tsCol = "tus",
+        transform = df => graft.streaming.StreamingHopWindow.aggregateWithUsers(
+          df.select(col("event_id").as("eventId"), col("event_type").as("eventType"),
+            col("user_id").as("userId"), col("tus"))
+            .as[graft.streaming.StreamingHopWindow.Evt],
+          sizeUs, hopUs),
+        numFiles = 4, onBatch = _ => { seen.incrementAndGet(); () })
+      .as[(Long, String, Long, Long, Long, Long)].collect().sorted.toSeq
+    // genuinely incremental: the 4 data batches, plus Spark may run
+    // no-data flush batches to advance the final watermark
+    assert(seen.get() >= 4, s"expected >= 4 micro-batches, saw ${seen.get()}")
+
+    // batch twin restricted to finalized windows: end ≤ ms-floor of the
+    // corpus max event time (watermarks are tracked in milliseconds)
+    val ev0 = graft.sources.Tables.load(spark, sf, "events")
+    val ev = ev0.select(col("event_id"), col("event_type"), col("user_id"),
+      graft.sources.Tables.epochMicros(ev0, "ts").as("tus"))
+    val maxTus = ev.agg(max(col("tus"))).as[Long].head()
+    val wmUs = (maxTus / 1000L) * 1000L
+    val batch = ev
+      .withColumn("b", col("tus") - (col("tus") % hopUs))
+      .withColumn("window_start_us", explode(array(col("b") - hopUs, col("b"))))
+      .filter(col("window_start_us") + sizeUs <= wmUs)
+      .groupBy(col("window_start_us"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_event_id"), max(col("event_id")).as("max_event_id"))
+      .as[(Long, String, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "equality on an empty finalized set would be vacuous")
+    // the restriction BINDS: some window must be non-finalized (else the
+    // gate degenerates to the batch gate)
+    val all = ev.withColumn("b", col("tus") - (col("tus") % hopUs))
+      .withColumn("window_start_us", explode(array(col("b") - hopUs, col("b"))))
+      .select(col("window_start_us"), col("event_type")).distinct().count()
+    assert(all > batch.size, "no window was held back by the watermark")
+  }
 }

@@ -398,4 +398,84 @@ class UnigramSpec extends AnyFunSuite {
     assert(gotUnk.keySet == Set("z")) // only vocab pieces report
     assert(gotUnk("z") > 0L)
   }
+
+  test("byteFallback on a supplementary-plane char: the REAL 4 UTF-8 bytes, one code point per step") {
+    // 😀 = U+1F600 = F0 9F 98 80 — a surrogate PAIR in UTF-16. The
+    // round-15 advice bug: per-UTF-16-unit fallback ran getBytes on each
+    // unpaired surrogate, emitting two wrong <0x3F> ('?') tokens.
+    val (pieces, btot) = Unigram.vocabModel(Unigram.seedVocab(docs, 3, 12))
+    val multi = Seq((0L, "a😀b the")).toDF("doc_id", "text")
+    val toks = Unigram.encodePieces(multi, pieces, btot, byteFallback = true)
+      .as[(Long, Int, String)].collect().sortBy(_._2).map(_._3).toSeq
+    assert(toks.containsSlice(Seq("<0xF0>", "<0x9F>", "<0x98>", "<0x80>")))
+    assert(!toks.contains("<0x3F>"), s"unpaired-surrogate '?' leaked: $toks")
+    // invertibility survives the pair
+    val bytes = toks.flatMap { t =>
+      if (t.matches("<0x[0-9A-F]{2}>"))
+        Seq(Integer.parseInt(t.substring(3, 5), 16).toByte)
+      else t.getBytes("UTF-8").toSeq
+    }.toArray
+    assert(new String(bytes, "UTF-8") == "a😀bthe")
+    // stats: a😀b = vocab 'a' + 4 byte tokens + vocab 'b' = 6 pieces;
+    // and WITHOUT fallback the pair is ONE count-1 UNK piece (code
+    // point, not two UTF-16 units)
+    val one = Seq((0L, "a😀b")).toDF("doc_id", "text")
+    val fb = Unigram.segmentStats(one, pieces, btot, byteFallback = true)
+      .as[(Long, Long, Long, Long)].collect()(0)
+    assert(fb._3 == 6L)
+    val hard = Unigram.segmentStats(one, pieces, btot)
+      .as[(Long, Long, Long, Long)].collect()(0)
+    assert(hard._3 == 3L) // a, UNK(😀), b
+  }
+
+  // ---- likelihood-loss prune criterion ----
+
+  test("loss-delta and usage RANK DIFFERENTLY on a multiplicity-heavy corpus (the criterion binds)") {
+    // 'ab' appears 3× in ONE cnt-1 word (usage counts multiplicity ≈ 3·scale,
+    // loss counts the word once ≈ scale); 'cd' appears once in a cnt-2 word
+    // (usage ≈ 2·scale, loss ≈ 2·scale) — so usage ranks ab ABOVE cd while
+    // loss ranks ab BELOW cd, and the two prunes drop different pieces.
+    val corpus = Seq((0L, "ababab"), (1L, "cdx cdx")).toDF("doc_id", "text")
+    val vocab = Seq(("ab", 100L), ("cd", 100L), ("a", 1L), ("b", 1L),
+      ("c", 1L), ("d", 1L), ("x", 1L)).toDF("piece", "n_occ")
+    val usage = Unigram.pieceUsageSoft(corpus, vocab)
+      .as[(String, Long)].collect().toMap
+    val loss = Unigram.pieceLossDelta(corpus, vocab)
+      .as[(String, Long)].collect().toMap
+    assert(loss.keySet == Set("ab", "cd")) // multi-char candidates only
+    assert(usage("ab") > usage("cd"),
+      s"usage should rank ab above cd: $usage")
+    assert(loss("ab") < loss("cd"),
+      s"loss should rank ab below cd: $loss")
+    val byUsage = Unigram.pruneVocab(vocab,
+        Unigram.pieceUsageSoft(corpus, vocab)
+          .select(org.apache.spark.sql.functions.col("piece"),
+            org.apache.spark.sql.functions.col("usage_q").as("usage")), 1)
+      .select("piece").as[String].collect().toSet
+    val byLoss = Unigram.pruneVocabByLoss(vocab,
+        Unigram.pieceLossDelta(corpus, vocab), 1)
+      .select("piece").as[String].collect().toSet
+    assert(byUsage.contains("ab") && !byUsage.contains("cd"))
+    assert(byLoss.contains("cd") && !byLoss.contains("ab"))
+  }
+
+  test("the HUGEINT envelope guard fails LOUDLY on a regime the oracle could not mirror") {
+    // probBits = 20 with an all-high-q vocabulary over a length-8 word:
+    // numer·scale needs > 126 bits — the engine must refuse, not let the
+    // DuckDB twin overflow (round-15 advice)
+    val corpus = Seq((0L, "aaaaaaaa")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 1000000L), ("aa", 1000000L), ("aaa", 1000000L),
+      ("aaaa", 1000000L)).toDF("piece", "n_occ")
+    def chainMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val eu = intercept[Exception] {
+      Unigram.pieceUsageSoft(corpus, vocab, probBits = 20).collect()
+    }
+    assert(chainMessages(eu).contains("HUGEINT envelope"), chainMessages(eu))
+    val el = intercept[Exception] {
+      Unigram.pieceLossDelta(corpus, vocab, probBits = 20).collect()
+    }
+    assert(chainMessages(el).contains("HUGEINT envelope"), chainMessages(el))
+  }
 }
