@@ -233,6 +233,44 @@ object Relevance {
         signals.map(s => col(s"r_${s._1}")).reduce(_ + _))
   }
 
+  /** Model-size threshold for the streaming classifier face: at or
+    * under this many weight rows the model rides the micro-batch plan
+    * as a map LITERAL ([[hashClassifierScoreNarrow]] — stateless, no
+    * join); above it, the literal becomes the dominant per-batch cost
+    * (the 4096-entry gate model measures ~1 s of literal re-planning
+    * per micro-batch — BENCH_r15's q_stream_hash_classifier 2.29 s idle
+    * vs ~1.5 s for the other harness gates; a production 10⁵⁺-bucket
+    * model would bloat every batch's analysis) and the broadcast-JOIN
+    * spelling inside foreachBatch takes over
+    * ([[hashClassifierStreamingFace]]).
+    */
+  val MaxLiteralBuckets: Int = 4096
+
+  /** Pick the streaming spelling by MODEL SIZE — the round-15 verdict's
+    * documented escape hatch made code. Left = the literal face, a
+    * plan transform for the streaming DataFrame itself (models ≤
+    * `maxLiteralBuckets` rows). Right = the join face, a PER-MICRO-BATCH
+    * mapper to apply inside `foreachBatch` (the
+    * [[graft.streaming.StreamingIncrementalDedup]] pattern): per-document
+    * scoring is batch-local — no cross-batch state — so batch-wise
+    * application is exact, and the model stays a broadcast instead of a
+    * re-parsed plan literal. (The join spelling cannot run in the
+    * stream plan itself: its per-doc aggregation would be a stateful
+    * Complete/Update-mode operator on an unbounded stream.) The two
+    * faces are output-identical on every input up to the narrow face
+    * appending rather than projecting (RelevanceSpec pins row-level
+    * agreement through a real multi-micro-batch harness run).
+    */
+  def hashClassifierStreamingFace(weights: DataFrame, numBuckets: Int,
+      maxLiteralBuckets: Int = MaxLiteralBuckets):
+      Either[DataFrame => DataFrame, DataFrame => DataFrame] = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    if (weights.count() <= maxLiteralBuckets)
+      Left(df => hashClassifierScoreNarrow(df, weightsAsMap(weights), numBuckets))
+    else
+      Right(df => hashClassifierScore(df, weights, numBuckets))
+  }
+
   /** Collect a `(bucket, weight)` model frame into the literal map
     * [[hashClassifierScoreNarrow]] embeds — driver-side, bounded by the
     * bucket count by construction (the model is dense ≤ numBuckets rows).

@@ -46,7 +46,8 @@ object FileStreamHarness {
     */
   def runStateless(spark: SparkSession, sfDir: String, table: String,
       transform: DataFrame => DataFrame, keyCol: String = "event_id",
-      numFiles: Int = 4, onBatch: Long => Unit = _ => ()): DataFrame = {
+      numFiles: Int = 4, onBatch: Long => Unit = _ => (),
+      batchTransform: DataFrame => DataFrame = identity): DataFrame = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val scratch = java.nio.file.Files.createTempDirectory("graft_stream_gate_")
       .toString
@@ -65,7 +66,12 @@ object FileStreamHarness {
     // path-not-found instead of comparing empty-vs-empty (round-15
     // advice). The limit(0) batch plan shares the streaming transform's
     // analysis, so the seeded schema can never drift from the appends.
-    transform(batch.limit(0)).write.mode("overwrite").parquet(outDir)
+    // batchTransform: per-micro-batch BATCH-plan work applied inside
+    // foreachBatch (join/aggregate spellings that cannot live in an
+    // unbounded stream plan — the above-literal-size classifier face,
+    // Relevance.hashClassifierStreamingFace).
+    batchTransform(transform(batch.limit(0)))
+      .write.mode("overwrite").parquet(outDir)
     val stream = spark.readStream
       .schema(batch.schema)
       .option("maxFilesPerTrigger", 1)
@@ -74,7 +80,7 @@ object FileStreamHarness {
       .foreachBatch { (b: DataFrame, id: Long) =>
         onBatch(id)
         // append per batch: the scratch dir accumulates the union
-        b.write.mode("append").parquet(outDir)
+        batchTransform(b).write.mode("append").parquet(outDir)
       }
       .option("checkpointLocation", s"$scratch/_chk")
       .trigger(Trigger.AvailableNow())

@@ -147,4 +147,34 @@ class RelevanceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Relevance.bordaEnsemble(base, Seq("x" -> sigA, "x" -> sigB)))
   }
+
+  test("streaming classifier faces: literal plan face ≡ broadcast-join foreachBatch face, row for row") {
+    // the round-15 verdict's escape hatch: ABOVE MaxLiteralBuckets the
+    // model runs as the join spelling inside foreachBatch instead of a
+    // re-planned map literal. Force both faces over the SAME fixture
+    // through REAL multi-micro-batch harness runs and compare rows.
+    val weights = Relevance.deterministicWeights(spark, 4096)
+    val cols = Seq(col("doc_id"), col("n_tokens"), col("score"), col("keep"))
+
+    val litFace = Relevance.hashClassifierStreamingFace(weights, 4096,
+      maxLiteralBuckets = 4096) // at the threshold: literal
+    assert(litFace.isLeft)
+    val joinFace = Relevance.hashClassifierStreamingFace(weights, 4096,
+      maxLiteralBuckets = 0) // forced above: join-in-foreachBatch
+    assert(joinFace.isRight)
+
+    val viaLiteral = graft.streaming.FileStreamHarness.runStateless(
+        spark, sf, "documents",
+        st => litFace.left.toOption.get(st).select(cols: _*),
+        keyCol = "doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    val viaJoin = graft.streaming.FileStreamHarness.runStateless(
+        spark, sf, "documents", identity, keyCol = "doc_id",
+        batchTransform = b => joinFace.toOption.get(b).select(cols: _*))
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(viaLiteral == viaJoin)
+    assert(viaLiteral.nonEmpty, "empty corpus would make the parity vacuous")
+    // both scores genuinely discriminate (not all-keep / all-drop)
+    assert(viaLiteral.exists(_._4) && viaLiteral.exists(!_._4))
+  }
 }
