@@ -594,6 +594,60 @@ object M5Queries {
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    // ---- §2.8: gap-based SESSIONIZATION under real streaming execution
+    // — the flatMapGroupsWithState arbitrary-state face oracle-gated:
+    // under the time-ordered split each user's events arrive in global
+    // time order (and sort within a batch), so the per-key fold is the
+    // batch fold exactly, and the emitted union is every CLOSED session
+    // = the batch sessionization MINUS each user's final session (the
+    // one still open at stream end — NoTimeout, nothing closes it).
+    // session_id re-ranks the closed set per user by start: dropping
+    // only each user's LAST session leaves batch ids 1..n−1 unchanged.
+    "q_stream_sessionize" -> ((s, dir) => {
+      val out = graft.streaming.FileStreamHarness.runEventTime(s, dir, "events",
+        prep = ev => ev.select(col("user_id"), col("event_id"),
+          graft.sources.Tables.epochMicros(ev, "ts").as("tus")),
+        tsCol = "tus",
+        transform = df => {
+          import s.implicits._
+          graft.streaming.StreamingSessionize.sessionize(
+            df.select(col("user_id").as("userId"), col("tus").as("tsUs"))
+              .as[graft.streaming.StreamingSessionize.Evt]).toDF()
+        })
+      // per-user rank over the CLOSED-session frame (output-sized, ≤ one
+      // row per session — not a corpus-sized window)
+      out.select(col("userId").as("user_id"), col("startUs").as("start_us"),
+          col("endUs").as("end_us"), col("nEvents").as("n_events"))
+        .withColumn("session_id",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("start_us"))).cast("long"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("start_us"), col("end_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // ---- §2.8: the per-user EVENT RATE CAP under real streaming
+    // execution — the Update-mode flatMapGroupsWithState face with
+    // event-time timeouts oracle-gated: time-ordered arrival means a
+    // window's kept set grows as a stable prefix (an earliest-3 buffer
+    // can never be displaced by a LATER arrival), so every emitted
+    // (user, window, event, qrank) tuple is final the moment it appears
+    // and the DISTINCT union over all triggers is exactly the batch
+    // operator's output — the FULL batch oracle, no finalization
+    // restriction (Update mode emits open windows too).
+    "q_stream_event_rate_cap" -> ((s, dir) =>
+      graft.streaming.FileStreamHarness.runEventTime(s, dir, "events",
+          prep = ev => ev.select(col("user_id"), col("event_id"),
+              graft.sources.Tables.epochMicros(ev, "ts").as("tus"))
+            .withColumn("ets", timestamp_micros(col("tus"))),
+          tsCol = "tus",
+          transform = df => graft.streaming.StreamingEventRateCap.rateCap(
+            df, "ets", "0 microseconds", maxPerWindow = 3,
+            windowUs = 6L * 3600L * 1000000L).toDF(),
+          outputMode = "update")
+        .distinct()
+        .orderBy(col("user_id"), col("window_start_us"), col("qrank"))),
+
     // ---- dedup: exact (hash-group keep-first)
     "q_dedup_exact" -> ((s, dir) =>
       TextDedup.exactDuplicates(TextDedup.documents(s, dir))
@@ -3091,6 +3145,43 @@ object M5Queries {
         |SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
         | min(tus) AS start_us, max(tus) AS end_us
         |FROM g GROUP BY user_id, g.session_id ORDER BY user_id, session_id""".stripMargin,
+
+    // streaming sessionize mirror: the batch gap sessionization MINUS
+    // each user's final session (still open at stream end — the only
+    // delta, because time-ordered arrival makes the per-key fold the
+    // batch fold exactly); dropping only the LAST session leaves the
+    // per-user ids 1..n−1 unchanged
+    "q_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) tus FROM events),
+        | s AS (SELECT user_id, event_id, tus,
+        |   CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000
+        |        THEN 1::BIGINT ELSE 0::BIGINT END AS new_session
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        | g AS (SELECT user_id, tus,
+        |   sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS session_id
+        |   FROM s),
+        | ses AS (SELECT user_id, session_id::BIGINT AS session_id,
+        |   count(*) AS n_events, min(tus) AS start_us, max(tus) AS end_us
+        |   FROM g GROUP BY user_id, g.session_id)
+        |SELECT user_id, session_id, n_events, start_us, end_us FROM ses
+        |QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    // streaming rate-cap mirror: the FULL batch oracle — Update mode
+    // emits every touched window and time-ordered arrival freezes each
+    // kept tuple on first emission, so the distinct union is the batch
+    // operator verbatim
+    "q_stream_event_rate_cap" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+        | w AS (SELECT user_id, event_id, tus,
+        |   tus - tus % 21600000000 AS window_start_us FROM e)
+        |SELECT user_id, window_start_us, event_id, rnk::INT AS qrank FROM (
+        | SELECT user_id, window_start_us, event_id,
+        |  row_number() OVER (PARTITION BY user_id, window_start_us
+        |    ORDER BY tus, event_id) AS rnk
+        | FROM w)
+        |WHERE rnk <= 3 ORDER BY user_id, window_start_us, qrank""".stripMargin,
 
     // cap-split mirror: the gap CTEs + per-gap-session start, fixed-
     // offset sub id, rollup re-ranked densely per user

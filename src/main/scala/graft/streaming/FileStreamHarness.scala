@@ -89,10 +89,13 @@ object FileStreamHarness {
     spark.read.parquet(outDir)
   }
 
-  // the ordered split is a pure function of (sfDir, table, tsCol,
-  // numFiles) — build it once per JVM (the splitCache discipline)
+  // the ordered split is a pure function of (sfDir, table, PREP OUTPUT
+  // SCHEMA, tsCol, numFiles) — the schema must key the cache because
+  // different gates prep different projections of the same table
+  // (hop window vs sessionize vs rate cap) and a collision would replay
+  // the wrong columns; build once per JVM (the splitCache discipline)
   private val orderedSplitCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String, Int), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String, String, Int), String]
 
   /** Run a STATEFUL event-time transform (watermarked append-mode
     * aggregation) over `table` as a TIME-ORDERED multi-micro-batch file
@@ -128,13 +131,15 @@ object FileStreamHarness {
   def runEventTime(spark: SparkSession, sfDir: String, table: String,
       prep: DataFrame => DataFrame, tsCol: String,
       transform: DataFrame => DataFrame, numFiles: Int = 4,
-      onBatch: Long => Unit = _ => ()): DataFrame = {
+      onBatch: Long => Unit = _ => (),
+      outputMode: String = "append"): DataFrame = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val scratch = java.nio.file.Files.createTempDirectory("graft_stream_evt_")
       .toString
     val outDir = s"$scratch/out"
     val batch = prep(graft.sources.Tables.load(spark, sfDir, table))
-    val inDir = orderedSplitCache.getOrElseUpdate((sfDir, table, tsCol, numFiles), {
+    val inDir = orderedSplitCache.getOrElseUpdate(
+      (sfDir, table, batch.schema.catalogString, tsCol, numFiles), {
       val d = s"$scratch/in"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
       val w = org.apache.spark.sql.expressions.Window.orderBy(col(tsCol))
@@ -172,6 +177,11 @@ object FileStreamHarness {
         onBatch(id)
         b.write.mode("append").parquet(outDir)
       }
+      // Update-mode stateful transforms (the rate cap's
+      // flatMapGroupsWithState) need the matching sink mode; the
+      // appended union then carries per-trigger refreshes, which the
+      // caller collapses (distinct) when tuples are emission-stable
+      .outputMode(outputMode)
       .option("checkpointLocation", s"$scratch/_chk")
       .trigger(Trigger.AvailableNow())
       .start()

@@ -99,4 +99,64 @@ class FileStreamHarnessSpec extends AnyFunSuite {
       .select(col("window_start_us"), col("event_type")).distinct().count()
     assert(all > batch.size, "no window was held back by the watermark")
   }
+
+  test("runEventTime: streamed sessions ≡ batch sessions minus each user's final (open) one") {
+    val s = spark
+    import s.implicits._
+    val streamed = FileStreamHarness.runEventTime(spark, sf, "events",
+        prep = ev => ev.select(col("user_id"), col("event_id"),
+          graft.sources.Tables.epochMicros(ev, "ts").as("tus")),
+        tsCol = "tus",
+        transform = df => graft.streaming.StreamingSessionize.sessionize(
+          df.select(col("user_id").as("userId"), col("tus").as("tsUs"))
+            .as[graft.streaming.StreamingSessionize.Evt]).toDF())
+      .select(col("userId"), col("startUs"), col("endUs"), col("nEvents"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val batchAll = graft.operators.Sessionize(spark, sf)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // drop each user's final session (max start) — the one still open
+    val expected = batchAll.groupBy(_._1).values
+      .flatMap(ss => ss.sortBy(_._2).dropRight(1)).toSeq.sorted
+    assert(streamed == expected)
+    assert(streamed.nonEmpty, "an all-dropped corpus would be vacuous")
+    assert(batchAll.size > streamed.size, "every user must hold back an open session")
+  }
+
+  test("runEventTime: rate-cap distinct union ≡ the batch operator (stable prefix growth)") {
+    val s = spark
+    import s.implicits._
+    val streamed = FileStreamHarness.runEventTime(spark, sf, "events",
+        prep = ev => ev.select(col("user_id"), col("event_id"),
+            graft.sources.Tables.epochMicros(ev, "ts").as("tus"))
+          .withColumn("ets", timestamp_micros(col("tus"))),
+        tsCol = "tus",
+        transform = df => graft.streaming.StreamingEventRateCap.rateCap(
+          df, "ets", "0 microseconds", maxPerWindow = 3,
+          windowUs = 6L * 3600L * 1000000L).toDF(),
+        outputMode = "update")
+      .distinct()
+      .as[(Long, Long, Long, Int)].collect().sorted.toSeq
+    val ev0 = graft.sources.Tables.load(spark, sf, "events")
+    val batch = graft.operators.Temporal.eventRateCap(
+        ev0.withColumn("tus", graft.sources.Tables.epochMicros(ev0, "ts")),
+        "tus", maxPerWindow = 3, windowUs = 6L * 3600L * 1000000L)
+      .select(col("user_id"), col("window_start_us"), col("event_id"), col("qrank"))
+      .as[(Long, Long, Long, Int)].collect().sorted.toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // Update mode genuinely re-emitted (the distinct() is doing work):
+    // the raw union must exceed the final set
+    val raw = FileStreamHarness.runEventTime(spark, sf, "events",
+        prep = ev => ev.select(col("user_id"), col("event_id"),
+            graft.sources.Tables.epochMicros(ev, "ts").as("tus"))
+          .withColumn("ets", timestamp_micros(col("tus"))),
+        tsCol = "tus",
+        transform = df => graft.streaming.StreamingEventRateCap.rateCap(
+          df, "ets", "0 microseconds", maxPerWindow = 3,
+          windowUs = 6L * 3600L * 1000000L).toDF(),
+        outputMode = "update")
+      .count()
+    assert(raw > batch.size, "no window spanned a batch boundary — the distinct is vacuous")
+  }
 }
