@@ -648,6 +648,65 @@ object M5Queries {
         .distinct()
         .orderBy(col("user_id"), col("window_start_us"), col("qrank"))),
 
+    // ---- §2.8: per-source QUOTA under real streaming execution — the
+    // Update-mode displacement face oracle-gated: the BoundedTopN state
+    // is arrival-order independent (any interleaving converges to the
+    // same final buffer), so each source's LAST emission — isolated via
+    // the harness's batch-id stamp, because DISPLACED docs linger in the
+    // union with stale ranks — is exactly the batch quota. No time
+    // ordering needed; the split column is just a deterministic key.
+    "q_stream_source_quota" -> ((s, dir) => {
+      val out = graft.streaming.FileStreamHarness.runEventTime(s, dir, "documents",
+        prep = d => d.select(col("source"), col("doc_id"),
+          col("n_chars").cast("long").as("score")),
+        tsCol = "doc_id",
+        transform = df =>
+          graft.streaming.StreamingSourceQuota.quota(df, maxPerSource = 10).toDF(),
+        outputMode = "update", stampBatchId = true)
+      // output-sized frame: ≤ quota rows per (source, trigger)
+      out.withColumn("_mb", max(col("_batch_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+        .filter(col("_batch_id") === col("_mb"))
+        .select(col("source"), col("doc_id"), col("qrank"))
+        .orderBy(col("source"), col("qrank"))
+    }),
+
+    // ---- §2.8: streaming KEEP-FIRST DEDUP oracle-gated — Spark's
+    // dropDuplicatesWithinWatermark over a doc_id-ordered replay with
+    // the watermark horizon covering the whole fixture span: nothing
+    // evicts, so the emitted set is exact first-arrival-per-fingerprint
+    // = the batch keep-first (min doc_id per text; hash-keyed like the
+    // _hashed batch spellings). The eviction/re-emission path past the
+    // horizon remains spec-pinned policy (no offline oracle).
+    "q_stream_dedup_keep_first" -> ((s, dir) =>
+      graft.streaming.FileStreamHarness.runEventTime(s, dir, "documents",
+          // +1 day: doc_id 0 at epoch 0 would sit exactly ON Spark's
+          // initial watermark (0 ms) and be dropped as late
+          prep = d => d.select(col("doc_id"), col("text"))
+            .withColumn("ets",
+              timestamp_micros((col("doc_id") + 86400L) * 1000000L)),
+          tsCol = "doc_id",
+          transform = df => graft.streaming.StreamingDedup
+            .dedupKeepFirst(df, "ets", "3650 days")
+            .select(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ---- §2.8: the ABOVE-LITERAL-SIZE classifier face oracle-gated —
+    // the broadcast-join spelling running per micro-batch inside
+    // foreachBatch (Relevance.hashClassifierStreamingFace forced onto
+    // its Right branch by a threshold below the model size), against
+    // the SAME oracle as the batch join spelling and the narrow twin
+    "q_stream_hash_classifier_join" -> ((s, dir) => {
+      val face = Relevance.hashClassifierStreamingFace(
+        Relevance.deterministicWeights(s, 4096), numBuckets = 4096,
+        maxLiteralBuckets = 1024)
+      graft.streaming.FileStreamHarness.runStateless(s, dir, "documents",
+          identity, keyCol = "doc_id",
+          batchTransform = b => face.toOption.get(b)
+            .select(col("doc_id"), col("n_tokens"), col("score"), col("keep")))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dedup: exact (hash-group keep-first)
     "q_dedup_exact" -> ((s, dir) =>
       TextDedup.exactDuplicates(TextDedup.documents(s, dir))
@@ -3353,10 +3412,13 @@ object M5Queries {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
 
-    "q_dedup_keep_first" ->
-      """SELECT doc_id FROM documents
-        |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
-        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_keep_first" -> keepFirstOracle,
+
+    // streaming keep-first mirror: the SAME oracle — with the watermark
+    // horizon covering the whole fixture span nothing evicts, so
+    // dropDuplicatesWithinWatermark over the doc_id-ordered replay is
+    // exact keep-first (the eviction path stays spec-pinned policy)
+    "q_stream_dedup_keep_first" -> keepFirstOracle,
 
     "q_incremental_dedup" ->
       s"""WITH newd AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
@@ -4901,12 +4963,18 @@ object M5Queries {
     // files — output-identical by the round-trip contract, one oracle
     "q_shard_export" -> shardManifestOracle,
 
-    "q_source_quota" ->
-      """SELECT source, doc_id, rnk::INT AS qrank FROM (
-        | SELECT source, doc_id, row_number() OVER (
-        |   PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
-        | FROM documents)
-        |WHERE rnk <= 10 ORDER BY source, qrank""".stripMargin,
+    "q_source_quota" -> sourceQuotaOracle,
+
+    // streaming source-quota mirror: the SAME oracle — the bounded
+    // top-N state is arrival-order independent, and the gate keeps each
+    // source's LAST Update-mode emission (= the final kept set)
+    "q_stream_source_quota" -> sourceQuotaOracle,
+
+    // above-literal-size classifier face mirror: the SAME oracle as the
+    // batch join spelling and the narrow streaming twin — the gate
+    // forces the foreachBatch broadcast-join path by dropping the
+    // literal threshold below the model size
+    "q_stream_hash_classifier_join" -> hashClassifierOracle,
 
     // token shift: same integer ppm arithmetic; full outer join keeps
     // appearing/vanishing vocabulary at its full share
@@ -5641,6 +5709,26 @@ object M5Queries {
     }
     (scores, best, pick)
   }
+
+  /** Shared by the batch keep-first dedup gate and its file-source
+    * streaming twin (the routeDispatchOracle convention) — the twin's
+    * watermark horizon covers the fixture, so both are exact keep-first.
+    */
+  private lazy val keepFirstOracle: String =
+    """SELECT doc_id FROM documents
+      |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+      |ORDER BY doc_id""".stripMargin
+
+  /** Shared by the batch source-quota gate and its Update-mode
+    * streaming twin (the routeDispatchOracle convention) — the bounded
+    * top-N final state is arrival-order independent.
+    */
+  private lazy val sourceQuotaOracle: String =
+    """SELECT source, doc_id, rnk::INT AS qrank FROM (
+      | SELECT source, doc_id, row_number() OVER (
+      |   PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
+      | FROM documents)
+      |WHERE rnk <= 10 ORDER BY source, qrank""".stripMargin
 
   /** Shared by the batch PII-redaction gate and its file-source
     * streaming twin (the routeDispatchOracle convention); injection

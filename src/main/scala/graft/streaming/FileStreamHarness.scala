@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, min, ntile}
+import org.apache.spark.sql.functions.{col, lit, min, ntile}
 import org.apache.spark.sql.streaming.Trigger
 
 /** Deterministic FILE-SOURCE oracle harness for the STATELESS streaming
@@ -132,7 +132,8 @@ object FileStreamHarness {
       prep: DataFrame => DataFrame, tsCol: String,
       transform: DataFrame => DataFrame, numFiles: Int = 4,
       onBatch: Long => Unit = _ => (),
-      outputMode: String = "append"): DataFrame = {
+      outputMode: String = "append",
+      stampBatchId: Boolean = false): DataFrame = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val scratch = java.nio.file.Files.createTempDirectory("graft_stream_evt_")
       .toString
@@ -167,20 +168,36 @@ object FileStreamHarness {
       }
       d
     })
-    transform(batch.limit(0)).write.mode("overwrite").parquet(outDir)
+    // stampBatchId: append the micro-batch id to every emitted row —
+    // Update-mode operators whose per-key kept set can be DISPLACED
+    // (the source quota) are gated on each key's LAST emission, which
+    // needs the trigger ordinal in the union
+    val stamp: (DataFrame, Long) => DataFrame =
+      if (stampBatchId) (b, id) => b.withColumn("_batch_id", lit(id))
+      else (b, _) => b
     val stream = spark.readStream
       .schema(batch.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inDir)
-    val q = transform(stream).writeStream
+    val transformed = transform(stream)
+    // seed outDir from the STREAMING plan's analyzed schema (runStateless
+    // seeds by running the transform on an empty batch frame, but
+    // stream-only operators — dropDuplicatesWithinWatermark — have no
+    // batch plan; analysis alone already yields the output schema)
+    stamp(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        transformed.schema), -1L)
+      .write.mode("overwrite").parquet(outDir)
+    val q = transformed.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
         onBatch(id)
-        b.write.mode("append").parquet(outDir)
+        stamp(b, id).write.mode("append").parquet(outDir)
       }
       // Update-mode stateful transforms (the rate cap's
       // flatMapGroupsWithState) need the matching sink mode; the
       // appended union then carries per-trigger refreshes, which the
-      // caller collapses (distinct) when tuples are emission-stable
+      // caller collapses (distinct / last-emission filter) when tuples
+      // are emission-stable or displacement-tracked
       .outputMode(outputMode)
       .option("checkpointLocation", s"$scratch/_chk")
       .trigger(Trigger.AvailableNow())

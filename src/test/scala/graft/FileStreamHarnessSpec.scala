@@ -159,4 +159,38 @@ class FileStreamHarnessSpec extends AnyFunSuite {
       .count()
     assert(raw > batch.size, "no window spanned a batch boundary — the distinct is vacuous")
   }
+
+  test("runEventTime: source-quota LAST emission ≡ batch quota, and displacement genuinely occurs") {
+    val s = spark
+    import s.implicits._
+    val out = FileStreamHarness.runEventTime(spark, sf, "documents",
+        prep = d => d.select(col("source"), col("doc_id"),
+          col("n_chars").cast("long").as("score")),
+        tsCol = "doc_id",
+        transform = df =>
+          graft.streaming.StreamingSourceQuota.quota(df, maxPerSource = 10).toDF(),
+        outputMode = "update", stampBatchId = true)
+      .cache()
+    val streamed = out
+      .withColumn("_mb", max(col("_batch_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .filter(col("_batch_id") === col("_mb"))
+      .select(col("source"), col("doc_id"), col("qrank"))
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    val batch = graft.operators.Curation.sourceQuota(
+        graft.operators.TextDedup.documents(spark, sf), maxPerSource = 10,
+        score = col("n_chars"))
+      .select(col("source"), col("doc_id"), col("qrank"))
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // the last-emission filter is doing real work: some (source, qrank)
+    // slot must have been held by DIFFERENT docs across triggers
+    // (displacement), else a plain distinct would have sufficed
+    val displaced = out.select(col("source"), col("qrank"), col("doc_id"))
+      .distinct().groupBy(col("source"), col("qrank")).count()
+      .filter(col("count") > 1).count()
+    assert(displaced > 0, "no slot was ever displaced — the batch-id stamp is vacuous here")
+    out.unpersist()
+  }
 }
