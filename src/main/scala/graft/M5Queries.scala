@@ -727,6 +727,31 @@ object M5Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- §2.8: CONTINUOUS-INGEST INCREMENTAL DEDUP oracle-gated — the
+    // storage-backed-index foreachBatch twin run end to end: documents
+    // replay as 4 doc_id-ordered buckets, each micro-batch dedups
+    // against the parquet index of every EARLIER batch then appends its
+    // own rows, and the union of per-batch verdicts is exactly "each doc
+    // deduped against all strictly-lower buckets" — which the oracle
+    // spells with one ntile + (old.bucket < new.bucket) predicates on
+    // the same exact/LSH/verify chain as q_incremental_dedup. Batch 1
+    // sees an empty index (all new), matching bucket 1's no-earlier set.
+    "q_stream_incremental_dedup" -> ((s, dir) => {
+      val stream = graft.streaming.FileStreamHarness.orderedStream(s, dir,
+        "documents", prep = d => d.select(col("doc_id"), col("text")),
+        tsCol = "doc_id")
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_inc_gate_").toString
+      val q = graft.streaming.StreamingIncrementalDedup.start(stream,
+        s"$scratch/idx", s"$scratch/res", s"$scratch/chk",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      s.read.parquet(s"$scratch/res")
+        .select(col("doc_id"), col("exact_dup_of"), col("near_dup_of"),
+          col("is_new"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dedup: document fingerprint (rolling hash of normalized text)
     "q_fingerprint" -> ((s, dir) => {
       val toks = TextFunctions.tokens(col("text"))
@@ -3444,6 +3469,34 @@ object M5Queries {
          |SELECT d.doc_id, exf.exact_dup_of, near.near_dup_of,
          | (exf.exact_dup_of IS NULL AND near.near_dup_of IS NULL) AS is_new
          |FROM (SELECT doc_id FROM newd) d
+         | LEFT JOIN exf ON d.doc_id = exf.doc_id
+         | LEFT JOIN near ON d.doc_id = near.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // streaming incremental-dedup mirror: the q_incremental_dedup
+    // exact/LSH/verify chain with the %10 new/old split replaced by
+    // ntile(4) buckets and strict (old.b < new.b) predicates — the
+    // cumulative "dedup against everything earlier" semantics of the
+    // time-ordered replay
+    "q_stream_incremental_dedup" ->
+      s"""WITH bkt AS (SELECT *, ntile(4) OVER (ORDER BY doc_id) AS b FROM documents),
+         | fps AS (SELECT doc_id, b, ${frag.rolling("text")} AS fp FROM bkt),
+         | exf AS (SELECT n.doc_id, min(o.doc_id) AS exact_dup_of
+         |   FROM fps n LEFT JOIN fps o ON n.fp = o.fp AND o.b < n.b
+         |   GROUP BY n.doc_id),
+         | shb AS (SELECT s.doc_id, s.h, k.b FROM (${frag.shingleHashesFrom("bkt")}) s JOIN bkt k USING (doc_id)),
+         | sigb AS (SELECT doc_id, b, ${frag.minhashSig} sig FROM shb),
+         | bn AS (SELECT doc_id, b, unnest(${frag.bandKeys}) band_key FROM sigb),
+         | cand AS (SELECT DISTINCT n.doc_id, o.doc_id AS old_id
+         |   FROM bn n JOIN bn o ON n.band_key = o.band_key AND o.b < n.b),
+         | near AS (SELECT c.doc_id, min(c.old_id) AS near_dup_of
+         |   FROM cand c JOIN shb sn ON sn.doc_id = c.doc_id
+         |     JOIN shb so ON so.doc_id = c.old_id
+         |   WHERE ${frag.jac("sn.h", "so.h")} >= 0.9
+         |   GROUP BY c.doc_id)
+         |SELECT d.doc_id, exf.exact_dup_of, near.near_dup_of,
+         | (exf.exact_dup_of IS NULL AND near.near_dup_of IS NULL) AS is_new
+         |FROM (SELECT doc_id FROM documents) d
          | LEFT JOIN exf ON d.doc_id = exf.doc_id
          | LEFT JOIN near ON d.doc_id = near.doc_id
          |ORDER BY d.doc_id""".stripMargin,

@@ -97,6 +97,55 @@ object FileStreamHarness {
   private val orderedSplitCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, String, String, Int), String]
 
+  /** The TIME-ORDERED readStream over `table`'s prepped projection —
+    * the reusable front half of [[runEventTime]], exposed for stateful
+    * twins that own their sink (StreamingIncrementalDedup's
+    * foreachBatch index/result writers): `numFiles` strict time buckets
+    * of `tsCol` with tie cohesion and strictly increasing file mtimes,
+    * consumed one per micro-batch in time order.
+    */
+  def orderedStream(spark: SparkSession, sfDir: String, table: String,
+      prep: DataFrame => DataFrame, tsCol: String,
+      numFiles: Int = 4): DataFrame = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val batch = prep(graft.sources.Tables.load(spark, sfDir, table))
+    val inDir = orderedSplitCache.getOrElseUpdate(
+      (sfDir, table, batch.schema.catalogString, tsCol, numFiles), {
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_stream_split_").toString
+      val d = s"$scratch/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(tsCol))
+      // ntile over time order, then tie cohesion: all rows of one
+      // timestamp land in the tie's first bucket, so bucket boundaries
+      // are strict time boundaries (the no-late-rows precondition).
+      // The single-partition window is fixture-sized harness scaffolding
+      // (gate input, not a scale path); production streams arrive
+      // time-ordered from the source and never need this re-split.
+      val bucketed = batch
+        .withColumn("_b", ntile(numFiles).over(w))
+        .withColumn("_b", min(col("_b")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(tsCol))))
+      for (i <- 1 to numFiles) {
+        val part = s"$scratch/part_$i"
+        bucketed.filter(col("_b") === i).drop("_b")
+          .coalesce(1).write.parquet(part)
+        val f = new java.io.File(part).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(d, f"file_$i%05d.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        // strictly increasing, minutes apart: the stream replays the
+        // buckets in time order regardless of write-clock granularity
+        dst.setLastModified(1600000000000L + i * 60000L)
+      }
+      d
+    })
+    spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+  }
+
   /** Run a STATEFUL event-time transform (watermarked append-mode
     * aggregation) over `table` as a TIME-ORDERED multi-micro-batch file
     * stream — the stateful extension of [[runStateless]] (the round-15
@@ -134,40 +183,9 @@ object FileStreamHarness {
       onBatch: Long => Unit = _ => (),
       outputMode: String = "append",
       stampBatchId: Boolean = false): DataFrame = {
-    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val scratch = java.nio.file.Files.createTempDirectory("graft_stream_evt_")
       .toString
     val outDir = s"$scratch/out"
-    val batch = prep(graft.sources.Tables.load(spark, sfDir, table))
-    val inDir = orderedSplitCache.getOrElseUpdate(
-      (sfDir, table, batch.schema.catalogString, tsCol, numFiles), {
-      val d = s"$scratch/in"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col(tsCol))
-      // ntile over time order, then tie cohesion: all rows of one
-      // timestamp land in the tie's first bucket, so bucket boundaries
-      // are strict time boundaries (the no-late-rows precondition).
-      // The single-partition window is fixture-sized harness scaffolding
-      // (gate input, not a scale path); production streams arrive
-      // time-ordered from the source and never need this re-split.
-      val bucketed = batch
-        .withColumn("_b", ntile(numFiles).over(w))
-        .withColumn("_b", min(col("_b")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col(tsCol))))
-      for (i <- 1 to numFiles) {
-        val part = s"$scratch/part_$i"
-        bucketed.filter(col("_b") === i).drop("_b")
-          .coalesce(1).write.parquet(part)
-        val f = new java.io.File(part).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(d, f"file_$i%05d.parquet")
-        java.nio.file.Files.move(f.toPath, dst.toPath)
-        // strictly increasing, minutes apart: the stream replays the
-        // buckets in time order regardless of write-clock granularity
-        dst.setLastModified(1600000000000L + i * 60000L)
-      }
-      d
-    })
     // stampBatchId: append the micro-batch id to every emitted row —
     // Update-mode operators whose per-key kept set can be DISPLACED
     // (the source quota) are gated on each key's LAST emission, which
@@ -175,10 +193,7 @@ object FileStreamHarness {
     val stamp: (DataFrame, Long) => DataFrame =
       if (stampBatchId) (b, id) => b.withColumn("_batch_id", lit(id))
       else (b, _) => b
-    val stream = spark.readStream
-      .schema(batch.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(inDir)
+    val stream = orderedStream(spark, sfDir, table, prep, tsCol, numFiles)
     val transformed = transform(stream)
     // seed outDir from the STREAMING plan's analyzed schema (runStateless
     // seeds by running the transform on an empty batch frame, but

@@ -85,15 +85,21 @@ object StreamingIncrementalDedup {
     graft.sources.Tables.evictPinned(spark)
   }
 
-  /** Start the continuous query over a streaming (doc_id, text) frame. */
+  /** Start the continuous query over a streaming (doc_id, text) frame.
+    * `trigger`: None = the default processing-time trigger (run
+    * forever); pass `Trigger.AvailableNow()` for bounded replays (the
+    * oracle gate / backfills) so the query drains and terminates.
+    */
   def start(newDocs: DataFrame, indexDir: String, resultDir: String,
       checkpointDir: String, threshold: Double = 0.9, perms: Int = 16,
-      bands: Int = 4): StreamingQuery =
-    newDocs.writeStream
+      bands: Int = 4,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
+    val w = newDocs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         processBatch(batch.toDF(), batchId, indexDir, resultDir,
           threshold, perms, bands)
       }
-      .start()
+    trigger.fold(w)(w.trigger).start()
+  }
 }
