@@ -30,6 +30,8 @@ object DumpPlans {
       "q_embed_ivfpq" -> "composed IVF-PQ: probed buckets -> ADC over codes -> exact refine of the shortlist",
       "q_knn_graph_bounded" -> "skew-bounded k-NN graph: multi-probe (bucket, sub-bucket) equi-join",
       "q_incremental_dedup" -> "incremental dedup: cross-side fingerprint + band joins",
+      "q_bpe_pretok_train_batched" -> "GPT-2 pretok batched training round: regexp_extract_all pre-split explode -> distinct-word hash-agg (byte-unit encode AFTER the agg) -> pair-count partial agg",
+      "q_unigram_prune_loss" -> "likelihood-loss prune: one UnigramLossDelta reference object per DISTINCT word (excluded-forward DPs inside), vocabulary-bounded decimal agg",
       "q_semdedup" -> "SemDeDup: narrow codegen cluster assign + within-cluster cosine join",
       "q_substring_dups" -> "exact-substring dedup: window-hash bucket join",
       "q_containment_capped" -> "containment with the maxDf stop-shingle anti-join before the self-join",

@@ -343,6 +343,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_unigram_token_ids", // piece-vocab-rank triangle (the id join itself broadcasts hash-keyed)
       "q_bpe_windows_batched", // global-token-position PrefixSum triangle (windowing tail)
       "q_bpe_bytes_windows", // same windowing triangle over the byte-unit token stream
+      "q_bpe_pretok_windows", // same windowing triangle over the pre-split byte-unit stream
+      "q_unigram_prune_loss", // seed-rank triangle + loss drop-K rank triangle
       "q_key_skew") // 1-row (nk, total) totals frame broadcast onto the top-k keys
     def collectAll(p: SparkPlan): Seq[SparkPlan] =
       (p +: p.children.flatMap(collectAll)) ++ (p match {
