@@ -203,21 +203,35 @@ object FileStreamHarness {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         transformed.schema), -1L)
       .write.mode("overwrite").parquet(outDir)
-    val q = transformed.writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        onBatch(id)
-        stamp(b, id).write.mode("append").parquet(outDir)
-      }
-      // Update-mode stateful transforms (the rate cap's
-      // flatMapGroupsWithState) need the matching sink mode; the
-      // appended union then carries per-trigger refreshes, which the
-      // caller collapses (distinct / last-emission filter) when tuples
-      // are emission-stable or displacement-tracked
-      .outputMode(outputMode)
-      .option("checkpointLocation", s"$scratch/_chk")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // fixture-scale state-store sizing: a stateful operator instantiates
+    // one state store PER SHUFFLE PARTITION per operator per micro-batch
+    // (checkpoint dirs, maintenance, commit files) — at the session's 32
+    // partitions the hop-window gate (two chained stateful aggs × 5+
+    // triggers) pays ~300 store instances of pure overhead for a few
+    // thousand keys. Eight partitions carries the same keys with 4× less
+    // fixed cost; results are partitioning-independent (hash-partitioned
+    // state, deterministic emissions). Production sizes this to key
+    // cardinality exactly like batch shuffle partitions. Restored after
+    // the run — the session value is the BATCH knob.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = transformed.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          onBatch(id)
+          stamp(b, id).write.mode("append").parquet(outDir)
+        }
+        // Update-mode stateful transforms (the rate cap's
+        // flatMapGroupsWithState) need the matching sink mode; the
+        // appended union then carries per-trigger refreshes, which the
+        // caller collapses (distinct / last-emission filter) when tuples
+        // are emission-stable or displacement-tracked
+        .outputMode(outputMode)
+        .option("checkpointLocation", s"$scratch/_chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.read.parquet(outDir)
   }
 }
