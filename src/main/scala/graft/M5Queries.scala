@@ -2117,6 +2117,48 @@ object M5Queries {
     // corpus carries the injected multibyte tail, so EVERY CJK/latin-1
     // char exercises the fallback (the byteInjected binding
     // discipline); ASCII chars keep their vocabulary pieces
+    // ---- tokenizer: SentencePiece METASPACE convention — every word
+    // trains and segments as ▁word (U+2581, add_dummy_prefix), so the
+    // emitted pieces CARRY their preceding-space information and the
+    // stream detokenizes exactly: the unigram family's sibling of the
+    // BPE side's Ġ byte unit, closing the production-fidelity delta
+    // between this tokenizer and a real SentencePiece model
+    "q_unigram_meta_vocab" -> ((s, dir) =>
+      operators.Unigram.seedVocab(TextDedup.documents(s, dir),
+          frag.uniMaxPieceLen, frag.uniTopN, metaspace = true)
+        .orderBy(col("n_occ").desc, col("piece"))),
+
+    // ---- tokenizer: the metaspace piece STREAM — ▁-carrying pieces at
+    // their exact positions (the apply-side marker prefix mirrors the
+    // trainer's, so vocabulary and segmentation see the same words)
+    "q_unigram_meta_encode" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val (pieces, btot) = operators.Unigram.vocabModel(
+        operators.Unigram.seedVocab(docs, frag.uniMaxPieceLen, frag.uniTopN,
+          metaspace = true))
+      operators.Unigram.encodePieces(docs, pieces, btot, metaspace = true)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- tokenizer: metaspace DETOKENIZATION is exact — concatenate
+    // each document's pieces, map ▁ back to space, strip the dummy
+    // prefix: reproduces the whitespace-normalized document verbatim
+    // (the invertibility the marker exists to provide; oracle = the
+    // normalized text itself, no tokenizer machinery on the oracle side)
+    "q_unigram_meta_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+      val docs = TextDedup.documents(s, dir)
+      val (pieces, btot) = operators.Unigram.vocabModel(
+        operators.Unigram.seedVocab(docs, frag.uniMaxPieceLen, frag.uniTopN,
+          metaspace = true))
+      val enc = toColumn(graft.functions.UnigramEncode(
+        toExpression(col("text")), pieces, btot, metaspace = true))
+      docs.select(col("doc_id"),
+          ltrim(translate(concat_ws("", enc), operators.Unigram.Metaspace, " "))
+            .as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_unigram_bytes_fallback" -> ((s, dir) => {
       val (pieces, btot) = operators.Unigram.vocabModel(
         operators.Unigram.seedVocab(TextDedup.documents(s, dir),
@@ -2625,11 +2667,12 @@ object M5Queries {
       * ending in `{pfx}dp(word, score, np, path)`.
       */
     private def unigramDpChain(pfx: String, vb: String, bt: String,
-        words: String = "uwc", fallback: Option[String] = None): String = {
+        words: String = "uwc", fallback: Option[String] = None,
+        horizon: Int = uniHorizon): String = {
       val L = uniMaxPieceLen
       val parts = Seq.newBuilder[String]
       parts += s"${pfx}dp0 AS (SELECT word, 0::BIGINT AS score, 0::INT AS np, []::VARCHAR[] AS path FROM $words)"
-      for (t <- 1 to uniHorizon) {
+      for (t <- 1 to horizon) {
         val vocabCands = (math.max(0, t - L) until t).map { j =>
           s"SELECT d.word, d.score + v.b - $bt.bt AS score, d.np + 1 AS np, list_append(d.path, v.piece) AS path, v.piece AS piece FROM ${pfx}dp$j d JOIN $vb v ON v.piece = d.word[${j + 1}:$t], $bt WHERE len(d.word) >= $t"
         }
@@ -2646,7 +2689,7 @@ object M5Queries {
         parts += s"${pfx}dpc$t AS ($cands)"
         parts += s"${pfx}dp$t AS MATERIALIZED (SELECT word, score, np, path FROM ${pfx}dpc$t QUALIFY row_number() OVER (PARTITION BY word ORDER BY score DESC, np, piece) = 1)"
       }
-      val finals = (1 to uniHorizon)
+      val finals = (1 to horizon)
         .map(t => s"SELECT word, score, np, path FROM ${pfx}dp$t WHERE len(word) = $t")
         .mkString(" UNION ALL ")
       parts += s"${pfx}dp AS ($finals)"
@@ -2674,6 +2717,28 @@ object M5Queries {
       parts += "ufb AS MATERIALIZED (SELECT c, octet_length(encode(c))::INT AS nb, list_transform(range(octet_length(encode(c))), i -> '<0x' || hex(encode(c))[2*i+1:2*i+2] || '>') AS fbpath FROM ufbc WHERE c NOT IN (SELECT piece FROM uvoc))"
       parts += unigramDpChain("fb", "uvb", "ubt", words = "bwc",
         fallback = Some("ufb"))
+      parts.result().mkString(",\n ")
+    }
+
+    /** SentencePiece METASPACE mirror ([[graft.operators.Unigram.Metaspace]]):
+      * the word table prefixed with ▁ (after the count agg — injective,
+      * same groups), the seed/score CTEs verbatim, and the DP chain one
+      * position DEEPER (the marker adds one code point to every word,
+      * so the horizon is uniHorizon + 1 — the uniHorizon discipline:
+      * a longer word misses its final CTE and desynchronizes loudly).
+      * Ends in `uvoc` and `mdp(word, score, np, path)` keyed by the
+      * ▁-PREFIXED word.
+      */
+    def unigramMetaCtes: String = {
+      val L = uniMaxPieceLen
+      val parts = Seq.newBuilder[String]
+      parts += s"uwc AS MATERIALIZED (SELECT '▁' || word AS word, count(*) AS cnt FROM (SELECT unnest(w) AS word FROM (SELECT $toks w FROM documents)) GROUP BY 1)"
+      parts += s"usub AS MATERIALIZED (SELECT piece, sum(cnt)::BIGINT AS n_occ FROM (SELECT cnt, unnest(flatten(list_transform(generate_series(1, len(word)), s -> list_transform(generate_series(1, least($L, len(word) - s + 1)), l -> word[s:s+l-1])))) AS piece FROM uwc) GROUP BY 1)"
+      parts += s"uvoc AS MATERIALIZED (SELECT piece, n_occ FROM (SELECT piece, n_occ, row_number() OVER (ORDER BY n_occ DESC, piece) AS rk FROM usub) WHERE rk <= $uniTopN OR len(piece) = 1)"
+      parts += "upow AS (SELECT unnest(generate_series(0, 62)) AS p)"
+      parts += "uvb AS MATERIALIZED (SELECT piece, (SELECT max(p) FROM upow WHERE (1::BIGINT << p) <= n_occ) AS b FROM uvoc)"
+      parts += "ubt AS MATERIALIZED (SELECT (SELECT max(p) FROM upow WHERE (1::BIGINT << p) <= (SELECT sum(n_occ) FROM uvoc)) AS bt)"
+      parts += unigramDpChain("m", "uvb", "ubt", horizon = uniHorizon + 1)
       parts.result().mkString(",\n ")
     }
 
@@ -4380,6 +4445,28 @@ object M5Queries {
     "q_unigram_vocab" ->
       s"""WITH ${frag.unigramCtes}
          |SELECT piece, n_occ FROM uvoc ORDER BY n_occ DESC, piece""".stripMargin,
+
+    // metaspace seed mirror: the ▁-prefixed word table through the SAME
+    // substring-count/top-N CTEs
+    "q_unigram_meta_vocab" ->
+      s"""WITH ${frag.unigramMetaCtes}
+         |SELECT piece, n_occ FROM uvoc ORDER BY n_occ DESC, piece""".stripMargin,
+
+    // metaspace stream mirror: the deeper DP chain keyed by the
+    // ▁-prefixed word, joined to the raw document word stream
+    "q_unigram_meta_encode" ->
+      s"""WITH ${frag.unigramMetaCtes},
+         | mdwi AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS wi FROM (SELECT doc_id, ${frag.toks} w FROM documents)),
+         | mflat AS (SELECT doc_id, wi, unnest(path) AS piece, generate_subscripts(path, 1) AS si FROM mdwi JOIN mdp ON mdp.word = '▁' || mdwi.word)
+         |SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, piece
+         |FROM mflat ORDER BY doc_id, pos""".stripMargin,
+
+    // metaspace round-trip mirror: the oracle is the whitespace-
+    // normalized document itself — detokenization must reproduce it
+    // with NO tokenizer machinery on this side
+    "q_unigram_meta_roundtrip" ->
+      s"""SELECT doc_id, coalesce(array_to_string(${frag.toks}, ' '), '') AS text
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // unigram Viterbi stats mirror: per-word DP (unrolled by position)
     // joined back to the document word stream; tokenless docs survive

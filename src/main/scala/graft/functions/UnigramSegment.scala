@@ -53,7 +53,8 @@ import scala.collection.mutable
   * [[BpeSegmentStats]] scale argument).
   */
 case class UnigramSegmentStats(child: Expression, pieces: Seq[(String, Int)],
-    btot: Int, byteFallback: Boolean = false) extends UnaryExpression {
+    btot: Int, byteFallback: Boolean = false,
+    metaspace: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_words", LongType, nullable = false),
@@ -62,7 +63,7 @@ case class UnigramSegmentStats(child: Expression, pieces: Seq[(String, Int)],
   override def prettyName: String = "unigram_segment_stats"
 
   private lazy val model: UnigramSegment.Model =
-    UnigramSegment.model(pieces, btot, byteFallback)
+    UnigramSegment.model(pieces, btot, byteFallback, metaspace)
 
   override protected def nullSafeEval(input: Any): Any =
     UnigramSegment.computeStats(input.toString, model)
@@ -84,13 +85,14 @@ case class UnigramSegmentStats(child: Expression, pieces: Seq[(String, Int)],
   * (UnigramSpec property-pins it). Output: array<string>.
   */
 case class UnigramEncode(child: Expression, pieces: Seq[(String, Int)],
-    btot: Int, byteFallback: Boolean = false) extends UnaryExpression {
+    btot: Int, byteFallback: Boolean = false,
+    metaspace: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "unigram_encode"
 
   private lazy val model: UnigramSegment.Model =
-    UnigramSegment.model(pieces, btot, byteFallback)
+    UnigramSegment.model(pieces, btot, byteFallback, metaspace)
 
   override protected def nullSafeEval(input: Any): Any =
     UnigramSegment.computePieces(input.toString, model)
@@ -119,17 +121,18 @@ object UnigramSegment {
     */
   final class Model(val scores: java.util.HashMap[String, Integer],
       val maxLen: Int, val unkScore: Int,
-      val byteFallback: Boolean) extends Serializable
+      val byteFallback: Boolean,
+      val metaspace: Boolean) extends Serializable
 
   def model(pieces: Seq[(String, Int)], btot: Int,
-      byteFallback: Boolean = false): Model = {
+      byteFallback: Boolean = false, metaspace: Boolean = false): Model = {
     val m = new java.util.HashMap[String, Integer]()
     var maxLen = 1
     pieces.foreach { case (p, bits) =>
       m.put(p, Integer.valueOf(bits - btot))
       if (p.length > maxLen) maxLen = p.length
     }
-    new Model(m, maxLen, -btot, byteFallback)
+    new Model(m, maxLen, -btot, byteFallback, metaspace)
   }
 
   /** `<0xXX>` byte token (uppercase hex — the SentencePiece surface
@@ -238,7 +241,10 @@ object UnigramSegment {
       while (i < len && !isWs(text.charAt(i))) i += 1
       if (i > start) {
         nWords += 1
-        val w = text.substring(start, i)
+        val w0 = text.substring(start, i)
+        // metaspace: the DP runs over the ▁-prefixed word — the marker
+        // is ordinary vocabulary material (SentencePiece add_dummy_prefix)
+        val w = if (m.metaspace) "\u2581" + w0 else w0
         val (s, p, _, _) = viterbi(w, m)
         total += s(w.length)
         nPieces += p(w.length)
@@ -260,7 +266,8 @@ object UnigramSegment {
       val start = i
       while (i < len && !isWs(text.charAt(i))) i += 1
       if (i > start) {
-        val w = text.substring(start, i)
+        val w0 = text.substring(start, i)
+        val w = if (m.metaspace) "\u2581" + w0 else w0
         val (_, _, lastLen, isFb) = viterbi(w, m)
         val rev = mutable.ArrayBuffer.empty[String]
         var t = w.length

@@ -31,13 +31,32 @@ import org.apache.spark.sql.functions._
   */
 object Unigram {
 
+  /** The SentencePiece whitespace marker (U+2581 LOWER ONE EIGHTH
+    * BLOCK): under `metaspace = true` every word trains and segments as
+    * `▁word`, so emitted pieces CARRY their preceding-space information
+    * and the token stream detokenizes exactly (`concat → ▁→space →
+    * strip leading`) — the public SentencePiece `add_dummy_prefix` /
+    * metaspace convention, the unigram family's sibling of the BPE
+    * side's Ġ byte unit.
+    */
+  val Metaspace = "▁"
+
   /** Corpus-weighted word table (word, cnt) — the one corpus-sized
     * aggregation, shared tokenization contract with [[Bpe]]
     * ([[TextFunctions.tokens]]: lowercase, `[ \t\n\f\r]+`).
+    * `metaspace` prefixes every word with [[Metaspace]] AFTER the
+    * hash-agg input explode — the prefix is injective per word, so the
+    * groups are identical and the corpus-sized pass never changes (the
+    * byte-level BPE encode-after-agg discipline).
     */
-  private def wordCounts(docs: DataFrame): DataFrame =
-    docs.select(explode(TextFunctions.tokens(col("text"))).as("word"))
+  private def wordCounts(docs: DataFrame,
+      metaspace: Boolean = false): DataFrame = {
+    val wc = docs.select(explode(TextFunctions.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    if (metaspace)
+      wc.select(concat(lit(Metaspace), col("word")).as("word"), col("cnt"))
+    else wc
+  }
 
   /** SEED vocabulary (Kudo §3.2's seed step, substring-count variant):
     * every substring of length ≤ `maxPieceLen` of every corpus word,
@@ -51,10 +70,11 @@ object Unigram {
     * The expansion runs over the distinct-word table (never
     * corpus-sized); the rank is a range-partitioned [[PrefixSum]].
     */
-  def seedVocab(docs: DataFrame, maxPieceLen: Int, topN: Int): DataFrame = {
+  def seedVocab(docs: DataFrame, maxPieceLen: Int, topN: Int,
+      metaspace: Boolean = false): DataFrame = {
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     require(topN >= 1, s"topN must be >= 1, got $topN")
-    val subs = wordCounts(docs)
+    val subs = wordCounts(docs, metaspace)
       .select(col("cnt"), explode(flatten(transform(
         sequence(lit(1), length(col("word"))), s =>
           transform(
@@ -94,10 +114,11 @@ object Unigram {
     * entirely narrow.
     */
   def segmentStats(docs: DataFrame, pieces: Seq[(String, Int)],
-      btot: Int, byteFallback: Boolean = false): DataFrame = {
+      btot: Int, byteFallback: Boolean = false,
+      metaspace: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
     val st = toColumn(graft.functions.UnigramSegmentStats(
-      toExpression(col("text")), pieces, btot, byteFallback))
+      toExpression(col("text")), pieces, btot, byteFallback, metaspace))
     docs.select(col("doc_id"), st.as("st"))
       .select(col("doc_id"), col("st.n_words").as("n_words"),
         col("st.n_pieces").as("n_pieces"), col("st.score").as("score"))
@@ -339,10 +360,11 @@ object Unigram {
     * unchanged.
     */
   def encodePieces(docs: DataFrame, pieces: Seq[(String, Int)],
-      btot: Int, byteFallback: Boolean = false): DataFrame = {
+      btot: Int, byteFallback: Boolean = false,
+      metaspace: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
     val enc = toColumn(graft.functions.UnigramEncode(
-      toExpression(col("text")), pieces, btot, byteFallback))
+      toExpression(col("text")), pieces, btot, byteFallback, metaspace))
     docs.select(col("doc_id"), posexplode(enc).as(Seq("pos0", "piece")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("piece"))
   }

@@ -797,6 +797,64 @@ class BpeSpec extends AnyFunSuite {
     assert(expected.head == 17L) // the hand-derived split above
   }
 
+  test("fuzz: the oracle's ordered-alternation scanner ≡ the published regex on random text") {
+    // the DuckDB mirror cannot run lookahead (RE2), so frag.pretokMl
+    // re-derives match lengths arithmetically. This pins the SAME
+    // algorithm in Scala against Java's lookahead engine on adversarial
+    // random strings — whitespace runs, contractions, mixed scripts —
+    // so the SQL spelling's logic is validated independently of the
+    // fixture the gate happens to use.
+    def scanRef(text: String): Seq[String] = {
+      def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+      def isL(c: Char) = Character.isLetter(c)
+      def isN(c: Char) = Character.isDigit(c)
+      def runLen(from: Int, p: Char => Boolean): Int = {
+        var i = from; while (i < text.length && p(text.charAt(i))) i += 1; i - from
+      }
+      val out = Seq.newBuilder[String]
+      var pos = 0
+      while (pos < text.length) {
+        val rest = text.substring(pos)
+        val ml =
+          if (Seq("'re", "'ve", "'ll").exists(rest.startsWith)) 3
+          else if (Seq("'s", "'t", "'m", "'d").exists(rest.startsWith)) 2
+          else {
+            val sp = if (text.charAt(pos) == ' ') 1 else 0
+            val l = runLen(pos + sp, isL)
+            val n = runLen(pos + sp, isN)
+            val o = runLen(pos + sp, c => !isWs(c) && !isL(c) && !isN(c))
+            if (l > 0) sp + l
+            else if (n > 0) sp + n
+            else if (o > 0) sp + o
+            else {
+              val w = runLen(pos, isWs)
+              if (pos + w >= text.length) w else if (w > 1) w - 1 else 1
+            }
+          }
+        out += text.substring(pos, pos + ml)
+        pos += ml
+      }
+      out.result()
+    }
+    val pat = java.util.regex.Pattern.compile(
+      graft.functions.TextFunctions.Gpt2PretokPattern)
+    def scanJava(text: String): Seq[String] = {
+      val m = pat.matcher(text)
+      val out = Seq.newBuilder[String]
+      while (m.find()) out += m.group()
+      out.result()
+    }
+    val alphabet = "ab N3'.  \t\nた,-"
+    val rnd = new scala.util.Random(7)
+    (0 until 500).foreach { _ =>
+      val s = (0 until rnd.nextInt(24)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val (ref, jav) = (scanRef(s), scanJava(s))
+      assert(ref == jav, s"scanner mismatch on ${s.map(_.toInt)}: $ref vs $jav")
+      assert(jav.mkString == s)
+    }
+  }
+
   test("pretok encode is case-PRESERVING where the whitespace spelling lowercases") {
     val docs = Seq((1L, "Ab")).toDF("doc_id", "text")
     val pre = Bpe.encodeTokens(docs, Nil, byteLevel = true, pretok = true)

@@ -428,6 +428,35 @@ class UnigramSpec extends AnyFunSuite {
     assert(hard._3 == 3L) // a, UNK(😀), b
   }
 
+  test("metaspace: pieces carry the ▁ marker, detokenization is exact, and the mode BINDS") {
+    val M = Unigram.Metaspace
+    val vocabM = Unigram.seedVocab(docs, 3, 12, metaspace = true)
+      .as[(String, Long)].collect().toMap
+    // the marker is vocabulary material: ▁ itself (single-char coverage)
+    // and ▁-prefixed substrings are pieces
+    assert(vocabM.contains(M))
+    assert(vocabM.keys.exists(p => p.startsWith(M) && p.length > 1))
+    val (pieces, btot) = Unigram.vocabModel(
+      Unigram.seedVocab(docs, 3, 12, metaspace = true))
+    val toks = Unigram.encodePieces(docs, pieces, btot, metaspace = true)
+      .as[(Long, Int, String)].collect().toSeq
+    // every word's FIRST piece starts with ▁ (the dummy prefix), and
+    // detokenization reproduces the whitespace-normalized text exactly
+    val byDoc = toks.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3))
+    texts.zipWithIndex.foreach { case (txt, i) =>
+      val norm = txt.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      val detok = byDoc.getOrElse(i.toLong, Seq.empty)
+        .mkString.replace(M, " ").stripPrefix(" ")
+      assert(detok == norm.mkString(" "), s"doc $i: '$detok'")
+    }
+    // the mode binds: the plain spelling emits NO marker anywhere
+    val (p0, b0) = Unigram.vocabModel(Unigram.seedVocab(docs, 3, 12))
+    val plain = Unigram.encodePieces(docs, p0, b0)
+      .as[(Long, Int, String)].collect().toSeq
+    assert(plain.forall(!_._3.contains(M)))
+    assert(toks.exists(_._3.contains(M)))
+  }
+
   // ---- likelihood-loss prune criterion ----
 
   test("loss-delta and usage RANK DIFFERENTLY on a multiplicity-heavy corpus (the criterion binds)") {
