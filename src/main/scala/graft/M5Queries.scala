@@ -2159,6 +2159,29 @@ object M5Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- tokenizer: the FULL EM TRAINER under the metaspace
+    // convention — seed → (usage → prune → re-score)* to target, every
+    // word ▁-prefixed on both the train and apply sides (the
+    // q_unigram_train composition re-gated over the marker regime)
+    "q_unigram_meta_train" -> ((s, dir) =>
+      operators.Unigram.trainVocab(TextDedup.documents(s, dir),
+          frag.uniMaxPieceLen, frag.uniTopN, frag.uniTrainTarget,
+          frag.uniTrainDropCap, metaspace = true)
+        .orderBy(col("n_occ").desc, col("piece"))),
+
+    // ---- tokenizer: encode under the METASPACE-TRAINED vocabulary —
+    // the composition close: trainVocab(metaspace) → freeze → Viterbi
+    // over ▁-words; pieces in the stream carry the marker
+    "q_unigram_meta_train_encode" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val (pieces, btot) = operators.Unigram.vocabModel(
+        operators.Unigram.trainVocab(docs, frag.uniMaxPieceLen,
+          frag.uniTopN, frag.uniTrainTarget, frag.uniTrainDropCap,
+          metaspace = true))
+      operators.Unigram.encodePieces(docs, pieces, btot, metaspace = true)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     "q_unigram_bytes_fallback" -> ((s, dir) => {
       val (pieces, btot) = operators.Unigram.vocabModel(
         operators.Unigram.seedVocab(TextDedup.documents(s, dir),
@@ -2980,6 +3003,38 @@ object M5Queries {
       }
       parts.result().mkString(",\n ")
     }
+
+    /** [[unigramTrainCtes]] over the METASPACE word table: the meta seed
+      * + uniTrainRounds unrolled EM rounds, every DP chain one position
+      * deeper (the ▁ marker's code point). The round machinery
+      * (unigramRoundCtes) is reused verbatim — it reads the shared `uwc`
+      * name, which unigramMetaCtes binds to the ▁-prefixed table.
+      */
+    def unigramMetaTrainCtes: String = {
+      val parts = Seq.newBuilder[String]
+      parts += unigramMetaCtes
+      var prevVocab = "uvoc"
+      var prevDp = "m"
+      for (r <- 1 to uniTrainRounds) {
+        val pfx = s"t$r"
+        val dropK = s"SELECT least($uniTrainDropCap, greatest(0, (SELECT count(*) FROM $prevVocab) - $uniTrainTarget))"
+        parts += unigramRoundCtes(prevVocab, prevDp, pfx, s"${pfx}voc", dropK)
+        if (r < uniTrainRounds)
+          parts += unigramDpChain(pfx, s"${pfx}vb", s"${pfx}bt",
+            horizon = uniHorizon + 1)
+        prevVocab = s"${pfx}voc"
+        prevDp = pfx
+      }
+      parts.result().mkString(",\n ")
+    }
+
+    /** [[unigramMetaTrainCtes]] + the trained model's DP chain (one
+      * deeper) — encode under the METASPACE-trained vocabulary.
+      */
+    def unigramMetaTrainEncodeCtes: String =
+      unigramMetaTrainCtes + ",\n " + unigramDpChain(
+        "te", s"t${uniTrainRounds}vb", s"t${uniTrainRounds}bt",
+        horizon = uniHorizon + 1)
 
     /** Encode-chain CTEs ending in `flat(doc_id, wi, si, sym)` — the
       * per-token stream (word subscript wi, within-word subscript si)
@@ -4467,6 +4522,23 @@ object M5Queries {
     "q_unigram_meta_roundtrip" ->
       s"""SELECT doc_id, coalesce(array_to_string(${frag.toks}, ' '), '') AS text
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // metaspace trainer mirror: uniTrainRounds unrolled EM rounds over
+    // the ▁-word table, final vocabulary (piece, n_occ)
+    "q_unigram_meta_train" ->
+      s"""WITH ${frag.unigramMetaTrainCtes}
+         |SELECT piece, n_occ FROM t${frag.uniTrainRounds}voc
+         |ORDER BY n_occ DESC, piece""".stripMargin,
+
+    // metaspace trained-encode mirror: the trainer CTEs + one deeper DP
+    // chain under the final scores, joined to the raw word stream via
+    // the ▁ prefix
+    "q_unigram_meta_train_encode" ->
+      s"""WITH ${frag.unigramMetaTrainEncodeCtes},
+         | mdwi AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS wi FROM (SELECT doc_id, ${frag.toks} w FROM documents)),
+         | mflat AS (SELECT doc_id, wi, unnest(path) AS piece, generate_subscripts(path, 1) AS si FROM mdwi JOIN tedp ON tedp.word = '▁' || mdwi.word)
+         |SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, piece
+         |FROM mflat ORDER BY doc_id, pos""".stripMargin,
 
     // unigram Viterbi stats mirror: per-word DP (unrolled by position)
     // joined back to the document word stream; tokenless docs survive

@@ -131,8 +131,8 @@ object Unigram {
     * rides per row as the frozen expression.
     */
   def pieceUsage(docs: DataFrame, pieces: Seq[(String, Int)],
-      btot: Int): DataFrame =
-    encodePieces(docs, pieces, btot)
+      btot: Int, metaspace: Boolean = false): DataFrame =
+    encodePieces(docs, pieces, btot, metaspace = metaspace)
       .groupBy(col("piece")).agg(count(lit(1)).as("usage"))
 
   /** SOFT-EM piece usage — the FULL E-step (Kudo §3.2 step 2 as
@@ -160,7 +160,8 @@ object Unigram {
     * discipline). Output: (piece, usage_q).
     */
   def pieceUsageSoft(docs: DataFrame, vocab: DataFrame,
-      probBits: Int = 8, scale: Long = 1000000L): DataFrame = {
+      probBits: Int = 8, scale: Long = 1000000L,
+      metaspace: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
     val spark = docs.sparkSession
     val rows = vocab.select(col("piece"), col("n_occ"))
@@ -175,7 +176,7 @@ object Unigram {
     // the HUGEINT oracle; the decimal sum is exact to 38 digits and the
     // assert_true below fails loudly at the int64 envelope instead
     // (round-15 advice — the LanguageModel envelope discipline)
-    val usage = wordCounts(docs)
+    val usage = wordCounts(docs, metaspace)
       .select(col("cnt"), explode(soft).as("pc"))
       .groupBy(col("pc.piece").as("piece"))
       .agg(sum(col("cnt").cast(org.apache.spark.sql.types.DecimalType(38, 0))
@@ -317,10 +318,11 @@ object Unigram {
     */
   def trainVocab(docs: DataFrame, maxPieceLen: Int, topN: Int,
       targetVocab: Int, dropCap: Int, soft: Boolean = false,
-      probBits: Int = 8, scale: Long = 1000000L): DataFrame = {
+      probBits: Int = 8, scale: Long = 1000000L,
+      metaspace: Boolean = false): DataFrame = {
     require(targetVocab >= 1, s"targetVocab must be >= 1, got $targetVocab")
     require(dropCap >= 1, s"dropCap must be >= 1, got $dropCap")
-    var vocab = seedVocab(docs, maxPieceLen, topN)
+    var vocab = seedVocab(docs, maxPieceLen, topN, metaspace)
       .select(col("piece"), col("n_occ")).localCheckpoint()
     var (pieces, btot) = vocabModel(vocab)
     // CODE-POINT length, matching the engine-side prune-immunity test
@@ -340,9 +342,9 @@ object Unigram {
       // round, [[pieceUsageSoft]]; the usage-agnostic prune makes the
       // M-step identical either way)
       val usage =
-        if (soft) pieceUsageSoft(docs, vocab, probBits, scale)
+        if (soft) pieceUsageSoft(docs, vocab, probBits, scale, metaspace)
           .select(col("piece"), col("usage_q").as("usage"))
-        else pieceUsage(docs, pieces, btot)
+        else pieceUsage(docs, pieces, btot, metaspace)
       vocab = pruneVocab(vocab.select(col("piece")), usage, dropK)
         .select(col("piece"), col("n_occ")).localCheckpoint()
       val m = vocabModel(vocab)
