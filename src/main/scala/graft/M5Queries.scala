@@ -252,6 +252,38 @@ object M5Queries {
       ixDir
     })
 
+  /** Session-scoped STREAM-GROWN IVF-PQ index for `q_stream_index_ingest`:
+    * base build on the first half, then the second half STREAMED in as 4
+    * vec_id-ordered micro-batches through [[graft.streaming.StreamingIndexIngest]]
+    * under the frozen base codebooks — the continuous-ingest spelling of
+    * [[ivfPqAppendIndexDir]]'s one-shot append. The grown index holds the
+    * SAME rows (batch partitions 1–4 instead of 1; probing is
+    * partition-layout independent), so the probe shares
+    * `q_embed_ivfpq_append`'s oracle.
+    */
+  private val builtIvfPqStreamIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfPqStreamIndexDir(s: SparkSession, dir: String): String =
+    builtIvfPqStreamIndexes.computeIfAbsent(dir, _ => {
+      val tag = s"ivfpqs_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val d = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_p${
+        ProcessHandle.current().pid()}"
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(new java.io.File(d))))
+      val e = Similarity.embeddings(s, dir)
+      val n = e.count()
+      Similarity.writeIvfPqIndex(e.filter(col("vec_id") * 2 < n), d)
+      val stream = graft.streaming.FileStreamHarness.orderedStream(s, dir,
+        "embeddings", prep = raw => raw.filter(col("vec_id") * 2 >= lit(n)),
+        tsCol = "vec_id", cacheTag = "upper_half:")
+      val q = graft.streaming.StreamingIndexIngest.start(stream, d,
+        s"${d}_chk",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      d
+    })
+
   /** Session-scoped RETRAINED IVF-PQ index for `q_embed_ivfpq_retrained`:
     * the full production lifecycle — base build on the first half,
     * frozen-codebook append of the second (the [[ivfPqAppendIndexDir]]
@@ -1160,6 +1192,19 @@ object M5Queries {
     "q_embed_ivfpq_append" -> ((s, dir) => {
       val emb = Similarity.embeddings(s, dir)
       Similarity.annIvfPqTopKIndexed(emb, ivfPqAppendIndexDir(emb, dir), 0L to 9L, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- §2.8: CONTINUOUS INDEX INGEST oracle-gated — the second half
+    // of the corpus STREAMED into the persisted IVF-PQ index as 4 real
+    // micro-batches under frozen codebooks (StreamingIndexIngest), then
+    // probed: the grown index holds the same rows as the one-shot
+    // append, so the probe shares q_embed_ivfpq_append's oracle — the
+    // vector-corpus sibling of q_stream_incremental_dedup
+    "q_stream_index_ingest" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      Similarity.annIvfPqTopKIndexed(emb, ivfPqStreamIndexDir(s, dir), 0L to 9L, k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -4150,6 +4195,13 @@ object M5Queries {
     // half only (IvfPqIndexSpec pins the equivalence); the oracle IS that
     // rebuild — same chain, training predicate threaded through
     "q_embed_ivfpq_append" ->
+      s"""${ivfPqChainPred(ivfPqHalfPred)}
+         |SELECT query_id, neighbor_id, rank::INT AS rank, cos FROM ivfpq
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // streamed-ingest mirror: the SAME half-trained-codebook chain —
+    // the streamed index holds identical rows to the one-shot append
+    "q_stream_index_ingest" ->
       s"""${ivfPqChainPred(ivfPqHalfPred)}
          |SELECT query_id, neighbor_id, rank::INT AS rank, cos FROM ivfpq
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,

@@ -106,11 +106,13 @@ object FileStreamHarness {
     */
   def orderedStream(spark: SparkSession, sfDir: String, table: String,
       prep: DataFrame => DataFrame, tsCol: String,
-      numFiles: Int = 4): DataFrame = {
+      numFiles: Int = 4, cacheTag: String = ""): DataFrame = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val batch = prep(graft.sources.Tables.load(spark, sfDir, table))
+    // cacheTag: preps that FILTER (not just project) share a schema with
+    // other preps of the same table — the tag keeps their splits apart
     val inDir = orderedSplitCache.getOrElseUpdate(
-      (sfDir, table, batch.schema.catalogString, tsCol, numFiles), {
+      (sfDir, table, cacheTag + batch.schema.catalogString, tsCol, numFiles), {
       val scratch = java.nio.file.Files
         .createTempDirectory("graft_stream_split_").toString
       val d = s"$scratch/in"

@@ -42,15 +42,18 @@ object StreamingIndexIngest {
     * (vec_id, embedding — [[Similarity.embeddings]]' shape).
     */
   def start(newEmbs: DataFrame, indexDir: String, checkpointDir: String,
-      firstBatch: Long = 1L, m: Int = 8): StreamingQuery = {
+      firstBatch: Long = 1L, m: Int = 8,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
     require(firstBatch >= 1, s"batch 0 is the base build; appends start at 1 (got $firstBatch)")
-    newEmbs.writeStream
+    val w = newEmbs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // an empty redelivery must not pay the codebook read
         if (!batch.isEmpty)
           Similarity.appendIvfPqIndex(batch.toDF(), indexDir, firstBatch + batchId, m)
       }
-      .start()
+    // None = run forever (production); AvailableNow for bounded replays
+    // (the oracle gate / backfill epochs) so the query drains and stops
+    trigger.fold(w)(w.trigger).start()
   }
 }
