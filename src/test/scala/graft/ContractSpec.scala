@@ -112,6 +112,7 @@ class ContractSpec extends AnyFunSuite {
       "q_embed_ivfpq"       -> Set("cos"),
       "q_embed_ivfpq_indexed" -> Set("cos"),
       "q_embed_ivfpq_append" -> Set("cos"),
+      "q_stream_index_ingest" -> Set("cos"),
       "q_embed_ivfpq_retrained" -> Set("cos"),
       "q_knn_graph"         -> Set("cos"),
       "q_knn_graph_bounded" -> Set("cos"),

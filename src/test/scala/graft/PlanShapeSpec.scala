@@ -302,6 +302,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_shard_manifest", // composes balancedShards' 1-row total frame
       "q_bm25", // 1-row corpus totals
       "q_embed_ivf_recall", "q_embed_ivfpq", "q_embed_ivfpq_append",
+      "q_stream_index_ingest", // the append probe's plan over the stream-grown index
       "q_embed_ivfpq_retrained", // same probe plan as _indexed: ≤10-row query-vector set
       "q_embed_ivfpq_indexed", "q_embed_ivfpq_recall", "q_embed_pq",
       "q_embed_pq_recall", "q_embed_pq_refined", "q_embed_topk",
@@ -335,6 +336,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_window_segments", // same global-position triangle (segment ids on top)
       "q_unigram_windows", // same global-position PrefixSum triangle over the piece stream
       "q_unigram_vocab", // PrefixSum offset triangle over the substring-vocab rank
+      "q_unigram_meta_vocab", // same seed-rank triangle over the ▁-word table
+      "q_unigram_meta_encode", "q_unigram_meta_roundtrip", // seed triangle feeding the model freeze
+      "q_unigram_meta_train", "q_unigram_meta_train_encode", // trainer triangles over the ▁-word table
       "q_unigram_prune", // two vocab-rank triangles (seed rank + usage drop-K rank)
       "q_unigram_prune_soft", // same seed-rank + drop-K rank triangles, usage from the soft E-step
       "q_unigram_train", // seed-rank triangle + one drop-K rank triangle per EM round
