@@ -162,7 +162,15 @@ object Bench {
       val loadAfter = loadavg
       def load1(s: String): Double =
         s.split(" ").headOption.flatMap(_.toDoubleOption).getOrElse(-1.0)
-      val contaminated = load1(loadBefore) > 4.0 || load1(loadAfter) > 4.0
+      // load_after left OUT of the verdict since round 16: the exit
+      // sample now measures the bench's OWN 32-thread work — the
+      // sorted-order tail is the q_stream_* block (real multi-batch
+      // streaming queries), which keeps the 1-min load near 10 on a
+      // fully idle host (capture E: load_before 0.20/0.58, ZERO stall
+      // suspects, per-query minima at round-15 clean levels, exit load
+      // 10.16). Mid-run external contamination is what the per-query
+      // load series + the stall detector are for; both still print.
+      val contaminated = load1(loadBefore) > 4.0 || stallSuspects != "[]"
       // key order mirrors the driver contract's example line
       // ({"metric":...,"value":...,"unit":...,"queries":...,"sf":...})
       // in case its parser anchors on the leading "metric" key rather

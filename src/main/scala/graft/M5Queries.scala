@@ -112,6 +112,45 @@ object M5Queries {
     TextDedup.documents(s, dir).withColumn("text",
       concat(col("text"), lit(frag.pretokInject), (col("doc_id") % 5).cast("string")))
 
+  /** The q_wp_* TRAINING input: the corpus plus frag.wpInject's
+    * mixed-case / accented / contraction / punctuation / decimal / CJK
+    * tail and a doc-varying digit — the fixtures are lowercase ASCII
+    * words where BERT basic tokenization degenerates to the whitespace
+    * tokenizer and every WordPiece gate would be vacuous on the family-
+    * specific branches (the byteInjected discipline).
+    */
+  private def wpInjected(s: SparkSession, dir: String): DataFrame =
+    TextDedup.documents(s, dir).withColumn("text",
+      concat(col("text"), lit(frag.wpInject), (col("doc_id") % 5).cast("string")))
+
+  /** The q_wp_* SCORE input: the training input plus one word whose 'ø'
+    * is outside the training alphabet — the whole-word [UNK] rule binds.
+    */
+  private def wpScoreDocs(s: SparkSession, dir: String): DataFrame =
+    wpInjected(s, dir).withColumn("text",
+      concat(col("text"), lit(frag.wpUnkTail)))
+
+  /** The q_gopher_* input: the corpus plus per-doc-class tails so the
+    * n-gram repetition signals and their gate rules BIND (the word-salad
+    * fixtures have no long duplicate phrases, no symbols, and no top-
+    * heavy n-grams): doc_id % 7 == 0 → a thrice-repeated 12-token phrase
+    * (dup-5..10-gram coverage + ≥ 2 distinct stop words), % 7 == 1 → a
+    * 30-'#' token (the symbol-to-word rule), % 7 == 3 → one 2-gram
+    * repeated 60× (the top-n-gram char-fraction rules), % 7 == 5 → a
+    * stop-word tail (so `keep = true` occurs in-gate: the corpus's only
+    * failing rule on its cleanest docs is few_stopwords). Rules the
+    * fixture cannot reach at gate level (long_words, low_alpha,
+    * too_long) are pinned in CurationSpec instead — the documented
+    * vacuity split.
+    */
+  private def gopherInjected(s: SparkSession, dir: String): DataFrame =
+    TextDedup.documents(s, dir).withColumn("text",
+      when(col("doc_id") % 7 === 0, concat(col("text"), lit(frag.gopherDupTail)))
+        .when(col("doc_id") % 7 === 1, concat(col("text"), lit(frag.gopherSymTail)))
+        .when(col("doc_id") % 7 === 3, concat(col("text"), lit(frag.gopherTopTail)))
+        .when(col("doc_id") % 7 === 5, concat(col("text"), lit(frag.gopherStopTail)))
+        .otherwise(col("text")))
+
   /** recall@k of an ANN candidate frame `(query_id, neighbor_id)` against
     * the exact brute-force top-k for queries 0–9 — ONE definition for
     * every approximate path's quality measurement (IVF, ADC, PQ+refine),
@@ -1669,6 +1708,27 @@ object M5Queries {
         .withColumn("reasons", array_join(col("reasons"), ","))
         .orderBy(col("doc_id"))),
 
+    // ---- curation: the FULL published Gopher n-gram repetition signal
+    // set (Rae et al. 2021 Table A1) — top-{2,3,4}-gram char coverage
+    // (occurrences × n-gram token chars, count-then-lex argmax) and
+    // duplicate-{5..10}-gram char coverage (positional UNION — overlaps
+    // counted once), exact integers over the shared n_wchars
+    // denominator; ONE union-frame shuffle per family, never one pass
+    // per n
+    "q_gopher_ngram" -> ((s, dir) =>
+      Curation.gopherNgramSignals(gopherInjected(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // ---- curation: the COMPLETE Gopher quality gate — qualityFilter's
+    // five rules + word-shape rules (long_words / low_alpha /
+    // high_symbols / few_stopwords) + the nine n-gram char-fraction
+    // thresholds (top 20/18/16%, dup 15..10%), all integer
+    // cross-multiplications; reasons CSV for the driver hasher
+    "q_gopher_gate" -> ((s, dir) =>
+      Curation.gopherGate(gopherInjected(s, dir))
+        .withColumn("reasons", array_join(col("reasons"), ","))
+        .orderBy(col("doc_id"))),
+
     // ---- relevance: quantized BM25 top-50 for a fixed 5-term query
     // ("quantum" is absent from the corpus — exercises the no-match path)
     "q_bm25" -> ((s, dir) =>
@@ -2227,6 +2287,73 @@ object M5Queries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // ---- tokenizer: WORDPIECE TRAINING (Schuster & Nakajima, ICASSP
+    // 2012; BERT's tokenization.py) — the THIRD production tokenizer
+    // family: ##-continuation symbols, per-round argmax by the
+    // quantized LIKELIHOOD score (pair·10¹²) div (cnt(l)·cnt(r)) in
+    // exact decimal arithmetic (ties (l, r) ASC), greedy fuse with the
+    // continuation prefix stripped; two map-side-combinable aggs per
+    // round over the distinct-word table (pairs + the score's
+    // marginals), 1-row argmax driver state
+    "q_wp_train" -> ((s, dir) =>
+      operators.WordPiece.trainWordPiece(wpInjected(s, dir), frag.wpMerges)
+        .orderBy(col("rank"))),
+
+    // ---- tokenizer: WordPiece ENCODE — greedy longest-match-first
+    // against the frozen vocabulary SET (NOT merge replay — the
+    // family's defining apply rule), whole word → [UNK] on any
+    // unmatched position (the 'ø' tail binds it); one reference-object
+    // expression per row, entirely narrow
+    "q_wp_encode" -> ((s, dir) => {
+      val train = wpInjected(s, dir)
+      val vocab = operators.WordPiece.vocabOf(train,
+        operators.WordPiece.trainWordPiece(train, frag.wpMerges))
+      operators.WordPiece.encodeTokens(wpScoreDocs(s, dir), vocab)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- tokenizer: WordPiece UNK-rate report by source slice — the
+    // whole-word-granularity vocabulary-coverage signal (oovReport's
+    // family sibling); UNK counts on the un-exploded encode array, one
+    // source-keyed aggregation
+    "q_wp_unk_by_source" -> ((s, dir) => {
+      val train = wpInjected(s, dir)
+      val vocab = operators.WordPiece.vocabOf(train,
+        operators.WordPiece.trainWordPiece(train, frag.wpMerges))
+      operators.WordPiece.unkBySource(wpScoreDocs(s, dir), vocab)
+        .orderBy(col("source"))
+    }),
+
+    // ---- tokenizer: the WordPiece PRODUCTION CHAIN — train → freeze →
+    // greedy encode → GPT-style token windows through the tokenizer-
+    // agnostic windowing face (the q_bpe_bytes_windows sibling for the
+    // third family)
+    "q_wp_windows" -> ((s, dir) => {
+      val train = wpInjected(s, dir)
+      val vocab = operators.WordPiece.vocabOf(train,
+        operators.WordPiece.trainWordPiece(train, frag.wpMerges))
+      val docs = wpScoreDocs(s, dir)
+      operators.Bpe.tokenWindowsOf(
+          operators.WordPiece.encodeTokens(docs, vocab),
+          docs.select(col("doc_id")), frag.tokenWindow)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- tokenizer: BERT-style MLM MASKING (Devlin et al. 2019 §3.1)
+    // over the WordPiece stream — hash-deterministic 15% selection with
+    // the 80/10/10 [MASK]/random/keep branches (the fimTransform
+    // discipline, position-keyed); the random replacement is a
+    // broadcast dictionary join against the stream's own vocabulary
+    "q_mlm_mask" -> ((s, dir) => {
+      val train = wpInjected(s, dir)
+      val vocab = operators.WordPiece.vocabOf(train,
+        operators.WordPiece.trainWordPiece(train, frag.wpMerges))
+      val enc = operators.SharedBranch.sharedBranch(
+        operators.WordPiece.encodeTokens(wpScoreDocs(s, dir), vocab))
+      operators.Bpe.mlmMask(enc, operators.Bpe.vocabulary(enc))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     "q_unigram_bytes_fallback" -> ((s, dir) => {
       val (pieces, btot) = operators.Unigram.vocabModel(
         operators.Unigram.seedVocab(TextDedup.documents(s, dir),
@@ -2618,6 +2745,182 @@ object M5Queries {
       val h = s"hex(encode($e))"
       val b = s"((strpos('0123456789ABCDEF', $h[2*i+1:2*i+1])-1)*16 + strpos('0123456789ABCDEF', $h[2*i+2:2*i+2])-1)"
       s"coalesce(array_to_string(list_transform(range(octet_length(encode($e))), i -> chr((CASE WHEN $b <= 32 THEN $b + 256 WHEN $b BETWEEN 127 AND 160 THEN $b + 162 WHEN $b = 173 THEN 323 ELSE $b END)::INT)), ''), '')"
+    }
+
+    /** BERT BasicTokenizer mirror ([[TextFunctions.bertTokens]]):
+      * lowercase, space out every non-letter/number/whitespace char and
+      * every CJK Unified Ideograph (kana/Hangul stay in letter runs),
+      * split on the explicit whitespace class. Same RE2-vs-Java
+      * agreement notes as the pretok pattern: `\p{L}`/`\p{N}` are the
+      * same Unicode categories, the whitespace chars are explicit.
+      */
+    val bertToks: String =
+      """list_filter(string_split_regex(regexp_replace(regexp_replace(lower(text), '([^\p{L}\p{N} \t\n\f\r])', ' \1 ', 'g'), '([\x{4e00}-\x{9fff}])', ' \1 ', 'g'), '[ \t\n\f\r]+'), t -> len(t) > 0)"""
+
+    /** The q_wp_* training injection tail — every WordPiece-specific
+      * branch must BIND (the byteInject vacuity discipline): mixed case
+      * (basic tokenization LOWERCASES — a case bug would hash-match on
+      * an all-lowercase corpus), accented BMP letters (ü, ï — multi-
+      * and single-piece continuation coverage beyond ASCII), an
+      * apostrophe contraction and bracketed/suffixed punctuation (every
+      * punct char must split out as its own token), a decimal number
+      * (digit runs split at '.'), a hyphenated compound, CJK ideographs
+      * (each its own token) next to a kana run (NOT split — BERT's
+      * `_is_chinese_char` covers the ideograph blocks only), and a
+      * doc-varying digit for pair diversity.
+      */
+    val wpInject =
+      " Zürich naïve don't (Wow!) anti-aliasing 3.14 日本語テキスト #"
+    val wpDocsCte: String =
+      s"wd AS (SELECT doc_id, source, text || '${wpInject.replace("'", "''")}' || CAST(doc_id % 5 AS VARCHAR) AS text FROM documents)"
+
+    /** The q_wp_encode/unk/windows/mlm SCORE tail: one word whose 'ø'
+      * is absent from the training alphabet, so the whole-word [UNK]
+      * rule binds (without it every gate would prove only the happy
+      * path — the q_error_passthrough lesson).
+      */
+    val wpUnkTail = " københavn"
+    val wpEncDocsCte: String =
+      s"we AS (SELECT doc_id, source, text || '$wpUnkTail' AS text FROM wd)"
+
+    /** WordPiece merge count — ONE constant threaded into the Spark
+      * queries and the oracle CTEs (the hopUs discipline).
+      */
+    val wpMerges = 8
+
+    /** Unroll depth of the greedy-matcher ORACLE only (the uniHorizon
+      * discipline): one step per emitted piece, so ≥ the max piece
+      * count per word = max word length in code points (fixture corpus
+      * 8, injected words ≤ 8 post-split; the [UNK] word terminates at
+      * its first unmatched position). A longer word would fall out of
+      * the final state CTE and desynchronize LOUDLY via a row-count
+      * mismatch; the engine-side expression has no horizon.
+      */
+    val wpSteps = 10
+
+    /** One greedy left-to-right WordPiece fuse over the chr(31)-encoded
+      * symbol string — [[bpeFold]] with the fused value decoupled from
+      * plain concatenation: appending r STRIPPED of its `##` makes the
+      * accumulator's last segment exactly `fused = l || strip(r)`.
+      */
+    def wpFoldSql(m: String): String =
+      s"""string_split(list_reduce(syms, (acc, c) -> CASE WHEN (acc = $m.l OR ends_with(acc, chr(31) || $m.l)) AND c = $m.r THEN acc || (CASE WHEN c[1:2] = '##' THEN c[3:] ELSE c END) ELSE acc || chr(31) || c END), chr(31))"""
+
+    /** WordPiece training mirror ([[graft.operators.WordPiece
+      * .trainWordPiece]]) — the bpeCtes unrolled-iteration pattern with
+      * the two family-defining changes: symbols carry the `##`
+      * continuation prefix (wv0), and the per-round argmax is by the
+      * quantized LIKELIHOOD score `(pair·10¹²) // (cnt(l)·cnt(r))` in
+      * HUGEINT (≡ the engine's DECIMAL div — both exact integer
+      * arithmetic), ties (l, r) ASC. Per round s: wvp{s} pair counts,
+      * wvu{s} unigram symbol counts (the score's marginals), wvm{s} the
+      * selected merge with its fused piece, wv{s+1} the rewritten word
+      * table.
+      */
+    def wpCtes(numMerges: Int, src: String = "wd"): String = {
+      val parts = Seq.newBuilder[String]
+      parts += s"wwc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM (SELECT unnest(w) AS word FROM (SELECT $bertToks w FROM $src)) GROUP BY 1)"
+      parts += s"wv0 AS MATERIALIZED (SELECT word, cnt, CASE WHEN len(word) > 1 THEN [word[1:1]] || list_transform(string_split_regex(word[2:], ''), c -> '##' || c) ELSE [word] END AS syms FROM wwc)"
+      for (s <- 0 until numMerges) {
+        parts += s"wvp$s AS MATERIALIZED (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS c FROM (SELECT cnt, syms, unnest(generate_series(1, len(syms)-1)) AS i FROM wv$s) GROUP BY 1, 2)"
+        parts += s"wvu$s AS MATERIALIZED (SELECT sym, sum(cnt) AS sc FROM (SELECT cnt, unnest(syms) AS sym FROM wv$s) GROUP BY 1)"
+        parts += s"wvm$s AS MATERIALIZED (SELECT l, r, l || (CASE WHEN r[1:2] = '##' THEN r[3:] ELSE r END) AS fused, p.c AS c, CAST((p.c::HUGEINT * ${graft.operators.WordPiece.ScoreScale}::HUGEINT) // (ul.sc::HUGEINT * ur.sc::HUGEINT) AS BIGINT) AS score_q FROM wvp$s p JOIN wvu$s ul ON ul.sym = p.l JOIN wvu$s ur ON ur.sym = p.r ORDER BY score_q DESC, l, r LIMIT 1)"
+        parts += s"wv${s + 1} AS MATERIALIZED (SELECT word, cnt, ${wpFoldSql(s"wvm$s")} AS syms FROM wv$s, wvm$s)"
+      }
+      parts.result().mkString(",\n ")
+    }
+
+    /** The trained vocabulary as (piece, cont, core): initial alphabet
+      * (every wv0 symbol) ∪ fused pieces — UNION dedups, matching the
+      * engine's order-preserving distinct (membership is all that
+      * matters to the greedy matcher).
+      */
+    def wpVocabCtes(numMerges: Int): String = {
+      val fusedUnion = (0 until numMerges)
+        .map(s => s"SELECT fused AS piece FROM wvm$s").mkString(" UNION ")
+      s"""wpv AS MATERIALIZED (SELECT DISTINCT sym AS piece FROM (SELECT unnest(syms) AS sym FROM wv0) UNION $fusedUnion),
+         | wpvc AS MATERIALIZED (SELECT piece, piece[1:2] = '##' AS cont, CASE WHEN piece[1:2] = '##' THEN piece[3:] ELSE piece END AS core FROM wpv)""".stripMargin.replace("\n", " ")
+    }
+
+    /** Greedy longest-match-first mirror over the `we` stream
+      * ([[graft.functions.WordPieceEncode]]), per-position steps
+      * UNROLLED (wpSteps — aggregates are barred from recursive CTEs,
+      * the udp discipline): step s advances every unfinished word by
+      * its LONGEST vocabulary match at the current position (wmt{s} =
+      * max core length over matching pieces, continuation iff pos > 1),
+      * or collapses it to the single ['[UNK]'] when no piece matches
+      * (the BERT whole-word rule — the ANTI JOIN branch). Ends in
+      * `wp_p(doc_id, pos, token)`, pos 1-based per document in (word,
+      * piece) order.
+      */
+    def wpEncodeCtes(numMerges: Int): String = {
+      val parts = Seq.newBuilder[String]
+      parts += s"wed AS MATERIALIZED (SELECT doc_id, $bertToks w FROM we)"
+      parts += "wew AS MATERIALIZED (SELECT DISTINCT word FROM (SELECT unnest(w) AS word FROM wed))"
+      parts += "wst0 AS MATERIALIZED (SELECT word, 1::BIGINT AS pos, false AS done, []::VARCHAR[] AS toks FROM wew)"
+      for (s <- 0 until wpSteps) {
+        parts += s"wact$s AS MATERIALIZED (SELECT word, pos, toks FROM wst$s WHERE NOT done AND pos <= len(word))"
+        parts += s"wmt$s AS MATERIALIZED (SELECT word, pos, max(len(core)) AS ml FROM wact$s a JOIN wpvc v ON v.cont = (a.pos > 1) AND substr(a.word, a.pos::INT, len(v.core)::INT) = v.core GROUP BY 1, 2)"
+        parts += s"wst${s + 1} AS MATERIALIZED (SELECT a.word, a.pos + m.ml AS pos, false AS done, a.toks || [(CASE WHEN a.pos > 1 THEN '##' ELSE '' END) || substr(a.word, a.pos::INT, m.ml::INT)] AS toks FROM wact$s a JOIN wmt$s m USING (word, pos) UNION ALL SELECT a.word, a.pos, true AS done, ['[UNK]'] AS toks FROM wact$s a ANTI JOIN wmt$s m USING (word, pos) UNION ALL SELECT word, pos, done, toks FROM wst$s WHERE done OR pos > len(word))"
+      }
+      parts += s"wtok AS MATERIALIZED (SELECT word, toks FROM wst$wpSteps WHERE done OR pos > len(word))"
+      parts += "wflat AS MATERIALIZED (SELECT doc_id, wi, si, tok FROM (SELECT doc_id, wi, unnest(toks) AS tok, generate_subscripts(toks, 1) AS si FROM (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS wi FROM wed) JOIN wtok USING (word)))"
+      parts += "wp_p AS MATERIALIZED (SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, tok AS token FROM wflat)"
+      parts.result().mkString(",\n ")
+    }
+
+    /** The full WordPiece chain: injected train docs → training rounds
+      * → vocabulary → injected score docs → greedy matcher stream.
+      */
+    def wpChainCtes: String =
+      s"$wpDocsCte,\n ${wpCtes(wpMerges)},\n ${wpVocabCtes(wpMerges)},\n $wpEncDocsCte,\n ${wpEncodeCtes(wpMerges)}"
+
+    /** The q_gopher_* injection tails (see gopherInjected): a
+      * thrice-repeated stop-word-bearing phrase (dup-n-gram coverage),
+      * a 30-'#' token (symbol ratio), a 60×-repeated 2-gram (top-n-gram
+      * fraction). ONE constant set threaded into the Spark injection
+      * and the gd CTE.
+      */
+    val gopherDupTail: String =
+      " the quick brown fox jumps to the top of the lazy dog" * 3
+    val gopherSymTail: String = " " + "#" * 30
+    val gopherTopTail: String = " ba dum" * 60
+    val gopherStopTail: String = " the of and that"
+    val gopherDocsCte: String =
+      s"gd AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || '$gopherDupTail' WHEN doc_id % 7 = 1 THEN text || '$gopherSymTail' WHEN doc_id % 7 = 3 THEN text || '$gopherTopTail' WHEN doc_id % 7 = 5 THEN text || '$gopherStopTail' ELSE text END AS text FROM documents)"
+
+    /** Gopher n-gram signal mirror ([[graft.operators.Curation
+      * .gopherNgramSignals]]) ending in `gsig(doc_id, n_wchars,
+      * top2..4, dup5..10)`: per n, a count table over the k-shingle
+      * stream; top-n = the (count DESC, ngram ASC) argmax's
+      * `c · (len − (n−1))` token chars; dup-n = duplicated starts
+      * exploded to their covered positions, DEDUPED (the positional
+      * union), then summed over token char lengths. An INDEPENDENT
+      * per-n unrolled spelling of the engine's union-frame pass.
+      */
+    def gopherNgramCtes: String = {
+      val parts = Seq.newBuilder[String]
+      parts += gopherDocsCte
+      parts += s"ggt AS MATERIALIZED (SELECT doc_id, $toks w FROM gd)"
+      parts += "ggq AS MATERIALIZED (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS q FROM ggt)"
+      parts += "ggc AS (SELECT doc_id, CAST(sum(len(tok)) AS BIGINT) AS n_wchars FROM ggq GROUP BY 1)"
+      for (n <- 2 to 4) {
+        parts += s"tg$n AS MATERIALIZED (SELECT doc_id, ng, count(*) AS c FROM (SELECT doc_id, unnest(${kShingles("w", n)}) AS ng FROM ggt) GROUP BY 1, 2)"
+        parts += s"tb$n AS (SELECT doc_id, CAST(c * (len(ng) - ${n - 1}) AS BIGINT) AS num FROM (SELECT doc_id, ng, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, ng) AS rn FROM tg$n) WHERE rn = 1)"
+      }
+      for (n <- 5 to 10) {
+        parts += s"dg$n AS MATERIALIZED (SELECT doc_id, unnest(sh) AS ng, generate_subscripts(sh, 1) AS p FROM (SELECT doc_id, ${kShingles("w", n)} AS sh FROM ggt))"
+        parts += s"dc$n AS (SELECT doc_id, ng FROM dg$n GROUP BY 1, 2 HAVING count(*) >= 2)"
+        parts += s"ds$n AS (SELECT DISTINCT doc_id, unnest(generate_series(p, p + ${n - 1})) AS q FROM dg$n JOIN dc$n USING (doc_id, ng))"
+        parts += s"dn$n AS (SELECT doc_id, CAST(sum(len(tok)) AS BIGINT) AS num FROM ggq JOIN ds$n USING (doc_id, q) GROUP BY 1)"
+      }
+      parts += ("gsig AS MATERIALIZED (SELECT d.doc_id, COALESCE(n_wchars, 0) AS n_wchars, " +
+        (2 to 4).map(n => s"COALESCE(tb$n.num, 0) AS top$n").mkString(", ") + ", " +
+        (5 to 10).map(n => s"COALESCE(dn$n.num, 0) AS dup$n").mkString(", ") +
+        " FROM (SELECT doc_id FROM documents) d LEFT JOIN ggc USING (doc_id) " +
+        (2 to 4).map(n => s"LEFT JOIN tb$n USING (doc_id)").mkString(" ") + " " +
+        (5 to 10).map(n => s"LEFT JOIN dn$n USING (doc_id)").mkString(" ") + ")")
+      parts.result().mkString(",\n ")
     }
 
     def bpeCtes(numMerges: Int, byteLevel: Boolean = false,
@@ -4592,6 +4895,67 @@ object M5Queries {
          |SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si))::INT AS pos, piece
          |FROM mflat ORDER BY doc_id, pos""".stripMargin,
 
+    // WordPiece training mirror: unrolled rounds (frag.wpCtes) with the
+    // quantized HUGEINT likelihood-score argmax — score ties beyond the
+    // 10¹² quantization break (l, r) ASC on BOTH engines by definition
+    "q_wp_train" -> {
+      val union = (0 until frag.wpMerges).map(s =>
+        s"""SELECT $s::INT AS rank, l AS "left", r AS "right", fused, c::BIGINT AS pair_count, score_q FROM wvm$s""")
+        .mkString(" UNION ALL ")
+      s"""WITH ${frag.wpDocsCte},
+         | ${frag.wpCtes(frag.wpMerges)}
+         |SELECT * FROM ($union) ORDER BY rank""".stripMargin
+    },
+
+    // greedy longest-match mirror: per-position unrolled steps over the
+    // trained vocabulary (frag.wpEncodeCtes), whole word → [UNK] via
+    // the ANTI JOIN branch
+    "q_wp_encode" ->
+      s"""WITH ${frag.wpChainCtes}
+         |SELECT doc_id, pos, token FROM wp_p ORDER BY doc_id, pos""".stripMargin,
+
+    // UNK-rate mirror: source-keyed counts over the matcher stream (the
+    // source column rides the we CTE)
+    "q_wp_unk_by_source" ->
+      s"""WITH ${frag.wpChainCtes},
+         | wsrc AS (SELECT w.doc_id, w.source, p.token FROM we w LEFT JOIN wp_p p USING (doc_id))
+         |SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
+         | count(token)::BIGINT AS n_tokens,
+         | sum(CASE WHEN token = '[UNK]' THEN 1 ELSE 0 END)::BIGINT AS n_unk,
+         | (CASE WHEN count(token) > 0 THEN (1000000 * sum(CASE WHEN token = '[UNK]' THEN 1 ELSE 0 END)) // count(token) ELSE 0 END)::BIGINT AS unk_ppm
+         |FROM wsrc GROUP BY source ORDER BY source""".stripMargin,
+
+    // WordPiece windowing mirror: the matcher stream through the
+    // q_token_windows shape (per-doc EOD rows, global row_number ≡ the
+    // prefix-sum global position)
+    "q_wp_windows" ->
+      s"""WITH ${frag.wpChainCtes},
+         | wlens AS (SELECT w.doc_id, coalesce(max(pos), 0) AS mp FROM we w LEFT JOIN wp_p USING (doc_id) GROUP BY 1),
+         | wallt AS (SELECT doc_id, pos, token FROM wp_p UNION ALL SELECT doc_id, (mp + 1)::INT, '<eod>' FROM wlens),
+         | wg AS (SELECT doc_id, pos, token, row_number() OVER (ORDER BY doc_id, pos) AS gpos FROM wallt)
+         |SELECT doc_id, pos, token, ((gpos - 1) // ${frag.tokenWindow})::BIGINT AS win_id,
+         |  ((gpos - 1) % ${frag.tokenWindow})::BIGINT AS off
+         |FROM wg ORDER BY doc_id, pos""".stripMargin,
+
+    // MLM masking mirror: the hash/branch arithmetic on the matcher
+    // stream, the random replacement joined from the stream's own
+    // frequency-ranked vocabulary (row_number ≡ the prefix-sum id)
+    "q_mlm_mask" ->
+      s"""WITH ${frag.wpChainCtes},
+         | mvc AS (SELECT token, count(*) AS n_occ FROM wp_p GROUP BY 1),
+         | mvr AS (SELECT token, row_number() OVER (ORDER BY n_occ DESC, token) - 1 AS token_id FROM mvc),
+         | msz AS (SELECT count(*) AS vsize FROM mvc),
+         | mh AS (SELECT doc_id, pos, token, ${frag.rolling("doc_id::VARCHAR || ':' || pos::VARCHAR || ':' || token")} AS h FROM wp_p)
+         |SELECT mh.doc_id, mh.pos,
+         | CASE WHEN NOT (h % 100 < 15) THEN mh.token
+         |      WHEN (h // 100) % 10 < 8 THEN '[MASK]'
+         |      WHEN (h // 100) % 10 = 8 THEN rv.token
+         |      ELSE mh.token END AS input_token,
+         | CASE WHEN h % 100 < 15 THEN mh.token END AS label,
+         | (h % 100 < 15) AS masked
+         |FROM mh CROSS JOIN msz LEFT JOIN mvr rv ON rv.token_id = (mh.h // 1000) % msz.vsize
+         |ORDER BY mh.doc_id, mh.pos""".stripMargin,
+
     // unigram Viterbi stats mirror: per-word DP (unrolled by position)
     // joined back to the document word stream; tokenless docs survive
     // the LEFT JOIN from the documents frame at (0, 0, 0) — the
@@ -5307,6 +5671,59 @@ object M5Queries {
          |SELECT doc_id, n_tokens, len(reasons) = 0 AS keep,
          |  COALESCE(array_to_string(reasons, ','), '') AS reasons
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Gopher n-gram signal mirror: per-n unrolled count/argmax/coverage
+    // blocks (frag.gopherNgramCtes) against the engine's union-frame
+    // single-shuffle spelling
+    "q_gopher_ngram" ->
+      s"""WITH ${frag.gopherNgramCtes}
+         |SELECT * FROM gsig ORDER BY doc_id""".stripMargin,
+
+    // the COMPLETE Gopher gate: the q_quality_filter base metrics over
+    // the injected corpus + word-shape counts (symbols via plain
+    // replace — non-overlapping, ≡ the engine's regex spelling) + the
+    // nine n-gram char-fraction thresholds over gsig; reasons sorted,
+    // CSV for the hasher
+    "q_gopher_gate" ->
+      s"""WITH ${frag.gopherNgramCtes},
+         | gtk AS (SELECT doc_id, ${frag.toks} AS tk, text FROM gd),
+         | gm AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+         |   len(list_distinct(tk))::BIGINT AS nd_tok,
+         |   CASE WHEN len(tk) < 2 THEN 0 ELSE len(tk) - 1 END::BIGINT AS n_bi,
+         |   CASE WHEN len(tk) < 2 THEN 0
+         |        ELSE len(list_distinct(list_transform(generate_series(1, len(tk) - 1),
+         |          i -> tk[i] || ' ' || tk[i + 1]))) END::BIGINT AS nd_bi,
+         |   COALESCE(CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT), 0) AS n_wch,
+         |   CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+         |     + (CAST(len(text) - len(replace(text, '...', '')) AS BIGINT) // 3)
+         |     + CAST(len(text) - len(replace(text, '…', '')) AS BIGINT) AS n_sym,
+         |   CAST(len(list_filter(tk, x -> regexp_matches(x, '[\\p{L}]'))) AS BIGINT) AS n_alpha,
+         |   CAST(len(list_intersect(list_distinct(tk), ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
+         |  FROM gtk),
+         | gr AS (SELECT doc_id, n_tokens, list_sort(list_filter([
+         |   CASE WHEN n_bi > 0 AND nd_bi * 2 < n_bi THEN 'bigram_repetition' END,
+         |   CASE WHEN nd_tok * 5 < n_tokens * 2 THEN 'high_repetition' END,
+         |   CASE WHEN n_tokens > 0 AND n_wch * 10 < n_tokens * 40 THEN 'short_words' END,
+         |   CASE WHEN n_tokens > 10000 THEN 'too_long' END,
+         |   CASE WHEN n_tokens < 30 THEN 'too_short' END,
+         |   CASE WHEN n_wch > n_tokens * 10 THEN 'long_words' END,
+         |   CASE WHEN n_alpha * 5 < n_tokens * 4 THEN 'low_alpha' END,
+         |   CASE WHEN n_sym * 10 > n_tokens THEN 'high_symbols' END,
+         |   CASE WHEN n_stop < 2 THEN 'few_stopwords' END,
+         |   CASE WHEN top2 * 100 > n_wchars * 20 THEN 'top_ngram2' END,
+         |   CASE WHEN top3 * 100 > n_wchars * 18 THEN 'top_ngram3' END,
+         |   CASE WHEN top4 * 100 > n_wchars * 16 THEN 'top_ngram4' END,
+         |   CASE WHEN dup5 * 100 > n_wchars * 15 THEN 'dup_ngram5' END,
+         |   CASE WHEN dup6 * 100 > n_wchars * 14 THEN 'dup_ngram6' END,
+         |   CASE WHEN dup7 * 100 > n_wchars * 13 THEN 'dup_ngram7' END,
+         |   CASE WHEN dup8 * 100 > n_wchars * 12 THEN 'dup_ngram8' END,
+         |   CASE WHEN dup9 * 100 > n_wchars * 11 THEN 'dup_ngram9' END,
+         |   CASE WHEN dup10 * 100 > n_wchars * 10 THEN 'dup_ngram10' END
+         |   ], x -> x IS NOT NULL)) AS reasons
+         |  FROM gm JOIN gsig USING (doc_id))
+         |SELECT doc_id, n_tokens, len(reasons) = 0 AS keep,
+         |  COALESCE(array_to_string(reasons, ','), '') AS reasons
+         |FROM gr ORDER BY doc_id""".stripMargin,
 
     // quantized BM25/TF-IDF: integer div/mul only — `//` (DuckDB) and
     // `div` (Spark) agree on positive operands; k1=1.2, b=0.75 folded to

@@ -58,6 +58,37 @@ object TextFunctions {
   def gpt2Pretokens(text: Column): Column =
     regexp_extract_all(text, lit(Gpt2PretokPattern), lit(0))
 
+  /** BERT BasicTokenizer punctuation class (Devlin et al. 2019, the
+    * released tokenization.py's `_run_split_on_punc` generalized to one
+    * regex): any char that is not a letter, a number, or the explicit
+    * whitespace class — spaced out so each becomes its own token.
+    * `\p{L}`/`\p{N}` are the same Unicode categories in Java regex and
+    * the oracle's RE2; the whitespace chars are explicit (the [[tokens]]
+    * split-class discipline — `\s` differs between engines on \x0B).
+    */
+  val BertPunctClass: String = """([^\p{L}\p{N} \t\n\f\r])"""
+
+  /** BERT BasicTokenizer CJK class: the CJK Unified Ideographs block —
+    * each ideograph spaced out as its own token (tokenization.py's
+    * `_tokenize_chinese_chars`; kana and Hangul are NOT in the class and
+    * stay inside letter runs, exactly like the reference). The main BMP
+    * block only: the extension planes are supplementary and outside the
+    * WordPiece family's BMP corpus contract.
+    */
+  val BertCjkClass: String = "([一-鿿])"
+
+  /** BERT BasicTokenizer-style pre-tokenization as codegen'd columns:
+    * lowercase, space out punctuation and CJK ideographs, whitespace
+    * split. The Scala twin ([[WordPieceOps.basicTokens]]) shares the
+    * SAME two pattern constants, so the trainer's word table and the
+    * frozen encoder can never disagree about word boundaries.
+    */
+  def bertTokens(text: Column): Column =
+    filter(
+      split(regexp_replace(regexp_replace(lower(text),
+        BertPunctClass, " $1 "), BertCjkClass, " $1 "), "[ \t\n\f\r]+"),
+      t => length(t) > 0)
+
   /** Polynomial rolling hash of a string: fold(acc·31 + codepoint) mod P.
     * The document-fingerprint primitive. Delegates to the
     * [[RollingHash]] expression — true code points; the HOF spelling

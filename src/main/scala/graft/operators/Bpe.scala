@@ -532,6 +532,60 @@ object Bpe {
     input.unionByName(target)
   }
 
+  /** BERT-STYLE MLM MASKING (Devlin et al., NAACL 2019 §3.1 — the
+    * masked-language-model objective's data prep; [[fimTransform]] /
+    * [[spanCorruption]]'s sibling): select ~15% of token positions; of
+    * those, 80% are replaced by `[MASK]`, 10% by a random vocabulary
+    * token, 10% kept unchanged — the label is always the original
+    * token. The paper's random draws are replaced by hash-determinism
+    * (the [[fimTransform]] discipline — reproducible under
+    * re-partitioning and re-runs), keyed on (doc_id, pos, token) so
+    * each POSITION draws independently: with
+    * `h = rolling_hash(doc_id : pos : token)` (non-negative by
+    * construction, mod 10⁹+7),
+    *
+    *  - the position is selected iff `h % 100 < selPct` (default 15),
+    *  - the branch is `b = (h div 100) % 10`: b < 8 → `[MASK]`,
+    *    b = 8 → the vocabulary token with
+    *    `token_id = (h div 1000) % |V|`, b = 9 → kept.
+    *
+    * Tokenizer-agnostic: `stream` is any (doc_id, pos, token) stream
+    * (BPE [[encodeTokens]], [[WordPiece.encodeTokens]], unigram), and
+    * `vocab` a [[vocabulary]]-shaped (token_id, token) table.
+    *
+    * Output: (doc_id, pos, input_token, label, masked) — `label` is the
+    * original token on selected rows, NULL otherwise (the training
+    * loss's ignore convention).
+    *
+    * Plan shape: ENTIRELY NARROW on the corpus — the vocabulary size is
+    * a broadcast 1-row aggregate and the random-replacement lookup is a
+    * broadcast dictionary join (model metadata, bounded by
+    * construction); no corpus shuffle.
+    */
+  def mlmMask(stream: DataFrame, vocab: DataFrame,
+      maskToken: String = "[MASK]", selPct: Int = 15): DataFrame = {
+    require(selPct >= 1 && selPct <= 100,
+      s"selPct must be in [1, 100], got $selPct")
+    val vsize = vocab.agg(count(lit(1)).as("vsize"))
+    val hashed = stream
+      .crossJoin(broadcast(vsize))
+      .withColumn("h", TextFunctions.rollingHash(
+        concat_ws(":", col("doc_id"), col("pos"), col("token"))))
+      .withColumn("sel", col("h") % 100 < selPct)
+      .withColumn("b", expr("(h div 100) % 10"))
+      .withColumn("rid", expr("(h div 1000) % vsize"))
+    hashed
+      .join(broadcast(vocab.select(col("token_id").as("rid"),
+        col("token").as("rtok"))), Seq("rid"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(!col("sel"), col("token"))
+          .when(col("b") < 8, lit(maskToken))
+          .when(col("b") === 8, col("rtok"))
+          .otherwise(col("token")).as("input_token"),
+        when(col("sel"), col("token")).as("label"),
+        col("sel").as("masked"))
+  }
+
   /** The VOCABULARY of an encoded corpus: one row per distinct token
     * with its corpus frequency and a dense 0-based `token_id` assigned
     * by frequency rank (count DESC, token ASC ties — deterministic).

@@ -646,6 +646,168 @@ object Curation {
   def repetitionMetrics(docs: DataFrame): DataFrame =
     tokenStats(docs).drop("n_wchars")
 
+  /** The FULL published Gopher n-gram repetition signal set (Rae et al.
+    * 2021, arXiv:2112.11446 Table A1 — the two rule families the
+    * composite gate above approximates with its distinct-ratio rules):
+    * per document, exact-integer char-coverage NUMERATORS for
+    *
+    *  - `top{2,3,4}`: characters inside the MOST FREQUENT n-gram —
+    *    occurrences × the n-gram's token chars (ties count DESC, n-gram
+    *    ASC — a deterministic total order; the paper's float "fraction
+    *    of characters" is numerator / n_wchars, the caller's division);
+    *  - `dup{5..10}`: characters at token positions COVERED by at least
+    *    one n-gram occurring ≥ 2 times — a positional UNION, so
+    *    overlapping duplicate n-grams never double-count a character
+    *    (the reference implementations' position-marking rule);
+    *
+    * plus `n_wchars` (total token chars — the shared denominator; chars
+    * are code points per token, whitespace excluded, the
+    * [[graft.functions.TokenStats]] convention).
+    *
+    * Scale shape: ONE union frame per family, not one pass per n — the
+    * (doc, n, pos, ngram) stream unions the six (three) shingle sizes
+    * map-side (a ≤ 9× narrow blow-up, the hop-window bounded-config
+    * discipline), so each family pays ONE (doc, n, ngram)-keyed
+    * map-side-combinable count shuffle; duplicate-coverage positions
+    * explode by ≤ n (config-bounded) and dedup per (doc, n, q) before
+    * the char join. Every aggregation is doc-keyed — millions of small
+    * groups at 100 TB, never a funnel. Tokenless documents report all
+    * zeros (the LEFT-join-at-0 discipline).
+    */
+  def gopherNgramSignals(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions
+    val toks = TextFunctions.tokens(col("text"))
+    val base = SharedBranch.sharedBranch(
+      docs.select(col("doc_id"), toks.as("w")))
+    // (doc, q, wlen): token positions with char lengths — the coverage
+    // join's right side and the denominator's source
+    val pos = base.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("q0", "tok")))
+      .select(col("doc_id"), (col("q0") + 1).as("q"),
+        length(col("tok")).cast("long").as("wlen"))
+    val posShared = SharedBranch.sharedBranch(pos)
+    val chars = posShared.groupBy(col("doc_id"))
+      .agg(sum(col("wlen")).as("n_wchars"))
+    // one union frame per family: (doc_id, n, p, ng)
+    def ngrams(ns: Seq[Int]): DataFrame =
+      ns.map { n =>
+        base.select(col("doc_id"), lit(n).as("n"),
+          posexplode(TextFunctions.shingles(col("w"), n)).as(Seq("p0", "ng")))
+          .select(col("doc_id"), col("n"), (col("p0") + 1).as("p"), col("ng"))
+      }.reduce(_ unionByName _)
+    // top-n: per (doc, n) argmax over the count table; token chars of a
+    // shingle = len − (n−1) separators (tokens are whitespace-free)
+    val w = Window.partitionBy(col("doc_id"), col("n"))
+      .orderBy(col("c").desc, col("ng"))
+    val top = ngrams(Seq(2, 3, 4))
+      .groupBy(col("doc_id"), col("n"), col("ng")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("n"),
+        (col("c") * (length(col("ng")) - (col("n") - 1))).cast("long").as("num"))
+    // dup-n: duplicated starts → covered positions (≤ n-row explode) →
+    // positional union → char sum
+    val dupNg = SharedBranch.sharedBranch(ngrams(Seq(5, 6, 7, 8, 9, 10)))
+    val dupStarts = dupNg
+      .groupBy(col("doc_id"), col("n"), col("ng")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .join(dupNg, Seq("doc_id", "n", "ng"))
+      .select(col("doc_id"), col("n"), col("p"))
+    val covered = dupStarts
+      .select(col("doc_id"), col("n"),
+        explode(sequence(col("p"), col("p") + col("n") - 1)).as("q"))
+      .distinct()
+    val dup = covered.join(posShared, Seq("doc_id", "q"))
+      .groupBy(col("doc_id"), col("n")).agg(sum(col("wlen")).as("num"))
+    // pivot both families to fixed columns; absent (doc, n) pairs → 0
+    def cols(df: DataFrame, ns: Seq[Int], prefix: String) =
+      df.groupBy(col("doc_id")).agg(
+        ns.map(n => coalesce(max(when(col("n") === n, col("num"))), lit(0L))
+          .as(s"$prefix$n")).head,
+        ns.tail.map(n => coalesce(max(when(col("n") === n, col("num"))), lit(0L))
+          .as(s"$prefix$n")): _*)
+    docs.select(col("doc_id"))
+      .join(chars, Seq("doc_id"), "left")
+      .join(cols(top, Seq(2, 3, 4), "top"), Seq("doc_id"), "left")
+      .join(cols(dup, Seq(5, 6, 7, 8, 9, 10), "dup"), Seq("doc_id"), "left")
+      .select(col("doc_id") +: (
+        Seq("n_wchars", "top2", "top3", "top4", "dup5", "dup6", "dup7",
+          "dup8", "dup9", "dup10").map(c => coalesce(col(c), lit(0L)).as(c))): _*)
+  }
+
+  /** The published stop-word list of Gopher's "must contain at least two
+    * of" rule (Rae et al. 2021 Table A1).
+    */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The COMPLETE Gopher-style quality gate — [[qualityFilter]]'s five
+    * rules plus the rest of the published Table A1 rule set, every
+    * threshold an exact integer cross-multiplication:
+    *
+    *  - `long_words` — mean word length > 10 (`n_wchars > 10·n_tokens`;
+    *    the < 3 side is [[qualityFilter]]'s `short_words`, kept at its
+    *    gated spelling),
+    *  - `low_alpha` — < 80% of words contain an alphabetic char
+    *    (`5·n_alpha < 4·n_tokens`),
+    *  - `high_symbols` — symbol-to-word ratio > 0.1, symbols = '#' and
+    *    ellipsis ('…' or '...', non-overlapping count)
+    *    (`10·n_sym > n_tokens`),
+    *  - `few_stopwords` — fewer than 2 DISTINCT stop words present
+    *    ([[GopherStopWords]]),
+    *  - `top_ngram{2,3,4}` — top-n-gram char fraction above 20/18/16%
+    *    (`100·top_n > t·n_wchars`),
+    *  - `dup_ngram{5..10}` — duplicate-n-gram char fraction above
+    *    15/14/13/12/11/10% (`100·dup_n > t·n_wchars`),
+    *
+    * over the [[gopherNgramSignals]] numerators (a doc-keyed equi-join —
+    * both sides hash on doc_id). Document-line rules (bullet/ellipsis
+    * line shares) are deliberately not here: the corpus is single-line
+    * by construction and the line family is gated at
+    * [[graft.operators.TextDedup.lineDedup]] granularity instead.
+    * Output: (doc_id, n_tokens, keep, reasons) — reasons alphabetical,
+    * the [[qualityFilter]] contract.
+    */
+  def gopherGate(docs: DataFrame, minTokens: Int = 30,
+      maxTokens: Int = 10000): DataFrame = {
+    val docsShared = SharedBranch.sharedBranch(docs)
+    // '…' is one code point, '#' one char, '...' removes 3 chars per
+    // NON-OVERLAPPING occurrence — all exact integer arithmetic (`div`,
+    // never the double-typed `/`)
+    val sym = (length(col("text")) -
+        length(regexp_replace(col("text"), "#", ""))).cast("long") +
+      expr("CAST(length(text) - length(regexp_replace(text, '\\\\.\\\\.\\\\.', '')) AS BIGINT) div 3") +
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "…", ""))).cast("long")
+    val wToks = graft.functions.TextFunctions.tokens(col("text"))
+    val extra = docsShared.select(col("doc_id"),
+      sym.as("n_sym"),
+      size(filter(wToks, t => t.rlike("\\p{L}"))).cast("long").as("n_alpha"),
+      size(array_intersect(array_distinct(wToks),
+        array(GopherStopWords.map(lit): _*))).cast("long").as("n_stop"))
+    val ng = gopherNgramSignals(docsShared)
+    val base = withQualityVerdict(docsShared, minTokens, maxTokens)
+      .select(col("doc_id"), col("_q.n_tokens").as("n_tokens"),
+        col("_q.reasons").as("base_reasons"))
+    val topT = Seq(2 -> 20, 3 -> 18, 4 -> 16)
+    val dupT = Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+    val fired = array(
+      (Seq(
+        when(col("n_wchars") > col("n_tokens") * 10, lit("long_words")),
+        when(col("n_alpha") * 5 < col("n_tokens") * 4, lit("low_alpha")),
+        when(col("n_sym") * 10 > col("n_tokens"), lit("high_symbols")),
+        when(col("n_stop") < 2, lit("few_stopwords"))) ++
+      topT.map { case (n, t) =>
+        when(col(s"top$n") * 100 > col("n_wchars") * t, lit(s"top_ngram$n")) } ++
+      dupT.map { case (n, t) =>
+        when(col(s"dup$n") * 100 > col("n_wchars") * t, lit(s"dup_ngram$n")) }): _*)
+    base.join(ng, Seq("doc_id")).join(extra, Seq("doc_id"))
+      .withColumn("_fired", filter(fired, r => r.isNotNull))
+      .withColumn("reasons",
+        array_sort(concat(col("base_reasons"), col("_fired"))))
+      .select(col("doc_id"), col("n_tokens"),
+        (size(col("reasons")) === 0).as("keep"), col("reasons"))
+  }
+
   /** Per-source quota: keep at most `maxPerSource` documents per source,
     * preferring the higher `score` (ties to the smaller doc_id) — the
     * C4 / RefinedWeb-family per-domain cap that stops one crawled host

@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed WordPiece vocabulary training and application (Schuster &
+  * Nakajima, ICASSP 2012; the BERT release's tokenization.py, Devlin et
+  * al. 2019) — the THIRD production tokenizer family next to BPE
+  * ([[Bpe]]) and unigram-LM ([[Unigram]]). The reference engine has no
+  * tokenizer trainer; this extends the curation surface (SURVEY §2
+  * extended scope).
+  *
+  * TRAINING is BPE-shaped — iterate: count adjacent symbol pairs, pick
+  * one, fuse it everywhere — but with two WordPiece-defining changes:
+  *
+  *  - symbols carry the `##` CONTINUATION prefix (word "abc" starts as
+  *    ["a", "##b", "##c"]), and fusing (l, r) strips r's prefix
+  *    (("a","##b") → "ab", ("##a","##b") → "##ab");
+  *  - the argmax is by LIKELIHOOD score, not raw count: score(l, r) =
+  *    pair_count / (count(l) · count(r)) — the pair whose fusion most
+  *    increases corpus likelihood under a unigram symbol model (the
+  *    published criterion). Scores are compared cross-engine as the
+  *    quantized integer `score_q = (pair_count · 10¹²) div
+  *    (count(l) · count(r))` in exact decimal arithmetic (ties then
+  *    (l, r) ASC) — the [[Unigram]] loss-delta discipline: one
+  *    deterministic total order both engines compute bit-identically,
+  *    quantization reordering only pairs whose true scores agree to
+  *    10⁻¹² (the published trainer compares float64 scores, which is
+  *    not a cross-engine contract at all).
+  *
+  * Pre-tokenization is the BERT BasicTokenizer convention
+  * ([[TextFunctions.bertTokens]]): lowercase, punctuation chars and CJK
+  * ideographs split out as their own tokens, whitespace split.
+  *
+  * Distribution shape — the [[Bpe.trainMerges]] discipline verbatim:
+  * the corpus-sized work is the ONE-TIME distinct-word hash-agg; each
+  * round then pays TWO map-side-combinable aggregations over the word
+  * table (adjacent-pair counts AND unigram symbol counts — the score's
+  * denominator needs the marginals, the one extra pass WordPiece costs
+  * over BPE), a symbol-table-bounded broadcast-join between them, and a
+  * 1-row argmax collect. The per-word rewrite is a narrow HOF fold with
+  * a `localCheckpoint` lineage cut per round.
+  *
+  * APPLY is NOT merge replay: WordPiece encodes by greedy
+  * longest-match-first against the vocabulary SET
+  * ([[graft.functions.WordPieceEncode]] — one reference-object
+  * expression, constant plan size at any vocabulary size), with the
+  * whole word collapsing to `[UNK]` when any position has no match (the
+  * BERT WordpieceTokenizer rule). The vocabulary is the training
+  * alphabet plus every fused piece in rank order.
+  *
+  * Oracle twin: the DuckDB mirror unrolls the SAME training rounds as
+  * chained CTEs with a HUGEINT score (M5Queries `frag.wpCtes`) and the
+  * greedy matcher as per-position unrolled longest-prefix joins
+  * (`frag.wpEncodeCtes`) — exact equality end-to-end.
+  */
+object WordPiece {
+
+  /** The score quantization scale (10¹²) — ONE constant threaded into
+    * the Spark trainer and the oracle CTEs.
+    */
+  val ScoreScale = 1000000000000L
+
+  /** Corpus-weighted word table over BERT basic tokens: (word, cnt,
+    * syms) with syms the WordPiece start-vs-continuation symbol
+    * sequence (first code point bare, the rest `##`-prefixed).
+    */
+  private def wordTable(docs: DataFrame): DataFrame = {
+    val w = col("word")
+    val syms = when(length(w) > 1,
+        concat(array(substring(w, 1, 1)),
+          transform(split(expr("substring(word, 2)"), ""),
+            c => concat(lit("##"), c))))
+      .otherwise(array(w))
+    docs.select(explode(TextFunctions.bertTokens(col("text"))).as("word"))
+      .groupBy(w).agg(count(lit(1)).as("cnt"))
+      .select(w, col("cnt"), syms.as("syms"))
+  }
+
+  /** One greedy left-to-right fuse of (l, r) → `fused` in a symbol
+    * array — [[Bpe]]'s mergeFold with the fused string decoupled from
+    * plain concatenation (WordPiece strips r's `##`).
+    */
+  private def wpFold(syms: Column, l: String, r: String, fused: String) =
+    aggregate(syms, array().cast("array<string>"), (acc, ch) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && ch === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
+        .otherwise(concat(acc, array(ch))))
+
+  /** Adjacent-pair counts — the [[Bpe]] shape. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("cnt"),
+        explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("c"))
+
+  /** Unigram symbol counts — the score's marginals; symbol-table-sized
+    * output from one map-side-combinable pass.
+    */
+  private def symCounts(words: DataFrame): DataFrame =
+    words.select(col("cnt"), explode(col("syms")).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("cnt")).as("sc"))
+
+  private def stripCont(s: String): String =
+    if (s.startsWith("##")) s.substring(2) else s
+
+  /** Train `numMerges` WordPiece merges. Output: one row per merge —
+    * (rank, left, right, fused, pair_count, score_q), rank 0-based in
+    * training order. Raises when the corpus runs out of pairs (silent
+    * truncation would desynchronize the oracle twin).
+    */
+  def trainWordPiece(docs: DataFrame, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    var words = wordTable(docs).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long, Long)]
+    for (rank <- 0 until numMerges) {
+      // the join is symbol-table-sized on both sides (pairs × marginals)
+      // — broadcast-or-hash per AQE, never corpus-sized; the decimal
+      // arithmetic keeps pair·10¹² and the marginal product exact at any
+      // corpus scale (int64 would wrap past ~9·10⁶ pair occurrences)
+      val uc = symCounts(words)
+      val top = pairCounts(words)
+        .join(uc.select(col("sym").as("l"), col("sc").as("lc")), Seq("l"))
+        .join(uc.select(col("sym").as("r"), col("sc").as("rc")), Seq("r"))
+        .withColumn("score_q", expr(
+          s"CAST((CAST(c AS DECIMAL(20,0)) * CAST($ScoreScale AS DECIMAL(13,0))) " +
+            "div (CAST(lc AS DECIMAL(19,0)) * CAST(rc AS DECIMAL(19,0))) AS BIGINT)"))
+        .orderBy(col("score_q").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"corpus ran out of symbol pairs after $rank merges (asked for $numMerges)")
+      val row = top(0)
+      val (l, r) = (row.getAs[String]("l"), row.getAs[String]("r"))
+      val fused = l + stripCont(r)
+      merges += ((rank, l, r, fused, row.getAs[Long]("c"), row.getAs[Long]("score_q")))
+      // prior rounds' checkpoint blocks free via GC/ContextCleaner once
+      // unreferenced (the Bpe.trainMerges house pattern)
+      words = words.withColumn("syms", wpFold(col("syms"), l, r, fused))
+        .localCheckpoint()
+    }
+    spark.createDataFrame(merges.result())
+      .toDF("rank", "left", "right", "fused", "pair_count", "score_q")
+  }
+
+  /** The trained VOCABULARY as driver state: the training alphabet
+    * (every symbol of the initial word table — alphabet-bounded, the
+    * model-metadata collect discipline) plus every fused piece in rank
+    * order, deduped order-preserving (two merges can fuse to the same
+    * string via different splits).
+    */
+  def vocabOf(docs: DataFrame, trained: DataFrame): Seq[String] = {
+    val alphabet = wordTable(docs)
+      .select(explode(col("syms")).as("p")).distinct()
+      .orderBy(col("p")).collect().map(_.getString(0)).toSeq
+    val fused = trained.orderBy(col("rank")).select(col("fused"))
+      .collect().map(_.getString(0)).toSeq
+    (alphabet ++ fused).distinct
+  }
+
+  /** The EMIT step — the per-document WordPiece token stream under a
+    * frozen vocabulary: one [[graft.functions.WordPieceEncode]]
+    * reference-object expression per row, exploded to (doc_id, pos,
+    * token), pos 1-based per document. Entirely narrow — a pure map
+    * stage at 100 TB, like [[Bpe.encodeTokens]].
+    */
+  def encodeTokens(docs: DataFrame, vocab: Seq[String],
+      unk: String = "[UNK]"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    val enc = toColumn(graft.functions.WordPieceEncode(
+      toExpression(col("text")), vocab, unk))
+    docs.select(col("doc_id"), posexplode(enc).as(Seq("pos0", "token")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
+  }
+
+  /** UNK-rate report by corpus slice — the WordPiece-family vocabulary-
+    * coverage signal ([[Bpe.oovReport]]'s sibling at the whole-word
+    * granularity the UNK rule creates): per source, document / token /
+    * UNK counts and `unk_ppm = (10⁶ · n_unk) div n_tokens` (0 for a
+    * tokenless slice). Entirely narrow until one source-keyed
+    * aggregation: the UNK count per document is `size(filter(tokens))`
+    * on the un-exploded encode array — the stream never shuffles.
+    */
+  def unkBySource(docs: DataFrame, vocab: Seq[String],
+      unk: String = "[UNK]"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    val enc = toColumn(graft.functions.WordPieceEncode(
+      toExpression(col("text")), vocab, unk))
+    docs.select(col("source"), enc.as("tk"))
+      .select(col("source"), size(col("tk")).cast("long").as("nt"),
+        size(filter(col("tk"), t => t === lit(unk))).cast("long").as("nu"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(col("nu")).as("n_unk"))
+      .withColumn("unk_ppm",
+        when(col("n_tokens") > 0, expr("(1000000 * n_unk) div n_tokens"))
+          .otherwise(lit(0L)))
+  }
+}

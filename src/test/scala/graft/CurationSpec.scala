@@ -745,4 +745,59 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.forall(r => r._3 <= r._2 && r._4 >= 0L && r._4 <= 1000000L))
   }
+
+  test("gopherNgramSignals: hand-computed top-n and dup-n coverage, union never double-counts") {
+    val d = Seq(
+      (0L, "a b a b a b"),                 // top2 = (a b)x3 * 2 chars
+      (1L, "x y z w v x y z w v"),          // dup5: two disjoint copies
+      (2L, "c c c c c c c"),                // dup5: 3 OVERLAPPING copies
+      (3L, "solo")                          // too short for any n-gram
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherNgramSignals(d).orderBy("doc_id").collect()
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_wchars") == 6L)
+    assert(r0.getAs[Long]("top2") == 6L)  // 3 occurrences x 2 token chars
+    assert(r0.getAs[Long]("top3") == 6L)  // (a b a)x2 ties (b a b)x2 -> lex
+    assert(r0.getAs[Long]("top4") == 8L)  // (a b a b)x2 x 4 chars
+    assert(r0.getAs[Long]("dup5") == 0L)  // no duplicate 5-gram
+    val r1 = out(1)
+    assert(r1.getAs[Long]("dup5") == 10L) // both copies covered, all 10 chars
+    assert(r1.getAs[Long]("dup6") == 0L)
+    val r2 = out(2)
+    // every 5-gram of "c"x7 is identical; covered positions 1..7 count
+    // ONCE — the positional-union rule (a per-occurrence sum would read 15)
+    assert(r2.getAs[Long]("dup5") == 7L)
+    assert(r2.getAs[Long]("dup6") == 7L)
+    assert(r2.getAs[Long]("dup7") == 0L)  // single 7-gram, no duplicate
+    val r3 = out(3)
+    assert(r3.getAs[Long]("n_wchars") == 4L)
+    assert(Seq("top2", "top3", "top4", "dup5", "dup10").forall(c => r3.getAs[Long](c) == 0L))
+  }
+
+  test("gopherGate: every added rule fires on its constructed document and not on a clean one") {
+    def uniq(n: Int, len: Int) = (0 until n).map(i => ("w" + i).padTo(len, 'x')).mkString(" ")
+    val clean = "the of " + uniq(38, 5) // 40 tokens, 2 stopwords, mean len ~5
+    val d = Seq(
+      (0L, clean),
+      (1L, "the of " + uniq(38, 15)),              // long_words (mean > 10)
+      (2L, "the of " + (1 to 38).map(_.toString + "0000").mkString(" ")), // low_alpha (38/40 numeric)
+      (3L, clean + " " + "#" * 10),                 // high_symbols (10 '#' / 41 words)
+      (4L, uniq(40, 5)),                            // few_stopwords
+      (5L, clean + (" ba dum" * 80)),               // top_ngram2 (+ dup rules)
+      (6L, clean + (" p q r s t u v w x y z1" * 3)) // dup_ngram5..10
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherGate(d).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Boolean]("keep"),
+        r.getAs[scala.collection.Seq[String]]("reasons").toSeq))
+    assert(out(0)._1, s"clean doc should keep, got ${out(0)._2}")
+    assert(out(1)._2.contains("long_words"))
+    assert(out(2)._2.contains("low_alpha"))
+    assert(out(3)._2.contains("high_symbols"))
+    assert(out(4)._2.contains("few_stopwords"))
+    assert(out(5)._2.contains("top_ngram2"))
+    Seq(5, 6, 7, 8, 9, 10).foreach(n =>
+      assert(out(6)._2.contains(s"dup_ngram$n"), s"dup_ngram$n missing: ${out(6)._2}"))
+    // the base qualityFilter rules still ride along
+    assert(!out(1)._2.contains("short_words"))
+  }
 }

@@ -349,6 +349,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_bpe_bytes_windows", // same windowing triangle over the byte-unit token stream
       "q_bpe_pretok_windows", // same windowing triangle over the pre-split byte-unit stream
       "q_unigram_prune_loss", // seed-rank triangle + loss drop-K rank triangle
+      "q_wp_windows", // global-token-position PrefixSum triangle over the WordPiece stream
+      "q_mlm_mask", // vocab-rank PrefixSum triangle + 1-row vocab-size frame
       "q_key_skew") // 1-row (nk, total) totals frame broadcast onto the top-k keys
     def collectAll(p: SparkPlan): Seq[SparkPlan] =
       (p +: p.children.flatMap(collectAll)) ++ (p match {
