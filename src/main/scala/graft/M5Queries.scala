@@ -151,6 +151,24 @@ object M5Queries {
         .when(col("doc_id") % 7 === 5, concat(col("text"), lit(frag.gopherStopTail)))
         .otherwise(col("text")))
 
+  /** The q_nsp_pairs input: the corpus SENTENCE-IFIED — tokens grouped
+    * in sevens, groups joined with '. ' — because the word-salad
+    * fixtures contain no sentence terminators and the NSP gate would
+    * otherwise see one giant sentence per document (zero pairs — the
+    * sentenceChunks vacuity note made executable). The construction is
+    * a shared spelling on both engines (injection scaffolding, not the
+    * operator under test).
+    */
+  private def nspInjected(s: SparkSession, dir: String): DataFrame =
+    TextDedup.documents(s, dir)
+      .withColumn("_tk", TextFunctions.tokens(col("text")))
+      .withColumn("text", when(size(col("_tk")) > 0,
+        array_join(transform(
+          sequence(lit(0), expr("CAST((size(_tk) - 1) div 7 AS INT)")),
+          g => concat_ws(" ", slice(col("_tk"), g * 7 + 1, lit(7)))), ". "))
+        .otherwise(lit("")))
+      .drop("_tk")
+
   /** recall@k of an ANN candidate frame `(query_id, neighbor_id)` against
     * the exact brute-force top-k for queries 0–9 — ONE definition for
     * every approximate path's quality measurement (IVF, ADC, PQ+refine),
@@ -1707,6 +1725,17 @@ object M5Queries {
       Curation.qualityFilter(TextDedup.documents(s, dir))
         .withColumn("reasons", array_join(col("reasons"), ","))
         .orderBy(col("doc_id"))),
+
+    // ---- curation: BERT-style NSP pair construction (Devlin et al.
+    // 2019 §3.1 Task #2 — MLM's companion objective): consecutive
+    // sentence pairs, 50% true-next / 50% a hash-deterministic draw
+    // from a GUARANTEED different document (dense doc index via
+    // PrefixSum + the closed-form self-skip bijection — the paper's
+    // rejection loop has no exact oracle spelling); b_doc/b_sent make
+    // every draw auditable
+    "q_nsp_pairs" -> ((s, dir) =>
+      Curation.nspPairs(nspInjected(s, dir))
+        .orderBy(col("doc_id"), col("sent_idx"))),
 
     // ---- curation: the FULL published Gopher n-gram repetition signal
     // set (Rae et al. 2021 Table A1) — top-{2,3,4}-gram char coverage
@@ -5671,6 +5700,28 @@ object M5Queries {
          |SELECT doc_id, n_tokens, len(reasons) = 0 AS keep,
          |  COALESCE(array_to_string(reasons, ','), '') AS reasons
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // NSP mirror: the sentence-ified corpus (shared injection
+    // spelling), per-doc lead pairs, the same hash/branch arithmetic,
+    // the dense-doc-index self-skip CASE, and the (b_doc, b_sent)
+    // lookup join — row_number ≡ the engine's PrefixSum doc index
+    "q_nsp_pairs" ->
+      s"""WITH nd AS (SELECT doc_id, CASE WHEN len(tk) > 0 THEN array_to_string(list_transform(generate_series(0, (len(tk)-1)//7), g -> array_to_string(tk[g*7+1:g*7+7], ' ')), '. ') ELSE '' END AS text FROM (SELECT doc_id, ${frag.toks} tk FROM documents)),
+         | nsents AS MATERIALIZED (SELECT doc_id, si::INT AS sent_idx, s AS sentence FROM (
+         |   SELECT doc_id, unnest(ss) AS s, generate_subscripts(ss, 1) AS si FROM (
+         |     SELECT doc_id, list_filter(string_split_regex(text, '[.!?]+[ \\t\\n\\f\\r]+'), x -> len(list_filter(string_split_regex(lower(x), '[ \\t\\n\\f\\r]+'), t -> len(t) > 0)) > 0) AS ss FROM nd))),
+         | ndoc AS MATERIALIZED (SELECT doc_id, count(*) AS n_sents, row_number() OVER (ORDER BY doc_id) - 1 AS d_idx FROM nsents GROUP BY doc_id),
+         | ncnt AS (SELECT count(*) AS n_docs FROM ndoc),
+         | npair AS (SELECT doc_id, sent_idx, sentence, lead(sentence) OVER (PARTITION BY doc_id ORDER BY sent_idx) AS nxt FROM nsents),
+         | nh AS MATERIALIZED (SELECT doc_id, sent_idx, sentence, nxt, ${frag.rolling("doc_id::VARCHAR || ':' || sent_idx::VARCHAR || ':' || sentence")} AS h FROM npair WHERE nxt IS NOT NULL),
+         | nis AS (SELECT doc_id, sent_idx, sentence AS a, nxt AS b, doc_id AS b_doc_id, (sent_idx + 1)::BIGINT AS b_sent_idx, true AS is_next FROM nh WHERE h % 2 = 0),
+         | nnot AS (SELECT x.doc_id, x.sent_idx, x.sentence AS a, bs.sentence AS b, od.doc_id AS b_doc_id, ((x.h // 11) % od.n_sents + 1)::BIGINT AS b_sent_idx, false AS is_next
+         |   FROM (SELECT nh.*, sd.d_idx AS self_idx FROM nh JOIN ndoc sd USING (doc_id) WHERE h % 2 <> 0) x
+         |   CROSS JOIN ncnt
+         |   JOIN ndoc od ON od.d_idx = (CASE WHEN (x.h // 7) % (ncnt.n_docs - 1) >= x.self_idx THEN (x.h // 7) % (ncnt.n_docs - 1) + 1 ELSE (x.h // 7) % (ncnt.n_docs - 1) END)
+         |   JOIN nsents bs ON bs.doc_id = od.doc_id AND bs.sent_idx = ((x.h // 11) % od.n_sents + 1))
+         |SELECT * FROM (SELECT * FROM nis UNION ALL SELECT * FROM nnot)
+         |ORDER BY doc_id, sent_idx""".stripMargin,
 
     // Gopher n-gram signal mirror: per-n unrolled count/argmax/coverage
     // blocks (frag.gopherNgramCtes) against the engine's union-frame

@@ -329,6 +329,87 @@ object Curation {
         col("n_tokens"), col("sentence"))
   }
 
+  /** BERT-style NSP (next-sentence-prediction) PAIR CONSTRUCTION
+    * (Devlin et al., NAACL 2019 §3.1 Task #2 — the second objective the
+    * MLM transform ships with): every consecutive sentence pair (A, B)
+    * within a document emits a training example — 50% with the TRUE
+    * next sentence (`is_next = true`), 50% with a sentence drawn from a
+    * DIFFERENT document (`is_next = false`). The paper's random draws
+    * are replaced by hash-determinism (the [[Bpe.mlmMask]] discipline),
+    * keyed on (doc_id, sent_idx, A-text): with
+    * `h = rolling_hash(doc_id : sent_idx : a_text)`,
+    *
+    *  - `is_next = (h % 2 == 0)`;
+    *  - the NotNext replacement is drawn by a CLOSED-FORM
+    *    different-document pick (the paper's "random sentence from
+    *    another document" is a rejection loop, which has no exact
+    *    oracle spelling): documents with ≥ 1 sentence get a dense
+    *    0-based index (range-partitioned [[PrefixSum]], never a global
+    *    window); `dr = (h div 7) % (n_docs − 1)` skips the A-document
+    *    via `dpick = dr + (dr ≥ self ? 1 : 0)` — a bijection onto the
+    *    other documents — and the sentence within is
+    *    `(h div 11) % n_sents(dpick) + 1`.
+    *
+    * Sentence boundaries are [[sentenceChunks]]' terminator split.
+    * Output: (doc_id, sent_idx, a, b, b_doc_id, b_sent_idx, is_next) —
+    * b_doc/b_sent make the draw auditable; IsNext rows carry their own
+    * doc and sent_idx + 1.
+    *
+    * Plan shape: the sentence stream is narrow + one per-doc window
+    * (millions of small groups); the doc index is one PrefixSum over
+    * the DOCUMENT-sized table; the NotNext branch pays two equi-joins
+    * (pick → document, pick → sentence) on the minority half of the
+    * pairs; `n_docs` is a broadcast 1-row aggregate. Requires ≥ 2
+    * documents with sentences (the modulus is n_docs − 1) — raises
+    * loudly below that, never a silent empty.
+    */
+  def nspPairs(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions
+    val sents0 = filter(split(col("text"), "[.!?]+[ \t\n\f\r]+"),
+      s => size(TextFunctions.tokens(s)) > 0)
+    val sentTable = SharedBranch.sharedBranch(
+      docs.select(col("doc_id"), posexplode(sents0).as(Seq("si0", "sentence")))
+        .select(col("doc_id"), (col("si0") + 1).as("sent_idx"), col("sentence")))
+    val docTable = SharedBranch.sharedBranch(PrefixSum.inclusive(
+      sentTable.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sents"))
+        .withColumn("_one", lit(1L)),
+      Seq(col("doc_id")), col("_one"), "rk")
+      .select(col("doc_id"), col("n_sents"), (col("rk") - 1).as("d_idx")))
+    val nDocs = docTable.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("sent_idx"))
+    val pairs = sentTable
+      .withColumn("nxt", lead(col("sentence"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("h", TextFunctions.rollingHash(
+        concat_ws(":", col("doc_id"), col("sent_idx"), col("sentence"))))
+      .withColumn("is_next", col("h") % 2 === 0)
+    val isNext = pairs.filter(col("is_next"))
+      .select(col("doc_id"), col("sent_idx"), col("sentence").as("a"),
+        col("nxt").as("b"), col("doc_id").as("b_doc_id"),
+        (col("sent_idx") + 1).cast("long").as("b_sent_idx"), col("is_next"))
+    val notNext = pairs.filter(!col("is_next"))
+      .join(docTable.select(col("doc_id"), col("d_idx").as("self_idx")), Seq("doc_id"))
+      .crossJoin(broadcast(nDocs))
+      // the guard rides INSIDE dr (assert_true is NULL on success) so
+      // column pruning can never drop it: a 1-document corpus has no
+      // different document to draw from — fail loudly, not modulo-zero
+      .withColumn("dr", when(org.apache.spark.sql.functions.assert_true(
+          col("n_docs") >= 2,
+          lit("nspPairs needs >= 2 documents with sentences")).isNull,
+        expr("(h div 7) % (n_docs - 1)")))
+      .withColumn("dpick", when(col("dr") >= col("self_idx"), col("dr") + 1)
+        .otherwise(col("dr")))
+      .join(docTable.select(col("d_idx").as("dpick"),
+        col("doc_id").as("b_doc_id"), col("n_sents").as("b_n")), Seq("dpick"))
+      .withColumn("b_sent_idx", expr("(h div 11) % b_n + 1"))
+      .join(sentTable.select(col("doc_id").as("b_doc_id"),
+        col("sent_idx").cast("long").as("b_sent_idx"), col("sentence").as("b")),
+        Seq("b_doc_id", "b_sent_idx"))
+      .select(col("doc_id"), col("sent_idx"), col("sentence").as("a"),
+        col("b"), col("b_doc_id"), col("b_sent_idx"), col("is_next"))
+    isNext.unionByName(notNext)
+  }
+
   /** Sliding token-window chunking (the RAG / fine-tuning chunker, as
     * opposed to [[packContextWindows]]'s concat-then-cut pretraining
     * layout): each document emits windows of `window` tokens every

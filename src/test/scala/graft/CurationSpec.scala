@@ -800,4 +800,45 @@ class CurationSpec extends AnyFunSuite {
     // the base qualityFilter rules still ride along
     assert(!out(1)._2.contains("short_words"))
   }
+
+  test("nspPairs: IsNext carries the true next sentence; NotNext draws from a different document, auditable and deterministic") {
+    val d = Seq(
+      (0L, "a b. c d. e f. g h"),
+      (1L, "i j. k l. m n"),
+      (2L, "o p. q r. s t. u v. w x")
+    ).toDF("doc_id", "text")
+    val out = Curation.nspPairs(d).orderBy("doc_id", "sent_idx").collect()
+    // every doc with k sentences emits k-1 pairs: 3 + 2 + 4 = 9
+    assert(out.length == 9)
+    val sents = Seq(0L -> Seq("a b", "c d", "e f", "g h"),
+      1L -> Seq("i j", "k l", "m n"),
+      2L -> Seq("o p", "q r", "s t", "u v", "w x")).toMap
+    var nIs = 0; var nNot = 0
+    out.foreach { r =>
+      val (doc, si, a, b, bd, bs, isNext) = (r.getLong(0), r.getInt(1),
+        r.getString(2), r.getString(3), r.getLong(4), r.getLong(5), r.getBoolean(6))
+      assert(a == sents(doc)(si - 1))
+      if (isNext) {
+        nIs += 1
+        assert(bd == doc && bs == si + 1 && b == sents(doc)(si))
+      } else {
+        nNot += 1
+        assert(bd != doc, s"NotNext drew from the SAME document $doc")
+        assert(b == sents(bd)(bs.toInt - 1), "b_doc/b_sent must locate b")
+      }
+    }
+    assert(nIs > 0 && nNot > 0, s"both branches must bind ($nIs/$nNot)")
+    // determinism: bit-identical re-run
+    val again = Curation.nspPairs(d).orderBy("doc_id", "sent_idx").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("nspPairs refuses a single-document corpus instead of a silent modulo") {
+    // force the NotNext branch to evaluate by providing enough pairs
+    val one = Seq((0L, "a b. c d. e f. g h. i j. k l. m n. o p")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Curation.nspPairs(one).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
