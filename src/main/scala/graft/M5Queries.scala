@@ -2383,6 +2383,16 @@ object M5Queries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // ---- tokenizer: VOCABULARY-SCALE batched WordPiece training —
+    // greedy symbol-disjoint top-K by the quantized likelihood score
+    // per round (O(vocab/K) rounds, the trainMergesBatched discipline
+    // under the WordPiece criterion); oracle = unrolled scored rounds,
+    // greedy scan as a linear recursive CTE over {l, r, fused}
+    "q_wp_train_batched" -> ((s, dir) =>
+      operators.WordPiece.trainWordPieceBatched(wpInjected(s, dir),
+          frag.wpBatchRounds, frag.wpBatchSize, frag.wpBatchCap)
+        .orderBy(col("rank"))),
+
     "q_unigram_bytes_fallback" -> ((s, dir) => {
       val (pieces, btot) = operators.Unigram.vocabModel(
         operators.Unigram.seedVocab(TextDedup.documents(s, dir),
@@ -2903,6 +2913,50 @@ object M5Queries {
       */
     def wpChainCtes: String =
       s"$wpDocsCte,\n ${wpCtes(wpMerges)},\n ${wpVocabCtes(wpMerges)},\n $wpEncDocsCte,\n ${wpEncodeCtes(wpMerges)}"
+
+    /** Batched-WordPiece config — ONE constant set threaded into the
+      * Spark query and the oracle (the hopUs discipline). Word-level
+      * units over the injected corpus: ~50 distinct words carry ~90
+      * trainable merges, so 4×8 trains with no saturation.
+      */
+    val wpBatchRounds = 4
+    val wpBatchSize = 8
+    val wpBatchCap = 32
+
+    /** Oracle mirror of [[graft.operators.WordPiece
+      * .trainWordPieceBatched]] — the bpeBatchCtes shape under the
+      * likelihood score: per round, scored candidates (HUGEINT
+      * quantized, the wpCtes spelling) ranked (score_q DESC, (l, r)
+      * ASC) and capped; GREEDY FIRST-FIT over {l, r, fused} as a
+      * one-row-per-candidate RECURSIVE CTE carrying the used list; one
+      * `list_reduce` batch application per round (appending r stripped
+      * of `##` makes the fused segment exact — the wpFoldSql trick,
+      * K-way via list_position parallel lists). Requires the gate SQL
+      * to open WITH RECURSIVE.
+      */
+    def wpBatchCtes(rounds: Int, k: Int, cap: Int): String = {
+      val parts = Seq.newBuilder[String]
+      parts += s"bwwc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM (SELECT unnest(w) AS word FROM (SELECT $bertToks w FROM wd)) GROUP BY 1)"
+      parts += "bwv0 AS MATERIALIZED (SELECT word, cnt, CASE WHEN len(word) > 1 THEN [word[1:1]] || list_transform(string_split_regex(word[2:], ''), c -> '##' || c) ELSE [word] END AS syms FROM bwwc)"
+      for (t <- 0 until rounds) {
+        parts += s"bp$t AS MATERIALIZED (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS c FROM (SELECT cnt, syms, unnest(generate_series(1, len(syms)-1)) AS i FROM bwv$t) GROUP BY 1, 2)"
+        parts += s"bu$t AS MATERIALIZED (SELECT sym, sum(cnt) AS sc FROM (SELECT cnt, unnest(syms) AS sym FROM bwv$t) GROUP BY 1)"
+        parts += s"bc$t AS MATERIALIZED (SELECT l, r, fused, c, score_q, row_number() OVER (ORDER BY score_q DESC, l, r) AS rk FROM (SELECT p.l, p.r, p.l || (CASE WHEN p.r[1:2] = '##' THEN p.r[3:] ELSE p.r END) AS fused, p.c::BIGINT AS c, CAST((p.c::HUGEINT * ${graft.operators.WordPiece.ScoreScale}::HUGEINT) // (ul.sc::HUGEINT * ur.sc::HUGEINT) AS BIGINT) AS score_q FROM bp$t p JOIN bu$t ul ON ul.sym = p.l JOIN bu$t ur ON ur.sym = p.r) ORDER BY rk LIMIT $cap)"
+        parts += s"""bgr$t AS (
+           |  SELECT 0::BIGINT AS rk, []::VARCHAR[] AS used, []::STRUCT(l VARCHAR, r VARCHAR, fused VARCHAR, c BIGINT, sq BIGINT)[] AS picked
+           |  UNION ALL
+           |  SELECT c.rk,
+           |    CASE WHEN len(g.picked) < $k AND NOT list_contains(g.used, c.l) AND NOT list_contains(g.used, c.r) AND NOT list_contains(g.used, c.fused)
+           |         THEN g.used || [c.l, c.r, c.fused] ELSE g.used END,
+           |    CASE WHEN len(g.picked) < $k AND NOT list_contains(g.used, c.l) AND NOT list_contains(g.used, c.r) AND NOT list_contains(g.used, c.fused)
+           |         THEN list_append(g.picked, {'l': c.l, 'r': c.r, 'fused': c.fused, 'c': c.c, 'sq': c.score_q}) ELSE g.picked END
+           |  FROM bgr$t g JOIN bc$t c ON c.rk = g.rk + 1)""".stripMargin.replace("\n", " ")
+        parts += s"bs$t AS MATERIALIZED (SELECT (u).l AS l, (u).r AS r, (u).fused AS fused, (u).c AS c, (u).sq AS score_q, row_number() OVER (ORDER BY (u).sq DESC, (u).l, (u).r) AS rn FROM (SELECT unnest(picked) AS u FROM bgr$t WHERE rk = (SELECT max(rk) FROM bgr$t)))"
+        parts += s"ba$t AS MATERIALIZED (SELECT list(l ORDER BY rn) AS ls, list(r ORDER BY rn) AS rs FROM bs$t)"
+        parts += s"bwv${t + 1} AS MATERIALIZED (SELECT word, cnt, string_split(list_reduce(syms, (acc, c) -> CASE WHEN list_position(ls, string_split(acc, chr(31))[-1]) IS NOT NULL AND rs[list_position(ls, string_split(acc, chr(31))[-1])] = c THEN acc || (CASE WHEN c[1:2] = '##' THEN c[3:] ELSE c END) ELSE acc || chr(31) || c END), chr(31)) AS syms FROM bwv$t, ba$t)"
+      }
+      parts.result().mkString(",\n ")
+    }
 
     /** The q_gopher_* injection tails (see gopherInjected): a
       * thrice-repeated stop-word-bearing phrase (dup-n-gram coverage),
@@ -4934,6 +4988,19 @@ object M5Queries {
       s"""WITH ${frag.wpDocsCte},
          | ${frag.wpCtes(frag.wpMerges)}
          |SELECT * FROM ($union) ORDER BY rank""".stripMargin
+    },
+
+    // batched-WordPiece mirror: scored rounds + the greedy first-fit
+    // recursion over {l, r, fused} + one list_reduce batch pass per
+    // round; global rank = row_number over (round, within-round rank)
+    "q_wp_train_batched" -> {
+      val union = (0 until frag.wpBatchRounds).map(t =>
+        s"SELECT $t AS round, rn, l, r, fused, c, score_q FROM bs$t").mkString(" UNION ALL ")
+      s"""WITH RECURSIVE ${frag.wpDocsCte},
+         | ${frag.wpBatchCtes(frag.wpBatchRounds, frag.wpBatchSize, frag.wpBatchCap)}
+         |SELECT (row_number() OVER (ORDER BY round, rn) - 1)::INT AS rank, round::INT AS round,
+         |  l AS "left", r AS "right", fused, c::BIGINT AS pair_count, score_q
+         |FROM ($union) ORDER BY rank""".stripMargin
     },
 
     // greedy longest-match mirror: per-position unrolled steps over the

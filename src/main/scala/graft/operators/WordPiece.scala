@@ -148,6 +148,89 @@ object WordPiece {
       .toDF("rank", "left", "right", "fused", "pair_count", "score_q")
   }
 
+  /** One greedy left-to-right pass applying a BATCH of symbol-disjoint
+    * WordPiece merges — [[Bpe]]'s mergeFoldBatch with the fused string
+    * decoupled from plain concatenation. Well-defined exactly because
+    * the batch is symbol-disjoint (no selected pair's l/r/fused appears
+    * in another), the [[trainWordPieceBatched]] selection invariant.
+    */
+  private def wpFoldBatch(syms: Column,
+      pairs: Seq[(String, String, String)]) =
+    aggregate(syms, array().cast("array<string>"), (acc, ch) => {
+      val last = element_at(acc, -1)
+      val fused = pairs.foldRight(lit(null).cast("string")) {
+        case ((l, r, f), rest) =>
+          when(last === lit(l) && ch === lit(r), lit(f)).otherwise(rest)
+      }
+      when(size(acc) > 0 && fused.isNotNull,
+        concat(slice(acc, lit(1), size(acc) - 1), array(fused)))
+        .otherwise(concat(acc, array(ch)))
+    })
+
+  /** VOCABULARY-SCALE WordPiece training — [[Bpe.trainMergesBatched]]'s
+    * discipline under the likelihood score: up to `batchSize` merges per
+    * Spark round (O(vocab / batchSize) rounds instead of the sequential
+    * trainer's O(vocab)). Per round: ONE pair-count aggregation + ONE
+    * marginal aggregation over the word table, candidates ranked by the
+    * quantized score (score_q DESC, (l, r) ASC) and truncated to
+    * `candidateCap`, then GREEDY FIRST-FIT with a used-symbol set over
+    * {l, r, fused} — selected pairs are pairwise symbol-disjoint, so
+    * their PAIR counts are mutually invariant and the one-pass batch
+    * fold is order-free. The recorded score_q is the score at the
+    * round's START (the marginals of later selections in a round are
+    * not refreshed by earlier ones — the standard parallel-trainer
+    * compromise, exactly [[Bpe.trainMergesBatched]]'s contract;
+    * `batchSize = 1` degenerates to [[trainWordPiece]], spec-pinned).
+    *
+    * Output: (rank, round, left, right, fused, pair_count, score_q).
+    */
+  def trainWordPieceBatched(docs: DataFrame, rounds: Int, batchSize: Int,
+      candidateCap: Int = 0): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val cap = if (candidateCap > 0) candidateCap else 4 * batchSize
+    require(cap >= batchSize, s"candidateCap $cap < batchSize $batchSize")
+    val spark = docs.sparkSession
+    var words = wordTable(docs).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, Int, String, String, String, Long, Long)]
+    var rank = 0
+    for (round <- 0 until rounds) {
+      val uc = symCounts(words)
+      val cands = pairCounts(words)
+        .join(uc.select(col("sym").as("l"), col("sc").as("lc")), Seq("l"))
+        .join(uc.select(col("sym").as("r"), col("sc").as("rc")), Seq("r"))
+        .withColumn("score_q", expr(
+          s"CAST((CAST(c AS DECIMAL(20,0)) * CAST($ScoreScale AS DECIMAL(13,0))) " +
+            "div (CAST(lc AS DECIMAL(19,0)) * CAST(rc AS DECIMAL(19,0))) AS BIGINT)"))
+        .orderBy(col("score_q").desc, col("l"), col("r"))
+        .limit(cap).collect()
+        .map(row => (row.getAs[String]("l"), row.getAs[String]("r"),
+          row.getAs[Long]("c"), row.getAs[Long]("score_q")))
+      require(cands.nonEmpty,
+        s"corpus ran out of symbol pairs after $rank merges (round $round of $rounds)")
+      val selected = Seq.newBuilder[(String, String, String)]
+      val used = scala.collection.mutable.Set.empty[String]
+      var nSel = 0
+      for (i <- cands.indices if nSel < batchSize) {
+        val (l, r, c, sq) = cands(i)
+        val fused = l + stripCont(r)
+        if (!used(l) && !used(r) && !used(fused)) {
+          merges += ((rank, round, l, r, fused, c, sq))
+          selected += ((l, r, fused))
+          used ++= Seq(l, r, fused)
+          rank += 1
+          nSel += 1
+        }
+      }
+      // prior rounds' checkpoint blocks free via GC/ContextCleaner once
+      // unreferenced (the Bpe house pattern)
+      words = words.withColumn("syms", wpFoldBatch(col("syms"), selected.result()))
+        .localCheckpoint()
+    }
+    spark.createDataFrame(merges.result())
+      .toDF("rank", "round", "left", "right", "fused", "pair_count", "score_q")
+  }
+
   /** The trained VOCABULARY as driver state: the training alphabet
     * (every symbol of the initial word table — alphabet-bounded, the
     * model-metadata collect discipline) plus every fused piece in rank

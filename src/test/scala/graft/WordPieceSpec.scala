@@ -164,4 +164,27 @@ class WordPieceSpec extends AnyFunSuite {
     val again = Bpe.mlmMask(stream, vocab).collect()
     assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
+
+  test("batched training: batchSize=1 degenerates to the sequential trainer; batches are symbol-disjoint") {
+    val corpus = docs(Seq.fill(10)("ab") ++ Seq.fill(30)("a") ++
+      Seq.fill(30)("b") ++ Seq.fill(9)("cd") ++ Seq.fill(4)("abc"))
+    val seqT = WordPiece.trainWordPiece(corpus, 4).orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[Long]("pair_count"), r.getAs[Long]("score_q"))).toSeq
+    val b1 = WordPiece.trainWordPieceBatched(corpus, rounds = 4, batchSize = 1)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[Long]("pair_count"), r.getAs[Long]("score_q"))).toSeq
+    assert(b1 == seqT)
+    // a wide batch selects pairwise symbol-disjoint pairs
+    val b = WordPiece.trainWordPieceBatched(corpus, rounds = 1, batchSize = 8)
+      .collect().map(r => (r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[String]("fused")))
+    val used = scala.collection.mutable.Set.empty[String]
+    b.foreach { case (l, r, f) =>
+      assert(!used(l) && !used(r) && !used(f), s"($l,$r,$f) overlaps $used")
+      used ++= Seq(l, r, f)
+    }
+    assert(b.nonEmpty)
+  }
 }
