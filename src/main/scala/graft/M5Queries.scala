@@ -151,6 +151,27 @@ object M5Queries {
         .when(col("doc_id") % 7 === 5, concat(col("text"), lit(frag.gopherStopTail)))
         .otherwise(col("text")))
 
+  /** The q_c4_filter input: the corpus plus per-doc-class LINE tails so
+    * every C4 rule binds (the fixtures are single-line, never
+    * punctuation-terminated — the raw page is always one dropped line):
+    * doc_id % 9 ∈ {0..6} appends (0) three well-formed sentences
+    * (keep), (1) only two (too_few_sentences), (2) +lorem ipsum,
+    * (3) +curly brace, (4) +a badword token, (5) +a javascript line
+    * (line dropped, page kept), (6) +a short line and an unterminated
+    * line (line rules bind without page discard); other classes keep
+    * the raw body only (zero kept lines).
+    */
+  private def c4Injected(s: SparkSession, dir: String): DataFrame = {
+    val cases = frag.c4ClassTails
+    val expr0 = cases.tail.foldLeft(
+      when(col("doc_id") % 9 === cases.head._1,
+        concat(col("text"), lit(cases.head._2)))) {
+      case (acc, (k, t)) =>
+        acc.when(col("doc_id") % 9 === k, concat(col("text"), lit(t)))
+    }.otherwise(col("text"))
+    TextDedup.documents(s, dir).withColumn("text", expr0)
+  }
+
   /** The q_nsp_pairs input: the corpus SENTENCE-IFIED — tokens grouped
     * in sevens, groups joined with '. ' — because the word-salad
     * fixtures contain no sentence terminators and the NSP gate would
@@ -1726,6 +1747,16 @@ object M5Queries {
         .withColumn("reasons", array_join(col("reasons"), ","))
         .orderBy(col("doc_id"))),
 
+    // ---- curation: the C4 page/line filter (Raffel et al. 2020 §2.2
+    // — the published cleaning rules the C4 corpus ships with):
+    // terminal-punctuation + ≥5-word + no-javascript line rules, then
+    // the <3-sentence / lorem-ipsum / curly-brace / badword page rules;
+    // ENTIRELY NARROW per-row expressions, the cheapest operator shape
+    "q_c4_filter" -> ((s, dir) =>
+      Curation.c4Filter(c4Injected(s, dir), frag.c4Badwords)
+        .withColumn("reasons", array_join(col("reasons"), ","))
+        .orderBy(col("doc_id"))),
+
     // ---- curation: BERT-style NSP pair construction (Devlin et al.
     // 2019 §3.1 Task #2 — MLM's companion objective): consecutive
     // sentence pairs, 50% true-next / 50% a hash-deterministic draw
@@ -2956,6 +2987,30 @@ object M5Queries {
         parts += s"bwv${t + 1} AS MATERIALIZED (SELECT word, cnt, string_split(list_reduce(syms, (acc, c) -> CASE WHEN list_position(ls, string_split(acc, chr(31))[-1]) IS NOT NULL AND rs[list_position(ls, string_split(acc, chr(31))[-1])] = c THEN acc || (CASE WHEN c[1:2] = '##' THEN c[3:] ELSE c END) ELSE acc || chr(31) || c END), chr(31)) AS syms FROM bwv$t, ba$t)"
       }
       parts.result().mkString(",\n ")
+    }
+
+    /** The q_c4_filter injection tails (see c4Injected) and the
+      * parameterized badword fixture list — ONE constant set threaded
+      * into the Spark injection and the c4d CTE. Newlines are REAL
+      * newline chars (Verify's JSON escaper and DuckDB literals both
+      * carry them).
+      */
+    val c4Good =
+      "\nalpha beta gamma delta epsilon.\nzeta eta theta iota kappa!\nlambda mu nu xi omicron pi?"
+    val c4ClassTails: Seq[(Int, String)] = Seq(
+      0 -> c4Good,
+      1 -> "\nalpha beta gamma delta epsilon.\nzeta eta theta iota kappa!",
+      2 -> (c4Good + "\nlorem ipsum dolor sit amet."),
+      3 -> (c4Good + "\ncurly brace line { with braces here."),
+      4 -> (c4Good + "\nthis page contains unsavory words now."),
+      5 -> (c4Good + "\nenable javascript to view this site."),
+      6 -> (c4Good + "\ntiny line.\nno terminal punctuation here at all"))
+    val c4Badwords = Seq("unsavory", "profane")
+    val c4DocsCte: String = {
+      val whens = c4ClassTails.map { case (k, t) =>
+        s"WHEN doc_id % 9 = $k THEN text || '${t.replace("'", "''")}'"
+      }.mkString(" ")
+      s"c4d AS (SELECT doc_id, CASE $whens ELSE text END AS text FROM documents)"
     }
 
     /** The q_gopher_* injection tails (see gopherInjected): a
@@ -5767,6 +5822,27 @@ object M5Queries {
          |SELECT doc_id, n_tokens, len(reasons) = 0 AS keep,
          |  COALESCE(array_to_string(reasons, ','), '') AS reasons
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // C4 filter mirror: the same line/page rule arithmetic over the
+    // injected class tails (list_filter line rules, terminator-split
+    // sentence count on the CLEANED text, token-set badword membership)
+    "q_c4_filter" ->
+      s"""WITH ${frag.c4DocsCte},
+         | cl AS (SELECT doc_id, text, list_filter(string_split(text, chr(10)), l -> len(list_filter(string_split_regex(lower(l), '[ \\t\\n\\f\\r]+'), t -> len(t) > 0)) >= 5 AND regexp_matches(l, '[.!?"][ \\t\\r]*$$') AND NOT contains(lower(l), 'javascript')) AS kept FROM c4d),
+         | cc AS (SELECT doc_id, text, kept, coalesce(array_to_string(kept, chr(10)), '') AS clean_text FROM cl),
+         | cm AS (SELECT doc_id, text, clean_text, len(kept)::BIGINT AS n_lines_kept,
+         |   len(list_filter(string_split_regex(clean_text, '[.!?]+[ \\t\\n\\f\\r]+'), s -> len(list_filter(string_split_regex(lower(s), '[ \\t\\n\\f\\r]+'), t -> len(t) > 0)) > 0))::BIGINT AS n_sentences,
+         |   len(list_intersect(list_distinct(list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'), t -> len(t) > 0)), ['unsavory','profane'])) > 0 AS has_bad
+         |  FROM cc),
+         | cr AS (SELECT doc_id, n_lines_kept, n_sentences, clean_text, list_sort(list_filter([
+         |   CASE WHEN n_sentences < 3 THEN 'too_few_sentences' END,
+         |   CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum' END,
+         |   CASE WHEN contains(text, '{') THEN 'curly_brace' END,
+         |   CASE WHEN has_bad THEN 'badword' END], x -> x IS NOT NULL)) AS reasons FROM cm)
+         |SELECT doc_id, len(reasons) = 0 AS keep,
+         |  COALESCE(array_to_string(reasons, ','), '') AS reasons,
+         |  n_lines_kept, n_sentences, clean_text
+         |FROM cr ORDER BY doc_id""".stripMargin,
 
     // NSP mirror: the sentence-ified corpus (shared injection
     // spelling), per-doc lead pairs, the same hash/branch arithmetic,

@@ -329,6 +329,66 @@ object Curation {
         col("n_tokens"), col("sentence"))
   }
 
+  /** The C4 PAGE/LINE FILTER (Raffel et al., JMLR 2020 §2.2 — the
+    * published cleaning rules the C4 corpus ships with; the Gopher
+    * gate's older sibling and the other rule set a production pipeline
+    * actually runs):
+    *
+    * LINE rules (a line survives iff ALL hold):
+    *  - ends in a terminal punctuation mark (`[.!?"]`, trailing spaces
+    *    allowed — the paper's rule includes the closing quote),
+    *  - contains at least 5 words (whitespace tokens),
+    *  - does not contain the word "javascript" (case-insensitive —
+    *    the paper's cookie/noscript-boilerplate heuristic).
+    *
+    * PAGE rules (the page is discarded iff ANY holds, evaluated on the
+    * RAW page for the phrase/char rules and on the CLEANED text for the
+    * sentence count, exactly like the reference implementation):
+    *  - `too_few_sentences` — fewer than 3 sentences after line
+    *    filtering (terminator-split segments with ≥ 1 token),
+    *  - `lorem_ipsum` — the page contains "lorem ipsum",
+    *  - `curly_brace` — the page contains `{` (the code heuristic),
+    *  - `badword` — any whitespace token equals a `badwords` entry
+    *    (the paper uses the public "List of Dirty, Naughty…" list;
+    *    the list is a parameter — token-set membership, the
+    *    [[GopherStopWords]] convention).
+    *
+    * Output: (doc_id, keep, reasons, n_lines_kept, n_sentences,
+    * clean_text) — reasons alphabetical; `clean_text` is the kept lines
+    * re-joined (what C4 actually emits for a kept page).
+    *
+    * Plan shape: ENTIRELY NARROW — line split, HOF filters, and the
+    * sentence count are per-row expressions; no join, no shuffle, no
+    * state. The cheapest possible operator at 100 TB.
+    */
+  def c4Filter(docs: DataFrame, badwords: Seq[String]): DataFrame = {
+    import graft.functions.TextFunctions
+    val lineOk: Column => Column = l =>
+      size(TextFunctions.tokens(l)) >= 5 &&
+        l.rlike("""[.!?"][ \t\r]*$""") &&
+        !lower(l).contains("javascript")
+    val kept = filter(split(col("text"), "\n"), lineOk)
+    val cleaned = array_join(kept, "\n")
+    val nSent = size(filter(split(col("clean_text"), "[.!?]+[ \t\n\f\r]+"),
+      s => size(TextFunctions.tokens(s)) > 0)).cast("long")
+    val hasBad = size(array_intersect(
+      array_distinct(TextFunctions.tokens(col("text"))),
+      array(badwords.map(lit): _*))) > 0
+    val fired = array(
+      when(col("n_sentences") < 3, lit("too_few_sentences")),
+      when(lower(col("text")).contains("lorem ipsum"), lit("lorem_ipsum")),
+      when(col("text").contains("{"), lit("curly_brace")),
+      when(hasBad, lit("badword")))
+    docs
+      .withColumn("clean_text", cleaned)
+      .withColumn("n_lines_kept", size(kept).cast("long"))
+      .withColumn("n_sentences", nSent)
+      .withColumn("reasons", array_sort(filter(fired, r => r.isNotNull)))
+      .select(col("doc_id"), (size(col("reasons")) === 0).as("keep"),
+        col("reasons"), col("n_lines_kept"), col("n_sentences"),
+        col("clean_text"))
+  }
+
   /** BERT-style NSP (next-sentence-prediction) PAIR CONSTRUCTION
     * (Devlin et al., NAACL 2019 §3.1 Task #2 — the second objective the
     * MLM transform ships with): every consecutive sentence pair (A, B)

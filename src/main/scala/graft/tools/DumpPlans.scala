@@ -70,7 +70,11 @@ object DumpPlans {
       "q_session_concurrency" -> "interval concurrency sweep: map-side per-timestamp delta agg, PrefixSum running sum (no single-task sort)",
       "q_oov_rate" -> "held-out OOV report: broadcast frozen capped vocabulary, one doc-keyed aggregation, LEFT-join-at-0 tail",
       "q_bpe_bytes_encode" -> "byte-level BPE emit: ONE BpeEncode(byteLevel) reference-object node applying unit-encode + merges per row — entirely narrow, documents never shuffle (training is driver-bounded collect state, outside this plan)",
-      "q_unigram_usage_soft" -> "soft-EM E-step: the forward-backward lattice as ONE UnigramSoftCounts reference-object node over the DISTINCT-WORD table (never corpus-sized), vocabulary-bounded usage agg, broadcast model-frame LEFT join keeps zero rows")
+      "q_unigram_usage_soft" -> "soft-EM E-step: the forward-backward lattice as ONE UnigramSoftCounts reference-object node over the DISTINCT-WORD table (never corpus-sized), vocabulary-bounded usage agg, broadcast model-frame LEFT join keeps zero rows",
+      "q_wp_encode" -> "WordPiece greedy emit: ONE WordPieceEncode reference-object node (vocabulary as a hash set, constant plan size) + posexplode — documents never shuffle (training is driver-bounded collect state, outside this plan)",
+      "q_gopher_ngram" -> "Gopher repetition signals: ONE union-frame (doc, n, ngram) count shuffle per family (never one pass per n), dup coverage as a bounded <=n explode + positional-union distinct, every aggregation doc-keyed",
+      "q_mlm_mask" -> "BERT MLM mask: narrow hash/branch arithmetic on the token stream, broadcast 1-row vocab-size frame + broadcast dictionary join for the random draw — no corpus shuffle",
+      "q_nsp_pairs" -> "NSP pairs: per-doc lead window (millions of small groups), PrefixSum dense doc index, the NotNext minority half pays two equi-joins + a broadcast 1-row n_docs frame")
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of the flagship queries\n\n")
     sb.append("Auto-generated by `graft.tools.DumpPlans` at sf0.001. What to look for:\n")

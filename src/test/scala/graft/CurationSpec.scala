@@ -841,4 +841,28 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(ex.getMessage != null)
   }
+
+  test("c4Filter: every published rule binds; clean_text is exactly the kept lines") {
+    val good = "alpha beta gamma delta epsilon.\nzeta eta theta iota kappa!\nlambda mu nu xi omicron pi?"
+    val d = Seq(
+      (0L, good),
+      (1L, "alpha beta gamma delta epsilon.\nzeta eta theta iota kappa!"),
+      (2L, good + "\nlorem ipsum dolor sit."), // 4-word line drops; the PAGE rule reads the raw text
+      (3L, good + "\nbrace { line with five words."),
+      (4L, good + "\nthis has unsavory content words."),
+      (5L, good + "\nplease enable javascript now friend."), // well-formed but javascript: line drops, page keeps
+      (6L, "short line.\nno terminal punct here at all\n" + good) // line rules bind without page discard
+    ).toDF("doc_id", "text")
+    val out = Curation.c4Filter(d, Seq("unsavory")).orderBy("doc_id").collect()
+    def reasons(i: Int) = out(i).getAs[scala.collection.Seq[String]]("reasons").toSeq
+    assert(out(0).getAs[Boolean]("keep") && out(0).getAs[Long]("n_sentences") == 3L)
+    assert(out(0).getAs[String]("clean_text") == good)
+    assert(reasons(1) == Seq("too_few_sentences"))
+    assert(reasons(2) == Seq("lorem_ipsum"))
+    assert(reasons(3) == Seq("curly_brace"))
+    assert(reasons(4) == Seq("badword"))
+    assert(out(5).getAs[Boolean]("keep") && out(5).getAs[Long]("n_lines_kept") == 3L)
+    assert(out(6).getAs[Boolean]("keep") && out(6).getAs[Long]("n_lines_kept") == 3L)
+    assert(out(6).getAs[String]("clean_text") == good)
+  }
 }
