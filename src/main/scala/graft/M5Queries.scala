@@ -2424,6 +2424,23 @@ object M5Queries {
           frag.wpBatchRounds, frag.wpBatchSize, frag.wpBatchCap)
         .orderBy(col("rank"))),
 
+    // ---- tokenizer: the BATCHED WordPiece PRODUCTION CHAIN — batched
+    // train → freeze → greedy encode → GPT-style token windows (the
+    // q_bpe_windows_batched sibling: the vocabulary-scale trainer
+    // proven through the same end-to-end apply path as the sequential
+    // one)
+    "q_wp_windows_batched" -> ((s, dir) => {
+      val train = wpInjected(s, dir)
+      val vocab = operators.WordPiece.vocabOf(train,
+        operators.WordPiece.trainWordPieceBatched(train,
+          frag.wpBatchRounds, frag.wpBatchSize, frag.wpBatchCap))
+      val docs = wpScoreDocs(s, dir)
+      operators.Bpe.tokenWindowsOf(
+          operators.WordPiece.encodeTokens(docs, vocab),
+          docs.select(col("doc_id")), frag.tokenWindow)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     "q_unigram_bytes_fallback" -> ((s, dir) => {
       val (pieces, btot) = operators.Unigram.vocabModel(
         operators.Unigram.seedVocab(TextDedup.documents(s, dir),
@@ -2944,6 +2961,24 @@ object M5Queries {
       */
     def wpChainCtes: String =
       s"$wpDocsCte,\n ${wpCtes(wpMerges)},\n ${wpVocabCtes(wpMerges)},\n $wpEncDocsCte,\n ${wpEncodeCtes(wpMerges)}"
+
+    /** [[wpVocabCtes]] over the BATCHED trainer's tables (alphabet from
+      * bwv0, fused pieces from every round's selection bs{t}) — ends in
+      * the SAME wpv/wpvc names, so [[wpEncodeCtes]] composes unchanged.
+      */
+    def wpVocabBatchedCtes(rounds: Int): String = {
+      val fusedUnion = (0 until rounds)
+        .map(t => s"SELECT fused AS piece FROM bs$t").mkString(" UNION ")
+      s"""wpv AS MATERIALIZED (SELECT DISTINCT sym AS piece FROM (SELECT unnest(syms) AS sym FROM bwv0) UNION $fusedUnion),
+         | wpvc AS MATERIALIZED (SELECT piece, piece[1:2] = '##' AS cont, CASE WHEN piece[1:2] = '##' THEN piece[3:] ELSE piece END AS core FROM wpv)""".stripMargin.replace("\n", " ")
+    }
+
+    /** The BATCHED production chain: batched training rounds →
+      * vocabulary → greedy matcher stream over the score docs — the
+      * q_bpe_windows_batched sibling for the third family.
+      */
+    def wpBatchChainCtes: String =
+      s"$wpDocsCte,\n ${wpBatchCtes(wpBatchRounds, wpBatchSize, wpBatchCap)},\n ${wpVocabBatchedCtes(wpBatchRounds)},\n $wpEncDocsCte,\n ${wpEncodeCtes(wpMerges)}"
 
     /** Batched-WordPiece config — ONE constant set threaded into the
       * Spark query and the oracle (the hopUs discipline). Word-level
@@ -5057,6 +5092,18 @@ object M5Queries {
          |  l AS "left", r AS "right", fused, c::BIGINT AS pair_count, score_q
          |FROM ($union) ORDER BY rank""".stripMargin
     },
+
+    // batched production-chain mirror: the batched rounds feed the SAME
+    // wpv/wpvc vocabulary names, so the greedy matcher and the
+    // windowing tail compose verbatim
+    "q_wp_windows_batched" ->
+      s"""WITH RECURSIVE ${frag.wpBatchChainCtes},
+         | wlens AS (SELECT w.doc_id, coalesce(max(pos), 0) AS mp FROM we w LEFT JOIN wp_p USING (doc_id) GROUP BY 1),
+         | wallt AS (SELECT doc_id, pos, token FROM wp_p UNION ALL SELECT doc_id, (mp + 1)::INT, '<eod>' FROM wlens),
+         | wg AS (SELECT doc_id, pos, token, row_number() OVER (ORDER BY doc_id, pos) AS gpos FROM wallt)
+         |SELECT doc_id, pos, token, ((gpos - 1) // ${frag.tokenWindow})::BIGINT AS win_id,
+         |  ((gpos - 1) % ${frag.tokenWindow})::BIGINT AS off
+         |FROM wg ORDER BY doc_id, pos""".stripMargin,
 
     // greedy longest-match mirror: per-position unrolled steps over the
     // trained vocabulary (frag.wpEncodeCtes), whole word → [UNK] via

@@ -352,6 +352,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_wp_windows", // global-token-position PrefixSum triangle over the WordPiece stream
       "q_mlm_mask", // vocab-rank PrefixSum triangle + 1-row vocab-size frame
       "q_nsp_pairs", // doc-index PrefixSum triangle + 1-row n_docs frame
+      "q_wp_windows_batched", // the same windowing triangle over the batched-trained stream
       "q_key_skew") // 1-row (nk, total) totals frame broadcast onto the top-k keys
     def collectAll(p: SparkPlan): Seq[SparkPlan] =
       (p +: p.children.flatMap(collectAll)) ++ (p match {
