@@ -2441,6 +2441,43 @@ object M5Queries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // ---- tokenizer: the COMPLETE BERT PRETRAINING EXAMPLE BUILDER —
+    // NSP pairs → frozen-WordPiece encode of both sentences →
+    // [CLS] A [SEP] B [SEP] with segment ids (token_type 0 through the
+    // first [SEP], 1 after): create_pretraining_data.py's assembly,
+    // three gated operators composed end to end; specials injected
+    // structurally (the basic tokenizer would split '[CLS]')
+    "q_bert_examples" -> ((s, dir) => {
+      val train = wpInjected(s, dir)
+      val vocab = operators.WordPiece.vocabOf(train,
+        operators.WordPiece.trainWordPiece(train, frag.wpMerges))
+      operators.WordPiece.bertExamples(
+          Curation.nspPairs(nspInjected(s, dir)), vocab)
+        .orderBy(col("doc_id"), col("sent_idx"), col("pos"))
+    }),
+
+    // ---- tokenizer: MLM over the ASSEMBLED BERT examples — the
+    // 80/10/10 mask with [CLS]/[SEP] NEVER selected (the published
+    // builder's special-token rule); the hash key is the synthesized
+    // example id (doc·2²⁰ + sent_idx — exact long arithmetic, mirrored
+    // verbatim in the oracle), so each example draws independently
+    "q_bert_mlm" -> ((s, dir) => {
+      val train = wpInjected(s, dir)
+      val vocab = operators.WordPiece.vocabOf(train,
+        operators.WordPiece.trainWordPiece(train, frag.wpMerges))
+      val ex = operators.WordPiece.bertExamples(
+        Curation.nspPairs(nspInjected(s, dir)), vocab)
+      val st = operators.SharedBranch.sharedBranch(ex.select(
+        expr("doc_id * 1048576 + sent_idx").as("doc_id"),
+        col("pos"), col("token")))
+      operators.Bpe.mlmMask(st, operators.Bpe.vocabulary(st),
+          specials = Seq("[CLS]", "[SEP]"))
+        .select(expr("doc_id div 1048576").as("doc_id"),
+          expr("CAST(doc_id % 1048576 AS INT)").as("sent_idx"),
+          col("pos"), col("input_token"), col("label"), col("masked"))
+        .orderBy(col("doc_id"), col("sent_idx"), col("pos"))
+    }),
+
     "q_unigram_bytes_fallback" -> ((s, dir) => {
       val (pieces, btot) = operators.Unigram.vocabModel(
         operators.Unigram.seedVocab(TextDedup.documents(s, dir),
@@ -2841,8 +2878,9 @@ object M5Queries {
       * agreement notes as the pretok pattern: `\p{L}`/`\p{N}` are the
       * same Unicode categories, the whitespace chars are explicit.
       */
-    val bertToks: String =
-      """list_filter(string_split_regex(regexp_replace(regexp_replace(lower(text), '([^\p{L}\p{N} \t\n\f\r])', ' \1 ', 'g'), '([\x{4e00}-\x{9fff}])', ' \1 ', 'g'), '[ \t\n\f\r]+'), t -> len(t) > 0)"""
+    def bertToksOf(c: String): String =
+      s"""list_filter(string_split_regex(regexp_replace(regexp_replace(lower($c), '([^\\p{L}\\p{N} \\t\\n\\f\\r])', ' \\1 ', 'g'), '([\\x{4e00}-\\x{9fff}])', ' \\1 ', 'g'), '[ \\t\\n\\f\\r]+'), t -> len(t) > 0)"""
+    val bertToks: String = bertToksOf("text")
 
     /** The q_wp_* training injection tail — every WordPiece-specific
       * branch must BIND (the byteInject vacuity discipline): mixed case
@@ -3047,6 +3085,42 @@ object M5Queries {
       }.mkString(" ")
       s"c4d AS (SELECT doc_id, CASE $whens ELSE text END AS text FROM documents)"
     }
+
+    /** BERT example assembly over `nis`/`nnot` (NSP) and `wtok` (the
+      * WordPiece matcher's word→pieces table): per pair, [CLS] (seg 0),
+      * A's pieces (seg 1, word/piece order), [SEP] (seg 2), B's pieces
+      * (seg 3), [SEP] (seg 4); `pos` by (seg, wi, si) row_number within
+      * the pair. Ends in `bstr(doc_id, sent_idx, is_next, pos, seg,
+      * tok)`.
+      */
+    def bertExampleCtes: String =
+      s"""bex AS MATERIALIZED (SELECT doc_id, sent_idx, is_next, a, b FROM (SELECT * FROM nis UNION ALL SELECT * FROM nnot)),
+         | bea AS (SELECT doc_id, sent_idx, is_next, 1 AS seg, wi, unnest(toks) AS tok, generate_subscripts(toks, 1) AS si FROM (SELECT doc_id, sent_idx, is_next, unnest(w) AS word, generate_subscripts(w, 1) AS wi FROM (SELECT doc_id, sent_idx, is_next, ${bertToksOf("a")} AS w FROM bex)) JOIN wtok USING (word)),
+         | beb AS (SELECT doc_id, sent_idx, is_next, 3 AS seg, wi, unnest(toks) AS tok, generate_subscripts(toks, 1) AS si FROM (SELECT doc_id, sent_idx, is_next, unnest(w) AS word, generate_subscripts(w, 1) AS wi FROM (SELECT doc_id, sent_idx, is_next, ${bertToksOf("b")} AS w FROM bex)) JOIN wtok USING (word)),
+         | bes AS (SELECT doc_id, sent_idx, is_next, seg, 0::BIGINT AS wi, 0::BIGINT AS si, CASE WHEN seg = 0 THEN '[CLS]' ELSE '[SEP]' END AS tok FROM bex, (SELECT unnest([0, 2, 4]) AS seg)),
+         | bstr AS MATERIALIZED (SELECT doc_id, sent_idx, is_next, (row_number() OVER (PARTITION BY doc_id, sent_idx ORDER BY seg, wi, si))::INT AS pos, seg, tok FROM (SELECT doc_id, sent_idx, is_next, seg, wi, si, tok FROM bea UNION ALL SELECT doc_id, sent_idx, is_next, seg, wi, si, tok FROM beb UNION ALL SELECT doc_id, sent_idx, is_next, seg, wi, si, tok FROM bes))""".stripMargin.replace("\n", " ")
+
+    /** NSP mirror CTEs (ONE definition shared by q_nsp_pairs and the
+      * BERT example-builder gates): the sentence-ified corpus, per-doc
+      * lead pairs, the hash/branch arithmetic, the dense-doc-index
+      * self-skip CASE, and the (b_doc, b_sent) lookup join — ending in
+      * `nis` / `nnot` (IsNext / NotNext example rows).
+      */
+    def nspCtes: String =
+      s"""nd AS (SELECT doc_id, CASE WHEN len(tk) > 0 THEN array_to_string(list_transform(generate_series(0, (len(tk)-1)//7), g -> array_to_string(tk[g*7+1:g*7+7], ' ')), '. ') ELSE '' END AS text FROM (SELECT doc_id, ${frag.toks} tk FROM documents)),
+         | nsents AS MATERIALIZED (SELECT doc_id, si::INT AS sent_idx, s AS sentence FROM (
+         |   SELECT doc_id, unnest(ss) AS s, generate_subscripts(ss, 1) AS si FROM (
+         |     SELECT doc_id, list_filter(string_split_regex(text, '[.!?]+[ \\t\\n\\f\\r]+'), x -> len(list_filter(string_split_regex(lower(x), '[ \\t\\n\\f\\r]+'), t -> len(t) > 0)) > 0) AS ss FROM nd))),
+         | ndoc AS MATERIALIZED (SELECT doc_id, count(*) AS n_sents, row_number() OVER (ORDER BY doc_id) - 1 AS d_idx FROM nsents GROUP BY doc_id),
+         | ncnt AS (SELECT count(*) AS n_docs FROM ndoc),
+         | npair AS (SELECT doc_id, sent_idx, sentence, lead(sentence) OVER (PARTITION BY doc_id ORDER BY sent_idx) AS nxt FROM nsents),
+         | nh AS MATERIALIZED (SELECT doc_id, sent_idx, sentence, nxt, ${frag.rolling("doc_id::VARCHAR || ':' || sent_idx::VARCHAR || ':' || sentence")} AS h FROM npair WHERE nxt IS NOT NULL),
+         | nis AS (SELECT doc_id, sent_idx, sentence AS a, nxt AS b, doc_id AS b_doc_id, (sent_idx + 1)::BIGINT AS b_sent_idx, true AS is_next FROM nh WHERE h % 2 = 0),
+         | nnot AS (SELECT x.doc_id, x.sent_idx, x.sentence AS a, bs.sentence AS b, od.doc_id AS b_doc_id, ((x.h // 11) % od.n_sents + 1)::BIGINT AS b_sent_idx, false AS is_next
+         |   FROM (SELECT nh.*, sd.d_idx AS self_idx FROM nh JOIN ndoc sd USING (doc_id) WHERE h % 2 <> 0) x
+         |   CROSS JOIN ncnt
+         |   JOIN ndoc od ON od.d_idx = (CASE WHEN (x.h // 7) % (ncnt.n_docs - 1) >= x.self_idx THEN (x.h // 7) % (ncnt.n_docs - 1) + 1 ELSE (x.h // 7) % (ncnt.n_docs - 1) END)
+         |   JOIN nsents bs ON bs.doc_id = od.doc_id AND bs.sent_idx = ((x.h // 11) % od.n_sents + 1))""".stripMargin
 
     /** The q_gopher_* injection tails (see gopherInjected): a
       * thrice-repeated stop-word-bearing phrase (dup-n-gram coverage),
@@ -5870,6 +5944,43 @@ object M5Queries {
          |  COALESCE(array_to_string(reasons, ','), '') AS reasons
          |FROM r ORDER BY doc_id""".stripMargin,
 
+    // BERT example-builder mirror: the NSP rows' sentences word-split
+    // (the SAME bertToks spelling) and mapped through the greedy
+    // matcher's word→pieces table (wtok — NSP sentence words are corpus
+    // body words, a subset of the matcher's domain), specials injected
+    // as seg-0/2/4 rows, positions by (seg, word, piece) row_number
+    "q_bert_examples" ->
+      s"""WITH ${frag.wpChainCtes},
+         | ${frag.nspCtes},
+         | ${frag.bertExampleCtes}
+         |SELECT doc_id, sent_idx, pos, tok AS token,
+         |  (CASE WHEN seg <= 2 THEN 0 ELSE 1 END)::BIGINT AS token_type, is_next
+         |FROM bstr ORDER BY doc_id, sent_idx, pos""".stripMargin,
+
+    // MLM over the assembled examples: the q_mlm_mask arithmetic keyed
+    // by the synthesized example id (doc·2²⁰ + sent_idx), with
+    // [CLS]/[SEP] excluded from selection (the published builder's
+    // special-token rule); the random-replacement vocabulary is the
+    // example stream's own (specials included, as in the reference's
+    // full-vocab draw)
+    "q_bert_mlm" ->
+      s"""WITH ${frag.wpChainCtes},
+         | ${frag.nspCtes},
+         | ${frag.bertExampleCtes},
+         | bmv AS (SELECT tok AS token, count(*) AS n_occ FROM bstr GROUP BY 1),
+         | bmr AS (SELECT token, row_number() OVER (ORDER BY n_occ DESC, token) - 1 AS token_id FROM bmv),
+         | bms AS (SELECT count(*) AS vsize FROM bmv),
+         | bmh AS (SELECT doc_id, sent_idx, pos, tok AS token, ${frag.rolling("(doc_id * 1048576 + sent_idx)::VARCHAR || ':' || pos::VARCHAR || ':' || tok")} AS h FROM bstr)
+         |SELECT bmh.doc_id, bmh.sent_idx, bmh.pos,
+         | CASE WHEN NOT (h % 100 < 15 AND bmh.token NOT IN ('[CLS]', '[SEP]')) THEN bmh.token
+         |      WHEN (h // 100) % 10 < 8 THEN '[MASK]'
+         |      WHEN (h // 100) % 10 = 8 THEN rv.token
+         |      ELSE bmh.token END AS input_token,
+         | CASE WHEN h % 100 < 15 AND bmh.token NOT IN ('[CLS]', '[SEP]') THEN bmh.token END AS label,
+         | (h % 100 < 15 AND bmh.token NOT IN ('[CLS]', '[SEP]')) AS masked
+         |FROM bmh CROSS JOIN bms LEFT JOIN bmr rv ON rv.token_id = (bmh.h // 1000) % bms.vsize
+         |ORDER BY bmh.doc_id, bmh.sent_idx, bmh.pos""".stripMargin,
+
     // C4 filter mirror: the same line/page rule arithmetic over the
     // injected class tails (list_filter line rules, terminator-split
     // sentence count on the CLEANED text, token-set badword membership)
@@ -5896,20 +6007,7 @@ object M5Queries {
     // the dense-doc-index self-skip CASE, and the (b_doc, b_sent)
     // lookup join — row_number ≡ the engine's PrefixSum doc index
     "q_nsp_pairs" ->
-      s"""WITH nd AS (SELECT doc_id, CASE WHEN len(tk) > 0 THEN array_to_string(list_transform(generate_series(0, (len(tk)-1)//7), g -> array_to_string(tk[g*7+1:g*7+7], ' ')), '. ') ELSE '' END AS text FROM (SELECT doc_id, ${frag.toks} tk FROM documents)),
-         | nsents AS MATERIALIZED (SELECT doc_id, si::INT AS sent_idx, s AS sentence FROM (
-         |   SELECT doc_id, unnest(ss) AS s, generate_subscripts(ss, 1) AS si FROM (
-         |     SELECT doc_id, list_filter(string_split_regex(text, '[.!?]+[ \\t\\n\\f\\r]+'), x -> len(list_filter(string_split_regex(lower(x), '[ \\t\\n\\f\\r]+'), t -> len(t) > 0)) > 0) AS ss FROM nd))),
-         | ndoc AS MATERIALIZED (SELECT doc_id, count(*) AS n_sents, row_number() OVER (ORDER BY doc_id) - 1 AS d_idx FROM nsents GROUP BY doc_id),
-         | ncnt AS (SELECT count(*) AS n_docs FROM ndoc),
-         | npair AS (SELECT doc_id, sent_idx, sentence, lead(sentence) OVER (PARTITION BY doc_id ORDER BY sent_idx) AS nxt FROM nsents),
-         | nh AS MATERIALIZED (SELECT doc_id, sent_idx, sentence, nxt, ${frag.rolling("doc_id::VARCHAR || ':' || sent_idx::VARCHAR || ':' || sentence")} AS h FROM npair WHERE nxt IS NOT NULL),
-         | nis AS (SELECT doc_id, sent_idx, sentence AS a, nxt AS b, doc_id AS b_doc_id, (sent_idx + 1)::BIGINT AS b_sent_idx, true AS is_next FROM nh WHERE h % 2 = 0),
-         | nnot AS (SELECT x.doc_id, x.sent_idx, x.sentence AS a, bs.sentence AS b, od.doc_id AS b_doc_id, ((x.h // 11) % od.n_sents + 1)::BIGINT AS b_sent_idx, false AS is_next
-         |   FROM (SELECT nh.*, sd.d_idx AS self_idx FROM nh JOIN ndoc sd USING (doc_id) WHERE h % 2 <> 0) x
-         |   CROSS JOIN ncnt
-         |   JOIN ndoc od ON od.d_idx = (CASE WHEN (x.h // 7) % (ncnt.n_docs - 1) >= x.self_idx THEN (x.h // 7) % (ncnt.n_docs - 1) + 1 ELSE (x.h // 7) % (ncnt.n_docs - 1) END)
-         |   JOIN nsents bs ON bs.doc_id = od.doc_id AND bs.sent_idx = ((x.h // 11) % od.n_sents + 1))
+      s"""WITH ${frag.nspCtes}
          |SELECT * FROM (SELECT * FROM nis UNION ALL SELECT * FROM nnot)
          |ORDER BY doc_id, sent_idx""".stripMargin,
 

@@ -563,15 +563,21 @@ object Bpe {
     * construction); no corpus shuffle.
     */
   def mlmMask(stream: DataFrame, vocab: DataFrame,
-      maskToken: String = "[MASK]", selPct: Int = 15): DataFrame = {
+      maskToken: String = "[MASK]", selPct: Int = 15,
+      specials: Seq[String] = Nil): DataFrame = {
+    // `specials`: tokens NEVER selected for masking ([CLS]/[SEP] in the
+    // BERT example builder — create_pretraining_data.py's rule); the
+    // default keeps the plain-stream behavior
     require(selPct >= 1 && selPct <= 100,
       s"selPct must be in [1, 100], got $selPct")
     val vsize = vocab.agg(count(lit(1)).as("vsize"))
+    val notSpecial =
+      if (specials.isEmpty) lit(true) else !col("token").isin(specials: _*)
     val hashed = stream
       .crossJoin(broadcast(vsize))
       .withColumn("h", TextFunctions.rollingHash(
         concat_ws(":", col("doc_id"), col("pos"), col("token"))))
-      .withColumn("sel", col("h") % 100 < selPct)
+      .withColumn("sel", col("h") % 100 < selPct && notSpecial)
       .withColumn("b", expr("(h div 100) % 10"))
       .withColumn("rid", expr("(h div 1000) % vsize"))
     hashed

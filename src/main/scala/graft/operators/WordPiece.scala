@@ -261,6 +261,44 @@ object WordPiece {
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
   }
 
+  /** The BERT PRETRAINING EXAMPLE BUILDER (Devlin et al. 2019 §3 — the
+    * assembly step `create_pretraining_data.py` performs): each
+    * [[Curation.nspPairs]] row (A, B, is_next) becomes the token stream
+    * `[CLS] A-pieces [SEP] B-pieces [SEP]` with SEGMENT ids (token_type
+    * 0 through the first [SEP] inclusive, 1 after — the published
+    * convention), both sentences encoded by the frozen WordPiece
+    * vocabulary. Special tokens are injected STRUCTURALLY (array
+    * concat), never through the text path — the basic tokenizer would
+    * split `[CLS]` into `[ cls ]`.
+    *
+    * Output: (doc_id, sent_idx, pos, token, token_type, is_next) —
+    * (doc_id, sent_idx) is the pair key (the A sentence's coordinates),
+    * pos 1-based within the example.
+    *
+    * Plan shape: ENTIRELY NARROW — two [[graft.functions
+    * .WordPieceEncode]] reference-object calls per pair row, array
+    * concat, posexplode; no join, no shuffle (the pair stream already
+    * paid NSP's exchanges).
+    */
+  def bertExamples(pairs: DataFrame, vocab: Seq[String],
+      cls: String = "[CLS]", sep: String = "[SEP]",
+      unk: String = "[UNK]"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    def enc(c: String) =
+      toColumn(graft.functions.WordPieceEncode(toExpression(col(c)), vocab, unk))
+    val staged = pairs.select(col("doc_id"), col("sent_idx"), col("is_next"),
+      enc("a").as("ta"), enc("b").as("tb"))
+    staged
+      .select(col("doc_id"), col("sent_idx"), col("is_next"),
+        (size(col("ta")) + 2).as("bnd"),
+        posexplode(concat(array(lit(cls)), col("ta"), array(lit(sep)),
+          col("tb"), array(lit(sep)))).as(Seq("pos0", "token")))
+      .select(col("doc_id"), col("sent_idx"), (col("pos0") + 1).as("pos"),
+        col("token"),
+        when(col("pos0") + 1 <= col("bnd"), 0L).otherwise(1L).as("token_type"),
+        col("is_next"))
+  }
+
   /** UNK-rate report by corpus slice — the WordPiece-family vocabulary-
     * coverage signal ([[Bpe.oovReport]]'s sibling at the whole-word
     * granularity the UNK rule creates): per source, document / token /

@@ -187,4 +187,28 @@ class WordPieceSpec extends AnyFunSuite {
     }
     assert(b.nonEmpty)
   }
+
+  test("bertExamples: [CLS] A [SEP] B [SEP] layout, segment ids, specials never masked") {
+    val corpus = docs(Seq.fill(5)("ab cd ab cd"))
+    val vocab = WordPiece.vocabOf(corpus, WordPiece.trainWordPiece(corpus, 1))
+    val pairs = Seq((0L, 1, "ab cd", "cd ab", 0L, 2L, true))
+      .toDF("doc_id", "sent_idx", "a", "b", "b_doc_id", "b_sent_idx", "is_next")
+    val ex = WordPiece.bertExamples(pairs, vocab).orderBy("pos").collect()
+    val toks = ex.map(_.getAs[String]("token")).toSeq
+    // trained merge fuses (a,##b) -> 'ab'; 'cd' stays [c, ##d]
+    assert(toks == Seq("[CLS]", "ab", "c", "##d", "[SEP]", "c", "##d", "ab", "[SEP]"))
+    val types = ex.map(_.getAs[Long]("token_type")).toSeq
+    assert(types == Seq(0L, 0L, 0L, 0L, 0L, 1L, 1L, 1L, 1L))
+    assert(ex.map(_.getAs[Int]("pos")).toSeq == (1 to 9))
+    assert(ex.forall(_.getAs[Boolean]("is_next")))
+    // special-aware masking: a special-only stream selects NOTHING
+    val stSep = (0 until 500).map(i => (i.toLong, 1, "[SEP]"))
+      .toDF("doc_id", "pos", "token")
+    val masked = Bpe.mlmMask(stSep, Bpe.vocabulary(stSep), specials = Seq("[SEP]"))
+      .collect()
+    assert(masked.length == 500 && masked.forall(!_.getAs[Boolean]("masked")))
+    // and without the exclusion the same stream DOES select (the guard binds)
+    val unguarded = Bpe.mlmMask(stSep, Bpe.vocabulary(stSep)).collect()
+    assert(unguarded.exists(_.getAs[Boolean]("masked")))
+  }
 }
