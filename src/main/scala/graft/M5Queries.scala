@@ -2478,6 +2478,21 @@ object M5Queries {
         .orderBy(col("doc_id"), col("sent_idx"), col("pos"))
     }),
 
+    // ---- tokenizer: WHOLE-WORD MASKING (the BERT release's wwm
+    // variant) — word-level selection over the WordPiece stream (a
+    // selected word masks ALL its pieces; the 80/10/10 branch stays
+    // per-position, the reference implementation's draw order); word
+    // ordinals via one per-doc running head count
+    "q_wwm_mask" -> ((s, dir) => {
+      val train = wpInjected(s, dir)
+      val vocab = operators.WordPiece.vocabOf(train,
+        operators.WordPiece.trainWordPiece(train, frag.wpMerges))
+      val enc = operators.SharedBranch.sharedBranch(
+        operators.WordPiece.encodeTokens(wpScoreDocs(s, dir), vocab))
+      operators.WordPiece.wwmMask(enc, operators.Bpe.vocabulary(enc))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     "q_unigram_bytes_fallback" -> ((s, dir) => {
       val (pieces, btot) = operators.Unigram.vocabModel(
         operators.Unigram.seedVocab(TextDedup.documents(s, dir),
@@ -5980,6 +5995,28 @@ object M5Queries {
          | (h % 100 < 15 AND bmh.token NOT IN ('[CLS]', '[SEP]')) AS masked
          |FROM bmh CROSS JOIN bms LEFT JOIN bmr rv ON rv.token_id = (bmh.h // 1000) % bms.vsize
          |ORDER BY bmh.doc_id, bmh.sent_idx, bmh.pos""".stripMargin,
+
+    // whole-word-masking mirror: the q_mlm_mask arithmetic with the
+    // SELECTION hash keyed by (doc, word ordinal) — word_ord = the
+    // running non-## head count — and the branch hash per position
+    "q_wwm_mask" ->
+      s"""WITH ${frag.wpChainCtes},
+         | wwp AS (SELECT doc_id, pos, token, sum(CASE WHEN token NOT LIKE '##%' THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS word_ord FROM wp_p),
+         | wmv AS (SELECT token, count(*) AS n_occ FROM wp_p GROUP BY 1),
+         | wmr AS (SELECT token, row_number() OVER (ORDER BY n_occ DESC, token) - 1 AS token_id FROM wmv),
+         | wms AS (SELECT count(*) AS vsize FROM wmv),
+         | wwh AS (SELECT doc_id, pos, token,
+         |   ${frag.rolling("doc_id::VARCHAR || ':' || word_ord::VARCHAR")} AS hw,
+         |   ${frag.rolling("doc_id::VARCHAR || ':' || pos::VARCHAR || ':' || token")} AS hp FROM wwp)
+         |SELECT wwh.doc_id, wwh.pos,
+         | CASE WHEN NOT (hw % 100 < 15) THEN wwh.token
+         |      WHEN (hp // 100) % 10 < 8 THEN '[MASK]'
+         |      WHEN (hp // 100) % 10 = 8 THEN rv.token
+         |      ELSE wwh.token END AS input_token,
+         | CASE WHEN hw % 100 < 15 THEN wwh.token END AS label,
+         | (hw % 100 < 15) AS masked
+         |FROM wwh CROSS JOIN wms LEFT JOIN wmr rv ON rv.token_id = (wwh.hp // 1000) % wms.vsize
+         |ORDER BY wwh.doc_id, wwh.pos""".stripMargin,
 
     // C4 filter mirror: the same line/page rule arithmetic over the
     // injected class tails (list_filter line rules, terminator-split

@@ -299,6 +299,61 @@ object WordPiece {
         col("is_next"))
   }
 
+  /** WHOLE-WORD MASKING (the BERT release's `do_whole_word_mask`
+    * variant — [[Bpe.mlmMask]]'s word-granular sibling): selection is
+    * keyed at the WORD level, so a selected word masks ALL its pieces
+    * together (the per-piece mask leaks the word's length and
+    * boundaries; wwm removes that shortcut). Words are the maximal
+    * `head, ##cont, ##cont…` runs of the WordPiece stream (a piece is
+    * a head iff it lacks the continuation prefix — `[UNK]` is its own
+    * word). Hash-determinism (the [[Bpe.mlmMask]] discipline):
+    *
+    *  - the word draw is `h_w = rolling_hash(doc_id : word_ord)` —
+    *    selected iff `h_w % 100 < selPct` (word_ord = the word's
+    *    1-based ordinal in the document, a per-doc running head count);
+    *  - the 80/10/10 branch stays PER POSITION
+    *    (`h_p = rolling_hash(doc_id : pos : token)` — the reference
+    *    implementation draws per masked index even under wwm).
+    *
+    * Output: (doc_id, pos, input_token, label, masked) — the
+    * [[Bpe.mlmMask]] contract; `masked` is word-uniform by
+    * construction.
+    *
+    * Plan shape: one per-doc window for the running head count
+    * (millions of small groups), then narrow arithmetic + the broadcast
+    * dictionary join — no corpus shuffle beyond the word-ordinal
+    * window.
+    */
+  def wwmMask(stream: DataFrame, vocab: DataFrame,
+      maskToken: String = "[MASK]", selPct: Int = 15,
+      contPrefix: String = "##"): DataFrame = {
+    require(selPct >= 1 && selPct <= 100,
+      s"selPct must be in [1, 100], got $selPct")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val vsize = vocab.agg(count(lit(1)).as("vsize"))
+    stream
+      .crossJoin(broadcast(vsize))
+      .withColumn("word_ord", sum(
+        when(col("token").startsWith(contPrefix), 0L).otherwise(1L)).over(w))
+      .withColumn("hw", TextFunctions.rollingHash(
+        concat_ws(":", col("doc_id"), col("word_ord"))))
+      .withColumn("hp", TextFunctions.rollingHash(
+        concat_ws(":", col("doc_id"), col("pos"), col("token"))))
+      .withColumn("sel", col("hw") % 100 < selPct)
+      .withColumn("b", expr("(hp div 100) % 10"))
+      .withColumn("rid", expr("(hp div 1000) % vsize"))
+      .join(broadcast(vocab.select(col("token_id").as("rid"),
+        col("token").as("rtok"))), Seq("rid"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(!col("sel"), col("token"))
+          .when(col("b") < 8, lit(maskToken))
+          .when(col("b") === 8, col("rtok"))
+          .otherwise(col("token")).as("input_token"),
+        when(col("sel"), col("token")).as("label"),
+        col("sel").as("masked"))
+  }
+
   /** UNK-rate report by corpus slice — the WordPiece-family vocabulary-
     * coverage signal ([[Bpe.oovReport]]'s sibling at the whole-word
     * granularity the UNK rule creates): per source, document / token /

@@ -355,6 +355,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_wp_windows_batched", // the same windowing triangle over the batched-trained stream
       "q_bert_examples", // NSP's doc-index PrefixSum triangle + 1-row n_docs frame underneath
       "q_bert_mlm", // same NSP triangles + vocab-rank triangle + 1-row vocab-size frame
+      "q_wwm_mask", // vocab-rank PrefixSum triangle + 1-row vocab-size frame
       "q_key_skew") // 1-row (nk, total) totals frame broadcast onto the top-k keys
     def collectAll(p: SparkPlan): Seq[SparkPlan] =
       (p +: p.children.flatMap(collectAll)) ++ (p match {

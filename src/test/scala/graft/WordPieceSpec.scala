@@ -211,4 +211,31 @@ class WordPieceSpec extends AnyFunSuite {
     val unguarded = Bpe.mlmMask(stSep, Bpe.vocabulary(stSep)).collect()
     assert(unguarded.exists(_.getAs[Boolean]("masked")))
   }
+
+  test("wwmMask: word-uniform selection (all pieces or none), per-position branches, determinism") {
+    // stream of two-piece words: (head, ##cont) pairs
+    val stream = (0 until 600).map { i =>
+      val tok = if (i % 2 == 0) s"w${(i / 2) % 37}" else "##x"
+      (i.toLong / 60, (i % 60) + 1, tok)
+    }.toDF("doc_id", "pos", "token")
+    val vocab = Bpe.vocabulary(stream)
+    val out = WordPiece.wwmMask(stream, vocab)
+      .orderBy("doc_id", "pos").collect()
+    assert(out.length == 600)
+    // word-uniformity: within each (head, ##cont) pair the masked flag
+    // is IDENTICAL — the word-level selection contract
+    out.grouped(2).foreach { pair =>
+      assert(pair(0).getAs[Boolean]("masked") == pair(1).getAs[Boolean]("masked"),
+        s"pieces of one word diverged: ${pair.toSeq}")
+    }
+    val nSel = out.count(_.getAs[Boolean]("masked"))
+    assert(nSel > 30 && nSel < 240, s"selected $nSel of 600")
+    // label contract + all branches reachable across the selected set
+    val sel = out.filter(_.getAs[Boolean]("masked"))
+    assert(sel.forall(r => r.getAs[String]("label") != null))
+    assert(sel.exists(_.getAs[String]("input_token") == "[MASK]"))
+    // determinism
+    val again = WordPiece.wwmMask(stream, vocab).orderBy("doc_id", "pos").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
