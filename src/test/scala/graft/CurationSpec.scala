@@ -781,7 +781,10 @@ class CurationSpec extends AnyFunSuite {
       (0L, clean),
       (1L, "the of " + uniq(38, 15)),              // long_words (mean > 10)
       (2L, "the of " + (1 to 38).map(_.toString + "0000").mkString(" ")), // low_alpha (38/40 numeric)
-      (3L, clean + " " + "#" * 10),                 // high_symbols (10 '#' / 41 words)
+      // high_symbols: all THREE counters bind — 8 '#', one '...' run
+      // (4 dots = ONE non-overlapping match + a remainder dot), one '…'
+      // → 8 + 1 + 1 = 10 symbols over 43 words
+      (3L, clean + " " + "#" * 8 + " .... …"),
       (4L, uniq(40, 5)),                            // few_stopwords
       (5L, clean + (" ba dum" * 80)),               // top_ngram2 (+ dup rules)
       (6L, clean + (" p q r s t u v w x y z1" * 3)) // dup_ngram5..10
