@@ -138,18 +138,26 @@ object M5Queries {
     * 30-'#' token (the symbol-to-word rule), % 7 == 3 → one 2-gram
     * repeated 60× (the top-n-gram char-fraction rules), % 7 == 5 → a
     * stop-word tail (so `keep = true` occurs in-gate: the corpus's only
-    * failing rule on its cleanest docs is few_stopwords). Rules the
-    * fixture cannot reach at gate level (long_words, low_alpha,
-    * too_long) are pinned in CurationSpec instead — the documented
-    * vacuity split.
+    * failing rule on its cleanest docs is few_stopwords). LINE-rule
+    * classes (each pairs the stop-word tail with multi-line content so
+    * the NEW rule alone flips the verdict): % 7 == 2 → 10 of 11 lines
+    * bullet-started (10·10 > 9·11 — the bullet rule fires at its exact
+    * margin), % 7 == 4 → 1 of 3 lines '…'-ended (10 > 9 — fires at the
+    * margin), % 7 == 6 → 1 of 5 lines '...'-ended (10 < 15 — BELOW the
+    * 30% threshold, pinning the strict direction; this class keeps).
+    * Rules the fixture cannot reach at gate level (long_words,
+    * low_alpha, too_long) are pinned in CurationSpec instead — the
+    * documented vacuity split.
     */
   private def gopherInjected(s: SparkSession, dir: String): DataFrame =
     TextDedup.documents(s, dir).withColumn("text",
       when(col("doc_id") % 7 === 0, concat(col("text"), lit(frag.gopherDupTail)))
         .when(col("doc_id") % 7 === 1, concat(col("text"), lit(frag.gopherSymTail)))
+        .when(col("doc_id") % 7 === 2, concat(col("text"), lit(frag.gopherBulletTail)))
         .when(col("doc_id") % 7 === 3, concat(col("text"), lit(frag.gopherTopTail)))
+        .when(col("doc_id") % 7 === 4, concat(col("text"), lit(frag.gopherEllipsisTail)))
         .when(col("doc_id") % 7 === 5, concat(col("text"), lit(frag.gopherStopTail)))
-        .otherwise(col("text")))
+        .otherwise(concat(col("text"), lit(frag.gopherSubEllipsisTail))))
 
   /** The q_c4_filter input: the corpus plus per-doc-class LINE tails so
     * every C4 rule binds (the fixtures are single-line, never
@@ -2366,8 +2374,7 @@ object M5Queries {
     // expression per row, entirely narrow
     "q_wp_encode" -> ((s, dir) => {
       val train = wpInjected(s, dir)
-      val vocab = operators.WordPiece.vocabOf(train,
-        operators.WordPiece.trainWordPiece(train, frag.wpMerges))
+      val vocab = operators.WordPiece.trainAndVocab(train, frag.wpMerges)._2
       operators.WordPiece.encodeTokens(wpScoreDocs(s, dir), vocab)
         .orderBy(col("doc_id"), col("pos"))
     }),
@@ -2378,8 +2385,7 @@ object M5Queries {
     // source-keyed aggregation
     "q_wp_unk_by_source" -> ((s, dir) => {
       val train = wpInjected(s, dir)
-      val vocab = operators.WordPiece.vocabOf(train,
-        operators.WordPiece.trainWordPiece(train, frag.wpMerges))
+      val vocab = operators.WordPiece.trainAndVocab(train, frag.wpMerges)._2
       operators.WordPiece.unkBySource(wpScoreDocs(s, dir), vocab)
         .orderBy(col("source"))
     }),
@@ -2390,8 +2396,7 @@ object M5Queries {
     // third family)
     "q_wp_windows" -> ((s, dir) => {
       val train = wpInjected(s, dir)
-      val vocab = operators.WordPiece.vocabOf(train,
-        operators.WordPiece.trainWordPiece(train, frag.wpMerges))
+      val vocab = operators.WordPiece.trainAndVocab(train, frag.wpMerges)._2
       val docs = wpScoreDocs(s, dir)
       operators.Bpe.tokenWindowsOf(
           operators.WordPiece.encodeTokens(docs, vocab),
@@ -2406,8 +2411,7 @@ object M5Queries {
     // broadcast dictionary join against the stream's own vocabulary
     "q_mlm_mask" -> ((s, dir) => {
       val train = wpInjected(s, dir)
-      val vocab = operators.WordPiece.vocabOf(train,
-        operators.WordPiece.trainWordPiece(train, frag.wpMerges))
+      val vocab = operators.WordPiece.trainAndVocab(train, frag.wpMerges)._2
       val enc = operators.SharedBranch.sharedBranch(
         operators.WordPiece.encodeTokens(wpScoreDocs(s, dir), vocab))
       operators.Bpe.mlmMask(enc, operators.Bpe.vocabulary(enc))
@@ -2431,9 +2435,8 @@ object M5Queries {
     // one)
     "q_wp_windows_batched" -> ((s, dir) => {
       val train = wpInjected(s, dir)
-      val vocab = operators.WordPiece.vocabOf(train,
-        operators.WordPiece.trainWordPieceBatched(train,
-          frag.wpBatchRounds, frag.wpBatchSize, frag.wpBatchCap))
+      val vocab = operators.WordPiece.trainBatchedAndVocab(train,
+        frag.wpBatchRounds, frag.wpBatchSize, frag.wpBatchCap)._2
       val docs = wpScoreDocs(s, dir)
       operators.Bpe.tokenWindowsOf(
           operators.WordPiece.encodeTokens(docs, vocab),
@@ -2449,8 +2452,7 @@ object M5Queries {
     // structurally (the basic tokenizer would split '[CLS]')
     "q_bert_examples" -> ((s, dir) => {
       val train = wpInjected(s, dir)
-      val vocab = operators.WordPiece.vocabOf(train,
-        operators.WordPiece.trainWordPiece(train, frag.wpMerges))
+      val vocab = operators.WordPiece.trainAndVocab(train, frag.wpMerges)._2
       operators.WordPiece.bertExamples(
           Curation.nspPairs(nspInjected(s, dir)), vocab)
         .orderBy(col("doc_id"), col("sent_idx"), col("pos"))
@@ -2463,8 +2465,7 @@ object M5Queries {
     // verbatim in the oracle), so each example draws independently
     "q_bert_mlm" -> ((s, dir) => {
       val train = wpInjected(s, dir)
-      val vocab = operators.WordPiece.vocabOf(train,
-        operators.WordPiece.trainWordPiece(train, frag.wpMerges))
+      val vocab = operators.WordPiece.trainAndVocab(train, frag.wpMerges)._2
       val ex = operators.WordPiece.bertExamples(
         Curation.nspPairs(nspInjected(s, dir)), vocab)
       val st = operators.SharedBranch.sharedBranch(ex.select(
@@ -2485,12 +2486,119 @@ object M5Queries {
     // ordinals via one per-doc running head count
     "q_wwm_mask" -> ((s, dir) => {
       val train = wpInjected(s, dir)
-      val vocab = operators.WordPiece.vocabOf(train,
-        operators.WordPiece.trainWordPiece(train, frag.wpMerges))
+      val vocab = operators.WordPiece.trainAndVocab(train, frag.wpMerges)._2
       val enc = operators.SharedBranch.sharedBranch(
         operators.WordPiece.encodeTokens(wpScoreDocs(s, dir), vocab))
       operators.WordPiece.wwmMask(enc, operators.Bpe.vocabulary(enc))
         .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- tokenizer: truncate_seq_pair (the published
+    // create_pretraining_data.py max_seq_length rule) over the BERT
+    // example builder — while len(A)+len(B)+3 exceeds the cap, the
+    // LONGER side (ties B) loses one piece, front-or-back by the
+    // hash-deterministic draw rolling_hash(doc:sent:i) % 2; oracle =
+    // the same four-counter fold as a struct-state list_reduce
+    "q_bert_examples_trunc" -> ((s, dir) => {
+      val train = wpInjected(s, dir)
+      val vocab = operators.WordPiece.trainAndVocab(train, frag.wpMerges)._2
+      operators.WordPiece.bertExamples(
+          Curation.nspPairs(nspInjected(s, dir)), vocab,
+          maxSeqLength = frag.bertMaxSeq)
+        .orderBy(col("doc_id"), col("sent_idx"), col("pos"))
+    }),
+
+    // ---- tokenizer: the COMPLETE create_pretraining_data.py chain —
+    // truncate_seq_pair + MLM with the max_predictions_per_seq cap
+    // (cap = min(maxPred, ⌈selPct·len/100⌉); when the hash selection
+    // overshoots, the kept positions are the cap-many first in (h,
+    // pos) order) and [CLS]/[SEP] never selected
+    "q_bert_mlm_capped" -> ((s, dir) => {
+      val train = wpInjected(s, dir)
+      val vocab = operators.WordPiece.trainAndVocab(train, frag.wpMerges)._2
+      val ex = operators.WordPiece.bertExamples(
+        Curation.nspPairs(nspInjected(s, dir)), vocab,
+        maxSeqLength = frag.bertMaxSeq)
+      val st = operators.SharedBranch.sharedBranch(ex.select(
+        expr("doc_id * 1048576 + sent_idx").as("doc_id"),
+        col("pos"), col("token")))
+      operators.Bpe.mlmMask(st, operators.Bpe.vocabulary(st),
+          specials = Seq("[CLS]", "[SEP]"), maxPerSeq = frag.mlmMaxPred)
+        .select(expr("doc_id div 1048576").as("doc_id"),
+          expr("CAST(doc_id % 1048576 AS INT)").as("sent_idx"),
+          col("pos"), col("input_token"), col("label"), col("masked"))
+        .orderBy(col("doc_id"), col("sent_idx"), col("pos"))
+    }),
+
+    // ---- tokenizer: whole-word masking under the
+    // max_predictions_per_seq budget — selected words visited in
+    // selection-hash order, a word whose piece count would overflow
+    // is SKIPPED and the scan continues (the published builder's
+    // `continue`), so a later smaller word can still fit
+    "q_wwm_mask_capped" -> ((s, dir) => {
+      val train = wpInjected(s, dir)
+      val vocab = operators.WordPiece.trainAndVocab(train, frag.wpMerges)._2
+      val enc = operators.SharedBranch.sharedBranch(
+        operators.WordPiece.encodeTokens(wpScoreDocs(s, dir), vocab))
+      operators.WordPiece.wwmMask(enc, operators.Bpe.vocabulary(enc),
+          maxPerSeq = frag.wwmMaxPred)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- tokenizer: WHOLE-WORD MASKING over the ASSEMBLED BERT
+    // examples — the published wwm builder's special-token rule
+    // in-gate ([CLS]/[SEP] are head words on this stream and must
+    // NEVER be selected; the round-16 ADVICE gap, now oracle-gated);
+    // keyed by the synthesized example id like q_bert_mlm
+    "q_bert_wwm" -> ((s, dir) => {
+      val train = wpInjected(s, dir)
+      val vocab = operators.WordPiece.trainAndVocab(train, frag.wpMerges)._2
+      val ex = operators.WordPiece.bertExamples(
+        Curation.nspPairs(nspInjected(s, dir)), vocab)
+      val st = operators.SharedBranch.sharedBranch(ex.select(
+        expr("doc_id * 1048576 + sent_idx").as("doc_id"),
+        col("pos"), col("token")))
+      operators.WordPiece.wwmMask(st, operators.Bpe.vocabulary(st),
+          specials = Seq("[CLS]", "[SEP]"))
+        .select(expr("doc_id div 1048576").as("doc_id"),
+          expr("CAST(doc_id % 1048576 AS INT)").as("sent_idx"),
+          col("pos"), col("input_token"), col("label"), col("masked"))
+        .orderBy(col("doc_id"), col("sent_idx"), col("pos"))
+    }),
+
+    // ---- tokenizer: RoBERTa-style DYNAMIC MASKING (Liu et al. 2019
+    // §4.1) — the same stream masked under two epoch seeds; the seed
+    // joins the hash key, so each epoch draws a fresh reproducible
+    // mask (the spec asserts the masks differ; the oracle pins each
+    // epoch's 80/10/10 arithmetic exactly)
+    "q_mlm_mask_epochs" -> ((s, dir) => {
+      val train = wpInjected(s, dir)
+      val vocab = operators.WordPiece.trainAndVocab(train, frag.wpMerges)._2
+      val enc = operators.SharedBranch.sharedBranch(
+        operators.WordPiece.encodeTokens(wpScoreDocs(s, dir), vocab))
+      val v = operators.Bpe.vocabulary(enc)
+      frag.mlmEpochs.map(e =>
+          operators.Bpe.mlmMask(enc, v, epochSeed = Some(e))
+            .withColumn("epoch", lit(e)))
+        .reduce(_.unionByName(_))
+        .select(col("epoch"), col("doc_id"), col("pos"),
+          col("input_token"), col("label"), col("masked"))
+        .orderBy(col("epoch"), col("doc_id"), col("pos"))
+    }),
+
+    // ---- tokenizer: WordPiece DETOKENIZATION ROUNDTRIP (the
+    // q_unigram_meta_roundtrip sibling) — strip-##-and-join over the
+    // greedy matcher's stream reconstructs the basic-tokenized text;
+    // the [UNK] tail rides only the doc_id % 3 == 0 class, so both
+    // match verdicts occur in-gate
+    "q_wp_roundtrip" -> ((s, dir) => {
+      val train = wpInjected(s, dir)
+      val vocab = operators.WordPiece.trainAndVocab(train, frag.wpMerges)._2
+      val docs = train.withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(frag.wpUnkTail)))
+          .otherwise(col("text")))
+      operators.WordPiece.detokenize(docs, vocab)
+        .orderBy(col("doc_id"))
     }),
 
     "q_unigram_bytes_fallback" -> ((s, dir) => {
@@ -3009,6 +3117,77 @@ object M5Queries {
       parts.result().mkString(",\n ")
     }
 
+    /** The q_wp_roundtrip score docs: the TRAIN corpus with the [UNK]
+      * tail on the doc_id % 3 == 0 class only — the roundtrip gate
+      * needs BOTH verdicts in-gate (UNK docs reconstruct '[UNK]' and
+      * mismatch; clean docs roundtrip exactly).
+      */
+    val wpRtDocsCte: String =
+      s"we AS (SELECT doc_id, source, CASE WHEN doc_id % 3 = 0 THEN text || '$wpUnkTail' ELSE text END AS text FROM wd)"
+
+    /** The WordPiece chain with a CUSTOM score-docs CTE (must define
+      * `we(doc_id, source, text)`) — [[wpChainCtes]] is the
+      * standard-tail instance.
+      */
+    def wpChainCtesWith(encDocs: String): String =
+      s"$wpDocsCte,\n ${wpCtes(wpMerges)},\n ${wpVocabCtes(wpMerges)},\n $encDocs,\n ${wpEncodeCtes(wpMerges)}"
+
+    /** truncate_seq_pair mirror ([[graft.operators.WordPiece
+      * .bertExamples]] with maxSeqLength): per pair, the A/B piece
+      * lists in (word, piece) order, then the four-counter trim loop
+      * (front-A, back-A, front-B, back-B) as a RECURSIVE CTE over the
+      * trim steps — per step, the LONGER side (ties B) loses one piece
+      * from the front iff `rolling(doc:sent:i) % 2 = 0`. (A struct-
+      * state `list_reduce` spelling mis-folded NON-DETERMINISTICALLY
+      * under some plan shapes in DuckDB 1.0 — same engine bug family
+      * as the LIST-typed struct-field drop — so the loop is spelled
+      * recursively, the pretok-oracle discipline; queries embedding
+      * this fragment must start `WITH RECURSIVE`.) Rebuilds the
+      * assembled stream as `btstr(doc_id, sent_idx, is_next, pos, seg,
+      * tok)`.
+      */
+    def bertTruncCtes(maxSeq: Int): String = {
+      val h = rolling(
+        "doc_id::VARCHAR || ':' || sent_idx::VARCHAR || ':' || (i + 1)::VARCHAR")
+      s"""bta AS (SELECT doc_id, sent_idx, list(tok ORDER BY wi, si) AS ta FROM bea GROUP BY 1, 2),
+         | btb AS (SELECT doc_id, sent_idx, list(tok ORDER BY wi, si) AS tb FROM beb GROUP BY 1, 2),
+         | btp AS MATERIALIZED (SELECT b.doc_id, b.sent_idx, b.is_next, ta, tb, len(ta)::BIGINT AS la, len(tb)::BIGINT AS lb, greatest(0, len(ta) + len(tb) + 3 - $maxSeq)::BIGINT AS n FROM bex b JOIN bta USING (doc_id, sent_idx) JOIN btb USING (doc_id, sent_idx)),
+         | btr AS (SELECT doc_id, sent_idx, la, lb, n, 0::BIGINT AS i, 0::BIGINT AS f, 0::BIGINT AS g, 0::BIGINT AS p, 0::BIGINT AS q FROM btp
+         |   UNION ALL SELECT doc_id, sent_idx, la, lb, n, i + 1,
+         |     f + CASE WHEN ca AND fr THEN 1 ELSE 0 END,
+         |     g + CASE WHEN ca AND NOT fr THEN 1 ELSE 0 END,
+         |     p + CASE WHEN NOT ca AND fr THEN 1 ELSE 0 END,
+         |     q + CASE WHEN NOT ca AND NOT fr THEN 1 ELSE 0 END
+         |   FROM (SELECT *, (la - f - g) > (lb - p - q) AS ca, $h % 2 = 0 AS fr FROM btr WHERE i < n)),
+         | btf AS MATERIALIZED (SELECT doc_id, sent_idx, f, g, p, q FROM btr WHERE i = n),
+         | bts AS (SELECT p0.doc_id, p0.sent_idx, p0.is_next, ta[f + 1 : la - g] AS ta2, tb[p + 1 : lb - q] AS tb2 FROM btp p0 JOIN btf USING (doc_id, sent_idx)),
+         | btx AS (SELECT doc_id, sent_idx, is_next, 0 AS seg, 0::BIGINT AS wi, '[CLS]' AS tok FROM bts UNION ALL SELECT doc_id, sent_idx, is_next, 1, generate_subscripts(ta2, 1)::BIGINT, unnest(ta2) FROM bts UNION ALL SELECT doc_id, sent_idx, is_next, 2, 0::BIGINT, '[SEP]' FROM bts UNION ALL SELECT doc_id, sent_idx, is_next, 3, generate_subscripts(tb2, 1)::BIGINT, unnest(tb2) FROM bts UNION ALL SELECT doc_id, sent_idx, is_next, 4, 0::BIGINT, '[SEP]' FROM bts),
+         | btstr AS MATERIALIZED (SELECT doc_id, sent_idx, is_next, (row_number() OVER (PARTITION BY doc_id, sent_idx ORDER BY seg, wi))::INT AS pos, seg, tok FROM btx)""".stripMargin.replace("\n", " ")
+    }
+
+    /** The q_bert_examples_trunc / q_bert_mlm_capped max_seq_length —
+      * chosen so truncation BINDS on most pairs (two 7-word sentences
+      * usually exceed 16 pieces + 3 specials) while short tail
+      * sentences stay under it (both branches in-gate).
+      */
+    val bertMaxSeq = 16
+
+    /** The q_bert_mlm_capped max_predictions_per_seq — below
+      * ⌈15%·16⌉ = 3, so the cap (not the percentage) binds whenever
+      * the hash selects ≥ 3 of a full-length example's positions.
+      */
+    val mlmMaxPred = 2
+
+    /** The q_wwm_mask_capped cap: well under 15% of a fixture
+      * document's piece count, so the skip-continue budget scan binds
+      * on every full-size document (small docs keep the
+      * percentage-bound cap — both branches in-gate).
+      */
+    val wwmMaxPred = 8
+
+    /** The q_mlm_mask_epochs RoBERTa dynamic-masking epoch seeds. */
+    val mlmEpochs: Seq[Int] = Seq(1, 2)
+
     /** The full WordPiece chain: injected train docs → training rounds
       * → vocabulary → injected score docs → greedy matcher stream.
       */
@@ -3148,8 +3327,23 @@ object M5Queries {
     val gopherSymTail: String = " " + "#" * 30
     val gopherTopTail: String = " ba dum" * 60
     val gopherStopTail: String = " the of and that"
-    val gopherDocsCte: String =
-      s"gd AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || '$gopherDupTail' WHEN doc_id % 7 = 1 THEN text || '$gopherSymTail' WHEN doc_id % 7 = 3 THEN text || '$gopherTopTail' WHEN doc_id % 7 = 5 THEN text || '$gopherStopTail' ELSE text END AS text FROM documents)"
+    // line-rule class tails (real newlines, the c4ClassTails
+    // convention): each pairs the stop-word tail (so few_stopwords
+    // does not fire) with multi-line content where ONLY the new line
+    // rule decides the verdict; every bullet line uses distinct words
+    // so no n-gram rule co-fires
+    val gopherBulletTail: String = " the of and that\n" + Seq(
+      "•alpine breeze", "•cobalt drift", "•ember forest", "•garnet hollow",
+      "•indigo jetty", "•keystone lagoon", "•marble nectar", "•onyx prairie",
+      "•quartz ridge", "•saffron timber").mkString("\n")
+    val gopherEllipsisTail: String =
+      " the of and that\nthe meadow path continues westward …\nplain closing line follows here"
+    val gopherSubEllipsisTail: String =
+      " the of and that\nalpha ending trails away ...\nsecond plain line\nthird plain line\nfourth plain line"
+    val gopherDocsCte: String = {
+      def q(t: String) = t.replace("'", "''")
+      s"gd AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || '${q(gopherDupTail)}' WHEN doc_id % 7 = 1 THEN text || '${q(gopherSymTail)}' WHEN doc_id % 7 = 2 THEN text || '${q(gopherBulletTail)}' WHEN doc_id % 7 = 3 THEN text || '${q(gopherTopTail)}' WHEN doc_id % 7 = 4 THEN text || '${q(gopherEllipsisTail)}' WHEN doc_id % 7 = 5 THEN text || '${q(gopherStopTail)}' ELSE text || '${q(gopherSubEllipsisTail)}' END AS text FROM documents)"
+    }
 
     /** Gopher n-gram signal mirror ([[graft.operators.Curation
       * .gopherNgramSignals]]) ending in `gsig(doc_id, n_wchars,
@@ -6018,6 +6212,140 @@ object M5Queries {
          |FROM wwh CROSS JOIN wms LEFT JOIN wmr rv ON rv.token_id = (wwh.hp // 1000) % wms.vsize
          |ORDER BY wwh.doc_id, wwh.pos""".stripMargin,
 
+    // truncate_seq_pair mirror: the example builder's streams rebuilt
+    // from the trim-fold CTEs (frag.bertTruncCtes) — four running trim
+    // counters folded over the trim steps, longer-side/tie-B
+    // selection, front-vs-back by rolling(doc:sent:i) % 2
+    "q_bert_examples_trunc" ->
+      s"""WITH RECURSIVE ${frag.wpChainCtes},
+         | ${frag.nspCtes},
+         | ${frag.bertExampleCtes},
+         | ${frag.bertTruncCtes(frag.bertMaxSeq)}
+         |SELECT doc_id, sent_idx, pos, tok AS token,
+         |  (CASE WHEN seg <= 2 THEN 0 ELSE 1 END)::BIGINT AS token_type, is_next
+         |FROM btstr ORDER BY doc_id, sent_idx, pos""".stripMargin,
+
+    // capped-MLM mirror over the TRUNCATED example stream: per-example
+    // length and the (sel DESC, h, pos) selection rank, kept iff rank ≤
+    // min(maxPred, ⌈15·len/100⌉) — the create_pretraining_data.py
+    // num_to_predict arithmetic, specials never selected
+    "q_bert_mlm_capped" ->
+      s"""WITH RECURSIVE ${frag.wpChainCtes},
+         | ${frag.nspCtes},
+         | ${frag.bertExampleCtes},
+         | ${frag.bertTruncCtes(frag.bertMaxSeq)},
+         | cmv AS (SELECT tok AS token, count(*) AS n_occ FROM btstr GROUP BY 1),
+         | cmr AS (SELECT token, row_number() OVER (ORDER BY n_occ DESC, token) - 1 AS token_id FROM cmv),
+         | cms AS (SELECT count(*) AS vsize FROM cmv),
+         | cmh AS (SELECT doc_id, sent_idx, pos, tok AS token, ${frag.rolling("(doc_id * 1048576 + sent_idx)::VARCHAR || ':' || pos::VARCHAR || ':' || tok")} AS h, count(*) OVER (PARTITION BY doc_id, sent_idx) AS elen FROM btstr),
+         | cmk AS (SELECT *, (h % 100 < 15 AND token NOT IN ('[CLS]', '[SEP]')) AS sel0, row_number() OVER (PARTITION BY doc_id, sent_idx ORDER BY (h % 100 < 15 AND token NOT IN ('[CLS]', '[SEP]')) DESC, h, pos) AS rk FROM cmh),
+         | cmc AS (SELECT *, sel0 AND rk <= least(${frag.mlmMaxPred}, (15 * elen + 99) // 100) AS sel FROM cmk)
+         |SELECT cmc.doc_id, cmc.sent_idx, cmc.pos,
+         | CASE WHEN NOT sel THEN cmc.token
+         |      WHEN (h // 100) % 10 < 8 THEN '[MASK]'
+         |      WHEN (h // 100) % 10 = 8 THEN rv.token
+         |      ELSE cmc.token END AS input_token,
+         | CASE WHEN sel THEN cmc.token END AS label,
+         | sel AS masked
+         |FROM cmc CROSS JOIN cms LEFT JOIN cmr rv ON rv.token_id = (cmc.h // 1000) % cms.vsize
+         |ORDER BY cmc.doc_id, cmc.sent_idx, cmc.pos""".stripMargin,
+
+    // capped whole-word-masking mirror: selected words in (hw,
+    // word_ord) order through the skip-continue budget scan, spelled
+    // as a RECURSIVE CTE over the per-doc candidate rank (the
+    // bertTruncCtes discipline — DuckDB 1.0's struct-state list_reduce
+    // mis-folds non-deterministically); the kept set rides a
+    // ','-encoded string column
+    "q_wwm_mask_capped" ->
+      s"""WITH RECURSIVE ${frag.wpChainCtes},
+         | wwp AS (SELECT doc_id, pos, token, sum(CASE WHEN token NOT LIKE '##%' THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS word_ord FROM wp_p),
+         | wmv AS (SELECT token, count(*) AS n_occ FROM wp_p GROUP BY 1),
+         | wmr AS (SELECT token, row_number() OVER (ORDER BY n_occ DESC, token) - 1 AS token_id FROM wmv),
+         | wms AS (SELECT count(*) AS vsize FROM wmv),
+         | wwq AS MATERIALIZED (SELECT doc_id, word_ord, count(*)::BIGINT AS np, ${frag.rolling("doc_id::VARCHAR || ':' || word_ord::VARCHAR")} AS hw FROM wwp GROUP BY doc_id, word_ord),
+         | wwl AS (SELECT doc_id, sum(np)::BIGINT AS elen FROM wwq GROUP BY 1),
+         | wqc AS MATERIALIZED (SELECT doc_id, np, word_ord, row_number() OVER (PARTITION BY doc_id ORDER BY hw, word_ord) AS rk FROM wwq WHERE hw % 100 < 15),
+         | wqn AS (SELECT c.doc_id, max(c.rk) AS nc, least(${frag.wwmMaxPred}, (15 * any_value(l.elen) + 99) // 100) AS cap FROM wqc c JOIN wwl l ON l.doc_id = c.doc_id GROUP BY 1),
+         | wqr AS (SELECT doc_id, cap, nc, 0::BIGINT AS rk, 0::BIGINT AS used, '' AS kept FROM wqn
+         |   UNION ALL SELECT w.doc_id, w.cap, w.nc, w.rk + 1,
+         |     CASE WHEN w.used + c.np <= w.cap THEN w.used + c.np ELSE w.used END,
+         |     CASE WHEN w.used + c.np <= w.cap THEN w.kept || ',' || c.word_ord::VARCHAR ELSE w.kept END
+         |   FROM wqr w JOIN wqc c ON c.doc_id = w.doc_id AND c.rk = w.rk + 1 WHERE w.rk < w.nc),
+         | wwkept AS (SELECT doc_id, unnest(list_transform(list_filter(string_split(kept, ','), x -> len(x) > 0), x -> x::BIGINT)) AS word_ord FROM wqr WHERE rk = nc),
+         | wwh AS (SELECT p.doc_id, p.pos, p.token, ${frag.rolling("p.doc_id::VARCHAR || ':' || p.pos::VARCHAR || ':' || p.token")} AS hp, (k.word_ord IS NOT NULL) AS sel FROM wwp p LEFT JOIN wwkept k ON k.doc_id = p.doc_id AND k.word_ord = p.word_ord)
+         |SELECT wwh.doc_id, wwh.pos,
+         | CASE WHEN NOT sel THEN wwh.token
+         |      WHEN (hp // 100) % 10 < 8 THEN '[MASK]'
+         |      WHEN (hp // 100) % 10 = 8 THEN rv.token
+         |      ELSE wwh.token END AS input_token,
+         | CASE WHEN sel THEN wwh.token END AS label,
+         | sel AS masked
+         |FROM wwh CROSS JOIN wms LEFT JOIN wmr rv ON rv.token_id = (wwh.hp // 1000) % wms.vsize
+         |ORDER BY wwh.doc_id, wwh.pos""".stripMargin,
+
+    // assembled-stream wwm mirror: the q_wwm_mask arithmetic keyed by
+    // the synthesized example id, with [CLS]/[SEP] excluded from the
+    // word-level selection (the published wwm builder's rule)
+    "q_bert_wwm" ->
+      s"""WITH ${frag.wpChainCtes},
+         | ${frag.nspCtes},
+         | ${frag.bertExampleCtes},
+         | bwp AS (SELECT doc_id, sent_idx, pos, tok AS token, (doc_id * 1048576 + sent_idx) AS sid, sum(CASE WHEN tok NOT LIKE '##%' THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id, sent_idx ORDER BY pos) AS word_ord FROM bstr),
+         | bmv AS (SELECT tok AS token, count(*) AS n_occ FROM bstr GROUP BY 1),
+         | bmr AS (SELECT token, row_number() OVER (ORDER BY n_occ DESC, token) - 1 AS token_id FROM bmv),
+         | bms AS (SELECT count(*) AS vsize FROM bmv),
+         | bwh AS (SELECT doc_id, sent_idx, pos, token,
+         |   ${frag.rolling("sid::VARCHAR || ':' || word_ord::VARCHAR")} AS hw,
+         |   ${frag.rolling("sid::VARCHAR || ':' || pos::VARCHAR || ':' || token")} AS hp,
+         |   (${frag.rolling("sid::VARCHAR || ':' || word_ord::VARCHAR")} % 100 < 15 AND token NOT IN ('[CLS]', '[SEP]')) AS sel
+         |  FROM bwp)
+         |SELECT bwh.doc_id, bwh.sent_idx, bwh.pos,
+         | CASE WHEN NOT sel THEN bwh.token
+         |      WHEN (hp // 100) % 10 < 8 THEN '[MASK]'
+         |      WHEN (hp // 100) % 10 = 8 THEN rv.token
+         |      ELSE bwh.token END AS input_token,
+         | CASE WHEN sel THEN bwh.token END AS label,
+         | sel AS masked
+         |FROM bwh CROSS JOIN bms LEFT JOIN bmr rv ON rv.token_id = (bwh.hp // 1000) % bms.vsize
+         |ORDER BY bwh.doc_id, bwh.sent_idx, bwh.pos""".stripMargin,
+
+    // dynamic-masking mirror: the q_mlm_mask arithmetic once per epoch
+    // seed, the seed prefixed into the hash key
+    "q_mlm_mask_epochs" -> {
+      val epochs = frag.mlmEpochs.map { e =>
+        s"""SELECT $e AS epoch, mh.doc_id, mh.pos,
+           | CASE WHEN NOT (h % 100 < 15) THEN mh.token
+           |      WHEN (h // 100) % 10 < 8 THEN '[MASK]'
+           |      WHEN (h // 100) % 10 = 8 THEN rv.token
+           |      ELSE mh.token END AS input_token,
+           | CASE WHEN h % 100 < 15 THEN mh.token END AS label,
+           | (h % 100 < 15) AS masked
+           |FROM (SELECT doc_id, pos, token, ${frag.rolling(s"'$e:' || doc_id::VARCHAR || ':' || pos::VARCHAR || ':' || token")} AS h FROM wp_p) mh
+           | CROSS JOIN msz LEFT JOIN mvr rv ON rv.token_id = (mh.h // 1000) % msz.vsize""".stripMargin
+      }.mkString("\n UNION ALL\n ")
+      s"""WITH ${frag.wpChainCtes},
+         | mvc AS (SELECT token, count(*) AS n_occ FROM wp_p GROUP BY 1),
+         | mvr AS (SELECT token, row_number() OVER (ORDER BY n_occ DESC, token) - 1 AS token_id FROM mvc),
+         | msz AS (SELECT count(*) AS vsize FROM mvc)
+         |SELECT * FROM ($epochs)
+         |ORDER BY epoch, doc_id, pos""".stripMargin
+    },
+
+    // detokenization-roundtrip mirror: word runs regrouped from the
+    // matcher stream (running head count), '##' stripped, pieces
+    // joined per word then words per document; matches_basic compares
+    // against the independently basic-tokenized text
+    "q_wp_roundtrip" ->
+      s"""WITH ${frag.wpChainCtesWith(frag.wpRtDocsCte)},
+         | rwp AS (SELECT doc_id, pos, token, sum(CASE WHEN token NOT LIKE '##%' THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS word_ord FROM wp_p),
+         | rww AS (SELECT doc_id, word_ord, string_agg(CASE WHEN token LIKE '##%' THEN token[3:] ELSE token END, '' ORDER BY pos) AS word FROM rwp GROUP BY 1, 2),
+         | rwd AS (SELECT doc_id, string_agg(word, ' ' ORDER BY word_ord) AS detok FROM rww GROUP BY 1),
+         | rwb AS (SELECT doc_id, array_to_string(${frag.bertToks}, ' ') AS bt FROM we)
+         |SELECT b.doc_id, coalesce(detok, '') AS detok,
+         |  coalesce(detok, '') = bt AS matches_basic
+         |FROM rwb b LEFT JOIN rwd USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
+
     // C4 filter mirror: the same line/page rule arithmetic over the
     // injected class tails (list_filter line rules, terminator-split
     // sentence count on the CLEANED text, token-set badword membership)
@@ -6076,6 +6404,10 @@ object M5Queries {
          |   CAST(len(list_filter(tk, x -> regexp_matches(x, '[\\p{L}]'))) AS BIGINT) AS n_alpha,
          |   CAST(len(list_intersect(list_distinct(tk), ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
          |  FROM gtk),
+         | gln AS (SELECT doc_id, len(lns)::BIGINT AS n_lines,
+         |   len(list_filter(lns, l -> regexp_matches(l, '^[ \\t]*[•‣▶*-]')))::BIGINT AS n_bullet,
+         |   len(list_filter(lns, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$$')))::BIGINT AS n_ellip
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS lns FROM gd)),
          | gr AS (SELECT doc_id, n_tokens, list_sort(list_filter([
          |   CASE WHEN n_bi > 0 AND nd_bi * 2 < n_bi THEN 'bigram_repetition' END,
          |   CASE WHEN nd_tok * 5 < n_tokens * 2 THEN 'high_repetition' END,
@@ -6086,6 +6418,8 @@ object M5Queries {
          |   CASE WHEN n_alpha * 5 < n_tokens * 4 THEN 'low_alpha' END,
          |   CASE WHEN n_sym * 10 > n_tokens THEN 'high_symbols' END,
          |   CASE WHEN n_stop < 2 THEN 'few_stopwords' END,
+         |   CASE WHEN n_bullet * 10 > n_lines * 9 THEN 'bullet_lines' END,
+         |   CASE WHEN n_ellip * 10 > n_lines * 3 THEN 'ellipsis_lines' END,
          |   CASE WHEN top2 * 100 > n_wchars * 20 THEN 'top_ngram2' END,
          |   CASE WHEN top3 * 100 > n_wchars * 18 THEN 'top_ngram3' END,
          |   CASE WHEN top4 * 100 > n_wchars * 16 THEN 'top_ngram4' END,
@@ -6096,7 +6430,7 @@ object M5Queries {
          |   CASE WHEN dup9 * 100 > n_wchars * 11 THEN 'dup_ngram9' END,
          |   CASE WHEN dup10 * 100 > n_wchars * 10 THEN 'dup_ngram10' END
          |   ], x -> x IS NOT NULL)) AS reasons
-         |  FROM gm JOIN gsig USING (doc_id))
+         |  FROM gm JOIN gsig USING (doc_id) JOIN gln USING (doc_id))
          |SELECT doc_id, n_tokens, len(reasons) = 0 AS keep,
          |  COALESCE(array_to_string(reasons, ','), '') AS reasons
          |FROM gr ORDER BY doc_id""".stripMargin,

@@ -561,23 +561,58 @@ object Bpe {
     * a broadcast 1-row aggregate and the random-replacement lookup is a
     * broadcast dictionary join (model metadata, bounded by
     * construction); no corpus shuffle.
+    *
+    * `maxPerSeq` > 0 adds the published `max_predictions_per_seq` cap:
+    * at most `min(maxPerSeq, ⌈selPct·len/100⌉)` positions masked per
+    * document (len = the document's token count, specials included —
+    * the published `num_to_predict`; the ceiling keeps the ≥ 1 floor
+    * for any non-empty document, spelled as exact integer arithmetic
+    * instead of the builder's float round). When the hash selection
+    * overshoots, the kept positions are the cap-many FIRST in
+    * selection-hash order (`(h, pos)` — the deterministic stand-in for
+    * the published shuffled candidate order); overflow positions
+    * revert to unmasked. The cap costs one per-doc window pair
+    * (millions of small groups) — the default 0 keeps the windowless
+    * narrow plan.
+    *
+    * `epochSeed` implements RoBERTa-style DYNAMIC MASKING (Liu et al.
+    * 2019 §4.1): a set seed joins the selection/branch hash key
+    * (`seed : doc : pos : token`), so each epoch draws a fresh,
+    * reproducible mask over the same stream; `None` (default) keeps
+    * the un-seeded key.
     */
   def mlmMask(stream: DataFrame, vocab: DataFrame,
       maskToken: String = "[MASK]", selPct: Int = 15,
-      specials: Seq[String] = Nil): DataFrame = {
+      specials: Seq[String] = Nil, maxPerSeq: Int = 0,
+      epochSeed: Option[Int] = None): DataFrame = {
     // `specials`: tokens NEVER selected for masking ([CLS]/[SEP] in the
     // BERT example builder — create_pretraining_data.py's rule); the
     // default keeps the plain-stream behavior
     require(selPct >= 1 && selPct <= 100,
       s"selPct must be in [1, 100], got $selPct")
+    require(maxPerSeq >= 0, s"maxPerSeq must be >= 0, got $maxPerSeq")
     val vsize = vocab.agg(count(lit(1)).as("vsize"))
     val notSpecial =
       if (specials.isEmpty) lit(true) else !col("token").isin(specials: _*)
-    val hashed = stream
+    val key = epochSeed match {
+      case Some(e) => concat_ws(":", lit(e), col("doc_id"), col("pos"), col("token"))
+      case None => concat_ws(":", col("doc_id"), col("pos"), col("token"))
+    }
+    val drawn = stream
       .crossJoin(broadcast(vsize))
-      .withColumn("h", TextFunctions.rollingHash(
-        concat_ws(":", col("doc_id"), col("pos"), col("token"))))
-      .withColumn("sel", col("h") % 100 < selPct && notSpecial)
+      .withColumn("h", TextFunctions.rollingHash(key))
+      .withColumn("sel0", col("h") % 100 < selPct && notSpecial)
+    val capped = if (maxPerSeq == 0) drawn.withColumn("sel", col("sel0"))
+    else {
+      val wDoc = Window.partitionBy(col("doc_id"))
+      drawn
+        .withColumn("_len", count(lit(1)).over(wDoc))
+        .withColumn("_rk", row_number().over(
+          wDoc.orderBy(col("sel0").desc, col("h"), col("pos"))))
+        .withColumn("sel", col("sel0") && col("_rk") <= least(
+          lit(maxPerSeq.toLong), expr(s"($selPct * _len + 99) div 100")))
+    }
+    val hashed = capped
       .withColumn("b", expr("(h div 100) % 10"))
       .withColumn("rid", expr("(h div 1000) % vsize"))
     hashed

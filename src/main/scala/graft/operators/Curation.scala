@@ -901,10 +901,17 @@ object Curation {
     *    15/14/13/12/11/10% (`100·dup_n > t·n_wchars`),
     *
     * over the [[gopherNgramSignals]] numerators (a doc-keyed equi-join —
-    * both sides hash on doc_id). Document-line rules (bullet/ellipsis
-    * line shares) are deliberately not here: the corpus is single-line
-    * by construction and the line family is gated at
-    * [[graft.operators.TextDedup.lineDedup]] granularity instead.
+    * both sides hash on doc_id), plus the Table A1 LINE-SHARE rules:
+    *
+    *  - `bullet_lines` — more than 90% of lines start with a bullet
+    *    character (`•‣▶*-` after optional indent —
+    *    `10·n_bullet > 9·n_lines`),
+    *  - `ellipsis_lines` — more than 30% of lines end with an ellipsis
+    *    ('…' or '...' before optional trailing blanks —
+    *    `10·n_ellip > 3·n_lines`),
+    *
+    * both exact integer cross-multiplications over `\n`-split lines (a
+    * single-line document is one line — neither rule can fire on it).
     * Output: (doc_id, n_tokens, keep, reasons) — reasons alphabetical,
     * the [[qualityFilter]] contract.
     */
@@ -920,11 +927,22 @@ object Curation {
       (length(col("text")) -
         length(regexp_replace(col("text"), "…", ""))).cast("long")
     val wToks = graft.functions.TextFunctions.tokens(col("text"))
+    // line-share numerators: '\n'-split lines, bullet = optional blank
+    // indent then one of •‣▶*-, ellipsis = '…'/'...' then optional
+    // trailing blanks; lines carry no terminators (they were split on
+    // them), so Java's before-final-newline '$' and RE2's end-anchor
+    // '$' agree
+    val lines = split(col("text"), "\n")
     val extra = docsShared.select(col("doc_id"),
       sym.as("n_sym"),
       size(filter(wToks, t => t.rlike("\\p{L}"))).cast("long").as("n_alpha"),
       size(array_intersect(array_distinct(wToks),
-        array(GopherStopWords.map(lit): _*))).cast("long").as("n_stop"))
+        array(GopherStopWords.map(lit): _*))).cast("long").as("n_stop"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => l.rlike("^[ \\t]*[•‣▶*-]")))
+        .cast("long").as("n_bullet"),
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \\t]*$")))
+        .cast("long").as("n_ellip"))
     val ng = gopherNgramSignals(docsShared)
     val base = withQualityVerdict(docsShared, minTokens, maxTokens)
       .select(col("doc_id"), col("_q.n_tokens").as("n_tokens"),
@@ -936,7 +954,9 @@ object Curation {
         when(col("n_wchars") > col("n_tokens") * 10, lit("long_words")),
         when(col("n_alpha") * 5 < col("n_tokens") * 4, lit("low_alpha")),
         when(col("n_sym") * 10 > col("n_tokens"), lit("high_symbols")),
-        when(col("n_stop") < 2, lit("few_stopwords"))) ++
+        when(col("n_stop") < 2, lit("few_stopwords")),
+        when(col("n_bullet") * 10 > col("n_lines") * 9, lit("bullet_lines")),
+        when(col("n_ellip") * 10 > col("n_lines") * 3, lit("ellipsis_lines"))) ++
       topT.map { case (n, t) =>
         when(col(s"top$n") * 100 > col("n_wchars") * t, lit(s"top_ngram$n")) } ++
       dupT.map { case (n, t) =>

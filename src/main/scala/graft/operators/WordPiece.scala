@@ -114,10 +114,23 @@ object WordPiece {
     * training order. Raises when the corpus runs out of pairs (silent
     * truncation would desynchronize the oracle twin).
     */
-  def trainWordPiece(docs: DataFrame, numMerges: Int): DataFrame = {
+  def trainWordPiece(docs: DataFrame, numMerges: Int): DataFrame =
+    trainAndVocab(docs, numMerges)._1
+
+  /** [[trainWordPiece]] AND the frozen vocabulary from ONE corpus scan:
+    * the trainer's initial word table is checkpointed anyway, so the
+    * alphabet (the vocabulary's base layer) reads from it instead of a
+    * second full-corpus distinct-word pass — [[vocabOf]] re-runs
+    * `wordTable(docs)`, paying the corpus scan twice per train+apply
+    * chain. Returns (merge table, vocabulary in alphabet-then-rank
+    * order) — the vocabulary is byte-identical to
+    * `vocabOf(docs, trainWordPiece(docs, numMerges))` (spec-pinned).
+    */
+  def trainAndVocab(docs: DataFrame, numMerges: Int): (DataFrame, Seq[String]) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = docs.sparkSession
     var words = wordTable(docs).localCheckpoint()
+    val alphabet = alphabetOf(words)
     val merges = Seq.newBuilder[(Int, String, String, String, Long, Long)]
     for (rank <- 0 until numMerges) {
       // the join is symbol-table-sized on both sides (pairs × marginals)
@@ -144,9 +157,17 @@ object WordPiece {
       words = words.withColumn("syms", wpFold(col("syms"), l, r, fused))
         .localCheckpoint()
     }
-    spark.createDataFrame(merges.result())
+    val trained = spark.createDataFrame(merges.result())
       .toDF("rank", "left", "right", "fused", "pair_count", "score_q")
+    (trained, (alphabet ++ merges.result().map(_._4)).distinct)
   }
+
+  /** The sorted distinct symbol set of a word table — alphabet-bounded
+    * driver state (the model-metadata collect discipline).
+    */
+  private def alphabetOf(words: DataFrame): Seq[String] =
+    words.select(explode(col("syms")).as("p")).distinct()
+      .orderBy(col("p")).collect().map(_.getString(0)).toSeq
 
   /** One greedy left-to-right pass applying a BATCH of symbol-disjoint
     * WordPiece merges — [[Bpe]]'s mergeFoldBatch with the fused string
@@ -185,13 +206,21 @@ object WordPiece {
     * Output: (rank, round, left, right, fused, pair_count, score_q).
     */
   def trainWordPieceBatched(docs: DataFrame, rounds: Int, batchSize: Int,
-      candidateCap: Int = 0): DataFrame = {
+      candidateCap: Int = 0): DataFrame =
+    trainBatchedAndVocab(docs, rounds, batchSize, candidateCap)._1
+
+  /** [[trainWordPieceBatched]] AND the frozen vocabulary from ONE corpus
+    * scan — [[trainAndVocab]]'s vocabulary-scale sibling.
+    */
+  def trainBatchedAndVocab(docs: DataFrame, rounds: Int, batchSize: Int,
+      candidateCap: Int = 0): (DataFrame, Seq[String]) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val cap = if (candidateCap > 0) candidateCap else 4 * batchSize
     require(cap >= batchSize, s"candidateCap $cap < batchSize $batchSize")
     val spark = docs.sparkSession
     var words = wordTable(docs).localCheckpoint()
+    val alphabet = alphabetOf(words)
     val merges = Seq.newBuilder[(Int, Int, String, String, String, Long, Long)]
     var rank = 0
     for (round <- 0 until rounds) {
@@ -227,8 +256,9 @@ object WordPiece {
       words = words.withColumn("syms", wpFoldBatch(col("syms"), selected.result()))
         .localCheckpoint()
     }
-    spark.createDataFrame(merges.result())
+    val trained = spark.createDataFrame(merges.result())
       .toDF("rank", "round", "left", "right", "fused", "pair_count", "score_q")
+    (trained, (alphabet ++ merges.result().map(_._5)).distinct)
   }
 
   /** The trained VOCABULARY as driver state: the training alphabet
@@ -279,15 +309,59 @@ object WordPiece {
     * .WordPieceEncode]] reference-object calls per pair row, array
     * concat, posexplode; no join, no shuffle (the pair stream already
     * paid NSP's exchanges).
+    *
+    * `maxSeqLength` > 0 adds `truncate_seq_pair` (the published
+    * create_pretraining_data.py rule): while the assembled length
+    * `len(A) + len(B) + 3` exceeds the cap, trim ONE piece from the
+    * LONGER side (ties trim B — `tokens_a if len(a) > len(b) else
+    * tokens_b` verbatim), from the FRONT or BACK of that side by a
+    * fair draw. The published builder draws `rng.random() < 0.5`; here
+    * the draw is HASH-DETERMINISTIC (the [[Bpe.mlmMask]] discipline):
+    * trim step i of pair (d, s) trims the front iff
+    * `rolling_hash(d:s:i) % 2 == 0`. The whole loop is ONE `aggregate`
+    * HOF over `sequence(1, n_trims)` carrying four running trim
+    * counters — still entirely narrow, no trim-side data movement.
+    * `maxSeqLength = 0` (default) keeps the unbounded behavior;
+    * otherwise it must be ≥ 5 (the published invariant: the longer
+    * side is always ≥ 2 when a trim fires, so both sides stay
+    * non-empty — below [CLS] a [SEP] b [SEP] = 5 the loop could not
+    * terminate).
     */
   def bertExamples(pairs: DataFrame, vocab: Seq[String],
       cls: String = "[CLS]", sep: String = "[SEP]",
-      unk: String = "[UNK]"): DataFrame = {
+      unk: String = "[UNK]", maxSeqLength: Int = 0): DataFrame = {
+    require(maxSeqLength == 0 || maxSeqLength >= 5,
+      s"maxSeqLength must be 0 (unbounded) or >= 5, got $maxSeqLength")
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
     def enc(c: String) =
       toColumn(graft.functions.WordPieceEncode(toExpression(col(c)), vocab, unk))
-    val staged = pairs.select(col("doc_id"), col("sent_idx"), col("is_next"),
+    val staged0 = pairs.select(col("doc_id"), col("sent_idx"), col("is_next"),
       enc("a").as("ta"), enc("b").as("tb"))
+    val staged = if (maxSeqLength == 0) staged0 else {
+      val la = size(col("ta")).cast("long")
+      val lb = size(col("tb")).cast("long")
+      val n = greatest(lit(0L), la + lb + lit(3L) - lit(maxSeqLength.toLong))
+      val zero = struct(lit(0L).as("fa"), lit(0L).as("ba"),
+        lit(0L).as("fb"), lit(0L).as("bb"))
+      def bump(acc: Column, f: String): Column = struct(
+        Seq("fa", "ba", "fb", "bb").map(k =>
+          (if (k == f) acc(k) + 1L else acc(k)).as(k)): _*)
+      val folded = when(n > 0, aggregate(sequence(lit(1L), n), zero,
+        (acc, i) => {
+          val cla = la - acc("fa") - acc("ba")
+          val clb = lb - acc("fb") - acc("bb")
+          val front = graft.functions.TextFunctions.rollingHash(
+            concat_ws(":", col("doc_id"), col("sent_idx"), i)) % 2 === 0
+          when(cla > clb, when(front, bump(acc, "fa")).otherwise(bump(acc, "ba")))
+            .otherwise(when(front, bump(acc, "fb")).otherwise(bump(acc, "bb")))
+        })).otherwise(zero)
+      staged0.withColumn("_tr", folded)
+        .select(col("doc_id"), col("sent_idx"), col("is_next"),
+          slice(col("ta"), (col("_tr.fa") + 1).cast("int"),
+            (la - col("_tr.fa") - col("_tr.ba")).cast("int")).as("ta"),
+          slice(col("tb"), (col("_tr.fb") + 1).cast("int"),
+            (lb - col("_tr.fb") - col("_tr.bb")).cast("int")).as("tb"))
+    }
     staged
       .select(col("doc_id"), col("sent_idx"), col("is_next"),
         (size(col("ta")) + 2).as("bnd"),
@@ -323,16 +397,38 @@ object WordPiece {
     * (millions of small groups), then narrow arithmetic + the broadcast
     * dictionary join — no corpus shuffle beyond the word-ordinal
     * window.
+    *
+    * `specials`: tokens NEVER selected ([CLS]/[SEP] on an assembled
+    * example stream — the published builder's `continue` on special
+    * tokens; a special is always its own word, so the per-position
+    * exclusion is exactly the word-level rule).
+    *
+    * `maxPerSeq` > 0 adds the `max_predictions_per_seq` cap: at most
+    * `min(maxPerSeq, ⌈selPct·len/100⌉)` PIECES masked per document
+    * (len = the document's token count, specials included — the
+    * published `num_to_predict`). Selected words are visited in
+    * selection-hash order (`(hw, word_ord)` — the deterministic stand-
+    * in for the published shuffled candidate order) and a word whose
+    * piece count would overflow the budget is SKIPPED and the scan
+    * CONTINUES (`len(masked_lms) + len(index_set) > num_to_predict:
+    * continue` — a later smaller word can still fit). The scan is a
+    * per-document `aggregate` HOF over the doc-bounded selected-word
+    * list; the extra plan cost is one more doc-keyed aggregation pair
+    * on the already-doc-hashed stream.
     */
   def wwmMask(stream: DataFrame, vocab: DataFrame,
       maskToken: String = "[MASK]", selPct: Int = 15,
-      contPrefix: String = "##"): DataFrame = {
+      contPrefix: String = "##", specials: Seq[String] = Nil,
+      maxPerSeq: Int = 0): DataFrame = {
     require(selPct >= 1 && selPct <= 100,
       s"selPct must be in [1, 100], got $selPct")
+    require(maxPerSeq >= 0, s"maxPerSeq must be >= 0, got $maxPerSeq")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val vsize = vocab.agg(count(lit(1)).as("vsize"))
-    stream
+    val notSpecial =
+      if (specials.isEmpty) lit(true) else !col("token").isin(specials: _*)
+    val hashed = stream
       .crossJoin(broadcast(vsize))
       .withColumn("word_ord", sum(
         when(col("token").startsWith(contPrefix), 0L).otherwise(1L)).over(w))
@@ -340,7 +436,35 @@ object WordPiece {
         concat_ws(":", col("doc_id"), col("word_ord"))))
       .withColumn("hp", TextFunctions.rollingHash(
         concat_ws(":", col("doc_id"), col("pos"), col("token"))))
-      .withColumn("sel", col("hw") % 100 < selPct)
+      .withColumn("sel0", col("hw") % 100 < selPct && notSpecial)
+    val selected = if (maxPerSeq == 0) hashed.withColumn("sel", col("sel0"))
+    else {
+      // words grouped on (doc_id, word_ord) — the stream is already
+      // doc-hashed by the word-ordinal window, so neither this nor the
+      // per-doc fold re-exchanges the corpus; sel0 is word-constant
+      // (hw keys on (doc, word_ord); a special is a whole word)
+      val kept = hashed
+        .groupBy(col("doc_id"), col("word_ord"))
+        .agg(count(lit(1)).as("np"), first(col("hw")).as("whw"),
+          first(col("sel0")).as("wsel"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("np")).as("_len"),
+          sort_array(collect_list(when(col("wsel"),
+            struct(col("whw").as("hw"), col("word_ord").as("wo"),
+              col("np").as("np"))))).as("_cands"))
+        .withColumn("_cap", least(lit(maxPerSeq.toLong),
+          expr(s"($selPct * _len + 99) div 100")))
+        .withColumn("_kept", aggregate(col("_cands"),
+          struct(lit(0L).as("u"), array().cast("array<long>").as("k")),
+          (acc, x) => when(acc("u") + x("np") <= col("_cap"),
+            struct((acc("u") + x("np")).as("u"),
+              concat(acc("k"), array(x("wo"))).as("k"))).otherwise(acc)))
+        .select(col("doc_id"), explode(col("_kept.k")).as("word_ord"),
+          lit(true).as("_wsel"))
+      hashed.join(kept, Seq("doc_id", "word_ord"), "left")
+        .withColumn("sel", coalesce(col("_wsel"), lit(false)))
+    }
+    selected
       .withColumn("b", expr("(hp div 100) % 10"))
       .withColumn("rid", expr("(hp div 1000) % vsize"))
       .join(broadcast(vocab.select(col("token_id").as("rid"),
@@ -352,6 +476,43 @@ object WordPiece {
           .otherwise(col("token")).as("input_token"),
         when(col("sel"), col("token")).as("label"),
         col("sel").as("masked"))
+  }
+
+  /** DETOKENIZATION ROUNDTRIP — the WordPiece sibling of the unigram
+    * metaspace roundtrip ([[Unigram]]): encode under the frozen
+    * vocabulary, then reconstruct the basic-tokenized text by stripping
+    * the `##` continuation prefix and joining pieces back into words
+    * (heads open a word, continuations append — the inverse of the
+    * greedy matcher's emission convention). A word that collapsed to
+    * `unk` reconstructs as the literal `unk` string, so
+    * `matches_basic` is false exactly on documents with out-of-alphabet
+    * words — the roundtrip gate carries its own failure witness.
+    *
+    * Output: (doc_id, detok, matches_basic) with `detok` the
+    * space-joined reconstruction and `matches_basic` its equality with
+    * the space-joined [[TextFunctions.bertTokens]] stream.
+    *
+    * Plan shape: ENTIRELY NARROW — one [[graft.functions
+    * .WordPieceEncode]] call + one `aggregate` fold per row; the
+    * piece→word regrouping never leaves the un-exploded array, so no
+    * shuffle touches the corpus.
+    */
+  def detokenize(docs: DataFrame, vocab: Seq[String],
+      unk: String = "[UNK]", contPrefix: String = "##"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    val enc = toColumn(graft.functions.WordPieceEncode(
+      toExpression(col("text")), vocab, unk))
+    val words = aggregate(enc, array().cast("array<string>"), (acc, t) =>
+      when(t.startsWith(contPrefix) && size(acc) > 0,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat(element_at(acc, -1),
+            t.substr(lit(contPrefix.length + 1), length(t))))))
+        .otherwise(concat(acc, array(t))))
+    docs
+      .select(col("doc_id"), array_join(words, " ").as("detok"),
+        array_join(TextFunctions.bertTokens(col("text")), " ").as("_bt"))
+      .select(col("doc_id"), col("detok"),
+        (col("detok") === col("_bt")).as("matches_basic"))
   }
 
   /** UNK-rate report by corpus slice — the WordPiece-family vocabulary-

@@ -804,6 +804,40 @@ class CurationSpec extends AnyFunSuite {
     assert(!out(1)._2.contains("short_words"))
   }
 
+  test("gopherGate line rules: bullet/ellipsis shares at their exact margins") {
+    def uniq(o: Int, n: Int) =
+      (0 until n).map(i => ("v" + (o + i)).padTo(5, 'x')).mkString(" ")
+    val clean = "the of " + uniq(0, 38)
+    val d = Seq(
+      // 10 of 11 lines bullet-started: 100 > 99 → fires (exact margin)
+      (0L, clean + (1 to 10).map(i => s"\n•${uniq(40 * i, 2)}").mkString),
+      // 9 of 10 bullet lines: 90 > 90 is FALSE → keeps
+      (1L, clean + (1 to 9).map(i => s"\n•${uniq(40 * i, 2)}").mkString),
+      // every bullet spelling fires, with optional indent
+      (2L, clean + "\n- dash" + "\n* star" + "\n‣ tri" + "\n▶ arrow" +
+        "\n  • indented" + (1 to 49).map(i => s"\n•${uniq(40 * i, 2)}").mkString),
+      // 1 of 3 lines '…'-ended (33% > 30%) → fires
+      (3L, clean + "\ntrails away …\nplain closing line"),
+      // 3 of 10 lines ellipsis-ended (30% > 30% is FALSE) → keeps;
+      // both spellings and trailing blanks covered
+      (4L, clean + "\na …\nb ... \nc …  " + (1 to 6).map(i => s"\nplain ${uniq(40 * i, 2)}").mkString),
+      // a single-line document fires neither rule (bullet/ellipsis
+      // chars mid-line don't count; the one line starts with a word
+      // and ends with one)
+      (5L, clean + " - • … ... end")
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherGate(d).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Boolean]("keep"),
+        r.getAs[scala.collection.Seq[String]]("reasons").toSeq))
+    assert(out(0)._2 == Seq("bullet_lines"), s"got ${out(0)._2}")
+    assert(out(1)._1, s"9/10 bullets must keep, got ${out(1)._2}")
+    assert(out(2)._2.contains("bullet_lines"))
+    assert(out(3)._2 == Seq("ellipsis_lines"), s"got ${out(3)._2}")
+    assert(out(4)._1, s"30% exactly must keep, got ${out(4)._2}")
+    assert(!out(5)._2.contains("bullet_lines") &&
+      !out(5)._2.contains("ellipsis_lines"), s"got ${out(5)._2}")
+  }
+
   test("nspPairs: IsNext carries the true next sentence; NotNext draws from a different document, auditable and deterministic") {
     val d = Seq(
       (0L, "a b. c d. e f. g h"),

@@ -354,8 +354,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_nsp_pairs", // doc-index PrefixSum triangle + 1-row n_docs frame
       "q_wp_windows_batched", // the same windowing triangle over the batched-trained stream
       "q_bert_examples", // NSP's doc-index PrefixSum triangle + 1-row n_docs frame underneath
+      "q_bert_examples_trunc", // same NSP triangles (the trim fold itself is narrow)
       "q_bert_mlm", // same NSP triangles + vocab-rank triangle + 1-row vocab-size frame
+      "q_bert_mlm_capped", // same frames (the cap windows are doc-partitioned, no new join)
+      "q_bert_wwm", // same NSP triangles + vocab-rank triangle + 1-row vocab-size frame
       "q_wwm_mask", // vocab-rank PrefixSum triangle + 1-row vocab-size frame
+      "q_wwm_mask_capped", // same frames (the budget scan joins doc-keyed, hash not BNLJ)
+      "q_mlm_mask_epochs", // q_mlm_mask's frames, one copy per epoch branch
       "q_key_skew") // 1-row (nk, total) totals frame broadcast onto the top-k keys
     def collectAll(p: SparkPlan): Seq[SparkPlan] =
       (p +: p.children.flatMap(collectAll)) ++ (p match {
