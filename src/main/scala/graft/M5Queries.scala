@@ -180,6 +180,24 @@ object M5Queries {
     TextDedup.documents(s, dir).withColumn("text", expr0)
   }
 
+  /** The q_pii_scrub input: the corpus plus per-doc-class PII tails so
+    * every rule binds both ways (the word-salad fixtures carry no
+    * emails/IPs/long digit runs): doc_id % 5 == 0 → an email with the
+    * full local-part class (+, -, dots), % 5 == 1 → two IPv4s, one at
+    * a sentence boundary (the trailing-'.' \b edge), % 5 == 2 → 9- and
+    * 11-digit runs PLUS an 8-digit run that must survive, % 5 == 3 →
+    * all three kinds in one doc; other classes untouched (pii_free).
+    */
+  private def piiInjected(s: SparkSession, dir: String): DataFrame = {
+    val expr0 = frag.piiTails.tail.foldLeft(
+      when(col("doc_id") % 5 === frag.piiTails.head._1,
+        concat(col("text"), lit(frag.piiTails.head._2)))) {
+      case (acc, (k, t)) =>
+        acc.when(col("doc_id") % 5 === k, concat(col("text"), lit(t)))
+    }.otherwise(col("text"))
+    TextDedup.documents(s, dir).withColumn("text", expr0)
+  }
+
   /** The q_nsp_pairs input: the corpus SENTENCE-IFIED — tokens grouped
     * in sevens, groups joined with '. ' — because the word-salad
     * fixtures contain no sentence terminators and the NSP gate would
@@ -2601,6 +2619,63 @@ object M5Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- curation: PII REDACTION (the ROOTS/C4-family scrubbing
+    // step) — three shape rules replaced SEQUENTIALLY (email → IPv4 →
+    // long digit run) with typed placeholders and per-doc counts; the
+    // injected classes bind every rule both ways (an 8-digit run
+    // survives; untouched classes report pii_free)
+    "q_pii_scrub" -> ((s, dir) =>
+      Curation.piiScrub(piiInjected(s, dir)).orderBy(col("doc_id"))),
+
+    // ---- tokenizer: ELECTRA replaced-token detection (Clark et al.
+    // 2020) — ~15% of positions replaced by the hash dictionary draw
+    // (the generator stand-in), EVERY position labeled; the published
+    // subtlety kept: a draw that reproduces the original token labels
+    // NOT-replaced (the oracle pins that branch exactly)
+    "q_rtd_corrupt" -> ((s, dir) => {
+      val train = wpInjected(s, dir)
+      val vocab = operators.WordPiece.trainAndVocab(train, frag.wpMerges)._2
+      val enc = operators.SharedBranch.sharedBranch(
+        operators.WordPiece.encodeTokens(wpScoreDocs(s, dir), vocab))
+      operators.Bpe.rtdCorrupt(enc, operators.Bpe.vocabulary(enc))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- tokenizer: the BERT TENSOR FEED — the pretraining chain
+    // closed to the integer boundary: truncated examples → capped
+    // special-aware MLM → token ids for input and label ([MASK] pinned
+    // at the sentinel id -1, outside the corpus-derived id space) +
+    // segment ids + is_next, i.e. create_pretraining_data.py's output
+    // record as a flat stream
+    "q_bert_tensors" -> ((s, dir) => {
+      val train = wpInjected(s, dir)
+      val vocab = operators.WordPiece.trainAndVocab(train, frag.wpMerges)._2
+      val ex = operators.SharedBranch.sharedBranch(
+        operators.WordPiece.bertExamples(
+            Curation.nspPairs(nspInjected(s, dir)), vocab,
+            maxSeqLength = frag.bertMaxSeq)
+          .select(expr("doc_id * 1048576 + sent_idx").as("sid"),
+            col("pos"), col("token"), col("token_type"), col("is_next")))
+      val st = ex.select(col("sid").as("doc_id"), col("pos"), col("token"))
+      val v = operators.Bpe.vocabulary(st)
+      operators.Bpe.mlmMask(st, v,
+          specials = Seq("[CLS]", "[SEP]"), maxPerSeq = frag.mlmMaxPred)
+        .join(broadcast(v.select(col("token").as("input_token"),
+          col("token_id").as("_iid"))), Seq("input_token"), "left")
+        .withColumn("input_id",
+          when(col("input_token") === "[MASK]", lit(-1L))
+            .otherwise(col("_iid")))
+        .join(broadcast(v.select(col("token").as("label"),
+          col("token_id").as("label_id"))), Seq("label"), "left")
+        .join(ex.select(col("sid").as("doc_id"), col("pos"),
+          col("token_type"), col("is_next")), Seq("doc_id", "pos"))
+        .select(expr("doc_id div 1048576").as("doc_id"),
+          expr("CAST(doc_id % 1048576 AS INT)").as("sent_idx"),
+          col("pos"), col("input_id"), col("label_id"),
+          col("token_type"), col("is_next"), col("masked"))
+        .orderBy(col("doc_id"), col("sent_idx"), col("pos"))
+    }),
+
     "q_unigram_bytes_fallback" -> ((s, dir) => {
       val (pieces, btot) = operators.Unigram.vocabModel(
         operators.Unigram.seedVocab(TextDedup.documents(s, dir),
@@ -3273,6 +3348,21 @@ object M5Queries {
       5 -> (c4Good + "\nenable javascript to view this site."),
       6 -> (c4Good + "\ntiny line.\nno terminal punctuation here at all"))
     val c4Badwords = Seq("unsavory", "profane")
+
+    /** The q_pii_scrub injection tails (see piiInjected) — ONE constant
+      * set threaded into the Spark injection and the pd CTE.
+      */
+    val piiTails: Seq[(Int, String)] = Seq(
+      0 -> " contact alice.smith+spam@example-mail.org today",
+      1 -> " server at 10.0.255.7 and 192.168.1.255.",
+      2 -> " ref 123456789 and id 98765432100 but short 12345678 stays",
+      3 -> " bob@ex.io via 8.8.8.8 code 555123456789")
+    val piiDocsCte: String = {
+      val whens = piiTails.map { case (k, t) =>
+        s"WHEN doc_id % 5 = $k THEN text || '${t.replace("'", "''")}'"
+      }.mkString(" ")
+      s"pd AS (SELECT doc_id, CASE $whens ELSE text END AS text FROM documents)"
+    }
     val c4DocsCte: String = {
       val whens = c4ClassTails.map { case (k, t) =>
         s"WHEN doc_id % 9 = $k THEN text || '${t.replace("'", "''")}'"
@@ -6308,6 +6398,66 @@ object M5Queries {
          | sel AS masked
          |FROM bwh CROSS JOIN bms LEFT JOIN bmr rv ON rv.token_id = (bwh.hp // 1000) % bms.vsize
          |ORDER BY bwh.doc_id, bwh.sent_idx, bwh.pos""".stripMargin,
+
+    // PII-scrub mirror: the same three-stage sequential
+    // count-then-replace pipeline (each rule counts on the text the
+    // previous rules already scrubbed), patterns interpolated from the
+    // ONE constant set in Curation
+    "q_pii_scrub" ->
+      s"""WITH ${frag.piiDocsCte},
+         | p1 AS (SELECT doc_id, len(regexp_extract_all(text, '${Curation.PiiEmailPattern}'))::BIGINT AS n_email, regexp_replace(text, '${Curation.PiiEmailPattern}', '<EMAIL>', 'g') AS t1 FROM pd),
+         | p2 AS (SELECT doc_id, n_email, len(regexp_extract_all(t1, '${Curation.PiiIpPattern}'))::BIGINT AS n_ip, regexp_replace(t1, '${Curation.PiiIpPattern}', '<IP>', 'g') AS t2 FROM p1),
+         | p3 AS (SELECT doc_id, n_email, n_ip, len(regexp_extract_all(t2, '${Curation.PiiDigitsPattern}'))::BIGINT AS n_digits, regexp_replace(t2, '${Curation.PiiDigitsPattern}', '<DIGITS>', 'g') AS clean_text FROM p2)
+         |SELECT doc_id, clean_text, n_email, n_ip, n_digits,
+         |  (n_email + n_ip + n_digits = 0) AS pii_free
+         |FROM p3 ORDER BY doc_id""".stripMargin,
+
+    // RTD mirror: the q_mlm_mask dictionary-draw arithmetic with the
+    // replaced-equals-original branch labeled NOT replaced
+    "q_rtd_corrupt" ->
+      s"""WITH ${frag.wpChainCtes},
+         | mvc AS (SELECT token, count(*) AS n_occ FROM wp_p GROUP BY 1),
+         | mvr AS (SELECT token, row_number() OVER (ORDER BY n_occ DESC, token) - 1 AS token_id FROM mvc),
+         | msz AS (SELECT count(*) AS vsize FROM mvc),
+         | mh AS (SELECT doc_id, pos, token, ${frag.rolling("doc_id::VARCHAR || ':' || pos::VARCHAR || ':' || token")} AS h FROM wp_p)
+         |SELECT mh.doc_id, mh.pos,
+         | CASE WHEN h % 100 < 15 THEN rv.token ELSE mh.token END AS input_token,
+         | (h % 100 < 15 AND rv.token <> mh.token) AS is_replaced
+         |FROM mh CROSS JOIN msz LEFT JOIN mvr rv ON rv.token_id = (mh.h // 1000) % msz.vsize
+         |ORDER BY mh.doc_id, mh.pos""".stripMargin,
+
+    // tensor-feed mirror: the capped-MLM chain extended with id
+    // lookups from the SAME frequency-ranked vocabulary ([MASK] → the
+    // -1 sentinel) and token_type/is_next joined back from the
+    // truncated assembly
+    "q_bert_tensors" ->
+      s"""WITH RECURSIVE ${frag.wpChainCtes},
+         | ${frag.nspCtes},
+         | ${frag.bertExampleCtes},
+         | ${frag.bertTruncCtes(frag.bertMaxSeq)},
+         | cmv AS (SELECT tok AS token, count(*) AS n_occ FROM btstr GROUP BY 1),
+         | cmr AS (SELECT token, row_number() OVER (ORDER BY n_occ DESC, token) - 1 AS token_id FROM cmv),
+         | cms AS (SELECT count(*) AS vsize FROM cmv),
+         | cmh AS (SELECT doc_id, sent_idx, pos, tok AS token, ${frag.rolling("(doc_id * 1048576 + sent_idx)::VARCHAR || ':' || pos::VARCHAR || ':' || tok")} AS h, count(*) OVER (PARTITION BY doc_id, sent_idx) AS elen FROM btstr),
+         | cmk AS (SELECT *, (h % 100 < 15 AND token NOT IN ('[CLS]', '[SEP]')) AS sel0, row_number() OVER (PARTITION BY doc_id, sent_idx ORDER BY (h % 100 < 15 AND token NOT IN ('[CLS]', '[SEP]')) DESC, h, pos) AS rk FROM cmh),
+         | cmc AS (SELECT *, sel0 AND rk <= least(${frag.mlmMaxPred}, (15 * elen + 99) // 100) AS sel FROM cmk),
+         | ctk AS (SELECT cmc.doc_id, cmc.sent_idx, cmc.pos, cmc.sel,
+         |   CASE WHEN NOT sel THEN cmc.token
+         |        WHEN (h // 100) % 10 < 8 THEN '[MASK]'
+         |        WHEN (h // 100) % 10 = 8 THEN rv.token
+         |        ELSE cmc.token END AS input_token,
+         |   CASE WHEN sel THEN cmc.token END AS label
+         |  FROM cmc CROSS JOIN cms LEFT JOIN cmr rv ON rv.token_id = (cmc.h // 1000) % cms.vsize)
+         |SELECT t.doc_id, t.sent_idx, t.pos,
+         | CASE WHEN t.input_token = '[MASK]' THEN -1 ELSE vi.token_id END AS input_id,
+         | vl.token_id AS label_id,
+         | (CASE WHEN b.seg <= 2 THEN 0 ELSE 1 END)::BIGINT AS token_type,
+         | b.is_next, t.sel AS masked
+         |FROM ctk t
+         | LEFT JOIN cmr vi ON vi.token = t.input_token
+         | LEFT JOIN cmr vl ON vl.token = t.label
+         | JOIN btstr b ON b.doc_id = t.doc_id AND b.sent_idx = t.sent_idx AND b.pos = t.pos
+         |ORDER BY t.doc_id, t.sent_idx, t.pos""".stripMargin,
 
     // dynamic-masking mirror: the q_mlm_mask arithmetic once per epoch
     // seed, the seed prefixed into the hash key

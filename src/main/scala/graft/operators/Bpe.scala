@@ -627,6 +627,45 @@ object Bpe {
         col("sel").as("masked"))
   }
 
+  /** ELECTRA-style REPLACED-TOKEN-DETECTION corruption (Clark et al.,
+    * ICLR 2020 — the discriminator's data prep): ~`selPct`% of
+    * positions have their token REPLACED by a plausible alternative
+    * and every position is labeled `is_replaced` (the RTD objective
+    * trains on ALL positions, unlike MLM's 15%). The paper's generator
+    * network is stood in for by the [[mlmMask]] hash dictionary draw
+    * (`token_id = (h div 1000) % |V|` — the same broadcast lookup),
+    * keeping the transform deterministic and oracle-exact. The
+    * published labeling subtlety is kept: when the draw happens to
+    * produce the ORIGINAL token, the position is labeled NOT replaced
+    * ("if the generator generates the correct token, that token is
+    * considered 'real'" — §2).
+    *
+    * Output: (doc_id, pos, input_token, is_replaced).
+    *
+    * Plan shape: [[mlmMask]]'s exactly — narrow + the broadcast 1-row
+    * vocab size + the broadcast dictionary join; no corpus shuffle.
+    */
+  def rtdCorrupt(stream: DataFrame, vocab: DataFrame, selPct: Int = 15,
+      specials: Seq[String] = Nil): DataFrame = {
+    require(selPct >= 1 && selPct <= 100,
+      s"selPct must be in [1, 100], got $selPct")
+    val vsize = vocab.agg(count(lit(1)).as("vsize"))
+    val notSpecial =
+      if (specials.isEmpty) lit(true) else !col("token").isin(specials: _*)
+    stream
+      .crossJoin(broadcast(vsize))
+      .withColumn("h", TextFunctions.rollingHash(
+        concat_ws(":", col("doc_id"), col("pos"), col("token"))))
+      .withColumn("sel", col("h") % 100 < selPct && notSpecial)
+      .withColumn("rid", expr("(h div 1000) % vsize"))
+      .join(broadcast(vocab.select(col("token_id").as("rid"),
+        col("token").as("rtok"))), Seq("rid"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("sel"), col("rtok")).otherwise(col("token"))
+          .as("input_token"),
+        (col("sel") && col("rtok") =!= col("token")).as("is_replaced"))
+  }
+
   /** The VOCABULARY of an encoded corpus: one row per distinct token
     * with its corpus frequency and a dense 0-based `token_id` assigned
     * by frequency rank (count DESC, token ASC ties — deterministic).

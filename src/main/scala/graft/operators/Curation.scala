@@ -389,6 +389,60 @@ object Curation {
         col("clean_text"))
   }
 
+  /** PII REDACTION — the web-corpus scrubbing step the public pipeline
+    * families run before training (the BigScience ROOTS corpus's PII
+    * pass and the C4-family address rules are the published
+    * precedents): typed patterns replaced by typed placeholder tokens,
+    * with per-document match counts so downstream mixing/reporting can
+    * filter or weight by PII density. Exactly THREE shape rules, each
+    * an exact cross-engine regex (ASCII classes and `\b` only — Java
+    * and RE2 agree on these; no lookaround, no Unicode classes):
+    *
+    *  1. EMAIL `[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}` →
+    *     `<EMAIL>`,
+    *  2. IPV4 `\b(\d{1,3}\.){3}\d{1,3}\b` → `<IP>` (the shape rule —
+    *     octet-range validation is deliberately out, matching the
+    *     published shape-based scrubbers),
+    *  3. LONG DIGIT RUN `\b\d{9,}\b` → `<DIGITS>` (account/SSN/phone
+    *     shapes; runs of 8 or fewer digits survive).
+    *
+    * Replacement is SEQUENTIAL in that order and each rule's count is
+    * taken on the text the PREVIOUS rules already scrubbed (an email's
+    * digits are never double-counted as a digit run) — the oracle
+    * mirrors the same three-stage pipeline.
+    *
+    * Output: (doc_id, clean_text, n_email, n_ip, n_digits, pii_free).
+    *
+    * Plan shape: ENTIRELY NARROW — three regexp_replace /
+    * regexp_extract_all per row, no join, no shuffle; the cheapest
+    * operator shape at 100 TB, like [[c4Filter]].
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    def cnt(c: Column, pat: String) =
+      size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+    docs
+      .withColumn("n_email", cnt(col("text"), PiiEmailPattern))
+      .withColumn("_t1",
+        regexp_replace(col("text"), PiiEmailPattern, "<EMAIL>"))
+      .withColumn("n_ip", cnt(col("_t1"), PiiIpPattern))
+      .withColumn("_t2", regexp_replace(col("_t1"), PiiIpPattern, "<IP>"))
+      .withColumn("n_digits", cnt(col("_t2"), PiiDigitsPattern))
+      .select(col("doc_id"),
+        regexp_replace(col("_t2"), PiiDigitsPattern, "<DIGITS>")
+          .as("clean_text"),
+        col("n_email"), col("n_ip"), col("n_digits"),
+        (col("n_email") + col("n_ip") + col("n_digits") === 0)
+          .as("pii_free"))
+  }
+
+  /** The [[piiScrub]] rule patterns — ONE constant set threaded into
+    * the Spark operator and the DuckDB oracle (plain strings so the
+    * backslashes survive both spellings).
+    */
+  val PiiEmailPattern: String = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PiiIpPattern: String = """\b(\d{1,3}\.){3}\d{1,3}\b"""
+  val PiiDigitsPattern: String = """\b\d{9,}\b"""
+
   /** BERT-style NSP (next-sentence-prediction) PAIR CONSTRUCTION
     * (Devlin et al., NAACL 2019 §3.1 Task #2 — the second objective the
     * MLM transform ships with): every consecutive sentence pair (A, B)

@@ -838,6 +838,64 @@ class CurationSpec extends AnyFunSuite {
       !out(5)._2.contains("ellipsis_lines"), s"got ${out(5)._2}")
   }
 
+  test("piiScrub: each rule binds both ways, sequential stages never double-count") {
+    val d = Seq(
+      (0L, "mail a.b+x@ex-y.org and c@d.io end"),       // two emails
+      (1L, "ip 10.0.255.7 end, 192.168.1.255."),        // two IPs, one at '.'
+      (2L, "ref 123456789 id 98765432100 but 12345678 stays"), // 9/11 scrub, 8 survives
+      (3L, "v4 1234.5.6.7 not an ip"),                  // 4-digit octet: \b(\d{1,3}\.) rejects
+      (4L, "clean words only here")
+    ).toDF("doc_id", "text")
+    val out = Curation.piiScrub(d).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") == "mail <EMAIL> and <EMAIL> end")
+    assert(out(0).getAs[Long]("n_email") == 2 && !out(0).getAs[Boolean]("pii_free"))
+    assert(out(1).getAs[String]("clean_text") == "ip <IP> end, <IP>.")
+    assert(out(1).getAs[Long]("n_ip") == 2)
+    assert(out(2).getAs[String]("clean_text") ==
+      "ref <DIGITS> id <DIGITS> but 12345678 stays")
+    assert(out(2).getAs[Long]("n_digits") == 2)
+    // "1234.5.6.7": the leading \b lands inside the digit run, so the
+    // IP shape never anchors — and no 9+ digit run exists either
+    assert(out(3).getAs[String]("clean_text") == "v4 1234.5.6.7 not an ip")
+    assert(out(3).getAs[Boolean]("pii_free"))
+    assert(out(4).getAs[Boolean]("pii_free"))
+    assert(out(4).getAs[String]("clean_text") == "clean words only here")
+  }
+
+  test("rtdCorrupt: every position labeled, draw-equals-original is NOT replaced") {
+    val stream = (0 until 2000).map(i =>
+      (i.toLong / 50, (i % 50) + 1, s"t${i % 97}")).toDF("doc_id", "pos", "token")
+    val vocab = graft.operators.Bpe.vocabulary(stream)
+    val out = graft.operators.Bpe.rtdCorrupt(stream, vocab)
+      .orderBy("doc_id", "pos").collect()
+    assert(out.length == 2000)
+    val vset = vocab.select("token").collect().map(_.getString(0)).toSet
+    var nRep = 0; var nLuckyKeep = 0
+    out.foreach { r =>
+      val orig = s"t${(r.getLong(0) * 50 + r.getInt(1) - 1) % 97}"
+      val (in, rep) = (r.getString(2), r.getBoolean(3))
+      assert(vset.contains(in)) // never [MASK], never out-of-vocab
+      if (rep) { assert(in != orig); nRep += 1 }
+      else if (in != orig) fail(s"unreplaced row with changed token: $r")
+    }
+    // ~15% replaced minus the 1/|V| lucky draws
+    assert(nRep > 150 && nRep < 450, s"replaced $nRep of 2000")
+    // the lucky-draw branch binds: some selected position drew its own
+    // token and is labeled NOT replaced — replay the selection hash
+    def rh(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    nLuckyKeep = out.count { r =>
+      val orig = s"t${(r.getLong(0) * 50 + r.getInt(1) - 1) % 97}"
+      val sel = rh(s"${r.getLong(0)}:${r.getInt(1)}:$orig") % 100 < 15
+      sel && !r.getBoolean(3)
+    }
+    assert(nLuckyKeep > 0, "no selected position drew its own token — fixture too small")
+    // determinism
+    val again = graft.operators.Bpe.rtdCorrupt(stream, vocab)
+      .orderBy("doc_id", "pos").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("nspPairs: IsNext carries the true next sentence; NotNext draws from a different document, auditable and deterministic") {
     val d = Seq(
       (0L, "a b. c d. e f. g h"),

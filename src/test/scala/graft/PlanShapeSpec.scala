@@ -358,6 +358,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_bert_mlm", // same NSP triangles + vocab-rank triangle + 1-row vocab-size frame
       "q_bert_mlm_capped", // same frames (the cap windows are doc-partitioned, no new join)
       "q_bert_wwm", // same NSP triangles + vocab-rank triangle + 1-row vocab-size frame
+      "q_bert_tensors", // same frames (the id lookups broadcast hash-keyed)
+      "q_rtd_corrupt", // vocab-rank PrefixSum triangle + 1-row vocab-size frame
       "q_wwm_mask", // vocab-rank PrefixSum triangle + 1-row vocab-size frame
       "q_wwm_mask_capped", // same frames (the budget scan joins doc-keyed, hash not BNLJ)
       "q_mlm_mask_epochs", // q_mlm_mask's frames, one copy per epoch branch
