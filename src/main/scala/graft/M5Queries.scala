@@ -1873,6 +1873,19 @@ object M5Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- relevance: CCNet-style PERPLEXITY BUCKETS (Wenzek et al.
+    // 2020 §4.3 — the head/middle/tail cut the public pipelines ship):
+    // per-language TERCILE VALUE boundaries of the per-doc normalized
+    // LM score (s_q = lm_q div n_bigrams — higher = more fluent),
+    // docs cut by VALUE against the broadcast boundary row (CCNet cuts
+    // by threshold, not rank — value ties land in one bucket on both
+    // engines); scoreless docs ride the LEFT-join-at-0 discipline and
+    // land in the tail
+    "q_ppl_buckets" -> ((s, dir) =>
+      LanguageModel.perplexityBuckets(TextDedup.documents(s, dir),
+          maxVocab = 16)
+        .orderBy(col("lang"), col("doc_id"))),
+
     // ---- relevance: trigram STUPID-BACKOFF held-out scoring (Brants
     // et al., EMNLP 2007 — α = 0.4 spelled 2/5, integer-exact). Model
     // trains on the doc_id%2==0 half, scores the other half, so the
@@ -6796,6 +6809,48 @@ object M5Queries {
          |SELECT doc_id, CAST(sum(m * contrib) AS BIGINT) AS lm_q,
          | CAST(sum(m) AS BIGINT) AS n_bigrams
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // perplexity-bucket mirror: the q_lm_score chain left-joined back
+    // to every document at 0, per-lang tercile VALUE boundaries by the
+    // q_length_quantiles rank spelling, then the value CASE
+    "q_ppl_buckets" ->
+      s"""WITH d AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),
+         | e AS (SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM d),
+         | uc AS (SELECT tok, count(*) AS c FROM e GROUP BY 1),
+         | vocab AS (SELECT tok FROM uc ORDER BY c DESC, tok LIMIT 16),
+         | vs AS (SELECT count(*) + 1 AS vsz FROM vocab),
+         | m AS (SELECT doc_id, pos,
+         |     CASE WHEN vb.tok IS NULL THEN '<unk>' ELSE e.tok END AS tok_m
+         |   FROM e LEFT JOIN vocab vb ON e.tok = vb.tok),
+         | b AS (SELECT doc_id, tok_m AS u,
+         |     lead(tok_m) OVER (PARTITION BY doc_id ORDER BY pos) AS v FROM m),
+         | bi AS (SELECT doc_id, u, v, count(*) AS m FROM b
+         |   WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+         | cuv AS (SELECT u, v, sum(m) AS c_uv FROM bi GROUP BY 1, 2),
+         | cu AS (SELECT u, sum(m) AS c_u FROM bi GROUP BY 1),
+         | sc AS (SELECT bi.doc_id, bi.m,
+         |     (10000 * (c_uv + 1)) // (c_u + vsz) AS contrib
+         |   FROM bi JOIN cuv USING (u, v) JOIN cu USING (u) CROSS JOIN vs),
+         | lmq AS (SELECT doc_id, CAST(sum(m * contrib) AS BIGINT) AS lm_q,
+         |   CAST(sum(m) AS BIGINT) AS n_bigrams FROM sc GROUP BY doc_id),
+         | sq AS MATERIALIZED (SELECT dd.lang, dd.doc_id,
+         |   CASE WHEN coalesce(n_bigrams, 0) > 0 THEN lm_q // n_bigrams ELSE 0 END AS s_q
+         |  FROM documents dd LEFT JOIN lmq USING (doc_id)),
+         | sqr AS (SELECT lang, doc_id, s_q,
+         |   row_number() OVER (PARTITION BY lang ORDER BY s_q, doc_id) AS rn FROM sq),
+         | sqn AS (SELECT lang, count(*) AS cnt FROM sq GROUP BY 1),
+         | sqt AS (SELECT lang, q, greatest(1, (q * cnt + 999) // 1000) AS rn
+         |   FROM sqn CROSS JOIN (SELECT unnest([333, 667]) AS q)),
+         | sqb AS (SELECT r.lang,
+         |   max(CASE WHEN t.q = 333 THEN r.s_q END) AS v333,
+         |   max(CASE WHEN t.q = 667 THEN r.s_q END) AS v667
+         |  FROM sqr r JOIN sqt t ON r.lang = t.lang AND r.rn = t.rn GROUP BY 1)
+         |SELECT sq.lang, sq.doc_id, sq.s_q,
+         | CASE WHEN sq.s_q <= v333 THEN 'tail'
+         |      WHEN sq.s_q <= v667 THEN 'middle'
+         |      ELSE 'head' END AS bucket
+         |FROM sq JOIN sqb USING (lang)
+         |ORDER BY sq.lang, sq.doc_id""".stripMargin,
 
     // token-level LM mirror: the q_lm_score chain with the word stream
     // replaced by the BPE encode stream (vocab = top-16 tokens)

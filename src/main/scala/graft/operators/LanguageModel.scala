@@ -132,6 +132,45 @@ object LanguageModel {
     quantizedTail(bi, cuv, cu, vs, scale)
   }
 
+  /** CCNet-style PERPLEXITY BUCKETS (Wenzek et al., LREC 2020 §4.3 —
+    * the head/middle/tail cut the public pipelines ship): documents
+    * split per `groupCol` (CCNet cuts per language) into terciles of
+    * the normalized LM score `s_q = lm_q div n_bigrams` (higher = more
+    * fluent = "head"), by VALUE against the group's tercile boundary
+    * values — CCNet thresholds by value, not rank, so score ties land
+    * in ONE bucket deterministically on any engine. Documents the LM
+    * cannot score (< 2 tokens) ride the LEFT-join-at-0 discipline and
+    * land in the tail with s_q = 0.
+    *
+    * Output: (groupCol, doc_id, s_q, bucket ∈ {head, middle, tail}).
+    *
+    * Plan shape: the LM pass ([[bigramLmQuantized]]) + one
+    * [[Stats.quantilesPerGroup]] boundary computation + a BROADCAST
+    * boundary join (≤ 2 rows per group — model metadata) + a narrow
+    * CASE; the corpus never shuffles beyond the LM's own doc-keyed
+    * aggregations.
+    */
+  def perplexityBuckets(docs: DataFrame, groupCol: String = "lang",
+      maxVocab: Int = 1024, scale: Long = 10000L): DataFrame = {
+    val lm = bigramLmQuantized(docs, maxVocab, scale)
+    val scored = SharedBranch.sharedBranch(
+      docs.select(col(groupCol), col("doc_id"))
+        .join(lm, Seq("doc_id"), "left")
+        .select(col(groupCol), col("doc_id"),
+          expr("CASE WHEN coalesce(n_bigrams, 0) > 0 THEN lm_q div n_bigrams ELSE 0 END")
+            .as("s_q")))
+    val bounds = Stats.quantilesPerGroup(scored, groupCol, "s_q", "doc_id",
+        qsPerMille = Seq(333, 667))
+      .groupBy(col(groupCol)).agg(
+        max(when(col("q") === 333, col("quantile"))).as("v333"),
+        max(when(col("q") === 667, col("quantile"))).as("v667"))
+    scored.join(broadcast(bounds), Seq(groupCol))
+      .select(col(groupCol), col("doc_id"), col("s_q"),
+        when(col("s_q") <= col("v333"), lit("tail"))
+          .when(col("s_q") <= col("v667"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+  }
+
   private def quantizedTail(bi: DataFrame, cuv: DataFrame, cu: DataFrame,
       vs: DataFrame, scale: Long): DataFrame =
     bi.join(cuv, Seq("u", "v"))

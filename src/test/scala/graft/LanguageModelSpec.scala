@@ -218,4 +218,35 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(joined.count() > 0)
     graft.sources.Tables.evictPinned(spark, blocking = true)
   }
+
+  test("perplexityBuckets: value-threshold terciles per group, scoreless docs in the tail") {
+    import graft.operators.LanguageModel
+    // one language, 9 scoreable docs whose s_q decreases with i: doc i
+    // mixes the high-contrib (a,b) bigram (i+1 times) with the
+    // lower-contrib (b,a) (i times), so the normalized score slides
+    // from pure contrib_ab toward the midpoint — strictly ordered
+    // except one div-truncation tie (docs 6/7), which the value cut
+    // places in ONE bucket; plus a 1-token doc the LM cannot score
+    val d = ((0 until 9).map { i =>
+      (i.toLong, "xx", ("a b " * (i + 1)).trim)
+    } :+ (9L, "xx", "solo")).toDF("doc_id", "lang", "text")
+    val out = LanguageModel.perplexityBuckets(d, maxVocab = 16)
+      .orderBy("doc_id").collect()
+    assert(out.length == 10)
+    val byBucket = out.groupBy(_.getAs[String]("bucket"))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // the scoreless doc lands in the tail at s_q = 0
+    assert(out(9).getAs[String]("bucket") == "tail" &&
+      out(9).getAs[Long]("s_q") == 0L)
+    // head docs all out-score middle docs, which out-score tail docs
+    def maxS(b: String) = out.filter(_.getAs[String]("bucket") == b)
+      .map(_.getAs[Long]("s_q"))
+    assert(maxS("head").min > maxS("middle").max)
+    assert(maxS("middle").min > maxS("tail").max)
+    // 10 docs → boundaries at ranks ceil(.333*10)=4 and ceil(.667*10)=7:
+    // 4 tail, 3 middle, 3 head (the 6/7 tie straddles no boundary)
+    assert(byBucket("tail").size == 4 && byBucket("middle").size == 3 &&
+      byBucket("head").size == 3)
+    graft.sources.Tables.evictPinned(spark, blocking = true)
+  }
 }

@@ -318,6 +318,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_importance_selected", // same totals + 1-row doc-count frame + PrefixSum offsets
       "q_lm_score", // 1-row vocab totals
       "q_token_ppl", // same 1-row vocab-totals frame over the token stream
+      "q_ppl_buckets", // the LM's 1-row vocab frame + the quantile rank triangle
       "q_stupid_backoff", // 1-row train-token-total (N) frame
       "q_quality_ensemble", // LM 1-row vocab totals + 3 PrefixSum offset triangles (≤nPart rows)
       "q_mixture_schedule", // 1-row per-source totals frame
