@@ -35,11 +35,37 @@ object Bench {
     * round-close run on a host still draining the session — four
     * rounds of unusable BENCH_r{13..16} artifacts) re-publishes the
     * clean line as its grading line, with the live run's numbers kept
-    * alongside as provenance. The query-name fingerprint gates the
-    * embed: any gate added or removed after the clean capture disables
-    * it (stale numbers never ship).
+    * alongside as provenance. TWO guards gate the embed (stale or
+    * incomparable numbers never ship): the query-name fingerprint
+    * (any gate added or removed after the clean capture disables it)
+    * and the stored line's own `sf` field, which must equal the live
+    * run's SF directory (a clean sf0.001 smoke capture must never
+    * become an sf0.1 grading line). The file is KEYED BY SF so a clean
+    * smoke run at another scale can never overwrite the driver-contract
+    * sidecar either.
     */
-  private val CleanCapturePath = "BENCH_CLEAN.json"
+  private[graft] def cleanCapturePath(sfDir: String): String =
+    "BENCH_CLEAN." + new java.io.File(sfDir).getName + ".json"
+
+  /** The embed decision on the sidecar's raw content — pure, so
+    * BenchSidecarSpec can pin both guards and the malformed-file path.
+    */
+  private[graft] def embeddableClean(content: String, fingerprint: String,
+      sfDir: String): Option[String] = {
+    val lines = content.split("\n")
+    if (lines.length >= 2 && lines(0) == fingerprint &&
+        lines(1).endsWith("}") &&
+        lines(1).contains("\"sf\":\"" + sfDir + "\"")) Some(lines(1))
+    else None
+  }
+
+  /** The provenance splice — the stored clean line with the live
+    * (contaminated) run's headline appended; pure for the spec.
+    */
+  private[graft] def spliceProvenance(clean: String, liveTotal: String,
+      liveLoadBefore: String): String =
+    clean.dropRight(1) +
+      s""","source":"clean_capture_sidecar","live_total":$liveTotal,"live_load_before":"$liveLoadBefore","live_contaminated":true}"""
 
   def main(args: Array[String]): Unit = {
     val loadBefore = loadavg
@@ -231,7 +257,7 @@ object Bench {
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir","queries_omitted":$omitted,"omitted_max_s":${fmt(omittedMax)},"stall_suspect":$stallSuspects,"passes":$passes,"mid_busy_max":${f"$maxMidBusy%.3f"},"load_before":"$loadBefore","load_after":"$loadAfter","contaminated":$contaminated$extra}"""
       }
       val fingerprint = results.map(_._1).sorted.mkString(",")
-      val cleanFile = java.nio.file.Paths.get(CleanCapturePath)
+      val cleanFile = java.nio.file.Paths.get(cleanCapturePath(sfDir))
       if (!contaminated) {
         // persist this clean capture for a later contaminated run of
         // the SAME query set (see CleanCapturePath)
@@ -243,21 +269,19 @@ object Bench {
       } else {
         val embedded =
           try {
-            if (java.nio.file.Files.exists(cleanFile)) {
-              val lines = java.nio.file.Files.readString(cleanFile).split("\n")
-              if (lines.length >= 2 && lines(0) == fingerprint &&
-                  lines(1).endsWith("}")) Some(lines(1))
-              else None
-            } else None
+            if (java.nio.file.Files.exists(cleanFile))
+              embeddableClean(java.nio.file.Files.readString(cleanFile),
+                fingerprint, sfDir)
+            else None
           } catch { case scala.util.control.NonFatal(_) => None }
         embedded match {
           case Some(clean) =>
             // the live (contaminated) line prints FIRST for provenance;
             // the grading line is the stored clean capture of the SAME
-            // query set, with the live run's headline kept inside it
+            // query set at the SAME SF, with the live run's headline
+            // kept inside it
             println(compactLine(1700, ""))
-            println(clean.dropRight(1) +
-              s""","source":"clean_capture_sidecar","live_total":${fmt(total)},"live_load_before":"$loadBefore","live_contaminated":true}""")
+            println(spliceProvenance(clean, fmt(total), loadBefore))
           case None =>
             println(compactLine(1700, ""))
         }
