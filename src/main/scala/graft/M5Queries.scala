@@ -2589,7 +2589,8 @@ object M5Queries {
       val st = operators.SharedBranch.sharedBranch(ex.select(
         expr("doc_id * 1048576 + sent_idx").as("doc_id"),
         col("pos"), col("token")))
-      operators.WordPiece.wwmMask(st, operators.Bpe.vocabulary(st),
+      operators.WordPiece.wwmMask(st,
+          operators.SharedBranch.sharedBranch(operators.Bpe.vocabulary(st)),
           specials = Seq("[CLS]", "[SEP]"))
         .select(expr("doc_id div 1048576").as("doc_id"),
           expr("CAST(doc_id % 1048576 AS INT)").as("sent_idx"),
@@ -2670,7 +2671,10 @@ object M5Queries {
           .select(expr("doc_id * 1048576 + sent_idx").as("sid"),
             col("pos"), col("token"), col("token_type"), col("is_next")))
       val st = ex.select(col("sid").as("doc_id"), col("pos"), col("token"))
-      val v = operators.Bpe.vocabulary(st)
+      // the vocabulary frame feeds FOUR branches here (vsize, the
+      // random-replacement dictionary, and both id lookups) - persist
+      // it so the corpus-sized token count runs once, not four times
+      val v = operators.SharedBranch.sharedBranch(operators.Bpe.vocabulary(st))
       operators.Bpe.mlmMask(st, v,
           specials = Seq("[CLS]", "[SEP]"), maxPerSeq = frag.mlmMaxPred)
         .join(broadcast(v.select(col("token").as("input_token"),
