@@ -74,7 +74,12 @@ object DumpPlans {
       "q_wp_encode" -> "WordPiece greedy emit: ONE WordPieceEncode reference-object node (vocabulary as a hash set, constant plan size) + posexplode — documents never shuffle (training is driver-bounded collect state, outside this plan)",
       "q_gopher_ngram" -> "Gopher repetition signals: ONE union-frame (doc, n, ngram) count shuffle per family (never one pass per n), dup coverage as a bounded <=n explode + positional-union distinct, every aggregation doc-keyed",
       "q_mlm_mask" -> "BERT MLM mask: narrow hash/branch arithmetic on the token stream, broadcast 1-row vocab-size frame + broadcast dictionary join for the random draw — no corpus shuffle",
-      "q_nsp_pairs" -> "NSP pairs: per-doc lead window (millions of small groups), PrefixSum dense doc index, the NotNext minority half pays two equi-joins + a broadcast 1-row n_docs frame")
+      "q_nsp_pairs" -> "NSP pairs: per-doc lead window (millions of small groups), PrefixSum dense doc index, the NotNext minority half pays two equi-joins + a broadcast 1-row n_docs frame",
+      "q_bert_examples_trunc" -> "truncate_seq_pair: the four-counter trim fold is ONE narrow aggregate HOF on the pair stream (per-step rolling hash inside) — no new shuffle over the untruncated assembly",
+      "q_bert_tensors" -> "BERT tensor feed: capped MLM's doc-partitioned window pair shares ONE doc_id exchange, both id lookups broadcast, the token_type/is_next join-back is (doc,pos)-keyed SMJ",
+      "q_wwm_mask_capped" -> "wwm budget cap: word regroup + per-doc skip-continue fold ride the word-ordinal window's existing doc_id hash — the cap adds aggregations, not corpus exchanges",
+      "q_pii_scrub" -> "typed PII scrub: three regexp count+replace stages per row — ENTIRELY NARROW, no join, no exchange",
+      "q_ppl_buckets" -> "CCNet terciles: the LM pass + quantile-boundary PrefixSum + a <=2-rows-per-group broadcast boundary join + narrow CASE")
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of the flagship queries\n\n")
     sb.append("Auto-generated by `graft.tools.DumpPlans` at sf0.001. What to look for:\n")
