@@ -1861,6 +1861,22 @@ object M5Queries {
           maxVocab = 16)
         .orderBy(col("doc_id"))),
 
+    // ---- relevance: interpolated Kneser-Ney bigram MODEL table
+    // (Kneser & Ney 1995; Chen & Goodman TR-10-98 §2.7) — absolute
+    // discount D = 3/4 as exact integer cross-multiplication, the
+    // continuation-count correction as distinct-context group-bys
+    "q_kn_model" -> ((s, dir) =>
+      LanguageModel.kneserNeyModel(TextDedup.documents(s, dir),
+          maxVocab = 16)
+        .orderBy(col("u"), col("v"))),
+
+    // ---- relevance: per-document Kneser-Ney score over the model —
+    // the discounted sibling of q_lm_score's add-one smoothing
+    "q_kn_score" -> ((s, dir) =>
+      LanguageModel.kneserNeyQuantized(TextDedup.documents(s, dir),
+          maxVocab = 16)
+        .orderBy(col("doc_id"))),
+
     // ---- relevance: the bigram LM quality score over the BPE TOKEN
     // stream (CCNet runs its LM over SentencePiece tokens, not words) —
     // the tokenizer-agnostic LM core fed by Bpe.encodeTokens
@@ -1978,6 +1994,19 @@ object M5Queries {
       val merges = operators.Bpe.mergePairs(
         operators.Bpe.trainMerges(docs, frag.bpeMerges))
       operators.Bpe.spanCorruption(docs, merges)
+        .orderBy(col("doc_id"), col("stream"), col("pos"))
+    }),
+
+    // ---- tokenizer: UL2 mixture-of-denoisers (Tay et al.,
+    // arXiv:2205.05131) — per-doc hash-deterministic R/X/S denoiser
+    // draw, paradigm token at input pos 1; R = the q_span_corruption
+    // arithmetic, X = 16-token blocks with 6-8-token spans, S =
+    // prefix-LM behind one sentinel
+    "q_ul2_denoisers" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val merges = operators.Bpe.mergePairs(
+        operators.Bpe.trainMerges(docs, frag.bpeMerges))
+      operators.Bpe.ul2Denoisers(docs, merges)
         .orderBy(col("doc_id"), col("stream"), col("pos"))
     }),
 
@@ -5213,6 +5242,42 @@ object M5Queries {
          |UNION ALL SELECT doc_id, stream, pos, token FROM tg
          |ORDER BY doc_id, stream, pos""".stripMargin,
 
+    // UL2 mirror: the span-corruption CTE chain with the per-doc
+    // denoiser draw (h % 4), CASE-selected block/span parameters, the
+    // S-denoiser pivot (h % n over the count window), and the paradigm
+    // row at input pos 1 (j = 0 — one row per non-empty doc)
+    "q_ul2_denoisers" ->
+      s"""WITH ${frag.bpeEncodeCtes},
+         | p AS (SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si)) - 1 AS j, sym AS token FROM flat),
+         | hh AS (SELECT doc_id, ${frag.rolling("text")} AS h FROM documents),
+         | f AS (SELECT p.doc_id, j, token, h, h % 4 AS dd,
+         |     count(*) OVER (PARTITION BY p.doc_id) AS n,
+         |     CASE WHEN h % 4 = 2 THEN 16 ELSE 10 END AS bs
+         |   FROM p JOIN hh ON p.doc_id = hh.doc_id),
+         | f2 AS (SELECT doc_id, j, token, dd,
+         |     CASE WHEN dd <= 1 THEN '[R]' WHEN dd = 2 THEN '[X]' ELSE '[S]' END AS denoiser,
+         |     CASE WHEN dd = 3 THEN j >= h % n
+         |          ELSE (j % bs) >= (h + (j // bs)) % 8
+         |           AND (j % bs) < (h + (j // bs)) % 8 + (CASE WHEN dd = 2 THEN 6 ELSE 1 END) + ((h // 7) + (j // bs)) % 3 END AS corr,
+         |     CASE WHEN dd = 3 THEN j = h % n ELSE (j % bs) = (h + (j // bs)) % 8 END AS strt
+         |   FROM f),
+         | g AS (SELECT doc_id, denoiser, j, token, corr, strt,
+         |     sum(CASE WHEN strt THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY j ROWS UNBOUNDED PRECEDING) - 1 AS k
+         |   FROM f2),
+         | md AS (SELECT doc_id, denoiser, 'input' AS stream, 1::INT AS pos, denoiser AS token FROM g WHERE j = 0),
+         | inp AS (SELECT doc_id, denoiser, 'input' AS stream,
+         |     (row_number() OVER (PARTITION BY doc_id ORDER BY j) + 1)::INT AS pos,
+         |     CASE WHEN strt THEN '<extra_id_' || k::VARCHAR || '>' ELSE token END AS token
+         |   FROM g WHERE NOT corr OR strt),
+         | tg0 AS (SELECT doc_id, denoiser, 2 * j AS tkey, '<extra_id_' || k::VARCHAR || '>' AS token FROM g WHERE strt
+         |   UNION ALL SELECT doc_id, denoiser, 2 * j + 1, token FROM g WHERE corr),
+         | tg AS (SELECT doc_id, denoiser, 'target' AS stream,
+         |     (row_number() OVER (PARTITION BY doc_id ORDER BY tkey))::INT AS pos, token FROM tg0)
+         |SELECT doc_id, denoiser, stream, pos, token FROM md
+         |UNION ALL SELECT doc_id, denoiser, stream, pos, token FROM inp
+         |UNION ALL SELECT doc_id, denoiser, stream, pos, token FROM tg
+         |ORDER BY doc_id, stream, pos""".stripMargin,
+
     // FIM mirror: the encode stream per doc as an ordered list, then the
     // PSM reorder under the SAME hash-deterministic selection/splits
     // (h = rolling hash of text; // and % on non-negative int64 agree
@@ -6813,6 +6878,58 @@ object M5Queries {
          |SELECT doc_id, CAST(sum(m * contrib) AS BIGINT) AS lm_q,
          | CAST(sum(m) AS BIGINT) AS n_bigrams
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Kneser-Ney model mirror: the q_lm_score count chain + the two
+    // continuation-count tables + the 1-row NN frame; the discounted
+    // probability as one exact cross-multiplied integer division
+    "q_kn_model" ->
+      s"""WITH d AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),
+         | e AS (SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM d),
+         | uc AS (SELECT tok, count(*) AS c FROM e GROUP BY 1),
+         | vocab AS (SELECT tok FROM uc ORDER BY c DESC, tok LIMIT 16),
+         | m AS (SELECT doc_id, pos,
+         |     CASE WHEN vb.tok IS NULL THEN '<unk>' ELSE e.tok END AS tok_m
+         |   FROM e LEFT JOIN vocab vb ON e.tok = vb.tok),
+         | b AS (SELECT doc_id, tok_m AS u,
+         |     lead(tok_m) OVER (PARTITION BY doc_id ORDER BY pos) AS v FROM m),
+         | bi AS (SELECT doc_id, u, v, count(*) AS m FROM b
+         |   WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+         | cuv AS (SELECT u, v, sum(m) AS c_uv FROM bi GROUP BY 1, 2),
+         | cu AS (SELECT u, sum(m) AS c_u FROM bi GROUP BY 1),
+         | n1u AS (SELECT u, count(*) AS n1_fol FROM cuv GROUP BY 1),
+         | n1v AS (SELECT v, count(*) AS n1_pre FROM cuv GROUP BY 1),
+         | nnf AS (SELECT count(*) AS nn FROM cuv)
+         |SELECT u, v, c_uv::BIGINT AS c_uv, c_u::BIGINT AS c_u,
+         | n1_fol::BIGINT AS n1_fol, n1_pre::BIGINT AS n1_pre, nn::BIGINT AS nn,
+         | ((10000 * ((4 * c_uv - 3) * nn + 3 * n1_fol * n1_pre)) // (4 * c_u * nn))::BIGINT AS kn_q
+         |FROM cuv JOIN cu USING (u) JOIN n1u USING (u) JOIN n1v USING (v) CROSS JOIN nnf
+         |ORDER BY u, v""".stripMargin,
+
+    // Kneser-Ney scorer mirror: the model chain joined back to the
+    // doc-keyed bigram instances (in-corpus ⇒ inner join, no backoff)
+    "q_kn_score" ->
+      s"""WITH d AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),
+         | e AS (SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM d),
+         | uc AS (SELECT tok, count(*) AS c FROM e GROUP BY 1),
+         | vocab AS (SELECT tok FROM uc ORDER BY c DESC, tok LIMIT 16),
+         | m AS (SELECT doc_id, pos,
+         |     CASE WHEN vb.tok IS NULL THEN '<unk>' ELSE e.tok END AS tok_m
+         |   FROM e LEFT JOIN vocab vb ON e.tok = vb.tok),
+         | b AS (SELECT doc_id, tok_m AS u,
+         |     lead(tok_m) OVER (PARTITION BY doc_id ORDER BY pos) AS v FROM m),
+         | bi AS (SELECT doc_id, u, v, count(*) AS m FROM b
+         |   WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+         | cuv AS (SELECT u, v, sum(m) AS c_uv FROM bi GROUP BY 1, 2),
+         | cu AS (SELECT u, sum(m) AS c_u FROM bi GROUP BY 1),
+         | n1u AS (SELECT u, count(*) AS n1_fol FROM cuv GROUP BY 1),
+         | n1v AS (SELECT v, count(*) AS n1_pre FROM cuv GROUP BY 1),
+         | nnf AS (SELECT count(*) AS nn FROM cuv),
+         | model AS (SELECT u, v,
+         |     (10000 * ((4 * c_uv - 3) * nn + 3 * n1_fol * n1_pre)) // (4 * c_u * nn) AS kn_q
+         |   FROM cuv JOIN cu USING (u) JOIN n1u USING (u) JOIN n1v USING (v) CROSS JOIN nnf)
+         |SELECT doc_id, CAST(sum(m * kn_q) AS BIGINT) AS kn_q_sum,
+         | CAST(sum(m) AS BIGINT) AS n_bigrams
+         |FROM bi JOIN model USING (u, v) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // perplexity-bucket mirror: the q_lm_score chain left-joined back
     // to every document at 0, per-lang tercile VALUE boundaries by the

@@ -532,6 +532,107 @@ object Bpe {
     input.unionByName(target)
   }
 
+  /** UL2 MIXTURE-OF-DENOISERS (Tay et al., arXiv:2205.05131 §3.1 — the
+    * R/S/X denoiser mixture that unifies span corruption and prefix-LM
+    * pretraining; [[spanCorruption]]'s generalization): each document
+    * draws ONE denoiser hash-deterministically — `d = h % 4` with
+    * `h = rolling_hash(text)` — weighted toward the regular denoiser
+    * (0,1 → R, 2 → X, 3 → S, the paper's mixture leans on R), is
+    * corrupted under that denoiser's parameters, and its input stream
+    * leads with the paradigm token (`[R]`/`[X]`/`[S]` at pos 1 — the
+    * paper's mode prompt, which the fine-tuned model is conditioned
+    * on):
+    *
+    *  - '''R (regular)''': exactly [[spanCorruption]]'s arithmetic —
+    *    10-token blocks, span start `s = (h + b) % 8`, length
+    *    `1 + (h div 7 + b) % 3` (T5's ~15–20% density at mean 2);
+    *  - '''X (extreme)''': 16-token blocks, span lengths 6–8 via
+    *    `6 + (h div 7 + b) % 3`, same start draw (`s + len ≤ 15 < 16`
+    *    — spans never cross blocks): ≈ 44% corruption, the paper's
+    *    long-span/high-rate regime;
+    *  - '''S (sequential)''': prefix-LM as the degenerate one-span
+    *    corruption — pivot `p = h % n` over the n-token stream, the
+    *    suffix `[p, n)` hidden behind the single sentinel
+    *    `<extra_id_0>`; the target is the sentinel + suffix.
+    *
+    * The paper's random draws are replaced by hash-determinism (the
+    * [[fimTransform]] discipline — reproducible under re-partitioning
+    * and re-runs).
+    *
+    * Output: (doc_id, denoiser, stream, pos, token),
+    * `stream ∈ {input, target}`, `pos` dense 1-based per (doc, stream)
+    * with the paradigm token always at input pos 1; documents with no
+    * tokens emit nothing; an R/X document whose short stream dodges
+    * every span draw emits its unchanged stream (after the paradigm
+    * token) as `input` and an empty `target` — S documents always
+    * corrupt (`p ≤ n − 1`).
+    *
+    * Plan shape: [[spanCorruption]]'s exactly — the denoiser draw,
+    * block flags and pivot are narrow arithmetic on the encoded
+    * stream; the per-doc token count `n` (the S pivot's modulus), the
+    * sentinel ordinals and both streams' dense positions are window
+    * functions over ONE `doc_id`-keyed exchange (per-doc groups —
+    * millions of small partitions at scale); the flagged frame is a
+    * [[SharedBranch]] feeding the paradigm-row, input and target
+    * projections.
+    */
+  def ul2Denoisers(docs: DataFrame, merges: Seq[(String, String)],
+      sentinelPrefix: String = "<extra_id_"): DataFrame = {
+    val enc = encodeTokens(docs, merges)
+    val hashes = docs.select(col("doc_id"),
+      coalesce(TextFunctions.rollingHash(col("text")), lit(0L)).as("h"))
+    val wAll = Window.partitionBy(col("doc_id"))
+    val flagged0 = enc.join(hashes, Seq("doc_id"))
+      .withColumn("j", col("pos").cast("long") - 1)
+      .withColumn("d", expr("h % 4"))
+      .withColumn("denoiser",
+        when(col("d") <= 1, lit("[R]"))
+          .when(col("d") === 2, lit("[X]")).otherwise(lit("[S]")))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("bs", when(col("d") === 2, lit(16L)).otherwise(lit(10L)))
+      .withColumn("b", expr("j div bs"))
+      .withColumn("off", expr("j % bs"))
+      .withColumn("s", expr("(h + b) % 8"))
+      .withColumn("ln",
+        when(col("d") === 2, lit(6L)).otherwise(lit(1L))
+          + expr("((h div 7) + b) % 3"))
+      .withColumn("p", expr("h % n"))
+      .withColumn("corr",
+        when(col("d") === 3, col("j") >= col("p"))
+          .otherwise(col("off") >= col("s") && col("off") < col("s") + col("ln")))
+      .withColumn("start",
+        when(col("d") === 3, col("j") === col("p"))
+          .otherwise(col("off") === col("s")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("j"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = SharedBranch.sharedBranch(flagged0
+      .withColumn("k", sum(col("start").cast("long")).over(w) - 1))
+    val sentinel = concat(lit(sentinelPrefix), col("k"), lit(">"))
+    val wIn = Window.partitionBy(col("doc_id")).orderBy(col("j"))
+    // the paradigm token: one row per non-empty doc at input pos 1
+    val modeRows = flagged.filter(col("j") === 0)
+      .select(col("doc_id"), col("denoiser"), lit("input").as("stream"),
+        lit(1).as("pos"), col("denoiser").as("token"))
+    val input = flagged.filter(!col("corr") || col("start"))
+      .select(col("doc_id"), col("denoiser"), lit("input").as("stream"),
+        (row_number().over(wIn) + 1).as("pos"),
+        when(col("start"), sentinel).otherwise(col("token")).as("token"))
+    val wTg = Window.partitionBy(col("doc_id")).orderBy(col("tkey"))
+    val target = flagged.filter(col("corr"))
+      .select(col("doc_id"), col("denoiser"), col("j"), col("k"),
+        col("token"), col("start"))
+      .withColumn("rows", when(col("start"),
+          array(struct((col("j") * 2).as("tkey"), sentinel.as("tok")),
+            struct((col("j") * 2 + 1).as("tkey"), col("token").as("tok"))))
+        .otherwise(array(struct((col("j") * 2 + 1).as("tkey"), col("token").as("tok")))))
+      .select(col("doc_id"), col("denoiser"), explode(col("rows")).as("r"))
+      .select(col("doc_id"), col("denoiser"), col("r.tkey").as("tkey"),
+        col("r.tok").as("token"))
+      .select(col("doc_id"), col("denoiser"), lit("target").as("stream"),
+        row_number().over(wTg).as("pos"), col("token"))
+    modeRows.unionByName(input).unionByName(target)
+  }
+
   /** BERT-STYLE MLM MASKING (Devlin et al., NAACL 2019 §3.1 — the
     * masked-language-model objective's data prep; [[fimTransform]] /
     * [[spanCorruption]]'s sibling): select ~15% of token positions; of

@@ -422,6 +422,94 @@ object LanguageModel {
       .drop("_m")
   }
 
+  /** Interpolated KNESER-NEY bigram model table (Kneser & Ney, ICASSP
+    * 1995; the interpolated form of Chen & Goodman, Harvard TR-10-98
+    * §2.7 — the benchmark-standard n-gram smoothing, built here next to
+    * [[stupidBackoffQuantized]] as the discounting member of the LM
+    * family): per seen bigram type `(u, v)` over the vocabulary-mapped
+    * word stream,
+    *
+    * {{{ P(v|u) = (c(u,v) − D)/c(u) + D·N1+(u·)/c(u) · N1+(·v)/N1+(··) }}}
+    *
+    * with absolute discount `D = 3/4` (Chen & Goodman's ballpark-optimal
+    * constant, spelled as the rational 3/4 so the arithmetic stays
+    * integer-exact): the continuation probability `N1+(·v)/N1+(··)` —
+    * how many DISTINCT contexts `v` completes, not how often — is KN's
+    * defining correction (the "San Francisco" effect: a frequent word
+    * glued to one context gets a small continuation weight).
+    *
+    * Trained on the full corpus (the [[bigramLmQuantized]] in-corpus
+    * convention), so every scored bigram has `c(u,v) ≥ 1` and
+    * `c(u) ≥ 1` — no zero branch anywhere. Cross-multiplied to the
+    * exact integer quotient
+    *
+    * {{{ kn_q = (scale·((4·c_uv − 3)·NN + 3·N1fol·N1pre)) div (4·c_u·NN) }}}
+    *
+    * (`NN = N1+(··)` = distinct-bigram count) — int64 `·`/`div`/`+` on
+    * positive operands, bit-identical in any engine.
+    *
+    * Output: (u, v, c_uv, c_u, n1_fol, n1_pre, nn, kn_q), one row per
+    * seen bigram type — the MODEL table ([[kneserNeyQuantized]] is the
+    * per-document scorer over it).
+    *
+    * Plan shape: the [[lmStats]] pass (one doc-keyed adjacency window +
+    * hash-agg count tables) + the two continuation tables (group-bys of
+    * the bigram-type table — ≤ vocab+1 rows each, broadcast) + the
+    * 1-row `NN` frame (broadcast, carrying the LOUD int64 envelope
+    * guard: `scale·4·Σc_uv·NN` is the widest product, asserted via
+    * division so the guard itself cannot wrap — the [[Importance]]
+    * discipline, riding the CONSUMED `nn` value). The bigram-type join
+    * is keyed (u, v); AQE picks broadcast when the model fits.
+    */
+  def kneserNeyModel(docs: DataFrame, maxVocab: Int = 1024,
+      scale: Long = 10000L): DataFrame =
+    knModelOf(lmStats(docs, maxVocab), maxVocab, scale)
+
+  private def knModelOf(
+      stats: (DataFrame, DataFrame, DataFrame, DataFrame),
+      maxVocab: Int, scale: Long): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val (_, cuv0, cu, _) = stats
+    val cuv = SharedBranch.sharedBranch(cuv0)
+    val n1u = cuv.groupBy(col("u")).agg(count(lit(1)).as("n1_fol"))
+    val n1v = cuv.groupBy(col("v")).agg(count(lit(1)).as("n1_pre"))
+    // n1_fol, n1_pre ≤ vsz ≤ maxVocab+1 (compile-time), so the widest
+    // product is scale·(4·ntot·nn + 3·(maxVocab+1)²); assert by
+    // division so the guard never wraps
+    val vszBound = (maxVocab + 1).toLong
+    val bound = Long.MaxValue / (4L * scale) - 3L * vszBound * vszBound
+    val nn = cuv.agg(count(lit(1)).as("nn0"), sum(col("c_uv")).as("ntot"))
+      .select(expr(s"nn0 + coalesce(assert_true(nn0 = 0 OR ntot <= $bound div nn0," +
+        s" 'kneserNey int64 envelope: scale*(4*ntot*nn + 3*vsz^2) must fit int64'), 0)")
+        .as("nn"))
+    cuv.join(cu, Seq("u"))
+      .join(broadcast(n1u), Seq("u"))
+      .join(broadcast(n1v), Seq("v"))
+      .crossJoin(broadcast(nn))
+      .select(col("u"), col("v"), col("c_uv"), col("c_u"),
+        col("n1_fol"), col("n1_pre"), col("nn"),
+        expr(s"($scale * ((4 * c_uv - 3) * nn + 3 * n1_fol * n1_pre))" +
+          s" div (4 * c_u * nn)").as("kn_q"))
+  }
+
+  /** Per-document KNESER-NEY score over [[kneserNeyModel]]: `kn_q_sum =
+    * Σ m·kn_q` and `n_bigrams = Σ m` over the document's bigram
+    * instances — the discounted sibling of [[bigramLmQuantized]]'s
+    * add-one score, one row per document with ≥ 2 tokens. In-corpus
+    * training means every instance hits the model (inner join, no
+    * backoff branch). Plan: the model build + one (u, v)-keyed join of
+    * the doc-keyed bigram-instance table + the doc-keyed sum.
+    */
+  def kneserNeyQuantized(docs: DataFrame, maxVocab: Int = 1024,
+      scale: Long = 10000L): DataFrame = {
+    val stats = lmStats(docs, maxVocab)
+    val model = knModelOf(stats, maxVocab, scale)
+    stats._1.join(model.select(col("u"), col("v"), col("kn_q")), Seq("u", "v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m") * col("kn_q")).as("kn_q_sum"),
+        sum(col("m")).as("n_bigrams"))
+  }
+
   /** Production LM score: mean `ln P(v|u)` per bigram
     * (`P = (c_uv+1)/(c_u+vsz)`) and perplexity `exp(−mean)`. Same join
     * shape as the quantized twin; double scores are NOT cross-engine

@@ -341,6 +341,78 @@ class BpeSpec extends AnyFunSuite {
     assert(out.sortBy(r => (r._1, r._2, r._3)) == out2.sortBy(r => (r._1, r._2, r._3)))
   }
 
+  test("ul2Denoisers: per-doc R/X/S draw matches the hash; paradigm token leads; splice reconstructs; S is prefix-LM") {
+    val docs = (texts :+ "" :+ "one two three four five six seven eight nine ten eleven twelve" :+
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.mergePairs(Bpe.trainMerges(docs, 4))
+    val enc = Bpe.encodeTokens(docs, merges)
+      .as[(Long, Int, String)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val hs = docs.select($"doc_id",
+        coalesce(graft.functions.TextFunctions.rollingHash($"text"), lit(0L)))
+      .as[(Long, Long)].collect().toMap
+    val out = Bpe.ul2Denoisers(docs, merges)
+      .as[(Long, String, String, Int, String)].collect().toSeq
+    val Sent = """<extra_id_(\d+)>""".r
+    // the fixture must exercise all three denoisers or the test is vacuous
+    assert(out.map(_._2).distinct.toSet == Set("[R]", "[X]", "[S]"))
+    out.map(_._1).distinct.foreach { id =>
+      val mode = out.filter(_._1 == id).map(_._2).distinct
+      assert(mode.size == 1)
+      val d = hs(id) % 4
+      val expectMode = if (d <= 1) "[R]" else if (d == 2) "[X]" else "[S]"
+      assert(mode.head == expectMode, s"doc $id denoiser")
+      val input = out.filter(r => r._1 == id && r._3 == "input").sortBy(_._4).map(_._5)
+      val target = out.filter(r => r._1 == id && r._3 == "target").sortBy(_._4).map(_._5)
+      // the paradigm token is input pos 1, exactly once
+      assert(input.head == expectMode, s"doc $id paradigm lead")
+      assert(input.count(t => Set("[R]", "[X]", "[S]")(t)) == 1, s"doc $id paradigm once")
+      val body = input.tail
+      val spans = scala.collection.mutable.Map.empty[Int, Vector[String]]
+      var cur = -1
+      target.foreach {
+        case Sent(k) => cur = k.toInt; spans(cur) = Vector.empty
+        case t => assert(cur >= 0, s"doc $id: target token before sentinel")
+          spans(cur) = spans(cur) :+ t
+      }
+      val inSents = body.collect { case Sent(k) => k.toInt }
+      assert(inSents == inSents.indices.toSeq, s"doc $id input sentinels")
+      assert(spans.keys.toSeq.sorted == inSents, s"doc $id sentinel sets")
+      val rebuilt = body.flatMap {
+        case Sent(k) => spans(k.toInt)
+        case t => Seq(t)
+      }
+      assert(rebuilt == enc.getOrElse(id, Seq.empty), s"doc $id reconstruction")
+      expectMode match {
+        case "[S]" =>
+          // prefix-LM: exactly one sentinel at the pivot, suffix hidden
+          val n = enc(id).size.toLong
+          val p = (hs(id) % n).toInt
+          assert(inSents == Seq(0), s"doc $id S sentinel count")
+          assert(body == enc(id).take(p) :+ "<extra_id_0>", s"doc $id S input")
+          assert(spans(0) == enc(id).drop(p).toVector, s"doc $id S target")
+        case "[X]" =>
+          // extreme spans are 6-8 tokens; only the stream-trailing one
+          // can be truncated by stream end (spans never cross blocks)
+          val ordered = spans.toSeq.sortBy(_._1).map(_._2)
+          ordered.dropRight(1).foreach(sp =>
+            assert(sp.size >= 6 && sp.size <= 8, s"doc $id X span size"))
+          ordered.lastOption.foreach(sp =>
+            assert(sp.size >= 1 && sp.size <= 8, s"doc $id X last span"))
+        case _ =>
+          spans.values.foreach(sp =>
+            assert(sp.size >= 1 && sp.size <= 3, s"doc $id R span size"))
+      }
+    }
+    // the empty doc emits nothing
+    assert(!out.exists(_._1 == texts.size.toLong))
+    // partitioning-invariant
+    val out2 = Bpe.ul2Denoisers(docs.repartition(7), merges)
+      .as[(Long, String, String, Int, String)].collect().toSeq
+    assert(out.sortBy(r => (r._1, r._3, r._4)) == out2.sortBy(r => (r._1, r._3, r._4)))
+  }
+
   test("oovReport: absent-token counts per doc; tokenless docs keep an all-zero row") {
     val scored = Seq((1L, 1, "a"), (1L, 2, "q"), (1L, 3, "q"),
       (3L, 1, "b")).toDF("doc_id", "pos", "token")

@@ -50,6 +50,56 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("kneserNey: model matches a hand-rolled reference; scorer sums it per doc") {
+    // bigram types: (a,b) c=3, (b,a) c=1, (b,c) c=1, (c,a) c=1; NN=4
+    // c_u: a=3 b=2 c=1; N1+(u.): a=1 b=2 c=1; N1+(.v): b=1 a=2 c=1
+    // kn_q = (10000*((4c-3)*NN + 3*n1_fol*n1_pre)) div (4*c_u*NN):
+    //  (a,b) = 390000 div 48 = 8125  <=> 0.75   + 0.75*(1/3)*(1/4)
+    //  (b,a) = 160000 div 32 = 5000  <=> 0.125  + 0.75*(2/2)*(2/4)
+    //  (b,c) = 100000 div 32 = 3125  <=> 0.125  + 0.75*(2/2)*(1/4)
+    //  (c,a) = 100000 div 16 = 6250  <=> 0.25   + 0.75*(1/1)*(2/4)
+    val model = LanguageModel.kneserNeyModel(tiny, maxVocab = 100)
+      .orderBy($"u", $"v")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(model == Seq(
+      ("a", "b", 3L, 3L, 1L, 1L, 4L, 8125L),
+      ("b", "a", 1L, 2L, 2L, 2L, 4L, 5000L),
+      ("b", "c", 1L, 2L, 2L, 1L, 4L, 3125L),
+      ("c", "a", 1L, 1L, 1L, 2L, 4L, 6250L)))
+    val got = LanguageModel.kneserNeyQuantized(tiny, maxVocab = 100)
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2 * 8125L + 5000L, 3L), (2L, 8125L + 3125L, 2L),
+      (3L, 6250L, 1L)))
+  }
+
+  test("kneserNey: the continuation correction ranks versatile words over glued ones") {
+    // f occurs 3x but ONLY after p; g occurs 2x after two distinct
+    // contexts — the "San Francisco" effect: n1_pre(g) > n1_pre(f)
+    // despite c(.f) > c(.g)
+    val docs = Seq((1L, "p f p f p f"), (2L, "q g r g"))
+      .toDF("doc_id", "text")
+    val model = LanguageModel.kneserNeyModel(docs, maxVocab = 100)
+      .select($"v", $"n1_pre").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(model("f") == 1L && model("g") == 2L)
+  }
+
+  test("kneserNey: scorer skips sub-2-token docs; integer path partitioning-invariant") {
+    val d = Seq((1L, "a b"), (2L, "solo"), (3L, ""), (4L, "a b a c"))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.kneserNeyQuantized(d, maxVocab = 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 4L))
+    val a = LanguageModel.kneserNeyModel(tiny, maxVocab = 2)
+      .orderBy($"u", $"v")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val b = LanguageModel.kneserNeyModel(tiny.repartition(7), maxVocab = 2)
+      .orderBy($"u", $"v")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   // train half = doc 0 "a b c a b c": c3 (a,b,c)=2 (b,c,a)=1 (c,a,b)=1;
   // c2 (a,b)=2 (b,c)=2 (c,a)=1; c1 a=2 b=2 c=2, N=6; vocab {a,b,c}
   def sbCorpus = Seq(
