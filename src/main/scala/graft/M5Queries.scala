@@ -1997,6 +1997,21 @@ object M5Queries {
         .orderBy(col("doc_id"), col("stream"), col("pos"))
     }),
 
+    // ---- tokenizer: BPE-dropout (Provilkov et al., ACL 2020) — the
+    // encode step with merges hash-deterministically skipped per
+    // (word, merge-rank, epoch); two epochs emitted so the across-epoch
+    // segmentation diversity (the regularizer's point) is IN the gate
+    "q_bpe_dropout" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val merges = operators.Bpe.mergePairs(
+        operators.Bpe.trainMerges(docs, frag.bpeMerges))
+      val e0 = operators.Bpe.encodeTokensDropout(docs, merges,
+        dropMod = 10, epoch = 0).withColumn("epoch", lit(0))
+      val e1 = operators.Bpe.encodeTokensDropout(docs, merges,
+        dropMod = 10, epoch = 1).withColumn("epoch", lit(1))
+      e0.unionByName(e1).orderBy(col("doc_id"), col("epoch"), col("pos"))
+    }),
+
     // ---- tokenizer: UL2 mixture-of-denoisers (Tay et al.,
     // arXiv:2205.05131) — per-doc hash-deterministic R/X/S denoiser
     // draw, paradigm token at input pos 1; R = the q_span_corruption
@@ -3536,6 +3551,30 @@ object M5Queries {
       * threaded into the Spark queries and both oracle strings.
       */
     val bpeMerges = 8
+
+    /** BPE-dropout oracle chain ([[graft.operators.Bpe.encodeTokensDropout]]
+      * mirror): the [[bpeEncodeCtes]] apply stages with `word` CARRIED
+      * through every stage and each fold wrapped in the
+      * hash-deterministic skip — stage `s` of epoch `ep` keeps `syms`
+      * unchanged iff `rolling(word:s:ep) % dropMod = 0`; one chain per
+      * epoch, unioned as `flatd` with an `epoch` column.
+      */
+    def bpeDropoutCtes(dropMod: Int, epochs: Seq[Int]): String = {
+      val chains = epochs.map { ep =>
+        val stages = (0 until bpeMerges).map { s =>
+          s"de${ep}_${s + 1} AS (SELECT doc_id, wi, word, CASE WHEN ${rolling(s"word || ':$s:$ep'")} % $dropMod = 0 THEN syms ELSE ${bpeFold(s"m$s")} END AS syms FROM de${ep}_$s, m$s)"
+        }.mkString(",\n ")
+        s"""de${ep}_0 AS (SELECT doc_id, wi, word, string_split_regex(word, '') AS syms FROM (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS wi FROM d)),
+           | $stages""".stripMargin
+      }.mkString(",\n ")
+      val unions = epochs.map(ep =>
+        s"SELECT doc_id, $ep AS epoch, wi, si, sym FROM (SELECT doc_id, wi, unnest(syms) AS sym, generate_subscripts(syms, 1) AS si FROM de${ep}_$bpeMerges)")
+        .mkString(" UNION ALL ")
+      s"""${bpeCtes(bpeMerges, byteLevel = false, src = "documents")},
+         | d AS (SELECT doc_id, $toks w FROM documents),
+         | $chains,
+         | flatd AS ($unions)""".stripMargin
+    }
 
     /** Batched-BPE training config — ONE constant set threaded into the
       * Spark query and the oracle (the hopUs discipline). Unit = word
@@ -5241,6 +5280,15 @@ object M5Queries {
          |SELECT doc_id, stream, pos, token FROM inp
          |UNION ALL SELECT doc_id, stream, pos, token FROM tg
          |ORDER BY doc_id, stream, pos""".stripMargin,
+
+    // BPE-dropout mirror: the encode chain with word carried through
+    // the stages and each fold wrapped in the hash skip (see
+    // frag.bpeDropoutCtes); per-(doc, epoch) dense positions
+    "q_bpe_dropout" ->
+      s"""WITH ${frag.bpeDropoutCtes(10, Seq(0, 1))}
+         |SELECT doc_id, (row_number() OVER (PARTITION BY doc_id, epoch ORDER BY wi, si))::INT AS pos,
+         | sym AS token, epoch::INT AS epoch
+         |FROM flatd ORDER BY doc_id, epoch, pos""".stripMargin,
 
     // UL2 mirror: the span-corruption CTE chain with the per-doc
     // denoiser draw (h % 4), CASE-selected block/span parameters, the

@@ -87,7 +87,8 @@ case class BpeSegmentStats(child: Expression, merges: Seq[(String, String)],
   * re-concatenated.
   */
 case class BpeEncode(child: Expression, merges: Seq[(String, String)],
-    byteLevel: Boolean = false, pretok: Boolean = false)
+    byteLevel: Boolean = false, pretok: Boolean = false,
+    dropMod: Int = 0, epoch: Int = 0)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -97,13 +98,14 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)],
   private lazy val rights: Array[String] = merges.map(_._2).toArray
 
   override protected def nullSafeEval(input: Any): Any =
-    BpeSegmentStats.computeTokens(input.toString, lefts, rights, byteLevel, pretok)
+    BpeSegmentStats.computeTokens(input.toString, lefts, rights, byteLevel,
+      pretok, dropMod, epoch)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lRef = ctx.addReferenceObj("lefts", lefts, "java.lang.String[]")
     val rRef = ctx.addReferenceObj("rights", rights, "java.lang.String[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.BpeSegmentStats.computeTokens($c.toString(), $lRef, $rRef, $byteLevel, $pretok);")
+      s"${ev.value} = graft.functions.BpeSegmentStats.computeTokens($c.toString(), $lRef, $rRef, $byteLevel, $pretok, $dropMod, $epoch);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -132,7 +134,8 @@ object BpeSegmentStats {
     * per raw BYTE.
     */
   private def wordSyms(rawWord: String, lefts: Array[String],
-      rights: Array[String], byteLevel: Boolean): mutable.ArrayBuffer[String] = {
+      rights: Array[String], byteLevel: Boolean,
+      dropMod: Int = 0, epoch: Int = 0): mutable.ArrayBuffer[String] = {
     val word = if (byteLevel) ByteUnitsOps.encodeString(rawWord) else rawWord
     var syms = mutable.ArrayBuffer.empty[String]
     var i = 0
@@ -144,17 +147,27 @@ object BpeSegmentStats {
     }
     var m = 0
     while (m < lefts.length && syms.length > 1) {
-      val l = lefts(m)
-      val r = rights(m)
-      val out = mutable.ArrayBuffer.empty[String]
-      var j = 0
-      while (j < syms.length) {
-        val s = syms(j)
-        if (out.nonEmpty && out.last == l && s == r) out(out.length - 1) = l + r
-        else out += s
-        j += 1
+      // BPE-dropout (Provilkov et al., ACL 2020), hash-deterministic at
+      // the (word, merge-rank, epoch) granularity: merge rank m is
+      // skipped for this word iff rolling_hash(word:m:epoch) % dropMod
+      // hits 0 — the RAW tokenized word keys the draw, so both engines
+      // and every occurrence of the word agree within an epoch while
+      // epochs re-draw (the regularization the paper wants)
+      val dropped = dropMod > 0 &&
+        RollingHash.compute(rawWord + ":" + m + ":" + epoch) % dropMod == 0
+      if (!dropped) {
+        val l = lefts(m)
+        val r = rights(m)
+        val out = mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          val s = syms(j)
+          if (out.nonEmpty && out.last == l && s == r) out(out.length - 1) = l + r
+          else out += s
+          j += 1
+        }
+        syms = out
       }
-      syms = out
       m += 1
     }
     syms
@@ -194,12 +207,12 @@ object BpeSegmentStats {
     */
   def computeTokens(input: String, lefts: Array[String],
       rights: Array[String], byteLevel: Boolean,
-      pretok: Boolean): GenericArrayData = {
+      pretok: Boolean, dropMod: Int = 0, epoch: Int = 0): GenericArrayData = {
     val out = mutable.ArrayBuffer.empty[Any]
     if (pretok) {
       val m = Gpt2Pat.matcher(input)
       while (m.find())
-        wordSyms(m.group(), lefts, rights, byteLevel).foreach { s =>
+        wordSyms(m.group(), lefts, rights, byteLevel, dropMod, epoch).foreach { s =>
           out += org.apache.spark.unsafe.types.UTF8String.fromString(s)
         }
     } else {
@@ -211,7 +224,8 @@ object BpeSegmentStats {
         val start = i
         while (i < len && !isWs(text.charAt(i))) i += 1
         if (i > start)
-          wordSyms(text.substring(start, i), lefts, rights, byteLevel).foreach { s =>
+          wordSyms(text.substring(start, i), lefts, rights, byteLevel,
+            dropMod, epoch).foreach { s =>
             out += org.apache.spark.unsafe.types.UTF8String.fromString(s)
           }
       }

@@ -460,6 +460,36 @@ object Bpe {
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"), col("fim"))
   }
 
+  /** BPE-DROPOUT (Provilkov, Emelianenko & Voita, ACL 2020 — subword
+    * regularization for BPE: randomly skipping merges at apply time
+    * exposes the model to multiple segmentations of the same word,
+    * which the paper shows improves translation robustness): the
+    * [[encodeTokens]] emit step with merge rank `m` SKIPPED for a word
+    * iff `rolling_hash(word:m:epoch) % dropMod == 0` — the paper's
+    * per-merge-operation coin made hash-deterministic (the
+    * [[fimTransform]] discipline) at the (word, merge-rank, epoch)
+    * granularity: every occurrence of a word segments identically
+    * within an epoch (reproducible under re-partitioning and re-runs),
+    * while the `epoch` key re-draws the coins — the across-epochs
+    * segmentation diversity the regularizer exists for.
+    * `dropMod = 10` is the paper's recommended p = 0.1.
+    *
+    * Same (doc_id, pos, token) contract and ENTIRELY NARROW plan as
+    * [[encodeTokens]] (one reference-object expression per row);
+    * dropping merges never changes the concatenated character stream —
+    * only the cut points (BpeSpec pins conservation).
+    */
+  def encodeTokensDropout(docs: DataFrame, merges: Seq[(String, String)],
+      dropMod: Int = 10, epoch: Int = 0, byteLevel: Boolean = false,
+      pretok: Boolean = false): DataFrame = {
+    require(dropMod >= 2, s"dropMod must be >= 2 (1 would drop every merge), got $dropMod")
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    val enc = toColumn(graft.functions.BpeEncode(toExpression(col("text")),
+      merges, byteLevel, pretok, dropMod, epoch))
+    docs.select(col("doc_id"), posexplode(enc).as(Seq("pos0", "token")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
+  }
+
   /** T5-STYLE SPAN CORRUPTION (Raffel et al., JMLR 2020 §3.1.4 — the
     * denoising pretraining objective's data prep; [[fimTransform]]'s
     * sibling): mask contiguous token spans with numbered sentinels,

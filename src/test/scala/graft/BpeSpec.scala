@@ -341,6 +341,65 @@ class BpeSpec extends AnyFunSuite {
     assert(out.sortBy(r => (r._1, r._2, r._3)) == out2.sortBy(r => (r._1, r._2, r._3)))
   }
 
+  test("encodeTokensDropout: skip rule replays by hand; chars conserved; epochs re-draw; deterministic") {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.mergePairs(Bpe.trainMerges(docs, 8))
+    // independent replay of the skip rule on single-word docs: the
+    // doc's token stream IS the word's segmentation
+    val words = docs.select(explode(graft.functions.TextFunctions.tokens($"text")))
+      .distinct().as[String].collect().toSeq.sorted
+    val wdocs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    def replay(word: String, epoch: Int): Seq[String] = {
+      var syms = word.map(_.toString).toVector
+      merges.zipWithIndex.foreach { case ((l, r), m) =>
+        val dropped =
+          graft.functions.RollingHash.compute(s"$word:$m:$epoch") % 10 == 0
+        if (!dropped && syms.length > 1) {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { s =>
+            if (out.nonEmpty && out.last == l && s == r) out(out.length - 1) = l + r
+            else out += s
+          }
+          syms = out.toVector
+        }
+      }
+      syms
+    }
+    Seq(0, 1).foreach { ep =>
+      val got = Bpe.encodeTokensDropout(wdocs, merges, dropMod = 10, epoch = ep)
+        .as[(Long, Int, String)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+      words.zipWithIndex.foreach { case (w, i) =>
+        assert(got(i.toLong) == replay(w, ep), s"word '$w' epoch $ep")
+      }
+    }
+    // conservation: dropping merges moves cut points, never characters
+    val full = Bpe.encodeTokens(docs, merges)
+      .as[(Long, Int, String)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).mkString).toMap
+    val dropped = Bpe.encodeTokensDropout(docs, merges, dropMod = 10, epoch = 0)
+      .as[(Long, Int, String)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).mkString).toMap
+    assert(full == dropped)
+    // the fixture's coins must BIND: some word segments differently
+    // with dropout, and the two epochs differ somewhere
+    val d0 = Bpe.encodeTokensDropout(docs, merges, dropMod = 10, epoch = 0)
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    val d1 = Bpe.encodeTokensDropout(docs, merges, dropMod = 10, epoch = 1)
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    val base = Bpe.encodeTokens(docs, merges)
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    assert(d0 != base || d1 != base, "dropout never fired — vacuous fixture")
+    assert(d0 != d1, "epochs identical — the re-draw is vacuous")
+    // partitioning-invariant (narrow projection, but pin it anyway)
+    val d0r = Bpe.encodeTokensDropout(docs.repartition(5), merges,
+        dropMod = 10, epoch = 0)
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    assert(d0 == d0r)
+  }
+
   test("ul2Denoisers: per-doc R/X/S draw matches the hash; paradigm token leads; splice reconstructs; S is prefix-LM") {
     val docs = (texts :+ "" :+ "one two three four five six seven eight nine ten eleven twelve" :+
       "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi")
