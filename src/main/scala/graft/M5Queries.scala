@@ -843,6 +843,22 @@ object M5Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- §2.8: UL2 mixture-of-denoisers under STREAMING execution —
+    // per-doc computation over a doc_id-split file source is
+    // batch-local (each doc's single row lives in exactly one file),
+    // so the foreachBatch union over micro-batches equals the batch
+    // run; the merge table is a FROZEN model trained batch-side (the
+    // classifier-face discipline); SAME oracle as the batch gate
+    "q_stream_ul2_denoisers" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val merges = operators.Bpe.mergePairs(
+        operators.Bpe.trainMerges(docs, frag.bpeMerges))
+      graft.streaming.FileStreamHarness.runStateless(s, dir, "documents",
+          identity, keyCol = "doc_id",
+          batchTransform = b => operators.Bpe.ul2Denoisers(b, merges))
+        .orderBy(col("doc_id"), col("stream"), col("pos"))
+    }),
+
     // ---- dedup: exact (hash-group keep-first)
     "q_dedup_exact" -> ((s, dir) =>
       TextDedup.exactDuplicates(TextDedup.documents(s, dir))
@@ -1860,6 +1876,34 @@ object M5Queries {
       LanguageModel.bigramLmQuantized(TextDedup.documents(s, dir),
           maxVocab = 16)
         .orderBy(col("doc_id"))),
+
+    // ---- embeddings: skip-gram training pairs with hash-deterministic
+    // negative sampling (Mikolov et al. 2013 §2.2) — OOV dropped then
+    // compacted (the released word2vec.c contract), both directions
+    // emitted from one lead, negatives drawn uniformly over the
+    // broadcast vocabulary
+    "q_skipgram_pairs" -> ((s, dir) =>
+      operators.Word2Vec.skipGramPairs(TextDedup.documents(s, dir),
+          window = 1, negatives = 1, maxVocab = 8)
+        .orderBy(col("doc_id"), col("p"), col("offset"), col("sample_idx"))),
+
+    // ---- embeddings: GloVe distance-weighted co-occurrence matrix
+    // (Pennington et al. 2014 §3, the released 1/d decay) — weights
+    // exact as lcm-scaled integers, ONE map-side-combinable hash agg;
+    // the vocab²-bounded aggregate IS the 100 TB shape
+    "q_glove_cooc" -> ((s, dir) =>
+      operators.Word2Vec.gloveCooccurrence(TextDedup.documents(s, dir),
+          window = 3, maxVocab = 64)
+        .orderBy(col("center"), col("context"))),
+
+    // ---- embeddings: frequent-word subsampling (Mikolov et al. 2013
+    // §2.3) — the stopword downsampler; the sqrt threshold is per-row
+    // IEEE-754 scalar arithmetic (correctly rounded in any engine, no
+    // float aggregation anywhere), the draw is the rolling-hash coin
+    "q_word_subsample" -> ((s, dir) =>
+      operators.Word2Vec.subsampleFrequent(TextDedup.documents(s, dir),
+          t = 0.01)
+        .orderBy(col("doc_id"), col("pos"))),
 
     // ---- relevance: interpolated Kneser-Ney bigram MODEL table
     // (Kneser & Ney 1995; Chen & Goodman TR-10-98 §2.7) — absolute
@@ -5293,38 +5337,10 @@ object M5Queries {
     // UL2 mirror: the span-corruption CTE chain with the per-doc
     // denoiser draw (h % 4), CASE-selected block/span parameters, the
     // S-denoiser pivot (h % n over the count window), and the paradigm
-    // row at input pos 1 (j = 0 — one row per non-empty doc)
-    "q_ul2_denoisers" ->
-      s"""WITH ${frag.bpeEncodeCtes},
-         | p AS (SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si)) - 1 AS j, sym AS token FROM flat),
-         | hh AS (SELECT doc_id, ${frag.rolling("text")} AS h FROM documents),
-         | f AS (SELECT p.doc_id, j, token, h, h % 4 AS dd,
-         |     count(*) OVER (PARTITION BY p.doc_id) AS n,
-         |     CASE WHEN h % 4 = 2 THEN 16 ELSE 10 END AS bs
-         |   FROM p JOIN hh ON p.doc_id = hh.doc_id),
-         | f2 AS (SELECT doc_id, j, token, dd,
-         |     CASE WHEN dd <= 1 THEN '[R]' WHEN dd = 2 THEN '[X]' ELSE '[S]' END AS denoiser,
-         |     CASE WHEN dd = 3 THEN j >= h % n
-         |          ELSE (j % bs) >= (h + (j // bs)) % 8
-         |           AND (j % bs) < (h + (j // bs)) % 8 + (CASE WHEN dd = 2 THEN 6 ELSE 1 END) + ((h // 7) + (j // bs)) % 3 END AS corr,
-         |     CASE WHEN dd = 3 THEN j = h % n ELSE (j % bs) = (h + (j // bs)) % 8 END AS strt
-         |   FROM f),
-         | g AS (SELECT doc_id, denoiser, j, token, corr, strt,
-         |     sum(CASE WHEN strt THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY j ROWS UNBOUNDED PRECEDING) - 1 AS k
-         |   FROM f2),
-         | md AS (SELECT doc_id, denoiser, 'input' AS stream, 1::INT AS pos, denoiser AS token FROM g WHERE j = 0),
-         | inp AS (SELECT doc_id, denoiser, 'input' AS stream,
-         |     (row_number() OVER (PARTITION BY doc_id ORDER BY j) + 1)::INT AS pos,
-         |     CASE WHEN strt THEN '<extra_id_' || k::VARCHAR || '>' ELSE token END AS token
-         |   FROM g WHERE NOT corr OR strt),
-         | tg0 AS (SELECT doc_id, denoiser, 2 * j AS tkey, '<extra_id_' || k::VARCHAR || '>' AS token FROM g WHERE strt
-         |   UNION ALL SELECT doc_id, denoiser, 2 * j + 1, token FROM g WHERE corr),
-         | tg AS (SELECT doc_id, denoiser, 'target' AS stream,
-         |     (row_number() OVER (PARTITION BY doc_id ORDER BY tkey))::INT AS pos, token FROM tg0)
-         |SELECT doc_id, denoiser, stream, pos, token FROM md
-         |UNION ALL SELECT doc_id, denoiser, stream, pos, token FROM inp
-         |UNION ALL SELECT doc_id, denoiser, stream, pos, token FROM tg
-         |ORDER BY doc_id, stream, pos""".stripMargin,
+    // row at input pos 1 (j = 0 — one row per non-empty doc); shared
+    // with the file-source streaming twin
+    "q_ul2_denoisers" -> ul2Oracle,
+    "q_stream_ul2_denoisers" -> ul2Oracle,
 
     // FIM mirror: the encode stream per doc as an ordered list, then the
     // PSM reorder under the SAME hash-deterministic selection/splits
@@ -6927,6 +6943,67 @@ object M5Queries {
          | CAST(sum(m) AS BIGINT) AS n_bigrams
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // skip-gram mirror: vocab-restricted compacted stream, one lead,
+    // both directions, the uniform negative draw joined back to the
+    // dense-id vocabulary
+    "q_skipgram_pairs" ->
+      s"""WITH d AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),
+         | e AS (SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM d),
+         | uc AS (SELECT tok, count(*) AS n_occ FROM e GROUP BY 1),
+         | vr AS (SELECT tok, row_number() OVER (ORDER BY n_occ DESC, tok) - 1 AS vid
+         |   FROM (SELECT * FROM uc ORDER BY n_occ DESC, tok LIMIT 8)),
+         | vs AS (SELECT count(*) AS vsz FROM vr),
+         | st AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS p, e.tok AS tok
+         |   FROM e JOIN vr ON e.tok = vr.tok),
+         | ld AS (SELECT doc_id, p, tok, lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY p) AS lead_1 FROM st),
+         | pr AS (SELECT doc_id, p, tok, 1 AS o, lead_1 AS other FROM ld WHERE lead_1 IS NOT NULL),
+         | pp AS (SELECT doc_id, p, o AS "offset", tok AS center, other AS context FROM pr
+         |   UNION ALL SELECT doc_id, p + o, -o, other, tok FROM pr),
+         | po AS (SELECT doc_id, p, "offset", 0 AS sample_idx, center, context, 1 AS label FROM pp),
+         | ng AS (SELECT doc_id, p, "offset", 1 AS sample_idx, center,
+         |     ${frag.rolling("""doc_id::VARCHAR || ':' || p::VARCHAR || ':' || "offset"::VARCHAR || ':1'""")} % vsz AS nid
+         |   FROM pp CROSS JOIN vs),
+         | no AS (SELECT doc_id, p, "offset", sample_idx, center, vr.tok AS context, 0 AS label
+         |   FROM ng JOIN vr ON ng.nid = vr.vid)
+         |SELECT doc_id, p, "offset", sample_idx, center, context, label FROM po
+         |UNION ALL SELECT doc_id, p, "offset", sample_idx, center, context, label FROM no
+         |ORDER BY doc_id, p, "offset", sample_idx""".stripMargin,
+
+    // GloVe mirror: compacted stream, three leads, lcm(1..3)=6-scaled
+    // 1/d weights, symmetric union, one aggregation
+    "q_glove_cooc" ->
+      s"""WITH d AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),
+         | e AS (SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM d),
+         | uc AS (SELECT tok, count(*) AS n_occ FROM e GROUP BY 1),
+         | vr AS (SELECT tok FROM uc ORDER BY n_occ DESC, tok LIMIT 64),
+         | st AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS p, e.tok AS tok
+         |   FROM e JOIN vr ON e.tok = vr.tok),
+         | ld AS (SELECT doc_id, p, tok,
+         |     lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY p) AS l1,
+         |     lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY p) AS l2,
+         |     lead(tok, 3) OVER (PARTITION BY doc_id ORDER BY p) AS l3 FROM st),
+         | pr AS (SELECT tok, l1 AS other, 6 AS wgt FROM ld WHERE l1 IS NOT NULL
+         |   UNION ALL SELECT tok, l2, 3 FROM ld WHERE l2 IS NOT NULL
+         |   UNION ALL SELECT tok, l3, 2 FROM ld WHERE l3 IS NOT NULL),
+         | sym AS (SELECT tok AS center, other AS context, wgt FROM pr
+         |   UNION ALL SELECT other, tok, wgt FROM pr)
+         |SELECT center, context, CAST(sum(wgt) AS BIGINT) AS x_scaled, count(*) AS n_pairs
+         |FROM sym GROUP BY 1, 2 ORDER BY center, context""".stripMargin,
+
+    // subsampling mirror: the frequency table joined back + the same
+    // per-row IEEE-754 scalar threshold and rolling-hash coin
+    "q_word_subsample" ->
+      s"""WITH d AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),
+         | e AS (SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM d),
+         | fr AS (SELECT tok, count(*) AS c_tok FROM e GROUP BY 1),
+         | nt AS (SELECT count(*) AS n_tot FROM e)
+         |SELECT doc_id, pos::INT AS pos, tok, c_tok::BIGINT AS c_tok,
+         | least(1048576::BIGINT, floor(sqrt(0.01::DOUBLE * n_tot / c_tok) * 1048576.0)::BIGINT) AS thresh,
+         | (${frag.rolling("doc_id::VARCHAR || ':' || pos::VARCHAR || ':' || tok")} % 1048576) <
+         |   least(1048576::BIGINT, floor(sqrt(0.01::DOUBLE * n_tot / c_tok) * 1048576.0)::BIGINT) AS kept
+         |FROM e JOIN fr USING (tok) CROSS JOIN nt
+         |ORDER BY doc_id, pos""".stripMargin,
+
     // Kneser-Ney model mirror: the q_lm_score count chain + the two
     // continuation-count tables + the 1-row NN frame; the discounted
     // probability as one exact cross-multiplied integer division
@@ -7514,6 +7591,45 @@ object M5Queries {
        |   '${Curation.Ipv4Re}', '<IP>', 'g'),
        |   '${Curation.PhoneRe}', '<PHONE>', 'g') AS redacted
        |FROM injected ORDER BY doc_id""".stripMargin
+
+  /** Shared by the batch UL2 mixture-of-denoisers gate and its
+    * file-source streaming twin (the routeDispatchOracle convention):
+    * the span-corruption CTE chain with the per-doc denoiser draw
+    * (h % 4), CASE-selected block/span parameters, the S-denoiser
+    * pivot (h % n over the count window), and the paradigm row at
+    * input pos 1 (j = 0 — one row per non-empty doc).
+    */
+  private lazy val ul2Oracle: String =
+    s"""WITH ${frag.bpeEncodeCtes},
+       | p AS (SELECT doc_id, (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si)) - 1 AS j, sym AS token FROM flat),
+       | hh AS (SELECT doc_id, ${frag.rolling("text")} AS h FROM documents),
+       | f AS (SELECT p.doc_id, j, token, h, h % 4 AS dd,
+       |     count(*) OVER (PARTITION BY p.doc_id) AS n,
+       |     CASE WHEN h % 4 = 2 THEN 16 ELSE 10 END AS bs
+       |   FROM p JOIN hh ON p.doc_id = hh.doc_id),
+       | f2 AS (SELECT doc_id, j, token, dd,
+       |     CASE WHEN dd <= 1 THEN '[R]' WHEN dd = 2 THEN '[X]' ELSE '[S]' END AS denoiser,
+       |     CASE WHEN dd = 3 THEN j >= h % n
+       |          ELSE (j % bs) >= (h + (j // bs)) % 8
+       |           AND (j % bs) < (h + (j // bs)) % 8 + (CASE WHEN dd = 2 THEN 6 ELSE 1 END) + ((h // 7) + (j // bs)) % 3 END AS corr,
+       |     CASE WHEN dd = 3 THEN j = h % n ELSE (j % bs) = (h + (j // bs)) % 8 END AS strt
+       |   FROM f),
+       | g AS (SELECT doc_id, denoiser, j, token, corr, strt,
+       |     sum(CASE WHEN strt THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY j ROWS UNBOUNDED PRECEDING) - 1 AS k
+       |   FROM f2),
+       | md AS (SELECT doc_id, denoiser, 'input' AS stream, 1::INT AS pos, denoiser AS token FROM g WHERE j = 0),
+       | inp AS (SELECT doc_id, denoiser, 'input' AS stream,
+       |     (row_number() OVER (PARTITION BY doc_id ORDER BY j) + 1)::INT AS pos,
+       |     CASE WHEN strt THEN '<extra_id_' || k::VARCHAR || '>' ELSE token END AS token
+       |   FROM g WHERE NOT corr OR strt),
+       | tg0 AS (SELECT doc_id, denoiser, 2 * j AS tkey, '<extra_id_' || k::VARCHAR || '>' AS token FROM g WHERE strt
+       |   UNION ALL SELECT doc_id, denoiser, 2 * j + 1, token FROM g WHERE corr),
+       | tg AS (SELECT doc_id, denoiser, 'target' AS stream,
+       |     (row_number() OVER (PARTITION BY doc_id ORDER BY tkey))::INT AS pos, token FROM tg0)
+       |SELECT doc_id, denoiser, stream, pos, token FROM md
+       |UNION ALL SELECT doc_id, denoiser, stream, pos, token FROM inp
+       |UNION ALL SELECT doc_id, denoiser, stream, pos, token FROM tg
+       |ORDER BY doc_id, stream, pos""".stripMargin
 
   /** Shared by the hash-classifier join spelling and the NARROW
     * spelling's file-source streaming twin (the routeDispatchOracle

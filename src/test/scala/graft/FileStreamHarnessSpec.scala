@@ -45,6 +45,24 @@ class FileStreamHarnessSpec extends AnyFunSuite {
     assert(streamed7 == batch)
   }
 
+  test("per-doc batchTransform (UL2) union ≡ the batch operator under different splits") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.operators.TextDedup.documents(spark, sf)
+    val merges = graft.operators.Bpe.mergePairs(
+      graft.operators.Bpe.trainMerges(docs, 4))
+    val batch = graft.operators.Bpe.ul2Denoisers(docs, merges)
+      .as[(Long, String, String, Int, String)].collect().sorted.toSeq
+    assert(batch.nonEmpty)
+    Seq(3, 5).foreach { nf =>
+      val streamed = FileStreamHarness.runStateless(spark, sf, "documents",
+          identity, keyCol = "doc_id", numFiles = nf,
+          batchTransform = b => graft.operators.Bpe.ul2Denoisers(b, merges))
+        .as[(Long, String, String, Int, String)].collect().sorted.toSeq
+      assert(streamed == batch, s"numFiles=$nf")
+    }
+  }
+
   test("a transform that emits ZERO rows returns an empty frame, not a crash") {
     // round-15 advice: before the outDir seed, an all-empty run left no
     // parquet behind and the read-back threw path-not-found

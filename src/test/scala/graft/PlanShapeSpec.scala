@@ -316,6 +316,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_score_quantiles", // same quantile-boundary frame (classifier ∘ quantiles)
       "q_importance_weights", // 1-row target/raw feature-total frame
       "q_importance_selected", // same totals + 1-row doc-count frame + PrefixSum offsets
+      "q_kn_model", "q_kn_score", // 1-row NN (distinct-bigram-count) frame
+      "q_skipgram_pairs", // 1-row vocab-size frame (the negative-draw modulus)
+      "q_word_subsample", // 1-row corpus-token-total frame
       "q_lm_score", // 1-row vocab totals
       "q_token_ppl", // same 1-row vocab-totals frame over the token stream
       "q_ppl_buckets", // the LM's 1-row vocab frame + the quantile rank triangle

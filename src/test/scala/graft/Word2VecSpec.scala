@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.RollingHash
+import graft.operators.Word2Vec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Word2VecSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("vocabulary: frequency-ranked dense ids, count desc then token asc") {
+    val docs = Seq((1L, "b a b c a b")).toDF("doc_id", "text")
+    val got = Word2Vec.vocabulary(docs, maxVocab = 2)
+      .orderBy($"vid").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((0L, "b", 3L), (1L, "a", 2L)))
+  }
+
+  test("skipGramPairs: positives are the window pairs over the OOV-compacted stream; negatives replay the hash") {
+    // vocab (maxVocab 2) = {b, a}; doc 1 "a q b" compacts to "a b" —
+    // the OOV word NARROWS the gap (the word2vec.c contract), so (a, b)
+    // pairs at window 1 despite q between them in the raw text
+    val docs = Seq((1L, "a q b")).toDF("doc_id", "text")
+    val got = Word2Vec.skipGramPairs(docs, window = 1, negatives = 1, maxVocab = 2)
+      .as[(Long, Long, Int, Int, String, String, Int)].collect().toSeq.sorted
+    // vocab of "a q b" top-2 by (count desc, tok asc): all counts 1, so
+    // a = vid 0, b = vid 1, q excluded at rank 3
+    val vsz = 2L
+    def negTok(p: Long, off: Int): String = {
+      val nid = RollingHash.compute(s"1:$p:$off:1") % vsz
+      if (nid == 0L) "a" else "b"
+    }
+    val expected = Seq(
+      (1L, 0L, 1, 0, "a", "b", 1),
+      (1L, 0L, 1, 1, "a", negTok(0L, 1), 0),
+      (1L, 1L, -1, 0, "b", "a", 1),
+      (1L, 1L, -1, 1, "b", negTok(1L, -1), 0)).sorted
+    assert(got == expected)
+  }
+
+  test("skipGramPairs: window 2 emits both offsets and both directions; negatives=0 omits the draw") {
+    val docs = Seq((7L, "x y z")).toDF("doc_id", "text")
+    val got = Word2Vec.skipGramPairs(docs, window = 2, negatives = 0, maxVocab = 10)
+      .as[(Long, Long, Int, Int, String, String, Int)].collect().toSeq.sorted
+    val expected = Seq(
+      (7L, 0L, 1, 0, "x", "y", 1), (7L, 0L, 2, 0, "x", "z", 1),
+      (7L, 1L, -1, 0, "y", "x", 1), (7L, 1L, 1, 0, "y", "z", 1),
+      (7L, 2L, -2, 0, "z", "x", 1), (7L, 2L, -1, 0, "z", "y", 1)).sorted
+    assert(got == expected)
+  }
+
+  test("gloveCooccurrence: lcm-scaled 1/d weights, symmetric, hand-rolled") {
+    // "a b a": pairs fwd d=1 (a,b),(b,a) wgt 6; d=2 (a,a) wgt 3
+    // symmetric union doubles each; agg:
+    //   (a,b): 6+6=12 n=2; (b,a): 12 n=2; (a,a): 3+3=6 n=2
+    val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val got = Word2Vec.gloveCooccurrence(docs, window = 3, maxVocab = 10)
+      .orderBy($"center", $"context")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", "a", 6L, 2L), ("a", "b", 12L, 2L), ("b", "a", 12L, 2L)))
+    // symmetry on a larger corpus: X(i,j) == X(j,i)
+    val big = Seq((1L, "p q r p s q"), (2L, "r r p q s")).toDF("doc_id", "text")
+    val x = Word2Vec.gloveCooccurrence(big, window = 3, maxVocab = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    val m = x.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    m.foreach { case ((i, j), v) => assert(m((j, i)) == v, s"asym at ($i,$j)") }
+  }
+
+  test("subsampleFrequent: frequent words get lower thresholds; rare words clamp to keep-always; coin replays") {
+    // "the" dominates; t chosen so the clamp binds for the rare word
+    val docs = Seq((1L, "the the the the the the the the rare")).toDF("doc_id", "text")
+    val got = Word2Vec.subsampleFrequent(docs, t = 0.25)
+      .as[(Long, Int, String, Long, Long, Boolean)].collect().toSeq
+    val byTok = got.groupBy(_._3)
+    // N=9, c(the)=8: thresh = floor(sqrt(0.25*9/8)*2^20) = floor(0.5303..*2^20)
+    val exp = math.floor(math.sqrt(0.25 * 9 / 8) * 1048576.0).toLong
+    assert(byTok("the").forall(_._5 == exp))
+    assert(exp < 1048576L)
+    // c(rare)=1: sqrt(0.25*9) = 1.5 -> clamped
+    assert(byTok("rare").forall(r => r._5 == 1048576L && r._6))
+    // the coin replays per instance
+    got.foreach { r =>
+      val h = RollingHash.compute(s"${r._1}:${r._2}:${r._3}") % 1048576L
+      assert(r._6 == (h < r._5))
+    }
+    // partitioning-invariant
+    val docs2 = Seq.tabulate(20)(i => (i.toLong, s"w$i the the common")).toDF("doc_id", "text")
+    val a = Word2Vec.subsampleFrequent(docs2, t = 0.05)
+      .as[(Long, Int, String, Long, Long, Boolean)].collect().toSeq.sorted
+    val b = Word2Vec.subsampleFrequent(docs2.repartition(7), t = 0.05)
+      .as[(Long, Int, String, Long, Long, Boolean)].collect().toSeq.sorted
+    assert(a == b && a.nonEmpty)
+    // at corpus scale the downsampler must actually fire both ways
+    assert(a.exists(!_._6) && a.exists(_._6))
+  }
+}
