@@ -1905,6 +1905,31 @@ object M5Queries {
           t = 0.01)
         .orderBy(col("doc_id"), col("pos"))),
 
+    // ---- embeddings: fastText subword n-grams (Bojanowski et al.
+    // 2017 §3.2) — boundary-wrapped char n-grams per word TYPE hashed
+    // into the bucket table; dictionary-sized, one corpus pass
+    "q_fasttext_ngrams" -> ((s, dir) =>
+      operators.Word2Vec.fasttextSubwords(TextDedup.documents(s, dir),
+          minN = 3, maxN = 6, buckets = 4096)
+        .orderBy(col("word"), col("n"), col("i"))),
+
+    // ---- §2.8: Kneser-Ney scoring under STREAMING execution — the
+    // frozen-model NARROW face (map literals + one fold per row, no
+    // state) scoring the corpus it fit, where it is row-identical to
+    // the batch scorer with short docs at 0
+    "q_stream_kn_score" -> ((s, dir) => {
+      val docs = TextDedup.documents(s, dir)
+      val (vm, knq, n1f, n1p, cu, nn) =
+        LanguageModel.fitKneserNey(docs, maxVocab = 16)
+      graft.streaming.FileStreamHarness.runStateless(s, dir, "documents",
+          st => LanguageModel.kneserNeyScoreNarrow(st, vm, knq, n1f, n1p,
+              cu, nn, minMeanQ = 4000L)
+            .select(col("doc_id"), col("n_bigrams"), col("kn_q_sum"),
+              col("keep")),
+          keyCol = "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- relevance: interpolated Kneser-Ney bigram MODEL table
     // (Kneser & Ney 1995; Chen & Goodman TR-10-98 §2.7) — absolute
     // discount D = 3/4 as exact integer cross-multiplication, the
@@ -7003,6 +7028,50 @@ object M5Queries {
          |   least(1048576::BIGINT, floor(sqrt(0.01::DOUBLE * n_tot / c_tok) * 1048576.0)::BIGINT) AS kept
          |FROM e JOIN fr USING (tok) CROSS JOIN nt
          |ORDER BY doc_id, pos""".stripMargin,
+
+    // fastText subword mirror: distinct-word table, boundary wrap,
+    // bounded n/position unnest, character slice + hash bucket
+    "q_fasttext_ngrams" ->
+      s"""WITH d AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),
+         | wc AS (SELECT word, count(*) AS n_occ FROM (SELECT unnest(tk) AS word FROM d) GROUP BY 1),
+         | ww AS (SELECT word, n_occ, '<' || word || '>' AS w FROM wc),
+         | ns AS (SELECT word, n_occ, w, unnest([3, 4, 5, 6]) AS n FROM ww),
+         | ii AS (SELECT word, n_occ, w, n, unnest(range(1, len(w) - n + 2)) AS i
+         |   FROM ns WHERE len(w) >= n)
+         |SELECT word, n_occ::BIGINT AS n_occ, n, i::INT AS i, w[i:i+n-1] AS ngram,
+         | ${frag.rolling("w[i:i+n-1]")} % 4096 AS bucket
+         |FROM ii ORDER BY word, n, i""".stripMargin,
+
+    // streaming KN mirror: the q_kn_score chain LEFT-joined back to
+    // every document at 0 (the narrow face appends to every row) with
+    // the binding mean-score keep threshold
+    "q_stream_kn_score" ->
+      s"""WITH d AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),
+         | e AS (SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM d),
+         | uc AS (SELECT tok, count(*) AS c FROM e GROUP BY 1),
+         | vocab AS (SELECT tok FROM uc ORDER BY c DESC, tok LIMIT 16),
+         | m AS (SELECT doc_id, pos,
+         |     CASE WHEN vb.tok IS NULL THEN '<unk>' ELSE e.tok END AS tok_m
+         |   FROM e LEFT JOIN vocab vb ON e.tok = vb.tok),
+         | b AS (SELECT doc_id, tok_m AS u,
+         |     lead(tok_m) OVER (PARTITION BY doc_id ORDER BY pos) AS v FROM m),
+         | bi AS (SELECT doc_id, u, v, count(*) AS m FROM b
+         |   WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+         | cuv AS (SELECT u, v, sum(m) AS c_uv FROM bi GROUP BY 1, 2),
+         | cu AS (SELECT u, sum(m) AS c_u FROM bi GROUP BY 1),
+         | n1u AS (SELECT u, count(*) AS n1_fol FROM cuv GROUP BY 1),
+         | n1v AS (SELECT v, count(*) AS n1_pre FROM cuv GROUP BY 1),
+         | nnf AS (SELECT count(*) AS nn FROM cuv),
+         | model AS (SELECT u, v,
+         |     (10000 * ((4 * c_uv - 3) * nn + 3 * n1_fol * n1_pre)) // (4 * c_u * nn) AS kn_q
+         |   FROM cuv JOIN cu USING (u) JOIN n1u USING (u) JOIN n1v USING (v) CROSS JOIN nnf),
+         | sc AS (SELECT doc_id, CAST(sum(m * kn_q) AS BIGINT) AS kn_q_sum,
+         |     CAST(sum(m) AS BIGINT) AS n_bigrams
+         |   FROM bi JOIN model USING (u, v) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+         | coalesce(kn_q_sum, 0)::BIGINT AS kn_q_sum,
+         | coalesce(kn_q_sum, 0) >= 4000 * coalesce(n_bigrams, 0) AS keep
+         |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // Kneser-Ney model mirror: the q_lm_score count chain + the two
     // continuation-count tables + the 1-row NN frame; the discounted

@@ -510,6 +510,112 @@ object LanguageModel {
         sum(col("m")).as("n_bigrams"))
   }
 
+  /** Fit the frozen Kneser-Ney model [[kneserNeyScoreNarrow]] applies —
+    * the [[fitStupidBackoff]] discipline for the discounting family:
+    * the [[kneserNeyModel]] tables collected driver-side (seen-bigram
+    * quantized scores keyed by the space-joined pair — collision-free
+    * under the tokenizer contract — plus the continuation/context maps
+    * the UNSEEN-bigram branch needs), size-gated LOUD before any
+    * `.collect()`. Returns (vocab presence, knq, n1Fol, n1Pre, cU, NN).
+    */
+  def fitKneserNey(docs: DataFrame, maxVocab: Int = 1024,
+      scale: Long = 10000L, maxModelKeys: Long = 100000L)
+      : (Map[String, Long], Map[String, Long], Map[String, Long],
+         Map[String, Long], Map[String, Long], Long) = {
+    require(maxModelKeys > 0, s"maxModelKeys must be positive, got $maxModelKeys")
+    val sep = " "
+    val stats = lmStats(docs, maxVocab)
+    val model = SharedBranch.sharedBranch(knModelOf(stats, maxVocab, scale))
+    val nKeys = model.count()
+    require(nKeys <= maxModelKeys,
+      s"fitKneserNey model has $nKeys seen-bigram keys > maxModelKeys =" +
+        s" $maxModelKeys: a model this large must not ride the plan as map" +
+        " literals — run the kneserNeyQuantized join spelling inside" +
+        " foreachBatch instead (the Importance.importanceScoreNarrow" +
+        " deployment note), or raise maxModelKeys deliberately")
+    val rows = model.select(concat_ws(sep, col("u"), col("v")).as("k"),
+      col("u"), col("v"), col("c_u"), col("n1_fol"), col("n1_pre"),
+      col("nn"), col("kn_q")).collect()
+    val knq = rows.map(r => r.getString(0) -> r.getLong(7)).toMap
+    val cU = rows.map(r => r.getString(1) -> r.getLong(3)).toMap
+    val n1Fol = rows.map(r => r.getString(1) -> r.getLong(4)).toMap
+    val n1Pre = rows.map(r => r.getString(2) -> r.getLong(5)).toMap
+    val nn = if (rows.isEmpty) 0L else rows.head.getLong(6)
+    // the TRUE fit vocabulary (the lmStats rank rule), not the bigram
+    // tables' key set — a vocab word seen only in 1-token docs never
+    // enters a bigram but must still map to itself, not <unk>
+    val vocab = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(maxVocab)
+      .select(col("tok")).collect().map(_.getString(0) -> 1L).toMap
+    // driver-side envelope (BigInt, so the check itself cannot wrap):
+    // the widest unseen-branch product is scale·3·n1f·n1p; the seen
+    // scores were already guarded in-plan by knModelOf
+    val n1Max = if (n1Fol.isEmpty) 0L else math.max(n1Fol.values.max, n1Pre.values.max)
+    require(BigInt(scale) * 3 * BigInt(n1Max) * n1Max <= BigInt(Long.MaxValue),
+      s"kneserNey narrow envelope: scale*3*n1max^2 must fit int64 (n1max = $n1Max)")
+    (vocab, knq, n1Fol, n1Pre, cU, nn)
+  }
+
+  /** The NARROW (per-row) spelling of Kneser-Ney scoring — the
+    * STREAMING face of [[kneserNeyQuantized]], the
+    * [[stupidBackoffScoreNarrow]] pattern: the frozen model rides the
+    * plan as map literals, the score is ONE fold over the token array
+    * (no explode, no join, no state) so it runs append-mode on an
+    * unbounded stream. Per bigram instance (u, v) of the arrival
+    * (vocabulary-mapped, OOV → `<unk>`):
+    *
+    *  - seen in the fit corpus → the frozen `kn_q`;
+    *  - unseen pair, known context → the pure continuation branch,
+    *    `(scale·3·N1fol(u)·N1pre(v)) div (4·c_u(u)·NN)` (the
+    *    interpolated formula with the discounted term at 0; a `v`
+    *    never seen as a continuation contributes 0 mass exactly as the
+    *    formula says, spelled coalesce-at-0);
+    *  - novel context (`u` never seen preceding anything — only
+    *    possible for a corpus-final-only type) → 0, the documented
+    *    floor.
+    *
+    * APPENDS (n_bigrams, kn_q_sum, keep) to the input row; on the fit
+    * corpus itself every pair is seen and the result is row-identical
+    * to [[kneserNeyQuantized]] with short docs at 0
+    * (LanguageModelSpec pins it).
+    */
+  def kneserNeyScoreNarrow(docs: DataFrame, vocab: Map[String, Long],
+      knq: Map[String, Long], n1Fol: Map[String, Long],
+      n1Pre: Map[String, Long], cU: Map[String, Long], nn: Long,
+      minMeanQ: Long = 0L, scale: Long = 10000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val sep = " "
+    val vm = typedlit(vocab); val qm = typedlit(knq)
+    val fm = typedlit(n1Fol); val pm = typedlit(n1Pre)
+    val cm = typedlit(cU)
+    val toksC = TextFunctions.tokens(col("text"))
+    val m = transform(toksC,
+      t => when(element_at(vm, t).isNotNull, t).otherwise(lit(Unk)))
+    docs
+      .withColumn("_m", m)
+      .withColumn("n_bigrams",
+        greatest(lit(0L), (size(col("_m")) - 1).cast("long")))
+      .withColumn("kn_q_sum", aggregate(
+        when(size(col("_m")) >= 2, sequence(lit(2), size(col("_m"))))
+          .otherwise(array().cast("array<int>")),
+        lit(0L), (acc, i) => {
+          val u = element_at(col("_m"), i - 1)
+          val v = element_at(col("_m"), i)
+          val seen = element_at(qm, concat_ws(sep, u, v))
+          val cu = element_at(cm, u)
+          acc + when(seen.isNotNull, seen)
+            .when(cu.isNotNull,
+              idiv(lit(3L * scale) * coalesce(element_at(fm, u), lit(0L))
+                  * coalesce(element_at(pm, v), lit(0L)),
+                lit(4L) * cu * lit(nn)))
+            .otherwise(lit(0L))
+        }))
+      .withColumn("keep", col("kn_q_sum") >= lit(minMeanQ) * col("n_bigrams"))
+      .drop("_m")
+  }
+
   /** Production LM score: mean `ln P(v|u)` per bigram
     * (`P = (c_uv+1)/(c_u+vsz)`) and perplexity `exp(−mean)`. Same join
     * shape as the quantized twin; double scores are NOT cross-engine

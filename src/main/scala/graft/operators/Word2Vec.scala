@@ -165,6 +165,41 @@ object Word2Vec {
 
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 
+  /** FASTTEXT SUBWORD N-GRAMS (Bojanowski et al., TACL 2017 §3.2 —
+    * character n-grams of the `<`boundary-wrapped`>` word, hashed into
+    * a fixed bucket table: the subword features that let the embedding
+    * cover OOV words): one row per (word type, n, position) with the
+    * extracted n-gram and its bucket `rolling_hash(ngram) % buckets`
+    * (the released code hashes with FNV-1a; the house rolling hash is
+    * the documented stand-in — any fixed hash serves, the bucket table
+    * is opaque).
+    *
+    * Output: (word, n_occ, n, i, ngram, bucket), `i` the 1-based
+    * character position in the wrapped word.
+    *
+    * Plan shape: DICTIONARY-sized, the 100 TB shape — one distinct-word
+    * hash-agg of the corpus (the [[Bpe]] trainer's one corpus-sized
+    * pass), then a narrow bounded explode (≤ (maxN−minN+1)·|word|
+    * rows per TYPE, not per occurrence); no join, no window.
+    */
+  def fasttextSubwords(docs: DataFrame, minN: Int = 3, maxN: Int = 6,
+      buckets: Int = 4096): DataFrame = {
+    require(minN >= 1 && maxN >= minN, s"need 1 <= minN <= maxN, got $minN..$maxN")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val words = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_occ"))
+    words.withColumn("w", concat(lit("<"), col("word"), lit(">")))
+      .withColumn("n", explode(array((minN to maxN).map(lit): _*)))
+      .filter(length(col("w")) >= col("n"))
+      .withColumn("i", explode(expr("sequence(1, length(w) - n + 1)")))
+      .withColumn("ngram", expr("substring(w, i, n)"))
+      .withColumn("bucket",
+        TextFunctions.rollingHash(col("ngram")) % lit(buckets.toLong))
+      .select(col("word"), col("n_occ"), col("n"), col("i"),
+        col("ngram"), col("bucket"))
+  }
+
   /** FREQUENT-WORD SUBSAMPLING (Mikolov et al., NeurIPS 2013 §2.3 —
     * the aggressive stopword downsampler every word2vec/fastText
     * pipeline runs: instance of word `w` with corpus frequency `f(w)`

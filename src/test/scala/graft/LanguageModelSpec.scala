@@ -100,6 +100,53 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("kneserNey narrow face: row-identical to the batch scorer on the fit corpus, short docs at 0") {
+    val (vm, knq, n1f, n1p, cu, nn) =
+      LanguageModel.fitKneserNey(tiny, maxVocab = 100)
+    val narrow = LanguageModel.kneserNeyScoreNarrow(tiny, vm, knq, n1f, n1p, cu, nn)
+      .select($"doc_id", $"kn_q_sum", $"n_bigrams")
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    val batch = LanguageModel.kneserNeyQuantized(tiny, maxVocab = 100)
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(narrow == batch)
+    val short = Seq((9L, "solo")).toDF("doc_id", "text")
+    val got = LanguageModel.kneserNeyScoreNarrow(short, vm, knq, n1f, n1p, cu, nn)
+      .select($"kn_q_sum", $"n_bigrams").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L)))
+  }
+
+  test("kneserNey narrow face: unseen pair takes the continuation branch; novel context floors at 0") {
+    val (vm, knq, n1f, n1p, cu, nn) =
+      LanguageModel.fitKneserNey(tiny, maxVocab = 100)
+    // (a, c) never trained: cu(a)=3, n1_fol(a)=1, n1_pre(c)=1, NN=4
+    //  -> (10000*3*1*1) div (4*3*4) = 625  <=> 0.75*(1/3)*(1/4)
+    val unseen = Seq((1L, "a c")).toDF("doc_id", "text")
+    val got = LanguageModel.kneserNeyScoreNarrow(unseen, vm, knq, n1f, n1p, cu, nn)
+      .select($"kn_q_sum").as[Long].collect().head
+    assert(got == 625L)
+    // fit "x y": y is never a context; scoring "y x" floors at 0
+    val fitDocs = Seq((1L, "x y")).toDF("doc_id", "text")
+    val (vm2, knq2, n1f2, n1p2, cu2, nn2) =
+      LanguageModel.fitKneserNey(fitDocs, maxVocab = 100)
+    val got2 = LanguageModel.kneserNeyScoreNarrow(
+        Seq((1L, "y x")).toDF("doc_id", "text"),
+        vm2, knq2, n1f2, n1p2, cu2, nn2)
+      .select($"kn_q_sum").as[Long].collect().head
+    assert(got2 == 0L)
+    // the mean-score keep threshold binds both ways on the fit corpus
+    val kept = LanguageModel.kneserNeyScoreNarrow(tiny, vm, knq, n1f, n1p,
+        cu, nn, minMeanQ = 6000L)
+      .select($"keep").as[Boolean].collect().toSeq
+    assert(kept.contains(true) && kept.contains(false))
+  }
+
+  test("fitKneserNey: refuses a model past maxModelKeys before any collect") {
+    val e = intercept[IllegalArgumentException] {
+      LanguageModel.fitKneserNey(tiny, maxVocab = 100, maxModelKeys = 2L)
+    }
+    assert(e.getMessage.contains("maxModelKeys"))
+  }
+
   // train half = doc 0 "a b c a b c": c3 (a,b,c)=2 (b,c,a)=1 (c,a,b)=1;
   // c2 (a,b)=2 (b,c)=2 (c,a)=1; c1 a=2 b=2 c=2, N=6; vocab {a,b,c}
   def sbCorpus = Seq(

@@ -67,6 +67,22 @@ class Word2VecSpec extends AnyFunSuite {
     m.foreach { case ((i, j), v) => assert(m((j, i)) == v, s"asym at ($i,$j)") }
   }
 
+  test("fasttextSubwords: boundary-wrapped n-grams per word type, hand-rolled; buckets replay") {
+    val docs = Seq((1L, "ab ab cde")).toDF("doc_id", "text")
+    val got = Word2Vec.fasttextSubwords(docs, minN = 3, maxN = 6, buckets = 64)
+      .orderBy($"word", $"n", $"i")
+      .as[(String, Long, Int, Int, String, Long)].collect().toSeq
+    def b(ng: String): Long = RollingHash.compute(ng) % 64L
+    val expected = Seq(
+      ("ab", 2L, 3, 1, "<ab", b("<ab")), ("ab", 2L, 3, 2, "ab>", b("ab>")),
+      ("ab", 2L, 4, 1, "<ab>", b("<ab>")),
+      ("cde", 1L, 3, 1, "<cd", b("<cd")), ("cde", 1L, 3, 2, "cde", b("cde")),
+      ("cde", 1L, 3, 3, "de>", b("de>")),
+      ("cde", 1L, 4, 1, "<cde", b("<cde")), ("cde", 1L, 4, 2, "cde>", b("cde>")),
+      ("cde", 1L, 5, 1, "<cde>", b("<cde>")))
+    assert(got == expected)
+  }
+
   test("subsampleFrequent: frequent words get lower thresholds; rare words clamp to keep-always; coin replays") {
     // "the" dominates; t chosen so the clamp binds for the rare word
     val docs = Seq((1L, "the the the the the the the the rare")).toDF("doc_id", "text")
