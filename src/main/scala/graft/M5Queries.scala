@@ -91,6 +91,26 @@ object M5Queries {
         lit(" tel +1415555"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
 
+  /** The q_kn_modified / q_kn_mod_discounts input: four rare-word tails
+    * on fixed doc_ids so bigram TYPES with counts exactly 1, 2, 3 and 4
+    * exist at EVERY SF — at sf0.1 every natural bigram of the 31-word
+    * corpus is frequent (n1 = n2 = 0) and the count-of-counts discount
+    * estimate would fail loud (the injectedFrame vacuity discipline).
+    * doc 1's tail yields two singleton types; doc 2's a doubleton (and
+    * the back-edge singleton); docs 3/4 a tripleton/quadrupleton with
+    * their one-lower back-edges.
+    */
+  private def knInjected(s: SparkSession, dir: String): DataFrame =
+    TextDedup.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") === 1, concat(col("text"), lit(" knua knub")))
+        .when(col("doc_id") === 2,
+          concat(col("text"), lit(" knuc knud knuc knud")))
+        .when(col("doc_id") === 3,
+          concat(col("text"), lit(" knue knuf knue knuf knue knuf")))
+        .when(col("doc_id") === 4,
+          concat(col("text"), lit(" knug knuh knug knuh knug knuh knug knuh")))
+        .otherwise(col("text")).as("text"))
+
   /** The q_bpe_bytes_* input: the corpus plus frag.byteInject's
     * deterministic multibyte tail (CJK/kana/latin-1) and a doc-varying
     * final digit \u2014 the fixtures are pure ASCII, where the GPT-2 byte
@@ -1929,6 +1949,19 @@ object M5Queries {
           keyCol = "doc_id")
         .orderBy(col("doc_id"))
     }),
+
+    // ---- relevance: MODIFIED Kneser-Ney (Chen & Goodman TR-10-98 §3)
+    // — three count-of-counts-estimated discounts as scale-quantized
+    // integers (numerators clamped at 0 before div), full vocabulary
+    // over the rare-class-injected corpus so n1..n4 all bind
+    "q_kn_modified" -> ((s, dir) =>
+      LanguageModel.kneserNeyModifiedModel(knInjected(s, dir),
+          maxVocab = 1024)
+        .orderBy(col("u"), col("v"))),
+
+    "q_kn_mod_discounts" -> ((s, dir) =>
+      LanguageModel.kneserNeyModifiedDiscounts(knInjected(s, dir),
+          maxVocab = 1024)),
 
     // ---- relevance: interpolated Kneser-Ney bigram MODEL table
     // (Kneser & Ney 1995; Chen & Goodman TR-10-98 §2.7) — absolute
@@ -7072,6 +7105,92 @@ object M5Queries {
          | coalesce(kn_q_sum, 0)::BIGINT AS kn_q_sum,
          | coalesce(kn_q_sum, 0) >= 4000 * coalesce(n_bigrams, 0) AS keep
          |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // modified-KN mirror: the KN count chain over the rare-class-
+    // injected corpus + count-of-counts discounts (clamped numerators)
+    // + per-context conditional sums; every term HUGEINT until the
+    // BIGINT output casts
+    "q_kn_modified" ->
+      s"""WITH dd0 AS (SELECT doc_id, CASE
+         |     WHEN doc_id = 1 THEN text || ' knua knub'
+         |     WHEN doc_id = 2 THEN text || ' knuc knud knuc knud'
+         |     WHEN doc_id = 3 THEN text || ' knue knuf knue knuf knue knuf'
+         |     WHEN doc_id = 4 THEN text || ' knug knuh knug knuh knug knuh knug knuh'
+         |     ELSE text END AS text FROM documents),
+         | d AS (SELECT doc_id, ${frag.toks} AS tk FROM dd0),
+         | e AS (SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM d),
+         | uc AS (SELECT tok, count(*) AS c FROM e GROUP BY 1),
+         | vocab AS (SELECT tok FROM uc ORDER BY c DESC, tok LIMIT 1024),
+         | m AS (SELECT doc_id, pos,
+         |     CASE WHEN vb.tok IS NULL THEN '<unk>' ELSE e.tok END AS tok_m
+         |   FROM e LEFT JOIN vocab vb ON e.tok = vb.tok),
+         | b AS (SELECT doc_id, tok_m AS u,
+         |     lead(tok_m) OVER (PARTITION BY doc_id ORDER BY pos) AS v FROM m),
+         | bi AS (SELECT doc_id, u, v, count(*) AS m FROM b
+         |   WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+         | cuv AS (SELECT u, v, sum(m) AS c_uv FROM bi GROUP BY 1, 2),
+         | cu AS (SELECT u, sum(m) AS c_u FROM bi GROUP BY 1),
+         | n1v AS (SELECT v, count(*) AS n1_pre FROM cuv GROUP BY 1),
+         | ctx AS (SELECT u,
+         |     sum(CASE WHEN c_uv = 1 THEN 1 ELSE 0 END) AS n1u,
+         |     sum(CASE WHEN c_uv = 2 THEN 1 ELSE 0 END) AS n2u,
+         |     sum(CASE WHEN c_uv >= 3 THEN 1 ELSE 0 END) AS n3pu
+         |   FROM cuv GROUP BY 1),
+         | gl AS (SELECT sum(CASE WHEN c_uv = 1 THEN 1 ELSE 0 END) AS n1,
+         |     sum(CASE WHEN c_uv = 2 THEN 1 ELSE 0 END) AS n2,
+         |     sum(CASE WHEN c_uv = 3 THEN 1 ELSE 0 END) AS n3,
+         |     sum(CASE WHEN c_uv = 4 THEN 1 ELSE 0 END) AS n4,
+         |     count(*) AS nn FROM cuv),
+         | gq AS (SELECT nn,
+         |     (10000 * n1) // greatest(1, n1 + 2*n2) AS d1q,
+         |     CASE WHEN n2 = 0 THEN 0 ELSE (10000 * greatest(0, 2*n2*(n1 + 2*n2) - 3*n1*n3)) // (n2*(n1 + 2*n2)) END AS d2q,
+         |     CASE WHEN n3 = 0 THEN 0 ELSE (10000 * greatest(0, 3*n3*(n1 + 2*n2) - 4*n1*n4)) // (n3*(n1 + 2*n2)) END AS d3q
+         |   FROM gl),
+         | md AS (SELECT u, v, c_uv, c_u,
+         |     CASE WHEN c_uv = 1 THEN d1q WHEN c_uv = 2 THEN d2q ELSE d3q END AS dq,
+         |     d1q, d2q, d3q, n1u, n2u, n3pu, n1_pre, nn
+         |   FROM cuv JOIN cu USING (u) JOIN ctx USING (u) JOIN n1v USING (v) CROSS JOIN gq),
+         | sc AS (SELECT u, v, c_uv, c_u, dq,
+         |     (10000 * c_uv - dq) // c_u AS disc_q,
+         |     (d1q * n1u + d2q * n2u + d3q * n3pu) // c_u AS gamma_q,
+         |     (10000 * n1_pre) // nn AS cont_q
+         |   FROM md)
+         |SELECT u, v, c_uv::BIGINT AS c_uv, c_u::BIGINT AS c_u, dq::BIGINT AS dq,
+         | disc_q::BIGINT AS disc_q, gamma_q::BIGINT AS gamma_q,
+         | cont_q::BIGINT AS cont_q,
+         | (disc_q + (gamma_q * cont_q) // 10000)::BIGINT AS mkn_q
+         |FROM sc ORDER BY u, v""".stripMargin,
+
+    "q_kn_mod_discounts" ->
+      s"""WITH dd0 AS (SELECT doc_id, CASE
+         |     WHEN doc_id = 1 THEN text || ' knua knub'
+         |     WHEN doc_id = 2 THEN text || ' knuc knud knuc knud'
+         |     WHEN doc_id = 3 THEN text || ' knue knuf knue knuf knue knuf'
+         |     WHEN doc_id = 4 THEN text || ' knug knuh knug knuh knug knuh knug knuh'
+         |     ELSE text END AS text FROM documents),
+         | d AS (SELECT doc_id, ${frag.toks} AS tk FROM dd0),
+         | e AS (SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM d),
+         | uc AS (SELECT tok, count(*) AS c FROM e GROUP BY 1),
+         | vocab AS (SELECT tok FROM uc ORDER BY c DESC, tok LIMIT 1024),
+         | m AS (SELECT doc_id, pos,
+         |     CASE WHEN vb.tok IS NULL THEN '<unk>' ELSE e.tok END AS tok_m
+         |   FROM e LEFT JOIN vocab vb ON e.tok = vb.tok),
+         | b AS (SELECT doc_id, tok_m AS u,
+         |     lead(tok_m) OVER (PARTITION BY doc_id ORDER BY pos) AS v FROM m),
+         | bi AS (SELECT doc_id, u, v, count(*) AS m FROM b
+         |   WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+         | cuv AS (SELECT u, v, sum(m) AS c_uv FROM bi GROUP BY 1, 2),
+         | gl AS (SELECT sum(CASE WHEN c_uv = 1 THEN 1 ELSE 0 END) AS n1,
+         |     sum(CASE WHEN c_uv = 2 THEN 1 ELSE 0 END) AS n2,
+         |     sum(CASE WHEN c_uv = 3 THEN 1 ELSE 0 END) AS n3,
+         |     sum(CASE WHEN c_uv = 4 THEN 1 ELSE 0 END) AS n4,
+         |     count(*) AS nn FROM cuv)
+         |SELECT n1::BIGINT AS n1, n2::BIGINT AS n2, n3::BIGINT AS n3,
+         | n4::BIGINT AS n4, nn::BIGINT AS nn,
+         | ((10000 * n1) // greatest(1, n1 + 2*n2))::BIGINT AS d1q,
+         | (CASE WHEN n2 = 0 THEN 0 ELSE (10000 * greatest(0, 2*n2*(n1 + 2*n2) - 3*n1*n3)) // (n2*(n1 + 2*n2)) END)::BIGINT AS d2q,
+         | (CASE WHEN n3 = 0 THEN 0 ELSE (10000 * greatest(0, 3*n3*(n1 + 2*n2) - 4*n1*n4)) // (n3*(n1 + 2*n2)) END)::BIGINT AS d3q
+         |FROM gl""".stripMargin,
 
     // Kneser-Ney model mirror: the q_lm_score count chain + the two
     // continuation-count tables + the 1-row NN frame; the discounted

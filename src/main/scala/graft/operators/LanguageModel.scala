@@ -510,6 +510,105 @@ object LanguageModel {
         sum(col("m")).as("n_bigrams"))
   }
 
+  /** MODIFIED Kneser-Ney (Chen & Goodman, Harvard TR-10-98 §3, eq. 26
+    * — the three-discount refinement that is the production-standard
+    * n-gram smoothing): counts 1, 2 and ≥ 3 get their own absolute
+    * discounts, estimated from the bigram-type count-of-counts
+    * `n1..n4` as
+    *
+    * {{{ Y = n1/(n1+2n2);  D1 = 1 − 2Y·n2/n1 = n1/(n1+2n2);
+    *     D2 = 2 − 3Y·n3/n2;  D3+ = 3 − 4Y·n4/n3 }}}
+    *
+    * and the context weight becomes
+    * `γ(u) = (D1·N1(u·) + D2·N2(u·) + D3+·N3+(u·))/c(u)`.
+    *
+    * QUANTIZED-DISCOUNT CONVENTION (the stupid-backoff 2/5
+    * discipline): the discounts ride as `scale`-scaled integers
+    * (`D?q = (scale·numerator) div denominator`, numerators clamped at
+    * 0 BEFORE the division so no negative ever meets `div` — floor vs
+    * truncate diverge across engines on negatives), and every
+    * downstream term divides back by `scale`:
+    *
+    * {{{ disc_q  = (scale·c_uv − Dq(c_uv)) div c_u
+    *     gamma_q = (D1q·N1(u·) + D2q·N2(u·) + D3q·N3+(u·)) div c_u
+    *     cont_q  = (scale·N1+(·v)) div NN
+    *     mkn_q   = disc_q + (gamma_q·cont_q) div scale }}}
+    *
+    * — a deterministic, engine-exact DEFINITION of the operator (each
+    * branch's numerator is provably non-negative: D1 ≤ 1, D2 ≤ 2,
+    * D3+ ≤ 3 by construction). The fit FAILS LOUD (in-plan
+    * assert_true riding the consumed `nn`) when `n1 + 2·n2 = 0` — a
+    * corpus with no singleton/doubleton bigram types has no
+    * count-of-counts signal to estimate discounts from; the gate
+    * injects rare doc classes so the estimate binds at fixture scale.
+    *
+    * Output ([[kneserNeyModifiedModel]]): (u, v, c_uv, c_u, dq,
+    * disc_q, gamma_q, cont_q, mkn_q) per seen bigram type;
+    * [[kneserNeyModifiedDiscounts]] is the 1-row global table
+    * (n1..n4, nn, d1q, d2q, d3q) — the model-audit face.
+    *
+    * Plan shape: [[kneserNeyModel]]'s exactly, plus one 1-row
+    * count-of-counts aggregate and one ≤ vocab+1-row per-context
+    * conditional-sum group-by, both broadcast. `maxVocab ≤ 4096` keeps
+    * the widest product (`scale·2·n2·(n1+2n2)` ≤ 6·scale·nn², nn ≤
+    * (maxVocab+1)²) inside int64 at compile time.
+    */
+  def kneserNeyModifiedModel(docs: DataFrame, maxVocab: Int = 1024,
+      scale: Long = 10000L): DataFrame = {
+    val (cuv, cu, glob, ctx, n1v) = knModCore(docs, maxVocab, scale)
+    cuv.join(cu, Seq("u"))
+      .join(broadcast(ctx), Seq("u"))
+      .join(broadcast(n1v), Seq("v"))
+      .crossJoin(broadcast(glob))
+      .withColumn("dq",
+        when(col("c_uv") === 1, col("d1q"))
+          .when(col("c_uv") === 2, col("d2q")).otherwise(col("d3q")))
+      .select(col("u"), col("v"), col("c_uv"), col("c_u"), col("dq"),
+        expr(s"($scale * c_uv - dq) div c_u").as("disc_q"),
+        expr("(d1q * n1u + d2q * n2u + d3q * n3pu) div c_u").as("gamma_q"),
+        expr(s"($scale * n1_pre) div nn").as("cont_q"))
+      .withColumn("mkn_q",
+        col("disc_q") + expr(s"(gamma_q * cont_q) div $scale"))
+  }
+
+  /** The 1-row global table of [[kneserNeyModifiedModel]]'s estimated
+    * discounts: (n1, n2, n3, n4, nn, d1q, d2q, d3q).
+    */
+  def kneserNeyModifiedDiscounts(docs: DataFrame, maxVocab: Int = 1024,
+      scale: Long = 10000L): DataFrame =
+    knModCore(docs, maxVocab, scale)._3
+
+  private def knModCore(docs: DataFrame, maxVocab: Int, scale: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    require(maxVocab <= 4096,
+      s"maxVocab must be <= 4096 (int64 envelope: scale*6*nn^2, nn <= (maxVocab+1)^2), got $maxVocab")
+    val (_, cuv0, cu, _) = lmStats(docs, maxVocab)
+    val cuv = SharedBranch.sharedBranch(cuv0)
+    val n1v = cuv.groupBy(col("v")).agg(count(lit(1)).as("n1_pre"))
+    val ctx = cuv.groupBy(col("u")).agg(
+      sum(when(col("c_uv") === 1, 1L).otherwise(0L)).as("n1u"),
+      sum(when(col("c_uv") === 2, 1L).otherwise(0L)).as("n2u"),
+      sum(when(col("c_uv") >= 3, 1L).otherwise(0L)).as("n3pu"))
+    val glob = cuv.agg(
+        sum(when(col("c_uv") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c_uv") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("c_uv") === 3, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("c_uv") === 4, 1L).otherwise(0L)).as("n4"),
+        count(lit(1)).as("nn0"))
+      .select(col("n1"), col("n2"), col("n3"), col("n4"),
+        expr("nn0 + coalesce(assert_true(nn0 = 0 OR n1 + 2*n2 > 0," +
+          " 'modified KN needs singleton or doubleton bigram types" +
+          " (n1 + 2*n2 > 0) to estimate discounts — inject rare doc" +
+          " classes at fixture scale'), 0)").as("nn"),
+        expr(s"($scale * n1) div greatest(1, n1 + 2*n2)").as("d1q"),
+        expr(s"CASE WHEN n2 = 0 THEN 0 ELSE ($scale * greatest(0," +
+          s" 2*n2*(n1 + 2*n2) - 3*n1*n3)) div (n2*(n1 + 2*n2)) END").as("d2q"),
+        expr(s"CASE WHEN n3 = 0 THEN 0 ELSE ($scale * greatest(0," +
+          s" 3*n3*(n1 + 2*n2) - 4*n1*n4)) div (n3*(n1 + 2*n2)) END").as("d3q"))
+    (cuv, cu, glob, ctx, n1v)
+  }
+
   /** Fit the frozen Kneser-Ney model [[kneserNeyScoreNarrow]] applies —
     * the [[fitStupidBackoff]] discipline for the discounting family:
     * the [[kneserNeyModel]] tables collected driver-side (seen-bigram

@@ -140,6 +140,49 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(kept.contains(true) && kept.contains(false))
   }
 
+  test("modified KN: hand-rolled discounts and model rows (count-of-counts 1,1,1,1)") {
+    // one bigram type per count 1..4, each doc a single pair so no
+    // cross-pair noise: n1=n2=n3=n4=1, nn=4, d=n1+2n2=3
+    // D1=1/3->3333; D2=(2*3-3)/3=1->10000; D3=(3*3-4)/3=5/3->16666
+    val docs = (Seq((1L, "a b"), (2L, "c d"), (3L, "c d")) ++
+      (4 to 6).map(i => (i.toLong, "e f")) ++
+      (7 to 10).map(i => (i.toLong, "g h"))).toDF("doc_id", "text")
+    val disc = LanguageModel.kneserNeyModifiedDiscounts(docs, maxVocab = 100)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(disc == ((1L, 1L, 1L, 1L, 4L, 3333L, 10000L, 16666L)))
+    val model = LanguageModel.kneserNeyModifiedModel(docs, maxVocab = 100)
+      .orderBy($"u", $"v")
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // (a,b): disc=(10000-3333)div1=6667, gamma=3333, cont=2500,
+    //        mkn=6667+833=7500 <=> exactly (1-1/3)/1 + (1/3)(1/4) = 0.75
+    assert(model.find(r => r._1 == "a" && r._2 == "b").get ==
+      (("a", "b", 1L, 1L, 3333L, 6667L, 3333L, 2500L, 7500L)))
+    // (e,f): c=3,c_u=3: disc=(30000-16666)div3=4444, gamma=16666div3=5555,
+    //        mkn=4444+(5555*2500)div10000=5832 <=> 4/9+5/36=0.5833..
+    assert(model.find(r => r._1 == "e" && r._2 == "f").get ==
+      (("e", "f", 3L, 3L, 16666L, 4444L, 5555L, 2500L, 5832L)))
+  }
+
+  test("modified KN: the D2 clamp binds when 3*n1*n3 outweighs 2*n2*d; degenerate corpus fails loud") {
+    // n1=6, n2=1, n3=3: d=8, 2*1*8=16 < 3*6*3=54 -> d2q clamps to 0
+    val docs = ((1 to 6).map(i => (i.toLong, s"s${i}a s${i}b")) ++
+      Seq((7L, "t1 t2"), (8L, "t1 t2")) ++
+      (0 until 9).map(i => (9L + i, s"u${i / 3}a u${i / 3}b"))).toDF("doc_id", "text")
+    val disc = LanguageModel.kneserNeyModifiedDiscounts(docs, maxVocab = 100)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert((disc._1, disc._2, disc._3) == ((6L, 1L, 3L)))
+    assert(disc._7 == 0L, "d2q must clamp to 0")
+    assert(disc._6 == (10000L * 6 / 8))
+    // all bigram counts >= 5: no count-of-counts signal, loud failure
+    val flat = (1 to 5).map(i => (i.toLong, "x y")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      LanguageModel.kneserNeyModifiedDiscounts(flat, maxVocab = 100).collect()
+    }
+    assert(e.getMessage.contains("singleton or doubleton") ||
+      Option(e.getCause).exists(_.getMessage.contains("singleton or doubleton")))
+  }
+
   test("fitKneserNey: refuses a model past maxModelKeys before any collect") {
     val e = intercept[IllegalArgumentException] {
       LanguageModel.fitKneserNey(tiny, maxVocab = 100, maxModelKeys = 2L)
