@@ -91,6 +91,24 @@ object M5Queries {
         lit(" tel +1415555"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
 
+  /** The q_doc_line_dedup input: the fixture docs are single-line, so
+    * within-page repetition is injected (the injectedFrame vacuity
+    * discipline) — a long nav line repeated three times inside every
+    * page (dropped to its first occurrence), a short "ok" line twice
+    * (exempt — kept both times), and a doc-varying unique footer.
+    */
+  private def docLineInjected(s: SparkSession, dir: String): DataFrame =
+    TextDedup.documents(s, dir).select(col("doc_id"),
+      concat_ws("\n",
+        lit("this exact navigation line repeats within the page"),
+        col("text"),
+        lit("this exact navigation line repeats within the page"),
+        lit("ok"),
+        concat(lit("unique footer line for document number "),
+          (col("doc_id") % 100).cast("string")),
+        lit("ok"),
+        lit("this exact navigation line repeats within the page")).as("text"))
+
   /** The q_kn_modified / q_kn_mod_discounts input: four rare-word tails
     * on fixed doc_ids so bigram TYPES with counts exactly 1, 2, 3 and 4
     * exist at EVERY SF — at sf0.1 every natural bigram of the 31-word
@@ -1422,6 +1440,14 @@ object M5Queries {
     "q_line_dedup" -> ((s, dir) =>
       TextDedup.lineDedup(lineDedupInjected(s, dir), minLineChars = 10,
         boilerplateDf = 50)
+        .orderBy(col("doc_id"))),
+
+    // ---- dedup: WITHIN-document line dedup — the page-local sibling
+    // (repeated nav lines inside one page), ENTIRELY NARROW (HOF
+    // filter, zero shuffle); injected within-page repetition binds all
+    // three rules
+    "q_doc_line_dedup" -> ((s, dir) =>
+      TextDedup.docLineDedup(docLineInjected(s, dir), minLineChars = 10)
         .orderBy(col("doc_id"))),
 
     // ---- dedup: the same line dedup through the hash-only-shuffle
@@ -5989,6 +6015,30 @@ object M5Queries {
     "q_pipeline_e2e" -> pipelineE2eOracle,
 
     "q_line_dedup" -> lineDedupOracle,
+
+    // within-doc line-dedup mirror: unnest with subscripts, per-(doc,
+    // line) first index via a min window, short-line exemption, ordered
+    // string_agg reassembly (empty docs keep their one empty line)
+    "q_doc_line_dedup" ->
+      s"""WITH dd0 AS (SELECT doc_id,
+         |   'this exact navigation line repeats within the page' || chr(10) ||
+         |   text || chr(10) ||
+         |   'this exact navigation line repeats within the page' || chr(10) ||
+         |   'ok' || chr(10) ||
+         |   'unique footer line for document number ' || (doc_id % 100)::VARCHAR || chr(10) ||
+         |   'ok' || chr(10) ||
+         |   'this exact navigation line repeats within the page' AS text
+         |   FROM documents),
+         | t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM dd0),
+         | e AS (SELECT doc_id, generate_subscripts(ls, 1) AS i, unnest(ls) AS l FROM t),
+         | f AS (SELECT doc_id, i, l, min(i) OVER (PARTITION BY doc_id, l) AS fi FROM e),
+         | k AS (SELECT doc_id, i, l FROM f WHERE len(l) < 10 OR i = fi),
+         | r AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY i) AS text_dedup,
+         |     count(*) AS n_kept FROM k GROUP BY 1),
+         | n AS (SELECT doc_id, len(ls)::BIGINT AS n_lines FROM t)
+         |SELECT n.doc_id, coalesce(text_dedup, '') AS text_dedup, n_lines,
+         | coalesce(n_kept, 0)::BIGINT AS n_kept
+         |FROM n LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
     // the hash-only spelling is output-identical by contract — one oracle
     "q_line_dedup_hashed" -> lineDedupOracle,
 

@@ -399,6 +399,36 @@ object TextDedup {
       boilerplateDf: Long = Long.MaxValue, hashOnlyShuffle: Boolean = false): DataFrame =
     lineDedupKeyed(docs, minLineChars, boilerplateDf, hashOnlyShuffle, xxhash64(_))
 
+  /** WITHIN-document line dedup — the page-local sibling of
+    * [[lineDedup]] (the C4/RefinedWeb cleaning families also strip
+    * repeated nav/menu lines INSIDE a single page before any
+    * corpus-level pass; Raffel et al. 2020 §2.2 dedups at three-
+    * sentence granularity within pages): each line keeps only its
+    * FIRST occurrence within its own document, with [[lineDedup]]'s
+    * short-line exemption (blank/one-word lines repeat by nature).
+    *
+    * ENTIRELY NARROW — no shuffle of any kind: the first-occurrence
+    * test is `array_position(lines, l) = i + 1` inside one HOF filter
+    * (per-doc quadratic in line count — a page has tens of lines; the
+    * corpus-level [[lineDedup]] is the cross-document path and the
+    * 100 TB shape for anything bigger). At cluster scale this is a pure
+    * map stage, the cheapest possible spelling.
+    *
+    * Output: (doc_id, text_dedup, n_lines, n_kept) — the
+    * [[lineDedup]] contract.
+    */
+  def docLineDedup(docs: DataFrame, minLineChars: Int = 10): DataFrame = {
+    require(minLineChars >= 0, s"minLineChars must be >= 0, got $minLineChars")
+    docs
+      .withColumn("_ls", split(col("text"), "\n"))
+      .withColumn("_kept", expr(
+        s"filter(_ls, (l, i) -> length(l) < $minLineChars OR array_position(_ls, l) = i + 1)"))
+      .select(col("doc_id"),
+        array_join(col("_kept"), "\n").as("text_dedup"),
+        size(col("_ls")).cast("long").as("n_lines"),
+        size(col("_kept")).cast("long").as("n_kept"))
+  }
+
   /** PARAGRAPH-granularity [[lineDedup]] — the same keep-first /
     * boilerplate-df semantics over blank-line-separated blocks (split on
     * runs of ≥ 2 newlines), the granularity between line dedup and

@@ -676,6 +676,29 @@ class M5OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("docLineDedup: within-page first occurrence survives, short lines exempt, cross-doc repeats untouched") {
+    val d = Seq(
+      (1L, "repeated navigation menu line\nunique body one\nrepeated navigation menu line\nok\nok\nrepeated navigation menu line"),
+      (2L, "repeated navigation menu line\nunique body two"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextDedup.docLineDedup(d, minLineChars = 10)
+      .orderBy($"doc_id").as[(Long, String, Long, Long)].collect()
+    // doc 1: nav line keeps only its first in-page occurrence; the
+    // short "ok" is exempt and kept twice
+    assert(got(0) == ((1L, "repeated navigation menu line\nunique body one\nok\nok", 6L, 4L)))
+    // doc 2 keeps its own first occurrence — the operator is page-local
+    // (doc 1 having the line does NOT strip it from doc 2, unlike
+    // corpus-level lineDedup)
+    assert(got(1) == ((2L, "repeated navigation menu line\nunique body two", 2L, 2L)))
+    // empty text splits to one empty (short-exempt) line
+    assert(got(2) == ((3L, "", 1L, 1L)))
+    // narrow projection: partitioning-invariant by construction, pin it
+    val rep = TextDedup.docLineDedup(d.repartition(5), minLineChars = 10)
+      .orderBy($"doc_id").as[(Long, String, Long, Long)].collect()
+    assert(got.toSeq == rep.toSeq)
+  }
+
   test("lineDedup: first occurrence survives, short lines exempt, boilerplate dropped everywhere") {
     val d = Seq(
       (1L, "common header line here\nunique body of document one\nok"),
