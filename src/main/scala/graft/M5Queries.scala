@@ -109,6 +109,18 @@ object M5Queries {
         lit("ok"),
         lit("this exact navigation line repeats within the page")).as("text"))
 
+  /** The q_ict_pairs input: two doc-varying sentences appended so every
+    * doc has ≥ 2 kept sentences (the fixture is terminator-free word
+    * salad — uninjected, every doc is one sentence and the gate would
+    * be empty).
+    */
+  private def ictInjected(s: SparkSession, dir: String): DataFrame =
+    TextDedup.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(". extra sentence alpha number "), (col("doc_id") % 50).cast("string"),
+        lit(". closing sentence beta marker "), (col("doc_id") % 7).cast("string"),
+        lit(".")).as("text"))
+
   /** The q_kn_modified / q_kn_mod_discounts input: four rare-word tails
     * on fixed doc_ids so bigram TYPES with counts exactly 1, 2, 3 and 4
     * exist at EVERY SF — at sf0.1 every natural bigram of the 31-word
@@ -1950,6 +1962,14 @@ object M5Queries {
       operators.Word2Vec.subsampleFrequent(TextDedup.documents(s, dir),
           t = 0.01)
         .orderBy(col("doc_id"), col("pos"))),
+
+    // ---- retrieval: Inverse Cloze Task pairs (Lee et al., ACL 2019)
+    // — one sentence as pseudo-query, the rest as positive context,
+    // the 10% keep-in-context rule; hash-deterministic draws; ENTIRELY
+    // NARROW (array ops, zero shuffle)
+    "q_ict_pairs" -> ((s, dir) =>
+      Curation.ictPairs(ictInjected(s, dir))
+        .orderBy(col("doc_id"))),
 
     // ---- embeddings: fastText subword n-grams (Bojanowski et al.
     // 2017 §3.2) — boundary-wrapped char n-grams per word TYPE hashed
@@ -7111,6 +7131,22 @@ object M5Queries {
          |   least(1048576::BIGINT, floor(sqrt(0.01::DOUBLE * n_tot / c_tok) * 1048576.0)::BIGINT) AS kept
          |FROM e JOIN fr USING (tok) CROSS JOIN nt
          |ORDER BY doc_id, pos""".stripMargin,
+
+    // ICT mirror: injected multi-sentence docs, the same sentence
+    // filter as the c4 mirror, hash-drawn query index and
+    // keep-in-context coin; DuckDB list-lambda indices are 1-BASED
+    // (Spark's filter index is 0-based), hence i != qi + 1
+    "q_ict_pairs" ->
+      s"""WITH dd0 AS (SELECT doc_id, text || '. extra sentence alpha number ' || (doc_id % 50)::VARCHAR || '. closing sentence beta marker ' || (doc_id % 7)::VARCHAR || '.' AS text FROM documents),
+         | t AS (SELECT doc_id, list_filter(string_split_regex(text, '[.!?]+[ \\t\\n\\f\\r]+'), s -> len(list_filter(string_split_regex(lower(s), '[ \\t\\n\\f\\r]+'), t2 -> len(t2) > 0)) > 0) AS ss,
+         |     ${frag.rolling("text")} AS h FROM dd0),
+         | f AS (SELECT doc_id, ss, h, len(ss)::BIGINT AS n FROM t WHERE len(ss) >= 2),
+         | g AS (SELECT doc_id, ss, h % n AS qi, (h // 7) % 10 = 0 AS keep_query FROM f)
+         |SELECT doc_id, (qi + 1)::BIGINT AS sent_idx, keep_query,
+         | ss[(qi + 1)::INT] AS query,
+         | CASE WHEN keep_query THEN array_to_string(ss, ' ')
+         |      ELSE array_to_string(list_filter(ss, (x, i) -> i != qi + 1), ' ') END AS context
+         |FROM g ORDER BY doc_id""".stripMargin,
 
     // fastText subword mirror: distinct-word table, boundary wrap,
     // bounded n/position unnest, character slice + hash bucket

@@ -292,6 +292,50 @@ object Curation {
       .withColumn("fill_ppm",
         expr(s"(1000000 * n_tokens) div (n_windows * $windowTokens)"))
 
+  /** INVERSE CLOZE TASK pairs (Lee, Chang & Toutanova, ACL 2019 §3.2 —
+    * ORQA's retrieval pretraining objective, the standard dense-
+    * retriever data prep): one sentence of the passage becomes the
+    * pseudo-QUERY, the remaining sentences the positive CONTEXT; 10%
+    * of the time the query sentence stays IN the context (the paper's
+    * rule — the retriever must also learn lexical overlap, not only
+    * abstraction). The paper's draws are hash-deterministic here (the
+    * [[graft.operators.Bpe.fimTransform]] discipline): with
+    * `h = rolling_hash(text)`, the query index is `h % n` over the n
+    * kept sentences and the keep-in-context coin is
+    * `(h div 7) % 10 == 0`.
+    *
+    * Sentences split at `[.!?]+` + whitespace ([[sentenceChunks]]'s
+    * lookbehind-free pattern, terminators consumed) and tokenless
+    * sentences are dropped; documents with fewer than 2 kept sentences
+    * emit nothing (no context would remain). The context rejoins with
+    * a single space — the terminators are already consumed, and the
+    * retriever tokenizes downstream anyway.
+    *
+    * Output: (doc_id, sent_idx, keep_query, query, context),
+    * `sent_idx` the query's 1-based position among kept sentences.
+    *
+    * Plan shape: ENTIRELY NARROW — array ops per row, zero shuffle (a
+    * pure map stage at 100 TB; the [[Curation.nspPairs]] sibling is
+    * the cross-document objective and pays the joins).
+    */
+  def ictPairs(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions
+    val sents = filter(split(col("text"), "[.!?]+[ \t\n\f\r]+"),
+      s => size(TextFunctions.tokens(s)) > 0)
+    docs.select(col("doc_id"), sents.as("ss"),
+        coalesce(TextFunctions.rollingHash(col("text")), lit(0L)).as("h"))
+      .filter(size(col("ss")) >= 2)
+      .withColumn("n", size(col("ss")).cast("long"))
+      .withColumn("qi", expr("h % n"))
+      .withColumn("keep_query", expr("(h div 7) % 10 = 0"))
+      .select(col("doc_id"), (col("qi") + 1).as("sent_idx"),
+        col("keep_query"),
+        element_at(col("ss"), (col("qi") + 1).cast("int")).as("query"),
+        when(col("keep_query"), array_join(col("ss"), " "))
+          .otherwise(array_join(expr("filter(ss, (x, i) -> i != qi)"), " "))
+          .as("context"))
+  }
+
   /** SENTENCE-AWARE chunking — the boundary-respecting sibling of
     * [[chunkByTokens]] (which cuts mid-sentence at fixed offsets): the
     * document splits at sentence boundaries (`[.!?]+` followed by

@@ -937,6 +937,34 @@ class CurationSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("ictPairs: hash-replayed query/context split, the keep-in-context coin binds, short docs emit nothing") {
+    val texts = (0 until 40).map(i =>
+      s"first sentence alpha $i. second sentence beta $i. third sentence gamma $i.")
+    val docs = (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+      (99L, "single sentence no terminator") :+
+      (98L, "")).toDF("doc_id", "text")
+    val got = Curation.ictPairs(docs)
+      .as[(Long, Long, Boolean, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!got.contains(99L) && !got.contains(98L))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val sents = t.split("""[.!?]+[ \t\n\f\r]+""").filter(_.trim.nonEmpty).toSeq
+      assert(sents.size == 3)
+      val h = graft.functions.RollingHash.compute(t)
+      val qi = (h % 3).toInt
+      val keep = (h / 7) % 10 == 0
+      val (id, si, kq, q, ctx) = got(i.toLong)
+      assert(si == qi + 1 && kq == keep, s"doc $i draw")
+      assert(q == sents(qi), s"doc $i query")
+      val expCtx = if (keep) sents.mkString(" ")
+        else sents.zipWithIndex.filter(_._2 != qi).map(_._1).mkString(" ")
+      assert(ctx == expCtx, s"doc $i context")
+    }
+    // both coin branches must occur or the 10% rule is vacuous here
+    val coins = texts.map(t => (graft.functions.RollingHash.compute(t) / 7) % 10 == 0)
+    assert(coins.contains(true) && coins.contains(false))
+  }
+
   test("c4Filter: every published rule binds; clean_text is exactly the kept lines") {
     val good = "alpha beta gamma delta epsilon.\nzeta eta theta iota kappa!\nlambda mu nu xi omicron pi?"
     val d = Seq(
