@@ -78,6 +78,13 @@ object DumpPlans {
       "q_bert_examples_trunc" -> "truncate_seq_pair: the four-counter trim fold is ONE narrow aggregate HOF on the pair stream (per-step rolling hash inside) — no new shuffle over the untruncated assembly",
       "q_bert_tensors" -> "BERT tensor feed: capped MLM's doc-partitioned window pair shares ONE doc_id exchange, both id lookups broadcast, the token_type/is_next join-back is (doc,pos)-keyed SMJ",
       "q_wwm_mask_capped" -> "wwm budget cap: word regroup + per-doc skip-continue fold ride the word-ordinal window's existing doc_id hash — the cap adds aggregations, not corpus exchanges",
+      "q_ul2_denoisers" -> "UL2 R/X/S mixture: the span-corruption shape — narrow denoiser/block/pivot arithmetic, sentinel ordinals + token count + both streams' positions all on ONE doc_id window exchange",
+      "q_kn_modified" -> "modified Kneser-Ney: bigram-type table SharedBranch feeds count-of-counts (1-row broadcast, loud assert) + per-context conditional sums (broadcast) + continuation counts — one corpus adjacency exchange total",
+      "q_skipgram_pairs" -> "skip-gram pairs: OOV-compact + leads on ONE doc_id window exchange, both directions materialized from one lead, negatives = narrow hash + broadcast dictionary join",
+      "q_glove_cooc" -> "GloVe co-occurrence: the same one-exchange lead shape collapsing into a vocab^2-bounded map-side-combinable hash agg — corpus-size-independent output",
+      "q_bpe_dropout" -> "BPE-dropout emit: ONE dropout-parameterized BpeEncode reference-object node per epoch — entirely narrow, documents never shuffle",
+      "q_ict_pairs" -> "Inverse Cloze Task: ENTIRELY NARROW — sentence split + hash draws + array filter/join per row; no join, no exchange",
+      "q_doc_line_dedup" -> "within-doc line dedup: one HOF filter (array_position first-occurrence test) — zero shuffle, a pure map stage",
       "q_pii_scrub" -> "typed PII scrub: three regexp count+replace stages per row — ENTIRELY NARROW, no join, no exchange",
       "q_ppl_buckets" -> "CCNet terciles: the LM pass + quantile-boundary PrefixSum + a <=2-rows-per-group broadcast boundary join + narrow CASE")
     val sb = new StringBuilder
