@@ -1240,6 +1240,25 @@ object M5Queries {
     // ---- similarity: JL dimension reduction, recall-measured — top-5
     // in the 16-dim signed-projection space vs the exact 64-dim top-5
     // (the 4× fold/byte/shuffle cut priced in recall, per query vector)
+    // ---- embeddings: Matryoshka prefix-truncation recall (Kusupati
+    // et al. 2022) — top-k under the first-16-dims cosine vs the full
+    // 64-dim top-k; the deployment-truncation knob MEASURED (the
+    // jl_recall discipline)
+    "q_embed_mrl_recall" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      val qs = 0L to 4L
+      val exact = Similarity.bruteForceTopK(emb, qs, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val mrl = Similarity.bruteForceTopK(Similarity.prefixDims(emb, 16), qs, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact.join(mrl, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("hit")).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(5.0)).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     "q_embed_jl_recall" -> ((s, dir) => {
       val emb = Similarity.embeddings(s, dir)
       val qs = 0L to 4L
@@ -5123,6 +5142,27 @@ object M5Queries {
     "q_embed_neardup_lsh_mp" -> embedNearDupLshMpOracle,
     // JL mirror: identical signed projection + identical per-row cosine
     // folds in both spaces, rank ties to the smaller neighbor_id
+    // MRL mirror: the jl_recall shape with the projection replaced by
+    // the prefix slice (cast-to-double before slicing is per-element
+    // exact, so order vs the Spark side is immaterial)
+    "q_embed_mrl_recall" ->
+      s"""WITH v AS (${frag.vecs}),
+         | p AS (SELECT vec_id, v[1:16] AS w FROM v),
+         | q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id BETWEEN 0 AND 4),
+         | qp AS (SELECT vec_id AS query_id, w AS qw FROM p WHERE vec_id BETWEEN 0 AND 4),
+         | ex AS (SELECT query_id, neighbor_id FROM (
+         |   SELECT query_id, vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY ${frag.cosine("qv", "v.v")} DESC, vec_id) AS rank
+         |   FROM v CROSS JOIN q WHERE vec_id <> query_id) WHERE rank <= 5),
+         | fp AS (SELECT query_id, neighbor_id FROM (
+         |   SELECT query_id, p.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY ${frag.cosineN("qw", "p.w", 16)} DESC, p.vec_id) AS rank
+         |   FROM p CROSS JOIN qp WHERE p.vec_id <> query_id) WHERE rank <= 5)
+         |SELECT ex.query_id, count(fp.neighbor_id)::BIGINT AS n_hits,
+         | (count(fp.neighbor_id)::DOUBLE / 5.0) AS recall
+         |FROM ex LEFT JOIN fp USING (query_id, neighbor_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_embed_jl_recall" ->
       s"""WITH v AS (${frag.vecs}),
          | jl AS (SELECT vec_id, ${frag.jlProj(16)} AS w FROM v),

@@ -97,6 +97,23 @@ object Similarity {
           lit(0.0), (acc, x) => acc + x)).as("embedding"))
   }
 
+  /** MATRYOSHKA prefix-dimension truncation (Kusupati et al., NeurIPS
+    * 2022 — MRL-trained embeddings keep their semantics in every
+    * prefix, so deployments truncate to the first d dims and
+    * renormalize; cosine is scale-invariant, so the renormalize is
+    * free): the slice is what production ANN stacks actually run, and
+    * `q_embed_mrl_recall` MEASURES what a given corpus tolerates (the
+    * [[jlProject]] knob discipline — this synthetic corpus is not
+    * MRL-trained, so its prefix coordinates are an untrained baseline;
+    * the gate is the measurement, not a quality claim). A d/64 cut is
+    * a d/64 cut of every downstream distance fold, index byte size,
+    * and shuffle width. Narrow per-row work (one slice).
+    */
+  def prefixDims(embs: DataFrame, outDims: Int): DataFrame = {
+    require(outDims >= 1, s"outDims must be positive, got $outDims")
+    embs.select(col("vec_id"), slice(col("embedding"), 1, outDims).as("embedding"))
+  }
+
   /** All near-duplicate vector pairs with cosine ≥ threshold, blocked by
     * label (the oracle-verifiable small-scale form; at scale the blocking
     * key becomes an LSH bucket, below).

@@ -23,6 +23,30 @@ class JlProjectionSpec extends AnyFunSuite {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("prefixDims: exact slice; full-width prefix is the identity ranking; clustered corpora survive truncation IF the prefix carries the signal") {
+    val emb = clustered
+    // the slice is exactly the first d coordinates
+    val got = Similarity.prefixDims(emb, 16)
+      .orderBy($"vec_id").as[(Long, Seq[Float])].collect()
+    val raw = emb.orderBy($"vec_id").as[(Long, Seq[Float])].collect()
+    got.zip(raw).foreach { case ((i1, p), (i2, full)) =>
+      assert(i1 == i2 && p == full.take(16))
+    }
+    // d = 64 is the identity: top-k ranking unchanged
+    val k = 3; val qs = 0L to 4L
+    val exact = Similarity.bruteForceTopK(emb, qs, k)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val id64 = Similarity.bruteForceTopK(Similarity.prefixDims(emb, 64), qs, k)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(id64 == exact)
+    // cluster A lives in dims 0-31, so its 16-dim prefix keeps the
+    // cluster margin: truncated neighbors of A-queries stay in-cluster
+    // (the corpus-margin story q_embed_mrl_recall measures)
+    val mrl = Similarity.bruteForceTopK(Similarity.prefixDims(emb, 16), qs, k)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(mrl.forall { case (_, n) => n < 10 })
+  }
+
   test("strongly separated clusters survive the 16-dim projection: neighbors stay in-cluster") {
     val emb = clustered
     val k = 3

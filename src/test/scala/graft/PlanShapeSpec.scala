@@ -307,6 +307,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_embed_ivfpq_indexed", "q_embed_ivfpq_recall", "q_embed_pq",
       "q_embed_pq_recall", "q_embed_pq_refined", "q_embed_topk",
       "q_embed_jl_recall", // ≤5-row query-vector set, both spaces
+      "q_embed_mrl_recall", // the same ≤5-row query set, full + prefix spaces
       "q_knn_graph_recall", "q_multimodal_ann", // ≤10-row query-vector set
       "q_curriculum", // 1-row total-count frame (epochShuffle's sibling)
       "q_session_concurrency", // boundary-sweep PrefixSum triangle
