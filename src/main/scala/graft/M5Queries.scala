@@ -2015,6 +2015,14 @@ object M5Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- relevance: TRIGRAM interpolated Kneser-Ney — the order
+    // recursion (raw counts at the top, continuation counts below, the
+    // unigram continuation floor), quantized composition
+    "q_kn_trigram" -> ((s, dir) =>
+      LanguageModel.kneserNeyTrigramModel(TextDedup.documents(s, dir),
+          maxVocab = 16)
+        .orderBy(col("u"), col("v"), col("w"))),
+
     // ---- relevance: MODIFIED Kneser-Ney (Chen & Goodman TR-10-98 §3)
     // — three count-of-counts-estimated discounts as scale-quantized
     // integers (numerators clamped at 0 before div), full vocabulary
@@ -7231,6 +7239,40 @@ object M5Queries {
          | coalesce(kn_q_sum, 0)::BIGINT AS kn_q_sum,
          | coalesce(kn_q_sum, 0) >= 4000 * coalesce(n_bigrams, 0) AS keep
          |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // trigram-KN mirror: two leads, the trigram-type table feeding the
+    // context/continuation tables, the quantized three-level
+    // composition (all-HUGEINT until the output casts)
+    "q_kn_trigram" ->
+      s"""WITH d AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),
+         | e AS (SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM d),
+         | uc AS (SELECT tok, count(*) AS c FROM e GROUP BY 1),
+         | vocab AS (SELECT tok FROM uc ORDER BY c DESC, tok LIMIT 16),
+         | m AS (SELECT doc_id, pos,
+         |     CASE WHEN vb.tok IS NULL THEN '<unk>' ELSE e.tok END AS u
+         |   FROM e LEFT JOIN vocab vb ON e.tok = vb.tok),
+         | b AS (SELECT doc_id, u,
+         |     lead(u) OVER (PARTITION BY doc_id ORDER BY pos) AS v,
+         |     lead(u, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w FROM m),
+         | tri AS (SELECT u, v, w, count(*) AS c3 FROM b WHERE w IS NOT NULL GROUP BY 1, 2, 3),
+         | c2t AS (SELECT u, v, sum(c3) AS c2, count(*) AS k3 FROM tri GROUP BY 1, 2),
+         | t2 AS (SELECT v, w, count(*) AS ct2 FROM tri GROUP BY 1, 2),
+         | sk AS (SELECT v, sum(ct2) AS s2, count(*) AS k2 FROM t2 GROUP BY 1),
+         | un AS (SELECT w, count(*) AS n1w FROM t2 GROUP BY 1),
+         | nnf AS (SELECT count(*) AS nn FROM t2),
+         | md AS (SELECT u, v, w, c3, c2, k3, ct2, s2, k2, n1w, nn,
+         |     (10000 * n1w) // nn AS p1_q
+         |   FROM tri JOIN c2t USING (u, v) JOIN t2 USING (v, w)
+         |     JOIN sk USING (v) JOIN un USING (w) CROSS JOIN nnf),
+         | m2 AS (SELECT *, (10000 * (4 * ct2 - 3)) // (4 * s2)
+         |     + ((((3 * 10000 * k2) // (4 * s2)) * p1_q) // 10000) AS p2_q FROM md)
+         |SELECT u, v, w, c3::BIGINT AS c3, c2::BIGINT AS c2, k3::BIGINT AS k3,
+         | ct2::BIGINT AS ct2, s2::BIGINT AS s2, k2::BIGINT AS k2,
+         | n1w::BIGINT AS n1w, nn::BIGINT AS nn, p1_q::BIGINT AS p1_q,
+         | p2_q::BIGINT AS p2_q,
+         | ((10000 * (4 * c3 - 3)) // (4 * c2)
+         |   + ((((3 * 10000 * k3) // (4 * c2)) * p2_q) // 10000))::BIGINT AS p3_q
+         |FROM m2 ORDER BY u, v, w""".stripMargin,
 
     // modified-KN mirror: the KN count chain over the rare-class-
     // injected corpus + count-of-counts discounts (clamped numerators)

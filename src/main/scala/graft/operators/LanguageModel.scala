@@ -609,6 +609,81 @@ object LanguageModel {
     (cuv, cu, glob, ctx, n1v)
   }
 
+  /** TRIGRAM interpolated Kneser-Ney (Chen & Goodman TR-10-98 §2.7 at
+    * order 3 — the order recursion that makes KN KN: the TOP level
+    * discounts RAW counts, every LOWER level discounts CONTINUATION
+    * counts ("how many distinct contexts precede this n-gram"), and
+    * the floor is the unigram continuation distribution):
+    *
+    * {{{ P1(w)    = N1+(·w) / N1+(··)                    (type counts over (v,w))
+    *     P2(w|v)  = (N1+(·vw) − D)⁺/S2(v) + D·K2(v)/S2(v) · P1(w)
+    *     P3(w|uv) = (c(uvw) − D)⁺/c(uv·) + D·K3(uv)/c(uv·) · P2(w|v) }}}
+    *
+    * with `S2(v) = Σ_w N1+(·vw)`, `K2(v) = |{w : N1+(·vw) > 0}|`,
+    * `K3(uv) = N1+(uv·)`, `c(uv·) = Σ_w c(uvw)`, and the fixed
+    * discount D = 3/4 at every level (the [[kneserNeyModel]]
+    * convention). QUANTIZED COMPOSITION (the
+    * [[kneserNeyModifiedModel]] discipline): each level's discounted
+    * and continuation terms are `scale`-scaled integer divisions and
+    * the interpolation composes as `disc_q + (gam_q · P_lower_q) div
+    * scale` — in-corpus training means every seen type has count ≥ 1,
+    * so every numerator is positive and no clamp is needed.
+    *
+    * Output: one row per seen trigram TYPE —
+    * (u, v, w, c3, c2, k3, ct2, s2, k2, n1w, nn, p1_q, p2_q, p3_q).
+    *
+    * Plan shape: ONE corpus adjacency exchange (the doc-keyed window
+    * producing both leads); the trigram-type table is a SharedBranch
+    * feeding the context/continuation aggregations; per-v and per-w
+    * tables are ≤ vocab+1 rows (broadcast), the (v,w) continuation and
+    * (u,v) context tables are vocab²-bounded keyed joins (AQE); the
+    * 1-row NN frame broadcasts with the loud positivity ride-along.
+    */
+  def kneserNeyTrigramModel(docs: DataFrame, maxVocab: Int = 1024,
+      scale: Long = 10000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+    val vocab = SharedBranch.sharedBranch(
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(maxVocab)
+        .select(col("tok")))
+    val mapped = toks
+      .join(broadcast(vocab.withColumn("inv", lit(1))), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("inv").isNotNull, col("tok")).otherwise(lit(Unk)).as("u"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tri = SharedBranch.sharedBranch(mapped
+      .withColumn("v", lead(col("u"), 1).over(w))
+      .withColumn("w", lead(col("u"), 2).over(w))
+      .filter(col("w").isNotNull)
+      .groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("c3")))
+    val c2 = tri.groupBy(col("u"), col("v"))
+      .agg(sum(col("c3")).as("c2"), count(lit(1)).as("k3"))
+    val t2 = SharedBranch.sharedBranch(
+      tri.groupBy(col("v"), col("w")).agg(count(lit(1)).as("ct2")))
+    val s2k2 = t2.groupBy(col("v"))
+      .agg(sum(col("ct2")).as("s2"), count(lit(1)).as("k2"))
+    val uni = t2.groupBy(col("w")).agg(count(lit(1)).as("n1w"))
+    val nn = t2.agg(count(lit(1)).as("nn0"))
+      .select(expr("nn0 + coalesce(assert_true(nn0 >= 0), 0)").as("nn"))
+    tri.join(c2, Seq("u", "v"))
+      .join(t2, Seq("v", "w"))
+      .join(broadcast(s2k2), Seq("v"))
+      .join(broadcast(uni), Seq("w"))
+      .crossJoin(broadcast(nn))
+      .withColumn("p1_q", expr(s"($scale * n1w) div nn"))
+      .withColumn("p2_q",
+        expr(s"($scale * (4 * ct2 - 3)) div (4 * s2)")
+          + expr(s"((((3 * $scale * k2) div (4 * s2)) * (($scale * n1w) div nn)) div $scale)"))
+      .withColumn("p3_q",
+        expr(s"($scale * (4 * c3 - 3)) div (4 * c2)")
+          + expr(s"((((3 * $scale * k3) div (4 * c2)) * p2_q) div $scale)"))
+      .select(col("u"), col("v"), col("w"), col("c3"), col("c2"), col("k3"),
+        col("ct2"), col("s2"), col("k2"), col("n1w"), col("nn"),
+        col("p1_q"), col("p2_q"), col("p3_q"))
+  }
+
   /** Fit the frozen Kneser-Ney model [[kneserNeyScoreNarrow]] applies —
     * the [[fitStupidBackoff]] discipline for the discounting family:
     * the [[kneserNeyModel]] tables collected driver-side (seen-bigram

@@ -140,6 +140,31 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(kept.contains(true) && kept.contains(false))
   }
 
+  test("trigram KN: the three-level recursion hand-rolled on 'a b c a b d'") {
+    // trigram types all c3=1; c2(a,b)=2/k3=2; t2 each 1; s2(b)=2/k2=2,
+    // s2(a)=s2(c)=1/k2=1; n1w=1 each, NN=4 -> p1_q=2500 everywhere
+    val docs = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val got = LanguageModel.kneserNeyTrigramModel(docs, maxVocab = 100)
+      .orderBy($"u", $"v", $"w")
+      .select($"u", $"v", $"w", $"p1_q", $"p2_q", $"p3_q")
+      .as[(String, String, String, Long, Long, Long)].collect().toSeq
+    // (a,b,*): p2 = 1250 + (7500*2500)div1e4 = 3125 <=> 0.3125 exactly;
+    //          p3 = 1250 + (7500*3125)div1e4 = 3593 <=> 0.359375
+    // (b,c,a)/(c,a,b): p2 = 2500+1875 = 4375 <=> 0.4375;
+    //          p3 = 2500 + (7500*4375)div1e4 = 5781 <=> 0.578125
+    assert(got == Seq(
+      ("a", "b", "c", 2500L, 3125L, 3593L),
+      ("a", "b", "d", 2500L, 3125L, 3593L),
+      ("b", "c", "a", 2500L, 4375L, 5781L),
+      ("c", "a", "b", 2500L, 4375L, 5781L)))
+    // partitioning-invariant
+    val rep = LanguageModel.kneserNeyTrigramModel(docs.repartition(5), maxVocab = 100)
+      .orderBy($"u", $"v", $"w")
+      .select($"u", $"v", $"w", $"p1_q", $"p2_q", $"p3_q")
+      .as[(String, String, String, Long, Long, Long)].collect().toSeq
+    assert(got == rep)
+  }
+
   test("modified KN: hand-rolled discounts and model rows (count-of-counts 1,1,1,1)") {
     // one bigram type per count 1..4, each doc a single pair so no
     // cross-pair noise: n1=n2=n3=n4=1, nn=4, d=n1+2n2=3

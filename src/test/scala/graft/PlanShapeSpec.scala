@@ -319,6 +319,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_importance_selected", // same totals + 1-row doc-count frame + PrefixSum offsets
       "q_kn_model", "q_kn_score", // 1-row NN (distinct-bigram-count) frame
       "q_kn_modified", "q_kn_mod_discounts", // 1-row count-of-counts/discount frame
+      "q_kn_trigram", // 1-row continuation-type-count (NN) frame
       "q_skipgram_pairs", // 1-row vocab-size frame (the negative-draw modulus)
       "q_word_subsample", // 1-row corpus-token-total frame
       "q_lm_score", // 1-row vocab totals
