@@ -1964,6 +1964,19 @@ object M5Queries {
           window = 1, negatives = 1, maxVocab = 8)
         .orderBy(col("doc_id"), col("p"), col("offset"), col("sample_idx"))),
 
+    // ---- §2.8: skip-gram pair generation under STREAMING execution —
+    // the per-doc batchTransform path with the vocabulary FROZEN
+    // batch-side (the classifier-face discipline); SAME oracle as the
+    // batch gate
+    "q_stream_skipgram" -> ((s, dir) => {
+      val vocab = operators.Word2Vec.vocabulary(TextDedup.documents(s, dir), 8)
+      graft.streaming.FileStreamHarness.runStateless(s, dir, "documents",
+          identity, keyCol = "doc_id",
+          batchTransform = b => operators.Word2Vec.skipGramPairsWithVocab(
+            b, vocab, window = 1, negatives = 1))
+        .orderBy(col("doc_id"), col("p"), col("offset"), col("sample_idx"))
+    }),
+
     // ---- embeddings: GloVe distance-weighted co-occurrence matrix
     // (Pennington et al. 2014 §3, the released 1/d decay) — weights
     // exact as lcm-scaled integers, ONE map-side-combinable hash agg;
@@ -7122,28 +7135,8 @@ object M5Queries {
     // skip-gram mirror: vocab-restricted compacted stream, one lead,
     // both directions, the uniform negative draw joined back to the
     // dense-id vocabulary
-    "q_skipgram_pairs" ->
-      s"""WITH d AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),
-         | e AS (SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM d),
-         | uc AS (SELECT tok, count(*) AS n_occ FROM e GROUP BY 1),
-         | vr AS (SELECT tok, row_number() OVER (ORDER BY n_occ DESC, tok) - 1 AS vid
-         |   FROM (SELECT * FROM uc ORDER BY n_occ DESC, tok LIMIT 8)),
-         | vs AS (SELECT count(*) AS vsz FROM vr),
-         | st AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS p, e.tok AS tok
-         |   FROM e JOIN vr ON e.tok = vr.tok),
-         | ld AS (SELECT doc_id, p, tok, lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY p) AS lead_1 FROM st),
-         | pr AS (SELECT doc_id, p, tok, 1 AS o, lead_1 AS other FROM ld WHERE lead_1 IS NOT NULL),
-         | pp AS (SELECT doc_id, p, o AS "offset", tok AS center, other AS context FROM pr
-         |   UNION ALL SELECT doc_id, p + o, -o, other, tok FROM pr),
-         | po AS (SELECT doc_id, p, "offset", 0 AS sample_idx, center, context, 1 AS label FROM pp),
-         | ng AS (SELECT doc_id, p, "offset", 1 AS sample_idx, center,
-         |     ${frag.rolling("""doc_id::VARCHAR || ':' || p::VARCHAR || ':' || "offset"::VARCHAR || ':1'""")} % vsz AS nid
-         |   FROM pp CROSS JOIN vs),
-         | no AS (SELECT doc_id, p, "offset", sample_idx, center, vr.tok AS context, 0 AS label
-         |   FROM ng JOIN vr ON ng.nid = vr.vid)
-         |SELECT doc_id, p, "offset", sample_idx, center, context, label FROM po
-         |UNION ALL SELECT doc_id, p, "offset", sample_idx, center, context, label FROM no
-         |ORDER BY doc_id, p, "offset", sample_idx""".stripMargin,
+    "q_skipgram_pairs" -> skipgramOracle,
+    "q_stream_skipgram" -> skipgramOracle,
 
     // GloVe mirror: compacted stream, three leads, lcm(1..3)=6-scaled
     // 1/d weights, symmetric union, one aggregation
@@ -7986,6 +7979,32 @@ object M5Queries {
        |UNION ALL SELECT doc_id, denoiser, stream, pos, token FROM inp
        |UNION ALL SELECT doc_id, denoiser, stream, pos, token FROM tg
        |ORDER BY doc_id, stream, pos""".stripMargin
+
+  /** Shared by the batch skip-gram gate and its frozen-vocabulary
+    * file-source streaming twin (the routeDispatchOracle convention).
+    */
+  private lazy val skipgramOracle: String =
+    s"""WITH d AS (SELECT doc_id, ${frag.toks} AS tk FROM documents),
+         | e AS (SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM d),
+         | uc AS (SELECT tok, count(*) AS n_occ FROM e GROUP BY 1),
+         | vr AS (SELECT tok, row_number() OVER (ORDER BY n_occ DESC, tok) - 1 AS vid
+         |   FROM (SELECT * FROM uc ORDER BY n_occ DESC, tok LIMIT 8)),
+         | vs AS (SELECT count(*) AS vsz FROM vr),
+         | st AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS p, e.tok AS tok
+         |   FROM e JOIN vr ON e.tok = vr.tok),
+         | ld AS (SELECT doc_id, p, tok, lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY p) AS lead_1 FROM st),
+         | pr AS (SELECT doc_id, p, tok, 1 AS o, lead_1 AS other FROM ld WHERE lead_1 IS NOT NULL),
+         | pp AS (SELECT doc_id, p, o AS "offset", tok AS center, other AS context FROM pr
+         |   UNION ALL SELECT doc_id, p + o, -o, other, tok FROM pr),
+         | po AS (SELECT doc_id, p, "offset", 0 AS sample_idx, center, context, 1 AS label FROM pp),
+         | ng AS (SELECT doc_id, p, "offset", 1 AS sample_idx, center,
+         |     ${frag.rolling("""doc_id::VARCHAR || ':' || p::VARCHAR || ':' || "offset"::VARCHAR || ':1'""")} % vsz AS nid
+         |   FROM pp CROSS JOIN vs),
+         | no AS (SELECT doc_id, p, "offset", sample_idx, center, vr.tok AS context, 0 AS label
+         |   FROM ng JOIN vr ON ng.nid = vr.vid)
+         |SELECT doc_id, p, "offset", sample_idx, center, context, label FROM po
+         |UNION ALL SELECT doc_id, p, "offset", sample_idx, center, context, label FROM no
+         |ORDER BY doc_id, p, "offset", sample_idx""".stripMargin
 
   /** Shared by the hash-classifier join spelling and the NARROW
     * spelling's file-source streaming twin (the routeDispatchOracle

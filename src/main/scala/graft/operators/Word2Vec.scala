@@ -82,10 +82,20 @@ object Word2Vec {
     * shuffles beyond the adjacency exchange.
     */
   def skipGramPairs(docs: DataFrame, window: Int = 2, negatives: Int = 2,
-      maxVocab: Int = 1024): DataFrame = {
+      maxVocab: Int = 1024): DataFrame =
+    skipGramPairsWithVocab(docs, vocabulary(docs, maxVocab), window, negatives)
+
+  /** [[skipGramPairs]] against a PRE-BUILT (vid, tok, n_occ) vocabulary
+    * — the FROZEN-model face for the streaming twin: the vocabulary is
+    * corpus state computed batch-side once; each micro-batch's pairs
+    * draw against the same dictionary (the classifier-face
+    * discipline), so the foreachBatch union equals the batch run.
+    */
+  def skipGramPairsWithVocab(docs: DataFrame, vocab0: DataFrame,
+      window: Int = 2, negatives: Int = 2): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(negatives >= 0, s"negatives must be >= 0, got $negatives")
-    val vocab = SharedBranch.sharedBranch(vocabulary(docs, maxVocab))
+    val vocab = SharedBranch.sharedBranch(vocab0)
     val vs = vocab.agg(count(lit(1)).as("vsz"))
     val stream = compactStream(docs, vocab)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))

@@ -63,6 +63,23 @@ class FileStreamHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("frozen-vocab batchTransform (skip-gram) union ≡ the batch operator") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.operators.TextDedup.documents(spark, sf)
+    val vocab = graft.operators.Word2Vec.vocabulary(docs, 8)
+    val batch = graft.operators.Word2Vec
+      .skipGramPairsWithVocab(docs, vocab, window = 1, negatives = 1)
+      .as[(Long, Long, Int, Int, String, String, Int)].collect().sorted.toSeq
+    assert(batch.nonEmpty)
+    val streamed = FileStreamHarness.runStateless(spark, sf, "documents",
+        identity, keyCol = "doc_id", numFiles = 3,
+        batchTransform = b => graft.operators.Word2Vec
+          .skipGramPairsWithVocab(b, vocab, window = 1, negatives = 1))
+      .as[(Long, Long, Int, Int, String, String, Int)].collect().sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("a transform that emits ZERO rows returns an empty frame, not a crash") {
     // round-15 advice: before the outDir seed, an all-empty run left no
     // parquet behind and the read-back threw path-not-found
