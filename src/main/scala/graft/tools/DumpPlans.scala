@@ -85,6 +85,7 @@ object DumpPlans {
       "q_bpe_dropout" -> "BPE-dropout emit: ONE dropout-parameterized BpeEncode reference-object node per epoch — entirely narrow, documents never shuffle",
       "q_ict_pairs" -> "Inverse Cloze Task: ENTIRELY NARROW — sentence split + hash draws + array filter/join per row; no join, no exchange",
       "q_doc_line_dedup" -> "within-doc line dedup: one HOF filter (array_position first-occurrence test) — zero shuffle, a pure map stage",
+      "q_kn_trigram" -> "trigram KN order recursion: ONE adjacency window exchange, trigram-type SharedBranch feeding context/continuation aggs, per-v/per-w broadcast, (v,w)/(u,v) keyed joins",
       "q_pii_scrub" -> "typed PII scrub: three regexp count+replace stages per row — ENTIRELY NARROW, no join, no exchange",
       "q_ppl_buckets" -> "CCNet terciles: the LM pass + quantile-boundary PrefixSum + a <=2-rows-per-group broadcast boundary join + narrow CASE")
     val sb = new StringBuilder
