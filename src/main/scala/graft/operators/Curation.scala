@@ -857,6 +857,90 @@ object Curation {
     packContextWindows(survivors, windowTokens)
   }
 
+  /** GPT-ERA PRETRAINING PIPELINE END-TO-END — the TOKENIZER-era
+    * sibling of [[curationPipeline]] (the r17 verdict's #4 ask: the
+    * chain a GPT-style pretraining run executes, composed as ONE
+    * oracle-gated query): C4 page/line filtering ([[c4Filter]] — the
+    * kept page's `clean_text` is what the rest of the chain sees) →
+    * MinHash near-dup keep-first → eval-split decontamination
+    * (filtering at `minShared` overlap) → BPE merge training ON THE
+    * SURVIVORS (the tokenizer sees only what curation kept — the
+    * ordering real pipelines use) → encode → EOD-separated global
+    * token windows ([[graft.operators.Bpe.tokenWindows]]) → balanced
+    * shard assignment over the fixed-size windows (a contiguous
+    * `win_id` cut is token-balanced by construction) → the per-shard
+    * AUDIT manifest (the [[shardManifest]] discipline: counts + the
+    * order-independent XOR content signature over
+    * `hash(doc:pos:token)` rows — two runs compare manifests instead
+    * of re-reading the corpus).
+    *
+    * Output: (shard, n_windows, n_rows, n_tokens, content_sig) — one
+    * row per non-empty shard; `n_rows` counts EOD separators,
+    * `n_tokens` does not.
+    *
+    * Plan shape: each stage's audited shape unchanged (hash-only
+    * minhash exchanges, narrow C4, the windowing PrefixSum), stage
+    * handoffs checkpoint + conditionally re-spread (the
+    * [[curationPipeline]] lesson); the merge table is driver-bounded
+    * (`mergeRounds` rows) and the only new frames are the 1-row
+    * window-count broadcast and the |shards|-row aggregate.
+    */
+  def pretrainPipeline(docs: DataFrame, badwords: Seq[String],
+      nearDupThreshold: Double = 0.5, evalModulus: Long = 97L,
+      minShared: Long = 4L, mergeRounds: Int = 8, windowTokens: Int = 64,
+      nShards: Int = 8): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    def handoff(df: DataFrame): DataFrame = {
+      val par = df.sparkSession.sparkContext.defaultParallelism
+      val ck = df.localCheckpoint()
+      if (ck.rdd.getNumPartitions * 2 <= par)
+        ck.repartition(par).localCheckpoint()
+      else ck
+    }
+    // 1. C4 page gate; carry the kept page's cleaned text forward
+    val kept = handoff(c4Filter(docs, badwords).filter(col("keep"))
+      .select(col("doc_id"), col("clean_text").as("text")))
+    // 2. near-dup keep-first over the CLEANED text
+    val dups = TextDedup.minhashNearDups(kept, nearDupThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val nearDeduped = handoff(kept.join(dups, Seq("doc_id"), "left_anti"))
+    // 3. decontamination — filtering at the minShared overlap
+    val clean = decontaminate(nearDeduped, evalModulus, minShared)
+      .filter(!col("contaminated")).select(col("doc_id"))
+    val survivors = handoff(nearDeduped.join(clean, Seq("doc_id")))
+    // a corpus curation emptied out yields an EMPTY manifest, not the
+    // trainer's (deliberately loud) ran-out-of-pairs error; the probe is
+    // one bounded action on the already-checkpointed survivors handoff —
+    // the trainer that follows pays `mergeRounds` full aggregations on
+    // the same frame, so this adds nothing at scale
+    if (survivors.isEmpty) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("shard", LongType),
+        StructField("n_windows", LongType), StructField("n_rows", LongType),
+        StructField("n_tokens", LongType), StructField("content_sig", LongType)))
+      return docs.sparkSession.createDataFrame(
+        docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    // 4–5. tokenizer era: merges trained on the survivors, then the
+    // EOD-separated global window stream
+    val merges = Bpe.mergePairs(Bpe.trainMerges(survivors, mergeRounds))
+    val windows = SharedBranch.sharedBranch(
+      Bpe.tokenWindows(survivors, merges, windowTokens))
+    // 6. contiguous balanced shard cut over win_id + the audit manifest
+    val nw = windows.agg((coalesce(max(col("win_id")), lit(-1L)) + 1L).as("n_win"))
+    windows.crossJoin(broadcast(nw))
+      .withColumn("shard",
+        least(expr(s"(win_id * $nShards) div n_win"), lit(nShards - 1L)))
+      .withColumn("fp", TextFunctions.rollingHash(
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string"), lit(":"), col("token"))))
+      .groupBy(col("shard"))
+      .agg(countDistinct(col("win_id")).as("n_windows"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col("token") =!= "<eod>", 1L).otherwise(0L)).as("n_tokens"),
+        expr("bit_xor(fp)").as("content_sig"))
+  }
+
   // ---- repetition statistics -----------------------------------------
 
   /** The per-document token/bigram statistics both the quality gate and

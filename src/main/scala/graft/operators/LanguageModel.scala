@@ -171,6 +171,41 @@ object LanguageModel {
           .otherwise(lit("head")).as("bucket"))
   }
 
+  /** CCNET END-TO-END (Wenzek et al., LREC 2020 — the published
+    * curation pipeline whose stages all exist here, composed as ONE
+    * oracle-gated query, the `q_pipeline_e2e` discipline): §4.2
+    * language ID → §4.3 LM scoring → per-language perplexity terciles
+    * → head/middle/tail selection. Documents are tagged by the marker
+    * detector ([[TextAnalysis.langId]]); abstentions (`und`) are
+    * DROPPED (CCNet's low-confidence cut — a real selection effect, so
+    * the composition provably binds); survivors are LM-scored and
+    * tercile-bucketed per PREDICTED language ([[perplexityBuckets]]
+    * with groupCol = lang_pred — CCNet cuts per detected language, not
+    * per source label); `keep` marks the head+middle split the public
+    * pipelines train on. ONE corpus-wide LM scores all languages (the
+    * [[perplexityBuckets]] convention; CCNet trains per-language KenLM
+    * models — the documented simplification: the per-language
+    * separation here lives in the bucketing, where it determines the
+    * output).
+    *
+    * Output: (lang_pred, doc_id, s_q, bucket, keep).
+    *
+    * Plan shape: one narrow langid projection (codegen'd LangId
+    * expression, zero shuffle) + [[perplexityBuckets]]'s audited shape
+    * (the LM's doc-keyed adjacency exchange + broadcast tercile
+    * bounds); the langid filter prunes BEFORE the LM ever shuffles —
+    * at 100 TB the `und` mass never pays the exchange.
+    */
+  def ccnetPipeline(docs: DataFrame, maxVocab: Int = 1024,
+      scale: Long = 10000L): DataFrame = {
+    val tagged = docs
+      .withColumn("lang_pred",
+        TextAnalysis.langId(TextFunctions.tokens(col("text"))))
+      .filter(col("lang_pred") =!= "und")
+    perplexityBuckets(tagged, "lang_pred", maxVocab, scale)
+      .withColumn("keep", col("bucket") =!= "tail")
+  }
+
   private def quantizedTail(bi: DataFrame, cuv: DataFrame, cu: DataFrame,
       vs: DataFrame, scale: Long): DataFrame =
     bi.join(cuv, Seq("u", "v"))
@@ -549,9 +584,11 @@ object LanguageModel {
     *
     * Plan shape: [[kneserNeyModel]]'s exactly, plus one 1-row
     * count-of-counts aggregate and one ≤ vocab+1-row per-context
-    * conditional-sum group-by, both broadcast. `maxVocab ≤ 4096` keeps
-    * the widest product (`scale·2·n2·(n1+2n2)` ≤ 6·scale·nn², nn ≤
-    * (maxVocab+1)²) inside int64 at compile time.
+    * conditional-sum group-by, both broadcast. The compile-time require
+    * keeps the widest product (d3q's `scale·3·n3·(n1+2n2)` ≤
+    * 6·scale·nn², nn ≤ (maxVocab+1)²) inside int64 — at the default
+    * scale=10000 that caps `maxVocab` at 3520; the check divides so it
+    * cannot itself wrap.
     */
   def kneserNeyModifiedModel(docs: DataFrame, maxVocab: Int = 1024,
       scale: Long = 10000L): DataFrame = {
@@ -581,8 +618,15 @@ object LanguageModel {
   private def knModCore(docs: DataFrame, maxVocab: Int, scale: Long)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(scale > 0, s"scale must be positive, got $scale")
-    require(maxVocab <= 4096,
-      s"maxVocab must be <= 4096 (int64 envelope: scale*6*nn^2, nn <= (maxVocab+1)^2), got $maxVocab")
+    // int64 envelope: the widest product is d3q's scale·3·n3·(n1+2n2) ≤
+    // 6·scale·nn² with nn ≤ (maxVocab+1)² bigram types; checked by
+    // division so the check itself cannot wrap (the knModelOf
+    // discipline). At scale=10000 this caps maxVocab at 3520.
+    val vsz2 = (maxVocab + 1).toLong * (maxVocab + 1)
+    val nnBound = Long.MaxValue / (6L * scale)
+    require(vsz2 <= nnBound / vsz2,
+      s"int64 envelope: 6*scale*nn^2 must fit int64 with nn <= (maxVocab+1)^2 — " +
+        s"need (maxVocab+1)^2 <= ${nnBound / vsz2}, got maxVocab=$maxVocab scale=$scale")
     val (_, cuv0, cu, _) = lmStats(docs, maxVocab)
     val cuv = SharedBranch.sharedBranch(cuv0)
     val n1v = cuv.groupBy(col("v")).agg(count(lit(1)).as("n1_pre"))
@@ -665,8 +709,19 @@ object LanguageModel {
     val s2k2 = t2.groupBy(col("v"))
       .agg(sum(col("ct2")).as("s2"), count(lit(1)).as("k2"))
     val uni = t2.groupBy(col("w")).agg(count(lit(1)).as("n1w"))
+    // int64 envelope, LOUD (the knModelOf ntot-by-division discipline):
+    // the widest corpus-sized product is p3_q's scale·(4·c3−3); every
+    // per-type c3 is bounded by the trigram-instance total Σc3, so the
+    // 1-row assert riding the consumed nn catches any corpus that could
+    // wrap (≳2.3e14 trigram instances at scale=10000) BEFORE a silent
+    // divergence from the HUGEINT oracle.
+    val triBound = Long.MaxValue / (4L * scale)
+    val ntri = tri.agg(sum(col("c3")).as("ntri"))
     val nn = t2.agg(count(lit(1)).as("nn0"))
-      .select(expr("nn0 + coalesce(assert_true(nn0 >= 0), 0)").as("nn"))
+      .crossJoin(broadcast(ntri))
+      .select(expr(s"nn0 + coalesce(assert_true(coalesce(ntri, 0) <= $triBound," +
+        " 'kneserNeyTrigramModel int64 envelope: scale*4*sum(c3) must fit" +
+        " int64 — reduce scale or shard the corpus'), 0)").as("nn"))
     tri.join(c2, Seq("u", "v"))
       .join(t2, Seq("v", "w"))
       .join(broadcast(s2k2), Seq("v"))

@@ -114,6 +114,26 @@ object Similarity {
     embs.select(col("vec_id"), slice(col("embedding"), 1, outDims).as("embedding"))
   }
 
+  /** MRL-SHAPED energy profile: dimension i (0-based) scaled by
+    * 1/(i+1) — the deterministic stand-in for what Matryoshka TRAINING
+    * does to an embedding space (energy concentrated in leading
+    * coordinates, tail dims refining). The synthetic corpus is
+    * isotropic, so raw prefix-truncation recall sits at the chance
+    * floor and `q_embed_mrl_recall` measures almost nothing (the r17
+    * verdict's fixture-vacuity note); over this profile the prefix
+    * ACTUALLY carries most of the cosine mass, so
+    * `q_embed_mrl_recall_ordered` can assert recall(d₁) ≤ recall(d₂)
+    * for d₁ < d₂ with both far above the floor. Per-element double
+    * division — correctly rounded, bit-identical in any engine; narrow
+    * per-row work (zero shuffle).
+    */
+  def mrlProfile(embs: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    embs.select(col("vec_id"),
+      zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, i) => x / (i + 1).cast("double")).as("embedding"))
+  }
+
   /** All near-duplicate vector pairs with cosine ≥ threshold, blocked by
     * label (the oracle-verifiable small-scale form; at scale the blocking
     * key becomes an LSH bucket, below).

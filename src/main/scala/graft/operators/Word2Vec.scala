@@ -61,12 +61,13 @@ object Word2Vec {
     * Published deviations, both deliberate: (1) draws are
     * hash-deterministic, keyed (doc_id, center position, offset, draw
     * ordinal) so every row is reproducible under re-partitioning; (2)
-    * negatives draw UNIFORMLY over the vocabulary instead of the
-    * paper's unigram^(3/4) table — the ¾-power needs real
-    * exponentiation, which no integer-exact cross-engine spelling
-    * reaches; uniform is the noise-contrastive baseline the paper's
-    * §2.2 starts from. A draw that reproduces the true context is kept
-    * as an ordinary negative (the released code does the same).
+    * THIS face draws negatives UNIFORMLY over the vocabulary — the
+    * noise-contrastive baseline the paper's §2.2 starts from;
+    * [[skipGramPairsUnigram]] is the published unigram^(3/4) variant
+    * (the ¾-power spelled as an exact integer fourth root of
+    * `n_occ³` — see [[negativeSamplingTable]]). A draw that reproduces
+    * the true context is kept as an ordinary negative (the released
+    * code does the same).
     *
     * Output: (doc_id, p, offset, sample_idx, center, context, label) —
     * `p` the center's compacted position, `offset` ∈ ±1..±window,
@@ -91,12 +92,14 @@ object Word2Vec {
     * draw against the same dictionary (the classifier-face
     * discipline), so the foreachBatch union equals the batch run.
     */
-  def skipGramPairsWithVocab(docs: DataFrame, vocab0: DataFrame,
-      window: Int = 2, negatives: Int = 2): DataFrame = {
-    require(window >= 1, s"window must be >= 1, got $window")
-    require(negatives >= 0, s"negatives must be >= 0, got $negatives")
-    val vocab = SharedBranch.sharedBranch(vocab0)
-    val vs = vocab.agg(count(lit(1)).as("vsz"))
+  /** The (doc_id, p, offset, center, context) positive-pair stream both
+    * negative-sampling variants share: `window` `lead()` columns over
+    * ONE doc-keyed exchange, exploded narrowly, both directions
+    * materialized from the one lead (the mirror pair is the same two
+    * tokens swapped — never re-scanned).
+    */
+  private def positivePairs(docs: DataFrame, vocab: DataFrame,
+      window: Int): DataFrame = {
     val stream = compactStream(docs, vocab)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val withLeads = (1 to window).foldLeft(stream) { (df, o) =>
@@ -115,14 +118,44 @@ object Word2Vec {
     val bwd = pairs.select(col("doc_id"), (col("p") + col("o")).as("p"),
       (-col("o")).as("offset"), col("other").as("center"),
       col("tok").as("context"))
-    val pos = SharedBranch.sharedBranch(fwd.unionByName(bwd))
-    val posOut = pos.select(col("doc_id"), col("p"), col("offset"),
+    fwd.unionByName(bwd)
+  }
+
+  /** The positive rows in the output schema (sample_idx 0, label 1). */
+  private def positiveRows(pos: DataFrame): DataFrame =
+    pos.select(col("doc_id"), col("p"), col("offset"),
       lit(0).as("sample_idx"), col("center"), col("context"),
       lit(1).as("label"))
+
+  /** The hash-deterministic draw key for negative `i` of a positive:
+    * keyed (doc_id, center position, offset, draw ordinal) so every row
+    * is reproducible under re-partitioning.
+    */
+  private def negKey(i: Int): Column = TextFunctions.rollingHash(
+    concat(col("doc_id").cast("string"), lit(":"), col("p").cast("string"),
+      lit(":"), col("offset").cast("string"), lit(s":$i")))
+
+  def skipGramPairsWithVocab(docs: DataFrame, vocab0: DataFrame,
+      window: Int = 2, negatives: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(negatives >= 0, s"negatives must be >= 0, got $negatives")
+    val vocab = SharedBranch.sharedBranch(vocab0)
+    // the draw is nid = hash % |V| inner-joined to vid, which is only a
+    // uniform draw over DENSE 0-based ids ([[vocabulary]]-shaped frames);
+    // a sparse caller-supplied id space would silently DROP negatives, so
+    // the density contract is asserted LOUD in-plan, riding the consumed
+    // vsz (the knModelOf discipline)
+    val vs = vocab
+      .agg(count(lit(1)).as("vsz0"),
+        coalesce(min(col("vid")), lit(0L)).as("minv"),
+        coalesce(max(col("vid")), lit(-1L)).as("maxv"))
+      .select(expr("vsz0 + coalesce(assert_true(vsz0 = 0 OR" +
+        " (minv = 0 AND maxv = vsz0 - 1)," +
+        " 'skipGramPairsWithVocab requires dense 0-based vids" +
+        " (vocabulary()-shaped frame)'), 0)").as("vsz"))
+    val pos = SharedBranch.sharedBranch(positivePairs(docs, vocab, window))
+    val posOut = positiveRows(pos)
     if (negatives == 0) return posOut
-    val negKey = (i: Int) => TextFunctions.rollingHash(
-      concat(col("doc_id").cast("string"), lit(":"), col("p").cast("string"),
-        lit(":"), col("offset").cast("string"), lit(s":$i")))
     val negs = pos.crossJoin(broadcast(vs))
       .select(col("doc_id"), col("p"), col("offset"), col("center"),
         explode(array((1 to negatives).map(i =>
@@ -133,6 +166,114 @@ object Word2Vec {
         col("e.nid").as("nid"))
       .join(broadcast(vocab.select(col("vid").as("nid"), col("tok").as("context"))),
         Seq("nid"))
+      .select(col("doc_id"), col("p"), col("offset"), col("sample_idx"),
+        col("center"), col("context"), lit(0).as("label"))
+    posOut.unionByName(negs)
+  }
+
+  /** UNIGRAM^(3/4) NEGATIVE-SAMPLING TABLE (Mikolov et al., NeurIPS
+    * 2013 §2.2 — the released word2vec.c fills its sampling table
+    * proportional to `U(w)^{3/4}`, the distribution that "outperformed
+    * significantly the unigram and the uniform distributions"): per
+    * vocabulary entry the integer weight `w34 = ⌊n_occ^{3/4}⌋ =
+    * ⌊(n_occ³)^{1/4}⌋` and the EXCLUSIVE running total `cum` in vid
+    * order, so a draw `h ∈ [0, Σw34)` picks the unique vid with
+    * `cum ≤ h < cum + w34`.
+    *
+    * The fourth root is EXACT INTEGER arithmetic: `pow` is not
+    * correctly rounded (IEEE-754 only guarantees sqrt), so the double
+    * `⌊(n_occ³)^{0.25}⌋` merely SEEDS the search and two integer
+    * correction steps (one up, one down — the libm error is ≪ 1 ulp of
+    * the root, so the seed is within ±1 of the true floor in any
+    * conforming engine) pin the exact value, bit-identical across
+    * engines. `n_occ ≤ 2·10⁶` is asserted LOUD in-plan (riding the
+    * consumed w34): above it `n_occ³` nears int64 and the root's
+    * `(r+1)⁴` probe could wrap.
+    *
+    * Output: (vid, tok, n_occ, w34, cum) — vocabulary-bounded. The
+    * running total rides [[PrefixSum]] (per-partition windows + the
+    * broadcast offset triangle), never an unpartitioned window.
+    */
+  def negativeSamplingTable(vocab: DataFrame): DataFrame = {
+    val root = "(CASE WHEN _r1 * _r1 * _r1 * _r1 > _c3 THEN _r1 - 1 ELSE _r1 END)"
+    val tbl = vocab.select(col("vid"), col("tok"), col("n_occ"))
+      .withColumn("_c3", expr("n_occ * n_occ * n_occ"))
+      .withColumn("_r0",
+        expr("CAST(floor(power(CAST(_c3 AS DOUBLE), 0.25D)) AS BIGINT)"))
+      .withColumn("_r1", expr(
+        "CASE WHEN (_r0 + 1) * (_r0 + 1) * (_r0 + 1) * (_r0 + 1) <= _c3" +
+          " THEN _r0 + 1 ELSE _r0 END"))
+      .withColumn("w34", expr(s"$root + coalesce(assert_true(" +
+        "n_occ <= 2000000, 'negativeSamplingTable int64 envelope: " +
+        "n_occ^3 must fit int64 — split the table build by count" +
+        " stratum above 2e6 occurrences'), 0)"))
+      .select(col("vid"), col("tok"), col("n_occ"), col("w34"))
+    PrefixSum.inclusive(tbl, Seq(col("vid")), col("w34"), "cum_incl")
+      .select(col("vid"), col("tok"), col("n_occ"), col("w34"),
+        (col("cum_incl") - col("w34")).as("cum"))
+  }
+
+  /** [[skipGramPairs]] with the PUBLISHED unigram^(3/4) negative-
+    * sampling distribution (Mikolov et al., NeurIPS 2013 §2.2) in
+    * place of the uniform stand-in: each positive's negative `i` draws
+    * `h = rolling_hash(doc:p:offset:i) % Σw34` and takes the
+    * vocabulary entry whose [[negativeSamplingTable]] interval covers
+    * `h` — frequent words are drawn ∝ count^{3/4}, the distribution
+    * the released word2vec.c ships. Draws stay hash-deterministic
+    * (reproducible under re-partitioning); a draw that reproduces the
+    * true context is kept as an ordinary negative (as in the released
+    * code). Output schema is exactly [[skipGramPairs]]'s.
+    *
+    * Plan shape: [[positivePairs]]'s one doc-keyed exchange; the draw
+    * is a narrow hash projection + ONE interval join against the
+    * BROADCAST vocabulary-bounded table (a BroadcastNestedLoopJoin
+    * whose build side is ≤ maxVocab rows — the codebook class of the
+    * pinned-BNLJ discipline; every `h` lands in exactly one interval,
+    * so row counts are preserved). At vocabularies ≫ 10⁴ the interval
+    * probe's V-comparisons-per-row factor is the cost knob — the
+    * frozen-model escape hatch is a collected table behind a loud size
+    * gate feeding a binary-search expression, the [[LanguageModel
+    * .fitKneserNey]] discipline, which the vocab-bounded table makes a
+    * drop-in.
+    */
+  def skipGramPairsUnigram(docs: DataFrame, window: Int = 2,
+      negatives: Int = 2, maxVocab: Int = 1024): DataFrame =
+    skipGramPairsUnigramWithVocab(docs, vocabulary(docs, maxVocab),
+      window, negatives)
+
+  /** [[skipGramPairsUnigram]] against a PRE-BUILT vocabulary — the
+    * frozen-model face for the streaming twin (the
+    * [[skipGramPairsWithVocab]] discipline: the table is corpus state
+    * computed batch-side once; every micro-batch draws against it).
+    */
+  def skipGramPairsUnigramWithVocab(docs: DataFrame, vocab0: DataFrame,
+      window: Int = 2, negatives: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(negatives >= 0, s"negatives must be >= 0, got $negatives")
+    val vocab = SharedBranch.sharedBranch(vocab0)
+    val pos = SharedBranch.sharedBranch(positivePairs(docs, vocab, window))
+    val posOut = positiveRows(pos)
+    if (negatives == 0) return posOut
+    val tbl = SharedBranch.sharedBranch(negativeSamplingTable(vocab))
+    // Σw34 ≥ 1 whenever the table is non-empty (n_occ ≥ 1 ⇒ w34 ≥ 1);
+    // the loud guard still rides for caller-supplied zero-count frames,
+    // which would otherwise reach `% 0`
+    val wt = tbl.agg(sum(col("w34")).as("wt0"))
+      .select(expr("wt0 + coalesce(assert_true(wt0 IS NULL OR wt0 > 0," +
+        " 'skipGramPairsUnigram: negative-sampling table has zero total" +
+        " weight — every vocabulary entry needs n_occ >= 1'), 0)")
+        .as("wtot"))
+    val negs = pos.crossJoin(broadcast(wt))
+      .select(col("doc_id"), col("p"), col("offset"), col("center"),
+        explode(array((1 to negatives).map(i =>
+          struct(lit(i).as("sample_idx"),
+            (negKey(i) % col("wtot")).as("hmod"))): _*)).as("e"))
+      .select(col("doc_id"), col("p"), col("offset"),
+        col("e.sample_idx").as("sample_idx"), col("center"),
+        col("e.hmod").as("hmod"))
+      .join(broadcast(tbl.select(col("cum"), col("w34"),
+          col("tok").as("context"))),
+        col("hmod") >= col("cum") && col("hmod") < col("cum") + col("w34"))
       .select(col("doc_id"), col("p"), col("offset"), col("sample_idx"),
         col("center"), col("context"), lit(0).as("label"))
     posOut.unionByName(negs)

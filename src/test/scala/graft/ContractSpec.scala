@@ -127,6 +127,7 @@ class ContractSpec extends AnyFunSuite {
       "q_embed_lsh_recall"  -> Set("recall"),
       "q_embed_jl_recall"   -> Set("recall"),
       "q_embed_mrl_recall"  -> Set("recall"),
+      "q_embed_mrl_recall_ordered" -> Set("recall_small", "recall_large"),
       "q_knn_graph_recall"  -> Set("recall"),
       "q_dedup_minhash"     -> Set("jac"),
       "q_dedup_jaccard"     -> Set("jac"),

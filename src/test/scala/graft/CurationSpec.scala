@@ -317,6 +317,68 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.curationPipeline(tiny).count() == 0)
   }
 
+  test("pretrainPipeline: composition ≡ the manual stage chain + hand-computed shard manifest; every stage binds") {
+    import graft.operators.Bpe
+    import graft.functions.RollingHash
+    // the q_pretrain_e2e injection shape over the sf0.001 corpus: three
+    // good C4 lines with doc-varying first/last tokens + page-rule
+    // tails on classes 2/3/4
+    def m(k: Int) = ($"doc_id" % k).cast("string")
+    val good = concat(
+      lit("\nu"), m(5), lit(" alpha beta gamma v"), m(5), lit("."),
+      lit("\nw"), m(3), lit(" zeta eta theta x"), m(3), lit("!"),
+      lit("\ny"), m(7), lit(" lambda mu nu z"), m(7), lit("?"))
+    val tail = when($"doc_id" % 9 === 2, lit("\nlorem ipsum dolor sit amet."))
+      .when($"doc_id" % 9 === 3, lit("\ncurly brace line { with braces here."))
+      .when($"doc_id" % 9 === 4, lit("\nthis page contains unsavory words now."))
+      .otherwise(lit(""))
+    val injected = docs.select($"doc_id", concat($"text", good, tail).as("text"))
+    val bad = Seq("unsavory", "profane")
+    val got = Curation.pretrainPipeline(injected, bad, minShared = 4L,
+        windowTokens = 16)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // hand chain through the public operators
+    val kept = Curation.c4Filter(injected, bad).filter($"keep")
+      .select($"doc_id", $"clean_text".as("text"))
+    val dups = TextDedup.minhashNearDups(kept, 0.5)
+      .select($"doc_b".as("doc_id")).distinct()
+    val dd = kept.join(dups, Seq("doc_id"), "left_anti")
+    val clean = Curation.decontaminate(dd, 97L, minShared = 4L)
+      .filter(!$"contaminated").select($"doc_id")
+    val surv = dd.join(clean, Seq("doc_id"))
+    // every stage removes something on this fixture
+    val nAll = injected.count(); val nKept = kept.count()
+    val nDd = dd.count(); val nSurv = surv.count()
+    assert(nAll > nKept && nKept > nDd && nDd > nSurv && nSurv > 0,
+      s"stages must bind: $nAll -> $nKept -> $nDd -> $nSurv")
+    val merges = Bpe.mergePairs(Bpe.trainMerges(surv, 8))
+    val rows = Bpe.tokenWindows(surv, merges, 16)
+      .as[(Long, Int, String, Long, Long)].collect().toSeq
+    // hand-computed manifest: contiguous win_id cut into 8 shards +
+    // XOR of the per-row rolling hashes
+    val nWin = rows.map(_._4).max + 1
+    val manual = rows.groupBy { r =>
+      math.min(r._4 * 8 / nWin, 7L)
+    }.map { case (shard, rs) =>
+      (shard, rs.map(_._4).distinct.size.toLong, rs.size.toLong,
+        rs.count(_._3 != "<eod>").toLong,
+        rs.map(r => RollingHash.compute(s"${r._1}:${r._2}:${r._3}"))
+          .reduce(_ ^ _))
+    }.toSet
+    assert(got == manual,
+      s"extra=${(got -- manual).take(3)} missing=${(manual -- got).take(3)}")
+  }
+
+  test("pretrainPipeline: empty and all-filtered corpora produce empty manifests, not errors") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      docs.select($"doc_id", $"text").schema)
+    assert(Curation.pretrainPipeline(empty, Seq("unsavory")).count() == 0)
+    // every page dies at the C4 gate (word salad, no terminal lines)
+    assert(Curation.pretrainPipeline(
+      docs.select($"doc_id", $"text").limit(20), Seq("unsavory")).count() == 0)
+  }
+
   test("decontaminateBloom: superset of exact (no false negatives), bounded overshoot") {
     val exact = Curation.decontaminate(docs)
       .select($"doc_id", $"n_shared", $"contaminated")

@@ -414,4 +414,54 @@ class LanguageModelSpec extends AnyFunSuite {
       byBucket("head").size == 3)
     graft.sources.Tables.evictPinned(spark, blocking = true)
   }
+
+  test("ccnetPipeline: und docs dropped, terciles per PREDICTED language, keep = head+middle; composition ≡ manual chain") {
+    // 9 en-marker docs in 3 score classes (identical text within a
+    // class), 3 de-marker docs, 2 marker-free (und) docs that must
+    // vanish before the LM ever sees them. Class sizes are 2/4/3 in
+    // DESCENDING score order: the BY-VALUE tercile ranks for n=9 are
+    // ⌈333·9/1000⌉=3 and ⌈667·9/1000⌉=7, which must land at the TOP of
+    // the lowest and middle classes — equal thirds would put rank 7 on
+    // the top class and leave `head` empty (measured: 2232 < 3237 <
+    // 4377 with these sizes)
+    def rep(s: String, n: Int) = Seq.fill(n)(s).mkString(" ")
+    val docs = (
+      (0 until 2).map(i => (i.toLong, "the " + rep("cat cat", 4))) ++
+      (2 until 6).map(i => (i.toLong, "the " + rep("dog bird fish mouse", 2))) ++
+      (6 until 9).map(i => (i.toLong, "of to and a the " + rep("horse", 3))) ++
+      (9 until 12).map(i => (i.toLong, "der die das und ist haus")) ++
+      Seq((12L, "zzz yyy xxx www"), (13L, "qqq ppp ooo"))
+    ).toDF("doc_id", "text")
+    val got = LanguageModel.ccnetPipeline(docs, maxVocab = 16)
+      .as[(String, Long, Long, String, Boolean)].collect().toSeq
+    // und docs never surface
+    assert(!got.exists(r => r._2 == 12L || r._2 == 13L))
+    assert(got.map(_._1).toSet == Set("en", "de"))
+    // keep is exactly the head+middle split
+    got.foreach(r => assert(r._5 == (r._4 != "tail"), s"row $r"))
+    // per predicted language, the VALUE terciles order: every tail
+    // score <= every middle score <= every head score
+    Seq("en", "de").foreach { l =>
+      val g = got.filter(_._1 == l)
+      def s(b: String) = g.filter(_._4 == b).map(_._3)
+      for (lo <- Seq("tail"); hi <- Seq("middle", "head"); if s(lo).nonEmpty && s(hi).nonEmpty)
+        assert(s(lo).max <= s(hi).min, s"$l: $lo max > $hi min")
+      if (s("middle").nonEmpty && s("head").nonEmpty)
+        assert(s("middle").max <= s("head").min, s"$l tercile order")
+    }
+    // en has 3 distinct score classes -> all three buckets populated
+    val en = got.filter(_._1 == "en")
+    assert(en.map(_._4).toSet == Set("tail", "middle", "head"))
+    // within a class (identical text) the bucket is identical
+    assert(en.groupBy(_._3).forall(_._2.map(_._4).distinct.size == 1))
+    // the composition is exactly the manual chain through the public ops
+    val tagged = docs
+      .withColumn("lang_pred", graft.operators.TextAnalysis.langId(
+        graft.functions.TextFunctions.tokens(col("text"))))
+      .filter(col("lang_pred") =!= "und")
+    val manual = LanguageModel.perplexityBuckets(tagged, "lang_pred", 16)
+      .withColumn("keep", col("bucket") =!= "tail")
+      .as[(String, Long, Long, String, Boolean)].collect().toSeq
+    assert(got.toSet == manual.toSet)
+  }
 }

@@ -308,6 +308,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_embed_pq_recall", "q_embed_pq_refined", "q_embed_topk",
       "q_embed_jl_recall", // ≤5-row query-vector set, both spaces
       "q_embed_mrl_recall", // the same ≤5-row query set, full + prefix spaces
+      "q_embed_mrl_recall_ordered", // ≤10-row query set ×3 spaces + 1-row hits frames
       "q_knn_graph_recall", "q_multimodal_ann", // ≤10-row query-vector set
       "q_curriculum", // 1-row total-count frame (epochShuffle's sibling)
       "q_session_concurrency", // boundary-sweep PrefixSum triangle
@@ -321,10 +322,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_kn_modified", "q_kn_mod_discounts", // 1-row count-of-counts/discount frame
       "q_kn_trigram", // 1-row continuation-type-count (NN) frame
       "q_skipgram_pairs", // 1-row vocab-size frame (the negative-draw modulus)
+      "q_neg_table", // PrefixSum offset triangle over the ≤8-row vocab table
+      "q_skipgram_neg_unigram", // 1-row Σw34 frame + ≤8-row broadcast interval table + PrefixSum triangle
+      "q_stream_skipgram_unigram", // same bounded frames inside the foreachBatch plan
       "q_word_subsample", // 1-row corpus-token-total frame
       "q_lm_score", // 1-row vocab totals
       "q_token_ppl", // same 1-row vocab-totals frame over the token stream
       "q_ppl_buckets", // the LM's 1-row vocab frame + the quantile rank triangle
+      "q_ccnet_e2e", // the same LM vocab frame + tercile triangle over the langid survivors
       "q_stupid_backoff", // 1-row train-token-total (N) frame
       "q_quality_ensemble", // LM 1-row vocab totals + 3 PrefixSum offset triangles (≤nPart rows)
       "q_mixture_schedule", // 1-row per-source totals frame
@@ -332,6 +337,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_mixture_weights", // 1-row sqrt-weight total frame
       "q_source_report", // composes mixtureWeights' 1-row total frame
       "q_pack_windows", "q_pipeline_e2e", // 1-row window/prefix totals
+      "q_pretrain_e2e", // windowing PrefixSum triangle + 1-row window-count frame
       "q_length_pack", "q_length_pack_fill", // bucket-rank PrefixSum triangle + ≤10-row offset frame
       "q_token_shift", // two 1-row snapshot-total frames
       "q_tfidf_topterms", // 1-row doc-count frame

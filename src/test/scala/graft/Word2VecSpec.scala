@@ -110,4 +110,89 @@ class Word2VecSpec extends AnyFunSuite {
     // at corpus scale the downsampler must actually fire both ways
     assert(a.exists(!_._6) && a.exists(_._6))
   }
+
+  /** Exact ⌊n^{3/4}⌋ via BigInt search — the independent reference for
+    * the integer fourth root.
+    */
+  private def pow34(n: Long): Long = {
+    val c3 = BigInt(n).pow(3)
+    Iterator.from(0).map(BigInt(_)).takeWhile(r => r.pow(4) <= c3).length - 1L
+  }
+
+  test("negativeSamplingTable: w34 is the EXACT integer ⌊n_occ^{3/4}⌋ on fourth-power boundaries and beyond") {
+    // boundary-exact counts: 16^{3/4}=8, 81^{3/4}=27 land ON integer
+    // roots; neighbors probe the correction steps both directions
+    val ns = Seq(1L, 2L, 3L, 15L, 16L, 17L, 80L, 81L, 82L, 100L, 625L,
+      4095L, 4096L, 4097L, 59048L, 59049L, 59050L, 1999999L, 2000000L)
+    val vocab = ns.zipWithIndex
+      .map { case (n, i) => (i.toLong, s"t$i", n) }
+      .toDF("vid", "tok", "n_occ")
+    val got = Word2Vec.negativeSamplingTable(vocab)
+      .orderBy($"vid").as[(Long, String, Long, Long, Long)].collect().toSeq
+    got.zip(ns).foreach { case ((_, _, nOcc, w34, _), n) =>
+      assert(nOcc == n && w34 == pow34(n), s"n=$n got w34=$w34 want ${pow34(n)}")
+    }
+    // cum is the exclusive running total in vid order
+    got.foldLeft(0L) { case (acc, (_, _, _, w34, cum)) =>
+      assert(cum == acc); acc + w34
+    }
+    // the int64 envelope guard fires LOUD above the cap
+    val over = Seq((0L, "t", 2000001L)).toDF("vid", "tok", "n_occ")
+    val e = intercept[Exception] {
+      Word2Vec.negativeSamplingTable(over).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("skipGramPairsUnigram: draw lands in the covering ¾-power interval; positives match the uniform face") {
+    // skewed corpus counts: a=48, b=6 — w34(a)=⌊48^{3/4}⌋=18,
+    // w34(b)=⌊6^{3/4}⌋=3, total 21: intervals a=[0,18) b=[18,21) give
+    // "b" 1/7 of the mass vs the uniform draw's 1/2
+    val docs = Seq.tabulate(6)(i =>
+      (i.toLong, "a a a a b a a a a")).toDF("doc_id", "text")
+    val uni = Word2Vec.skipGramPairs(docs, window = 1, negatives = 1, maxVocab = 2)
+      .as[(Long, Long, Int, Int, String, String, Int)].collect().toSeq.sorted
+    val pw = Word2Vec.skipGramPairsUnigram(docs, window = 1, negatives = 1, maxVocab = 2)
+      .as[(Long, Long, Int, Int, String, String, Int)].collect().toSeq.sorted
+    // positives identical across the two faces
+    assert(uni.filter(_._7 == 1) == pw.filter(_._7 == 1) && uni.nonEmpty)
+    // every ¾-power negative replays the interval pick by hand
+    pw.filter(_._7 == 0).foreach { case (d, p, off, si, _, ctx, _) =>
+      val h = RollingHash.compute(s"$d:$p:$off:$si") % 21L
+      assert(ctx == (if (h < 18L) "a" else "b"), s"row ($d,$p,$off)")
+    }
+    // the distributions provably DIVERGE on this fixture: the uniform
+    // draw picks "b" whenever h%2=1 (half the mass); the ¾-power table
+    // gives "b" only 1/7 — at least one row must differ
+    val uniNeg = uni.filter(_._7 == 0).map(r => (r._1, r._2, r._3, r._6))
+    val pwNeg = pw.filter(_._7 == 0).map(r => (r._1, r._2, r._3, r._6))
+    assert(uniNeg.map(_.copy(_4 = ())) == pwNeg.map(_.copy(_4 = ())),
+      "negative row keys must align")
+    assert(uniNeg != pwNeg,
+      "fixture must make the ¾-power and uniform draws pick DIFFERENT negatives")
+  }
+
+  test("skipGramPairsUnigram: row counts preserved (every draw covered), partitioning-invariant") {
+    val docs = Seq.tabulate(12)(i =>
+      (i.toLong, s"w${i % 3} common common w${i % 5} common rare$i common"))
+      .toDF("doc_id", "text")
+    val a = Word2Vec.skipGramPairsUnigram(docs, window = 2, negatives = 3, maxVocab = 6)
+      .as[(Long, Long, Int, Int, String, String, Int)].collect().toSeq.sorted
+    val b = Word2Vec.skipGramPairsUnigram(docs.repartition(7), window = 2,
+        negatives = 3, maxVocab = 6)
+      .as[(Long, Long, Int, Int, String, String, Int)].collect().toSeq.sorted
+    assert(a == b && a.nonEmpty)
+    val nPos = a.count(_._7 == 1)
+    assert(a.count(_._7 == 0) == 3 * nPos,
+      "every negative draw must land in exactly one interval")
+  }
+
+  test("skipGramPairsWithVocab: non-dense vids fail LOUD instead of dropping negatives") {
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val sparse = Seq((5L, "a", 2L), (9L, "b", 2L)).toDF("vid", "tok", "n_occ")
+    val e = intercept[Exception] {
+      Word2Vec.skipGramPairsWithVocab(docs, sparse, window = 1, negatives = 1).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
