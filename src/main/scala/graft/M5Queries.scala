@@ -2074,6 +2074,19 @@ object M5Queries {
           window = 1, negatives = 1, maxVocab = 8)
         .orderBy(col("doc_id"), col("p"), col("offset"), col("sample_idx"))),
 
+    // ---- embeddings: the FROZEN binary-search face of the ¾-power
+    // draw — the scale path the interval join's scaladoc promises at
+    // vocabularies ≫ 10⁴: the table rides the plan as a codegen
+    // reference object (fitNegativeTable, size-gated LOUD) and each
+    // draw resolves in O(log V), negatives entirely narrow (no join,
+    // no broadcast, no exchange beyond the positives' window). SAME
+    // oracle as the join face — row-identical by construction
+    "q_skipgram_neg_frozen" -> ((s, dir) =>
+      operators.Word2Vec.skipGramPairsUnigramFrozen(TextDedup.documents(s, dir),
+          operators.Word2Vec.vocabulary(TextDedup.documents(s, dir), 8),
+          window = 1, negatives = 1)
+        .orderBy(col("doc_id"), col("p"), col("offset"), col("sample_idx"))),
+
     // ---- §2.8: the unigram^(3/4) draw under STREAMING execution —
     // the vocabulary (and with it the sampling table) FROZEN
     // batch-side; every micro-batch draws against the same intervals
@@ -2207,6 +2220,16 @@ object M5Queries {
     // terciles → head/middle/tail with the head+middle keep
     "q_ccnet_e2e" -> ((s, dir) =>
       LanguageModel.ccnetPipeline(TextDedup.documents(s, dir),
+          maxVocab = 16)
+        .orderBy(col("lang_pred"), col("doc_id"))),
+
+    // ---- relevance: CCNet with ONE LM PER PREDICTED LANGUAGE — the
+    // published §4.3 shape (per-language KenLM), closing q_ccnet_e2e's
+    // documented single-LM simplification: per-language vocabulary
+    // (salted two-phase top-k), per-language c_uv/c_u/vsz, so a doc is
+    // scored only against ITS language's statistics
+    "q_ccnet_e2e_perlang" -> ((s, dir) =>
+      LanguageModel.ccnetPipelinePerLang(TextDedup.documents(s, dir),
           maxVocab = 16)
         .orderBy(col("lang_pred"), col("doc_id"))),
 
@@ -7299,6 +7322,9 @@ object M5Queries {
     "q_neg_table" -> negTableOracle,
     "q_skipgram_neg_unigram" -> skipgramUnigramOracle,
     "q_stream_skipgram_unigram" -> skipgramUnigramOracle,
+    // frozen binary-search face: row-identical to the interval join by
+    // construction (same hash keys, same covering intervals)
+    "q_skipgram_neg_frozen" -> skipgramUnigramOracle,
 
     // GloVe mirror: compacted stream, three leads, lcm(1..3)=6-scaled
     // 1/d weights, symmetric union, one aggregation
@@ -7636,6 +7662,58 @@ object M5Queries {
          | sc AS (SELECT bi.doc_id, bi.m,
          |     (10000 * (c_uv + 1)) // (c_u + vsz) AS contrib
          |   FROM bi JOIN cuv USING (u, v) JOIN cu USING (u) CROSS JOIN vs),
+         | lmq AS (SELECT doc_id, CAST(sum(m * contrib) AS BIGINT) AS lm_q,
+         |   CAST(sum(m) AS BIGINT) AS n_bigrams FROM sc GROUP BY doc_id),
+         | sq AS MATERIALIZED (SELECT dv.lang_pred, dv.doc_id,
+         |   CASE WHEN coalesce(n_bigrams, 0) > 0 THEN lm_q // n_bigrams ELSE 0 END AS s_q
+         |  FROM dv LEFT JOIN lmq USING (doc_id)),
+         | sqr AS (SELECT lang_pred, doc_id, s_q,
+         |   row_number() OVER (PARTITION BY lang_pred ORDER BY s_q, doc_id) AS rn FROM sq),
+         | sqn AS (SELECT lang_pred, count(*) AS cnt FROM sq GROUP BY 1),
+         | sqt AS (SELECT lang_pred, q, greatest(1, (q * cnt + 999) // 1000) AS rn
+         |   FROM sqn CROSS JOIN (SELECT unnest([333, 667]) AS q)),
+         | sqb AS (SELECT r.lang_pred,
+         |   max(CASE WHEN t.q = 333 THEN r.s_q END) AS v333,
+         |   max(CASE WHEN t.q = 667 THEN r.s_q END) AS v667
+         |  FROM sqr r JOIN sqt t ON r.lang_pred = t.lang_pred AND r.rn = t.rn GROUP BY 1)
+         |SELECT lang_pred, doc_id, s_q, bucket, bucket <> 'tail' AS keep FROM (
+         | SELECT sq.lang_pred, sq.doc_id, sq.s_q,
+         |  CASE WHEN sq.s_q <= v333 THEN 'tail'
+         |       WHEN sq.s_q <= v667 THEN 'middle'
+         |       ELSE 'head' END AS bucket
+         | FROM sq JOIN sqb USING (lang_pred))
+         |ORDER BY lang_pred, doc_id""".stripMargin
+    },
+
+    // per-language-LM CCNet mirror: the q_ccnet_e2e chain with EVERY
+    // model table keyed by lang_pred — vocabulary as a per-language
+    // top-16 (row_number partitioned by language ≡ the Spark side's
+    // salted two-phase rank), per-language vsz/c_uv/c_u
+    "q_ccnet_e2e_perlang" -> {
+      val (scores, best, pick) = langPredSqlParts
+      s"""WITH dd0 AS (SELECT doc_id, text, $pick AS lang_pred
+         |   FROM (SELECT doc_id, text, $scores, $best best
+         |         FROM (SELECT doc_id, text, ${frag.toks} w FROM documents))),
+         | dv AS (SELECT doc_id, text, lang_pred FROM dd0 WHERE lang_pred <> 'und'),
+         | d AS (SELECT doc_id, lang_pred AS g, ${frag.toks} AS tk FROM dv),
+         | e AS (SELECT doc_id, g, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM d),
+         | uc AS (SELECT g, tok, count(*) AS c FROM e GROUP BY 1, 2),
+         | vocab AS (SELECT g, tok FROM (SELECT g, tok,
+         |     row_number() OVER (PARTITION BY g ORDER BY c DESC, tok) AS r FROM uc)
+         |   WHERE r <= 16),
+         | vs AS (SELECT g, count(*) + 1 AS vsz FROM vocab GROUP BY 1),
+         | m AS (SELECT doc_id, e.g, pos,
+         |     CASE WHEN vb.tok IS NULL THEN '<unk>' ELSE e.tok END AS tok_m
+         |   FROM e LEFT JOIN vocab vb ON e.g = vb.g AND e.tok = vb.tok),
+         | b AS (SELECT doc_id, g, tok_m AS u,
+         |     lead(tok_m) OVER (PARTITION BY doc_id ORDER BY pos) AS v FROM m),
+         | bi AS (SELECT doc_id, g, u, v, count(*) AS m FROM b
+         |   WHERE v IS NOT NULL GROUP BY 1, 2, 3, 4),
+         | cuv AS (SELECT g, u, v, sum(m) AS c_uv FROM bi GROUP BY 1, 2, 3),
+         | cu AS (SELECT g, u, sum(m) AS c_u FROM bi GROUP BY 1, 2),
+         | sc AS (SELECT bi.doc_id, bi.m,
+         |     (10000 * (c_uv + 1)) // (c_u + vsz) AS contrib
+         |   FROM bi JOIN cuv USING (g, u, v) JOIN cu USING (g, u) JOIN vs USING (g)),
          | lmq AS (SELECT doc_id, CAST(sum(m * contrib) AS BIGINT) AS lm_q,
          |   CAST(sum(m) AS BIGINT) AS n_bigrams FROM sc GROUP BY doc_id),
          | sq AS MATERIALIZED (SELECT dv.lang_pred, dv.doc_id,

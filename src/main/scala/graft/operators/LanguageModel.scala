@@ -206,6 +206,98 @@ object LanguageModel {
       .withColumn("keep", col("bucket") =!= "tail")
   }
 
+  /** [[ccnetPipeline]] with ONE LM PER PREDICTED LANGUAGE — closes the
+    * documented simplification: CCNet (Wenzek et al., LREC 2020 §4.3)
+    * trains a separate KenLM per language, so a document is scored
+    * against ITS language's statistics, never against another
+    * language's n-grams. Every model table here is keyed by
+    * `lang_pred`: the vocabulary is a per-language top-`maxVocab`
+    * (count DESC, token ASC — the [[lmStatsOver]] rank rule per
+    * group), `c_uv`/`c_u`/`vsz` carry the language key, and the
+    * smoothed contribution uses the language's OWN vocabulary size.
+    * Terciles and the head+middle keep are unchanged.
+    *
+    * Output: (lang_pred, doc_id, s_q, bucket, keep) — same schema as
+    * [[ccnetPipeline]]; scores differ because each language's counts
+    * no longer see other languages' mass.
+    *
+    * Plan shape: the corpus-wide `orderBy.limit` top-k
+    * (TakeOrderedAndProject) has no per-group analogue, so the
+    * per-language vocabulary is a SALTED TWO-PHASE top-k over the
+    * (lang, token) COUNT table: phase 1 ranks inside (lang,
+    * hash(tok) % 32) — any global top-k member is top-k within its
+    * salt bucket, so the survivor set (≤ 32·maxVocab per language) is
+    * a superset — and phase 2 ranks the survivors per language. Both
+    * windows are partitioned; the phase-2 partitions are bounded at
+    * 32·maxVocab rows, and phase 1 splits each language's TYPE table
+    * (not its corpus mass) 32 ways — no language funnels its token
+    * stream through one task. Everything downstream mirrors
+    * [[bigramLmQuantized]]'s audited shape with the language key
+    * threaded through: one doc-keyed adjacency exchange, map-side
+    * count aggregations, the ≤ |langs|·(maxVocab+1)-row context and
+    * size tables broadcast.
+    */
+  def ccnetPipelinePerLang(docs: DataFrame, maxVocab: Int = 1024,
+      scale: Long = 10000L): DataFrame = {
+    require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
+    val g = "lang_pred"
+    val tagged = SharedBranch.sharedBranch(docs
+      .withColumn(g, TextAnalysis.langId(TextFunctions.tokens(col("text"))))
+      .filter(col(g) =!= "und"))
+    val toks = tagged.select(col(g), col("doc_id"),
+      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+    // per-language vocabulary: salted two-phase top-k over the count table
+    val cnt = toks.groupBy(col(g), col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("salt", pmod(xxhash64(col("tok")), lit(32)))
+    val w1 = Window.partitionBy(col(g), col("salt"))
+      .orderBy(col("c").desc, col("tok"))
+    val w2 = Window.partitionBy(col(g)).orderBy(col("c").desc, col("tok"))
+    val vocab = SharedBranch.sharedBranch(cnt
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= maxVocab)
+      .withColumn("r2", row_number().over(w2)).filter(col("r2") <= maxVocab)
+      .select(col(g), col("tok")))
+    val vs = vocab.groupBy(col(g)).agg((count(lit(1)) + 1L).as("vsz"))
+    // vocabulary-mapped adjacency — the lmStatsOver shape with the
+    // language key riding every frame (a document has ONE language, so
+    // doc_id still keys the only corpus-sized exchange)
+    val mapped = toks
+      .join(broadcast(vocab.withColumn("inv", lit(1))), Seq(g, "tok"), "left")
+      .select(col(g), col("doc_id"), col("pos"),
+        when(col("inv").isNotNull, col("tok")).otherwise(lit(Unk)).as("tok_m"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = SharedBranch.sharedBranch(
+      mapped.withColumn("nxt", lead(col("tok_m"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col(g), col("doc_id"), col("tok_m").as("u"), col("nxt").as("v"))
+        .agg(count(lit(1)).as("m")))
+    val cuv = bi.groupBy(col(g), col("u"), col("v")).agg(sum(col("m")).as("c_uv"))
+    val cu = bi.groupBy(col(g), col("u")).agg(sum(col("m")).as("c_u"))
+    val lm = bi.join(cuv, Seq(g, "u", "v"))
+      .join(broadcast(cu), Seq(g, "u"))
+      .join(broadcast(vs), Seq(g))
+      .withColumn("contrib", expr(s"($scale * (c_uv + 1)) div (c_u + vsz)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m") * col("contrib")).as("lm_q"),
+        sum(col("m")).as("n_bigrams"))
+    val scored = SharedBranch.sharedBranch(
+      tagged.select(col(g), col("doc_id"))
+        .join(lm, Seq("doc_id"), "left")
+        .select(col(g), col("doc_id"),
+          expr("CASE WHEN coalesce(n_bigrams, 0) > 0 THEN lm_q div n_bigrams ELSE 0 END")
+            .as("s_q")))
+    val bounds = Stats.quantilesPerGroup(scored, g, "s_q", "doc_id",
+        qsPerMille = Seq(333, 667))
+      .groupBy(col(g)).agg(
+        max(when(col("q") === 333, col("quantile"))).as("v333"),
+        max(when(col("q") === 667, col("quantile"))).as("v667"))
+    scored.join(broadcast(bounds), Seq(g))
+      .select(col(g), col("doc_id"), col("s_q"),
+        when(col("s_q") <= col("v333"), lit("tail"))
+          .when(col("s_q") <= col("v667"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+      .withColumn("keep", col("bucket") =!= "tail")
+  }
+
   private def quantizedTail(bi: DataFrame, cuv: DataFrame, cu: DataFrame,
       vs: DataFrame, scale: Long): DataFrame =
     bi.join(cuv, Seq("u", "v"))

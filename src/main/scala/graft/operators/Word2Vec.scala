@@ -279,6 +279,70 @@ object Word2Vec {
     posOut.unionByName(negs)
   }
 
+  /** Fit the FROZEN unigram^(3/4) sampling table
+    * [[skipGramPairsUnigramFrozen]] draws from — the
+    * [[LanguageModel.fitKneserNey]] discipline: the
+    * [[negativeSamplingTable]] collected driver-side in vid order,
+    * size-gated LOUD before any `.collect()`. Returns (exclusive cums,
+    * tokens, Σw34).
+    */
+  def fitNegativeTable(vocab: DataFrame, maxModelKeys: Long = 100000L)
+      : (Array[Long], Array[String], Long) = {
+    require(maxModelKeys > 0, s"maxModelKeys must be positive, got $maxModelKeys")
+    val tbl = SharedBranch.sharedBranch(negativeSamplingTable(vocab))
+    val nKeys = tbl.count()
+    require(nKeys <= maxModelKeys,
+      s"fitNegativeTable has $nKeys vocabulary entries > maxModelKeys =" +
+        s" $maxModelKeys: a table this large must not ride the plan as a" +
+        " reference object — use the skipGramPairsUnigramWithVocab interval" +
+        " join instead, or raise maxModelKeys deliberately")
+    val rows = tbl.orderBy(col("vid"))
+      .select(col("cum"), col("w34"), col("tok")).collect()
+    require(rows.nonEmpty, "fitNegativeTable: empty vocabulary")
+    val cums = rows.map(_.getLong(0))
+    val toks = rows.map(_.getString(2))
+    val wtot = rows.last.getLong(0) + rows.last.getLong(1)
+    require(wtot > 0,
+      "fitNegativeTable: zero total weight — every entry needs n_occ >= 1")
+    (cums, toks, wtot)
+  }
+
+  /** [[skipGramPairsUnigram]] with the table FROZEN as a codegen
+    * reference object and each draw resolved by BINARY SEARCH
+    * ([[graft.functions.NegTableSample]]) — the deployment shape the
+    * interval join's scaladoc promises at vocabularies ≫ 10⁴: the
+    * negatives become ENTIRELY NARROW per-row work (hash, mod by the
+    * driver-constant Σw34, O(log V) probe — no join, no broadcast
+    * table, no exchange beyond [[positivePairs]]' one doc-keyed
+    * window), and the per-row cost drops from the
+    * BroadcastNestedLoopJoin's O(V) interval comparisons to O(log V).
+    * Row-identical to [[skipGramPairsUnigramWithVocab]] on the same
+    * vocabulary (same hash keys, same covering intervals — the spec
+    * pins it), so the SAME oracle gates both spellings.
+    */
+  def skipGramPairsUnigramFrozen(docs: DataFrame, vocab0: DataFrame,
+      window: Int = 2, negatives: Int = 2,
+      maxModelKeys: Long = 100000L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(negatives >= 0, s"negatives must be >= 0, got $negatives")
+    val vocab = SharedBranch.sharedBranch(vocab0)
+    val pos = SharedBranch.sharedBranch(positivePairs(docs, vocab, window))
+    val posOut = positiveRows(pos)
+    if (negatives == 0) return posOut
+    val (cums, toks, wtot) = fitNegativeTable(vocab, maxModelKeys)
+    val negs = pos
+      .select(col("doc_id"), col("p"), col("offset"), col("center"),
+        explode(array((1 to negatives).map(i =>
+          struct(lit(i).as("sample_idx"),
+            (negKey(i) % lit(wtot)).as("hmod"))): _*)).as("e"))
+      .select(col("doc_id"), col("p"), col("offset"),
+        col("e.sample_idx").as("sample_idx"), col("center"),
+        graft.functions.NegTableSample.negTableSample(
+          col("e.hmod"), cums, toks).as("context"),
+        lit(0).as("label"))
+    posOut.unionByName(negs)
+  }
+
   /** GLOVE DISTANCE-WEIGHTED CO-OCCURRENCE MATRIX (Pennington et al.,
     * EMNLP 2014 §3 — `X_ij` with the released code's 1/d decay: a
     * context word d positions away contributes 1/d): the AGGREGATE

@@ -464,4 +464,41 @@ class LanguageModelSpec extends AnyFunSuite {
       .as[(String, Long, Long, String, Boolean)].collect().toSeq
     assert(got.toSet == manual.toSet)
   }
+
+  test("ccnetPipelinePerLang: per-language statistics diverge from the single LM; semantics and partitioning hold") {
+    // the ccnetPipeline fixture, re-used: 9 en docs in 3 score classes
+    // + 3 de docs + 2 und docs. en has 11 word types and de 6 — at
+    // maxVocab = 12 the GLOBAL vocabulary must evict low-count types
+    // across language lines, while each per-language vocabulary fits
+    // whole, so the two pipelines provably score differently
+    def rep(s: String, n: Int) = Seq.fill(n)(s).mkString(" ")
+    val docs = (
+      (0 until 2).map(i => (i.toLong, "the " + rep("cat cat", 4))) ++
+      (2 until 6).map(i => (i.toLong, "the " + rep("dog bird fish mouse", 2))) ++
+      (6 until 9).map(i => (i.toLong, "of to and a the " + rep("horse", 3))) ++
+      (9 until 12).map(i => (i.toLong, "der die das und ist haus")) ++
+      Seq((12L, "zzz yyy xxx www"), (13L, "qqq ppp ooo"))
+    ).toDF("doc_id", "text")
+    val got = LanguageModel.ccnetPipelinePerLang(docs, maxVocab = 12)
+      .as[(String, Long, Long, String, Boolean)].collect().toSeq
+    // same selection semantics as the single-LM face
+    assert(!got.exists(r => r._2 == 12L || r._2 == 13L))
+    assert(got.map(_._1).toSet == Set("en", "de"))
+    got.foreach(r => assert(r._5 == (r._4 != "tail"), s"row $r"))
+    Seq("en", "de").foreach { l =>
+      val g = got.filter(_._1 == l)
+      def s(b: String) = g.filter(_._4 == b).map(_._3)
+      for (lo <- Seq("tail"); hi <- Seq("middle", "head"); if s(lo).nonEmpty && s(hi).nonEmpty)
+        assert(s(lo).max <= s(hi).min, s"$l: $lo max > $hi min")
+    }
+    // the per-language LM provably diverges from the corpus-wide one
+    val single = LanguageModel.ccnetPipeline(docs, maxVocab = 12)
+      .as[(String, Long, Long, String, Boolean)].collect().toSeq
+    assert(got.map(r => (r._2, r._3)).sorted != single.map(r => (r._2, r._3)).sorted,
+      "per-language statistics must change some document's score")
+    // partitioning invariance (the salted two-phase top-k included)
+    val re = LanguageModel.ccnetPipelinePerLang(docs.repartition(7), maxVocab = 12)
+      .as[(String, Long, Long, String, Boolean)].collect().toSeq
+    assert(got.toSet == re.toSet)
+  }
 }

@@ -330,6 +330,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_token_ppl", // same 1-row vocab-totals frame over the token stream
       "q_ppl_buckets", // the LM's 1-row vocab frame + the quantile rank triangle
       "q_ccnet_e2e", // the same LM vocab frame + tercile triangle over the langid survivors
+      "q_ccnet_e2e_perlang", // the per-language tercile rank triangle (quantilesPerGroup's bounded frames; the LM tables themselves join by key)
       "q_stupid_backoff", // 1-row train-token-total (N) frame
       "q_quality_ensemble", // LM 1-row vocab totals + 3 PrefixSum offset triangles (≤nPart rows)
       "q_mixture_schedule", // 1-row per-source totals frame

@@ -195,4 +195,40 @@ class Word2VecSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("skipGramPairsUnigramFrozen: row-identical to the interval join; fit gate fires LOUD") {
+    // skewed counts so the ¾-power intervals are non-trivial, plus
+    // singleton words so zero-padding edges (cum boundaries) bind
+    val docs = Seq.tabulate(8)(i =>
+      (i.toLong, s"a a a a b a rare$i a b a")).toDF("doc_id", "text")
+    val vocab = Word2Vec.vocabulary(docs, maxVocab = 4)
+    val join = Word2Vec.skipGramPairsUnigramWithVocab(docs, vocab,
+        window = 2, negatives = 3)
+      .as[(Long, Long, Int, Int, String, String, Int)].collect().toSeq.sorted
+    val frozen = Word2Vec.skipGramPairsUnigramFrozen(docs, vocab,
+        window = 2, negatives = 3)
+      .as[(Long, Long, Int, Int, String, String, Int)].collect().toSeq.sorted
+    assert(join == frozen && join.nonEmpty,
+      "the binary-search face must be row-identical to the interval join")
+    // size gate: a cap below the vocabulary size must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Word2Vec.skipGramPairsUnigramFrozen(docs, vocab, window = 1,
+        negatives = 1, maxModelKeys = 2L).collect()
+    }
+    assert(e.getMessage.contains("maxModelKeys"))
+  }
+
+  test("NegTableOps.pick: rightmost-interval binary search on boundaries and zero-width entries") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = UTF8String.fromString(s)
+    // intervals: a=[0,5) b=[5,8) c=ZERO-WIDTH at 8 d=[8,10)
+    val cums = Array(0L, 5L, 8L, 8L)
+    val toks = Array(u("a"), u("b"), u("c"), u("d"))
+    val expect = Map(0L -> "a", 4L -> "a", 5L -> "b", 7L -> "b",
+      8L -> "d", 9L -> "d")
+    expect.foreach { case (h, t) =>
+      assert(graft.functions.NegTableOps.pick(h, cums, toks).toString == t,
+        s"h=$h")
+    }
+  }
 }
