@@ -2233,6 +2233,29 @@ object M5Queries {
           maxVocab = 16)
         .orderBy(col("lang_pred"), col("doc_id"))),
 
+    // ---- §2.8: the per-language CCNet selection under STREAMING
+    // execution — the model (per-lang vocab/counts/vsz + tercile
+    // bounds) FIT batch-side (fitCcnet, size-gated LOUD), the whole
+    // decision one codegen'd fold per arriving row (no join, no state);
+    // SAME oracle as the batch pipeline — row-identical on the fit
+    // corpus by construction
+    "q_stream_ccnet_keep" -> ((s, dir) => {
+      val model = LanguageModel.fitCcnet(TextDedup.documents(s, dir),
+        maxVocab = 16)
+      graft.streaming.FileStreamHarness.runStateless(s, dir, "documents",
+          identity, keyCol = "doc_id",
+          batchTransform = b => LanguageModel.ccnetKeepNarrow(b, model))
+        .orderBy(col("lang_pred"), col("doc_id"))
+    }),
+
+    // ---- analysis: WIMBD-style top n-grams per source (Elazar et al.
+    // 2024) — exact counts, (count DESC, ngram ASC) rank, the salted
+    // two-phase per-group top-k over the TYPE-bounded count table
+    "q_top_ngrams" -> ((s, dir) =>
+      operators.TextAnalysis.topNgramsBySource(TextDedup.documents(s, dir),
+          n = 2, k = 10)
+        .orderBy(col("source"), col("rank"))),
+
     // ---- relevance: trigram STUPID-BACKOFF held-out scoring (Brants
     // et al., EMNLP 2007 — α = 0.4 spelled 2/5, integer-exact). Model
     // trains on the doc_id%2==0 half, scores the other half, so the
@@ -7688,54 +7711,21 @@ object M5Queries {
     // per-language-LM CCNet mirror: the q_ccnet_e2e chain with EVERY
     // model table keyed by lang_pred — vocabulary as a per-language
     // top-16 (row_number partitioned by language ≡ the Spark side's
-    // salted two-phase rank), per-language vsz/c_uv/c_u
-    "q_ccnet_e2e_perlang" -> {
-      val (scores, best, pick) = langPredSqlParts
-      s"""WITH dd0 AS (SELECT doc_id, text, $pick AS lang_pred
-         |   FROM (SELECT doc_id, text, $scores, $best best
-         |         FROM (SELECT doc_id, text, ${frag.toks} w FROM documents))),
-         | dv AS (SELECT doc_id, text, lang_pred FROM dd0 WHERE lang_pred <> 'und'),
-         | d AS (SELECT doc_id, lang_pred AS g, ${frag.toks} AS tk FROM dv),
-         | e AS (SELECT doc_id, g, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM d),
-         | uc AS (SELECT g, tok, count(*) AS c FROM e GROUP BY 1, 2),
-         | vocab AS (SELECT g, tok FROM (SELECT g, tok,
-         |     row_number() OVER (PARTITION BY g ORDER BY c DESC, tok) AS r FROM uc)
-         |   WHERE r <= 16),
-         | vs AS (SELECT g, count(*) + 1 AS vsz FROM vocab GROUP BY 1),
-         | m AS (SELECT doc_id, e.g, pos,
-         |     CASE WHEN vb.tok IS NULL THEN '<unk>' ELSE e.tok END AS tok_m
-         |   FROM e LEFT JOIN vocab vb ON e.g = vb.g AND e.tok = vb.tok),
-         | b AS (SELECT doc_id, g, tok_m AS u,
-         |     lead(tok_m) OVER (PARTITION BY doc_id ORDER BY pos) AS v FROM m),
-         | bi AS (SELECT doc_id, g, u, v, count(*) AS m FROM b
-         |   WHERE v IS NOT NULL GROUP BY 1, 2, 3, 4),
-         | cuv AS (SELECT g, u, v, sum(m) AS c_uv FROM bi GROUP BY 1, 2, 3),
-         | cu AS (SELECT g, u, sum(m) AS c_u FROM bi GROUP BY 1, 2),
-         | sc AS (SELECT bi.doc_id, bi.m,
-         |     (10000 * (c_uv + 1)) // (c_u + vsz) AS contrib
-         |   FROM bi JOIN cuv USING (g, u, v) JOIN cu USING (g, u) JOIN vs USING (g)),
-         | lmq AS (SELECT doc_id, CAST(sum(m * contrib) AS BIGINT) AS lm_q,
-         |   CAST(sum(m) AS BIGINT) AS n_bigrams FROM sc GROUP BY doc_id),
-         | sq AS MATERIALIZED (SELECT dv.lang_pred, dv.doc_id,
-         |   CASE WHEN coalesce(n_bigrams, 0) > 0 THEN lm_q // n_bigrams ELSE 0 END AS s_q
-         |  FROM dv LEFT JOIN lmq USING (doc_id)),
-         | sqr AS (SELECT lang_pred, doc_id, s_q,
-         |   row_number() OVER (PARTITION BY lang_pred ORDER BY s_q, doc_id) AS rn FROM sq),
-         | sqn AS (SELECT lang_pred, count(*) AS cnt FROM sq GROUP BY 1),
-         | sqt AS (SELECT lang_pred, q, greatest(1, (q * cnt + 999) // 1000) AS rn
-         |   FROM sqn CROSS JOIN (SELECT unnest([333, 667]) AS q)),
-         | sqb AS (SELECT r.lang_pred,
-         |   max(CASE WHEN t.q = 333 THEN r.s_q END) AS v333,
-         |   max(CASE WHEN t.q = 667 THEN r.s_q END) AS v667
-         |  FROM sqr r JOIN sqt t ON r.lang_pred = t.lang_pred AND r.rn = t.rn GROUP BY 1)
-         |SELECT lang_pred, doc_id, s_q, bucket, bucket <> 'tail' AS keep FROM (
-         | SELECT sq.lang_pred, sq.doc_id, sq.s_q,
-         |  CASE WHEN sq.s_q <= v333 THEN 'tail'
-         |       WHEN sq.s_q <= v667 THEN 'middle'
-         |       ELSE 'head' END AS bucket
-         | FROM sq JOIN sqb USING (lang_pred))
-         |ORDER BY lang_pred, doc_id""".stripMargin
-    },
+    // salted two-phase rank), per-language vsz/c_uv/c_u. Shared with
+    // the frozen streaming face (row-identical on the fit corpus).
+    "q_ccnet_e2e_perlang" -> ccnetPerLangOracle,
+    "q_stream_ccnet_keep" -> ccnetPerLangOracle,
+
+    // WIMBD top-n-grams mirror: per-source bigram counts, row_number
+    // rank with the (count DESC, ngram ASC) tiebreak
+    "q_top_ngrams" ->
+      s"""WITH d AS (SELECT source, ${frag.toks} AS w FROM documents),
+         | e AS (SELECT source, unnest(${frag.kShingles("w", 2)}) AS ngram FROM d),
+         | c AS (SELECT source, ngram, count(*) AS n_occ FROM e GROUP BY 1, 2),
+         | r AS (SELECT source, ngram, n_occ, row_number() OVER (
+         |   PARTITION BY source ORDER BY n_occ DESC, ngram) AS rank FROM c)
+         |SELECT source, rank::INT AS rank, ngram, n_occ FROM r
+         |WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
 
     // token-level LM mirror: the q_lm_score chain with the word stream
     // replaced by the BPE encode stream (vocab = top-16 tokens)
@@ -8237,6 +8227,61 @@ object M5Queries {
     * best-score expression, argmax pick) — shared by the quality oracle
     * and the confusion-matrix oracle so the detector has ONE SQL twin.
     */
+  /** The per-language-LM CCNet mirror — the q_ccnet_e2e chain with
+    * every model table keyed by lang_pred (vocabulary as a per-language
+    * top-16 via row_number PARTITION BY language ≡ the Spark side's
+    * salted two-phase rank; per-language vsz/c_uv/c_u). Shared by the
+    * batch pipeline gate and the frozen streaming face (row-identical
+    * on the fit corpus — every map lookup hits).
+    */
+  private lazy val ccnetPerLangOracle: String = {
+    val (scores, best, pick) = langPredSqlParts
+    s"""WITH dd0 AS (SELECT doc_id, text, $pick AS lang_pred
+         |   FROM (SELECT doc_id, text, $scores, $best best
+         |         FROM (SELECT doc_id, text, ${frag.toks} w FROM documents))),
+         | dv AS (SELECT doc_id, text, lang_pred FROM dd0 WHERE lang_pred <> 'und'),
+         | d AS (SELECT doc_id, lang_pred AS g, ${frag.toks} AS tk FROM dv),
+         | e AS (SELECT doc_id, g, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM d),
+         | uc AS (SELECT g, tok, count(*) AS c FROM e GROUP BY 1, 2),
+         | vocab AS (SELECT g, tok FROM (SELECT g, tok,
+         |     row_number() OVER (PARTITION BY g ORDER BY c DESC, tok) AS r FROM uc)
+         |   WHERE r <= 16),
+         | vs AS (SELECT g, count(*) + 1 AS vsz FROM vocab GROUP BY 1),
+         | m AS (SELECT doc_id, e.g, pos,
+         |     CASE WHEN vb.tok IS NULL THEN '<unk>' ELSE e.tok END AS tok_m
+         |   FROM e LEFT JOIN vocab vb ON e.g = vb.g AND e.tok = vb.tok),
+         | b AS (SELECT doc_id, g, tok_m AS u,
+         |     lead(tok_m) OVER (PARTITION BY doc_id ORDER BY pos) AS v FROM m),
+         | bi AS (SELECT doc_id, g, u, v, count(*) AS m FROM b
+         |   WHERE v IS NOT NULL GROUP BY 1, 2, 3, 4),
+         | cuv AS (SELECT g, u, v, sum(m) AS c_uv FROM bi GROUP BY 1, 2, 3),
+         | cu AS (SELECT g, u, sum(m) AS c_u FROM bi GROUP BY 1, 2),
+         | sc AS (SELECT bi.doc_id, bi.m,
+         |     (10000 * (c_uv + 1)) // (c_u + vsz) AS contrib
+         |   FROM bi JOIN cuv USING (g, u, v) JOIN cu USING (g, u) JOIN vs USING (g)),
+         | lmq AS (SELECT doc_id, CAST(sum(m * contrib) AS BIGINT) AS lm_q,
+         |   CAST(sum(m) AS BIGINT) AS n_bigrams FROM sc GROUP BY doc_id),
+         | sq AS MATERIALIZED (SELECT dv.lang_pred, dv.doc_id,
+         |   CASE WHEN coalesce(n_bigrams, 0) > 0 THEN lm_q // n_bigrams ELSE 0 END AS s_q
+         |  FROM dv LEFT JOIN lmq USING (doc_id)),
+         | sqr AS (SELECT lang_pred, doc_id, s_q,
+         |   row_number() OVER (PARTITION BY lang_pred ORDER BY s_q, doc_id) AS rn FROM sq),
+         | sqn AS (SELECT lang_pred, count(*) AS cnt FROM sq GROUP BY 1),
+         | sqt AS (SELECT lang_pred, q, greatest(1, (q * cnt + 999) // 1000) AS rn
+         |   FROM sqn CROSS JOIN (SELECT unnest([333, 667]) AS q)),
+         | sqb AS (SELECT r.lang_pred,
+         |   max(CASE WHEN t.q = 333 THEN r.s_q END) AS v333,
+         |   max(CASE WHEN t.q = 667 THEN r.s_q END) AS v667
+         |  FROM sqr r JOIN sqt t ON r.lang_pred = t.lang_pred AND r.rn = t.rn GROUP BY 1)
+         |SELECT lang_pred, doc_id, s_q, bucket, bucket <> 'tail' AS keep FROM (
+         | SELECT sq.lang_pred, sq.doc_id, sq.s_q,
+         |  CASE WHEN sq.s_q <= v333 THEN 'tail'
+         |       WHEN sq.s_q <= v667 THEN 'middle'
+         |       ELSE 'head' END AS bucket
+         | FROM sq JOIN sqb USING (lang_pred))
+         |ORDER BY lang_pred, doc_id""".stripMargin
+  }
+
   private lazy val langPredSqlParts: (String, String, String) = {
     val langs = Seq("en", "de", "fr", "es", "zh")
     val markerList = langs.map(l =>

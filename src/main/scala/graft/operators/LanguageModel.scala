@@ -239,6 +239,21 @@ object LanguageModel {
     */
   def ccnetPipelinePerLang(docs: DataFrame, maxVocab: Int = 1024,
       scale: Long = 10000L): DataFrame = {
+    val (_, _, _, _, _, scored, bounds) = ccnetPerLangCore(docs, maxVocab, scale)
+    scored.join(broadcast(bounds), Seq("lang_pred"))
+      .select(col("lang_pred"), col("doc_id"), col("s_q"),
+        when(col("s_q") <= col("v333"), lit("tail"))
+          .when(col("s_q") <= col("v667"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+      .withColumn("keep", col("bucket") =!= "tail")
+  }
+
+  /** The per-language CCNet model frames both the batch pipeline and
+    * [[fitCcnet]] read: (tagged, vocab, cuv, cu, vs, scored, bounds).
+    */
+  private def ccnetPerLangCore(docs: DataFrame, maxVocab: Int, scale: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
+         DataFrame, DataFrame) = {
     require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
     val g = "lang_pred"
     val tagged = SharedBranch.sharedBranch(docs
@@ -248,14 +263,10 @@ object LanguageModel {
       posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
     // per-language vocabulary: salted two-phase top-k over the count table
     val cnt = toks.groupBy(col(g), col("tok")).agg(count(lit(1)).as("c"))
-      .withColumn("salt", pmod(xxhash64(col("tok")), lit(32)))
-    val w1 = Window.partitionBy(col(g), col("salt"))
-      .orderBy(col("c").desc, col("tok"))
-    val w2 = Window.partitionBy(col(g)).orderBy(col("c").desc, col("tok"))
-    val vocab = SharedBranch.sharedBranch(cnt
-      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= maxVocab)
-      .withColumn("r2", row_number().over(w2)).filter(col("r2") <= maxVocab)
-      .select(col(g), col("tok")))
+    val vocab = SharedBranch.sharedBranch(
+      Stats.topKPerGroup(cnt, g, maxVocab, saltCol = col("tok"),
+          order = Seq(col("c").desc, col("tok")))
+        .select(col(g), col("tok")))
     val vs = vocab.groupBy(col(g)).agg((count(lit(1)) + 1L).as("vsz"))
     // vocabulary-mapped adjacency — the lmStatsOver shape with the
     // language key riding every frame (a document has ONE language, so
@@ -290,12 +301,103 @@ object LanguageModel {
       .groupBy(col(g)).agg(
         max(when(col("q") === 333, col("quantile"))).as("v333"),
         max(when(col("q") === 667, col("quantile"))).as("v667"))
-    scored.join(broadcast(bounds), Seq(g))
-      .select(col(g), col("doc_id"), col("s_q"),
-        when(col("s_q") <= col("v333"), lit("tail"))
-          .when(col("s_q") <= col("v667"), lit("middle"))
-          .otherwise(lit("head")).as("bucket"))
+    (tagged, vocab, cuv, cu, vs, scored, bounds)
+  }
+
+  /** The frozen per-language CCNet model [[ccnetKeepNarrow]] applies:
+    * every table of [[ccnetPipelinePerLang]]'s fit collected
+    * driver-side (the [[fitKneserNey]] discipline), size-gated LOUD on
+    * the bigram-type total BEFORE any `.collect()`. Keys are
+    * space-joined (collision-free under the tokenizer contract —
+    * tokens and language codes never contain spaces). The tercile
+    * boundary maps carry ≤ |langs| entries each.
+    */
+  case class CcnetModel(vocab: Map[String, Long], cuv: Map[String, Long],
+      cu: Map[String, Long], vsz: Map[String, Long],
+      v333: Map[String, Long], v667: Map[String, Long])
+
+  def fitCcnet(docs: DataFrame, maxVocab: Int = 1024,
+      scale: Long = 10000L, maxModelKeys: Long = 100000L): CcnetModel = {
+    require(maxModelKeys > 0, s"maxModelKeys must be positive, got $maxModelKeys")
+    val sep = " "
+    val (_, vocab, cuv0, cu, vs, _, bounds) =
+      ccnetPerLangCore(docs, maxVocab, scale)
+    val cuv = SharedBranch.sharedBranch(cuv0)
+    val nKeys = cuv.count()
+    require(nKeys <= maxModelKeys,
+      s"fitCcnet model has $nKeys bigram-type keys > maxModelKeys =" +
+        s" $maxModelKeys: a model this large must not ride the plan as map" +
+        " literals — run ccnetPipelinePerLang's join spelling inside" +
+        " foreachBatch instead, or raise maxModelKeys deliberately")
+    val vm = vocab.select(concat_ws(sep, col("lang_pred"), col("tok")).as("k"))
+      .collect().map(_.getString(0) -> 1L).toMap
+    val cuvM = cuv.select(concat_ws(sep, col("lang_pred"), col("u"), col("v")).as("k"),
+      col("c_uv")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cuM = cu.select(concat_ws(sep, col("lang_pred"), col("u")).as("k"),
+      col("c_u")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vszM = vs.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bRows = bounds.collect()
+    val b333 = bRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b667 = bRows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    CcnetModel(vm, cuvM, cuM, vszM, b333, b667)
+  }
+
+  /** The NARROW (per-row) CCNet selection — the STREAMING face of
+    * [[ccnetPipelinePerLang]], the [[stupidBackoffScoreNarrow]]
+    * pattern: the frozen per-language model rides the plan as map
+    * literals and the whole decision (language ID → LM score →
+    * tercile bucket → keep) is codegen'd per-row work, ONE fold over
+    * the token array — no explode, no join, no aggregation, no state
+    * — so it runs append-mode on an unbounded stream (continuous
+    * curation: arrivals scored against the frozen in-domain fit). On
+    * the corpus it was fit on it is row-identical to the batch
+    * pipeline (the spec and the shared oracle pin it); a genuinely
+    * novel arrival scores with the natural smoothing floor (unseen
+    * bigram → c_uv = 0, unseen context → c_u = 0).
+    *
+    * `und` arrivals are dropped (the batch rule), and so are arrivals
+    * in a language the fit never saw — a deployment has no model, no
+    * vocabulary size and no tercile bounds to score them against (the
+    * same low-confidence cut as `und`; the spec pins it).
+    *
+    * Output: (lang_pred, doc_id, s_q, bucket, keep) — the batch schema.
+    */
+  def ccnetKeepNarrow(docs: DataFrame, model: CcnetModel,
+      scale: Long = 10000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val sep = " "
+    val vm = typedlit(model.vocab); val cuvM = typedlit(model.cuv)
+    val cuM = typedlit(model.cu); val vszM = typedlit(model.vsz)
+    val b3 = typedlit(model.v333); val b6 = typedlit(model.v667)
+    val lang = col("lang_pred")
+    docs
+      .withColumn("lang_pred",
+        TextAnalysis.langId(TextFunctions.tokens(col("text"))))
+      .filter(col("lang_pred") =!= "und")
+      .filter(element_at(vszM, col("lang_pred")).isNotNull)
+      .withColumn("_m", transform(TextFunctions.tokens(col("text")), t =>
+        when(element_at(vm, concat_ws(sep, lang, t)).isNotNull, t)
+          .otherwise(lit(Unk))))
+      .withColumn("_nb", greatest(lit(0L), (size(col("_m")) - 1).cast("long")))
+      .withColumn("_lmq", aggregate(
+        when(size(col("_m")) >= 2, sequence(lit(2), size(col("_m"))))
+          .otherwise(array().cast("array<int>")),
+        lit(0L), (acc, i) => {
+          val u = element_at(col("_m"), i - 1)
+          val v = element_at(col("_m"), i)
+          val cuvV = coalesce(element_at(cuvM, concat_ws(sep, lang, u, v)), lit(0L))
+          val cuV = coalesce(element_at(cuM, concat_ws(sep, lang, u)), lit(0L))
+          acc + idiv(lit(scale) * (cuvV + 1L), cuV + element_at(vszM, lang))
+        }))
+      .withColumn("s_q",
+        when(col("_nb") > 0, idiv(col("_lmq"), col("_nb"))).otherwise(lit(0L)))
+      .withColumn("bucket",
+        when(col("s_q") <= element_at(b3, lang), lit("tail"))
+          .when(col("s_q") <= element_at(b6, lang), lit("middle"))
+          .otherwise(lit("head")))
       .withColumn("keep", col("bucket") =!= "tail")
+      .select(col("lang_pred"), col("doc_id"), col("s_q"), col("bucket"),
+        col("keep"))
   }
 
   private def quantizedTail(bi: DataFrame, cuv: DataFrame, cu: DataFrame,

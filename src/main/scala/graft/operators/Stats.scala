@@ -45,6 +45,39 @@ object Stats {
       .select(col(groupCol), col("q"), col(valueCol).as("quantile"))
   }
 
+  /** SALTED TWO-PHASE exact per-group top-k — the distributed shape for
+    * "top k per group" when the group count is small and a group's
+    * candidate set is large (the corpus-wide `orderBy.limit`
+    * TakeOrderedAndProject has no per-group analogue, and a single
+    * `Window.partitionBy(group)` would funnel each group's whole
+    * candidate table through one task): phase 1 ranks inside
+    * (group, hash(saltCol) % salts) — any global top-k member is top-k
+    * within its salt bucket, so the survivor set (≤ salts·k per group)
+    * is a SUPERSET of the answer — and phase 2 ranks the survivors,
+    * whose per-group partitions are bounded at salts·k rows. The result
+    * is EXACTLY the unsalted rank (the spec pins it): salting moves
+    * work, never answers. `order` must be a deterministic total order
+    * (break ties — the house (count DESC, key ASC) rule) or the rank
+    * itself is undefined. Appends `rank` (1-based).
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, k: Int,
+      saltCol: Column, order: Seq[Column], salts: Int = 32): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(salts > 0, s"salts must be positive, got $salts")
+    require(order.nonEmpty, "order must name at least one column")
+    val internal = Seq("_salt", "_r1", "rank")
+    val clashes = df.columns.toSeq.intersect(internal)
+    require(clashes.isEmpty,
+      s"input column(s) ${clashes.mkString(", ")} collide with topKPerGroup's " +
+        s"internal/output names (${internal.mkString(", ")})")
+    val w1 = Window.partitionBy(col(groupCol), col("_salt")).orderBy(order: _*)
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn("_salt", pmod(xxhash64(saltCol), lit(salts)))
+      .withColumn("_r1", row_number().over(w1)).filter(col("_r1") <= k)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .drop("_salt", "_r1")
+  }
+
   /** Exact distinct-cardinality profile of the corpus per group: distinct
     * documents, distinct content fingerprints, distinct tokens. The
     * approximate production path is `approx_count_distinct` (HLL++,

@@ -76,6 +76,34 @@ object TextAnalysis {
       .withColumn("ppm_of_lang",
         expr("(n * 1000000) div sum(n) OVER (PARTITION BY lang)"))
 
+  /** WIMBD-style TOP-N-GRAMS PER SOURCE (Elazar et al., ICLR 2024
+    * "What's In My Big Data?", arXiv:2310.20707 §3 — the
+    * most-common-n-grams report WIMBD runs per corpus, the summary
+    * every release paper tables): the `k` most frequent word n-grams
+    * of each source with exact counts, ranked (count DESC, n-gram
+    * ASC — the house deterministic tiebreak).
+    *
+    * Output: (source, rank, ngram, n_occ), rank 1-based, ≤ k rows per
+    * source.
+    *
+    * Plan shape: one narrow shingle explode + ONE map-side-combinable
+    * (source, ngram) hash aggregation — the corpus-sized work — then
+    * [[Stats.topKPerGroup]]'s salted two-phase rank over the COUNT
+    * table (type-bounded, never the corpus; no source funnels its
+    * n-gram type table through one task). Nothing else shuffles.
+    */
+  def topNgramsBySource(docs: DataFrame, n: Int = 2, k: Int = 10): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val grams = docs.select(col("source"),
+      explode(graft.functions.TextFunctions.shingles(
+        tokens(col("text")), n)).as("ngram"))
+    val cnt = grams.groupBy(col("source"), col("ngram"))
+      .agg(count(lit(1)).as("n_occ"))
+    Stats.topKPerGroup(cnt, "source", k, saltCol = col("ngram"),
+        order = Seq(col("n_occ").desc, col("ngram")))
+      .select(col("source"), col("rank"), col("ngram"), col("n_occ"))
+  }
+
   /** Corpus snapshot DIFF — [[tokenShiftTopK]]'s row-granular sibling:
     * which documents were added, removed, or changed between snapshot
     * `a` and snapshot `b`, judged by the rolling content hash (so a

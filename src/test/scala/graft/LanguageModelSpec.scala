@@ -501,4 +501,39 @@ class LanguageModelSpec extends AnyFunSuite {
       .as[(String, Long, Long, String, Boolean)].collect().toSeq
     assert(got.toSet == re.toSet)
   }
+
+  test("ccnetKeepNarrow: row-identical to the batch pipeline on the fit corpus; unfit-language and smoothing branches bind") {
+    def rep(s: String, n: Int) = Seq.fill(n)(s).mkString(" ")
+    val docs = (
+      (0 until 2).map(i => (i.toLong, "the " + rep("cat cat", 4))) ++
+      (2 until 6).map(i => (i.toLong, "the " + rep("dog bird fish mouse", 2))) ++
+      (6 until 9).map(i => (i.toLong, "of to and a the " + rep("horse", 3))) ++
+      (9 until 12).map(i => (i.toLong, "der die das und ist haus")) ++
+      Seq((12L, "zzz yyy xxx www"))
+    ).toDF("doc_id", "text")
+    val model = LanguageModel.fitCcnet(docs, maxVocab = 12)
+    val narrow = LanguageModel.ccnetKeepNarrow(docs, model)
+      .as[(String, Long, Long, String, Boolean)].collect().toSet
+    val batch = LanguageModel.ccnetPipelinePerLang(docs, maxVocab = 12)
+      .as[(String, Long, Long, String, Boolean)].collect().toSet
+    assert(narrow == batch && narrow.nonEmpty,
+      "the frozen face must be row-identical on the fit corpus")
+    // a novel arrival in a FIT language scores through the smoothing
+    // floor (unseen bigrams → c_uv = 0) instead of erroring, and still
+    // lands in a bucket against the frozen bounds
+    val novel = Seq((100L, "the platypus wombat the")).toDF("doc_id", "text")
+    val n1 = LanguageModel.ccnetKeepNarrow(novel, model)
+      .as[(String, Long, Long, String, Boolean)].collect().toSeq
+    assert(n1.map(_._2) == Seq(100L) && n1.head._1 == "en")
+    // an arrival in a language the fit never saw is DROPPED (no model,
+    // no bounds — the same low-confidence cut as und), as is und itself
+    val fr = Seq((101L, "le la les est dans"), (102L, "qqq ppp ooo"))
+      .toDF("doc_id", "text")
+    assert(LanguageModel.ccnetKeepNarrow(fr, model).count() == 0)
+    // the size gate fires LOUD
+    val e = intercept[IllegalArgumentException] {
+      LanguageModel.fitCcnet(docs, maxVocab = 12, maxModelKeys = 3L)
+    }
+    assert(e.getMessage.contains("maxModelKeys"))
+  }
 }

@@ -75,4 +75,44 @@ class StatsSpec extends AnyFunSuite {
         s"source $s: approx ($ad,$afp,$atok) vs exact ($nd,$nfp,$ntok)")
     }
   }
+
+  test("topKPerGroup: salted two-phase rank equals the unsalted window rank; ties deterministic") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 groups × 40 keys with colliding counts so the (c DESC, key ASC)
+    // tiebreak binds; salts=4 forces real phase-1 partitioning on a
+    // fixture this small
+    val df = (for (g <- Seq("a", "b", "c"); i <- 0 until 40)
+      yield (g, f"k$i%02d", (i % 7).toLong)).toDF("g", "k", "c")
+    val got = Stats.topKPerGroup(df, "g", 5, saltCol = $"k",
+        order = Seq($"c".desc, $"k"), salts = 4)
+      .select($"g", $"rank", $"k", $"c")
+      .as[(String, Int, String, Long)].collect().toSet
+    val w = Window.partitionBy($"g").orderBy($"c".desc, $"k")
+    val naive = df.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5).select($"g", $"rank", $"k", $"c")
+      .as[(String, Int, String, Long)].collect().toSet
+    assert(got == naive && got.size == 15,
+      "salting must move work, never answers")
+    // k beyond the group size returns the whole group, still ranked
+    val all = Stats.topKPerGroup(df.filter($"g" === "a"), "g", 100,
+        saltCol = $"k", order = Seq($"c".desc, $"k"))
+      .as[(String, String, Long, Int)].collect()
+    assert(all.length == 40)
+  }
+
+  test("topNgramsBySource: hand-rolled bigram counts and ranks") {
+    val df = Seq(
+      (1L, "x y x y z", "s1"),
+      (2L, "x y q", "s1"),
+      (3L, "a b a b", "s2")).toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis.topNgramsBySource(df, n = 2, k = 2)
+      .select($"source", $"rank", $"ngram", $"n_occ")
+      .as[(String, Int, String, Long)].collect().toSet
+    // s1 bigrams: "x y"×3, "y x"×1, "y z"×1, "y q"×1 → top2 = x y (3),
+    // then the tie at 1 resolves to "y q" < "y x" < "y z" alphabetically
+    // s2: "a b"×2, "b a"×1
+    assert(got == Set(
+      ("s1", 1, "x y", 3L), ("s1", 2, "y q", 1L),
+      ("s2", 1, "a b", 2L), ("s2", 2, "b a", 1L)))
+  }
 }
