@@ -1240,6 +1240,15 @@ object M5Queries {
         .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
         .orderBy(col("query_id"), col("rank"))),
 
+    // ---- similarity: greedy k-center diversity coreset (Sener &
+    // Savarese 2018) — farthest-first in cosine space, seed = smallest
+    // vec_id, incremental cover, k driver-bounded rounds of one narrow
+    // scan + TakeOrdered argmin each; cover at selection time is the
+    // k-center radius curve
+    "q_kcenter_coreset" -> ((s, dir) =>
+      Similarity.kCenterGreedy(Similarity.embeddings(s, dir), k = 8)
+        .orderBy(col("rank"))),
+
     // ---- similarity: embedding near-dup pairs (cosine ≥ 0.35, label-blocked)
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Similarity.embeddings(s, dir), threshold = 0.35)
@@ -5317,6 +5326,9 @@ object M5Queries {
          | FROM v CROSS JOIN q WHERE vec_id <> query_id)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // k-center mirror: the unrolled farthest-first chain
+    "q_kcenter_coreset" -> kcenterOracle,
+
     "q_embed_neardup" ->
       s"""WITH v AS (${frag.vecs})
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${frag.cosine("a.v", "b.v")} AS cos
@@ -8227,6 +8239,33 @@ object M5Queries {
     * best-score expression, argmax pick) — shared by the quality oracle
     * and the confusion-matrix oracle so the detector has ONE SQL twin.
     */
+  /** The greedy k-center mirror — the kmeansCtes unrolled-iteration
+    * house pattern: c1 = the vec_id-ordered seed; per round r,
+    * `d{r}` carries the INCREMENTAL max-cosine cover (greatest of the
+    * prior cover and the newest center — exact max, no fp
+    * accumulation, so incremental ≡ full recompute) and `c{r+1}` is
+    * the (cover ASC, vec_id ASC) argmin. MATERIALIZED d-chain: each
+    * d is read twice (its argmin and the next d).
+    */
+  private lazy val kcenterOracle: String = {
+    val k = 8
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    parts += s"v AS (${frag.vecs})"
+    parts += "c1 AS (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 1)"
+    parts += "d1 AS MATERIALIZED (SELECT p.vec_id, p.v, " +
+      s"${frag.cosine("p.v", "c.v")} AS cov FROM v p, c1 c WHERE p.vec_id <> c.vec_id)"
+    for (r <- 2 until k) {
+      parts += s"c$r AS (SELECT vec_id, v, cov FROM d${r - 1} ORDER BY cov, vec_id LIMIT 1)"
+      parts += s"d$r AS MATERIALIZED (SELECT p.vec_id, p.v, greatest(p.cov, " +
+        s"${frag.cosine("p.v", "c.v")}) AS cov FROM d${r - 1} p, c$r c WHERE p.vec_id <> c.vec_id)"
+    }
+    parts += s"c$k AS (SELECT vec_id, v, cov FROM d${k - 1} ORDER BY cov, vec_id LIMIT 1)"
+    val sel = Seq("SELECT 1::INT AS rank, vec_id, NULL::DOUBLE AS cover FROM c1") ++
+      (2 to k).map(r => s"SELECT $r::INT, vec_id, cov FROM c$r")
+    "WITH " + parts.mkString(",\n ") + "\n" +
+      sel.mkString("\nUNION ALL ") + "\nORDER BY rank"
+  }
+
   /** The per-language-LM CCNet mirror — the q_ccnet_e2e chain with
     * every model table keyed by lang_pred (vocabulary as a per-language
     * top-16 via row_number PARTITION BY language ≡ the Spark side's

@@ -977,6 +977,65 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"), sum(l2sqQ(col("qv"), col("cqv"))).as("inertia"))
   }
 
+  /** GREEDY K-CENTER COVERAGE SELECTION (Sener & Savarese, ICLR 2018 —
+    * the farthest-first coreset the data-pruning literature selects
+    * diverse subsets with): the seed is the smallest `vec_id`; each
+    * later round adds the point whose similarity to its NEAREST
+    * already-chosen center is LOWEST (in cosine space "farthest-first"
+    * = argmin of the max-cosine cover), ties to the smallest `vec_id`.
+    * The k selected rows are the diversity coreset; `cover` at
+    * selection time is the k-center radius curve (how well-covered the
+    * corpus already was when each center joined — the diminishing-
+    * returns diagnostic for choosing k).
+    *
+    * Output: (rank, vec_id, cover), rank 1-based; the seed's cover is
+    * NULL (no prior centers).
+    *
+    * Plan shape: the [[graft.operators.Bpe.trainMerges]] driver-bounded
+    * iteration pattern — k rounds, each ONE narrow scan of the
+    * checkpointed (vec_id, v, cov) frame (the newest center rides as a
+    * literal vector; cover updates INCREMENTALLY via `greatest`, so
+    * the whole selection is O(k) cosines per point, not O(k²)) + a
+    * TakeOrderedAndProject argmin collecting exactly one row. Nothing
+    * ever shuffles; driver state is k vectors. Exact max is
+    * fp-accumulation-free, so the incremental cover is bit-identical
+    * to recomputing against the full chosen set — the oracle unrolls
+    * the same incremental chain.
+    */
+  def kCenterGreedy(embs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val v0 = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    val seed = v0.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).collect()
+    require(seed.nonEmpty, "kCenterGreedy needs a non-empty corpus")
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getSeq[Double](1)
+    val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (1, seed(0).getLong(0), None))
+    var cur = v0.filter(col("vec_id") =!= seed(0).getLong(0))
+      .select(col("vec_id"), col("v"),
+        graft.functions.CosineSim.cosine_sim(col("v"),
+          typedlit(vecOf(seed(0)))).as("cov"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val top = cur.orderBy(col("cov").asc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("v"), col("cov")).collect()
+      require(top.nonEmpty,
+        s"corpus ran out of points after ${r - 1} centers (asked for $k)")
+      picked += ((r, top(0).getLong(0), Some(top(0).getDouble(2))))
+      if (r < k)
+        cur = cur.filter(col("vec_id") =!= top(0).getLong(0))
+          .select(col("vec_id"), col("v"),
+            greatest(col("cov"), graft.functions.CosineSim.cosine_sim(col("v"),
+              typedlit(vecOf(top(0))))).as("cov"))
+          .localCheckpoint()
+    }
+    picked.toSeq.toDF("rank", "vec_id", "cover")
+  }
+
   /** Cluster-balance report — the topic-mix diagnostic next to
     * [[kmeansQuality]]'s distortion: per (cluster, label) cell, the
     * member count and its integer parts-per-million share of the

@@ -128,6 +128,9 @@ class ContractSpec extends AnyFunSuite {
       "q_embed_jl_recall"   -> Set("recall"),
       "q_embed_mrl_recall"  -> Set("recall"),
       "q_embed_mrl_recall_ordered" -> Set("recall_small", "recall_large"),
+      // max-cosine cover at selection time — greatest() over identical
+      // per-row cosine folds, exact (max never accumulates)
+      "q_kcenter_coreset"   -> Set("cover"),
       "q_knn_graph_recall"  -> Set("recall"),
       "q_dedup_minhash"     -> Set("jac"),
       "q_dedup_jaccard"     -> Set("jac"),

@@ -1116,4 +1116,39 @@ class M5OperatorsSpec extends AnyFunSuite {
       assert(s <= 1000000L && s > 1000000L - rows.size)
     }
   }
+  test("kCenterGreedy ≡ the naive driver-side farthest-first traversal; radius curve non-increasing is NOT required but cover is exact") {
+    val embs = Similarity.embeddings(spark, sf).limit(60).cache()
+    val got = Similarity.kCenterGreedy(embs, k = 6)
+      .as[(Int, Long, Option[Double])].collect().toSeq.sortBy(_._1)
+    // naive reference: collect all vectors, run greedy by hand
+    val vs = embs.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var chosen = Seq(vs.head._1)
+    var cover = vs.filterNot(_._1 == vs.head._1)
+      .map { case (id, v) => id -> cos(v, vs.head._2) }.toMap
+    val vmap = vs.toMap
+    var expect = Seq((1, vs.head._1, Option.empty[Double]))
+    for (r <- 2 to 6) {
+      val (nid, ncov) = cover.toSeq.minBy { case (id, c) => (c, id) }
+      expect :+= ((r, nid, Some(ncov)))
+      chosen :+= nid
+      cover = (cover - nid).map { case (id, c) =>
+        id -> math.max(c, cos(vmap(id), vmap(nid))) }
+    }
+    assert(got.map(x => (x._1, x._2)) == expect.map(x => (x._1, x._2)),
+      s"selection order: got ${got.map(_._2)} expected ${expect.map(_._2)}")
+    // covers match to exact double equality except fold-order epsilon:
+    // the operator folds left-to-right like the oracle; the naive loop
+    // here is the same order, so equality is exact
+    got.zip(expect).foreach { case ((_, _, g), (_, _, e)) =>
+      assert(g == e, s"cover mismatch: $g vs $e")
+    }
+  }
 }
