@@ -133,6 +133,19 @@ object Bpe {
     var words = wordTable(docs, byteLevel = byteLevel, pretok = pretok)
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    // Checkpoint CADENCE, not checkpoint-per-round (guide §5): the
+    // per-round rewrite is one narrow fold over the word-TYPE table, so
+    // chaining up to [[FoldCheckpointEvery]] folds between cuts trades a
+    // bounded re-execution of cheap per-row folds for one fewer
+    // materialization job per round — the round-18 spelling paid a full
+    // word-table materialization after EVERY merge (2 jobs/round), and
+    // the FINAL round's fold+checkpoint built a table nobody reads.
+    // Plan depth stays 4× under the measured 64-fold analysis cliff
+    // (FOLDDEPTH_r13, the extendMerges grouped(16) bound). Prior
+    // checkpoint blocks free via GC/ContextCleaner once unreferenced
+    // (localCheckpoint blocks are not CacheManager entries — the
+    // TextDedup.distributedClusters house pattern).
+    var foldsSinceCut = 0
     for (rank <- 0 until numMerges) {
       val top = pairCounts(words)
         .orderBy(col("c").desc, col("l"), col("r"))
@@ -141,16 +154,25 @@ object Bpe {
         s"corpus ran out of symbol pairs after $rank merges (asked for $numMerges)")
       val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       merges += ((rank, l, r, c))
-      // prior rounds' checkpoint blocks free via GC/ContextCleaner once
-      // unreferenced (localCheckpoint blocks are not CacheManager
-      // entries, so an unpersist() here would be a no-op — the
-      // TextDedup.distributedClusters house pattern)
-      words = words.withColumn("syms", mergeFold(col("syms"), l, r))
-        .localCheckpoint()
+      if (rank < numMerges - 1) { // the last fold's table is never read
+        words = words.withColumn("syms", mergeFold(col("syms"), l, r))
+        foldsSinceCut += 1
+        if (foldsSinceCut >= FoldCheckpointEvery) {
+          words = words.localCheckpoint()
+          foldsSinceCut = 0
+        }
+      }
     }
     spark.createDataFrame(merges.result())
       .toDF("rank", "left", "right", "pair_count")
   }
+
+  /** Lineage-cut cadence for the sequential trainers' per-round word
+    * rewrites: every 16 chained [[mergeFold]]s — 4× under the measured
+    * 64-fold Catalyst analysis cliff (FOLDDEPTH_r13.json), the same
+    * bound [[extendMerges]] applies to prior replay.
+    */
+  private[operators] val FoldCheckpointEvery = 16
 
   /** WARM-START training — EXTEND a frozen merge table with
     * `extraMerges` further merges trained on `docs` (the
@@ -191,8 +213,11 @@ object Bpe {
         s"corpus ran out of symbol pairs after ${rank - prior.length} extension merges (asked for $extraMerges)")
       val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       merges += ((rank, l, r, c))
-      words = words.withColumn("syms", mergeFold(col("syms"), l, r))
-        .localCheckpoint()
+      // final-round fold skipped, chained cadence otherwise — the
+      // trainMerges discipline
+      if (rank < prior.length + extraMerges - 1)
+        words = words.withColumn("syms", mergeFold(col("syms"), l, r))
+          .localCheckpoint()
     }
     spark.createDataFrame(merges.result())
       .toDF("rank", "left", "right", "pair_count")
@@ -289,9 +314,12 @@ object Bpe {
         }
       }
       // prior rounds' checkpoint blocks free via GC/ContextCleaner once
-      // unreferenced (see trainMerges)
-      words = words.withColumn("syms", mergeFoldBatch(col("syms"), selected.result()))
-        .localCheckpoint()
+      // unreferenced (see trainMerges); the FINAL round's fold would
+      // build a table nobody reads — skipped (the trainMerges
+      // discipline)
+      if (round < rounds - 1)
+        words = words.withColumn("syms", mergeFoldBatch(col("syms"), selected.result()))
+          .localCheckpoint()
     }
     spark.createDataFrame(merges.result())
       .toDF("rank", "round", "left", "right", "pair_count")

@@ -804,29 +804,35 @@ object Curation {
     * Output: [[packContextWindows]]'s (doc_id, n_tokens, start_tok,
     * bin_first, bin_last, n_bins) over the surviving documents.
     */
+  /** Stage handoff = ONE checkpoint + CONDITIONAL re-spread: AQE
+    * coalesces the tiny post-join shuffles of a filtered-down corpus
+    * toward ONE partition, the checkpoint freezes that layout, and the
+    * next stage's compute-heavy per-row work (tokenize + shingle +
+    * hash) then runs single-threaded — measured 9.3 s in one
+    * single-task broadcast-build stage at sf0.1 (the
+    * [[TextDedup.documents]] lesson, mid-pipeline). The spread happens
+    * only when the frozen layout is actually starved (< half the cores
+    * have a partition) — which can only occur when AQE judged the
+    * frame small — and is a LIVE round-robin exchange over the
+    * checkpointed blocks, NOT a second checkpoint: the round-18
+    * spelling re-materialized (and doubly pinned) every starved
+    * handoff; §5 says one materialization per stage. Consumers re-pay
+    * only the tiny local exchange, never the stage's lineage (the
+    * checkpoint truncates it — PrefixSum's range sampling pass included),
+    * and a 100 TB stage output keeps its thousands of partitions and
+    * pays NO extra shuffle.
+    */
+  private def stageHandoff(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val ck = df.localCheckpoint()
+    if (ck.rdd.getNumPartitions * 2 <= par) ck.repartition(par) else ck
+  }
+
   def curationPipeline(docs: DataFrame, minLineChars: Int = 10,
       boilerplateDf: Long = 50L, nearDupThreshold: Double = 0.5,
       evalModulus: Long = 97L, minShared: Long = 3L,
       windowTokens: Int = 256): DataFrame = {
-    // Stage handoff = checkpoint + CONDITIONAL re-spread: AQE coalesces
-    // the tiny post-join shuffles of a filtered-down corpus toward ONE
-    // partition, the checkpoint freezes that layout, and the next
-    // stage's compute-heavy per-row work (tokenize + shingle + hash)
-    // then runs single-threaded — measured 9.3 s in one single-task
-    // broadcast-build stage at sf0.1 (the [[TextDedup.documents]]
-    // lesson, mid-pipeline). The spread happens only when the frozen
-    // layout is actually starved (< half the cores have a partition):
-    // that can only occur when AQE judged the frame small, so the
-    // second checkpoint is cheap by construction — while a 100 TB stage
-    // output keeps its thousands of partitions and pays NO extra
-    // shuffle.
-    def handoff(df: DataFrame): DataFrame = {
-      val par = df.sparkSession.sparkContext.defaultParallelism
-      val ck = df.localCheckpoint()
-      if (ck.rdd.getNumPartitions * 2 <= par)
-        ck.repartition(par).localCheckpoint()
-      else ck
-    }
+    def handoff(df: DataFrame): DataFrame = stageHandoff(df)
     // 1. line dedup (the reassembled text is the only column carried on)
     val lineDeduped = TextDedup.lineDedup(docs, minLineChars, boilerplateDf,
         hashOnlyShuffle = true)
@@ -890,13 +896,7 @@ object Curation {
       minShared: Long = 4L, mergeRounds: Int = 8, windowTokens: Int = 64,
       nShards: Int = 8): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    def handoff(df: DataFrame): DataFrame = {
-      val par = df.sparkSession.sparkContext.defaultParallelism
-      val ck = df.localCheckpoint()
-      if (ck.rdd.getNumPartitions * 2 <= par)
-        ck.repartition(par).localCheckpoint()
-      else ck
-    }
+    def handoff(df: DataFrame): DataFrame = stageHandoff(df)
     // 1. C4 page gate; carry the kept page's cleaned text forward
     val kept = handoff(c4Filter(docs, badwords).filter(col("keep"))
       .select(col("doc_id"), col("clean_text").as("text")))
@@ -1018,15 +1018,21 @@ object Curation {
           posexplode(TextFunctions.shingles(col("w"), n)).as(Seq("p0", "ng")))
           .select(col("doc_id"), col("n"), (col("p0") + 1).as("p"), col("ng"))
       }.reduce(_ unionByName _)
-    // top-n: per (doc, n) argmax over the count table; token chars of a
-    // shingle = len − (n−1) separators (tokens are whitespace-free)
-    val w = Window.partitionBy(col("doc_id"), col("n"))
-      .orderBy(col("c").desc, col("ng"))
+    // top-n: per (doc, n) argmax over the count table — spelled as ONE
+    // map-side-combinable min(struct(-c, ng)) aggregation (lexicographic
+    // struct order ≡ the (count DESC, ngram ASC) rank rule) instead of a
+    // row_number window, which would re-exchange AND sort the whole
+    // count table on (doc, n) just to keep rank 1 (guide §2.3/§2.4: the
+    // partial agg ships ≤ one row per (doc, n) per map task); token
+    // chars of a shingle = len − (n−1) separators (tokens are
+    // whitespace-free)
     val top = ngrams(Seq(2, 3, 4))
       .groupBy(col("doc_id"), col("n"), col("ng")).agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("doc_id"), col("n"))
+      .agg(min(struct((-col("c")).as("nc"), col("ng"))).as("m"))
       .select(col("doc_id"), col("n"),
-        (col("c") * (length(col("ng")) - (col("n") - 1))).cast("long").as("num"))
+        ((-col("m.nc")) * (length(col("m.ng")) - (col("n") - 1)))
+          .cast("long").as("num"))
     // dup-n: duplicated starts → covered positions (≤ n-row explode) →
     // positional union → char sum
     val dupNg = SharedBranch.sharedBranch(ngrams(Seq(5, 6, 7, 8, 9, 10)))

@@ -69,4 +69,48 @@ object PrefixSum {
       .withColumn(outCol, col("_offset") + col("_run"))
       .drop("_pid", "_run", "_offset", "_psum_v")
   }
+
+  /** Append `outCol` = corpus-global DENSE RANK of `orderCols` (1-based;
+    * equal keys share a rank) to EVERY row, with no unpartitioned window
+    * and no distinct-then-rejoin: RangePartitioner maps a key value to
+    * exactly ONE partition (contiguous global ranges), so the global
+    * dense rank is the per-partition dense rank plus the count of
+    * DISTINCT keys in all earlier partitions — one range exchange of the
+    * input, parallel per-partition window ranks, and a partition-count-
+    * sized offset triangle, exactly the [[inclusive]] skeleton.
+    *
+    * The `distinct + inclusive(_one) + equi-join back` spelling computes
+    * the same rank with THREE corpus-scale exchanges (the distinct, the
+    * ranked table's join side, the probe side); this is the one-exchange
+    * form for rank attachment at full-corpus cardinality (guide §2.4).
+    * Ties are well-defined (dense rank), so `orderCols` need not be a
+    * total order.
+    */
+  def denseRank(df: DataFrame, orderCols: Seq[Column],
+      outCol: String): DataFrame = {
+    val internal = Seq("_pid", "_lrank", "_cntd", "_offset")
+    val clashes = df.columns.toSeq.intersect(internal) ++
+      (if (internal.contains(outCol)) Seq(outCol) else Nil)
+    require(clashes.isEmpty,
+      s"input/output column(s) ${clashes.distinct.mkString(", ")} collide with " +
+        s"PrefixSum's internal names (${internal.mkString(", ")})")
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    // persisted for the same reason as [[inclusive]]'s ranged frame: the
+    // rank branch and the per-partition distinct totals must read ONE
+    // physical execution of the sampled range exchange
+    val ranged = SharedBranch.sharedBranch(
+      df.repartitionByRange(nPart, orderCols: _*)
+        .withColumn("_pid", spark_partition_id()))
+    val wLocal = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
+    val local = ranged.withColumn("_lrank", dense_rank().over(wLocal))
+    val totals = ranged.groupBy(col("_pid"))
+      .agg(countDistinct(struct(orderCols: _*)).as("_cntd"))
+    val offsets = totals.as("a")
+      .join(broadcast(totals.as("b")), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(coalesce(sum(col("b._cntd")), lit(0L)).as("_offset"))
+    local.join(broadcast(offsets), "_pid")
+      .withColumn(outCol, col("_offset") + col("_lrank").cast("long"))
+      .drop("_pid", "_lrank", "_offset")
+  }
 }

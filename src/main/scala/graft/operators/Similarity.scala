@@ -991,16 +991,20 @@ object Similarity {
     * Output: (rank, vec_id, cover), rank 1-based; the seed's cover is
     * NULL (no prior centers).
     *
-    * Plan shape: the [[graft.operators.Bpe.trainMerges]] driver-bounded
-    * iteration pattern — k rounds, each ONE narrow scan of the
-    * checkpointed (vec_id, v, cov) frame (the newest center rides as a
-    * literal vector; cover updates INCREMENTALLY via `greatest`, so
-    * the whole selection is O(k) cosines per point, not O(k²)) + a
-    * TakeOrderedAndProject argmin collecting exactly one row. Nothing
-    * ever shuffles; driver state is k vectors. Exact max is
-    * fp-accumulation-free, so the incremental cover is bit-identical
-    * to recomputing against the full chosen set — the oracle unrolls
-    * the same incremental chain.
+    * Plan shape: ONE localCheckpoint of the (vec_id, v) corpus, then k
+    * driver-bounded rounds of one narrow scan each: the cover against
+    * the chosen set is folded into a single `greatest(cos(v, c₁), …,
+    * cos(v, cᵣ₋₁))` rebuilt per round from the driver-held center
+    * vectors (literals riding the plan), the already-picked ids
+    * excluded by one bounded NOT-IN list — k scans, zero
+    * re-materializations of the corpus, plan size bounded by k. Each
+    * round ends in a TakeOrderedAndProject argmin collecting exactly
+    * one row; nothing ever shuffles; driver state is k vectors. `max`
+    * is associative and fp-accumulation-free, so the folded cover is
+    * bit-identical to the incremental `greatest`-chain the oracle
+    * unrolls (the round-18 spelling re-checkpointed the whole
+    * remaining corpus every round — k full materializations and a
+    * k-deep filter chain for the same rows; guide §5).
     */
   def kCenterGreedy(embs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -1015,23 +1019,19 @@ object Similarity {
       r.getSeq[Double](1)
     val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
       (1, seed(0).getLong(0), None))
-    var cur = v0.filter(col("vec_id") =!= seed(0).getLong(0))
-      .select(col("vec_id"), col("v"),
-        graft.functions.CosineSim.cosine_sim(col("v"),
-          typedlit(vecOf(seed(0)))).as("cov"))
-      .localCheckpoint()
+    val centers = scala.collection.mutable.ArrayBuffer[Seq[Double]](vecOf(seed(0)))
     for (r <- 2 to k) {
-      val top = cur.orderBy(col("cov").asc, col("vec_id")).limit(1)
-        .select(col("vec_id"), col("v"), col("cov")).collect()
+      val cosines = centers.toSeq.map(c =>
+        graft.functions.CosineSim.cosine_sim(col("v"), typedlit(c)))
+      val cov = if (cosines.size == 1) cosines.head else greatest(cosines: _*)
+      val top = v0
+        .filter(!col("vec_id").isInCollection(picked.map(_._2)))
+        .select(col("vec_id"), col("v"), cov.as("cov"))
+        .orderBy(col("cov").asc, col("vec_id")).limit(1).collect()
       require(top.nonEmpty,
         s"corpus ran out of points after ${r - 1} centers (asked for $k)")
       picked += ((r, top(0).getLong(0), Some(top(0).getDouble(2))))
-      if (r < k)
-        cur = cur.filter(col("vec_id") =!= top(0).getLong(0))
-          .select(col("vec_id"), col("v"),
-            greatest(col("cov"), graft.functions.CosineSim.cosine_sim(col("v"),
-              typedlit(vecOf(top(0))))).as("cov"))
-          .localCheckpoint()
+      centers += vecOf(top(0))
     }
     picked.toSeq.toDF("rank", "vec_id", "cover")
   }

@@ -44,33 +44,38 @@ object SuffixRank {
     val toks = docs.select(col("doc_id"),
       posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos0", "tok")))
       .select(col("doc_id"), (col("pos0") + 1).cast("int").as("pos"), col("tok"))
-    // rank of the 1-token prefix: distinct tokens are a total order
+    // rank of the 1-token prefix: the distinct-token table is
+    // VOCABULARY-sized, so the distinct + rank + broadcast-join-back
+    // spelling keeps the corpus un-exchanged (the token strings cross a
+    // shuffle once per TYPE, never per occurrence)
     val vocabRank = PrefixSum.inclusive(
       toks.select(col("tok")).distinct().withColumn("_one", lit(1L)),
       Seq(col("tok")), col("_one"), "r").drop("_one")
     // Per-round materialization is load-bearing, not an optimization
-    // nicety: each round references `cur` twice (probe + shift) and
-    // `paired` twice (distinct-rank branch + re-attach probe), so an
-    // unmaterialized loop re-executes the whole prior lineage O(4^rounds)
-    // times. localCheckpoint flattens each round to a leaf (the
-    // curationPipeline stage-handoff discipline); `paired` persists via
-    // SharedBranch for its two same-round consumers.
+    // nicety: each round references `cur` twice (probe + shift), so an
+    // unmaterialized loop re-executes the whole prior lineage
+    // O(2^rounds) times. localCheckpoint flattens each round to a leaf
+    // (the curationPipeline stage-handoff discipline).
     var cur = toks.join(vocabRank, Seq("tok"))
       .select(col("doc_id"), col("pos"), col("r")).localCheckpoint()
     var k = 1
     while (k < prefixTokens) {
       val shifted = cur.select(col("doc_id"),
         (col("pos") - k).cast("int").as("pos"), col("r").as("r2"))
-      val paired = SharedBranch.sharedBranch(
-        cur.join(shifted, Seq("doc_id", "pos"), "left")
-          .select(col("doc_id"), col("pos"), col("r"),
-            coalesce(col("r2"), lit(0L)).as("r2")))
-      val pairRank = PrefixSum.inclusive(
-        paired.select(col("r"), col("r2")).distinct().withColumn("_one", lit(1L)),
-        Seq(col("r"), col("r2")), col("_one"), "rnew").drop("_one")
-      // prior rounds' checkpoint blocks free via GC/ContextCleaner once
-      // unreferenced (not CacheManager entries — unpersist() would no-op)
-      cur = paired.join(pairRank, Seq("r", "r2"))
+      val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("r"),
+          coalesce(col("r2"), lit(0L)).as("r2"))
+      // (r, r2) pair-rank: distinct pairs here are CORPUS-cardinality
+      // (≈ distinct truncated suffixes), so the round-18 spelling's
+      // distinct + inclusive-rank + equi-join-back paid THREE
+      // corpus-scale exchanges per round; the range-partitioned dense
+      // rank attaches the identical rank in ONE (guide §2.4;
+      // PrefixSum.denseRank — equal keys land in one range partition,
+      // so global rank = local dense rank + earlier-partition distinct
+      // totals). Prior rounds' checkpoint blocks free via
+      // GC/ContextCleaner once unreferenced (not CacheManager entries —
+      // unpersist() would no-op).
+      cur = PrefixSum.denseRank(paired, Seq(col("r"), col("r2")), "rnew")
         .select(col("doc_id"), col("pos"), col("rnew").as("r")).localCheckpoint()
       k *= 2
     }

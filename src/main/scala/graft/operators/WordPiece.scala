@@ -132,6 +132,13 @@ object WordPiece {
     var words = wordTable(docs).localCheckpoint()
     val alphabet = alphabetOf(words)
     val merges = Seq.newBuilder[(Int, String, String, String, Long, Long)]
+    // checkpoint cadence + skip-final-fold — the [[Bpe.trainMerges]]
+    // discipline (guide §5): one argmax job per round; the narrow fold
+    // chains between lineage cuts instead of paying a word-table
+    // materialization every round, and the last round's fold (a table
+    // nobody reads — the vocabulary derives from alphabet + merges) is
+    // never built
+    var foldsSinceCut = 0
     for (rank <- 0 until numMerges) {
       // the join is symbol-table-sized on both sides (pairs × marginals)
       // — broadcast-or-hash per AQE, never corpus-sized; the decimal
@@ -152,10 +159,14 @@ object WordPiece {
       val (l, r) = (row.getAs[String]("l"), row.getAs[String]("r"))
       val fused = l + stripCont(r)
       merges += ((rank, l, r, fused, row.getAs[Long]("c"), row.getAs[Long]("score_q")))
-      // prior rounds' checkpoint blocks free via GC/ContextCleaner once
-      // unreferenced (the Bpe.trainMerges house pattern)
-      words = words.withColumn("syms", wpFold(col("syms"), l, r, fused))
-        .localCheckpoint()
+      if (rank < numMerges - 1) {
+        words = words.withColumn("syms", wpFold(col("syms"), l, r, fused))
+        foldsSinceCut += 1
+        if (foldsSinceCut >= Bpe.FoldCheckpointEvery) {
+          words = words.localCheckpoint()
+          foldsSinceCut = 0
+        }
+      }
     }
     val trained = spark.createDataFrame(merges.result())
       .toDF("rank", "left", "right", "fused", "pair_count", "score_q")
@@ -252,9 +263,11 @@ object WordPiece {
         }
       }
       // prior rounds' checkpoint blocks free via GC/ContextCleaner once
-      // unreferenced (the Bpe house pattern)
-      words = words.withColumn("syms", wpFoldBatch(col("syms"), selected.result()))
-        .localCheckpoint()
+      // unreferenced (the Bpe house pattern); the final round's fold
+      // would build a table nobody reads — skipped
+      if (round < rounds - 1)
+        words = words.withColumn("syms", wpFoldBatch(col("syms"), selected.result()))
+          .localCheckpoint()
     }
     val trained = spark.createDataFrame(merges.result())
       .toDF("rank", "round", "left", "right", "fused", "pair_count", "score_q")

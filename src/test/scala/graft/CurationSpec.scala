@@ -209,6 +209,32 @@ class CurationSpec extends AnyFunSuite {
     assert(out.filter($"seq" =!= $"id" + 1).count() == 0)
   }
 
+  test("PrefixSum.denseRank ≡ dense_rank over an unpartitioned window; ties share, rows and payload preserved") {
+    // seeded duplicate-heavy keys over many partitions, two-column order
+    val df = spark.range(0, 3000, 1, 16).toDF("id")
+      .withColumn("r", pmod(col("id") * 2654435761L, lit(37L)))
+      .withColumn("r2", pmod(col("id") * 40503L, lit(11L)))
+    val got = PrefixSum.denseRank(df, Seq(col("r"), col("r2")), "rk")
+      .select($"id", $"rk").as[(Long, Long)].collect().toMap
+    val naive = df
+      .withColumn("rk", dense_rank().over(Window.orderBy($"r", $"r2")).cast("long"))
+      .select($"id", $"rk").as[(Long, Long)].collect().toMap
+    assert(got == naive)
+    val out = PrefixSum.denseRank(df, Seq(col("r")), "rk")
+    assert(out.count() == 3000)
+    assert(out.columns.sorted.toSeq == Seq("id", "r", "r2", "rk"))
+  }
+
+  test("PrefixSum.denseRank rejects inputs whose columns collide with its internal names") {
+    val bad = spark.range(0, 10).toDF("id").withColumn("_lrank", $"id")
+    intercept[IllegalArgumentException] {
+      PrefixSum.denseRank(bad, Seq(col("id")), "rk")
+    }
+    intercept[IllegalArgumentException] {
+      PrefixSum.denseRank(spark.range(0, 10).toDF("id"), Seq(col("id")), "_pid")
+    }
+  }
+
   // ---- PII redaction --------------------------------------------------
 
   test("redactPii counts and replaces emails, IPs, phones; clean text untouched") {
