@@ -169,14 +169,14 @@ object M5Queries {
     * tokenizer and every WordPiece gate would be vacuous on the family-
     * specific branches (the byteInjected discipline).
     */
-  private def wpInjected(s: SparkSession, dir: String): DataFrame =
+  private[graft] def wpInjected(s: SparkSession, dir: String): DataFrame =
     TextDedup.documents(s, dir).withColumn("text",
       concat(col("text"), lit(frag.wpInject), (col("doc_id") % 5).cast("string")))
 
   /** The q_wp_* SCORE input: the training input plus one word whose 'ø'
     * is outside the training alphabet — the whole-word [UNK] rule binds.
     */
-  private def wpScoreDocs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def wpScoreDocs(s: SparkSession, dir: String): DataFrame =
     wpInjected(s, dir).withColumn("text",
       concat(col("text"), lit(frag.wpUnkTail)))
 
@@ -281,7 +281,7 @@ object M5Queries {
     * a shared spelling on both engines (injection scaffolding, not the
     * operator under test).
     */
-  private def nspInjected(s: SparkSession, dir: String): DataFrame =
+  private[graft] def nspInjected(s: SparkSession, dir: String): DataFrame =
     TextDedup.documents(s, dir)
       .withColumn("_tk", TextFunctions.tokens(col("text")))
       .withColumn("text", when(size(col("_tk")) > 0,
@@ -3077,13 +3077,20 @@ object M5Queries {
             maxSeqLength = frag.bertMaxSeq)
           .select(expr("doc_id * 1048576 + sent_idx").as("sid"),
             col("pos"), col("token"), col("token_type"), col("is_next")))
-      val st = ex.select(col("sid").as("doc_id"), col("pos"), col("token"))
+      // token_type/is_next CARRY THROUGH the row-preserving mask
+      // (mlmMask carryCols) instead of re-joining `ex` on (doc_id, pos)
+      // afterwards — the re-attach join re-exchanged the whole example
+      // stream twice for columns it already had (guide §2.4)
+      val st = ex.select(col("sid").as("doc_id"), col("pos"), col("token"),
+        col("token_type"), col("is_next"))
       // the vocabulary frame feeds FOUR branches here (vsize, the
       // random-replacement dictionary, and both id lookups) - persist
       // it so the corpus-sized token count runs once, not four times
-      val v = operators.SharedBranch.sharedBranch(operators.Bpe.vocabulary(st))
+      val v = operators.SharedBranch.sharedBranch(operators.Bpe.vocabulary(
+        st.select(col("doc_id"), col("pos"), col("token"))))
       operators.Bpe.mlmMask(st, v,
-          specials = Seq("[CLS]", "[SEP]"), maxPerSeq = frag.mlmMaxPred)
+          specials = Seq("[CLS]", "[SEP]"), maxPerSeq = frag.mlmMaxPred,
+          carryCols = Seq("token_type", "is_next"))
         .join(broadcast(v.select(col("token").as("input_token"),
           col("token_id").as("_iid"))), Seq("input_token"), "left")
         .withColumn("input_id",
@@ -3091,8 +3098,6 @@ object M5Queries {
             .otherwise(col("_iid")))
         .join(broadcast(v.select(col("token").as("label"),
           col("token_id").as("label_id"))), Seq("label"), "left")
-        .join(ex.select(col("sid").as("doc_id"), col("pos"),
-          col("token_type"), col("is_next")), Seq("doc_id", "pos"))
         .select(expr("doc_id div 1048576").as("doc_id"),
           expr("CAST(doc_id % 1048576 AS INT)").as("sent_idx"),
           col("pos"), col("input_id"), col("label_id"),
@@ -3356,7 +3361,7 @@ object M5Queries {
   /** DuckDB fragments reproducing TextFunctions bit-for-bit. Plain (non-
     * interpolated) strings so backslashes survive.
     */
-  private object frag {
+  private[graft] object frag {
     val toks = """list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), t -> len(t) > 0)"""
     // rolling hash of a string expression %s
     def rolling(expr: String): String =

@@ -743,7 +743,15 @@ object Bpe {
   def mlmMask(stream: DataFrame, vocab: DataFrame,
       maskToken: String = "[MASK]", selPct: Int = 15,
       specials: Seq[String] = Nil, maxPerSeq: Int = 0,
-      epochSeed: Option[Int] = None): DataFrame = {
+      epochSeed: Option[Int] = None,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    // `carryCols`: extra input columns threaded through to the output
+    // UNCHANGED (the mask is row-preserving and keyed on (doc_id, pos,
+    // token) only) — callers that need per-position metadata alongside
+    // the mask (q_bert_tensors' token_type/is_next) carry it here
+    // instead of re-joining the example stream on (doc_id, pos), which
+    // re-exchanged the whole corpus for columns the stream already had
+    // (guide §2.4)
     // `specials`: tokens NEVER selected for masking ([CLS]/[SEP] in the
     // BERT example builder — create_pretraining_data.py's rule); the
     // default keeps the plain-stream behavior
@@ -777,13 +785,13 @@ object Bpe {
     hashed
       .join(broadcast(vocab.select(col("token_id").as("rid"),
         col("token").as("rtok"))), Seq("rid"), "left")
-      .select(col("doc_id"), col("pos"),
+      .select(Seq(col("doc_id"), col("pos"),
         when(!col("sel"), col("token"))
           .when(col("b") < 8, lit(maskToken))
           .when(col("b") === 8, col("rtok"))
           .otherwise(col("token")).as("input_token"),
         when(col("sel"), col("token")).as("label"),
-        col("sel").as("masked"))
+        col("sel").as("masked")) ++ carryCols.map(col): _*)
   }
 
   /** ELECTRA-style REPLACED-TOKEN-DETECTION corruption (Clark et al.,

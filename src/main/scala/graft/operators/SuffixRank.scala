@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   *    [[PrefixSum.inclusive]] (contiguous global ranges, per-partition
   *    windows, broadcast offsets — no unpartitioned window, no driver
   *    zipWithIndex);
-  *  - the shift join is (doc_id, pos)-keyed, the rank re-attach is
-  *    (r, r2)-keyed — both uniform equi-joins; the wide exchanges carry
-  *    integer ranks, never text (the hashOnlyShuffle discipline);
+  *  - the k-ahead shift is a `lead(r, k)` per-doc window (pos is dense,
+  *    so row k ahead IS pos+k — one doc-keyed exchange, not a self-join);
+  *    the rank re-attach is the (r, r2) range exchange; the wide
+  *    exchanges carry integer ranks, never text (the hashOnlyShuffle
+  *    discipline);
   *  - token strings appear exactly once (the vocabulary rank), then the
   *    corpus rides as integers.
   *
@@ -52,19 +54,27 @@ object SuffixRank {
       toks.select(col("tok")).distinct().withColumn("_one", lit(1L)),
       Seq(col("tok")), col("_one"), "r").drop("_one")
     // Per-round materialization is load-bearing, not an optimization
-    // nicety: each round references `cur` twice (probe + shift), so an
-    // unmaterialized loop re-executes the whole prior lineage
-    // O(2^rounds) times. localCheckpoint flattens each round to a leaf
-    // (the curationPipeline stage-handoff discipline).
+    // nicety: PrefixSum.denseRank reads its input through a SharedBranch
+    // (rank branch + distinct-totals branch), so an unmaterialized loop
+    // would re-execute the whole prior lineage every round.
+    // localCheckpoint flattens each round to a leaf (the
+    // curationPipeline stage-handoff discipline).
     var cur = toks.join(vocabRank, Seq("tok"))
       .select(col("doc_id"), col("pos"), col("r")).localCheckpoint()
     var k = 1
     while (k < prefixTokens) {
-      val shifted = cur.select(col("doc_id"),
-        (col("pos") - k).cast("int").as("pos"), col("r").as("r2"))
-      val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
-        .select(col("doc_id"), col("pos"), col("r"),
-          coalesce(col("r2"), lit(0L)).as("r2"))
+      // the k-ahead partner rank: `pos` is DENSE per document (posexplode
+      // emits 1..n with no gaps and every round keeps all rows), so the
+      // rank at pos+k is exactly `lead(r, k)` over the per-doc pos order
+      // — ONE doc_id hash exchange + per-partition sort, where the
+      // (doc_id, pos)-keyed self-join spelling paid TWO corpus exchanges
+      // + the same sorts (guide §2.4: the shift is a window, not a join);
+      // a missing pos+k (past the doc's end) ranks 0, the lexicographic
+      // shorter-suffix-first rule
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val paired = cur.select(col("doc_id"), col("pos"), col("r"),
+        coalesce(lead(col("r"), k).over(wDoc), lit(0L)).as("r2"))
       // (r, r2) pair-rank: distinct pairs here are CORPUS-cardinality
       // (≈ distinct truncated suffixes), so the round-18 spelling's
       // distinct + inclusive-rank + equi-join-back paid THREE

@@ -71,10 +71,20 @@ object Unigram {
     * corpus-sized); the rank is a range-partitioned [[PrefixSum]].
     */
   def seedVocab(docs: DataFrame, maxPieceLen: Int, topN: Int,
-      metaspace: Boolean = false): DataFrame = {
+      metaspace: Boolean = false): DataFrame =
+    seedVocabFromWords(wordCounts(docs, metaspace), maxPieceLen, topN)
+
+  /** [[seedVocab]] over an ALREADY-built word table — the trainer's
+    * entry point: [[trainVocab]] pays the corpus-sized word hash-agg
+    * ONCE and feeds the checkpointed (word, cnt) frame to the seed AND
+    * every E-step round (guide §5/§6 — the round-19 fix for the
+    * one-corpus-pass-per-round re-aggregation).
+    */
+  private def seedVocabFromWords(words: DataFrame, maxPieceLen: Int,
+      topN: Int): DataFrame = {
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     require(topN >= 1, s"topN must be >= 1, got $topN")
-    val subs = wordCounts(docs, metaspace)
+    val subs = words
       .select(col("cnt"), explode(flatten(transform(
         sequence(lit(1), length(col("word"))), s =>
           transform(
@@ -161,9 +171,17 @@ object Unigram {
     */
   def pieceUsageSoft(docs: DataFrame, vocab: DataFrame,
       probBits: Int = 8, scale: Long = 1000000L,
-      metaspace: Boolean = false): DataFrame = {
+      metaspace: Boolean = false): DataFrame =
+    pieceUsageSoftFromWords(wordCounts(docs, metaspace), vocab, probBits,
+      scale)
+
+  /** [[pieceUsageSoft]] over an ALREADY-built word table — see
+    * [[seedVocabFromWords]].
+    */
+  private def pieceUsageSoftFromWords(words: DataFrame, vocab: DataFrame,
+      probBits: Int, scale: Long): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
-    val spark = docs.sparkSession
+    val spark = words.sparkSession
     val rows = vocab.select(col("piece"), col("n_occ"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     require(rows.nonEmpty, "empty vocabulary")
@@ -176,7 +194,7 @@ object Unigram {
     // the HUGEINT oracle; the decimal sum is exact to 38 digits and the
     // assert_true below fails loudly at the int64 envelope instead
     // (round-15 advice — the LanguageModel envelope discipline)
-    val usage = wordCounts(docs, metaspace)
+    val usage = words
       .select(col("cnt"), explode(soft).as("pc"))
       .groupBy(col("pc.piece").as("piece"))
       .agg(sum(col("cnt").cast(org.apache.spark.sql.types.DecimalType(38, 0))
@@ -322,7 +340,17 @@ object Unigram {
       metaspace: Boolean = false): DataFrame = {
     require(targetVocab >= 1, s"targetVocab must be >= 1, got $targetVocab")
     require(dropCap >= 1, s"dropCap must be >= 1, got $dropCap")
-    var vocab = seedVocab(docs, maxPieceLen, topN, metaspace)
+    // ONE corpus-sized word hash-agg for the whole trainer: the seed
+    // and every soft E-step round read this checkpointed (word, cnt)
+    // frame — the per-round `wordCounts(docs)` re-aggregation paid the
+    // corpus scan + word shuffle rounds+1 times for identical results
+    // (guide §5: materialize the reused frame once). The HARD path's
+    // E-step segments whole documents ([[pieceUsage]]), so only the
+    // seed reads the word table there — no reuse, no checkpoint.
+    val words =
+      if (soft) wordCounts(docs, metaspace).localCheckpoint()
+      else wordCounts(docs, metaspace)
+    var vocab = seedVocabFromWords(words, maxPieceLen, topN)
       .select(col("piece"), col("n_occ")).localCheckpoint()
     var (pieces, btot) = vocabModel(vocab)
     // CODE-POINT length, matching the engine-side prune-immunity test
@@ -342,7 +370,7 @@ object Unigram {
       // round, [[pieceUsageSoft]]; the usage-agnostic prune makes the
       // M-step identical either way)
       val usage =
-        if (soft) pieceUsageSoft(docs, vocab, probBits, scale, metaspace)
+        if (soft) pieceUsageSoftFromWords(words, vocab, probBits, scale)
           .select(col("piece"), col("usage_q").as("usage"))
         else pieceUsage(docs, pieces, btot, metaspace)
       vocab = pruneVocab(vocab.select(col("piece")), usage, dropK)

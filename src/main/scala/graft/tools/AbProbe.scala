@@ -1,0 +1,163 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Paired A/B plan probe for tuning sessions on a stall-prone host:
+  * alternate the variants' noop runs inside ONE JVM (A B A B …) so
+  * whole-VM stalls hit both sides equally, and report per-variant
+  * minima — the only timing methodology that separates a plan change
+  * from hypervisor steal at per-query granularity (SCALE.md capture
+  * protocol; isolated back-to-back runs of IDENTICAL binaries swing
+  * 2–10× here).
+  *
+  * Usage: runMain graft.tools.AbProbe <probe> [rounds]
+  */
+object AbProbe {
+  def main(args: Array[String]): Unit = {
+    val probe = args(0)
+    val rounds = if (args.length > 1) args(1).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    graft.sources.Tables.preload(spark, dir)
+    val variants = probes(spark, dir)(probe)
+    // one untimed warmup each (codegen + JIT), then alternating rounds
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (r <- 0 to rounds; (name, fn) <- variants) {
+      val t0 = System.nanoTime()
+      fn().write.mode("overwrite").format("noop").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.sources.Tables.evictPinned(spark, blocking = true)
+      graft.sources.Tables.releaseLocalCheckpoints(spark)
+      if (r > 0) times(name) = dt :: times.getOrElse(name, Nil)
+      println(f"[ab] round $r $name%-10s $dt%8.2f s")
+    }
+    variants.foreach { case (name, _) =>
+      val ts = times(name).sorted
+      println(f"[ab] $name%-10s min=${ts.head}%8.2f  med=${ts(ts.size / 2)}%8.2f  all=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+
+  private def probes(spark: SparkSession, dir: String)
+      : Map[String, Seq[(String, () => DataFrame)]] = {
+    import graft.operators._
+    import graft.functions.TextFunctions
+
+    // ---- the pre-round-19 suffixRanks spelling: (doc_id, pos) self-join
+    // for the k-ahead shift (two corpus exchanges/round) instead of the
+    // lead() window (one)
+    def suffixRanksJoin(docs: DataFrame, prefixTokens: Int): DataFrame = {
+      val toks = docs.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("int").as("pos"), col("tok"))
+      val vocabRank = PrefixSum.inclusive(
+        toks.select(col("tok")).distinct().withColumn("_one", lit(1L)),
+        Seq(col("tok")), col("_one"), "r").drop("_one")
+      var cur = toks.join(vocabRank, Seq("tok"))
+        .select(col("doc_id"), col("pos"), col("r")).localCheckpoint()
+      var k = 1
+      while (k < prefixTokens) {
+        val shifted = cur.select(col("doc_id"),
+          (col("pos") - k).cast("int").as("pos"), col("r").as("r2"))
+        val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
+          .select(col("doc_id"), col("pos"), col("r"),
+            coalesce(col("r2"), lit(0L)).as("r2"))
+        cur = PrefixSum.denseRank(paired, Seq(col("r"), col("r2")), "rnew")
+          .select(col("doc_id"), col("pos"), col("rnew").as("r")).localCheckpoint()
+        k *= 2
+      }
+      cur.select(col("doc_id"), col("pos"), col("r").as("srank"))
+    }
+
+    Map(
+      "suffix" -> Seq(
+        "join" -> (() => suffixRanksJoin(TextDedup.documents(spark, dir), 8)
+          .orderBy(col("doc_id"), col("pos"))),
+        "lead" -> (() => SuffixRank.suffixRanks(TextDedup.documents(spark, dir))
+          .orderBy(col("doc_id"), col("pos")))),
+      "softtrain" -> Seq(
+        // old: one wordCounts pass per round (public pieces re-spell the
+        // pre-round-19 trainVocab loop exactly)
+        "perround" -> (() => {
+          val docs = TextDedup.documents(spark, dir)
+          var vocab = Unigram.seedVocab(docs, 4, 48)
+            .select(col("piece"), col("n_occ")).localCheckpoint()
+          var pieces = Unigram.vocabModel(vocab)._1
+          while (pieces.size > 29) {
+            val dropK = math.min(8L, pieces.size.toLong - 29).toInt
+            val usage = Unigram.pieceUsageSoft(docs, vocab, 8, 1000000L)
+              .select(col("piece"), col("usage_q").as("usage"))
+            vocab = Unigram.pruneVocab(vocab.select(col("piece")), usage, dropK)
+              .select(col("piece"), col("n_occ")).localCheckpoint()
+            pieces = Unigram.vocabModel(vocab)._1
+          }
+          vocab.orderBy(col("n_occ").desc, col("piece"))
+        }),
+        "shared" -> (() => Unigram.trainVocab(TextDedup.documents(spark, dir),
+            4, 48, 29, 8, soft = true, 8, 1000000L)
+          .orderBy(col("n_occ").desc, col("piece")))),
+      // cumulative-prefix profile of the BERT wwm chain: each variant's
+      // time includes its prefix, so pairwise deltas are stage costs
+      "bertprofile" -> Seq(
+        "train" -> (() => {
+          val m = WordPiece.trainAndVocab(
+            graft.M5Queries.wpInjected(spark, dir), 8)._1
+          m
+        }),
+        "nsp" -> (() => Curation.nspPairs(graft.M5Queries.nspInjected(spark, dir))),
+        "examples" -> (() => {
+          val vocab = WordPiece.trainAndVocab(
+            graft.M5Queries.wpInjected(spark, dir), 8)._2
+          WordPiece.bertExamples(
+            Curation.nspPairs(graft.M5Queries.nspInjected(spark, dir)), vocab)
+        }),
+        "fullwwm" -> (() => graft.SparkEntry.queries("q_bert_wwm")(spark, dir))),
+      "wpwin" -> Seq(
+        "encode" -> (() => {
+          val vocab = WordPiece.trainAndVocab(
+            graft.M5Queries.wpInjected(spark, dir), 8)._2
+          WordPiece.encodeTokens(graft.M5Queries.wpScoreDocs(spark, dir), vocab)
+        }),
+        "fullwin" -> (() => graft.SparkEntry.queries("q_wp_windows")(spark, dir))),
+      "berttensors" -> Seq(
+        // old: re-attach token_type/is_next by a (doc_id, pos) self-join
+        "rejoin" -> (() => {
+          val train = graft.M5Queries.wpInjected(spark, dir)
+          val vocab = WordPiece.trainAndVocab(train, 8)._2
+          val ex = SharedBranch.sharedBranch(
+            WordPiece.bertExamples(
+                Curation.nspPairs(graft.M5Queries.nspInjected(spark, dir)), vocab,
+                maxSeqLength = 16)
+              .select(expr("doc_id * 1048576 + sent_idx").as("sid"),
+                col("pos"), col("token"), col("token_type"), col("is_next")))
+          val st = ex.select(col("sid").as("doc_id"), col("pos"), col("token"))
+          val v = SharedBranch.sharedBranch(Bpe.vocabulary(st))
+          Bpe.mlmMask(st, v,
+              specials = Seq("[CLS]", "[SEP]"), maxPerSeq = 2)
+            .join(broadcast(v.select(col("token").as("input_token"),
+              col("token_id").as("_iid"))), Seq("input_token"), "left")
+            .withColumn("input_id",
+              when(col("input_token") === "[MASK]", lit(-1L))
+                .otherwise(col("_iid")))
+            .join(broadcast(v.select(col("token").as("label"),
+              col("token_id").as("label_id"))), Seq("label"), "left")
+            .join(ex.select(col("sid").as("doc_id"), col("pos"),
+              col("token_type"), col("is_next")), Seq("doc_id", "pos"))
+            .select(expr("doc_id div 1048576").as("doc_id"),
+              expr("CAST(doc_id % 1048576 AS INT)").as("sent_idx"),
+              col("pos"), col("input_id"), col("label_id"),
+              col("token_type"), col("is_next"), col("masked"))
+            .orderBy(col("doc_id"), col("sent_idx"), col("pos"))
+        }),
+        "carry" -> (() => graft.SparkEntry.queries("q_bert_tensors")(spark, dir))))
+  }
+}
