@@ -40,12 +40,17 @@ object Bench {
     * (any gate added or removed after the clean capture disables it)
     * and the stored line's own `sf` field, which must equal the live
     * run's SF directory (a clean sf0.001 smoke capture must never
-    * become an sf0.1 grading line). The file is KEYED BY SF so a clean
-    * smoke run at another scale can never overwrite the driver-contract
-    * sidecar either.
+    * become an sf0.1 grading line). The file is KEYED BY SF AND CORE
+    * COUNT: a clean smoke run at another scale can never overwrite the
+    * driver-contract sidecar, and — the round-19 fix — a clean run at
+    * the driver's LOW core count (the 8-core scaling pass) can never
+    * overwrite the 32-core capture either; before the cpus key an
+    * uncontaminated 8-core run silently replaced the 32-core line, and
+    * a later contaminated 32-core close would have republished ~3×-slow
+    * numbers as its grading line.
     */
-  private[graft] def cleanCapturePath(sfDir: String): String =
-    "BENCH_CLEAN." + new java.io.File(sfDir).getName + ".json"
+  private[graft] def cleanCapturePath(sfDir: String, cpus: String): String =
+    "BENCH_CLEAN." + new java.io.File(sfDir).getName + ".c" + cpus + ".json"
 
   /** The embed decision on the sidecar's raw content — pure, so
     * BenchSidecarSpec can pin both guards and the malformed-file path.
@@ -257,7 +262,7 @@ object Bench {
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir","queries_omitted":$omitted,"omitted_max_s":${fmt(omittedMax)},"stall_suspect":$stallSuspects,"passes":$passes,"mid_busy_max":${f"$maxMidBusy%.3f"},"load_before":"$loadBefore","load_after":"$loadAfter","contaminated":$contaminated$extra}"""
       }
       val fingerprint = results.map(_._1).sorted.mkString(",")
-      val cleanFile = java.nio.file.Paths.get(cleanCapturePath(sfDir))
+      val cleanFile = java.nio.file.Paths.get(cleanCapturePath(sfDir, cpus))
       if (!contaminated) {
         // persist this clean capture for a later contaminated run of
         // the SAME query set (see CleanCapturePath)

@@ -199,7 +199,7 @@ object M5Queries {
     * low_alpha, too_long) are pinned in CurationSpec instead — the
     * documented vacuity split.
     */
-  private def gopherInjected(s: SparkSession, dir: String): DataFrame =
+  private[graft] def gopherInjected(s: SparkSession, dir: String): DataFrame =
     TextDedup.documents(s, dir).withColumn("text",
       when(col("doc_id") % 7 === 0, concat(col("text"), lit(frag.gopherDupTail)))
         .when(col("doc_id") % 7 === 1, concat(col("text"), lit(frag.gopherSymTail)))

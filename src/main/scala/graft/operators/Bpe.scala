@@ -205,6 +205,10 @@ object Bpe {
       }.localCheckpoint()
     }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    // final-round fold skipped, chained fold cadence otherwise — the
+    // trainMerges discipline (checkpoint every FoldCheckpointEvery
+    // folds, not every round)
+    var foldsSinceCut = 0
     for (rank <- prior.length until prior.length + extraMerges) {
       val top = pairCounts(words)
         .orderBy(col("c").desc, col("l"), col("r"))
@@ -213,11 +217,14 @@ object Bpe {
         s"corpus ran out of symbol pairs after ${rank - prior.length} extension merges (asked for $extraMerges)")
       val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       merges += ((rank, l, r, c))
-      // final-round fold skipped, chained cadence otherwise — the
-      // trainMerges discipline
-      if (rank < prior.length + extraMerges - 1)
+      if (rank < prior.length + extraMerges - 1) {
         words = words.withColumn("syms", mergeFold(col("syms"), l, r))
-          .localCheckpoint()
+        foldsSinceCut += 1
+        if (foldsSinceCut >= FoldCheckpointEvery) {
+          words = words.localCheckpoint()
+          foldsSinceCut = 0
+        }
+      }
     }
     spark.createDataFrame(merges.result())
       .toDF("rank", "left", "right", "pair_count")

@@ -1033,19 +1033,27 @@ object Curation {
       .select(col("doc_id"), col("n"),
         ((-col("m.nc")) * (length(col("m.ng")) - (col("n") - 1)))
           .cast("long").as("num"))
-    // dup-n: duplicated starts → covered positions (≤ n-row explode) →
-    // positional union → char sum
-    val dupNg = SharedBranch.sharedBranch(ngrams(Seq(5, 6, 7, 8, 9, 10)))
-    val dupStarts = dupNg
-      .groupBy(col("doc_id"), col("n"), col("ng")).agg(count(lit(1)).as("c"))
+    // dup-n: start positions ride INSIDE the duplicate-detection
+    // aggregation (collect_list next to the count — one exchange carries
+    // both), so no join-back re-shuffles the whole n-gram stream to
+    // recover them, and the positional union (overlaps counted once)
+    // happens in the ARRAY domain per (doc, n) — expand each start to
+    // its n covered positions, flatten, array_distinct — instead of a
+    // corpus-wide DISTINCT exchange of exploded rows (guide §2.3/§2.4:
+    // the round-18 spelling paid a full re-exchange of the 6-size
+    // n-gram frame plus a distinct exchange for the same set). Array
+    // sizes are doc-bounded (≤ 6 sizes × doc positions), the house
+    // doc-bounded-explode envelope.
+    val dupCov = ngrams(Seq(5, 6, 7, 8, 9, 10))
+      .groupBy(col("doc_id"), col("n"), col("ng"))
+      .agg(count(lit(1)).as("c"), collect_list(col("p")).as("ps"))
       .filter(col("c") >= 2)
-      .join(dupNg, Seq("doc_id", "n", "ng"))
-      .select(col("doc_id"), col("n"), col("p"))
-    val covered = dupStarts
+      .groupBy(col("doc_id"), col("n"))
+      .agg(flatten(collect_list(col("ps"))).as("allp"))
       .select(col("doc_id"), col("n"),
-        explode(sequence(col("p"), col("p") + col("n") - 1)).as("q"))
-      .distinct()
-    val dup = covered.join(posShared, Seq("doc_id", "q"))
+        explode(array_distinct(flatten(transform(col("allp"),
+          p => sequence(p, p + col("n") - 1))))).as("q"))
+    val dup = dupCov.join(posShared, Seq("doc_id", "q"))
       .groupBy(col("doc_id"), col("n")).agg(sum(col("wlen")).as("num"))
     // pivot both families to fixed columns; absent (doc, n) pairs → 0
     def cols(df: DataFrame, ns: Seq[Int], prefix: String) =

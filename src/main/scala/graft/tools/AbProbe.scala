@@ -105,6 +105,60 @@ object AbProbe {
         "shared" -> (() => Unigram.trainVocab(TextDedup.documents(spark, dir),
             4, 48, 29, 8, soft = true, 8, 1000000L)
           .orderBy(col("n_occ").desc, col("piece")))),
+      "gopher" -> Seq(
+        // old dup side: count-only agg + join-back + corpus-wide distinct
+        "joinback" -> (() => {
+          val docs = graft.M5Queries.gopherInjected(spark, dir)
+          val base = SharedBranch.sharedBranch(
+            docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("w")))
+          val pos = base.select(col("doc_id"),
+            posexplode(col("w")).as(Seq("q0", "tok")))
+            .select(col("doc_id"), (col("q0") + 1).as("q"),
+              length(col("tok")).cast("long").as("wlen"))
+          val posShared = SharedBranch.sharedBranch(pos)
+          val chars = posShared.groupBy(col("doc_id"))
+            .agg(sum(col("wlen")).as("n_wchars"))
+          def ngrams(ns: Seq[Int]): DataFrame =
+            ns.map { n =>
+              base.select(col("doc_id"), lit(n).as("n"),
+                posexplode(TextFunctions.shingles(col("w"), n)).as(Seq("p0", "ng")))
+                .select(col("doc_id"), col("n"), (col("p0") + 1).as("p"), col("ng"))
+            }.reduce(_ unionByName _)
+          val top = ngrams(Seq(2, 3, 4))
+            .groupBy(col("doc_id"), col("n"), col("ng")).agg(count(lit(1)).as("c"))
+            .groupBy(col("doc_id"), col("n"))
+            .agg(min(struct((-col("c")).as("nc"), col("ng"))).as("m"))
+            .select(col("doc_id"), col("n"),
+              ((-col("m.nc")) * (length(col("m.ng")) - (col("n") - 1)))
+                .cast("long").as("num"))
+          val dupNg = SharedBranch.sharedBranch(ngrams(Seq(5, 6, 7, 8, 9, 10)))
+          val dupStarts = dupNg
+            .groupBy(col("doc_id"), col("n"), col("ng")).agg(count(lit(1)).as("c"))
+            .filter(col("c") >= 2)
+            .join(dupNg, Seq("doc_id", "n", "ng"))
+            .select(col("doc_id"), col("n"), col("p"))
+          val covered = dupStarts
+            .select(col("doc_id"), col("n"),
+              explode(sequence(col("p"), col("p") + col("n") - 1)).as("q"))
+            .distinct()
+          val dup = covered.join(posShared, Seq("doc_id", "q"))
+            .groupBy(col("doc_id"), col("n")).agg(sum(col("wlen")).as("num"))
+          def cols(df: DataFrame, ns: Seq[Int], prefix: String) =
+            df.groupBy(col("doc_id")).agg(
+              ns.map(n => coalesce(max(when(col("n") === n, col("num"))), lit(0L))
+                .as(s"$prefix$n")).head,
+              ns.tail.map(n => coalesce(max(when(col("n") === n, col("num"))), lit(0L))
+                .as(s"$prefix$n")): _*)
+          docs.select(col("doc_id"))
+            .join(chars, Seq("doc_id"), "left")
+            .join(cols(top, Seq(2, 3, 4), "top"), Seq("doc_id"), "left")
+            .join(cols(dup, Seq(5, 6, 7, 8, 9, 10), "dup"), Seq("doc_id"), "left")
+            .select(col("doc_id") +: (
+              Seq("n_wchars", "top2", "top3", "top4", "dup5", "dup6", "dup7",
+                "dup8", "dup9", "dup10").map(c => coalesce(col(c), lit(0L)).as(c))): _*)
+            .orderBy(col("doc_id"))
+        }),
+        "arraydom" -> (() => graft.SparkEntry.queries("q_gopher_ngram")(spark, dir))),
       // cumulative-prefix profile of the BERT wwm chain: each variant's
       // time includes its prefix, so pairwise deltas are stage costs
       "bertprofile" -> Seq(

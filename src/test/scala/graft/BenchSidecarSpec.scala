@@ -16,9 +16,12 @@ class BenchSidecarSpec extends AnyFunSuite {
   private val clean =
     """{"metric":"total","value":12.3,"unit":"sec","queries":{"q_a":1.0},"sf":"/root/testdata/sf0.1","contaminated":false}"""
 
-  test("cleanCapturePath keys the sidecar by SF") {
-    assert(Bench.cleanCapturePath("/root/testdata/sf0.1") == "BENCH_CLEAN.sf0.1.json")
-    assert(Bench.cleanCapturePath("/root/testdata/sf0.001") == "BENCH_CLEAN.sf0.001.json")
+  test("cleanCapturePath keys the sidecar by SF and core count") {
+    assert(Bench.cleanCapturePath("/root/testdata/sf0.1", "32") == "BENCH_CLEAN.sf0.1.c32.json")
+    assert(Bench.cleanCapturePath("/root/testdata/sf0.001", "32") == "BENCH_CLEAN.sf0.001.c32.json")
+    // the driver's 8-core scaling pass must never clobber the 32-core
+    // contract sidecar (the round-19 keying fix)
+    assert(Bench.cleanCapturePath("/root/testdata/sf0.1", "8") == "BENCH_CLEAN.sf0.1.c8.json")
   }
 
   test("embeddableClean: fingerprint AND sf must both match") {
@@ -49,7 +52,7 @@ class BenchSidecarSpec extends AnyFunSuite {
   }
 
   test("the committed sidecar is embeddable for the driver's sf0.1 contract run") {
-    val f = new java.io.File(Bench.cleanCapturePath("/root/testdata/sf0.1"))
+    val f = new java.io.File(Bench.cleanCapturePath("/root/testdata/sf0.1", "32"))
     assume(f.exists, "no committed sidecar in this tree")
     val content = java.nio.file.Files.readString(f.toPath)
     val names = SparkEntry.queries.keys.toSeq.sorted.mkString(",")
