@@ -987,88 +987,121 @@ object Curation {
     * are code points per token, whitespace excluded, the
     * [[graft.functions.TokenStats]] convention).
     *
-    * Scale shape: ONE union frame per family, not one pass per n — the
-    * (doc, n, pos, ngram) stream unions the six (three) shingle sizes
-    * map-side (a ≤ 9× narrow blow-up, the hop-window bounded-config
-    * discipline), so each family pays ONE (doc, n, ngram)-keyed
-    * map-side-combinable count shuffle; duplicate-coverage positions
-    * explode by ≤ n (config-bounded) and dedup per (doc, n, q) before
-    * the char join. Every aggregation is doc-keyed — millions of small
-    * groups at 100 TB, never a funnel. Tokenless documents report all
-    * zeros (the LEFT-join-at-0 discipline).
+    * Scale shape: ENTIRELY NARROW — every signal is a function of the
+    * document's own token array, so the whole set is computed in the
+    * ARRAY domain on the document row: the per-(doc, n) n-gram count
+    * table becomes a per-row `array_sort` + run-length fold (equal
+    * n-grams are adjacent after the sort — the argmax scans runs in
+    * n-gram-ascending order, so a strict `>` update reproduces the
+    * (count DESC, ngram ASC) rank rule bit-for-bit), and the
+    * duplicate-coverage union stays the per-row
+    * expand-flatten-array_distinct it already was. No n-gram string
+    * ever crosses an exchange: the round-18 spelling exploded 9 shingle
+    * sizes into two corpus-scale string-keyed count shuffles + a
+    * coverage join + three doc-keyed pivots (guide §2.3/§2.4 — this is
+    * the "shuffle nothing" endpoint of that sequence). Array sizes stay
+    * doc-bounded (the house doc-bounded-explode envelope); tokenless
+    * documents report all zeros.
     */
-  def gopherNgramSignals(docs: DataFrame): DataFrame = {
+  def gopherNgramSignals(docs: DataFrame): DataFrame =
+    gopherStage2(gopherStage1(gopherStage0(docs))).select(
+      Seq(col("doc_id"), col("n_wchars")) ++
+        Seq(2, 3, 4).map(n => col(s"top$n")) ++
+        (5 to 10).map(n => col(s"dup$n")): _*)
+
+  /** Stage 0: the token array, computed once ([[gopherGate]] enters the
+    * same chain carrying its extra per-doc columns — `keep` lists them
+    * so the projections pass them through).
+    */
+  private def gopherStage0(docs: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    docs.select(col("doc_id") +: (keep.map(col) :+
+      coalesce(graft.functions.TextFunctions.tokens(col("text")),
+        array().cast("array<string>")).as("_w")): _*)
+
+  /** Stage 1: per-size sorted shingle scaffolding as REAL columns —
+    * each is referenced more than once downstream, and a multi-
+    * referenced non-trivial alias is exactly what CollapseProject
+    * refuses to inline, so every array is built once per row (inlining
+    * them into the fold lambdas would re-build them per ELEMENT).
+    * `_sst{2,3,4}`: sorted n-gram arrays; `_zp{5..10}`: (ngram, start)
+    * structs sorted so equal n-grams are adjacent.
+    */
+  private def gopherStage1(staged: DataFrame): DataFrame = {
     import graft.functions.TextFunctions
-    val toks = TextFunctions.tokens(col("text"))
-    val base = SharedBranch.sharedBranch(
-      docs.select(col("doc_id"), toks.as("w")))
-    // (doc, q, wlen): token positions with char lengths — the coverage
-    // join's right side and the denominator's source
-    val pos = base.select(col("doc_id"),
-      posexplode(col("w")).as(Seq("q0", "tok")))
-      .select(col("doc_id"), (col("q0") + 1).as("q"),
-        length(col("tok")).cast("long").as("wlen"))
-    val posShared = SharedBranch.sharedBranch(pos)
-    val chars = posShared.groupBy(col("doc_id"))
-      .agg(sum(col("wlen")).as("n_wchars"))
-    // one union frame per family: (doc_id, n, p, ng)
-    def ngrams(ns: Seq[Int]): DataFrame =
-      ns.map { n =>
-        base.select(col("doc_id"), lit(n).as("n"),
-          posexplode(TextFunctions.shingles(col("w"), n)).as(Seq("p0", "ng")))
-          .select(col("doc_id"), col("n"), (col("p0") + 1).as("p"), col("ng"))
-      }.reduce(_ unionByName _)
-    // top-n: per (doc, n) argmax over the count table — spelled as ONE
-    // map-side-combinable min(struct(-c, ng)) aggregation (lexicographic
-    // struct order ≡ the (count DESC, ngram ASC) rank rule) instead of a
-    // row_number window, which would re-exchange AND sort the whole
-    // count table on (doc, n) just to keep rank 1 (guide §2.3/§2.4: the
-    // partial agg ships ≤ one row per (doc, n) per map task); token
-    // chars of a shingle = len − (n−1) separators (tokens are
-    // whitespace-free)
-    val top = ngrams(Seq(2, 3, 4))
-      .groupBy(col("doc_id"), col("n"), col("ng")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n"))
-      .agg(min(struct((-col("c")).as("nc"), col("ng"))).as("m"))
-      .select(col("doc_id"), col("n"),
-        ((-col("m.nc")) * (length(col("m.ng")) - (col("n") - 1)))
-          .cast("long").as("num"))
-    // dup-n: start positions ride INSIDE the duplicate-detection
-    // aggregation (collect_list next to the count — one exchange carries
-    // both), so no join-back re-shuffles the whole n-gram stream to
-    // recover them, and the positional union (overlaps counted once)
-    // happens in the ARRAY domain per (doc, n) — expand each start to
-    // its n covered positions, flatten, array_distinct — instead of a
-    // corpus-wide DISTINCT exchange of exploded rows (guide §2.3/§2.4:
-    // the round-18 spelling paid a full re-exchange of the 6-size
-    // n-gram frame plus a distinct exchange for the same set). Array
-    // sizes are doc-bounded (≤ 6 sizes × doc positions), the house
-    // doc-bounded-explode envelope.
-    val dupCov = ngrams(Seq(5, 6, 7, 8, 9, 10))
-      .groupBy(col("doc_id"), col("n"), col("ng"))
-      .agg(count(lit(1)).as("c"), collect_list(col("p")).as("ps"))
-      .filter(col("c") >= 2)
-      .groupBy(col("doc_id"), col("n"))
-      .agg(flatten(collect_list(col("ps"))).as("allp"))
-      .select(col("doc_id"), col("n"),
-        explode(array_distinct(flatten(transform(col("allp"),
-          p => sequence(p, p + col("n") - 1))))).as("q"))
-    val dup = dupCov.join(posShared, Seq("doc_id", "q"))
-      .groupBy(col("doc_id"), col("n")).agg(sum(col("wlen")).as("num"))
-    // pivot both families to fixed columns; absent (doc, n) pairs → 0
-    def cols(df: DataFrame, ns: Seq[Int], prefix: String) =
-      df.groupBy(col("doc_id")).agg(
-        ns.map(n => coalesce(max(when(col("n") === n, col("num"))), lit(0L))
-          .as(s"$prefix$n")).head,
-        ns.tail.map(n => coalesce(max(when(col("n") === n, col("num"))), lit(0L))
-          .as(s"$prefix$n")): _*)
-    docs.select(col("doc_id"))
-      .join(chars, Seq("doc_id"), "left")
-      .join(cols(top, Seq(2, 3, 4), "top"), Seq("doc_id"), "left")
-      .join(cols(dup, Seq(5, 6, 7, 8, 9, 10), "dup"), Seq("doc_id"), "left")
-      .select(col("doc_id") +: (
-        Seq("n_wchars", "top2", "top3", "top4", "dup5", "dup6", "dup7",
-          "dup8", "dup9", "dup10").map(c => coalesce(col(c), lit(0L)).as(c))): _*)
+    val w = col("_w")
+    staged.select(
+      Seq(col("*")) ++
+        Seq(2, 3, 4).map(n =>
+          array_sort(TextFunctions.shingles(w, n)).as(s"_sst$n")) ++
+        (5 to 10).map { n =>
+          val ss = TextFunctions.shingles(w, n)
+          // n-gram count = size(w) − n + 1 without re-building the
+          // shingle array just to measure it
+          val idx = when(size(w) >= n, sequence(lit(1), size(w) - lit(n - 1)))
+            .otherwise(array().cast("array<int>"))
+          array_sort(zip_with(ss, idx,
+            (ng, p) => struct(ng.as("ng"), p.as("p")))).as(s"_zp$n")
+        }: _*)
+  }
+
+  /** Stage 2: the numerators, one fold per signal over the stage-1
+    * arrays; everything else passes through.
+    */
+  private def gopherStage2(mid: DataFrame): DataFrame = {
+    val w = col("_w")
+    mid.select(
+      Seq(col("*"), gopherWchars(w).as("n_wchars")) ++
+        Seq(2, 3, 4).map(n => gopherTopNum(col(s"_sst$n"), n).as(s"top$n")) ++
+        (5 to 10).map(n => gopherDupNum(w, col(s"_zp$n"), n).as(s"dup$n")): _*)
+  }
+
+  /** Σ token chars of a token array — the gopher denominator, one fold. */
+  private def gopherWchars(w: Column): Column =
+    aggregate(w, lit(0L), (acc, t) => acc + length(t).cast("long"))
+
+  /** top-n numerator in the array domain: occurrences of the most
+    * frequent n-gram × its token chars (chars = len − (n−1) separators;
+    * tokens are whitespace-free). Equal n-grams are adjacent in the
+    * sorted array `sst`, so one run-length fold finds (count DESC,
+    * ngram ASC): the scan meets n-grams in ascending order and updates
+    * on STRICT run-length improvement — ties keep the earlier (smaller)
+    * n-gram, exactly the old spelling's `min(struct(-c, ng))`.
+    */
+  private def gopherTopNum(sst: Column, n: Int): Column = {
+    val best = aggregate(sst,
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("bc"), lit("").as("bng")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          when(run > acc("bc"), run).otherwise(acc("bc")).as("bc"),
+          when(run > acc("bc"), x).otherwise(acc("bng")).as("bng"))
+      })
+    when(size(sst) > 0,
+        best("bc") * (length(best("bng")) - lit(n - 1)).cast("long"))
+      .otherwise(lit(0L))
+  }
+
+  /** dup-n numerator in the array domain: token chars at positions
+    * covered by at least one n-gram occurring ≥ 2 times. In the sorted
+    * struct array `zp` equal n-grams are adjacent, so the duplicated
+    * starts are exactly the members of adjacent equal pairs (interior
+    * run members appear twice — the downstream `array_distinct`
+    * absorbs that); the positional union expands starts to covered
+    * positions, dedups, and folds token lengths — all on the document
+    * row.
+    */
+  private def gopherDupNum(w: Column, zp: Column, n: Int): Column = {
+    val m = size(zp)
+    val pairs = zip_with(slice(zp, lit(1), m - 1), slice(zp, lit(2), m - 1),
+      (a, b) => when(a("ng") === b("ng"), array(a("p"), b("p")))
+        .otherwise(array().cast("array<int>")))
+    val covered = array_distinct(flatten(transform(flatten(pairs),
+      p => sequence(p, p + lit(n - 1)))))
+    when(m >= 2,
+        aggregate(covered, lit(0L),
+          (acc, q) => acc + length(element_at(w, q)).cast("long")))
+      .otherwise(lit(0L))
   }
 
   /** The published stop-word list of Gopher's "must contain at least two
@@ -1113,7 +1146,6 @@ object Curation {
     */
   def gopherGate(docs: DataFrame, minTokens: Int = 30,
       maxTokens: Int = 10000): DataFrame = {
-    val docsShared = SharedBranch.sharedBranch(docs)
     // '…' is one code point, '#' one char, '...' removes 3 chars per
     // NON-OVERLAPPING occurrence — all exact integer arithmetic (`div`,
     // never the double-typed `/`)
@@ -1122,27 +1154,41 @@ object Curation {
       expr("CAST(length(text) - length(regexp_replace(text, '\\\\.\\\\.\\\\.', '')) AS BIGINT) div 3") +
       (length(col("text")) -
         length(regexp_replace(col("text"), "…", ""))).cast("long")
-    val wToks = graft.functions.TextFunctions.tokens(col("text"))
     // line-share numerators: '\n'-split lines, bullet = optional blank
     // indent then one of •‣▶*-, ellipsis = '…'/'...' then optional
     // trailing blanks; lines carry no terminators (they were split on
     // them), so Java's before-final-newline '$' and RE2's end-anchor
     // '$' agree
     val lines = split(col("text"), "\n")
-    val extra = docsShared.select(col("doc_id"),
-      sym.as("n_sym"),
-      size(filter(wToks, t => t.rlike("\\p{L}"))).cast("long").as("n_alpha"),
-      size(array_intersect(array_distinct(wToks),
-        array(GopherStopWords.map(lit): _*))).cast("long").as("n_stop"),
-      size(lines).cast("long").as("n_lines"),
-      size(filter(lines, l => l.rlike("^[ \\t]*[•‣▶*-]")))
-        .cast("long").as("n_bullet"),
-      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \\t]*$")))
-        .cast("long").as("n_ellip"))
-    val ng = gopherNgramSignals(docsShared)
-    val base = withQualityVerdict(docsShared, minTokens, maxTokens)
-      .select(col("doc_id"), col("_q.n_tokens").as("n_tokens"),
-        col("_q.reasons").as("base_reasons"))
+    // ONE narrow projection chain — every signal (quality verdict,
+    // symbol/line shares, and the array-domain n-gram numerators) is a
+    // function of the document row, so the three doc-keyed joins the
+    // pre-round-19 spelling paid (base ⋈ ng ⋈ extra over a persisted
+    // shared frame) collapse into pass-through columns on the
+    // gopherStage chain (guide §2.4: no exchange anywhere)
+    // n_alpha/n_stop stay on the RAW (nullable) token expression — the
+    // pre-round-19 spelling's null-text behavior (null counts, rules
+    // silently not firing) is part of the pinned output; the n-gram
+    // stage uses the null-coalesced array (whose zeros match the old
+    // LEFT-join-at-0 discipline)
+    val wToks = graft.functions.TextFunctions.tokens(col("text"))
+    val perDoc = withQualityVerdict(docs, minTokens, maxTokens)
+      .select(col("doc_id"), col("text"),
+        col("_q.n_tokens").as("n_tokens"),
+        col("_q.reasons").as("base_reasons"),
+        sym.as("n_sym"),
+        size(filter(wToks, t => t.rlike("\\p{L}"))).cast("long").as("n_alpha"),
+        size(array_intersect(array_distinct(wToks),
+          array(GopherStopWords.map(lit): _*))).cast("long").as("n_stop"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => l.rlike("^[ \\t]*[•‣▶*-]")))
+          .cast("long").as("n_bullet"),
+        size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \\t]*$")))
+          .cast("long").as("n_ellip"))
+    val staged = gopherStage0(perDoc,
+      keep = Seq("n_tokens", "base_reasons", "n_sym", "n_alpha", "n_stop",
+        "n_lines", "n_bullet", "n_ellip"))
+    val sig = gopherStage2(gopherStage1(staged))
     val topT = Seq(2 -> 20, 3 -> 18, 4 -> 16)
     val dupT = Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
     val fired = array(
@@ -1157,7 +1203,7 @@ object Curation {
         when(col(s"top$n") * 100 > col("n_wchars") * t, lit(s"top_ngram$n")) } ++
       dupT.map { case (n, t) =>
         when(col(s"dup$n") * 100 > col("n_wchars") * t, lit(s"dup_ngram$n")) }): _*)
-    base.join(ng, Seq("doc_id")).join(extra, Seq("doc_id"))
+    sig
       .withColumn("_fired", filter(fired, r => r.isNotNull))
       .withColumn("reasons",
         array_sort(concat(col("base_reasons"), col("_fired"))))

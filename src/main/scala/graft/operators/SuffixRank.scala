@@ -4,31 +4,39 @@ import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed truncated suffix ranking by prefix doubling — the
-  * suffix-array construction step underneath corpus-scale exact
-  * substring deduplication (Lee et al., arXiv:2107.06499 build a suffix
-  * array of the concatenated corpus; [[TextDedup.exactSubstringDupPairs]]
-  * covers the fixed-k window form, this ranks every token suffix by its
-  * first `prefixTokens` tokens — the order the full suffix array sorts
-  * by, truncated at a known horizon).
+/** Distributed truncated suffix ranking — the suffix-array construction
+  * step underneath corpus-scale exact substring deduplication (Lee et
+  * al., arXiv:2107.06499 build a suffix array of the concatenated
+  * corpus; [[TextDedup.exactSubstringDupPairs]] covers the fixed-k
+  * window form, this ranks every token suffix by its first
+  * `prefixTokens` tokens — the order the full suffix array sorts by,
+  * truncated at a known horizon).
   *
-  * Algorithm (Manber–Myers doubling, the standard distributed spelling):
-  * rank₁ = dense rank of the single token; rank₂ₖ(p) = dense rank of the
-  * pair (rankₖ(p), rankₖ(p+k)), with a missing p+k ranked 0 — a shorter
-  * suffix that is a prefix of a longer one sorts FIRST, the
-  * lexicographic rule. log₂(prefixTokens) rounds.
+  * Algorithm: at a FIXED truncation horizon the classic Manber–Myers
+  * doubling loop is unnecessary — the truncated suffix order IS the
+  * lexicographic order of the tuple `(r₁(p), r₁(p+1), …,
+  * r₁(p+h−1))` of single-token vocabulary ranks, 0-filled past the
+  * document end (a shorter suffix that is a prefix of a longer one
+  * sorts FIRST, the lexicographic rule; vocabulary ranks start at 1, so
+  * the 0 fill can never collide with a real token). One corpus-global
+  * dense rank of that tuple therefore produces BIT-IDENTICAL ranks to
+  * log₂(h) doubling rounds — same equality classes, same order, same
+  * dense numbering — for one doc-keyed window (h−1 `lead`s share one
+  * sort) plus ONE range exchange, where doubling paid (window exchange
+  * + range exchange + full-corpus localCheckpoint) PER ROUND (guide
+  * §2.4/§5; the round-19 collapse — AbProbe `suffix` keeps the doubling
+  * spelling for the paired comparison).
   *
-  * Scale shape — O(log L) linear passes, never a comparison sort of
+  * Scale shape — O(1) linear passes, never a comparison sort of
   * strings:
-  *  - every dense rank is distinct → range-partitioned
-  *    [[PrefixSum.inclusive]] (contiguous global ranges, per-partition
+  *  - the corpus-global rank is range-partitioned
+  *    [[PrefixSum.denseRank]] (contiguous global ranges, per-partition
   *    windows, broadcast offsets — no unpartitioned window, no driver
   *    zipWithIndex);
-  *  - the k-ahead shift is a `lead(r, k)` per-doc window (pos is dense,
-  *    so row k ahead IS pos+k — one doc-keyed exchange, not a self-join);
-  *    the rank re-attach is the (r, r2) range exchange; the wide
-  *    exchanges carry integer ranks, never text (the hashOnlyShuffle
-  *    discipline);
+  *  - the k-ahead ranks are `lead(r, k)` per-doc windows (pos is dense,
+  *    so row k ahead IS pos+k — one doc-keyed exchange for ALL h−1
+  *    shifts, not a self-join per shift); the wide exchanges carry
+  *    integer ranks, never text (the hashOnlyShuffle discipline);
   *  - token strings appear exactly once (the vocabulary rank), then the
   *    corpus rides as integers.
   *
@@ -53,43 +61,24 @@ object SuffixRank {
     val vocabRank = PrefixSum.inclusive(
       toks.select(col("tok")).distinct().withColumn("_one", lit(1L)),
       Seq(col("tok")), col("_one"), "r").drop("_one")
-    // Per-round materialization is load-bearing, not an optimization
-    // nicety: PrefixSum.denseRank reads its input through a SharedBranch
-    // (rank branch + distinct-totals branch), so an unmaterialized loop
-    // would re-execute the whole prior lineage every round.
-    // localCheckpoint flattens each round to a leaf (the
-    // curationPipeline stage-handoff discipline).
-    var cur = toks.join(vocabRank, Seq("tok"))
-      .select(col("doc_id"), col("pos"), col("r")).localCheckpoint()
-    var k = 1
-    while (k < prefixTokens) {
-      // the k-ahead partner rank: `pos` is DENSE per document (posexplode
-      // emits 1..n with no gaps and every round keeps all rows), so the
-      // rank at pos+k is exactly `lead(r, k)` over the per-doc pos order
-      // — ONE doc_id hash exchange + per-partition sort, where the
-      // (doc_id, pos)-keyed self-join spelling paid TWO corpus exchanges
-      // + the same sorts (guide §2.4: the shift is a window, not a join);
-      // a missing pos+k (past the doc's end) ranks 0, the lexicographic
-      // shorter-suffix-first rule
-      val wDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      val paired = cur.select(col("doc_id"), col("pos"), col("r"),
-        coalesce(lead(col("r"), k).over(wDoc), lit(0L)).as("r2"))
-      // (r, r2) pair-rank: distinct pairs here are CORPUS-cardinality
-      // (≈ distinct truncated suffixes), so the round-18 spelling's
-      // distinct + inclusive-rank + equi-join-back paid THREE
-      // corpus-scale exchanges per round; the range-partitioned dense
-      // rank attaches the identical rank in ONE (guide §2.4;
-      // PrefixSum.denseRank — equal keys land in one range partition,
-      // so global rank = local dense rank + earlier-partition distinct
-      // totals). Prior rounds' checkpoint blocks free via
-      // GC/ContextCleaner once unreferenced (not CacheManager entries —
-      // unpersist() would no-op).
-      cur = PrefixSum.denseRank(paired, Seq(col("r"), col("r2")), "rnew")
-        .select(col("doc_id"), col("pos"), col("rnew").as("r")).localCheckpoint()
-      k *= 2
-    }
-    cur.select(col("doc_id"), col("pos"), col("r").as("srank"))
+    val r1 = toks.join(vocabRank, Seq("tok"))
+      .select(col("doc_id"), col("pos"), col("r"))
+    // ALL h−1 look-ahead ranks from ONE per-doc window (`pos` is dense:
+    // posexplode emits 1..n with no gaps, so the rank at pos+k is
+    // exactly `lead(r, k)`); a missing pos+k (past the doc's end) ranks
+    // 0, the lexicographic shorter-suffix-first rule. No per-round
+    // localCheckpoint remains: the single consumer chain below is
+    // guarded by denseRank's own SharedBranch persist of the ranged
+    // frame, so nothing here executes twice.
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val aheadCols = (1 until prefixTokens).map(k =>
+      coalesce(lead(col("r"), k).over(wDoc), lit(0L)).as(s"_r$k"))
+    val wide = r1.select(
+      Seq(col("doc_id"), col("pos"), col("r")) ++ aheadCols: _*)
+    val keys = col("r") +: (1 until prefixTokens).map(k => col(s"_r$k"))
+    PrefixSum.denseRank(wide, keys, "srank")
+      .select(col("doc_id"), col("pos"), col("srank"))
   }
 
   /** The use of the suffix order: a rank held by more than one position

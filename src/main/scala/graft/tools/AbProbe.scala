@@ -175,6 +175,70 @@ object AbProbe {
             Curation.nspPairs(graft.M5Queries.nspInjected(spark, dir)), vocab)
         }),
         "fullwwm" -> (() => graft.SparkEntry.queries("q_bert_wwm")(spark, dir))),
+      // WordPiece trainer round-shape experiment (round-19 continuation,
+      // NEGATIVE result, change reverted): a fused single-exchange
+      // roundCounts (pairs + marginals in one explode/agg, broadcast-
+      // hinted score joins) measured min 2.67 / med 2.85 vs the two-agg
+      // spelling's min 2.48 / med 2.86 over 8 paired rounds — the two
+      // independent tiny aggregations overlap as parallel stages at 32
+      // cores, so fusing them buys nothing locally and pays the
+      // concat/struct-null explode overhead. Kept here as the probe that
+      // produced that evidence: "twoagg" is the plain uncadenced loop,
+      // "house" the shipped trainer (two aggs + fold-cadence cuts).
+      "wptrain" -> Seq(
+        "twoagg" -> (() => {
+          val docs = graft.M5Queries.wpInjected(spark, dir)
+          val w0 = col("word")
+          val symsE = when(length(w0) > 1,
+              concat(array(substring(w0, 1, 1)),
+                transform(split(expr("substring(word, 2)"), ""),
+                  c => concat(lit("##"), c))))
+            .otherwise(array(w0))
+          var words = docs
+            .select(explode(TextFunctions.bertTokens(col("text"))).as("word"))
+            .groupBy(w0).agg(count(lit(1)).as("cnt"))
+            .select(w0, col("cnt"), symsE.as("syms")).localCheckpoint()
+          def pairCounts(ws: DataFrame) = ws
+            .select(col("cnt"),
+              explode(zip_with(
+                slice(col("syms"), lit(1), size(col("syms")) - 1),
+                slice(col("syms"), lit(2), size(col("syms")) - 1),
+                (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum(col("cnt")).as("c"))
+          def symCounts(ws: DataFrame) = ws
+            .select(col("cnt"), explode(col("syms")).as("sym"))
+            .groupBy(col("sym")).agg(sum(col("cnt")).as("sc"))
+          def wpFold(syms: org.apache.spark.sql.Column, l: String, r: String,
+              fused: String) =
+            aggregate(syms, array().cast("array<string>"), (acc, ch) =>
+              when(size(acc) > 0 && element_at(acc, -1) === lit(l) && ch === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
+                .otherwise(concat(acc, array(ch))))
+          val merges = Seq.newBuilder[(Int, String, String, String, Long, Long)]
+          for (rank <- 0 until 8) {
+            val uc = symCounts(words)
+            val top = pairCounts(words)
+              .join(uc.select(col("sym").as("l"), col("sc").as("lc")), Seq("l"))
+              .join(uc.select(col("sym").as("r"), col("sc").as("rc")), Seq("r"))
+              .withColumn("score_q", expr(
+                "CAST((CAST(c AS DECIMAL(20,0)) * CAST(1000000000000 AS DECIMAL(13,0))) " +
+                  "div (CAST(lc AS DECIMAL(19,0)) * CAST(rc AS DECIMAL(19,0))) AS BIGINT)"))
+              .orderBy(col("score_q").desc, col("l"), col("r"))
+              .limit(1).collect()
+            val row = top(0)
+            val (l, r) = (row.getAs[String]("l"), row.getAs[String]("r"))
+            val fused = l + (if (r.startsWith("##")) r.substring(2) else r)
+            merges += ((rank, l, r, fused, row.getAs[Long]("c"),
+              row.getAs[Long]("score_q")))
+            if (rank < 7)
+              words = words.withColumn("syms", wpFold(col("syms"), l, r, fused))
+          }
+          spark.createDataFrame(merges.result())
+            .toDF("rank", "left", "right", "fused", "pair_count", "score_q")
+        }),
+        "house" -> (() => WordPiece.trainAndVocab(
+          graft.M5Queries.wpInjected(spark, dir), 8)._1)),
       "wpwin" -> Seq(
         "encode" -> (() => {
           val vocab = WordPiece.trainAndVocab(
