@@ -353,21 +353,14 @@ object WordPiece {
     val staged = if (maxSeqLength == 0) staged0 else {
       val la = size(col("ta")).cast("long")
       val lb = size(col("tb")).cast("long")
-      val n = greatest(lit(0L), la + lb + lit(3L) - lit(maxSeqLength.toLong))
-      val zero = struct(lit(0L).as("fa"), lit(0L).as("ba"),
-        lit(0L).as("fb"), lit(0L).as("bb"))
-      def bump(acc: Column, f: String): Column = struct(
-        Seq("fa", "ba", "fb", "bb").map(k =>
-          (if (k == f) acc(k) + 1L else acc(k)).as(k)): _*)
-      val folded = when(n > 0, aggregate(sequence(lit(1L), n), zero,
-        (acc, i) => {
-          val cla = la - acc("fa") - acc("ba")
-          val clb = lb - acc("fb") - acc("bb")
-          val front = graft.functions.TextFunctions.rollingHash(
-            concat_ws(":", col("doc_id"), col("sent_idx"), i)) % 2 === 0
-          when(cla > clb, when(front, bump(acc, "fa")).otherwise(bump(acc, "ba")))
-            .otherwise(when(front, bump(acc, "fb")).otherwise(bump(acc, "bb")))
-        })).otherwise(zero)
+      // the whole while-loop is ONE native pass
+      // ([[graft.functions.TruncTrimFold]] — same counters, same
+      // hash-deterministic draws via the rolling-hash prefix identity,
+      // bit-identical to the aggregate-over-sequence HOF spelling it
+      // replaces, which paid an n-element array build + an interpreted
+      // four-counter struct rebuild + a full string hash per trim step)
+      val folded = graft.functions.TruncTrimFold.trunc_trim_fold(
+        concat_ws(":", col("doc_id"), col("sent_idx")), la, lb, maxSeqLength)
       staged0.withColumn("_tr", folded)
         .select(col("doc_id"), col("sent_idx"), col("is_next"),
           slice(col("ta"), (col("_tr.fa") + 1).cast("int"),

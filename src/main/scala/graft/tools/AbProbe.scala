@@ -175,6 +175,88 @@ object AbProbe {
             Curation.nspPairs(graft.M5Queries.nspInjected(spark, dir)), vocab)
         }),
         "fullwwm" -> (() => graft.SparkEntry.queries("q_bert_wwm")(spark, dir))),
+      // truncate_seq_pair: the aggregate-over-sequence HOF fold (the
+      // pre-TruncTrimFold spelling, interpreted per trim step) vs the
+      // native one-pass expression, on the q_bert_examples_trunc shape
+      "truncfold" -> Seq(
+        "hof" -> (() => {
+          val train = graft.M5Queries.wpInjected(spark, dir)
+          val vocab = WordPiece.trainAndVocab(train, 8)._2
+          import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+          def enc(c: String) = toColumn(graft.functions.WordPieceEncode(
+            toExpression(col(c)), vocab, "[UNK]"))
+          val pairs = Curation.nspPairs(graft.M5Queries.nspInjected(spark, dir))
+          val staged0 = pairs.select(col("doc_id"), col("sent_idx"),
+            col("is_next"), enc("a").as("ta"), enc("b").as("tb"))
+          val la = size(col("ta")).cast("long")
+          val lb = size(col("tb")).cast("long")
+          val maxSeq = 16
+          val n = greatest(lit(0L), la + lb + lit(3L) - lit(maxSeq.toLong))
+          val zero = struct(lit(0L).as("fa"), lit(0L).as("ba"),
+            lit(0L).as("fb"), lit(0L).as("bb"))
+          def bump(acc: org.apache.spark.sql.Column, f: String) = struct(
+            Seq("fa", "ba", "fb", "bb").map(k =>
+              (if (k == f) acc(k) + 1L else acc(k)).as(k)): _*)
+          val folded = when(n > 0, aggregate(sequence(lit(1L), n), zero,
+            (acc, i) => {
+              val cla = la - acc("fa") - acc("ba")
+              val clb = lb - acc("fb") - acc("bb")
+              val front = TextFunctions.rollingHash(
+                concat_ws(":", col("doc_id"), col("sent_idx"), i)) % 2 === 0
+              when(cla > clb,
+                when(front, bump(acc, "fa")).otherwise(bump(acc, "ba")))
+                .otherwise(when(front, bump(acc, "fb")).otherwise(bump(acc, "bb")))
+            })).otherwise(zero)
+          staged0.withColumn("_tr", folded)
+            .select(col("doc_id"), col("sent_idx"), col("is_next"),
+              slice(col("ta"), (col("_tr.fa") + 1).cast("int"),
+                (la - col("_tr.fa") - col("_tr.ba")).cast("int")).as("ta"),
+              slice(col("tb"), (col("_tr.fb") + 1).cast("int"),
+                (lb - col("_tr.fb") - col("_tr.bb")).cast("int")).as("tb"))
+            .select(col("doc_id"), col("sent_idx"), col("is_next"),
+              (size(col("ta")) + 2).as("bnd"),
+              posexplode(concat(array(lit("[CLS]")), col("ta"),
+                array(lit("[SEP]")), col("tb"), array(lit("[SEP]"))))
+                .as(Seq("pos0", "token")))
+            .select(col("doc_id"), col("sent_idx"),
+              (col("pos0") + 1).as("pos"), col("token"),
+              when(col("pos0") + 1 <= col("bnd"), 0L).otherwise(1L)
+                .as("token_type"),
+              col("is_next"))
+            .orderBy(col("doc_id"), col("sent_idx"), col("pos"))
+        }),
+        "native" -> (() =>
+          graft.SparkEntry.queries("q_bert_examples_trunc")(spark, dir))),
+      // finer cuts of the same chain: persist+vocab, then the mask
+      // without the declared sort, then the sort (= fullwwm)
+      "bertwwm2" -> Seq(
+        "vocab" -> (() => {
+          val train = graft.M5Queries.wpInjected(spark, dir)
+          val vocab = WordPiece.trainAndVocab(train, 8)._2
+          val ex = WordPiece.bertExamples(
+            Curation.nspPairs(graft.M5Queries.nspInjected(spark, dir)), vocab)
+          val st = SharedBranch.sharedBranch(ex.select(
+            expr("doc_id * 1048576 + sent_idx").as("doc_id"),
+            col("pos"), col("token")))
+          SharedBranch.sharedBranch(Bpe.vocabulary(st))
+            .crossJoin(st.groupBy().count())
+        }),
+        "mask" -> (() => {
+          val train = graft.M5Queries.wpInjected(spark, dir)
+          val vocab = WordPiece.trainAndVocab(train, 8)._2
+          val ex = WordPiece.bertExamples(
+            Curation.nspPairs(graft.M5Queries.nspInjected(spark, dir)), vocab)
+          val st = SharedBranch.sharedBranch(ex.select(
+            expr("doc_id * 1048576 + sent_idx").as("doc_id"),
+            col("pos"), col("token")))
+          WordPiece.wwmMask(st,
+              SharedBranch.sharedBranch(Bpe.vocabulary(st)),
+              specials = Seq("[CLS]", "[SEP]"))
+            .select(expr("doc_id div 1048576").as("doc_id"),
+              expr("CAST(doc_id % 1048576 AS INT)").as("sent_idx"),
+              col("pos"), col("input_token"), col("label"), col("masked"))
+        }),
+        "sorted" -> (() => graft.SparkEntry.queries("q_bert_wwm")(spark, dir))),
       // WordPiece trainer round-shape experiment (round-19 continuation,
       // NEGATIVE result, change reverted): a fused single-exchange
       // roundCounts (pairs + marginals in one explode/agg, broadcast-
