@@ -257,6 +257,27 @@ object AbProbe {
               col("pos"), col("input_token"), col("label"), col("masked"))
         }),
         "sorted" -> (() => graft.SparkEntry.queries("q_bert_wwm")(spark, dir))),
+      // plan-size hypothesis: the bert streams are ~10^5 rows, so the
+      // mask segment's seconds must be DRIVER planning over the huge
+      // persisted lineages, not data — localCheckpoint leaves vs
+      // sharedBranch lineage on the identical chain
+      "bertlineage" -> Seq(
+        "shared" -> (() => graft.SparkEntry.queries("q_bert_wwm")(spark, dir)),
+        "ckpt" -> (() => {
+          val train = graft.M5Queries.wpInjected(spark, dir)
+          val vocab = WordPiece.trainAndVocab(train, 8)._2
+          val ex = WordPiece.bertExamples(
+            Curation.nspPairs(graft.M5Queries.nspInjected(spark, dir)), vocab)
+          val st = ex.select(
+            expr("doc_id * 1048576 + sent_idx").as("doc_id"),
+            col("pos"), col("token")).localCheckpoint()
+          val v = Bpe.vocabulary(st).localCheckpoint()
+          WordPiece.wwmMask(st, v, specials = Seq("[CLS]", "[SEP]"))
+            .select(expr("doc_id div 1048576").as("doc_id"),
+              expr("CAST(doc_id % 1048576 AS INT)").as("sent_idx"),
+              col("pos"), col("input_token"), col("label"), col("masked"))
+            .orderBy(col("doc_id"), col("sent_idx"), col("pos"))
+        })),
       // WordPiece trainer round-shape experiment (round-19 continuation,
       // NEGATIVE result, change reverted): a fused single-exchange
       // roundCounts (pairs + marginals in one explode/agg, broadcast-
